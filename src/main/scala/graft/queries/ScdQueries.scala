@@ -1,0 +1,223 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.scd.{KeyMode, MergeOptions, ScdMerge, ScdSchema}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's flagship capability — the SCD Type-1/Type-2 merge
+  * (reference `SCD_script.txt:1-155`) — exercised on a dimension feed
+  * derived deterministically from the `customer` testdata table
+  * (SURVEY.md §5.3), plus the as-of join an SCD-2 dimension exists to
+  * serve. The DuckDB oracle replays the same semantics as explicit
+  * 6-branch SQL, so the single-pass full-outer-join engine is
+  * cross-checked against the reference-shaped formulation.
+  *
+  * Feed design (all modular-arithmetic on `c_custkey`, so every branch
+  * B1-B6 is populated at every scale factor):
+  *  - production: customers with custkey%10<>0; custkey%5=0 members carry
+  *    an extra closed v1 (acctbal-100) so history exists pre-merge.
+  *  - staging: full snapshot minus custkey%7=0 (those become B1 carries);
+  *    %3=0 changes acctbal (+50), %6=0 changes mktsegment (Type-2);
+  *    %4=0 upper-cases the name (Type-1, rewrites history);
+  *    %10=0 members are absent from production (B6 inserts).
+  */
+object ScdQueries {
+
+  val schema: ScdSchema = ScdSchema(
+    businessKeys = Seq("c_custkey"),
+    type1Cols = Seq("c_name"),
+    type2Cols = Seq("c_acctbal", "c_mktsegment"))
+
+  val asOf: Timestamp = Timestamp.valueOf("2024-07-01 00:00:00")
+
+  /** Open-interval sentinel for the oracle feed. The engine default is the
+    * reference's 9999-12-31 (golden tests assert it), but year 9999
+    * overflows nanosecond-timestamp readers (pyarrow) on the compare side,
+    * so the oracle queries use a reader-safe sentinel.
+    */
+  private val high = "2200-01-01 00:00:00"
+  private val highTs = Timestamp.valueOf(high)
+
+  /** Production dimension derived from `customer`. */
+  def production(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+    val closedV1 = cust.filter(col("c_custkey") % 5 === 0).select(
+      (col("c_custkey") * 2 - 1).cast("long").as("dim_id"),
+      col("c_custkey"), col("c_name"),
+      (col("c_acctbal") - 100).as("c_acctbal"), col("c_mktsegment"),
+      lit(1).as("scd_version"),
+      lit("2023-01-01 00:00:00").cast("timestamp").as("scd_start_date"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("scd_end_date"),
+      lit(false).as("scd_active"))
+    val active = cust.select(
+      (col("c_custkey") * 2).cast("long").as("dim_id"),
+      col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+      when(col("c_custkey") % 5 === 0, 2).otherwise(1).as("scd_version"),
+      lit("2024-01-01 00:00:00").cast("timestamp").as("scd_start_date"),
+      lit(high).cast("timestamp").as("scd_end_date"),
+      lit(true).as("scd_active"))
+    closedV1.unionByName(active)
+  }
+
+  /** Staging snapshot derived from `customer`. */
+  def staging(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 4 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 50)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 6 === 0, lit("WHOLESALE"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: stable-key, null-safe SCD merge.
+    "q13_scd_merge" -> ((s, dir) => {
+      ScdMerge.merge(production(s, dir), staging(s, dir), schema,
+        MergeOptions(asOf, highDate = highTs))
+        .orderBy(col("c_custkey"), col("scd_version"))
+    }),
+
+    // Reference-shaped mode: three-valued change predicate + global
+    // surrogate renumbering by start date (SCD_script.txt:143).
+    "q14_scd_hivecompat" -> ((s, dir) => {
+      ScdMerge.merge(production(s, dir), staging(s, dir), schema,
+        MergeOptions(asOf, keyMode = KeyMode.HiveCompat,
+          nullSafeCompare = false, highDate = highTs))
+        .orderBy(col("c_custkey"), col("scd_version"))
+    }),
+
+    // As-of join: each order resolved against the dimension version valid
+    // at o_orderdate (intervals chosen inside the order-date range).
+    // Equi-join on the business key carries the shuffle; the interval
+    // predicate is a post-join filter — at scale this stays a single
+    // key-partitioned sort-merge join, no cross product.
+    "q15_asof_join" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val split = lit("1995-06-01 00:00:00").cast("timestamp")
+      val dim = cust.select(col("c_custkey").as("d_custkey"),
+          (col("c_acctbal") - 100).as("acctbal_then"),
+          lit(1).as("dim_version"),
+          lit("1970-01-01 00:00:00").cast("timestamp").as("vs"),
+          split.as("ve"))
+        .unionByName(cust.select(col("c_custkey").as("d_custkey"),
+          col("c_acctbal").as("acctbal_then"),
+          lit(2).as("dim_version"),
+          split.as("vs"),
+          lit(high).cast("timestamp").as("ve")))
+      Tables(s, dir, "orders")
+        .join(dim, col("o_custkey") === col("d_custkey") &&
+          col("o_orderdate") >= col("vs") && col("o_orderdate") < col("ve"))
+        .select(col("o_orderkey"), col("o_custkey"), col("dim_version"),
+          col("acctbal_then"))
+        .orderBy(col("o_orderkey"))
+    })
+  )
+
+  private val prodSql =
+    """SELECT CAST(c_custkey*2-1 AS BIGINT) AS dim_id, c_custkey, c_name,
+      |    c_acctbal - 100 AS c_acctbal, c_mktsegment, 1 AS scd_version,
+      |    TIMESTAMP '2023-01-01 00:00:00' AS scd_start_date,
+      |    TIMESTAMP '2024-01-01 00:00:00' AS scd_end_date, FALSE AS scd_active
+      |  FROM customer WHERE c_custkey % 10 <> 0 AND c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT CAST(c_custkey*2 AS BIGINT), c_custkey, c_name, c_acctbal, c_mktsegment,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 2 ELSE 1 END,
+      |    TIMESTAMP '2024-01-01 00:00:00',
+      |    TIMESTAMP '2200-01-01 00:00:00', TRUE
+      |  FROM customer WHERE c_custkey % 10 <> 0""".stripMargin
+
+  private val stagSql =
+    """SELECT c_custkey,
+      |    CASE WHEN c_custkey % 4 = 0 THEN upper(c_name) ELSE c_name END AS c_name,
+      |    CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN c_custkey % 6 = 0 THEN 'WHOLESALE' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 7 <> 0""".stripMargin
+
+  /** 6-branch oracle (B1-B6 of SURVEY.md §2.3(1)); `changed`/`unchanged`
+    * use IS [NOT] DISTINCT FROM = the engine's null-safe default.
+    */
+  private def mergeSql(renumber: Boolean): String = {
+    val asOfSql = "TIMESTAMP '2024-07-01 00:00:00'"
+    val highSql = s"TIMESTAMP '$high'"
+    val dimId =
+      if (renumber)
+        """ROW_NUMBER() OVER (ORDER BY scd_start_date, c_custkey, scd_version) AS dim_id"""
+      else
+        """CASE WHEN dim_id IS NULL
+          |      THEN (SELECT m FROM maxid) + ROW_NUMBER() OVER (
+          |             PARTITION BY dim_id IS NULL ORDER BY c_custkey, scd_version)
+          |      ELSE dim_id END AS dim_id""".stripMargin
+    s"""WITH prod AS (
+       |  $prodSql
+       |), stag AS (
+       |  $stagSql
+       |), b1 AS (
+       |  SELECT p.* FROM prod p
+       |  WHERE NOT EXISTS (SELECT 1 FROM stag s WHERE s.c_custkey = p.c_custkey)
+       |), b2 AS (
+       |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
+       |         p.scd_version, p.scd_start_date, p.scd_end_date, p.scd_active
+       |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
+       |  WHERE NOT p.scd_active
+       |), b3 AS (
+       |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
+       |         p.scd_version, p.scd_start_date, p.scd_end_date, p.scd_active
+       |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
+       |  WHERE p.scd_active AND p.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+       |    AND p.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+       |), b4 AS (
+       |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
+       |         p.scd_version, p.scd_start_date, $asOfSql AS scd_end_date,
+       |         FALSE AS scd_active
+       |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
+       |  WHERE p.scd_active AND (p.c_acctbal IS DISTINCT FROM s.c_acctbal
+       |    OR p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+       |), b5 AS (
+       |  SELECT CAST(NULL AS BIGINT) AS dim_id, s.c_custkey, s.c_name,
+       |         s.c_acctbal, s.c_mktsegment, p.scd_version + 1,
+       |         $asOfSql, $highSql, TRUE
+       |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
+       |  WHERE p.scd_active AND (p.c_acctbal IS DISTINCT FROM s.c_acctbal
+       |    OR p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+       |), b6 AS (
+       |  SELECT CAST(NULL AS BIGINT), s.c_custkey, s.c_name, s.c_acctbal,
+       |         s.c_mktsegment, 1, $asOfSql, $highSql, TRUE
+       |  FROM stag s
+       |  WHERE NOT EXISTS (SELECT 1 FROM prod p WHERE p.c_custkey = s.c_custkey)
+       |), unioned AS (
+       |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
+       |  SELECT * FROM b3 UNION ALL SELECT * FROM b4 UNION ALL
+       |  SELECT * FROM b5 UNION ALL SELECT * FROM b6
+       |), maxid AS (SELECT MAX(dim_id) AS m FROM prod)
+       |SELECT $dimId,
+       |  c_custkey, c_name, c_acctbal, c_mktsegment, scd_version,
+       |  scd_start_date, scd_end_date, scd_active
+       |FROM unioned
+       |ORDER BY c_custkey, scd_version""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q13_scd_merge" -> mergeSql(renumber = false),
+    "q14_scd_hivecompat" -> mergeSql(renumber = true),
+    "q15_asof_join" ->
+      """WITH dim AS (
+        |  SELECT c_custkey AS d_custkey, c_acctbal - 100 AS acctbal_then,
+        |    1 AS dim_version, TIMESTAMP '1970-01-01 00:00:00' AS vs,
+        |    TIMESTAMP '1995-06-01 00:00:00' AS ve
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 2, TIMESTAMP '1995-06-01 00:00:00',
+        |    TIMESTAMP '9999-12-31 23:59:59'
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, dim_version, acctbal_then
+        |FROM orders JOIN dim ON o_custkey = d_custkey
+        |  AND o_orderdate >= vs AND o_orderdate < ve
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

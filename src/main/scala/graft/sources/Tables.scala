@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical access to the driver-generated Parquet testdata
+  * (`/root/testdata/sf*`; see repo TESTDATA.md). Plain parquet scans so
+  * Catalyst predicate pushdown / column pruning reach the file source.
+  */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else read(spark, dir, name)
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (microseconds) refuses outright. Read it as a raw nanosecond long
+    * (legacy conf) and expose both the exact long (`ts_ns`, matches
+    * DuckDB's ns ordering bit-for-bit) and a truncated TimestampType `ts`
+    * for window/date logic.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    read(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+  }
+}

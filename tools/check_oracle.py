@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
+matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with every
+testdata table registered as a view over <sfDir>/<table>.parquet, and diffs:
+row count, column names (sorted), and per-cell values with rows sorted.
+
+Exit 0 iff every query matches.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if hasattr(v, "isoformat"):  # datetime/date; normalize tz-naive
+        try:
+            v = v.replace(tzinfo=None)
+        except (TypeError, ValueError):
+            pass
+        return v.isoformat()
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    return v
+
+
+def rows_of(names, cols):
+    order = sorted(range(len(names)), key=lambda i: names[i])
+    arrs = [cols[i] for i in order]
+    return sorted(
+        (tuple(canon(a[r]) for a in arrs) for r in range(len(arrs[0]) if arrs else 0)),
+        key=repr), [names[i] for i in order]
+
+
+def float_close(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
+    return a == b
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir, f"{t}.parquet")
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    failures = []
+    for name in sorted(oracle):
+        spark_dir = Path(out_dir, name)
+        if not spark_dir.exists():
+            failures.append((name, "spark output missing"))
+            continue
+        tbl = pq.read_table(spark_dir)
+        s_rows, s_names = rows_of(
+            tbl.column_names, [c.to_pylist() for c in tbl.columns])
+        try:
+            res = con.execute(oracle[name])
+            d_names = [d[0] for d in res.description]
+            d_cols = list(zip(*res.fetchall()))
+            if not d_cols:
+                d_cols = [[] for _ in d_names]
+            d_rows, d_names = rows_of(d_names, [list(c) for c in d_cols])
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            continue
+        if s_names != d_names:
+            failures.append((name, f"columns differ: spark={s_names} duck={d_names}"))
+            continue
+        if len(s_rows) != len(d_rows):
+            failures.append((name, f"row count: spark={len(s_rows)} duck={len(d_rows)}"))
+            continue
+        n_bad = exact_bad = 0
+        first = None
+        for sr, dr in zip(s_rows, d_rows):
+            if sr != dr:
+                exact_bad += 1
+                if not all(float_close(a, b) for a, b in zip(sr, dr)):
+                    n_bad += 1
+                    if first is None:
+                        first = (sr, dr)
+        if n_bad:
+            failures.append((name, f"{n_bad} rows differ; first: spark={first[0]} duck={first[1]}"))
+        elif exact_bad:
+            print(f"~  {name}: EXACT-MISMATCH on {exact_bad} rows but within 1e-9 "
+                  "(float low bits — driver hash compare may still fail!)")
+        else:
+            print(f"OK {name}: {len(s_rows)} rows")
+    for name, why in failures:
+        print(f"FAIL {name}: {why}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

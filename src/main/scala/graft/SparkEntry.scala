@@ -19,12 +19,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.ScdQueries.queries
+      graft.queries.ScdQueries.queries ++
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.VectorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-      graft.queries.ScdQueries.oracleSql
+      graft.queries.ScdQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.VectorQueries.oracleSql
 }

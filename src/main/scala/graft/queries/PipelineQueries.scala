@@ -1,0 +1,234 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.sources.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over `documents`: text analysis,
+  * exact/near deduplication (SURVEY.md §7.3 M4 north star).
+  *
+  * The synthetic corpus has no natural duplicates, so dedup queries run on
+  * a derived corpus with deterministically planted duplicates — exact
+  * copies (doc_id%7, id+1e6) and near-copies with a 3-token tail appended
+  * (doc_id%11, id+2e6) — the identical derivation appears in the oracle
+  * SQL.
+  */
+object PipelineQueries {
+
+  private val enStops = Seq("the", "a", "of", "and", "is")
+
+  /** Planted-duplicate corpus over the full documents table. */
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    plant(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** Same planting on a 1-in-20 restricted base — for the exact all-pairs
+    * Jaccard join, whose shingle-join cost is quadratic in docs-per-
+    * shingle and is only run as the verifier/baseline.
+    */
+  private def corpusSmall(s: SparkSession, dir: String): DataFrame =
+    plant(Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 20 === 0))
+
+  private def plant(d: DataFrame): DataFrame =
+    d.unionByName(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Row-local text-quality signals: no shuffle at all, pure codegen.
+    "q16_text_stats" -> ((s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        length(t).as("len_chars"),
+        TextAnalysis.avgWordLen(t).as("avg_word_len"),
+        TextAnalysis.punctRatio(t).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(t, enStops).as("stop_ratio"),
+        TextAnalysis.qualityScore(t, enStops).as("quality")
+      ).orderBy(col("doc_id"))
+    }),
+
+    // Marker-token language ID vs the labeled truth column.
+    "q17_lang_id" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    }),
+
+    // Exact dedup: one hash-aggregate on the 128-bit content fingerprint.
+    "q18_dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }),
+
+    // Exact n-gram Jaccard all-pairs (inverted shingle join) on the
+    // restricted corpus — the correctness baseline for LSH.
+    "q19_jaccard_pairs" -> ((s, dir) => {
+      Dedup.jaccardPairs(corpusSmall(s, dir), "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // MinHash + LSH banding + exact verification of candidates only —
+    // the at-scale near-dup path, on the FULL planted corpus.
+    "q20_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(corpus(s, dir), "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // 16-bit SimHash fingerprints (integer bit votes, engine-exact).
+    "q21_simhash" -> ((s, dir) => {
+      Dedup.simhash16(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM documents
+      |  WHERE doc_id % 11 = 0)""".stripMargin
+
+  private val corpusSmallSql =
+    """base AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM base
+      |  WHERE doc_id % 11 = 0)""".stripMargin
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** Shared shingle pipeline (docs -> distinct (doc_id, shingle)). */
+  private def shinglesSql(src: String): String =
+    s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM $src),
+       |tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+       |           generate_subscripts(toks, 1) AS pos FROM toks),
+       |tri AS (SELECT doc_id,
+       |          tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle,
+       |          lead(tok,2) OVER w IS NOT NULL AS is_full
+       |        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE is_full)""".stripMargin
+
+  private def jaccardTailSql(seed: Int, threshold: String): String =
+    s"""sh2 AS (SELECT doc_id,
+       |  (('0x'||substr(md5('$seed:'||shingle),1,15))::BIGINT) AS shh FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.a, c.b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh2 x ON x.doc_id = c.a
+       |  JOIN sh2 y ON y.doc_id = c.b AND y.shh = x.shh
+       |  GROUP BY c.a, c.b)
+       |SELECT cm.a, cm.b,
+       |  cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS jaccard
+       |FROM common cm
+       |JOIN sizes sa ON sa.doc_id = cm.a
+       |JOIN sizes sb ON sb.doc_id = cm.b
+       |WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= $threshold
+       |ORDER BY a, b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_text_stats" ->
+      s"""SELECT doc_id,
+         |  len($toksExpr) AS n_tokens,
+         |  length(text) AS len_chars,
+         |  list_reduce(list_transform($toksExpr, x -> length(x)), (a,b) -> a+b)::DOUBLE
+         |    / greatest(len($toksExpr), 1) AS avg_word_len,
+         |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |    / greatest(length(text), 1) AS punct_ratio,
+         |  len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
+         |    / greatest(len($toksExpr), 1) AS stop_ratio,
+         |  (CASE WHEN len($toksExpr) BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+         |   + CASE WHEN len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
+         |         / greatest(len($toksExpr), 1) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+         |   + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |         / greatest(length(text), 1) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q17_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t)))) AS h_en,
+         |    len(list_filter($toksExpr, t -> list_contains(['der','die','und','ist','das'], lower(t)))) AS h_de,
+         |    len(list_filter($toksExpr, t -> list_contains(['le','la','et','est','les'], lower(t)))) AS h_fr,
+         |    len(list_filter($toksExpr, t -> list_contains(['el','los','y','es','una'], lower(t)))) AS h_es
+         |  FROM documents)
+         |SELECT lang,
+         |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+         |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+         |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+         |       WHEN h_fr >= h_es THEN 'fr'
+         |       ELSE 'es' END AS predicted,
+         |  COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "q18_dedup_exact" ->
+      s"""WITH $corpusSql
+         |SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp,
+         |  min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM corpus GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q19_jaccard_pairs" ->
+      s"""WITH $corpusSmallSql,
+         |${shinglesSql("corpus")},
+         |shh AS (SELECT doc_id,
+         |  (('0x'||substr(md5('0:'||shingle),1,15))::BIGINT) AS shh FROM sh),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+         |common AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
+         |  FROM shh x JOIN shh y ON x.shh = y.shh AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT cm.a, cm.b,
+         |  cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS jaccard
+         |FROM common cm
+         |JOIN sizes sa ON sa.doc_id = cm.a
+         |JOIN sizes sb ON sb.doc_id = cm.b
+         |WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= 0.5
+         |ORDER BY a, b""".stripMargin,
+    "q20_minhash_lsh" ->
+      s"""WITH $corpusSql,
+         |${shinglesSql("corpus")},
+         |mh AS (
+         |  SELECT doc_id, seed,
+         |    min((('0x'||substr(md5(seed::VARCHAR||':'||shingle),1,15))::BIGINT)) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,11)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |buckets AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |    md5(string_agg(seed::VARCHAR || ':' || mh::VARCHAR, ','
+         |        ORDER BY seed::VARCHAR || ':' || mh::VARCHAR)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM buckets l JOIN buckets r
+         |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+         |${jaccardTailSql(1, "0.5")}""".stripMargin,
+    "q21_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |tokh AS (SELECT doc_id,
+         |    (('0x'||substr(md5('2:'||tok),1,15))::BIGINT) % 65536 AS h16
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t),
+         |bits AS (SELECT doc_id, j,
+         |    CAST(floor(h16 / pow(2, j)) AS BIGINT) % 2 AS bit
+         |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) js),
+         |votes AS (SELECT doc_id, j, SUM(bit*2 - 1) AS v FROM bits GROUP BY doc_id, j)
+         |SELECT doc_id,
+         |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.sources.Tables
+import graft.streaming.Sessionize
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search, multimodal plumbing, and event/stream analytics as
+  * oracle-checked queries (q22-q26). Cosine values are bit-identical to
+  * DuckDB because both sides compute strict left folds over the same
+  * doubles (see [[graft.similarity.Similarity]]).
+  */
+object VectorQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Brute-force cosine top-10 for 5 query vectors — the ANN baseline.
+    "q22_cosine_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Embedding near-dup pairs (cosine >= 0.99) on a corpus with planted
+    // scaled copies (vec_id%10 -> id+100000, embedding*2: cosine 1.0).
+    "q23_cosine_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") % 10 === 0).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Similarity.cosinePairs(emb.unionByName(planted), "vec_id", "embedding",
+        0.99)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Multimodal plumbing: binary payload synthesis, header metadata,
+    // deterministic frame sampling (decode itself is stubbed; see
+    // graft.multimodal.Multimodal).
+    "q24_multimodal" -> ((s, dir) => {
+      val media = Multimodal.synthesize(Tables(s, dir, "documents"))
+      Multimodal.sampleFrames(media)
+        .join(media.select(col("doc_id"), col("n_bytes"), col("width"),
+          col("height")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"), col("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Sessionization: 30-min inactivity splits over the event stream,
+    // session-level rollup. Microsecond integers on both engines (DuckDB
+    // truncates parquet ns timestamps to us on read).
+    "q25_sessionize" -> ((s, dir) => {
+      Sessionize.sessions(Tables(s, dir, "events"), "user_id", "ts_us",
+        "event_id", 30L * 60 * 1000 * 1000)
+        .withColumnRenamed("first_event", "first_event_id")
+        .withColumnRenamed("duration", "duration_us")
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Tumbling-window aggregation — the batch shape of the streaming
+    // windowed agg (same plan under readStream).
+    "q26_stream_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("total_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"), col("n_users"))
+        .orderBy(col("window_start"), col("event_type"))
+    })
+  )
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q22_cosine_topk" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 5),
+         |cos AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(${dotSql("q.qe", "q.qe")} * ${dotSql("c.e", "c.e")}) AS cosine
+         |  FROM q, emb c WHERE c.vec_id <> q.q_id)
+         |SELECT q_id, n_id, cosine, rank FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q23_cosine_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |    list_transform(embedding::DOUBLE[], v -> v * 2.0) AS e
+         |  FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT x.vec_id AS a, y.vec_id AS b,
+         |  ${dotSql("x.e", "y.e")} / sqrt(${dotSql("x.e", "x.e")} * ${dotSql("y.e", "y.e")}) AS cosine
+         |FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id
+         |WHERE ${dotSql("x.e", "y.e")} / sqrt(${dotSql("x.e", "x.e")} * ${dotSql("y.e", "y.e")}) >= 0.99
+         |ORDER BY a, b""".stripMargin,
+    "q24_multimodal" ->
+      """WITH media AS (
+        |  SELECT doc_id,
+        |    octet_length(from_hex(md5(text))) AS n_bytes,
+        |    (('0x'||substr(md5(text),1,2))::INT % 64) * 16 + 32 AS width,
+        |    (('0x'||substr(md5(text),3,2))::INT % 64) * 16 + 32 AS height,
+        |    ('0x'||substr(md5(text),5,2))::INT % 8 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, width, height, n_frames,
+        |  unnest(generate_series(0, n_frames - 1)) AS frame_idx
+        |FROM media ORDER BY doc_id, frame_idx""".stripMargin,
+    "q25_sessionize" ->
+      """WITH tagged AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
+        |seq AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM tagged)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MAX(ts_us) - MIN(ts_us) AS duration_us,
+        |  MIN(event_id) AS first_event_id
+        |FROM seq GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q26_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
+}

@@ -27,6 +27,9 @@ object Tables {
     import org.apache.spark.sql.functions._
     read(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000).cast("long")))
+      // integer division: ts_ns exceeds double's 2^53 mantissa, so a
+      // float path would corrupt low digits
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 }

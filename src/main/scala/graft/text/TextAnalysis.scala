@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality signals, language ID, fingerprinting. All pure
+  * column expressions (`org.apache.spark.sql.functions`) — codegen'd,
+  * no UDFs, trivially distributed: every signal is computed row-local, so
+  * the operators scale linearly with no shuffle at all until the caller
+  * aggregates.
+  *
+  * Each helper has an exact DuckDB-SQL equivalent used by the oracle
+  * queries (see PipelineQueries), so semantics are pinned cross-engine.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empty strings dropped (split produces leading/
+    * trailing empties on padded text in both Spark and DuckDB).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length; exact integer arithmetic until one final double
+    * division.
+    */
+  def avgWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
+    sumLen.cast("double") / greatest(size(toks), lit(1))
+  }
+
+  /** Share of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      greatest(length(text), lit(1))
+
+  /** Share of tokens found in a stopword list (lowercased compare). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, lower(t)))).cast("double") /
+      greatest(size(toks), lit(1))
+  }
+
+  /** Composite quality score in [0,1]: length sanity + stopword presence
+    * - punctuation noise. Heuristic but fully deterministic.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(5, 5000), lit(0.4)).otherwise(lit(0.0))
+    val stopOk = when(stopwordRatio(text, stopwords) > 0.01, lit(0.3))
+      .otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(0.3)).otherwise(lit(0.0))
+    lengthOk + stopOk + punctOk
+  }
+
+  /** Stopword seed lists for the n-gram-free language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "es" -> Seq("el", "los", "y", "es", "una"))
+
+  /** Predicted language: argmax of marker-token hits, ties broken by
+    * language code ascending, no hits at all -> "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(words: Seq[String]): Column = {
+      val ws = array(words.map(lit): _*)
+      size(filter(toks, t => array_contains(ws, lower(t))))
+    }
+    val scored = langMarkers.map { case (code, words) => (code, hits(words)) }
+    // fold: keep (bestCode, bestHits); strict > keeps earlier (ascending)
+    // code on ties because langMarkers is code-sorted.
+    val best = scored.tail.foldLeft((lit(langMarkers.head._1), scored.head._2)) {
+      case ((bc, bh), (code, h)) =>
+        (when(h > bh, lit(code)).otherwise(bc), when(h > bh, h).otherwise(bh))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Canonical form for exact-dup detection: lowercase, strip
+    * non-alphanumerics, collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""),
+      "\\s+", " "))
+
+  /** Deterministic 128-bit content fingerprint of the normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+}

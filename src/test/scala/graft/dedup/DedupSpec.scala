@@ -1,0 +1,71 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 20 base docs from a small vocabulary + exact copies + near copies.
+  lazy val docs: DataFrame = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val base = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val exact = base.filter(_._1 % 5 == 0).map { case (id, t) => (id + 100, t) }
+    val near = base.filter(_._1 % 4 == 0)
+      .map { case (id, t) => (id + 200, t + " tail marker words") }
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("exactGroups folds exact copies only") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val dupGroups = groups.filter(_.getAs[Long]("n_copies") > 1)
+    assert(dupGroups.length === 4) // ids 0,5,10,15 have copies
+    assert(dupGroups.map(_.getAs[Long]("keep_id")).toSet === Set(0L, 5L, 10L, 15L))
+    assert(groups.map(_.getAs[Long]("n_copies")).sum === docs.count())
+  }
+
+  test("jaccardPairs finds exact and near duplicates, nothing else below threshold") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact copy pairs with its original at jaccard 1.0
+    Seq(0L, 5L, 10L, 15L).foreach { id =>
+      assert(pairSet.contains((id, id + 100)), s"missing exact pair $id")
+    }
+    // every near copy pairs with its original above 0.5
+    Seq(0L, 4L, 8L, 12L, 16L).foreach { id =>
+      assert(pairSet.contains((id, id + 200)), s"missing near pair $id")
+    }
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("minhash LSH recovers the same duplicate pairs as the exact join") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDuplicates(docs, "doc_id", "text",
+      threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with true jaccard -> no false positives
+    assert(lsh.subsetOf(exact))
+    // high-similarity pairs (the planted ones) must all survive banding
+    val planted = exact.filter { case (a, b) => b >= 100 }
+    assert(planted.subsetOf(lsh),
+      s"LSH missed planted pairs: ${planted.diff(lsh)}")
+  }
+
+  test("simhash: identical docs share fingerprints, near docs are close") {
+    val fp = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(0L, 5L, 10L, 15L).foreach(id => assert(fp(id) === fp(id + 100)))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    Seq(0L, 4L, 8L).foreach { id =>
+      assert(hamming(fp(id), fp(id + 200)) <= 6,
+        s"near dup $id too far: ${hamming(fp(id), fp(id + 200))}")
+    }
+  }
+}

@@ -1,0 +1,52 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+
+  test("synthesize produces 16-byte binary payloads with sane metadata") {
+    val media = Multimodal.synthesize(docs)
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val rows = media.collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getAs[Array[Byte]]("payload").length === 16)
+      assert(r.getAs[Int]("n_bytes") === 16)
+      val (w, h, f) = (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("n_frames"))
+      assert(w >= 32 && w <= 1040 && w % 16 === 0)
+      assert(h >= 32 && h <= 1040 && h % 16 === 0)
+      assert(f >= 1 && f <= 8)
+    }
+  }
+
+  test("decodeStub runs partition-wise over the typed Dataset") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.synthesize(docs).as[Multimodal.Media]
+    val feats = Multimodal.decodeStub(media).collect()
+    assert(feats.length === 500)
+    feats.foreach { f =>
+      assert(f.brightness >= 0.0 && f.brightness <= 1.0)
+      assert(f.n_bytes === 16)
+    }
+    // deterministic: same input -> same features
+    val again = Multimodal.decodeStub(media).collect()
+    assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("sampleFrames explodes exactly n_frames rows per doc") {
+    val media = Multimodal.synthesize(docs)
+    val frames = Multimodal.sampleFrames(media)
+    val expected = media.agg(sum("n_frames")).head.getLong(0)
+    assert(frames.count() === expected)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(media.select(col("doc_id"), col("n_frames")), "doc_id")
+      .filter(col("count") =!= col("n_frames"))
+    assert(perDoc.count() === 0)
+  }
+}

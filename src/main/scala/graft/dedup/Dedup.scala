@@ -63,8 +63,7 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col(idCol).as("doc"), PortableHash.hash60(col("shingle"), 0).as("sh"))
+    val sh = hashedShingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col("doc").as("a"), col("sh"))
     val b = sh.select(col("doc").as("b"), col("sh"))
@@ -80,35 +79,57 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** MinHash signature rows: (id, seed, minhash of shingle set). */
-  def minhashes(docs: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
-    val seeds = explode(sequence(lit(0), lit(numHashes - 1))).as("seed")
-    sh.select(col(idCol).as("doc"), col("shingle"), seeds)
-      .groupBy(col("doc"), col("seed"))
-      .agg(min(PortableHash.hash60Dyn(col("shingle"), col("seed"))).as("mh"))
+  /** Distinct hashed shingles: ONE md5 per (doc, shingle); signatures
+    * and jaccard verification both derive from this relation, so the
+    * string shingle never leaves the first projection.
+    */
+  def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    shingles(docs, idCol, textCol, n)
+      .select(col(idCol).as("doc"),
+        PortableHash.hash60Base(col("shingle")).as("sh"))
+
+  /** MinHash signatures in WIDE form: one row per doc, `numHashes`
+    * min-agg columns `mh_0..mh_{k-1}`. The k hash functions are affine
+    * maps of the single base hash (PortableHash.minhash) — k hashes for
+    * one md5 — and the wide agg avoids exploding rows k-fold: one
+    * map-side-combinable shuffle keyed on the doc id.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, n: Int = 3): DataFrame =
+    signaturesFrom(hashedShingles(docs, idCol, textCol, n), numHashes)
+
+  private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+    val h31 = col("sh") % PortableHash.MinhashPrime
+    val aggs = (0 until numHashes).map(i =>
+      min(PortableHash.minhash(h31, i)).as(s"mh_$i"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** Candidate near-dup pairs via LSH banding of MinHash signatures:
-    * docs agreeing on ALL rows of any band land in one bucket. Returns
-    * distinct candidate pairs (a < b) — verify them with [[jaccardPairs]]
-    * semantics on the candidate subset.
-    */
-  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
-    val mh = minhashes(docs, idCol, textCol, bands * rowsPerBand, n)
-    val buckets = mh
-      .withColumn("band", floor(col("seed") / rowsPerBand))
-      .groupBy(col("doc"), col("band"))
-      // deterministic order inside the bucket key: sort by seed
-      .agg(md5(concat_ws(",", array_sort(collect_list(
-        concat_ws(":", col("seed"), col("mh")))))).as("bucket"))
+  private def candidatesFrom(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (0 until rowsPerBand)
+        .map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
     val l = buckets.select(col("doc").as("a"), col("band"), col("bucket"))
     val r = buckets.select(col("doc").as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
   }
+
+  /** Candidate near-dup pairs via LSH banding of MinHash signatures:
+    * docs agreeing on ALL rows of any band land in one bucket.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame =
+    candidatesFrom(minhashSignatures(docs, idCol, textCol,
+      bands * rowsPerBand, n), bands, rowsPerBand)
 
   /** MinHash-LSH near-duplicate detection: LSH candidates, then exact
     * Jaccard verification on the candidate pairs only. The end-to-end
@@ -117,9 +138,13 @@ object Dedup {
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, bands: Int = 6, rowsPerBand: Int = 2,
       n: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, idCol, textCol, bands, rowsPerBand, n)
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col(idCol).as("doc"), PortableHash.hash60(col("shingle"), 1).as("sh"))
+    // the hashed-shingle relation feeds 4 subtrees (signatures, sizes,
+    // both sides of the common-count join); cache it instead of
+    // recomputing tokenize->explode->window->distinct->md5 each time
+    val sh = hashedShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = candidatesFrom(signaturesFrom(sh, bands * rowsPerBand),
+      bands, rowsPerBand)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
     val withA = cand.join(sh.withColumnRenamed("doc", "a"), Seq("a"))
     val common = withA

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.dedup.Dedup
+import graft.functions.PortableHash
 import graft.sources.Tables
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -126,9 +127,9 @@ object PipelineQueries {
        |        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
        |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE is_full)""".stripMargin
 
-  private def jaccardTailSql(seed: Int, threshold: String): String =
+  private def jaccardTailSql(threshold: String): String =
     s"""sh2 AS (SELECT doc_id,
-       |  (('0x'||substr(md5('$seed:'||shingle),1,15))::BIGINT) AS shh FROM sh),
+       |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM sh),
        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
        |common AS (
        |  SELECT c.a, c.b, count(*) AS n_common
@@ -187,7 +188,7 @@ object PipelineQueries {
       s"""WITH $corpusSmallSql,
          |${shinglesSql("corpus")},
          |shh AS (SELECT doc_id,
-         |  (('0x'||substr(md5('0:'||shingle),1,15))::BIGINT) AS shh FROM sh),
+         |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM sh),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
          |common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
@@ -204,20 +205,24 @@ object PipelineQueries {
       s"""WITH $corpusSql,
          |${shinglesSql("corpus")},
          |mh AS (
-         |  SELECT doc_id, seed,
-         |    min((('0x'||substr(md5(seed::VARCHAR||':'||shingle),1,15))::BIGINT)) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,11)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
+         |  SELECT doc_id,
+         |${(0 until 12).map(i =>
+            s"    min(${PortableHash.minhashSql(
+              PortableHash.hash60BaseSql("shingle") + " % 2147483647", i)}) AS mh_$i")
+            .mkString(",\n")}
+         |  FROM sh GROUP BY doc_id),
          |buckets AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |    md5(string_agg(seed::VARCHAR || ':' || mh::VARCHAR, ','
-         |        ORDER BY seed::VARCHAR || ':' || mh::VARCHAR)) AS bucket
-         |  FROM mh GROUP BY doc_id, seed // 2),
+         |  SELECT doc_id,
+         |    unnest([0,1,2,3,4,5]) AS band,
+         |    unnest([${(0 until 6).map(b =>
+              s"md5(mh_${2 * b}::VARCHAR||','||mh_${2 * b + 1}::VARCHAR)")
+              .mkString(", ")}]) AS bucket
+         |  FROM mh),
          |cand AS (
          |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
          |  FROM buckets l JOIN buckets r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-         |${jaccardTailSql(1, "0.5")}""".stripMargin,
+         |${jaccardTailSql("0.5")}""".stripMargin,
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |tokh AS (SELECT doc_id,

@@ -65,22 +65,24 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "y", "es", "una"))
 
   /** Predicted language: argmax of marker-token hits, ties broken by
-    * language code ascending, no hits at all -> "und" (undetermined).
+    * marker order (language code ascending), no hits at all -> "und".
+    *
+    * Array-based argmax, NOT a when/otherwise fold — a fold duplicates
+    * the running-best expression tree at every step (2^langs copies of
+    * the tokenize+filter subtree, each re-evaluated).
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    def hits(words: Seq[String]): Column = {
+    val hits = langMarkers.map { case (_, words) =>
       val ws = array(words.map(lit): _*)
       size(filter(toks, t => array_contains(ws, lower(t))))
     }
-    val scored = langMarkers.map { case (code, words) => (code, hits(words)) }
-    // fold: keep (bestCode, bestHits); strict > keeps earlier (ascending)
-    // code on ties because langMarkers is code-sorted.
-    val best = scored.tail.foldLeft((lit(langMarkers.head._1), scored.head._2)) {
-      case ((bc, bh), (code, h)) =>
-        (when(h > bh, lit(code)).otherwise(bc), when(h > bh, h).otherwise(bh))
-    }
-    when(best._2 > 0, best._1).otherwise(lit("und"))
+    val arr = array(hits: _*)
+    val codes = array(langMarkers.map(m => lit(m._1)): _*)
+    val top = array_max(arr)
+    when(top > 0,
+      element_at(codes, array_position(arr, top).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Canonical form for exact-dup detection: lowercase, strip

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column<->Expression conversion (the Spark
+  * 4.x Column API hides Catalyst expressions behind ColumnNodes). Lives in
+  * the org.apache.spark.sql namespace solely to satisfy the access
+  * qualifier — the standard pattern for engine-extension libraries
+  * shipping custom Catalyst expressions.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

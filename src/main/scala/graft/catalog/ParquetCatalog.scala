@@ -1,0 +1,117 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Minimal versioned table catalog over Parquet directories — the engine
+  * analogue of the reference's Hive DDL + `INSERT OVERWRITE` publish
+  * (reference `SCD_script.txt:3-4,141`; operators O1-O4, O22, O23 of
+  * SURVEY.md §2.1).
+  *
+  * Layout: `<root>/<table>/v_<n>/part-*.parquet` plus a `_CURRENT` pointer
+  * file naming the live version. Publishing writes the NEW version
+  * directory first, then atomically replaces `_CURRENT` (POSIX rename over
+  * an existing file) — so:
+  *
+  *  - readers never observe a partial table (the reference gets this from
+  *    HDFS directory replace; we get it from the pointer swap);
+  *  - a crash between data write and pointer swap leaves the table on the
+  *    old version — production intact, exactly the property the 8-step
+  *    pipeline is built around (SURVEY.md §3.1);
+  *  - a merge can read its own table and publish back without Spark's
+  *    "cannot overwrite a path being read" restriction, because versions
+  *    live in different directories (hazard §4.3(2));
+  *  - old versions remain readable: snapshot reads / time travel, the
+  *    Delta/Iceberg-style capability named in the north star.
+  */
+final class ParquetCatalog(spark: SparkSession, root: String) {
+
+  private def tableDir(name: String): Path = Paths.get(root, name)
+  private def versionDir(name: String, v: Long): Path =
+    tableDir(name).resolve(f"v_$v%06d")
+  private def pointer(name: String): Path =
+    tableDir(name).resolve("_CURRENT")
+
+  def exists(name: String): Boolean = Files.exists(pointer(name))
+
+  /** Current committed version, if the table exists. */
+  def currentVersion(name: String): Option[Long] =
+    if (!exists(name)) None
+    else Some(Files.readString(pointer(name)).trim.stripPrefix("v_").toLong)
+
+  /** O3: CREATE TABLE with an explicit schema (empty version 0). */
+  def create(name: String, schema: StructType): Unit = {
+    require(!exists(name), s"table $name already exists")
+    publishVersion(name, spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+  }
+
+  /** O2: CREATE TABLE LIKE — clone another table's schema, no data. */
+  def createLike(name: String, source: String): Unit =
+    create(name, table(source).schema)
+
+  /** O1: DROP TABLE IF EXISTS. */
+  def drop(name: String, ifExists: Boolean = true): Unit = {
+    val dir = tableDir(name)
+    if (Files.exists(dir)) deleteRecursively(dir)
+    else if (!ifExists) throw new IllegalArgumentException(s"no table $name")
+  }
+
+  /** O5: scan the current committed snapshot. */
+  def table(name: String): DataFrame = {
+    val v = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    spark.read.schema(readSchema(name, v))
+      .parquet(versionDir(name, v).toString)
+  }
+
+  /** Snapshot read of a historical version (time travel). */
+  def tableAsOfVersion(name: String, v: Long): DataFrame =
+    spark.read.schema(readSchema(name, v))
+      .parquet(versionDir(name, v).toString)
+
+  private def readSchema(name: String, v: Long): StructType =
+    spark.read.parquet(versionDir(name, v).toString).schema
+
+  /** O22: INSERT INTO (append) — copy-on-write into a new version, so
+    * concurrent readers keep their snapshot.
+    */
+  def append(name: String, df: DataFrame): Unit =
+    overwrite(name, table(name).unionByName(df))
+
+  /** O23: INSERT OVERWRITE — full-content atomic replace. */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    require(exists(name), s"no table $name")
+    publishVersion(name, df)
+  }
+
+  /** Write `df` as the next version, then atomically swap the pointer. */
+  private def publishVersion(name: String, df: DataFrame): Unit = {
+    val next = currentVersion(name).map(_ + 1).getOrElse(0L)
+    val dir = versionDir(name, next)
+    df.write.mode("overwrite").parquet(dir.toString)
+    val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
+    Files.createDirectories(tableDir(name))
+    Files.writeString(tmp, f"v_$next%06d")
+    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Drop all versions older than the current one (vacuum). */
+  def vacuum(name: String): Unit = {
+    val keep = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    Files.list(tableDir(name)).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v_") && n.stripPrefix("v_").toLong != keep)
+        deleteRecursively(p)
+    }
+  }
+
+  private def deleteRecursively(dir: Path): Unit =
+    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+      .forEach(Files.delete(_))
+}

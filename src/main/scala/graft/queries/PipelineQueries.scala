@@ -165,10 +165,11 @@ object PipelineQueries {
     "q17_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,
-         |    len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t)))) AS h_en,
-         |    len(list_filter($toksExpr, t -> list_contains(['der','die','und','ist','das'], lower(t)))) AS h_de,
-         |    len(list_filter($toksExpr, t -> list_contains(['le','la','et','est','les'], lower(t)))) AS h_fr,
-         |    len(list_filter($toksExpr, t -> list_contains(['el','los','y','es','una'], lower(t)))) AS h_es
+${TextAnalysis.langMarkers.map { case (code, words) =>
+        "         |    (" + words.map(wd =>
+          s"len(regexp_extract_all(lower(text), '\\b$wd\\b'))").mkString(" + ") +
+          s") AS h_$code,"
+      }.mkString("\n").stripSuffix(",")}
          |  FROM documents)
          |SELECT lang,
          |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'

@@ -166,14 +166,20 @@ object ScdMerge {
       case KeyMode.Stable =>
         val maxIdDf = production
           .agg(coalesce(max(col(surr).cast("long")), lit(0L)).as("__max_id"))
-        val w = Window.partitionBy(col(surr).isNull).orderBy(tieBreak: _*)
-        merged
+        // Split instead of a single Window.partitionBy(isNull(surr)):
+        // that formulation funnels EVERY row through a <=2-partition
+        // exchange. Here existing rows bypass the window entirely and
+        // only the (small) new-row set is globally ranked; the join
+        // subtree appears in both branches but its shuffle exchanges are
+        // identical, so ReuseExchange materializes them once.
+        val w = Window.orderBy(tieBreak: _*)
+        val existing = merged.filter(col(surr).isNotNull)
+        val fresh = merged.filter(col(surr).isNull)
           .crossJoin(broadcast(maxIdDf))
           .withColumn(surr,
-            when(col(surr).isNull,
-              (col("__max_id") + row_number().over(w)).cast(surrType))
-              .otherwise(col(surr)))
+            (col("__max_id") + row_number().over(w)).cast(surrType))
           .drop("__max_id")
+        existing.unionByName(fresh)
       case KeyMode.HiveCompat =>
         val w = Window.orderBy(col(schema.startCol).asc +: tieBreak: _*)
         merged.withColumn(surr, row_number().over(w).cast(surrType))

@@ -64,18 +64,22 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "est", "les"),
     "es" -> Seq("el", "los", "y", "es", "una"))
 
-  /** Predicted language: argmax of marker-token hits, ties broken by
-    * marker order (language code ascending), no hits at all -> "und".
+  /** Predicted language: argmax of marker-word occurrence counts, ties
+    * broken by marker order (language code ascending), no hits -> "und".
     *
-    * Array-based argmax, NOT a when/otherwise fold — a fold duplicates
-    * the running-best expression tree at every step (2^langs copies of
-    * the tokenize+filter subtree, each re-evaluated).
+    * Built on `regexp_count` with word boundaries, NOT on token-list
+    * lambdas: higher-order filters are CodegenFallback (interpreted,
+    * allocation-heavy, high variance under GC), while regexp counting
+    * stays inside whole-stage codegen where common-subexpression
+    * elimination also dedupes the argmax's repeated references. Array
+    * argmax, not a when/otherwise fold — a fold duplicates the
+    * running-best expression tree exponentially.
     */
   def langId(text: Column): Column = {
-    val toks = tokens(text)
+    val lowered = lower(text)
     val hits = langMarkers.map { case (_, words) =>
-      val ws = array(words.map(lit): _*)
-      size(filter(toks, t => array_contains(ws, lower(t))))
+      words.map(wd => regexp_count(lowered, lit("\\b" + wd + "\\b")))
+        .reduce(_ + _)
     }
     val arr = array(hits: _*)
     val codes = array(langMarkers.map(m => lit(m._1)): _*)

@@ -18,6 +18,8 @@ object ScdDemo {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("scd-demo-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -84,6 +86,30 @@ object ScdDemo {
 
     if (args.contains("--explain"))
       merged.explain("formatted")
+
+    println("=== catalog: atomic versioned publish + time travel ===")
+    val root = java.nio.file.Files.createTempDirectory("scd-demo-cat").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, root)
+    cat.create("dim_user", prodSchema)
+    cat.overwrite("dim_user", production)
+    cat.overwrite("dim_user",
+      ScdMerge.merge(cat.table("dim_user"), staging, schema, MergeOptions(asOf)))
+    println(s"current version: ${cat.currentVersion("dim_user")}, " +
+      s"rows now: ${cat.table("dim_user").count()}, " +
+      s"rows at v1 (pre-merge snapshot): ${cat.tableAsOfVersion("dim_user", 1).count()}")
+
+    println("=== SQL front door: reference's 8 statements via spark.sql ===")
+    spark.sql("DROP TABLE IF EXISTS dim_user_production")
+    spark.sql("DROP TABLE IF EXISTS dim_user_staging")
+    production.write.saveAsTable("dim_user_production")
+    staging.write.saveAsTable("dim_user_staging")
+    graft.scd.ScdSql.statements(spark, schema, "dim_user_production",
+      "dim_user_staging", "dim_user_new",
+      asOfSql = "TIMESTAMP '2024-05-25 12:00:00'",
+      coalesceCols = Set("phone"))
+      .foreach { st => println(st.linesIterator.next() + " ..."); spark.sql(st) }
+    spark.table("dim_user_production")
+      .orderBy("dim_user_id").show(20, truncate = false)
 
     spark.stop()
   }

@@ -17,6 +17,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft-warehouse-${System.nanoTime()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,81 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.scd.{MergeOptions, ScdMerge}
+import graft.scd.ScdMergeSpec
+import org.apache.spark.sql.functions._
+
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  def freshCatalog(): ParquetCatalog = {
+    val root = Files.createTempDirectory("graft-cat").toString
+    new ParquetCatalog(spark, root)
+  }
+
+  test("create / createLike / drop / exists") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.create("t1", df.schema)
+    assert(cat.exists("t1") && cat.table("t1").count() === 0)
+    cat.createLike("t2", "t1")
+    assert(cat.table("t2").schema === cat.table("t1").schema)
+    cat.drop("t1")
+    assert(!cat.exists("t1"))
+    cat.drop("t1") // IF EXISTS semantics: no throw
+    intercept[IllegalArgumentException](cat.drop("t1", ifExists = false))
+  }
+
+  test("append and overwrite are atomic versioned publishes") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.create("t", df.schema)
+    cat.append("t", df)
+    cat.append("t", Seq((2L, "b")).toDF("id", "v"))
+    assert(cat.table("t").count() === 2)
+    assert(cat.currentVersion("t") === Some(2L))
+    cat.overwrite("t", Seq((9L, "z")).toDF("id", "v"))
+    assert(cat.table("t").as[(Long, String)].collect().toSet === Set((9L, "z")))
+    // time travel: the pre-overwrite snapshot is still readable
+    assert(cat.tableAsOfVersion("t", 2).count() === 2)
+    cat.vacuum("t")
+    assert(cat.table("t").count() === 1)
+  }
+
+  test("crash between data write and pointer swap leaves table intact") {
+    val cat = freshCatalog()
+    cat.create("t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    val root = cat.table("t").inputFiles.head
+      .replaceAll("file:", "").replaceAll("/v_[0-9]+/.*", "")
+    // simulate the crash: a dangling version directory, pointer untouched
+    Seq((2L, "b")).toDF("id", "v").write
+      .parquet(Paths.get(root, "v_000099").toString)
+    assert(cat.table("t").as[(Long, String)].collect().toSet === Set((1L, "a")))
+    assert(cat.currentVersion("t") === Some(1L))
+  }
+
+  test("SCD merge reads its own table and publishes back (self-overwrite)") {
+    import ScdMergeSpec._
+    val cat = freshCatalog()
+    cat.create("dim_user", prodSchema)
+    val seed = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1, "user1", true, "a1", "123", "John", "Doe",
+        1980, 1, ts("2024-04-01 00:00:00"), high, true)), prodSchema)
+    cat.overwrite("dim_user", seed)
+    val staging = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("user1", "John", "Doe", 1980, true, "a2", "123")),
+      stagSchema)
+    // read current snapshot, merge, publish — no checkpoint needed because
+    // the new version is a different directory
+    val merged = ScdMerge.merge(cat.table("dim_user"), staging, dimUser,
+      MergeOptions(asOf))
+    cat.overwrite("dim_user", merged)
+    val out = cat.table("dim_user")
+    assert(out.count() === 2)
+    assert(out.filter(col("scd_active")).select("address").head.getString(0)
+      === "a2")
+  }
+}

@@ -61,6 +61,29 @@ object VectorQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // LSH-accelerated ANN — the 100 TB path (xxhash sign-LSH buckets, so
+    // deliberately NOT oracle-SQL-portable: rows-only check; recall vs
+    // brute force is asserted in SimilaritySpec).
+    "q27_ann_lsh" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
+        "embedding", k = 10, bits = 6)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Multimodal decode via the typed mapPartitions path (stubbed codec;
+    // rows-only check — the decode itself is the non-SQL-expressible part).
+    "q28_multimodal_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val media = Multimodal.synthesize(Tables(s, dir, "documents"))
+        .as[Multimodal.Media]
+      Multimodal.decodeStub(media).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("brightness"), 6).as("brightness"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Tumbling-window aggregation — the batch shape of the streaming
     // windowed agg (same plan under readStream).
     "q26_stream_window" -> ((s, dir) => {

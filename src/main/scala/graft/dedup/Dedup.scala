@@ -35,24 +35,22 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Word n-gram shingles, one output row per distinct (id, shingle).
-    * Built with posexplode + lead windows (portable to the SQL oracle);
-    * the window partitions by document so it parallelizes per-doc.
+    * Entirely ROW-LOCAL construction — a transform over the token array
+    * then one explode — so the only shuffle in the shingle pipeline is
+    * the final distinct. (An earlier posexplode + lead-window version
+    * paid a per-doc sort and an extra shuffle for the same output.)
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     require(n >= 2 && n <= 5, "shingle width 2..5")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = (0 until n).map {
-      case 0 => col("tok")
-      case i => lead(col("tok"), i).over(w)
-    }
+    val toks = TextAnalysis.tokens(col(textCol))
+    val starts = when(size(toks) >= n,
+      sequence(lit(1), size(toks) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = transform(starts, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))
     docs
-      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
-        .as(Seq("pos", "tok")))
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
-        parts.last.isNotNull.as("full"))
-      .filter(col("full"))
-      .select(col(idCol), col("shingle"))
+      .select(col(idCol), explode(grams).as("shingle"))
       .distinct()
   }
 

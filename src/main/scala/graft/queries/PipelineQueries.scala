@@ -116,16 +116,18 @@ object PipelineQueries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  /** Shared shingle pipeline (docs -> distinct (doc_id, shingle)). */
+  /** Shared shingle pipeline (docs -> distinct (doc_id, shingle)) —
+    * row-local list_transform mirror of Dedup.shingles.
+    */
   private def shinglesSql(src: String): String =
     s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM $src),
-       |tokpos AS (SELECT doc_id, unnest(toks) AS tok,
-       |           generate_subscripts(toks, 1) AS pos FROM toks),
-       |tri AS (SELECT doc_id,
-       |          tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS shingle,
-       |          lead(tok,2) OVER w IS NOT NULL AS is_full
-       |        FROM tokpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-       |sh AS (SELECT DISTINCT doc_id, shingle FROM tri WHERE is_full)""".stripMargin
+       |grams AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(generate_series(1, len(toks)-2),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE []::VARCHAR[] END) AS shingle
+       |  FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
 
   private def jaccardTailSql(threshold: String): String =
     s"""sh2 AS (SELECT doc_id,
@@ -166,9 +168,8 @@ object PipelineQueries {
       s"""WITH scored AS (
          |  SELECT lang,
 ${TextAnalysis.langMarkers.map { case (code, words) =>
-        "         |    (" + words.map(wd =>
-          s"len(regexp_extract_all(lower(text), '\\b$wd\\b'))").mkString(" + ") +
-          s") AS h_$code,"
+        "         |    len(regexp_extract_all(lower(text), '" +
+          words.mkString("\\b(", "|", ")\\b") + s"')) AS h_$code,"
       }.mkString("\n").stripSuffix(",")}
          |  FROM documents)
          |SELECT lang,

@@ -78,8 +78,9 @@ object TextAnalysis {
   def langId(text: Column): Column = {
     val lowered = lower(text)
     val hits = langMarkers.map { case (_, words) =>
-      words.map(wd => regexp_count(lowered, lit("\\b" + wd + "\\b")))
-        .reduce(_ + _)
+      // one alternation per language (word matches are disjoint, so the
+      // count equals the sum of per-word counts at 1/5 the scan cost)
+      regexp_count(lowered, lit(words.mkString("\\b(", "|", ")\\b")))
     }
     val arr = array(hits: _*)
     val codes = array(langMarkers.map(m => lit(m._1)): _*)

@@ -1,0 +1,65 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.catalog.ParquetCatalog
+import graft.scd.{MergeOptions, ScdTable}
+import graft.scd.ScdMergeSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals the plain join on skewed data") {
+    // one hot key (90% of rows) + a long tail
+    val big = (1 to 5000).map { i =>
+      (if (i % 10 != 0) 1L else (i % 97).toLong, s"payload$i")
+    }.toDF("k", "v")
+    val small = (0L to 96L).map(k => (k, s"dim$k")).toDF("k", "d")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = SkewJoin.salted(big, small, Seq("k"), saltBuckets = 8)
+      .select("k", "v", "d").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("ScdTable: init, apply, active, asOf, asOfJoin lifecycle") {
+    import ScdMergeSpec._
+    val cat = new ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("scd-table").toString)
+    val dim = new ScdTable(cat, "dim_user", dimUser)
+    dim.init(spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1, "user1", true, "a1", "123", "John", "Doe",
+        1980, 1, ts("2024-04-01 00:00:00"), high, true)), prodSchema))
+    val staging = spark.createDataFrame(java.util.Arrays.asList(
+      org.apache.spark.sql.Row("user1", "John", "Doe", 1980, true, "a2",
+        "123")), stagSchema)
+    dim(staging, asOf) // T2 address change: close v1, open v2
+    assert(dim.snapshot.count() === 2)
+    assert(dim.active.select("address").head.getString(0) === "a2")
+    // point-in-time: before the merge instant the old address was valid
+    assert(dim.asOf(ts("2024-05-01 00:00:00")).select("address")
+      .head.getString(0) === "a1")
+    assert(dim.asOf(ts("2024-06-01 00:00:00")).select("address")
+      .head.getString(0) === "a2")
+    // as-of join resolves facts to the version valid at the fact time
+    val facts = Seq(("user1", ts("2024-05-01 00:00:00"), 10.0),
+      ("user1", ts("2024-06-01 00:00:00"), 20.0))
+      .toDF("login_fk", "fact_ts", "amount")
+    val joined = dim.asOfJoin(facts, Seq("login_fk"), "fact_ts")
+      .select("amount", "address").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(joined === Set((10.0, "a1"), (20.0, "a2")))
+  }
+
+  test("graft_dot is available in SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val got = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D, 3.0D),
+        |                 array(2.0D, 2.0D, 2.0D)) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(got === 12.0)
+  }
+}

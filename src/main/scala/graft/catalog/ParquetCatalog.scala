@@ -82,17 +82,25 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   def append(name: String, df: DataFrame): Unit =
     overwrite(name, table(name).unionByName(df))
 
-  /** O23: INSERT OVERWRITE — full-content atomic replace. */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  /** O23: INSERT OVERWRITE — full-content atomic replace. Optional hive
+    * partitioning (`partitionBy`) lays the version out as
+    * `col=value/part-*.parquet` so reads with partition-key predicates
+    * prune whole directories before any I/O.
+    */
+  def overwrite(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     require(exists(name), s"no table $name")
-    publishVersion(name, df)
+    publishVersion(name, df, partitionBy)
   }
 
   /** Write `df` as the next version, then atomically swap the pointer. */
-  private def publishVersion(name: String, df: DataFrame): Unit = {
+  private def publishVersion(name: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
     val next = currentVersion(name).map(_ + 1).getOrElse(0L)
     val dir = versionDir(name, next)
-    df.write.mode("overwrite").parquet(dir.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir.toString)
     val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.createDirectories(tableDir(name))
     Files.writeString(tmp, f"v_$next%06d")

@@ -181,6 +181,24 @@ object CoreQueries {
       ).orderBy(col("o_orderkey"))
     }),
 
+    // Sketch aggregates: HLL++ cardinality + quantile sketch next to the
+    // exact answers. At 100 TB the sketches are the only affordable
+    // option for interactive cardinality/quantile work (mergeable,
+    // fixed-size state); declared WITHOUT oracle SQL — sketch values are
+    // engine-specific — so the driver records a rows-only check, and
+    // SketchSpec pins the error bound against the exact values.
+    "q29_sketches" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // DISTINCT aggregation (grouped count-distinct).
     "q12_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")

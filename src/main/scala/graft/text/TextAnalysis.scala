@@ -15,11 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens, empty strings dropped (split produces leading/
-    * trailing empties on padded text in both Spark and DuckDB).
+  /** Whitespace tokens, empty strings dropped. Semantically identical to
+    * `filter(split(text,'\s+'), _ != "")` (the DuckDB oracle's
+    * formulation) for every input, but expressed as collapse-trim-split
+    * so it stays inside whole-stage codegen — a `filter` lambda is
+    * CodegenFallback and the single biggest cost in every token path.
     */
-  def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= lit(""))
+  def tokens(text: Column): Column = {
+    val norm = trim(regexp_replace(text, "\\s+", " "))
+    when(length(norm) === 0, array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+  }
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

@@ -1,0 +1,171 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graft.ColumnBridge
+
+/** Native backward as-of join: for every left (fact) row, attach the
+  * LATEST right (dimension-version) row with equal key and
+  * `rightTime <= leftTime`, or nulls when none exists (left-outer).
+  *
+  * Spark has no as-of join; the composed alternative (equi-join on the
+  * key + interval filter, see q15) materializes EVERY version of the key
+  * before filtering — fine when versions-per-key is small, O(versions)
+  * blowup when it isn't. This operator is the full custom-operator stack
+  * of SURVEY §7.5(c): a logical node, a planner strategy, and a physical
+  * exec that declares hash distribution + (key, time) ordering so
+  * EnsureRequirements plans ONE co-partitioned sort on each side, then
+  * streams both sorted partitions with a two-pointer merge — O(n+m) per
+  * partition, zero row amplification, never rewinds.
+  *
+  * The DuckDB oracle replays it with the built-in `ASOF LEFT JOIN`
+  * (q30), pinning the semantics against an independent implementation.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val nullRight = new GenericInternalRow(rightOut.size)
+      val joiner = new JoinedRow
+
+      new Iterator[InternalRow] {
+        // lookahead state over the sorted right side
+        private var rNextKey: InternalRow = _
+        private var rNextTime: InternalRow = _
+        private var rNextRow: InternalRow = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            val r = rIter.next()
+            rNextRow = r.copy()
+            rNextKey = rKeyProj(rNextRow).copy()
+            rNextTime = rTimeProj(rNextRow).copy()
+          } else { rNextRow = null; rNextKey = null; rNextTime = null }
+        advanceRight()
+        // latest right row consumed for the current key (the candidate)
+        private var candKey: InternalRow = _
+        private var candRow: InternalRow = _
+
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeProj(l)
+          // consume right rows that are (key < lk) or
+          // (key == lk && time <= lt); the last equal-key one consumed is
+          // the as-of candidate
+          var continue = rNextRow != null
+          while (continue) {
+            val c = keyOrd.compare(rNextKey, lk)
+            if (c < 0) {
+              advanceRight()
+              continue = rNextRow != null
+            } else if (c == 0 && timeOrd.compare(rNextTime, lt) <= 0) {
+              candKey = rNextKey
+              candRow = rNextRow
+              advanceRight()
+              continue = rNextRow != null
+            } else continue = false
+          }
+          val matched =
+            candRow != null && keyOrd.compare(candKey, lk) == 0
+          joiner(l, if (matched) candRow else nullRight)
+        }
+      }
+    }
+  }
+}
+
+/** User-facing API. */
+object AsOfJoin {
+
+  /** Register the planner strategy once per session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** Backward as-of join of `facts` against `versions`: latest version
+    * with `versionTime <= factTime` per key, left-outer.
+    */
+  def backward(
+      facts: DataFrame,
+      versions: DataFrame,
+      factKeys: Seq[Column],
+      versionKeys: Seq[Column],
+      factTime: Column,
+      versionTime: Column): DataFrame = {
+    val spark = facts.sparkSession
+    register(spark)
+    ColumnBridge.ofRows(spark, AsOfJoinPlan(
+      ColumnBridge.logicalPlan(facts),
+      ColumnBridge.logicalPlan(versions),
+      factKeys.map(ColumnBridge.expression),
+      versionKeys.map(ColumnBridge.expression),
+      ColumnBridge.expression(factTime),
+      ColumnBridge.expression(versionTime)))
+  }
+}

@@ -84,6 +84,24 @@ object VectorQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // JSON column surface: parse events.props with a declared schema
+    // (from_json, codegen'd Jackson parse) and aggregate the extracted
+    // field. Integer aggregates -> engine-exact.
+    "q31_json" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k") > 50, 1)).as("n_large"))
+        .orderBy(col("event_type"))
+    }),
+
     // Tumbling-window aggregation — the batch shape of the streaming
     // windowed agg (same plan under readStream).
     "q26_stream_window" -> ((s, dir) => {
@@ -155,6 +173,14 @@ object VectorQueries {
         |  MIN(event_id) AS first_event_id
         |FROM seq GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+    "q31_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+        |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+        |        THEN 1 END) AS n_large
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q26_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,

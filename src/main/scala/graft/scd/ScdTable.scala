@@ -63,4 +63,21 @@ final class ScdTable(
       facts(factTimeCol) < dim(schema.endCol)
     facts.join(dim, keyCond && interval, "left_outer")
   }
+
+  /** [[asOfJoin]] through the native as-of operator
+    * ([[graft.plans.AsOfJoin]]): backward as-of on `scd_start_date`.
+    * Equivalent to the interval formulation whenever the dimension's
+    * intervals are contiguous and every member's last version is open —
+    * which this engine's merge guarantees — but with O(n+m) per
+    * partition instead of versions-per-key row amplification.
+    */
+  def asOfJoinNative(
+      facts: DataFrame,
+      factKeys: Seq[String],
+      factTimeCol: String): DataFrame = {
+    val dim = snapshot
+    graft.plans.AsOfJoin.backward(facts, dim,
+      factKeys.map(facts(_)), schema.businessKeys.map(dim(_)),
+      facts(factTimeCol), dim(schema.startCol))
+  }
 }

@@ -52,6 +52,11 @@ class OperatorsSpec extends SparkSpec {
       .select("amount", "address").collect()
       .map(r => (r.getDouble(0), r.getString(1))).toSet
     assert(joined === Set((10.0, "a1"), (20.0, "a2")))
+    // the native as-of operator resolves the same versions
+    val native = dim.asOfJoinNative(facts, Seq("login_fk"), "fact_ts")
+      .select("amount", "address").collect()
+      .map(r => (r.getDouble(0), r.getString(1))).toSet
+    assert(native === joined)
   }
 
   test("graft_dot is available in SQL after registration") {

@@ -199,6 +199,29 @@ object CoreQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Grouping sets: ROLLUP produces subtotal + grand-total rows (the
+    // grouping columns go NULL on aggregate rows in both engines).
+    "q32_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Pivot: one column per event_type. The Spark side uses the real
+    // .pivot() API with explicit values; the oracle spells the same
+    // result as conditional aggregation.
+    "q33_pivot" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(sum(dec6(col("value"))).cast("double"))
+        .orderBy(col("user_id"))
+    }),
+
     // DISTINCT aggregation (grouped count-distinct).
     "q12_distinct" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -287,6 +310,20 @@ object CoreQueries {
         |       WHEN o_totalprice > 100000 THEN 'mid'
         |       ELSE 'small' END AS size_class
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q32_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q33_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q12_distinct" ->
       """SELECT l_returnflag, l_linestatus,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

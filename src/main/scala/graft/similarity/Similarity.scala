@@ -95,6 +95,28 @@ object Similarity {
     df.select(col(idCol), col(vecCol), bucket.as("bucket"))
   }
 
+  /** LSH-accelerated near-dup pairs: exact cosine evaluated ONLY on
+    * same-bucket (a < b) candidates — the scale path for embedding
+    * dedup, linear in corpus + candidates instead of O(n^2). At the
+    * 0.99-near-identical threshold, sign-LSH recall is effectively 1:
+    * near-identical vectors agree on every hyperplane sign.
+    */
+  def lshCosinePairs(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 12): DataFrame = {
+    val b = signLshBuckets(corpus, idCol, vecCol, bits)
+    val x = b.select(col(idCol).as("a"), asDouble(col(vecCol)).as("xe"),
+      col("bucket"))
+      .withColumn("nx", norm2(col("xe")))
+    val y = b.select(col(idCol).as("b"), asDouble(col(vecCol)).as("ye"),
+      col("bucket"))
+      .withColumn("ny", norm2(col("ye")))
+    x.join(y, Seq("bucket")).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        dot(col("xe"), col("ye")) / sqrt(col("nx") * col("ny")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine")).distinct()
+  }
+
   /** LSH-accelerated top-k: rank only same-bucket candidates. Trades
     * recall for a candidate set ~N/2^bits per query; multi-probe = union
     * several bit-flipped buckets (left at 1 probe here; the recall/cost

@@ -47,6 +47,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshCosinePairs finds every planted pair that brute force finds") {
+    val brute = Similarity.cosinePairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === brute) // full recall at the near-identical threshold
+  }
+
   test("lshTopK returns the true duplicate and only same-bucket candidates") {
     val res = Similarity.lshTopK(
       vecs.filter($"vec_id" >= 1000), vecs, "vec_id", "embedding", k = 3,

@@ -18,9 +18,14 @@ object Bench {
     // best-of-3 per query: damps scheduler/GC noise without hiding
     // systematic cost (container CPU noise is +/-40% on this box)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).map { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a failed query must be VISIBLE, not folded into a
+            // fast-looking elapsed time
+            System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min

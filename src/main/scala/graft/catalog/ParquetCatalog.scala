@@ -60,21 +60,20 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     else if (!ifExists) throw new IllegalArgumentException(s"no table $name")
   }
 
-  /** O5: scan the current committed snapshot. */
+  /** O5: scan the current committed snapshot. Plain inference: parquet
+    * footers carry the schema even for empty tables, and an explicit
+    * schema(read(...).schema) would just list files and read footers a
+    * second time.
+    */
   def table(name: String): DataFrame = {
     val v = currentVersion(name)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
-    spark.read.schema(readSchema(name, v))
-      .parquet(versionDir(name, v).toString)
+    spark.read.parquet(versionDir(name, v).toString)
   }
 
   /** Snapshot read of a historical version (time travel). */
   def tableAsOfVersion(name: String, v: Long): DataFrame =
-    spark.read.schema(readSchema(name, v))
-      .parquet(versionDir(name, v).toString)
-
-  private def readSchema(name: String, v: Long): StructType =
-    spark.read.parquet(versionDir(name, v).toString).schema
+    spark.read.parquet(versionDir(name, v).toString)
 
   /** O22: INSERT INTO (append) — copy-on-write into a new version, so
     * concurrent readers keep their snapshot.

@@ -136,15 +136,20 @@ object Dedup {
   /** MinHash-LSH near-duplicate detection: LSH candidates, then exact
     * Jaccard verification on the candidate pairs only. The end-to-end
     * scale path: no all-pairs stage anywhere.
+    *
+    * @param persistShingles cache the hashed-shingle relation (it feeds
+    *   4 subtrees). The cache is NOT unpersisted — the returned DataFrame
+    *   is lazy and needs it on every evaluation — so long-lived sessions
+    *   calling this repeatedly should pass false (recompute) or manage
+    *   eviction; Spark's LRU reclaims it under memory pressure.
     */
   def minhashNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, bands: Int = 6, rowsPerBand: Int = 2,
-      n: Int = 3): DataFrame = {
-    // the hashed-shingle relation feeds 4 subtrees (signatures, sizes,
-    // both sides of the common-count join); cache it instead of
-    // recomputing tokenize->explode->window->distinct->md5 each time
-    val sh = hashedShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      n: Int = 3, persistShingles: Boolean = true): DataFrame = {
+    val sh0 = hashedShingles(docs, idCol, textCol, n)
+    val sh = if (persistShingles)
+      sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sh0
     val cand = candidatesFrom(signaturesFrom(sh, bands * rowsPerBand),
       bands, rowsPerBand)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))

@@ -29,7 +29,10 @@ object GraftExtensions {
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
     require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
-    DotProduct(exprs.head, exprs(1))
+    // cast so SQL callers with int/float arrays get converted values,
+    // not ArrayData misreads
+    DotProduct(VectorFunctions.castToDoubleArray(exprs.head),
+      VectorFunctions.castToDoubleArray(exprs(1)))
   }
 
   /** Register on an already-running session (tests, notebooks). */

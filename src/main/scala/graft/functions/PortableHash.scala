@@ -22,20 +22,9 @@ object PortableHash {
     conv(substring(md5(concat(lit(s"$seed:"), c)), 1, 15), 16, 10)
       .cast("long")
 
-  /** [[hash60]] with the seed supplied as a column (e.g. an exploded
-    * hash-function index for MinHash signatures).
-    */
-  def hash60Dyn(c: Column, seed: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 15),
-      16, 10).cast("long")
-
   /** DuckDB SQL text computing exactly [[hash60]]. */
   def hash60Sql(expr: String, seed: Int): String =
     s"(('0x'||substr(md5('$seed:'||($expr)),1,15))::BIGINT)"
-
-  /** DuckDB SQL text computing exactly [[hash60Dyn]]. */
-  def hash60DynSql(expr: String, seedExpr: String): String =
-    s"(('0x'||substr(md5(($seedExpr)::VARCHAR||':'||($expr)),1,15))::BIGINT)"
 
   /** Unseeded 60-bit base hash (one md5 per value). */
   def hash60Base(c: Column): Column =

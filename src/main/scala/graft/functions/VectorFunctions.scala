@@ -62,8 +62,18 @@ case class DotProduct(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  /** Codegen'd dot product; see [[DotProduct]]. */
+  /** Codegen'd dot product; see [[DotProduct]]. Inputs are cast to
+    * `array<double>` here so arbitrary numeric arrays (e.g. from SQL via
+    * `graft_dot`) are converted instead of being misread by `getDouble`.
+    */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
-      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+      castToDoubleArray(ColumnBridge.expression(a)),
+      castToDoubleArray(ColumnBridge.expression(b))))
+
+  private[graft] def castToDoubleArray(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(
+      e, org.apache.spark.sql.types.ArrayType(DoubleType))
 }

@@ -23,10 +23,12 @@ object SkewJoin {
       keys: Seq[String],
       saltBuckets: Int = 16): DataFrame = {
     require(saltBuckets > 1, "saltBuckets must be > 1")
-    // deterministic per-row scatter: hash ALL big-side columns so rows of
-    // one hot key spread uniformly
+    // per-row round-robin scatter independent of row CONTENT: identical
+    // duplicate rows of a hot key must still spread across buckets (a
+    // content hash would send them all to one), and salt choice never
+    // affects the join result, only the distribution
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedBig

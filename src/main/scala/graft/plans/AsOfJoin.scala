@@ -33,6 +33,13 @@ case class AsOfJoinPlan(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression) extends BinaryNode {
+  // mismatched types would make the merge's row comparators read garbage
+  // (no implicit-cast insertion runs for a custom node) — fail fast
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types differ: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: ${leftTime.dataType} vs ${rightTime.dataType}")
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -97,13 +104,27 @@ case class AsOfJoinExec(
         private var rNextKey: InternalRow = _
         private var rNextTime: InternalRow = _
         private var rNextRow: InternalRow = _
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            val r = rIter.next()
-            rNextRow = r.copy()
-            rNextKey = rKeyProj(rNextRow).copy()
-            rNextTime = rTimeProj(rNextRow).copy()
-          } else { rNextRow = null; rNextKey = null; rNextTime = null }
+        private def advanceRight(): Unit = {
+          // equi-join semantics: NULL keys never match, so null-keyed
+          // right rows are skipped outright (natural row ordering would
+          // otherwise treat NULL == NULL as a match)
+          var advanced = false
+          while (!advanced) {
+            if (rIter.hasNext) {
+              val r = rIter.next()
+              val k = rKeyProj(r)
+              if (!k.anyNull) {
+                rNextRow = r.copy()
+                rNextKey = k.copy()
+                rNextTime = rTimeProj(rNextRow).copy()
+                advanced = true
+              }
+            } else {
+              rNextRow = null; rNextKey = null; rNextTime = null
+              advanced = true
+            }
+          }
+        }
         advanceRight()
         // latest right row consumed for the current key (the candidate)
         private var candKey: InternalRow = _
@@ -113,6 +134,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = lKeyProj(l)
+          if (lk.anyNull) return joiner(l, nullRight) // NULL key: no match
           val lt = lTimeProj(l)
           // consume right rows that are (key < lk) or
           // (key == lk && time <= lt); the last equal-key one consumed is

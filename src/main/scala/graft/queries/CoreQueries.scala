@@ -113,17 +113,20 @@ object CoreQueries {
 
     // Analytic windows: running sum (explicit ROWS frame) + lag.
     "q08_window_running" -> ((s, dir) => {
+      // order on µs ticks: DuckDB truncates parquet ns timestamps to µs
+      // on read, so ns ordering here could diverge from the oracle on
+      // same-µs ties (event_id breaks µs ties identically on both sides)
       val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_ns").asc, col("event_id").asc)
+        .orderBy(col("ts_us").asc, col("event_id").asc)
       Tables(s, dir, "events")
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("ts_ns"))
+          col("value"), col("ts_us"))
         .withColumn("running_value",
           sum(dec6(col("value")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double"))
         .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .drop("ts_ns")
+        .drop("ts_us")
         .orderBy(col("user_id"), col("event_id"))
     }),
 

@@ -99,11 +99,15 @@ object ScdQueries {
     // ASOF LEFT JOIN.
     "q30_asof_native" -> ((s, dir) => {
       val cust = Tables(s, dir, "customer")
+      // o_orderdate infers as TIMESTAMP_NTZ from the parquet footer
+      // (Spark 4 inferTimestampNTZ); the version starts must match — the
+      // native operator validates instead of silently comparing raw
+      // micros across timestamp kinds
       def ver(n: Int, delta: Double, start: String) = cust.select(
         col("c_custkey").as("d_custkey"),
         (col("c_acctbal") + delta).as("acctbal_v"),
         lit(n).as("version_no"),
-        lit(start).cast("timestamp").as("vstart"))
+        lit(start).cast("timestamp_ntz").as("vstart"))
       val dim = ver(1, -200, "1993-01-01 00:00:00")
         .unionByName(ver(2, -100, "1995-01-01 00:00:00"))
         .unionByName(ver(3, 0, "1997-01-01 00:00:00"))

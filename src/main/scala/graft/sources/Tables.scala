@@ -18,9 +18,10 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (microseconds) refuses outright. Read it as a raw nanosecond long
-    * (legacy conf) and expose both the exact long (`ts_ns`, matches
-    * DuckDB's ns ordering bit-for-bit) and a truncated TimestampType `ts`
-    * for window/date logic.
+    * (legacy conf) and expose `ts_ns` (full precision), `ts_us`
+    * (microsecond ticks — use THIS for anything compared against the
+    * DuckDB oracle, which truncates parquet ns timestamps to µs on
+    * read), and a truncated TimestampType `ts` for window/date logic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -18,17 +18,21 @@ object Bench {
     // best-of-3 per query: damps scheduler/GC noise without hiding
     // systematic cost (container CPU noise is +/-40% on this box)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { i =>
+      val times = (1 to 3).flatMap { i =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
           case e: Throwable =>
-            // a failed query must be VISIBLE, not folded into a
-            // fast-looking elapsed time
+            // a failed run contributes NO timing (its time-to-failure
+            // would otherwise masquerade as a fast success)
             System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}")
+            None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      // -1 is the explicit all-runs-failed marker in the emitted JSON
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

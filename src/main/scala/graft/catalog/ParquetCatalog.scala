@@ -111,14 +111,17 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   def vacuum(name: String): Unit = {
     val keep = currentVersion(name)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
-    Files.list(tableDir(name)).forEach { p =>
+    val listing = Files.list(tableDir(name))
+    try listing.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v_") && n.stripPrefix("v_").toLong != keep)
         deleteRecursively(p)
-    }
+    } finally listing.close()
   }
 
-  private def deleteRecursively(dir: Path): Unit =
-    Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-      .forEach(Files.delete(_))
+  private def deleteRecursively(dir: Path): Unit = {
+    val walk = Files.walk(dir)
+    try walk.sorted(Comparator.reverseOrder[Path]()).forEach(Files.delete(_))
+    finally walk.close()
+  }
 }

@@ -113,10 +113,15 @@ case class AsOfJoinExec(
             if (rIter.hasNext) {
               val r = rIter.next()
               val k = rKeyProj(r)
-              if (!k.anyNull) {
+              val t = rTimeProj(r)
+              // NULL keys never equi-match; NULL version times never
+              // satisfy `vt <= ft` under SQL 3-valued logic (natural row
+              // ordering would otherwise sort NULL first and make such a
+              // row the candidate for everything)
+              if (!k.anyNull && !t.anyNull) {
                 rNextRow = r.copy()
                 rNextKey = k.copy()
-                rNextTime = rTimeProj(rNextRow).copy()
+                rNextTime = t.copy()
                 advanced = true
               }
             } else {
@@ -136,6 +141,7 @@ case class AsOfJoinExec(
           val lk = lKeyProj(l)
           if (lk.anyNull) return joiner(l, nullRight) // NULL key: no match
           val lt = lTimeProj(l)
+          if (lt.anyNull) return joiner(l, nullRight) // NULL time: no match
           // consume right rows that are (key < lk) or
           // (key == lk && time <= lt); the last equal-key one consumed is
           // the as-of candidate

@@ -10,11 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * NULL` anti joins, `ROW_NUMBER() OVER`, `INSERT OVERWRITE` (operators
   * O1-O24 of SURVEY.md §2.1 in their original SQL shape).
   *
-  * Differences from the literal script, both opt-in via parameters:
-  * `asOfSql` defaults to a single injected timestamp expression instead
-  * of per-statement `current_timestamp()` (SURVEY.md §2.3(5)), and the
-  * step-8 renumbering window gets a total-order tiebreak so surrogate
-  * assignment is deterministic (SURVEY.md §2.3(4)).
+  * Fidelity note: `asOfSql` DEFAULTS to `current_timestamp()` exactly
+  * like the reference — including its per-statement evaluation and the
+  * resulting interval gaps (SURVEY.md §2.3(5)); pass a timestamp literal
+  * for deterministic, gapless runs (tests do). The one always-on
+  * divergence: the step-8 renumbering window gets a total-order tiebreak
+  * so surrogate assignment is deterministic (SURVEY.md §2.3(4)).
   */
 object ScdSql {
 

@@ -80,6 +80,12 @@ object Similarity {
   /** Sign-LSH bucket id per vector: `bits` pseudo-random hyperplanes whose
     * components are derived from xxhash64(planeIdx, dimIdx) mapped to
     * [-0.5, 0.5). Vectors in the same bucket are ANN candidates.
+    *
+    * Cost note: the `bits` projections run as interpreted higher-order
+    * folds — linear in corpus (once per vector, not per pair) so it is
+    * not the pair-join trap, but a native multi-plane projection
+    * expression would cut constant factors ~10x; worth doing before truly
+    * large corpora.
     */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
       bits: Int = 12): DataFrame = {

@@ -47,7 +47,14 @@ object StatefulSessionize {
         open = OpenSession(open.sessionSeq + 1, e.ts_us, e.ts_us, 1,
           e.event_id, e.value)
       } else {
-        open = open.copy(lastTs = e.ts_us, n = open.n + 1,
+        // a late cross-batch event (ts <= lastTs) is absorbed into the
+        // open session WITHOUT regressing its clock — letting lastTs move
+        // backwards would cause spurious splits on the next on-time event
+        // and negative durations
+        open = open.copy(
+          startTs = math.min(open.startTs, e.ts_us),
+          lastTs = math.max(open.lastTs, e.ts_us),
+          n = open.n + 1,
           sumValue = open.sumValue + e.value)
       }
     }

@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object StreamingScd {
 
   /** Wire a staging stream into a dimension maintained by `load`/`save`.
-    * `save` must publish atomically (e.g. ParquetCatalog.overwriteSwap).
+    * `save` must publish atomically (e.g. ParquetCatalog.overwrite).
     * `eventTimeCol` rows within a batch are deduped keep-latest before
     * the merge (the reference would fan out duplicates, SURVEY §2.3(6)).
     */

@@ -92,19 +92,47 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     publishVersion(name, df, partitionBy)
   }
 
-  /** Write `df` as the next version, then atomically swap the pointer. */
+  /** Write `df` as the next version, then atomically swap the pointer.
+    *
+    * Concurrency contract: LAST POINTER SWAP WINS between concurrent
+    * writers (each builds its full content from its own snapshot read — the
+    * same first-committer-loses outcome as optimistic-concurrency table
+    * formats without conflict detection). What CANNOT happen is two writers
+    * interleaving files inside one version directory: the version data is
+    * staged in a private `_tmp_v_N.<nonce>` directory and claimed with an
+    * atomic directory rename that fails if `v_N` already exists; the loser
+    * retries against the advanced version counter rather than corrupting
+    * the winner's snapshot.
+    */
   private def publishVersion(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil): Unit = {
-    val next = currentVersion(name).map(_ + 1).getOrElse(0L)
-    val dir = versionDir(name, next)
-    val writer = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dir.toString)
-    val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next")
     Files.createDirectories(tableDir(name))
-    Files.writeString(tmp, f"v_$next%06d")
-    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      val next = currentVersion(name).map(_ + 1).getOrElse(0L)
+      val tmpDir = tableDir(name).resolve(f"_tmp_v_$next%06d.$nonce")
+      val writer = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .parquet(tmpDir.toString)
+      try {
+        // Atomic claim: fails (FileAlreadyExistsException under ATOMIC_MOVE)
+        // if a concurrent writer already published this version number.
+        Files.move(tmpDir, versionDir(name, next), StandardCopyOption.ATOMIC_MOVE)
+        claimed = true
+        val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next.$nonce")
+        Files.writeString(tmp, f"v_$next%06d")
+        Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch {
+        case e: java.nio.file.FileSystemException if !claimed =>
+          deleteRecursively(tmpDir)
+          attempts += 1
+          if (attempts >= 5) throw new IllegalStateException(
+            s"publish of $name lost the version race $attempts times", e)
+      }
+    }
   }
 
   /** Drop all versions older than the current one (vacuum). */

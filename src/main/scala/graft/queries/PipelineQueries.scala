@@ -152,8 +152,9 @@ object PipelineQueries {
       s"""SELECT doc_id,
          |  len($toksExpr) AS n_tokens,
          |  length(text) AS len_chars,
-         |  list_reduce(list_transform($toksExpr, x -> length(x)), (a,b) -> a+b)::DOUBLE
-         |    / greatest(len($toksExpr), 1) AS avg_word_len,
+         |  CASE WHEN len($toksExpr) = 0 THEN 0.0::DOUBLE
+         |    ELSE list_reduce(list_transform($toksExpr, x -> length(x)), (a,b) -> a+b)::DOUBLE
+         |      / greatest(len($toksExpr), 1) END AS avg_word_len,
          |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
          |    / greatest(length(text), 1) AS punct_ratio,
          |  len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
@@ -235,7 +236,8 @@ ${TextAnalysis.langMarkers.map { case (code, words) =>
          |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) js),
          |votes AS (SELECT doc_id, j, SUM(bit*2 - 1) AS v FROM bits GROUP BY doc_id, j)
          |SELECT doc_id,
-         |  SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS simhash
+         |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS simhash
          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

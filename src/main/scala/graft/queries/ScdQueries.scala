@@ -168,10 +168,28 @@ object ScdQueries {
       |    CASE WHEN c_custkey % 6 = 0 THEN 'WHOLESALE' ELSE c_mktsegment END AS c_mktsegment
       |  FROM customer WHERE c_custkey % 7 <> 0""".stripMargin
 
-  /** 6-branch oracle (B1-B6 of SURVEY.md §2.3(1)); `changed`/`unchanged`
-    * use IS [NOT] DISTINCT FROM = the engine's null-safe default.
+  /** 6-branch oracle (B1-B6 of SURVEY.md §2.3(1)). `nullSafe=true` uses
+    * IS [NOT] DISTINCT FROM = the engine's default; `nullSafe=false` uses
+    * plain =/<> — the reference's three-valued predicates, whose NULL
+    * "black hole" (a NULL in any Type-2 column drops the row from every
+    * branch) is thereby reproduced in the oracle itself, matching the
+    * engine's `nullSafeCompare=false` compat mode (q14).
     */
-  private def mergeSql(renumber: Boolean): String = {
+  private def mergeSql(renumber: Boolean, nullSafe: Boolean = true): String = {
+    val same =
+      if (nullSafe)
+        """p.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+          |    AND p.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment""".stripMargin
+      else
+        """p.c_acctbal = s.c_acctbal
+          |    AND p.c_mktsegment = s.c_mktsegment""".stripMargin
+    val diff =
+      if (nullSafe)
+        """(p.c_acctbal IS DISTINCT FROM s.c_acctbal
+          |    OR p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)""".stripMargin
+      else
+        """(p.c_acctbal <> s.c_acctbal
+          |    OR p.c_mktsegment <> s.c_mktsegment)""".stripMargin
     val asOfSql = "TIMESTAMP '2024-07-01 00:00:00'"
     val highSql = s"TIMESTAMP '$high'"
     val dimId =
@@ -198,22 +216,19 @@ object ScdQueries {
        |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
        |         p.scd_version, p.scd_start_date, p.scd_end_date, p.scd_active
        |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
-       |  WHERE p.scd_active AND p.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
-       |    AND p.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+       |  WHERE p.scd_active AND $same
        |), b4 AS (
        |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
        |         p.scd_version, p.scd_start_date, $asOfSql AS scd_end_date,
        |         FALSE AS scd_active
        |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
-       |  WHERE p.scd_active AND (p.c_acctbal IS DISTINCT FROM s.c_acctbal
-       |    OR p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+       |  WHERE p.scd_active AND $diff
        |), b5 AS (
        |  SELECT CAST(NULL AS BIGINT) AS dim_id, s.c_custkey, s.c_name,
        |         s.c_acctbal, s.c_mktsegment, p.scd_version + 1,
        |         $asOfSql, $highSql, TRUE
        |  FROM prod p JOIN stag s ON p.c_custkey = s.c_custkey
-       |  WHERE p.scd_active AND (p.c_acctbal IS DISTINCT FROM s.c_acctbal
-       |    OR p.c_mktsegment IS DISTINCT FROM s.c_mktsegment)
+       |  WHERE p.scd_active AND $diff
        |), b6 AS (
        |  SELECT CAST(NULL AS BIGINT), s.c_custkey, s.c_name, s.c_acctbal,
        |         s.c_mktsegment, 1, $asOfSql, $highSql, TRUE
@@ -233,7 +248,7 @@ object ScdQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q13_scd_merge" -> mergeSql(renumber = false),
-    "q14_scd_hivecompat" -> mergeSql(renumber = true),
+    "q14_scd_hivecompat" -> mergeSql(renumber = true, nullSafe = false),
     "q30_asof_native" ->
       """WITH dimv AS (
         |  SELECT c_custkey AS d_custkey, c_acctbal - 200 AS acctbal_v,

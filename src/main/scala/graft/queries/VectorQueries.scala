@@ -165,8 +165,8 @@ object VectorQueries {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)),
         |seq AS (
         |  SELECT user_id, event_id, ts_us,
-        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
         |  FROM tagged)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MAX(ts_us) - MIN(ts_us) AS duration_us,
@@ -175,7 +175,7 @@ object VectorQueries {
         |ORDER BY user_id, session_seq""".stripMargin,
     "q31_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
         |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50

@@ -10,6 +10,7 @@ row count, column names (sorted), and per-cell values with rows sorted.
 
 Exit 0 iff every query matches.
 """
+import decimal
 import json
 import math
 import sys
@@ -25,6 +26,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(v):
     if v is None:
         return None
+    # DuckDB HUGEINT (e.g. SUM over BIGINT) arrives as decimal128 via arrow;
+    # Decimal(5) == 5 in Python, which would hide the type divergence the
+    # driver's hash compare trips on. Tag it so it never silently matches.
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -44,12 +50,21 @@ def canon(v):
     return v
 
 
+def sort_key(row):
+    # Tolerance-stable sort: round floats to 9 significant digits in the
+    # KEY ONLY so sub-1e-9 jitter can't reorder one side and misalign the
+    # positional compare (values themselves stay exact).
+    return repr(tuple(
+        float(f"{v:.9g}") if isinstance(v, float) and not math.isnan(v) else v
+        for v in row))
+
+
 def rows_of(names, cols):
     order = sorted(range(len(names)), key=lambda i: names[i])
     arrs = [cols[i] for i in order]
     return sorted(
         (tuple(canon(a[r]) for a in arrs) for r in range(len(arrs[0]) if arrs else 0)),
-        key=repr), [names[i] for i in order]
+        key=sort_key), [names[i] for i in order]
 
 
 def float_close(a, b):
@@ -77,12 +92,12 @@ def main():
         s_rows, s_names = rows_of(
             tbl.column_names, [c.to_pylist() for c in tbl.columns])
         try:
-            res = con.execute(oracle[name])
-            d_names = [d[0] for d in res.description]
-            d_cols = list(zip(*res.fetchall()))
-            if not d_cols:
-                d_cols = [[] for _ in d_names]
-            d_rows, d_names = rows_of(d_names, [list(c) for c in d_cols])
+            # Fetch via arrow — the driver compares on the arrow path, and
+            # arrow surfaces type divergences (HUGEINT -> decimal128) that
+            # fetchall() hides behind native Python ints.
+            d_tbl = con.execute(oracle[name]).arrow()
+            d_rows, d_names = rows_of(
+                d_tbl.column_names, [c.to_pylist() for c in d_tbl.columns])
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             continue

@@ -81,15 +81,17 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** Distinct hashed shingles: ONE md5 per (doc, shingle); signatures
-    * and jaccard verification both derive from this relation, so the
-    * string shingle never leaves the first projection.
+  /** Distinct hashed shingles via the native [[graft.functions.TextHash]]
+    * expression: one row-local pass builds, hashes AND dedupes the n-grams
+    * (doc-local dedup == `SELECT DISTINCT doc_id, shingle` since the doc id
+    * is part of the key), so the explode emits 8-byte longs and the
+    * distinct shuffle of the composed formulation disappears entirely.
+    * The string shingle never exists as a row.
     */
   def hashedShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame =
-    shingles(docs, idCol, textCol, n)
-      .select(col(idCol).as("doc"),
-        PortableHash.hash60Base(col("shingle")).as("sh"))
+    docs.select(col(idCol).as("doc"),
+      explode(graft.functions.TextHash.shingleHash60(col(textCol), n)).as("sh"))
 
   /** MinHash signatures in WIDE form: one row per doc, `numHashes`
     * min-agg columns `mh_0..mh_{k-1}`. The k hash functions are affine
@@ -167,26 +169,19 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** 16-bit SimHash per document: every token votes +1/-1 on each bit of
-    * its 60-bit portable hash (folded to 16 bits); fingerprint bit j is
-    * the vote sign. All integer arithmetic — exact in any engine.
+  /** 16-bit SimHash per document: every token occurrence votes +1/-1 on
+    * each bit of its 60-bit portable hash (folded to 16 bits); fingerprint
+    * bit j is the vote sign. All integer arithmetic — exact in any engine.
+    *
+    * Computed by the native [[graft.functions.SimHash16]] expression: one
+    * shuffle-free scan, where the composed formulation exploded
+    * tokens x 16 bit rows through two shuffled aggregations. Docs with no
+    * tokens produce NULL and are dropped, matching the relational shape
+    * (no vote rows -> absent from the output).
     */
-  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h16", PortableHash.hash60(col("tok"), 2) % 65536)
-    val bits = toks
-      .select(col(idCol), col("h16"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("bit",
-        (floor(col("h16") / pow(lit(2), col("j"))).cast("long") % 2))
-      .withColumn("vote", col("bit") * 2 - 1)
-    bits
-      .groupBy(col(idCol), col("j"))
-      .agg(sum(col("vote")).as("v"))
-      .withColumn("bitval",
-        when(col("v") > 0, pow(lit(2), col("j")).cast("long")).otherwise(lit(0L)))
-      .groupBy(col(idCol))
-      .agg(sum(col("bitval")).as("simhash"))
-  }
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.functions.TextHash.simhash16(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
 }

@@ -116,8 +116,11 @@ object PipelineQueries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  /** Shared shingle pipeline (docs -> distinct (doc_id, shingle)) —
-    * row-local list_transform mirror of Dedup.shingles.
+  /** Shared shingle pipeline (docs -> distinct (doc_id, 60-bit shingle
+    * hash)) — mirror of Dedup.hashedShingles: the dedup happens on the
+    * HASH, exactly as the engine's ShingleHash60 expression dedupes
+    * in-expression (distinct-then-hash and hash-then-distinct coincide
+    * unless two distinct shingles of one doc collide in 60 bits).
     */
   private def shinglesSql(src: String): String =
     s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM $src),
@@ -127,17 +130,16 @@ object PipelineQueries {
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE []::VARCHAR[] END) AS shingle
        |  FROM toks),
-       |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)""".stripMargin
+       |sh AS (SELECT DISTINCT doc_id,
+       |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM grams)""".stripMargin
 
   private def jaccardTailSql(threshold: String): String =
-    s"""sh2 AS (SELECT doc_id,
-       |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM sh),
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY doc_id),
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (
        |  SELECT c.a, c.b, count(*) AS n_common
        |  FROM cand c
-       |  JOIN sh2 x ON x.doc_id = c.a
-       |  JOIN sh2 y ON y.doc_id = c.b AND y.shh = x.shh
+       |  JOIN sh x ON x.doc_id = c.a
+       |  JOIN sh y ON y.doc_id = c.b AND y.shh = x.shh
        |  GROUP BY c.a, c.b)
        |SELECT cm.a, cm.b,
        |  cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS jaccard
@@ -190,12 +192,10 @@ ${TextAnalysis.langMarkers.map { case (code, words) =>
     "q19_jaccard_pairs" ->
       s"""WITH $corpusSmallSql,
          |${shinglesSql("corpus")},
-         |shh AS (SELECT doc_id,
-         |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM sh),
-         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
          |common AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_common
-         |  FROM shh x JOIN shh y ON x.shh = y.shh AND x.doc_id < y.doc_id
+         |  FROM sh x JOIN sh y ON x.shh = y.shh AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT cm.a, cm.b,
          |  cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS jaccard
@@ -210,8 +210,7 @@ ${TextAnalysis.langMarkers.map { case (code, words) =>
          |mh AS (
          |  SELECT doc_id,
          |${(0 until 12).map(i =>
-            s"    min(${PortableHash.minhashSql(
-              PortableHash.hash60BaseSql("shingle") + " % 2147483647", i)}) AS mh_$i")
+            s"    min(${PortableHash.minhashSql("shh % 2147483647", i)}) AS mh_$i")
             .mkString(",\n")}
          |  FROM sh GROUP BY doc_id),
          |buckets AS (

@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.ScdQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.VectorQueries.queries
+      graft.queries.VectorQueries.queries ++
+      graft.queries.ExtendedQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.ScdQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.VectorQueries.oracleSql
+      graft.queries.VectorQueries.oracleSql ++
+      graft.queries.ExtendedQueries.oracleSql
 }

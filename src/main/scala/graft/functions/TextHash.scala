@@ -135,9 +135,40 @@ object TextHash {
     fp
   }
 
+  /** md5-low-60 of a Scala string — for deriving deterministic constants
+    * (e.g. LSH hyperplane components) at PLAN time with the same hash
+    * family the portable column expressions use.
+    */
+  def md5Low60(s: String): Long =
+    low60(digests.get(), s.getBytes(StandardCharsets.UTF_8))
+
+  /** Polynomial rolling hash over the codepoints of `text`:
+    * `acc = (acc*257 + cp) mod (2^31-1)`, acc0 = 0. Streams through the
+    * string in one pass — the classic document-fingerprint recurrence —
+    * and every intermediate stays below 2^40, so the arithmetic is exact
+    * in ANY int64 engine (the DuckDB oracle replays it as a list_reduce
+    * over `unicode(s[i])`, which indexes codepoints identically).
+    */
+  def rollingHash(text: UTF8String): Long = {
+    val s = text.toString
+    var acc = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 257L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   /** Column API: deduped md5-low60 word-n-gram hashes (array<long>). */
   def shingleHash60(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash60(ColumnBridge.expression(text), n))
+
+  /** Column API: codepoint rolling-hash fingerprint (long). */
+  def rollingFingerprint(text: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(text)))
 
   /** Column API: 16-bit SimHash fingerprint; NULL when no tokens. */
   def simhash16(text: Column): Column =
@@ -165,6 +196,27 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
       c => s"graft.functions.TextHash.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** See [[TextHash.rollingHash]]. */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHash.rollingHash(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.rollingHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }
 

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.functions.{KmvSketch, PortableHash, TextHash}
+import graft.similarity.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 coverage widening: the checklist categories that were thin in
+  * round 1, each as an oracle-checked query — CUBE grouping sets,
+  * multiset set-ops (EXCEPT/INTERSECT ALL), a typed-Aggregator UDAF
+  * (portable KMV distinct sketch), rolling-hash fingerprints, BPE-ish
+  * regex tokenization, RANGE window frames, exact percentiles, and the
+  * oracle-portable LSH ANN.
+  */
+object ExtendedQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** GPT-2-flavored pre-tokenizer classes, reduced to a regex dialect
+    * that Java regex and RE2 interpret identically: letter runs, single
+    * digits, single non-alphanumeric-non-space marks.
+    */
+  private val BpeWord = "[A-Za-z]+"
+  private val BpeDigit = "[0-9]"
+  private val BpeOther = "[^A-Za-z0-9\\s]"
+  private val BpeAll = s"$BpeWord|$BpeDigit|$BpeOther"
+
+  /** ±1 hyperplanes shared by the q41 engine plan and its oracle SQL. */
+  private val AnnBits = 8
+  private val annPlanes = Similarity.hyperplanes(AnnBits, 64, signsOnly = true)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Full grouping-set lattice (CUBE) — q32's ROLLUP completes to the
+    // whole powerset; partial aggregation still combines map-side.
+    "q34_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Multiset set operators: EXCEPT ALL / INTERSECT ALL between two
+    // event segments, folded to per-type multiplicities.
+    "q35_setops_all" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val a = ev.filter(col("user_id") % 2 === 0).select(col("event_type"))
+      val b = ev.filter(col("user_id") % 3 === 0).select(col("event_type"))
+      val ex = a.exceptAll(b).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in)
+        .select(col("op"), col("event_type"), col("n"))
+        .orderBy(col("op"), col("event_type"))
+    }),
+
+    // Typed-Aggregator UDAF: portable KMV distinct-count sketch vs the
+    // exact count (the sketch estimate is deterministic, so it is
+    // hash-checked — q29's HLL/quantile sketches stay rows-only).
+    "q36_kmv" -> ((s, dir) => {
+      val h = PortableHash.hash60Base(col("user_id").cast("string"))
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(KmvSketch.kmvEstimate(h, 64).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Rolling-hash document fingerprint (codepoint polynomial, native
+    // codegen expression) — the streaming-friendly content fingerprint.
+    "q37_rolling_fp" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextHash.rollingFingerprint(col("text")).as("rfp"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-ish regex pre-tokenization counts (word runs / digits / marks).
+    "q38_bpe_tokens" -> ((s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(t, lit(BpeAll)).as("n_bpe"),
+          regexp_count(t, lit(BpeWord)).as("n_word"),
+          regexp_count(t, lit(BpeDigit)).as("n_digit"),
+          regexp_count(t, lit(BpeOther)).as("n_other"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RANGE window frame: trailing 1-hour per-user activity at every
+    // event (value-based frame, not row-based).
+    "q39_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us").asc)
+        .rangeBetween(-3600000000L, 0L)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("value"))
+        .withColumn("hr_value",
+          sum(dec6(col("value"))).over(w).cast("double"))
+        .withColumn("hr_events", count(lit(1)).over(w))
+        .drop("ts_us", "value")
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Exact linear-interpolation percentiles (Spark `percentile` ==
+    // DuckDB `quantile_cont`: both evaluate rank p*(n-1) on the sorted
+    // values with the same interpolation arithmetic).
+    "q40_percentile" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+            .as("price_q"),
+          expr("percentile(l_quantity, 0.5D)").as("qty_med"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Oracle-portable LSH ANN: ±1 md5-derived hyperplanes, bucket
+    // equi-join candidates, exact cosine re-rank — the hash-checked
+    // sibling of the xxhash q27 path.
+    "q41_ann_portable" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.portableAnnTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 10, bits = AnnBits)
+        .orderBy(col("q_id"), col("rank"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  private def planeListSql(p: Array[Double]): String =
+    p.map(v => if (v > 0) "1.0" else "-1.0").mkString("([", ",", "]::DOUBLE[])")
+
+  val oracleSql: Map[String, String] = Map(
+    "q34_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q35_setops_all" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT event_type FROM events WHERE user_id % 3 = 0),
+        |ex AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b),
+        |inr AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b)
+        |SELECT 'except_all' AS op, event_type, COUNT(*) AS n FROM ex GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n FROM inr GROUP BY 2
+        |ORDER BY op, event_type""".stripMargin,
+    "q36_kmv" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${PortableHash.hash60BaseSql("user_id::VARCHAR")} AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |x AS (SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY event_type)
+         |SELECT r.event_type,
+         |  CASE WHEN max(r.nd) < 64 THEN CAST(max(r.nd) AS DOUBLE)
+         |       ELSE 63.0 * 1152921504606846976.0
+         |            / CAST(max(CASE WHEN r.rn = 64 THEN r.h END) AS DOUBLE)
+         |  END AS approx_users,
+         |  CAST(max(x.exact_users) AS BIGINT) AS exact_users
+         |FROM r JOIN x ON x.event_type = r.event_type
+         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin,
+    "q37_rolling_fp" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) = 0 THEN 0 ELSE
+        |    list_reduce(list_transform(range(1, length(text)+1),
+        |                               i -> unicode(text[i])::BIGINT),
+        |                (a,b) -> (a*257 + b) % 2147483647) END AS rfp,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q38_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$BpeAll')) AS n_bpe,
+         |  len(regexp_extract_all(text, '$BpeWord')) AS n_word,
+         |  len(regexp_extract_all(text, '$BpeDigit')) AS n_digit,
+         |  len(regexp_extract_all(text, '$BpeOther')) AS n_other
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q39_window_range" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS hr_value,
+        |  COUNT(*) OVER w AS hr_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q40_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_q,
+        |  quantile_cont(l_quantity, 0.5) AS qty_med,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q41_ann_portable" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |  ${annPlanes.zipWithIndex.map { case (pl, p) =>
+             s"(CASE WHEN ${dotSql("e", planeListSql(pl))} > 0 THEN ${1L << p} ELSE 0 END)"
+           }.mkString("\n  + ")} AS bucket,
+         |  ${dotSql("e", "e")} AS nrm
+         |  FROM emb),
+         |q AS (SELECT vec_id AS q_id, e AS qe, bucket, nrm AS nq FROM b WHERE vec_id < 50),
+         |cos AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(q.nq * c.nrm) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+         |SELECT q_id, n_id, cosine, rank FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+  )
+}

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import graft.functions.{PortableHash, VectorFunctions}
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   * DuckDB `list_reduce` replay — no UDF, stays inside codegen.
   *
   * The scale path is [[signLshBuckets]]: random-hyperplane sign LSH where
-  * the "random" projection components are xxhash64(dim, bit) — fully
-  * deterministic, no stored model, computable per-row with zero shuffle.
-  * Candidates come from same-bucket joins instead of the O(Q·N) cross
-  * join; recall is asserted against brute force in the test suite (this
-  * path is deliberately not oracle-SQL-portable: it uses the codegen'd
-  * xxhash, the right choice at 100 TB).
+  * the projection components are md5-derived plan-time CONSTANTS — fully
+  * deterministic, no stored model, projected per-row with the codegen dot
+  * product, zero shuffle. Candidates come from same-bucket joins instead
+  * of the O(Q·N) cross join; recall is asserted against brute force in
+  * the test suite. [[portableAnnTopK]] is the ±1-plane variant whose
+  * whole pipeline (buckets, candidates, cosines, ranks) replays
+  * bit-identically in the DuckDB oracle.
   */
 object Similarity {
 
@@ -77,29 +78,45 @@ object Similarity {
       .select(col("a"), col("b"), col("cosine"))
   }
 
-  /** Sign-LSH bucket id per vector: `bits` pseudo-random hyperplanes whose
-    * components are derived from xxhash64(planeIdx, dimIdx) mapped to
-    * [-0.5, 0.5). Vectors in the same bucket are ANN candidates.
+  /** Deterministic hyperplane components: plane `p`, dimension `i` is
+    * derived from md5Low60("plane:p:i"). `signsOnly=true` gives Rademacher
+    * ±1 components (portable to SQL as literal lists — the oracle-checked
+    * ANN path); `false` gives dense components in [-0.5, 0.5).
     *
-    * Cost note: the `bits` projections run as interpreted higher-order
-    * folds — linear in corpus (once per vector, not per pair) so it is
-    * not the pair-join trap, but a native multi-plane projection
-    * expression would cut constant factors ~10x; worth doing before truly
-    * large corpora.
+    * The components depend only on (p, i) — they are CONSTANTS. Deriving
+    * them once at plan time and projecting with the codegen [[dot]]
+    * replaces the earlier per-row per-element hash folds (interpreted
+    * higher-order eval) with one primitive loop per plane.
+    */
+  def hyperplanes(bits: Int, dims: Int, signsOnly: Boolean): Seq[Array[Double]] =
+    (0 until bits).map { p =>
+      Array.tabulate(dims) { i =>
+        val h = graft.functions.TextHash.md5Low60(s"plane:$p:$i")
+        if (signsOnly) if ((h & 1L) == 1L) 1.0 else -1.0
+        else (h % 1000000L).toDouble / 2000000.0 - 0.25
+      }
+    }
+
+  /** Bucket id from sign bits of the projections onto `planes`. Strict
+    * `> 0` — matching the SQL replay's CASE WHEN. A vector whose length
+    * differs from the plane width projects to NULL -> bit 0 (bucketed,
+    * never dropped).
+    */
+  def planeBucket(e: Column, planes: Seq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val proj = dot(e, array(plane.toSeq.map(lit): _*))
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Sign-LSH bucket id per vector: `bits` deterministic hyperplanes
+    * (dense md5-derived components), projections via the codegen dot
+    * product. Vectors in the same bucket are ANN candidates.
     */
   def signLshBuckets(df: DataFrame, idCol: String, vecCol: String,
-      bits: Int = 12): DataFrame = {
-    val e = asDouble(col(vecCol))
-    val bucket = (0 until bits).map { p =>
-      // projection = sum_i h(p,i) * e[i], h in [-0.5, 0.5)
-      val proj = aggregate(
-        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) =>
-          x * ((PortableHash.fast(lit(p), i) % 1000000L).cast("double") / 2000000.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.select(col(idCol), col(vecCol), bucket.as("bucket"))
-  }
+      bits: Int = 12, dims: Int = 64): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      planeBucket(asDouble(col(vecCol)), hyperplanes(bits, dims, signsOnly = false))
+        .as("bucket"))
 
   /** LSH-accelerated near-dup pairs: exact cosine evaluated ONLY on
     * same-bucket (a < b) candidates — the scale path for embedding
@@ -129,12 +146,32 @@ object Similarity {
     * point is asserted in tests).
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      vecCol: String, k: Int, bits: Int = 8): DataFrame = {
-    val qb = signLshBuckets(queries, idCol, vecCol, bits)
+      vecCol: String, k: Int, bits: Int = 8): DataFrame =
+    bucketedTopK(signLshBuckets(queries, idCol, vecCol, bits),
+      signLshBuckets(corpus, idCol, vecCol, bits), idCol, vecCol, k)
+
+  /** Oracle-portable ANN: Rademacher (±1) hyperplanes with md5-derived
+    * signs, so the bucket assignment, candidate set, exact cosine AND
+    * rank are all bit-reproducible in the DuckDB replay (the ±1 lists
+    * embed as SQL literals; every float op is a strict left fold). Same
+    * scale shape as [[lshTopK]] — a bucket equi-join instead of the
+    * O(Q·N) cross product.
+    */
+  def portableAnnTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, bits: Int = 8, dims: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dims, signsOnly = true)
+    def withB(df: DataFrame) = df.select(col(idCol), col(vecCol),
+      planeBucket(asDouble(col(vecCol)), planes).as("bucket"))
+    bucketedTopK(withB(queries), withB(corpus), idCol, vecCol, k)
+  }
+
+  private def bucketedTopK(qb0: DataFrame, cb0: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val qb = qb0
       .select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("qe"),
         col("bucket"))
       .withColumn("nq", norm2(col("qe")))
-    val cb = signLshBuckets(corpus, idCol, vecCol, bits)
+    val cb = cb0
       .select(col(idCol).as("n_id"), asDouble(col(vecCol)).as("ce"),
         col("bucket"))
       .withColumn("nc", norm2(col("ce")))

@@ -15,19 +15,24 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      GraftExtensions.dotBuilder))
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
     // the native as-of join operator plans through this strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftExtensions {
-  private val dotBuilder:
-      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+  private type Builder =
+    Exprs => org.apache.spark.sql.catalyst.expressions.Expression
+
+  private val dotBuilder: Builder = { exprs =>
     require(exprs.length == 2, "graft_dot(arrayA, arrayB)")
     // cast so SQL callers with int/float arrays get converted values,
     // not ArrayData misreads
@@ -35,8 +40,37 @@ object GraftExtensions {
       VectorFunctions.castToDoubleArray(exprs(1)))
   }
 
+  private val shingleBuilder: Builder = { exprs =>
+    require(exprs.length == 2, "graft_shingle_hash60(text, n)")
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"shingle width must be an int literal, got $other")
+    }
+    ShingleHash60(exprs.head, n)
+  }
+
+  private val simhashBuilder: Builder = { exprs =>
+    require(exprs.length == 1, "graft_simhash16(text)")
+    SimHash16(exprs.head)
+  }
+
+  private val rollingBuilder: Builder = { exprs =>
+    require(exprs.length == 1, "graft_rolling_hash(text)")
+    RollingHash(exprs.head)
+  }
+
+  /** All SQL-exposed engine functions. */
+  private val builders: Seq[(String, Builder)] = Seq(
+    "graft_dot" -> dotBuilder,
+    "graft_shingle_hash60" -> shingleBuilder,
+    "graft_simhash16" -> simhashBuilder,
+    "graft_rolling_hash" -> rollingBuilder)
+
   /** Register on an already-running session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graft.ColumnBridge
-      .registerTempFunction(spark, "graft_dot", dotBuilder)
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerTempFunction(spark, name, builder)
+    }
 }

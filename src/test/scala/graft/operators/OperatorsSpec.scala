@@ -67,4 +67,16 @@ class OperatorsSpec extends SparkSpec {
       .head.getDouble(0)
     assert(got === 12.0)
   }
+
+  test("text-hash functions are available in SQL after registration") {
+    graft.functions.GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT size(graft_shingle_hash60('a b c d', 3)) AS n_sh,
+        |       graft_simhash16('hello world') AS sh,
+        |       graft_rolling_hash('abc') AS rh""".stripMargin).head
+    assert(row.getInt(0) === 2)
+    assert(!row.isNullAt(1))
+    // 'abc' -> ((97*257 + 98)*257 + 99) % (2^31-1)
+    assert(row.getLong(2) === ((97L * 257 + 98) * 257 + 99) % 2147483647L)
+  }
 }

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File-format surface beyond the canonical Parquet: CSV, JSON-lines and
+  * ORC readers/writers with engine defaults pinned for round-trip
+  * fidelity (SURVEY.md §2.2 "sources/sinks/file formats").
+  *
+  * Scale notes baked into the defaults:
+  *  - reads take an explicit [[StructType]] — schema inference re-scans
+  *    the data (2x I/O at 100 TB) and can silently widen types between
+  *    runs; an explicit schema also keeps column pruning exact for
+  *    formats without footers (CSV/JSON read only what the parser needs
+  *    when the schema names it).
+  *  - timestamps serialize as ISO-8601 with microsecond precision in
+  *    UTC, so CSV/JSON round-trips are lossless for TimestampType.
+  *  - CSV quotes/escapes defaults handle embedded delimiters/newlines
+  *    (multiLine stays OFF — multiLine parsing is single-split per file
+  *    and destroys read parallelism; writers never emit raw newlines).
+  */
+object Formats {
+
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+  def writeCsv(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      // the WRITER defaults these to true and silently strips value
+      // whitespace — lossy round-trip
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("timestampFormat", TsFmt)
+      .schema(schema)
+      .csv(path)
+
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .option("timestampFormat", TsFmt)
+      .json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("timestampFormat", TsFmt)
+      .schema(schema)
+      .json(path)
+
+  def writeOrc(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+}

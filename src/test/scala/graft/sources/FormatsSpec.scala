@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** CSV / JSON-lines / ORC round-trips preserve values bit-for-bit against
+  * the Parquet source of truth, including timestamps, nulls, quotes and
+  * embedded delimiters.
+  */
+class FormatsSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-fmt-$name").toString
+
+  test("orders round-trips through CSV, JSON and ORC unchanged") {
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val schema = orders.schema
+
+    val csvDir = tmp("csv")
+    Formats.writeCsv(orders, csvDir)
+    val backCsv = Formats.readCsv(spark, csvDir, schema)
+    assert(backCsv.schema == schema)
+    assert(backCsv.exceptAll(orders).isEmpty && orders.exceptAll(backCsv).isEmpty)
+
+    val jsonDir = tmp("json")
+    Formats.writeJson(orders, jsonDir)
+    val backJson = Formats.readJson(spark, jsonDir, schema)
+    assert(backJson.exceptAll(orders).isEmpty && orders.exceptAll(backJson).isEmpty)
+
+    val orcDir = tmp("orc")
+    Formats.writeOrc(orders, orcDir)
+    val backOrc = Formats.readOrc(spark, orcDir)
+    assert(backOrc.exceptAll(orders).isEmpty && orders.exceptAll(backOrc).isEmpty)
+  }
+
+  test("CSV survives quotes, embedded delimiters and nulls") {
+    import spark.implicits._
+    val nasty = Seq(
+      (1L, Some("""plain"""), Some(1.5)),
+      (2L, Some("""comma, inside"""), None),
+      (3L, Some(""""quoted" text"""), Some(-0.0)),
+      (4L, None, Some(Double.MaxValue)),
+      (5L, Some("tab\tand trailing space "), Some(1e-300))
+    ).toDF("id", "s", "d")
+    val dir = tmp("nasty")
+    Formats.writeCsv(nasty, dir)
+    val back = Formats.readCsv(spark, dir, nasty.schema)
+    assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty)
+  }
+
+  test("ORC scan keeps predicate pushdown and column pruning") {
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val dir = tmp("orc-push")
+    Formats.writeOrc(orders, dir)
+    val plan = Formats.readOrc(spark, dir)
+      .filter(col("o_orderkey") < 100).select("o_orderkey", "o_totalprice")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)"),
+      plan)
+  }
+}

@@ -78,4 +78,40 @@ class CatalogSpec extends SparkSpec {
     assert(out.filter(col("scd_active")).select("address").head.getString(0)
       === "a2")
   }
+
+  test("schema evolution: widened overwrite, old snapshots keep old schema") {
+    val cat = freshCatalog()
+    cat.create("t", Seq((1L, "a")).toDF("id", "v").schema)
+    cat.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    // add a column copy-on-write style: new version, evolved schema
+    cat.overwrite("t",
+      cat.table("t").withColumn("score", lit(0.5)))
+    assert(cat.table("t").columns.toSeq === Seq("id", "v", "score"))
+    // time travel sees the pre-evolution schema, not a patched view
+    assert(cat.tableAsOfVersion("t", 1).columns.toSeq === Seq("id", "v"))
+    // and narrowing back is equally just another version
+    cat.overwrite("t", cat.table("t").drop("v"))
+    assert(cat.table("t").columns.toSeq === Seq("id", "score"))
+  }
+
+  test("concurrent publishes never interleave one version directory") {
+    val cat = freshCatalog()
+    cat.create("t", Seq((1L, "a")).toDF("id", "v").schema)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit =
+            cat.overwrite("t", Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    // 4 writers -> exactly versions 1..4 each a complete single-writer
+    // snapshot (1 row); the pointer lands on one of them
+    assert(cat.currentVersion("t").exists(v => v >= 1 && v <= 4))
+    (1L to 4L).foreach { v =>
+      assert(cat.tableAsOfVersion("t", v).count() === 1)
+    }
+  }
 }

@@ -130,6 +130,16 @@ object ExtendedQueries {
       Similarity.portableAnnTopK(emb.filter(col("vec_id") < 50), emb,
         "vec_id", "embedding", k = 10, bits = AnnBits)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // IVF ANN: deterministic k-means coarse quantizer, nProbe-cluster
+    // candidates, exact re-rank (rows-only: the Lloyd iterations are not
+    // SQL-expressible; exactness at full probe + recall are IvfSpec's).
+    "q42_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 10, c = 16, nProbe = 4)
+        .orderBy(col("q_id"), col("rank"))
     })
   )
 

@@ -64,4 +64,39 @@ object Multimodal {
   def sampleFrames(media: DataFrame): DataFrame =
     media.select(col("doc_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], n_bytes: Int,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB resize — aspect-preserving fit into `maxSide` with the real
+    * pixel work faked: dimensions follow the true resize arithmetic
+    * (already-small media pass through untouched), the payload is
+    * deterministically re-sampled to the scaled byte budget. Same
+    * partition-wise batching contract as [[decodeStub]].
+    */
+  def resizeStub(media: Dataset[Media], maxSide: Int)(
+      implicit s: SparkSession): Dataset[ResizedMedia] = {
+    import s.implicits._
+    require(maxSide > 0, "maxSide > 0")
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val side = math.max(m.width, m.height)
+        if (side <= maxSide)
+          ResizedMedia(m.doc_id, m.payload, m.n_bytes, m.width, m.height,
+            m.n_frames)
+        else {
+          val scale = maxSide.toDouble / side
+          val w = math.max(1, math.round(m.width * scale).toInt)
+          val h = math.max(1, math.round(m.height * scale).toInt)
+          // ??? real decode+rescale+re-encode; fake: byte budget scales
+          // with area, content re-sampled by stride from the original
+          val budget = math.max(1,
+            math.round(m.payload.length * scale * scale).toInt)
+          val out = Array.tabulate(budget)(i =>
+            m.payload((i.toLong * m.payload.length / budget).toInt))
+          ResizedMedia(m.doc_id, out, out.length, w, h, m.n_frames)
+        }
+      }
+    }
+  }
 }

@@ -39,6 +39,30 @@ class MultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
+  test("resizeStub preserves aspect, caps the long side, passes small media through") {
+    implicit val s = spark
+    import s.implicits._
+    val media = Multimodal.synthesize(docs).as[Multimodal.Media]
+    val resized = Multimodal.resizeStub(media, maxSide = 256).collect()
+    val orig = media.collect().map(m => m.doc_id -> m).toMap
+    assert(resized.length === orig.size)
+    resized.foreach { r =>
+      val m = orig(r.doc_id)
+      assert(math.max(r.width, r.height) <= 256)
+      assert(r.n_bytes === r.payload.length)
+      if (math.max(m.width, m.height) <= 256) {
+        assert((r.width, r.height) === (m.width, m.height))
+        assert(r.payload.toSeq === m.payload.toSeq)
+      } else {
+        // aspect ratio preserved within rounding
+        val scale = 256.0 / math.max(m.width, m.height)
+        assert(r.width === math.max(1, math.round(m.width * scale).toInt))
+        assert(r.height === math.max(1, math.round(m.height * scale).toInt))
+        assert(r.n_bytes <= m.n_bytes)
+      }
+    }
+  }
+
   test("sampleFrames explodes exactly n_frames rows per doc") {
     val media = Multimodal.synthesize(docs)
     val frames = Multimodal.sampleFrames(media)

@@ -72,16 +72,20 @@ object TextAnalysis {
 
   /** Predicted language: argmax of marker-word occurrence counts, ties
     * broken by marker order (language code ascending), no hits -> "und".
-    *
-    * Built on `regexp_count` with word boundaries, NOT on token-list
-    * lambdas: higher-order filters are CodegenFallback (interpreted,
-    * allocation-heavy, high variance under GC), while regexp counting
-    * stays inside whole-stage codegen where common-subexpression
-    * elimination also dedupes the argmax's repeated references. Array
-    * argmax, not a when/otherwise fold — a fold duplicates the
-    * running-best expression tree exponentially.
+    * Computed by the native single-pass [[graft.functions.LangIdNative]]
+    * expression (one text walk for all languages); [[langIdRegex]] is the
+    * regex formulation it bit-matches (= the q17 oracle's shape), kept
+    * for the parity test.
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    graft.functions.LangIdNative.langId(text)
+
+  /** Regex marker-count formulation of [[langId]]: one `\b(..|..)\b`
+    * alternation scan per language, array argmax (not a when/otherwise
+    * fold — a fold duplicates the running-best expression tree
+    * exponentially).
+    */
+  def langIdRegex(text: Column): Column = {
     val lowered = lower(text)
     val hits = langMarkers.map { case (_, words) =>
       // one alternation per language (word matches are disjoint, so the

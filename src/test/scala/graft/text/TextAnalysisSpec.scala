@@ -31,6 +31,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(col("doc_id") === 4).head.getSeq[String](1).isEmpty)
   }
 
+  test("native langId bit-matches the regex formulation on the corpus + edges") {
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .unionByName(Seq(
+        "",                     // no tokens -> und
+        "the THE the,the!",     // case + punctuation boundaries
+        "der die und ist das the a of and is", // exact tie -> first language
+        "a",                    // single one-letter marker
+        "theology android island: markers as substrings must NOT count",
+        "el y es una los",      // es
+        "café the café", // non-ASCII splits word runs
+        "x_the the_x _the the_" // underscore is a word char -> no boundary
+      ).toDF("text"))
+    val both = docs.select(
+      TextAnalysis.langId(col("text")).as("native"),
+      TextAnalysis.langIdRegex(col("text")).as("regex"))
+    assert(both.filter(col("native") =!= col("regex")).count() === 0)
+  }
+
   test("shingles skip docs shorter than n and handle empty text") {
     val sh = Dedup.shingles(edgy, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -140,6 +140,39 @@ object ExtendedQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
         "vec_id", "embedding", k = 10, c = 16, nProbe = 4)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Nested/complex types: per-customer order-total arrays (sorted, so
+    // order-independent under shuffle), array ops, struct construction.
+    "q43_nested" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          array_sort(collect_list(col("o_totalprice"))).as("totals"))
+        .select(col("o_custkey"), col("n_orders"),
+          slice(col("totals"), 1, 3).as("low3"),
+          element_at(col("totals"), -1).as("biggest"),
+          exists(col("totals"), _ > 300000.0).as("has_big"),
+          struct(
+            element_at(col("totals"), 1).as("lo"),
+            element_at(col("totals"), -1).as("hi")).as("range"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // Date/time function surface: truncation, field extraction, interval
+    // arithmetic — beyond q11's year/month/diff.
+    "q44_datetime" -> ((s, dir) => {
+      val d = col("o_orderdate")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_trunc("quarter", d).cast("date").as("qtr"),
+          date_trunc("week", d).cast("date").as("wk"),
+          dayofweek(d).as("dow"),
+          dayofyear(d).as("doy"),
+          last_day(d).as("month_end"),
+          add_months(d, 3).cast("date").as("plus3m"),
+          (d + expr("INTERVAL 45 DAYS")).cast("date").as("plus45d"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -213,6 +246,26 @@ object ExtendedQueries {
         |  quantile_cont(l_quantity, 0.5) AS qty_med,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q43_nested" ->
+      """WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders,
+        |  list_sort(list(o_totalprice)) AS totals
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, n_orders,
+        |  totals[1:3] AS low3,
+        |  totals[-1] AS biggest,
+        |  len(list_filter(totals, x -> x > 300000.0)) > 0 AS has_big,
+        |  {'lo': totals[1], 'hi': totals[-1]} AS range
+        |FROM t ORDER BY o_custkey""".stripMargin,
+    "q44_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |  CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  dayofyear(o_orderdate) AS doy,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q41_ann_portable" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |b AS (SELECT vec_id, e,

@@ -85,6 +85,50 @@ class TextHashSpec extends SparkSpec {
     assert(got.toSeq == inputs.map(ref))
   }
 
+  test("fuzz: native expressions match reference semantics on arbitrary text") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // mixed alphabet: words, ASCII whitespace incl. \x0B, punctuation,
+    // multibyte codepoints (no surrogates — valid strings only)
+    val piece = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf(" ", "\t", "\n", "\u000B", "\f", "\r", "  "),
+      Gen.oneOf(",", "!", "…", "día", "日本", "wörld", "_"))
+    val genText = Gen.listOf(piece).map(_.mkString)
+
+    def refTokens(s: String): Array[String] =
+      s.split("\\s+").filter(_.nonEmpty)
+
+    val prop = Prop.forAll(genText) { s =>
+      val df = Seq(s).toDF("t")
+      val row = df.select(
+        TextHash.shingleHash60(col("t"), 3).as("sh"),
+        TextHash.simhash16(col("t")).as("sim"),
+        TextHash.rollingFingerprint(col("t")).as("rh")).head()
+
+      val toks = refTokens(s)
+      val expSh = toks.sliding(3).filter(_.length == 3)
+        .map(g => refLow60(g.mkString(" "))).toSeq.distinct
+      val expSim =
+        if (toks.isEmpty) None
+        else {
+          val votes = new Array[Int](16)
+          toks.foreach { t =>
+            val h16 = (refLow60("2:" + t) & 0xffffL).toInt
+            (0 until 16).foreach(j => votes(j) += (((h16 >> j) & 1) * 2) - 1)
+          }
+          Some((0 until 16).map(j => if (votes(j) > 0) 1L << j else 0L).sum)
+        }
+      var acc = 0L
+      s.codePoints().forEach(cp => acc = (acc * 257 + cp) % 2147483647L)
+
+      row.getSeq[Long](0) == expSh &&
+        (if (row.isNullAt(1)) expSim.isEmpty else expSim.contains(row.getLong(1))) &&
+        row.getLong(2) == acc
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("expressions reject non-string input at analysis") {
     val df = Seq(1L).toDF("x")
     intercept[org.apache.spark.sql.AnalysisException] {

@@ -159,6 +159,16 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // SQL front door + subquery surface: the SAME ANSI text runs through
+    // spark.sql here and through DuckDB as its own oracle — correlated
+    // EXISTS / NOT EXISTS (planned as semi/anti joins) and a correlated
+    // scalar subquery (planned as an aggregate + outer join).
+    "q45_subqueries" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(SubqueriesSql)
+    }),
+
     // Date/time function surface: truncation, field extraction, interval
     // arithmetic — beyond q11's year/month/diff.
     "q44_datetime" -> ((s, dir) => {
@@ -175,6 +185,20 @@ object ExtendedQueries {
         .orderBy(col("o_orderkey"))
     })
   )
+
+  /** One ANSI text, two engines (q45). */
+  private val SubqueriesSql =
+    """SELECT c.c_custkey, c.c_name,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 250000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c.c_custkey""".stripMargin
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -246,6 +270,7 @@ object ExtendedQueries {
         |  quantile_cont(l_quantity, 0.5) AS qty_med,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q45_subqueries" -> SubqueriesSql,
     "q43_nested" ->
       """WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders,
         |  list_sort(list(o_totalprice)) AS totals

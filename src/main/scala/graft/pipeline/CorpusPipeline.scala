@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus cleaning: the composition a 100 TB
+  * pretraining pipeline actually runs, built from the engine's operators
+  * in cost order —
+  *
+  *  1. row-local gates first (quality score, predicted language): pure
+  *     codegen scans, no shuffle, maximal early row reduction;
+  *  2. exact dedup (one hash-agg on the 128-bit content fingerprint +
+  *     a semi join back — only ids shuffle);
+  *  3. MinHash-LSH near-dup removal on the survivors (linear in corpus +
+  *     candidate pairs; keep-smallest-id policy, losers anti-joined out).
+  *
+  * Every stage is deterministic, so the whole composition replays in the
+  * DuckDB oracle (q46).
+  */
+object CorpusPipeline {
+
+  case class Config(
+      minQuality: Double = 0.7,
+      languages: Seq[String] = Seq("en"),
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
+      jaccardThreshold: Double = 0.5)
+
+  /** Clean `docs`, returning the surviving rows (id, text) plus the
+    * quality/language signals that admitted them.
+    */
+  def clean(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val id = col(idCol)
+    // 1. row-local gates
+    val gated = docs.select(id, col(textCol),
+        TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"))
+      .filter(col("quality") >= cfg.minQuality &&
+        col("lang_pred").isin(cfg.languages: _*))
+    // 2. exact dedup: keep the minimum id per content fingerprint
+    val keep = Dedup.exactGroups(gated, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exact = gated.join(keep, Seq(idCol), "left_semi")
+    // 3. near-dup removal: keep-smallest policy over LSH-verified pairs
+    val losers = Dedup
+      .minhashNearDuplicates(exact, idCol, textCol,
+        threshold = cfg.jaccardThreshold)
+      .select(col("b").as(idCol)).distinct()
+    exact.join(losers, Seq(idCol), "left_anti")
+  }
+}

@@ -89,6 +89,15 @@ object PipelineQueries {
     "q21_simhash" -> ((s, dir) => {
       Dedup.simhash16(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // End-to-end corpus cleaning (quality gate -> language gate -> exact
+    // dedup -> LSH near-dup removal) — the full composition, replayed
+    // stage-for-stage by the oracle.
+    "q46_pipeline" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.clean(corpus(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -116,6 +125,30 @@ object PipelineQueries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
+  /** Quality-score expression over a `text` column — shared by q16 and
+    * the q46 pipeline gate so both replay the same arithmetic.
+    */
+  private val qualityExprSql =
+    s"""(CASE WHEN len($toksExpr) BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
+       |   + CASE WHEN len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
+       |         / greatest(len($toksExpr), 1) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
+       |   + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+       |         / greatest(length(text), 1) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)""".stripMargin
+
+  /** Per-language marker-hit columns + argmax CASE (shared q17 / q46). */
+  private val langHitColsSql: String = TextAnalysis.langMarkers.map {
+    case (code, words) =>
+      "    len(regexp_extract_all(lower(text), '" +
+        words.mkString("\\b(", "|", ")\\b") + s"')) AS h_$code"
+  }.mkString(",\n")
+
+  private val langCaseSql =
+    """CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+      |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+      |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+      |       WHEN h_fr >= h_es THEN 'fr'
+      |       ELSE 'es' END""".stripMargin
+
   /** Shared shingle pipeline (docs -> distinct (doc_id, 60-bit shingle
     * hash)) — mirror of Dedup.hashedShingles: the dedup happens on the
     * HASH, exactly as the engine's ShingleHash60 expression dedupes
@@ -132,6 +165,45 @@ object PipelineQueries {
        |  FROM toks),
        |sh AS (SELECT DISTINCT doc_id,
        |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM grams)""".stripMargin
+
+  /** MinHash signature + LSH banding + candidate CTEs over `sh`
+    * (mirrors Dedup.minhashCandidates: 12 affine hashes, 6 bands x 2).
+    */
+  private def minhashCtesSql: String =
+    s"""mh AS (
+       |  SELECT doc_id,
+       |${(0 until 12).map(i =>
+          s"    min(${PortableHash.minhashSql("shh % 2147483647", i)}) AS mh_$i")
+          .mkString(",\n")}
+       |  FROM sh GROUP BY doc_id),
+       |buckets AS (
+       |  SELECT doc_id,
+       |    unnest([0,1,2,3,4,5]) AS band,
+       |    unnest([${(0 until 6).map(b =>
+            s"md5(mh_${2 * b}::VARCHAR||','||mh_${2 * b + 1}::VARCHAR)")
+            .mkString(", ")}]) AS bucket
+       |  FROM mh),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM buckets l JOIN buckets r
+       |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
+
+  /** Exact-jaccard verification of `cand` as a `pairs` CTE. */
+  private def pairsCteSql(threshold: String): String =
+    s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (
+       |  SELECT c.a, c.b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.a
+       |  JOIN sh y ON y.doc_id = c.b AND y.shh = x.shh
+       |  GROUP BY c.a, c.b),
+       |pairs AS (
+       |  SELECT cm.a, cm.b
+       |  FROM common cm
+       |  JOIN sizes sa ON sa.doc_id = cm.a
+       |  JOIN sizes sb ON sb.doc_id = cm.b
+       |  WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common)
+       |    >= $threshold)""".stripMargin
 
   private def jaccardTailSql(threshold: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -161,26 +233,15 @@ object PipelineQueries {
          |    / greatest(length(text), 1) AS punct_ratio,
          |  len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
          |    / greatest(len($toksExpr), 1) AS stop_ratio,
-         |  (CASE WHEN len($toksExpr) BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
-         |   + CASE WHEN len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
-         |         / greatest(len($toksExpr), 1) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
-         |   + CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
-         |         / greatest(length(text), 1) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+         |  $qualityExprSql AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q17_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,
-${TextAnalysis.langMarkers.map { case (code, words) =>
-        "         |    len(regexp_extract_all(lower(text), '" +
-          words.mkString("\\b(", "|", ")\\b") + s"')) AS h_$code,"
-      }.mkString("\n").stripSuffix(",")}
+         |$langHitColsSql
          |  FROM documents)
          |SELECT lang,
-         |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-         |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
-         |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
-         |       WHEN h_fr >= h_es THEN 'fr'
-         |       ELSE 'es' END AS predicted,
+         |  $langCaseSql AS predicted,
          |  COUNT(*) AS n
          |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     "q18_dedup_exact" ->
@@ -225,6 +286,32 @@ ${TextAnalysis.langMarkers.map { case (code, words) =>
          |  FROM buckets l JOIN buckets r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
          |${jaccardTailSql("0.5")}""".stripMargin,
+    "q46_pipeline" ->
+      s"""WITH $corpusSql,
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")}
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin,
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
          |tokh AS (SELECT doc_id,

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus cleaning on a planted-duplicate corpus. */
+class CorpusPipelineSpec extends SparkSpec {
+
+  private def planted = {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" zz tail marker")).as("text")))
+  }
+
+  test("gates hold, exact copies collapse to the smallest id, near-dups drop") {
+    val out = CorpusPipeline.clean(planted, "doc_id", "text").cache()
+
+    // every survivor passed both gates
+    assert(out.filter(col("quality") < 0.7 ||
+      col("lang_pred") =!= "en").count() === 0)
+
+    // no planted exact copy (id+1e6) survives when its original did
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactCopies = ids.filter(_ >= 1000000).filter(_ < 2000000)
+    assert(exactCopies.forall(c => !ids.contains(c - 1000000)),
+      "an exact copy survived alongside its original")
+
+    // near-dup tails (id+2e6): the pair can keep at most one member
+    val tails = ids.filter(_ >= 2000000)
+    assert(tails.forall(c => !ids.contains(c - 2000000)),
+      "a near-duplicate tail survived alongside its original")
+
+    // cleaning is idempotent: a second pass removes nothing
+    val again = CorpusPipeline.clean(
+      out.select(col("doc_id"), col("text")), "doc_id", "text")
+    assert(again.count() === out.count())
+  }
+}

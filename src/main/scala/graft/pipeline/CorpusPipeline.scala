@@ -42,7 +42,12 @@ object CorpusPipeline {
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
+    // the exact-deduped relation feeds the shingle pipeline AND the final
+    // anti join — persist it so the row-local gates (quality/langId over
+    // the full corpus) run once, not once per consumer. Same
+    // caller-managed-eviction contract as minhashNearDuplicates.
     val exact = gated.join(keep, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal: keep-smallest policy over LSH-verified pairs
     val losers = Dedup
       .minhashNearDuplicates(exact, idCol, textCol,

@@ -159,6 +159,32 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // TPC-H Q5-shaped 6-table join tree: two big fact/dim joins carry the
+    // shuffles, region/nation/supplier broadcast, date filter pushed to
+    // the orders scan, decimal-exact revenue.
+    "q47_star_join" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val ord = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp_ntz") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp_ntz"))
+      val li = Tables(s, dir, "lineitem")
+      val supp = Tables(s, dir, "supplier")
+      val nat = Tables(s, dir, "nation")
+      val reg = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      cust
+        .join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+          cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nat), supp("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // SQL front door + subquery surface: the SAME ANSI text runs through
     // spark.sql here and through DuckDB as its own oracle — correlated
     // EXISTS / NOT EXISTS (planned as semi/anti joins) and a correlated
@@ -271,6 +297,22 @@ object ExtendedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_subqueries" -> SubqueriesSql,
+    "q47_star_join" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q43_nested" ->
       """WITH t AS (SELECT o_custkey, COUNT(*) AS n_orders,
         |  list_sort(list(o_totalprice)) AS totals

@@ -234,17 +234,60 @@ object Similarity {
   /** IVF-accelerated cosine top-k: candidates are the members of the
     * `nProbe` clusters nearest each query; exact cosine re-rank on the
     * candidates only. `nProbe = c` degrades to exact brute force.
+    *
+    * Trains the quantizer inline — for repeated query batches against
+    * one corpus, build an [[IvfIndex]] once instead.
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, c: Int = 16, nProbe: Int = 4,
-      iters: Int = 2): DataFrame = {
-    val cents = ivfCentroids(corpus, idCol, vecCol, c, iters)
-    val cb = corpus.select(col(idCol), col(vecCol),
-      nearestCentroid(asDouble(col(vecCol)), cents).as("bucket"))
-    val qb = queries.select(col(idCol), col(vecCol),
-        explode(nearestCentroids(asDouble(col(vecCol)), cents, nProbe))
+      iters: Int = 2): DataFrame =
+    IvfIndex.build(corpus, idCol, vecCol, c, iters)
+      .topK(queries, corpus, idCol, vecCol, k, nProbe)
+
+  /** A trained IVF coarse quantizer: just the centroid matrix — tiny,
+    * serializable, persistable (`save`/`load` via any catalog table), and
+    * reusable across query batches without re-running Lloyd iterations.
+    * The corpus-side bucket assignment stays a lazy plan-time projection,
+    * so an updated corpus can reuse an older quantizer (standard IVF
+    * practice: retrain only when the distribution drifts).
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]]) {
+
+    def c: Int = centroids.length
+
+    def topK(queries: DataFrame, corpus: DataFrame, idCol: String,
+        vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      val cb = corpus.select(col(idCol), col(vecCol),
+        nearestCentroid(asDouble(col(vecCol)), centroids).as("bucket"))
+      val qb = queries.select(col(idCol), col(vecCol),
+        explode(nearestCentroids(asDouble(col(vecCol)), centroids, nProbe))
           .as("bucket"))
-    bucketedTopK(qb, cb, idCol, vecCol, k)
+      bucketedTopK(qb, cb, idCol, vecCol, k)
+    }
+
+    /** Centroids as a DataFrame (cluster, centroid) — write it to any
+      * table/catalog to persist the index.
+      */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      centroids.zipWithIndex
+        .map { case (cent, i) => (i, cent.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+    }
+  }
+
+  object IvfIndex {
+
+    def build(corpus: DataFrame, idCol: String, vecCol: String,
+        c: Int, iters: Int = 2): IvfIndex =
+      IvfIndex(ivfCentroids(corpus, idCol, vecCol, c, iters))
+
+    /** Rehydrate from a (cluster, centroid) DataFrame. */
+    def fromDF(df: DataFrame): IvfIndex = IvfIndex(
+      df.select(col("cluster").cast("int"), col("centroid"))
+        .collect()
+        .sortBy(_.getInt(0))
+        .map(_.getSeq[Double](1).toArray))
   }
 
   private def bucketedTopK(qb0: DataFrame, cb0: DataFrame, idCol: String,

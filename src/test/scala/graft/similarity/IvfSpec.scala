@@ -28,6 +28,24 @@ class IvfSpec extends SparkSpec {
     assert(ivf === brute)
   }
 
+  test("index persists through a catalog table and answers identically") {
+    import graft.catalog.ParquetCatalog
+    val idx = Similarity.IvfIndex.build(emb, "vec_id", "embedding", c = 8)
+    val cat = new ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-ivf").toString)
+    cat.create("ivf_idx", idx.toDF(spark).schema)
+    cat.overwrite("ivf_idx", idx.toDF(spark))
+    val loaded = Similarity.IvfIndex.fromDF(cat.table("ivf_idx"))
+    assert(loaded.centroids.map(_.toSeq).toSeq ===
+      idx.centroids.map(_.toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 5)
+    val a = idx.topK(q, emb, "vec_id", "embedding", 5, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    val b = loaded.topK(q, emb, "vec_id", "embedding", 5, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("partial probe keeps recall@10 above 0.5 at 1/4 of the clusters") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)

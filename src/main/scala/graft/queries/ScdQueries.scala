@@ -121,6 +121,32 @@ object ScdQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // SCD Type 3: one generation of history in prev_<col> columns,
+    // in-place update, single full-outer-join plan (ScdVariants).
+    "q48_scd_type3" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+      val prod3 = cust.select(
+        col("c_custkey"),
+        col("c_acctbal"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") - 100)
+          .as("prev_c_acctbal"),
+        col("c_mktsegment"),
+        lit(null).cast("string").as("prev_c_mktsegment"))
+      graft.scd.ScdVariants.mergeType3(prod3, staging(s, dir),
+          Seq("c_custkey"), Seq("c_acctbal", "c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // SCD Type 4: current table (active rows only) + append-only history
+    // increment (rows closed by THIS run), split from one merge plan.
+    "q49_scd_type4" -> ((s, dir) => {
+      val r = graft.scd.ScdVariants.mergeType4(production(s, dir),
+        staging(s, dir), schema, MergeOptions(asOf, highDate = highTs))
+      r.current.withColumn("side", lit("current"))
+        .unionByName(r.historyAppend.withColumn("side", lit("closed")))
+        .orderBy(col("side"), col("c_custkey"), col("scd_version"))
+    }),
+
     // As-of join: each order resolved against the dimension version valid
     // at o_orderdate (intervals chosen inside the order-date range).
     // Equi-join on the business key carries the shuffle; the interval
@@ -249,6 +275,42 @@ object ScdQueries {
   val oracleSql: Map[String, String] = Map(
     "q13_scd_merge" -> mergeSql(renumber = false),
     "q14_scd_hivecompat" -> mergeSql(renumber = true, nullSafe = false),
+    "q48_scd_type3" ->
+      s"""WITH prod AS (
+         |  SELECT c_custkey, c_acctbal,
+         |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal - 100 END AS prev_c_acctbal,
+         |    c_mktsegment, CAST(NULL AS VARCHAR) AS prev_c_mktsegment
+         |  FROM customer WHERE c_custkey % 10 <> 0
+         |), stag AS (
+         |  $stagSql
+         |)
+         |SELECT
+         |  COALESCE(p.c_custkey, s.c_custkey) AS c_custkey,
+         |  CASE WHEN s.c_custkey IS NULL THEN p.c_acctbal
+         |       ELSE s.c_acctbal END AS c_acctbal,
+         |  CASE WHEN s.c_custkey IS NULL OR p.c_custkey IS NULL
+         |         THEN p.prev_c_acctbal
+         |       WHEN p.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
+         |         THEN p.prev_c_acctbal
+         |       ELSE p.c_acctbal END AS prev_c_acctbal,
+         |  CASE WHEN s.c_custkey IS NULL THEN p.c_mktsegment
+         |       ELSE s.c_mktsegment END AS c_mktsegment,
+         |  CASE WHEN s.c_custkey IS NULL OR p.c_custkey IS NULL
+         |         THEN p.prev_c_mktsegment
+         |       WHEN p.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+         |         THEN p.prev_c_mktsegment
+         |       ELSE p.c_mktsegment END AS prev_c_mktsegment
+         |FROM prod p FULL OUTER JOIN stag s ON p.c_custkey = s.c_custkey
+         |ORDER BY c_custkey""".stripMargin,
+    "q49_scd_type4" ->
+      s"""WITH m AS (
+         |${mergeSql(renumber = false)}
+         |)
+         |SELECT 'current' AS side, * FROM m WHERE scd_active
+         |UNION ALL
+         |SELECT 'closed' AS side, * FROM m
+         |WHERE NOT scd_active AND scd_end_date = TIMESTAMP '2024-07-01 00:00:00'
+         |ORDER BY side, c_custkey, scd_version""".stripMargin,
     "q30_asof_native" ->
       """WITH dimv AS (
         |  SELECT c_custkey AS d_custkey, c_acctbal - 200 AS acctbal_v,

@@ -1,0 +1,86 @@
+package graft.scd
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SCD variants beyond the reference's Type-1/Type-2 hybrid: Type 3
+  * (previous-value columns, in-place) and Type 4 (current table +
+  * append-only history table). Both are single-pass plans over one
+  * full-outer join — the same scale shape as [[ScdMerge]]: the join
+  * shuffles on the business key, everything else is row-local.
+  */
+object ScdVariants {
+
+  /** Type-3 merge: tracked columns keep exactly one generation of
+    * history in a sibling `prev_<col>` column; rows are updated in
+    * place, never versioned.
+    *
+    * Branches: production-only rows carry verbatim; matched rows with a
+    * change move current -> prev and adopt the staging value (unchanged
+    * tracked columns keep their existing prev); staging-only rows insert
+    * with NULL prev columns. Change detection is null-safe.
+    *
+    * @param production current dimension: businessKeys ++ tracked ++
+    *   `prev_<tracked>` (any other columns carry through untouched on
+    *   matches from the PRODUCTION side).
+    * @param staging snapshot: businessKeys ++ tracked.
+    */
+  def mergeType3(production: DataFrame, staging: DataFrame,
+      businessKeys: Seq[String], tracked: Seq[String]): DataFrame = {
+    require(businessKeys.nonEmpty && tracked.nonEmpty)
+    val outCols = production.columns.toSeq
+    tracked.foreach { c =>
+      require(outCols.contains(c) && outCols.contains(s"prev_$c"),
+        s"production needs $c and prev_$c")
+    }
+    val prodTypes = production.schema.map(f => f.name -> f.dataType).toMap
+    val P = "__p_"; val S = "__s_"
+    val p = production
+      .select(outCols.map(c => col(c).as(P + c)) :+ lit(true).as(P + "present"): _*)
+    val s = staging
+      .select((businessKeys ++ tracked)
+        .map(c => col(c).cast(prodTypes(c)).as(S + c))
+        :+ lit(true).as(S + "present"): _*)
+    def pc(c: String) = col(P + c)
+    def sc(c: String) = col(S + c)
+    val joined = p.join(s,
+      businessKeys.map(k => pc(k) === sc(k)).reduce(_ && _), "full_outer")
+    val pPresent = coalesce(pc("present"), lit(false))
+    val sPresent = coalesce(sc("present"), lit(false))
+    val out = outCols.map { c =>
+      val base = tracked.find(t => c == t || c == s"prev_$t") match {
+        case Some(t) if c == t => // tracked column: adopt staging on match
+          when(!sPresent, pc(c)).otherwise(sc(t))
+        case Some(t) => // prev column: shift on change, keep otherwise
+          when(!sPresent || !pPresent, pc(c)) // insert keeps NULL prev
+            .when(pc(t) <=> sc(t), pc(c))
+            .otherwise(pc(t))
+        case None =>
+          if (businessKeys.contains(c)) coalesce(pc(c), sc(c))
+          else pc(c) // carry-through column (NULL on inserts)
+      }
+      base.cast(prodTypes(c)).as(c)
+    }
+    joined.select(out: _*)
+  }
+
+  /** Type-4 split of a Type-2 merge: the CURRENT table holds exactly one
+    * row per business key (no bookkeeping churn in the hot table), the
+    * HISTORY table receives every superseded version as an append.
+    *
+    * Runs the full [[ScdMerge]] once (one lazy plan) and splits the
+    * result: active rows -> current, newly-closed rows (end = asOf) ->
+    * the history increment. Publish with two catalog writes —
+    * `overwrite(current)` + `append(history)`.
+    */
+  def mergeType4(production: DataFrame, staging: DataFrame,
+      schema: ScdSchema, opts: MergeOptions): Type4Result = {
+    val merged = ScdMerge.merge(production, staging, schema, opts)
+    Type4Result(
+      current = merged.filter(col(schema.activeCol)),
+      historyAppend = merged.filter(!col(schema.activeCol) &&
+        col(schema.endCol) === lit(opts.asOf)))
+  }
+
+  final case class Type4Result(current: DataFrame, historyAppend: DataFrame)
+}

@@ -159,6 +159,37 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Analytic window family: ntile, percent_rank, cume_dist, first_value
+    // (deterministic under the unique (price desc, key) order).
+    "q50_window_analytics" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("ntile4", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("top_key", first(col("o_orderkey")).over(w))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // String function surface beyond q11: regex group extraction,
+    // splitting, translate, padding, reversal, position, repetition.
+    "q51_strings" -> ((s, dir) => {
+      val pri = col("o_orderpriority")
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          regexp_extract(pri, "([0-9])-(.*)", 2).as("pri_word"),
+          element_at(split(pri, "-"), 1).as("pri_num"),
+          translate(col("o_orderstatus"), "OFP", "ofp").as("status_lc"),
+          lpad(col("o_orderkey").cast("string"), 12, "0").as("key_padded"),
+          reverse(pri).as("pri_rev"),
+          instr(pri, "-").as("dash_at"),
+          repeat(col("o_orderstatus"), 3).as("status3"),
+          concat_ws("|", col("o_orderstatus"), pri).as("joined"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // TPC-H Q5-shaped 6-table join tree: two big fact/dim joins carry the
     // shuffles, region/nation/supplier broadcast, date filter pushed to
     // the orders scan, decimal-exact revenue.
@@ -297,6 +328,27 @@ object ExtendedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_subqueries" -> SubqueriesSql,
+    "q50_window_analytics" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  ntile(4) OVER w AS ntile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS top_key
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q51_strings" ->
+      """SELECT o_orderkey,
+        |  regexp_extract(o_orderpriority, '([0-9])-(.*)', 2) AS pri_word,
+        |  split_part(o_orderpriority, '-', 1) AS pri_num,
+        |  translate(o_orderstatus, 'OFP', 'ofp') AS status_lc,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS key_padded,
+        |  reverse(o_orderpriority) AS pri_rev,
+        |  strpos(o_orderpriority, '-') AS dash_at,
+        |  repeat(o_orderstatus, 3) AS status3,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS joined
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q47_star_join" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -169,6 +169,55 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Connected components over near-duplicate pairs: resolves pairwise
+    * matches into clusters so exactly one representative (the minimum id)
+    * survives per duplicate GROUP — chains like a~b, b~c collapse to one
+    * cluster even though (a,c) was never tested.
+    *
+    * Iterative min-label propagation: every node starts as its own label;
+    * each round joins labels across (undirected) edges and keeps the
+    * per-node minimum; stops when a round changes nothing. Rounds are
+    * bounded by the cluster diameter — near-dup clusters are shallow, so
+    * this converges in 2-4 rounds; each round is one shuffle join + one
+    * min-aggregate, both keyed on the node id (AQE-skew-splittable). The
+    * per-round driver action reads ONE count, never data.
+    *
+    * @param pairs (a, b) edges, any orientation
+    * @return (doc_id, cluster) — every node appearing in `pairs`, with
+    *   the minimum reachable id as its cluster representative
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a",
+      bCol: String = "b", maxRounds: Int = 20): DataFrame = {
+    val a = col(aCol); val b = col(bCol)
+    val edges = pairs.select(a.as("src"), b.as("dst"))
+      .unionByName(pairs.select(b.as("src"), a.as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("lab", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val viaEdges = labels
+        .join(edges, labels("node") === edges("src"))
+        .select(col("dst").as("node"), col("lab"))
+      val next = labels.select(col("node"), col("lab"))
+        .unionByName(viaEdges)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
+  }
+
   /** 16-bit SimHash per document: every token occurrence votes +1/-1 on
     * each bit of its 60-bit portable hash (folded to 16 bits); fingerprint
     * bit j is the vote sign. All integer arithmetic — exact in any engine.

@@ -91,6 +91,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Pair -> cluster resolution: connected components over the LSH
+    // near-dup pairs (iterative min-label propagation; the oracle replays
+    // it as a recursive CTE).
+    "q52_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(corpus(s, dir), "doc_id", "text")
+        .select(col("a"), col("b"))
+      Dedup.connectedComponents(pairs).orderBy(col("doc_id"))
+    }),
+
     // End-to-end corpus cleaning (quality gate -> language gate -> exact
     // dedup -> LSH near-dup removal) — the full composition, replayed
     // stage-for-stage by the oracle.
@@ -286,6 +295,20 @@ object PipelineQueries {
          |  FROM buckets l JOIN buckets r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
          |${jaccardTailSql("0.5")}""".stripMargin,
+    "q52_dedup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |${shinglesSql("corpus")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, min(lab) AS cluster
+         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q46_pipeline" ->
       s"""WITH $corpusSql,
          |scored AS (

@@ -68,4 +68,20 @@ class DedupSpec extends SparkSpec {
         s"near dup $id too far: ${hamming(fp(id), fp(id + 200))}")
     }
   }
+
+  test("connectedComponents resolves chains, stars and separate components") {
+    import spark.implicits._
+    // chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (12L, 10L), (10L, 13L),
+      (21L, 20L)
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
 }

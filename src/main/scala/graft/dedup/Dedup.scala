@@ -189,14 +189,21 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b", maxRounds: Int = 20): DataFrame = {
     val a = col(aCol); val b = col(bCol)
+    // localCheckpoint (eager), not persist: iterative algorithms grow the
+    // logical plan every round — each `next` embeds the previous round's
+    // joins — and downstream consumers that compose MORE plan on top
+    // (e.g. a second pipeline pass) push Catalyst analysis into
+    // exponential self-join deduplication. Checkpointing truncates the
+    // lineage to the materialized blocks each round, the same reason
+    // GraphX/ALS checkpoint their iterations.
     val edges = pairs.select(a.as("src"), b.as("dst"))
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("lab", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -206,15 +213,13 @@ object Dedup {
       val next = labels.select(col("node"), col("lab"))
         .unionByName(viaEdges)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
         .filter(col("lab") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       round += 1
     }
-    edges.unpersist()
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
   }
 

@@ -48,11 +48,15 @@ object CorpusPipeline {
     // caller-managed-eviction contract as minhashNearDuplicates.
     val exact = gated.join(keep, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. near-dup removal: keep-smallest policy over LSH-verified pairs
-    val losers = Dedup
-      .minhashNearDuplicates(exact, idCol, textCol,
-        threshold = cfg.jaccardThreshold)
-      .select(col("b").as(idCol)).distinct()
+    // 3. near-dup removal: resolve LSH-verified pairs into connected
+    // components and keep each cluster's minimum id — one survivor per
+    // duplicate group even across untested chains (a~b, b~c drops both
+    // b AND c, though (a,c) never met in a bucket)
+    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol,
+      threshold = cfg.jaccardThreshold).select(col("a"), col("b"))
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -310,7 +310,7 @@ object PipelineQueries {
          |SELECT node AS doc_id, min(lab) AS cluster
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q46_pipeline" ->
-      s"""WITH $corpusSql,
+      s"""WITH RECURSIVE $corpusSql,
          |scored AS (
          |  SELECT doc_id, text,
          |  $qualityExprSql AS quality,
@@ -330,10 +330,20 @@ object PipelineQueries {
          |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
          |${shinglesSql("ex")},
          |$minhashCtesSql,
-         |${pairsCteSql("0.5")}
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
          |SELECT e.doc_id, e.quality, e.lang_pred
          |FROM ex e
-         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b = e.doc_id)
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
          |ORDER BY e.doc_id""".stripMargin,
     "q21_simhash" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),

@@ -200,6 +200,13 @@ object Dedup {
       .unionByName(pairs.select(b.as("src"), a.as("dst")))
       .distinct()
       .localCheckpoint()
+    // Right-size the per-round shuffles: the label relation is bounded by
+    // the edge count, so a handful of near-dup pairs must not pay
+    // 32-task scheduling per round. ~500k edges/partition; small edge
+    // sets broadcast so the propagation join plans with no shuffle.
+    val nEdges = edges.count()
+    val parts = math.max(1, math.min(200, (nEdges / 500000L).toInt + 1))
+    val edgesJoin = if (nEdges < 1000000L) broadcast(edges) else edges
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("lab", col("node"))
@@ -208,10 +215,11 @@ object Dedup {
     var converged = false
     while (!converged && round < maxRounds) {
       val viaEdges = labels
-        .join(edges, labels("node") === edges("src"))
+        .join(edgesJoin, labels("node") === edgesJoin("src"))
         .select(col("dst").as("node"), col("lab"))
       val next = labels.select(col("node"), col("lab"))
         .unionByName(viaEdges)
+        .repartition(parts, col("node"))
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")

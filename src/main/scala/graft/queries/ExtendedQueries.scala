@@ -159,6 +159,32 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Histogram: fixed-width value bucketing + per-bucket stats (the
+    // scan-once shape of a distributed histogram).
+    "q53_histogram" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .withColumn("bucket",
+          floor(col("o_totalprice") / 25000.0).cast("int"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("bucket"))
+    }),
+
+    // Deterministic hash sampling: a 10% Bernoulli sample keyed on
+    // md5(o_orderkey) — reproducible across engines, runs and cluster
+    // sizes (unlike TABLESAMPLE/rand), and stable under repartitioning;
+    // the at-scale way to sample consistently in a pipeline.
+    "q54_sample" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .filter(PortableHash.hash60Base(col("o_orderkey").cast("string"))
+          % 100 < 10)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Analytic window family: ntile, percent_rank, cume_dist, first_value
     // (deterministic under the unique (price desc, key) order).
     "q50_window_analytics" -> ((s, dir) => {
@@ -328,6 +354,17 @@ object ExtendedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_subqueries" -> SubqueriesSql,
+    "q53_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q54_sample" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM orders
+         |WHERE ${PortableHash.hash60BaseSql("o_orderkey::VARCHAR")} % 100 < 10
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q50_window_analytics" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  ntile(4) OVER w AS ntile4,

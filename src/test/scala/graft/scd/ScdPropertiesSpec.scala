@@ -131,4 +131,58 @@ class ScdPropertiesSpec extends SparkSpec {
       SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("sequential snapshots: invariants and latest-wins hold across a 3-merge chain") {
+    val genSeq = for {
+      hs <- Gen.listOfN(5, genHist)
+      s1 <- Gen.listOfN(5, genStage)
+      s2 <- Gen.listOfN(5, genStage)
+      s3 <- Gen.listOfN(5, genStage)
+    } yield (hs.distinctBy(_.login), List(s1, s2, s3).map(_.distinctBy(
+      (s: Stage) => s.login)))
+    val prop = Prop.forAll(genSeq) { case (hs, snaps) =>
+      var dim = spark.createDataFrame(prodRows(hs), prodSchema)
+      snaps.zipWithIndex.foreach { case (ss, i) =>
+        val stag = spark.createDataFrame(stagRows(ss), stagSchema)
+        dim = spark.createDataFrame(java.util.Arrays.asList(
+          ScdMerge.merge(dim, stag, dimUser,
+            MergeOptions(dayTs(baseDay + 100 + i * 50))).collect(): _*),
+          prodSchema)
+      }
+      val out = dim.collect()
+      val byLogin = out.groupBy(_.getString(1))
+      // per-key invariants survive the whole chain
+      val oneActive = byLogin.values.forall(_.count(_.getBoolean(11)) == 1)
+      val dense = byLogin.values.forall { rs =>
+        rs.map(_.getInt(8)).sorted.sameElements(1 to rs.length)
+      }
+      val contiguous = byLogin.values.forall { rs =>
+        val sorted = rs.sortBy(_.getInt(8))
+        sorted.last.getTimestamp(10) == high &&
+          sorted.sliding(2).forall {
+            case Array(x, y) => x.getTimestamp(10) == y.getTimestamp(9)
+            case _ => true
+          }
+      }
+      val uniqueIds = out.map(_.getInt(0)).distinct.length == out.length
+      // latest-wins: every key staged in the LAST snapshot has its
+      // active Type-2 values equal to that snapshot
+      val last = snaps.last.map(s => s.login -> s).toMap
+      val latestWins = byLogin.forall { case (login, rs) =>
+        last.get(login).forall { s =>
+          val act = rs.find(_.getBoolean(11)).get
+          act.getBoolean(2) == s.premium && act.getString(3) == s.address &&
+            Option(act.getString(4)) == s.phone
+        }
+      }
+      val all = oneActive && dense && contiguous && uniqueIds && latestWins
+      if (!all) println(s"FALSIFIED-SEQ: oneActive=$oneActive dense=$dense " +
+        s"contiguous=$contiguous uniqueIds=$uniqueIds latestWins=$latestWins " +
+        s"hs=$hs snaps=$snaps")
+      all
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

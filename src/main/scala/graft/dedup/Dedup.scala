@@ -228,6 +228,14 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // min-label propagation advances one hop per round, so rounds are
+    // bounded by the largest component's diameter — fail loudly rather
+    // than return silently-wrong clusters on pathological chain graphs
+    // (the log-round pointer-doubling variant is the upgrade path if a
+    // real corpus ever trips this).
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxRounds rounds — " +
+        "component diameter exceeds the bound; raise maxRounds")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
   }
 

@@ -15,9 +15,11 @@ import org.apache.spark.sql.types.StructType
   *    when the schema names it).
   *  - timestamps serialize as ISO-8601 with microsecond precision in
   *    UTC, so CSV/JSON round-trips are lossless for TimestampType.
-  *  - CSV quotes/escapes defaults handle embedded delimiters/newlines
-  *    (multiLine stays OFF — multiLine parsing is single-split per file
-  *    and destroys read parallelism; writers never emit raw newlines).
+  *  - CSV quoting handles embedded delimiters; values containing raw
+  *    NEWLINES are written quoted and need `readCsv(..., multiLine =
+  *    true)` to parse back — multiLine is OFF by default because it
+  *    forces single-split-per-file parsing (no intra-file parallelism
+  *    at 100 TB). Data with embedded newlines belongs in parquet/ORC.
   */
 object Formats {
 
@@ -34,10 +36,12 @@ object Formats {
       .option("ignoreTrailingWhiteSpace", "false")
       .csv(path)
 
-  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+      multiLine: Boolean = false): DataFrame =
     spark.read
       .option("header", "true")
       .option("timestampFormat", TsFmt)
+      .option("multiLine", multiLine.toString)
       .schema(schema)
       .csv(path)
 

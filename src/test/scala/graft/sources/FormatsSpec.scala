@@ -50,6 +50,15 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(nasty).isEmpty && nasty.exceptAll(back).isEmpty)
   }
 
+  test("CSV values with raw newlines round-trip under multiLine read") {
+    import spark.implicits._
+    val df = Seq((1L, "line1\nline2"), (2L, "plain")).toDF("id", "s")
+    val dir = tmp("nl")
+    Formats.writeCsv(df, dir)
+    val back = Formats.readCsv(spark, dir, df.schema, multiLine = true)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("ORC scan keeps predicate pushdown and column pruning") {
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
     val dir = tmp("orc-push")

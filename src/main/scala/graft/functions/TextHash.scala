@@ -162,6 +162,32 @@ object TextHash {
     acc
   }
 
+  /** One-pass token statistics: (n_tokens, sum_len, n_stop) where
+    * sum_len counts CODEPOINTS per token (Spark `length` semantics ==
+    * DuckDB `length`) and n_stop counts tokens whose lowercase equals a
+    * stopword. Replaces a tokenize + two interpreted higher-order
+    * lambdas (filter/aggregate are CodegenFallback) with one walk.
+    */
+  def tokenStats(text: UTF8String, stops: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val toks = tokenize(text.toString)
+    var sumLen = 0L
+    var nStop = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      sumLen += t.codePointCount(0, t.length)
+      if (stops.contains(t.toLowerCase(java.util.Locale.ROOT))) nStop += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, sumLen, nStop))
+  }
+
+  /** Column API: struct(n_tokens int, sum_len long, n_stop int). */
+  def tokenStats(text: Column, stopwords: Seq[String]): Column =
+    ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopwords))
+
   /** Column API: deduped md5-low60 word-n-gram hashes (array<long>). */
   def shingleHash60(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash60(ColumnBridge.expression(text), n))
@@ -196,6 +222,45 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
       c => s"graft.functions.TextHash.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** See [[TextHash.tokenStats]]. The stopword set is a plan-time constant
+  * shared across rows via a codegen reference object.
+  */
+case class TokenStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    stopwords.foreach(w => s.add(w.toLowerCase(java.util.Locale.ROOT)))
+    s
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "token_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHash.tokenStats(t.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet,
+      classOf[java.util.HashSet[String]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.tokenStats($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenStats =
     copy(child = newChild)
 }
 

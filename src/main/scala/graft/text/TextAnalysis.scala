@@ -27,15 +27,23 @@ object TextAnalysis {
       .otherwise(split(norm, " "))
   }
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** One-pass (n_tokens, sum_len, n_stop) struct — the native
+    * [[graft.functions.TokenStats]] expression; the composed
+    * filter/aggregate lambdas it replaces are CodegenFallback.
+    */
+  private def stats(text: Column, stopwords: Seq[String]): Column =
+    graft.functions.TextHash.tokenStats(text, stopwords)
+
+  def tokenCount(text: Column): Column =
+    stats(text, Nil).getField("n_tokens")
 
   /** Mean token length; exact integer arithmetic until one final double
     * division.
     */
   def avgWordLen(text: Column): Column = {
-    val toks = tokens(text)
-    val sumLen = aggregate(toks, lit(0), (acc, t) => acc + length(t))
-    sumLen.cast("double") / greatest(size(toks), lit(1))
+    val st = stats(text, Nil)
+    st.getField("sum_len").cast("double") /
+      greatest(st.getField("n_tokens"), lit(1))
   }
 
   /** Share of characters that are neither alphanumeric nor whitespace. */
@@ -45,20 +53,20 @@ object TextAnalysis {
 
   /** Share of tokens found in a stopword list (lowercased compare). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = tokens(text)
-    val stops = array(stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(stops, lower(t)))).cast("double") /
-      greatest(size(toks), lit(1))
+    val st = stats(text, stopwords)
+    st.getField("n_stop").cast("double") /
+      greatest(st.getField("n_tokens"), lit(1))
   }
 
   /** Composite quality score in [0,1]: length sanity + stopword presence
     * - punctuation noise. Heuristic but fully deterministic.
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val n = tokenCount(text)
+    val st = stats(text, stopwords)
+    val n = st.getField("n_tokens")
     val lengthOk = when(n.between(5, 5000), lit(0.4)).otherwise(lit(0.0))
-    val stopOk = when(stopwordRatio(text, stopwords) > 0.01, lit(0.3))
-      .otherwise(lit(0.0))
+    val stopOk = when(st.getField("n_stop").cast("double")
+      / greatest(n, lit(1)) > 0.01, lit(0.3)).otherwise(lit(0.0))
     val punctOk = when(punctRatio(text) < 0.2, lit(0.3)).otherwise(lit(0.0))
     lengthOk + stopOk + punctOk
   }

@@ -217,8 +217,14 @@ object Dedup {
       val viaEdges = labels
         .join(edgesJoin, labels("node") === edgesJoin("src"))
         .select(col("dst").as("node"), col("lab"))
+      // pointer jumping: adopt the label OF my label, halving chain depth
+      // each round -> O(log diameter) rounds instead of O(diameter)
+      val jumped = labels.as("l1")
+        .join(labels.as("l2"), col("l1.lab") === col("l2.node"))
+        .select(col("l1.node").as("node"), col("l2.lab").as("lab"))
       val next = labels.select(col("node"), col("lab"))
         .unionByName(viaEdges)
+        .unionByName(jumped)
         .repartition(parts, col("node"))
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
         .localCheckpoint()
@@ -228,14 +234,11 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    // min-label propagation advances one hop per round, so rounds are
-    // bounded by the largest component's diameter — fail loudly rather
-    // than return silently-wrong clusters on pathological chain graphs
-    // (the log-round pointer-doubling variant is the upgrade path if a
-    // real corpus ever trips this).
+    // with pointer jumping, rounds are ~log2(diameter) + 1; a graph that
+    // still fails the bound indicates something structurally wrong —
+    // fail loudly rather than return silently-wrong clusters
     if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxRounds rounds — " +
-        "component diameter exceeds the bound; raise maxRounds")
+      s"connectedComponents did not converge within $maxRounds rounds")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
   }
 

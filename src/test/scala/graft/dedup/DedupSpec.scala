@@ -84,4 +84,13 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("connectedComponents converges on a 200-node chain (pointer jumping)") {
+    import spark.implicits._
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200)
+    assert(got.forall(_._2 == 1L), "every chain node must resolve to node 1")
+  }
 }

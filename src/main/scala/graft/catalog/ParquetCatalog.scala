@@ -135,6 +135,44 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** File-level statistics of the current version — the signal for
+    * [[compact]] (streaming appends and fine-grained merges accrete
+    * small files; at 100 TB the NameNode/listing cost and per-file task
+    * overhead make this the first table-maintenance lever).
+    */
+  def stats(name: String): TableStats = {
+    val v = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    var files = 0L
+    var bytes = 0L
+    val walk = Files.walk(versionDir(name, v))
+    try walk.forEach { p =>
+      val n = p.getFileName.toString
+      if (Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")) {
+        files += 1
+        bytes += Files.size(p)
+      }
+    } finally walk.close()
+    TableStats(v, files, bytes)
+  }
+
+  /** Rewrite the current version into ~`targetFileBytes`-sized files
+    * (copy-on-write: readers keep their snapshot; time travel still sees
+    * the fragmented version). One shuffle-free coalesce when shrinking
+    * file count, a repartition otherwise.
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val s = stats(name)
+    val target = math.max(1, math.ceil(s.bytes.toDouble / targetFileBytes).toInt)
+    val df = table(name)
+    val current = df.rdd.getNumPartitions
+    val sized =
+      if (target < current) df.coalesce(target)
+      else if (target == current) df
+      else df.repartition(target)
+    overwrite(name, sized)
+  }
+
   /** Drop all versions older than the current one (vacuum). */
   def vacuum(name: String): Unit = {
     val keep = currentVersion(name)
@@ -153,3 +191,6 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     finally walk.close()
   }
 }
+
+/** See [[ParquetCatalog.stats]]. */
+final case class TableStats(version: Long, files: Long, bytes: Long)

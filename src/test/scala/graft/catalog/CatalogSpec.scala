@@ -94,6 +94,26 @@ class CatalogSpec extends SparkSpec {
     assert(cat.table("t").columns.toSeq === Seq("id", "score"))
   }
 
+  test("compaction collapses small-file accretion, keeps data and history") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.create("t", df.schema)
+    // simulate streaming-append accretion: many tiny appends
+    (1 to 5).foreach(i =>
+      cat.append("t", Seq((i.toLong, s"v$i")).toDF("id", "v")
+        .repartition(4)))
+    val before = cat.stats("t")
+    assert(before.files >= 5, s"expected fragmentation, got $before")
+    val content = cat.table("t").as[(Long, String)].collect().toSet
+    cat.compact("t")
+    val after = cat.stats("t")
+    assert(after.files < before.files)
+    assert(after.version === before.version + 1)
+    assert(cat.table("t").as[(Long, String)].collect().toSet === content)
+    // the fragmented snapshot is still time-travelable
+    assert(cat.tableAsOfVersion("t", before.version).count() === content.size)
+  }
+
   test("concurrent publishes never interleave one version directory") {
     val cat = freshCatalog()
     cat.create("t", Seq((1L, "a")).toDF("id", "v").schema)

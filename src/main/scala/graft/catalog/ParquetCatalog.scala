@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class ParquetCatalog(spark: SparkSession, root: String) {
 
+  private val MetaFile = "_graft_meta.properties"
+
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def versionDir(name: String, v: Long): Path =
     tableDir(name).resolve(f"v_$v%06d")
@@ -78,18 +80,37 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   /** O22: INSERT INTO (append) — copy-on-write into a new version, so
     * concurrent readers keep their snapshot.
     */
-  def append(name: String, df: DataFrame): Unit =
-    overwrite(name, table(name).unionByName(df))
+  def append(name: String, df: DataFrame,
+      meta: Map[String, String] = Map.empty): Unit =
+    overwrite(name, table(name).unionByName(df), meta = meta)
 
   /** O23: INSERT OVERWRITE — full-content atomic replace. Optional hive
     * partitioning (`partitionBy`) lays the version out as
     * `col=value/part-*.parquet` so reads with partition-key predicates
-    * prune whole directories before any I/O.
+    * prune whole directories before any I/O. `meta` commits atomically
+    * WITH the version (it rides the directory rename) — the hook for
+    * idempotent writers (streaming batch ids, job run ids).
     */
   def overwrite(name: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = {
     require(exists(name), s"no table $name")
-    publishVersion(name, df, partitionBy)
+    publishVersion(name, df, partitionBy, meta)
+  }
+
+  /** Metadata committed with the current version (empty if none). */
+  def currentMeta(name: String): Map[String, String] = {
+    val v = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    val p = versionDir(name, v).resolve(MetaFile)
+    if (!Files.exists(p)) Map.empty
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      props.asScala.toMap
+    }
   }
 
   /** Write `df` as the next version, then atomically swap the pointer.
@@ -105,7 +126,8 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     * the winner's snapshot.
     */
   private def publishVersion(name: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(tableDir(name))
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     var attempts = 0
@@ -116,6 +138,14 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
       val writer = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(tmpDir.toString)
+      if (meta.nonEmpty) {
+        // written BEFORE the atomic claim: metadata and data commit (or
+        // vanish) together
+        val props = new java.util.Properties()
+        meta.foreach { case (k, v) => props.setProperty(k, v) }
+        val out = Files.newOutputStream(tmpDir.resolve(MetaFile))
+        try props.store(out, null) finally out.close()
+      }
       try {
         // Atomic claim: fails (FileAlreadyExistsException under ATOMIC_MOVE)
         // if a concurrent writer already published this version number.
@@ -170,7 +200,9 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
       if (target < current) df.coalesce(target)
       else if (target == current) df
       else df.repartition(target)
-    overwrite(name, sized)
+    // metadata carries forward: compaction changes layout, not content —
+    // an idempotent writer's committed batch id must survive it
+    overwrite(name, sized, meta = currentMeta(name))
   }
 
   /** Drop all versions older than the current one (vacuum). */

@@ -91,6 +91,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Vocabulary induction: corpus-wide token frequencies, top-50 with a
+    // total tiebreak (one explode + one map-side-combinable count).
+    "q55_vocab" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }),
+
+    // Bigram frequencies over the corpus — the n-gram statistics pass a
+    // tokenizer-training pipeline runs.
+    "q56_bigrams" -> ((s, dir) => {
+      Dedup.shingles(Tables(s, dir, "documents"), "doc_id", "text", n = 2)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("shingle"))
+        .limit(30)
+    }),
+
     // Pair -> cluster resolution: connected components over the LSH
     // near-dup pairs (iterative min-label propagation; the oracle replays
     // it as a recursive CTE).
@@ -295,6 +314,22 @@ object PipelineQueries {
          |  FROM buckets l JOIN buckets r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
          |${jaccardTailSql("0.5")}""".stripMargin,
+    "q55_vocab" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($toksExpr) AS token FROM documents) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q56_bigrams" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(toks) >= 2
+         |      THEN list_transform(generate_series(1, len(toks)-1),
+         |             i -> toks[i] || ' ' || toks[i+1])
+         |      ELSE []::VARCHAR[] END) AS shingle
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, shingle FROM grams)
+         |SELECT shingle, COUNT(*) AS n_docs
+         |FROM sh GROUP BY shingle
+         |ORDER BY n_docs DESC, shingle LIMIT 30""".stripMargin,
     "q52_dedup_clusters" ->
       s"""WITH RECURSIVE $corpusSql,
          |${shinglesSql("corpus")},

@@ -5,6 +5,7 @@ import graft.functions.PortableHash
 import graft.sources.Tables
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** LLM-training-data pipeline operators over `documents`: text analysis,
@@ -108,6 +109,30 @@ object PipelineQueries {
         .groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("shingle"))
         .limit(30)
+    }),
+
+    // TF-IDF-style salient terms: term frequency weighted by inverse
+    // document frequency (kept as the exact ratio N/df rather than its
+    // log — same ranking, and integer-ratio doubles stay bit-portable
+    // where libm log low bits would not), top-3 terms per document.
+    "q57_salient_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tf.join(df_, "token")
+        .withColumn("score",
+          col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
     }),
 
     // Pair -> cluster resolution: connected components over the LSH
@@ -314,6 +339,22 @@ object PipelineQueries {
          |  FROM buckets l JOIN buckets r
          |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
          |${jaccardTailSql("0.5")}""".stripMargin,
+    "q57_salient_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksExpr) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |idf AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+         |total AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+         |scored AS (
+         |  SELECT t.doc_id, t.token,
+         |    t.tf::DOUBLE * ((SELECT n FROM total) / d.df) AS score
+         |  FROM tf t JOIN idf d USING (token))
+         |SELECT doc_id, rnk, token, score FROM (
+         |  SELECT doc_id, token, score,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY score DESC, token) AS rnk
+         |  FROM scored) x
+         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "q55_vocab" ->
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($toksExpr) AS token FROM documents) t

@@ -34,29 +34,17 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingles, one output row per distinct (id, shingle).
-    * Entirely ROW-LOCAL construction — a transform over the token array
-    * then one explode — so the only shuffle in the shingle pipeline is
-    * the final distinct. (An earlier posexplode + lead-window version
-    * paid a per-doc sort and an extra shuffle for the same output.)
+  /** Word n-gram shingles, one output row per distinct (id, shingle),
+    * via the native [[graft.functions.ShingleStrings]] expression — one
+    * row-local pass builds AND dedupes the grams (doc-local dedup ==
+    * the relational distinct since the id is part of the key), so the
+    * pipeline has no shuffle at all until the caller aggregates.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
-    require(n >= 2 && n <= 5, "shingle width 2..5")
-    val toks = TextAnalysis.tokens(col(textCol))
-    // n-grams as a zip of n shifted slices. Every lambda touches ONLY its
-    // own arguments: a lambda that captured `toks` from the enclosing
-    // scope would re-evaluate the whole tokenization per ELEMENT under
-    // interpreted higher-order eval — O(tokens^2) per document (measured:
-    // 10s instead of 1s over 6k docs).
-    val len = greatest(size(toks) - (n - 1), lit(0))
-    val slices = (1 to n).map(k => slice(toks, lit(k), len))
-    val grams = slices.reduce((acc, s) =>
-      zip_with(acc, s, (a, b) => concat(a, lit(" "), b)))
-    docs
-      .select(col(idCol), explode(grams).as("shingle"))
-      .distinct()
-  }
+      n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      explode(graft.functions.TextHash.shingleStringsCol(col(textCol), n))
+        .as("shingle"))
 
   /** Exact n-gram Jaccard near-dup pairs at or above `threshold`.
     * Inverted-index join: pairs materialize only for docs sharing a

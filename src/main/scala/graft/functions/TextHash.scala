@@ -188,6 +188,39 @@ object TextHash {
   def tokenStats(text: Column, stopwords: Seq[String]): Column =
     ColumnBridge.column(TokenStats(ColumnBridge.expression(text), stopwords))
 
+  /** Deduped word `n`-gram STRINGS (insertion order) — for operators
+    * that need the gram text itself (n-gram statistics); the hashed
+    * variant is the dedup-pipeline path.
+    */
+  def shingleStrings(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val seen = new java.util.LinkedHashSet[String](count * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Column API: deduped word-n-gram strings (array<string>). */
+  def shingleStringsCol(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleStrings(ColumnBridge.expression(text), n))
+
   /** Column API: deduped md5-low60 word-n-gram hashes (array<long>). */
   def shingleHash60(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash60(ColumnBridge.expression(text), n))
@@ -222,6 +255,30 @@ case class ShingleHash60(child: Expression, n: Int) extends UnaryExpression {
       c => s"graft.functions.TextHash.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
+/** See [[TextHash.shingleStrings]]. */
+case class ShingleStrings(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 2 && n <= 5, "shingle width 2..5")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a string column, got ${child.dataType.sql}")
+
+  override def nullSafeEval(t: Any): Any =
+    TextHash.shingleStrings(t.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHash.shingleStrings($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
     copy(child = newChild)
 }
 

@@ -196,4 +196,28 @@ object AsOfJoin {
       ColumnBridge.expression(factTime),
       ColumnBridge.expression(versionTime)))
   }
+
+  /** Forward as-of join: EARLIEST version with `versionTime >= factTime`
+    * per key, left-outer. Reduced to [[backward]] by order reversal —
+    * both time columns are mapped to negated epoch microseconds, so the
+    * backward exec's "largest value <= t" becomes "smallest value >= t"
+    * with the identical co-partitioned two-pointer physical plan.
+    */
+  def forward(
+      facts: DataFrame,
+      versions: DataFrame,
+      factKeys: Seq[Column],
+      versionKeys: Seq[Column],
+      factTime: Column,
+      versionTime: Column): DataFrame = {
+    import org.apache.spark.sql.functions.{negate, unix_micros}
+    def neg(c: Column): Column = negate(unix_micros(c.cast("timestamp")))
+    // the custom plan node resolves ATTRIBUTES only (no analyzer pass
+    // runs over its expressions), so the negated time is materialized as
+    // a projected column on each side and dropped from the result
+    val f = facts.withColumn("__asof_fneg", neg(factTime))
+    val v = versions.withColumn("__asof_vneg", neg(versionTime))
+    backward(f, v, factKeys, versionKeys, f("__asof_fneg"), v("__asof_vneg"))
+      .drop("__asof_fneg", "__asof_vneg")
+  }
 }

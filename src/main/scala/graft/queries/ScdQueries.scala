@@ -147,6 +147,29 @@ object ScdQueries {
         .orderBy(col("side"), col("c_custkey"), col("scd_version"))
     }),
 
+    // Forward as-of: each order resolved to the EARLIEST dimension
+    // version at or after the order date (orders after the last version
+    // start take the outer-null path).
+    "q58_asof_forward" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      def ver(n: Int, delta: Double, start: String) = cust.select(
+        col("c_custkey").as("d_custkey"),
+        (col("c_acctbal") + delta).as("acctbal_v"),
+        lit(n).as("version_no"),
+        lit(start).cast("timestamp_ntz").as("vstart"))
+      val dim = ver(1, -200, "1993-01-01 00:00:00")
+        .unionByName(ver(2, -100, "1995-01-01 00:00:00"))
+        .unionByName(ver(3, 0, "1997-01-01 00:00:00"))
+      val facts = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      graft.plans.AsOfJoin.forward(facts, dim,
+          Seq(facts("o_custkey")), Seq(dim("d_custkey")),
+          facts("o_orderdate"), dim("vstart"))
+        .select(col("o_orderkey"), col("o_custkey"), col("version_no"),
+          col("acctbal_v"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // As-of join: each order resolved against the dimension version valid
     // at o_orderdate (intervals chosen inside the order-date range).
     // Equi-join on the business key carries the shuffle; the interval
@@ -311,6 +334,21 @@ object ScdQueries {
          |SELECT 'closed' AS side, * FROM m
          |WHERE NOT scd_active AND scd_end_date = TIMESTAMP '2024-07-01 00:00:00'
          |ORDER BY side, c_custkey, scd_version""".stripMargin,
+    "q58_asof_forward" ->
+      """WITH dimv AS (
+        |  SELECT c_custkey AS d_custkey, c_acctbal - 200 AS acctbal_v,
+        |    1 AS version_no, TIMESTAMP '1993-01-01 00:00:00' AS vstart
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal - 100, 2, TIMESTAMP '1995-01-01 00:00:00'
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, 3, TIMESTAMP '1997-01-01 00:00:00'
+        |  FROM customer)
+        |SELECT o_orderkey, o_custkey, version_no, acctbal_v
+        |FROM orders o ASOF LEFT JOIN dimv v
+        |  ON o.o_custkey = v.d_custkey AND o.o_orderdate <= v.vstart
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_asof_native" ->
       """WITH dimv AS (
         |  SELECT c_custkey AS d_custkey, c_acctbal - 200 AS acctbal_v,

@@ -33,6 +33,26 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some("w1"), 5L -> None))
   }
 
+  test("forward as-of picks earliest version at-or-after, outer-null past the end") {
+    val facts = Seq(
+      (1L, 100L, ts("2024-03-15 00:00:00")), // next is v2
+      (2L, 100L, ts("2024-06-01 00:00:00")), // exactly v2 start: inclusive
+      (3L, 100L, ts("2024-07-01 00:00:00")), // after last version: null
+      (4L, 100L, ts("2023-01-01 00:00:00")), // before v1: takes v1
+      (5L, 300L, ts("2024-01-01 00:00:00"))  // key with no versions: null
+    ).toDF("fact_id", "k", "ft")
+    val versions = Seq(
+      (100L, "v1", ts("2024-01-01 00:00:00")),
+      (100L, "v2", ts("2024-06-01 00:00:00"))
+    ).toDF("vk", "tag", "vt")
+    val out = AsOfJoin.forward(facts, versions,
+        Seq(facts("k")), Seq(versions("vk")), facts("ft"), versions("vt"))
+      .select("fact_id", "tag").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out === Map(1L -> Some("v2"), 2L -> Some("v2"), 3L -> None,
+      4L -> Some("v1"), 5L -> None))
+  }
+
   test("matches the composed join+window formulation on random data") {
     val rnd = new scala.util.Random(7)
     val facts = (1 to 400).map { i =>

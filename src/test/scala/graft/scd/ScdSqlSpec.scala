@@ -40,6 +40,49 @@ class ScdSqlSpec extends SparkSpec {
     assert(viaSql.count() === 5)
   }
 
+  test("8-statement SQL pipeline == engine on random fixtures") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val logins = (1 to 6).map(i => s"r$i")
+    val genProd = Gen.listOf(for {
+      l <- Gen.oneOf(logins)
+      prem <- Gen.oneOf(true, false)
+      addr <- Gen.oneOf("a1", "a2")
+      phone <- Gen.option(Gen.oneOf("p1", "p2"))
+    } yield (l, prem, addr, phone)).map(_.distinctBy(_._1))
+    val genStag = Gen.listOf(for {
+      l <- Gen.oneOf(logins ++ Seq("rNew"))
+      prem <- Gen.oneOf(true, false)
+      addr <- Gen.oneOf("a1", "a3")
+      phone <- Gen.option(Gen.oneOf("p1", "p3"))
+    } yield (l, prem, addr, phone)).map(_.distinctBy(_._1))
+    val prop = Prop.forAll(genProd, genStag) { (ps, ss) =>
+      spark.sql("DROP TABLE IF EXISTS rnd_prod")
+      spark.sql("DROP TABLE IF EXISTS rnd_stag")
+      val production = spark.createDataFrame(java.util.Arrays.asList(
+        ps.zipWithIndex.map { case ((l, prem, a, ph), i) =>
+          Row(i + 1, l, prem, a, ph.orNull, "n", "s", 1980, 1,
+            ts("2024-04-01 00:00:00"), high, true)
+        }: _*), prodSchema)
+      val staging = spark.createDataFrame(java.util.Arrays.asList(
+        ss.map { case (l, prem, a, ph) =>
+          Row(l, "n", "s", 1980, prem, a, ph.orNull)
+        }: _*), stagSchema)
+      production.write.saveAsTable("rnd_prod")
+      staging.write.saveAsTable("rnd_stag")
+      val viaSql = ScdSql.run(spark, dimUser, "rnd_prod", "rnd_stag",
+        asOfSql = "TIMESTAMP '2024-05-25 12:00:00'",
+        coalesceCols = Set("phone"))
+      val viaEngine = ScdMerge.merge(production, staging, dimUser,
+        MergeOptions(asOf, keyMode = KeyMode.HiveCompat,
+          nullSafeCompare = false, coalesceCompareCols = Set("phone")))
+      viaSql.collect().map(_.toSeq).toSet ==
+        viaEngine.collect().map(_.toSeq).toSet
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("generated statements mirror the reference's 8-step shape") {
     val stmts = ScdSql.statements(spark, dimUser,
       "dim_user_production", "dim_user_staging", "dim_user_new",

@@ -163,6 +163,21 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Data-quality expectations: per-rule violation counts over lineitem
+    // (constraint checking as one aggregate per rule — dbt-test/Deequ
+    // shape; zero-violation rules still report).
+    "q59_dq_report" -> ((s, dir) => {
+      import graft.quality.Quality._
+      val li = Tables(s, dir, "lineitem")
+      report(li, Seq(
+        NotNull("l_orderkey"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        InRange("l_discount", 0.0, 0.1),
+        RefIntegrity("l_orderkey", Tables(s, dir, "orders"), "o_orderkey"),
+        Custom("nonpositive_quantity", col("l_quantity") <= 0)))
+        .orderBy(col("rule"))
+    }),
+
     // Histogram: fixed-width value bucketing + per-bucket stats (the
     // scan-once shape of a distributed histogram).
     "q53_histogram" -> ((s, dir) => {
@@ -360,6 +375,30 @@ object ExtendedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_subqueries" -> SubqueriesSql,
+    "q59_dq_report" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'not_null(l_orderkey)' AS rule,
+        |    COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_discount,0.0,0.1)',
+        |    COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_orderkey)', COUNT(*)
+        |  FROM lineitem l
+        |  WHERE l.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = l.l_orderkey)
+        |  UNION ALL
+        |  SELECT 'nonpositive_quantity',
+        |    COUNT(CASE WHEN l_quantity <= 0 THEN 1 END)
+        |  FROM lineitem) t
+        |ORDER BY rule""".stripMargin,
     "q53_histogram" ->
       """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
         |  COUNT(*) AS n,

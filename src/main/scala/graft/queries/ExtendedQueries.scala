@@ -163,6 +163,19 @@ object ExtendedQueries {
         .orderBy(col("o_custkey"))
     }),
 
+    // Schema-drift union: two relations with partially overlapping
+    // columns unioned BY NAME, absent columns null-filled — the shape of
+    // ingesting evolving upstream feeds.
+    "q60_union_by_name" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      val a = ord.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val b = ord.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      a.unionByName(b, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Data-quality expectations: per-rule violation counts over lineitem
     // (constraint checking as one aggregate per rule — dbt-test/Deequ
     // shape; zero-violation rules still report).
@@ -375,6 +388,12 @@ object ExtendedQueries {
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q45_subqueries" -> SubqueriesSql,
+    "q60_union_by_name" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL BY NAME
+        |  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 <> 0)
+        |ORDER BY o_orderkey""".stripMargin,
     "q59_dq_report" ->
       """SELECT rule, n_violations FROM (
         |  SELECT 'not_null(l_orderkey)' AS rule,

@@ -128,7 +128,7 @@ object ExtendedQueries {
 
     // Oracle-portable LSH ANN: ±1 md5-derived hyperplanes, bucket
     // equi-join candidates, exact cosine re-rank — the hash-checked
-    // sibling of the xxhash q27 path.
+    // sibling of the dense-plane q27 path.
     "q41_ann_portable" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.portableAnnTopK(emb.filter(col("vec_id") < 50), emb,

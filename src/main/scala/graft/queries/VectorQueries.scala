@@ -61,9 +61,9 @@ object VectorQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
-    // LSH-accelerated ANN — the 100 TB path (xxhash sign-LSH buckets, so
-    // deliberately NOT oracle-SQL-portable: rows-only check; recall vs
-    // brute force is asserted in SimilaritySpec).
+    // LSH-accelerated ANN — the 100 TB path (dense md5-constant planes,
+    // 12 bits; rows-only check — the oracle-portable ±1-plane sibling is
+    // q41; recall vs brute force is asserted in SimilaritySpec).
     "q27_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",

@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB the portability constraint disappears and [[fast]]
   * (xxhash64, whole-stage-codegen'd, no string materialization) is the
-  * hot-path choice — the LSH-bucketed ANN operator uses it.
+  * drop-in hot-path alternative for anything not oracle-checked. (The
+  * LSH planes that once derived from it per-row are now plan-time
+  * constants — see `Similarity.hyperplanes`.)
   */
 object PortableHash {
 

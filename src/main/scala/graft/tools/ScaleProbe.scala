@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling probe: times the scale-critical operators at 1x and Nx the
+  * input (replication via crossJoin with a replica index, keys offset so
+  * cardinalities scale with the data), and reports the time ratio. A
+  * linear-scaling operator shows ratio ~= N on a fixed-size machine;
+  * super-linear ratios expose the operators whose shuffles or candidate
+  * sets grow faster than the input.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame = {
+      val reps = spark.range(factor).withColumnRenamed("id", "__rep")
+      keyCols.foldLeft(df.crossJoin(reps)) { (d, k) =>
+        d.withColumn(k, col(k) + col("__rep") * offset)
+      }.drop("__rep")
+    }
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    val li1 = graft.sources.Tables(spark, sfDir, "lineitem")
+    val liN = replicate(li1, Seq("l_orderkey"), 100000000L)
+    val docs1 = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val docsN = replicate(docs1, Seq("doc_id"), 10000000L)
+    val cust1 = graft.sources.Tables(spark, sfDir, "customer")
+    val custN = replicate(cust1, Seq("c_custkey"), 10000000L)
+
+    def agg(li: DataFrame): Long = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")), count(lit(1)))
+      .count()
+
+    def minhash(d: DataFrame): Long =
+      graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
+        persistShingles = false).count()
+
+    def merge(c: DataFrame): Long = {
+      val prod = c.select(col("c_custkey").cast("long").as("dim_id"),
+        col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
+        lit(1).as("scd_version"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("scd_start_date"),
+        lit("2200-01-01 00:00:00").cast("timestamp").as("scd_end_date"),
+        lit(true).as("scd_active"))
+      val stag = c.select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 3 === 0, col("c_acctbal") + 50)
+          .otherwise(col("c_acctbal")).as("c_acctbal"), col("c_mktsegment"))
+      graft.scd.ScdMerge.merge(prod, stag, graft.queries.ScdQueries.schema,
+        graft.scd.MergeOptions(
+          java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))).count()
+    }
+
+    // warmup
+    agg(li1); ()
+    val results = Seq(
+      "agg" -> (time(agg(li1)), time(agg(liN))),
+      "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
+      "scd_merge" -> (time(merge(cust1)), time(merge(custN))))
+    val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>
+      f"""\"$name\":{\"t1\":$t1%.2f,\"rows1\":$n1,\"tN\":$tN%.2f,\"rowsN\":$nN,\"ratio\":${tN / t1}%.2f}"""
+    }
+    println(s"""{"factor":$factor,${parts.mkString(",")}}""")
+    spark.stop()
+  }
+}

@@ -46,4 +46,32 @@ class StatefulSessionizeSpec extends SparkSpec {
       assert(s3.toSet === Set(SessionOut(3, 1, 2, 5 * M, 31, 3.0)))
     } finally q.stop()
   }
+
+  test("open-session state survives a query restart from checkpoint") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sess-out").toString
+    val source = MemoryStream[Event]
+    def start() = sessions(source.toDS(), gapUs = 30 * M)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").start(out)
+
+    val q1 = start()
+    try {
+      source.addData(Event(7, 70, 0 * M, 1.0), Event(7, 71, 5 * M, 2.0))
+      q1.processAllAvailable() // session open, held in state
+    } finally q1.stop()
+
+    val q2 = start() // recovers offsets AND keyed state from the checkpoint
+    try {
+      source.addData(Event(7, 72, 95 * M, 3.0)) // gap closes the session
+      q2.processAllAvailable()
+      val got = spark.read.parquet(out).as[SessionOut].collect().toSet
+      // the closed session spans BOTH sides of the restart: 2 events and
+      // the 5-minute duration came from the pre-restart state
+      assert(got === Set(SessionOut(7, 1, 2, 5 * M, 70, 3.0)))
+    } finally q2.stop()
+  }
 }

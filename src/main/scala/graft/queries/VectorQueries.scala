@@ -102,6 +102,25 @@ object VectorQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Funnel analysis: per-user event journeys as ordered initial-letter
+    // strings, stages matched as regex SUBSEQUENCES (view -> click ->
+    // purchase) — ordered-pattern analytics without a sequential scan
+    // operator.
+    "q61_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("l"))
+      val journeys = ev.groupBy(col("user_id"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("l")))), x => x.getField("l")), "").as("journey"))
+      journeys.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("journey").rlike("v"), 1)).as("reached_view"),
+        count(when(col("journey").rlike("v.*c"), 1)).as("reached_click"),
+        count(when(col("journey").rlike("v.*c.*p"), 1)).as("reached_purchase"))
+    }),
+
     // Tumbling-window aggregation — the batch shape of the streaming
     // windowed agg (same plan under readStream).
     "q26_stream_window" -> ((s, dir) => {
@@ -181,6 +200,20 @@ object VectorQueries {
         |  COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
         |        THEN 1 END) AS n_large
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q61_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    substr(event_type, 1, 1) AS l
+        |  FROM events),
+        |j AS (
+        |  SELECT user_id,
+        |    string_agg(l, '' ORDER BY ts_us, event_id) AS journey
+        |  FROM ev GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  COUNT(CASE WHEN regexp_matches(journey, 'v') THEN 1 END) AS reached_view,
+        |  COUNT(CASE WHEN regexp_matches(journey, 'v.*c') THEN 1 END) AS reached_click,
+        |  COUNT(CASE WHEN regexp_matches(journey, 'v.*c.*p') THEN 1 END) AS reached_purchase
+        |FROM j""".stripMargin,
     "q26_stream_window" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,

@@ -121,6 +121,17 @@ object ScdQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // CDC from snapshots: staging-vs-production diff as a change feed
+    // (insert/update/delete), one full-outer join.
+    "q62_snapshot_diff" -> ((s, dir) => {
+      val prev = Tables(s, dir, "customer").filter(col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val next = staging(s, dir)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      graft.scd.SnapshotDiff.diff(prev, next, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // SCD Type 3: one generation of history in prev_<col> columns,
     // in-place update, single full-outer-join plan (ScdVariants).
     "q48_scd_type3" -> ((s, dir) => {
@@ -298,6 +309,27 @@ object ScdQueries {
   val oracleSql: Map[String, String] = Map(
     "q13_scd_merge" -> mergeSql(renumber = false),
     "q14_scd_hivecompat" -> mergeSql(renumber = true, nullSafe = false),
+    "q62_snapshot_diff" ->
+      s"""WITH prev AS (
+         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+         |  WHERE c_custkey % 10 <> 0
+         |), nxt AS (
+         |  SELECT c_custkey, c_acctbal, c_mktsegment FROM ($stagSql) s0
+         |)
+         |SELECT
+         |  CASE WHEN p.c_custkey IS NULL THEN 'insert'
+         |       WHEN n.c_custkey IS NULL THEN 'delete'
+         |       ELSE 'update' END AS op,
+         |  COALESCE(p.c_custkey, n.c_custkey) AS c_custkey,
+         |  CASE WHEN n.c_custkey IS NULL THEN p.c_acctbal
+         |       ELSE n.c_acctbal END AS c_acctbal,
+         |  CASE WHEN n.c_custkey IS NULL THEN p.c_mktsegment
+         |       ELSE n.c_mktsegment END AS c_mktsegment
+         |FROM prev p FULL OUTER JOIN nxt n ON p.c_custkey = n.c_custkey
+         |WHERE p.c_custkey IS NULL OR n.c_custkey IS NULL
+         |   OR p.c_acctbal IS DISTINCT FROM n.c_acctbal
+         |   OR p.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+         |ORDER BY c_custkey""".stripMargin,
     "q48_scd_type3" ->
       s"""WITH prod AS (
          |  SELECT c_custkey, c_acctbal,

@@ -151,10 +151,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
         // if a concurrent writer already published this version number.
         Files.move(tmpDir, versionDir(name, next), StandardCopyOption.ATOMIC_MOVE)
         claimed = true
-        val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next.$nonce")
-        Files.writeString(tmp, f"v_$next%06d")
-        Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
+        swapPointerMonotonic(name, next, nonce)
       } catch {
         case e: java.nio.file.FileSystemException if !claimed =>
           deleteRecursively(tmpDir)
@@ -163,6 +160,34 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
             s"publish of $name lost the version race $attempts times", e)
       }
     }
+  }
+
+  /** Advance `_CURRENT` to `next` — but never backwards. Without the
+    * compare, a writer that claimed v_5 then stalled could swap the
+    * pointer AFTER a faster writer published v_6, silently hiding v_6
+    * from reads (and a later [[vacuum]] would delete its data — strictly
+    * worse than the documented "last pointer swap wins"). An exclusive
+    * lock on `_CURRENT.lockfile` serializes the read-compare-swap, so
+    * the pointer version is monotonic: late stalled writers lose, which
+    * IS last-swap-wins restricted to swaps that move time forward.
+    * (java.nio FileLock is advisory but all writers go through here.)
+    */
+  private def swapPointerMonotonic(name: String, next: Long,
+      nonce: String): Unit = {
+    import java.nio.file.StandardOpenOption.{CREATE, WRITE}
+    val ch = java.nio.channels.FileChannel.open(
+      tableDir(name).resolve("_CURRENT.lockfile"), CREATE, WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        if (currentVersion(name).forall(_ < next)) {
+          val tmp = tableDir(name).resolve(s"_CURRENT.tmp$next.$nonce")
+          Files.writeString(tmp, f"v_$next%06d")
+          Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** File-level statistics of the current version — the signal for

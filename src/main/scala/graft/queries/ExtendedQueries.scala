@@ -22,11 +22,14 @@ object ExtendedQueries {
 
   /** GPT-2-flavored pre-tokenizer classes, reduced to a regex dialect
     * that Java regex and RE2 interpret identically: letter runs, single
-    * digits, single non-alphanumeric-non-space marks.
+    * digits, single non-alphanumeric-non-space marks. Whitespace is the
+    * explicit class [ \t\n\x0B\f\r], NOT \s — Java's \s includes
+    * vertical tab \x0B but RE2's does not, so the shorthand would count
+    * a \x0B as a mark in DuckDB and not in Spark.
     */
   private val BpeWord = "[A-Za-z]+"
   private val BpeDigit = "[0-9]"
-  private val BpeOther = "[^A-Za-z0-9\\s]"
+  private val BpeOther = "[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
   private val BpeAll = s"$BpeWord|$BpeDigit|$BpeOther"
 
   /** ±1 hyperplanes shared by the q41 engine plan and its oracle SQL. */
@@ -114,7 +117,9 @@ object ExtendedQueries {
 
     // Exact linear-interpolation percentiles (Spark `percentile` ==
     // DuckDB `quantile_cont`: both evaluate rank p*(n-1) on the sorted
-    // values with the same interpolation arithmetic).
+    // values with the same interpolation arithmetic). One array-typed
+    // percentile buffer per group, flattened to scalar columns at the
+    // end — the driver's pandas compare cannot hash array cells.
     "q40_percentile" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -123,6 +128,11 @@ object ExtendedQueries {
             .as("price_q"),
           expr("percentile(l_quantity, 0.5D)").as("qty_med"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          get(col("price_q"), lit(0)).as("p25"),
+          get(col("price_q"), lit(1)).as("p50"),
+          get(col("price_q"), lit(2)).as("p75"),
+          col("qty_med"), col("n"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -147,7 +157,11 @@ object ExtendedQueries {
     }),
 
     // Nested/complex types: per-customer order-total arrays (sorted, so
-    // order-independent under shuffle), array ops, struct construction.
+    // order-independent under shuffle), array ops (slice/get/element_at/
+    // exists), struct construction — all intermediate; the final SELECT
+    // flattens to scalars because the driver's pandas compare cannot
+    // hash array/struct cells. `get` (0-based) is the null-safe probe
+    // for customers with <3 orders (ANSI element_at would throw).
     "q43_nested" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
@@ -160,6 +174,13 @@ object ExtendedQueries {
           struct(
             element_at(col("totals"), 1).as("lo"),
             element_at(col("totals"), -1).as("hi")).as("range"))
+        .select(col("o_custkey"), col("n_orders"),
+          get(col("low3"), lit(0)).as("lo3_1"),
+          get(col("low3"), lit(1)).as("lo3_2"),
+          get(col("low3"), lit(2)).as("lo3_3"),
+          col("biggest"), col("has_big"),
+          col("range.lo").as("range_lo"),
+          col("range.hi").as("range_hi"))
         .orderBy(col("o_custkey"))
     }),
 
@@ -383,7 +404,9 @@ object ExtendedQueries {
         |ORDER BY user_id, event_id""".stripMargin,
     "q40_percentile" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_q,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.50) AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75,
         |  quantile_cont(l_quantity, 0.5) AS qty_med,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
@@ -471,10 +494,13 @@ object ExtendedQueries {
         |  list_sort(list(o_totalprice)) AS totals
         |  FROM orders GROUP BY o_custkey)
         |SELECT o_custkey, n_orders,
-        |  totals[1:3] AS low3,
+        |  totals[1] AS lo3_1,
+        |  totals[2] AS lo3_2,
+        |  totals[3] AS lo3_3,
         |  totals[-1] AS biggest,
         |  len(list_filter(totals, x -> x > 300000.0)) > 0 AS has_big,
-        |  {'lo': totals[1], 'hi': totals[-1]} AS range
+        |  totals[1] AS range_lo,
+        |  totals[-1] AS range_hi
         |FROM t ORDER BY o_custkey""".stripMargin,
     "q44_datetime" ->
       """SELECT o_orderkey,

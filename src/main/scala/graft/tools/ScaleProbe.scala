@@ -26,10 +26,25 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, keyCols: Seq[String], offset: Long): DataFrame = {
+    // textCols get a replica-specific token INSERTED BETWEEN EVERY PAIR
+    // OF WORDS (not just appended — one appended token leaves replicas
+    // ~0.99 Jaccard-similar, above any near-dup threshold). Without the
+    // perturbation every replica of a doc duplicates the others, near-dup
+    // candidate PAIRS grow ~factor^2 by construction, and the probe
+    // falsely reads the minhash path as super-linear. With it, every
+    // shingle differs across replicas, so only the corpus's own planted
+    // duplicates remain — duplicate structure scales linearly like real
+    // Nx data. (Replicas also stop being intra-replica-affected: the same
+    // rewrite is applied uniformly within a replica.)
+    def replicate(df: DataFrame, keyCols: Seq[String], offset: Long,
+        textCols: Seq[String] = Nil): DataFrame = {
       val reps = spark.range(factor).withColumnRenamed("id", "__rep")
-      keyCols.foldLeft(df.crossJoin(reps)) { (d, k) =>
+      val keyed = keyCols.foldLeft(df.crossJoin(reps)) { (d, k) =>
         d.withColumn(k, col(k) + col("__rep") * offset)
+      }
+      textCols.foldLeft(keyed) { (d, t) =>
+        d.withColumn(t, regexp_replace(col(t), lit("\\s+"),
+          concat(lit(" rep"), col("__rep"), lit(" "))))
       }.drop("__rep")
     }
 
@@ -43,7 +58,8 @@ object ScaleProbe {
     val liN = replicate(li1, Seq("l_orderkey"), 100000000L)
     val docs1 = graft.sources.Tables(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
-    val docsN = replicate(docs1, Seq("doc_id"), 10000000L)
+    val docsN = replicate(docs1, Seq("doc_id"), 10000000L,
+      textCols = Seq("text"))
     val cust1 = graft.sources.Tables(spark, sfDir, "customer")
     val custN = replicate(cust1, Seq("c_custkey"), 10000000L)
 

@@ -83,12 +83,29 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     failures = []
+
+    def nested_cols(schema):
+        # The driver's pandas-based compare sorts/hashes cell values;
+        # list/struct/map cells arrive as numpy arrays / dicts and raise
+        # "unhashable type" THERE even though we could canonicalize them
+        # HERE. Mirror the driver's limitation: nested-typed result
+        # columns are a hard failure, not something to paper over.
+        import pyarrow.types as pt
+        return [f.name for f in schema
+                if pt.is_nested(f.type) or pt.is_dictionary(f.type)]
+
     for name in sorted(oracle):
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():
             failures.append((name, "spark output missing"))
             continue
         tbl = pq.read_table(spark_dir)
+        bad_cols = nested_cols(tbl.schema)
+        if bad_cols:
+            failures.append((name, "array/struct result columns "
+                             f"{bad_cols} — driver compare cannot hash "
+                             "these; flatten to scalars or drop oracleSql"))
+            continue
         s_rows, s_names = rows_of(
             tbl.column_names, [c.to_pylist() for c in tbl.columns])
         try:
@@ -96,6 +113,11 @@ def main():
             # arrow surfaces type divergences (HUGEINT -> decimal128) that
             # fetchall() hides behind native Python ints.
             d_tbl = con.execute(oracle[name]).arrow()
+            d_bad = nested_cols(d_tbl.schema)
+            if d_bad:
+                failures.append((name, "array/struct ORACLE result columns "
+                                 f"{d_bad} — driver compare cannot hash"))
+                continue
             d_rows, d_names = rows_of(
                 d_tbl.column_names, [c.to_pylist() for c in d_tbl.columns])
         except Exception as e:

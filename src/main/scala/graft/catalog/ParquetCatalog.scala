@@ -172,7 +172,7 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     * IS last-swap-wins restricted to swaps that move time forward.
     * (java.nio FileLock is advisory but all writers go through here.)
     */
-  private def swapPointerMonotonic(name: String, next: Long,
+  private[catalog] def swapPointerMonotonic(name: String, next: Long,
       nonce: String): Unit = {
     import java.nio.file.StandardOpenOption.{CREATE, WRITE}
     val ch = java.nio.channels.FileChannel.open(

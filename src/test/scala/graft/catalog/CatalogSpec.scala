@@ -57,6 +57,46 @@ class CatalogSpec extends SparkSpec {
     assert(cat.currentVersion("t") === Some(1L))
   }
 
+  test("stalled writer cannot regress the pointer past a newer commit") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.create("t", df.schema) // v0
+    cat.overwrite("t", df) // v1
+    cat.overwrite("t", Seq((2L, "b")).toDF("id", "v")) // v2
+    assert(cat.currentVersion("t") === Some(2L))
+    // replay writer A: claimed v1 long ago, stalled, and only swaps the
+    // pointer now — after v2 committed. The swap must be a no-op, or v2
+    // would vanish from reads and the next vacuum would delete its data.
+    cat.swapPointerMonotonic("t", 1L, "stale")
+    assert(cat.currentVersion("t") === Some(2L))
+    assert(cat.table("t").as[(Long, String)].collect().toSet === Set((2L, "b")))
+  }
+
+  test("concurrent overwrites leave the pointer at the max claimed version") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    cat.create("t", df.schema)
+    // writers may exhaust their retry budget under this much contention
+    // (each retry re-runs a full Spark write) — that is allowed; what is
+    // NOT allowed is any committed version disappearing from the pointer.
+    val threads = (1 to 4).map { i =>
+      new Thread(() => (1 to 3).foreach { j =>
+        try cat.overwrite("t", Seq((i * 10L + j, "x")).toDF("id", "v"))
+        catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val tableDir = Paths.get(cat.table("t").inputFiles.head
+      .replaceAll("file:", "").replaceAll("/v_[0-9]+/.*", ""))
+    import scala.jdk.CollectionConverters._
+    val maxClaimed = Files.list(tableDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("v_")).map(_.stripPrefix("v_").toLong).max
+    assert(cat.currentVersion("t") === Some(maxClaimed))
+    assert(cat.table("t").count() === 1)
+  }
+
   test("SCD merge reads its own table and publishes back (self-overwrite)") {
     import ScdMergeSpec._
     val cat = freshCatalog()

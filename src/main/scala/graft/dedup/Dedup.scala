@@ -194,7 +194,7 @@ object Dedup {
     // sets broadcast so the propagation join plans with no shuffle.
     val nEdges = edges.count()
     val parts = math.max(1, math.min(200, (nEdges / 500000L).toInt + 1))
-    val edgesJoin = if (nEdges < 1000000L) broadcast(edges) else edges
+    val idType = edges.schema("src").dataType
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("lab", col("node"))
@@ -202,23 +202,32 @@ object Dedup {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val viaEdges = labels
-        .join(edgesJoin, labels("node") === edgesJoin("src"))
-        .select(col("dst").as("node"), col("lab"))
-      // pointer jumping: adopt the label OF my label, halving chain depth
-      // each round -> O(log diameter) rounds instead of O(diameter)
-      val jumped = labels.as("l1")
-        .join(labels.as("l2"), col("l1.lab") === col("l2.node"))
-        .select(col("l1.node").as("node"), col("l2.lab").as("lab"))
-      val next = labels.select(col("node"), col("lab"))
-        .unionByName(viaEdges)
-        .unionByName(jumped)
+      // ONE join per round over a unified "adopt-from" arc relation:
+      // graph edges (neighbor propagation) plus per-round pointer-jump
+      // arcs lab(n) -> n — joining labels on arc.src delivers lab(lab(n))
+      // to n through the same shuffle that delivers neighbor labels.
+      // Pointer jumping halves chain depth each round -> O(log diameter)
+      // rounds instead of O(diameter). (Label-arc count is bounded by the
+      // node count, so the union stays broadcastable when edges are.)
+      val arcsRaw = edges.unionByName(
+        labels.select(col("lab").as("src"), col("node").as("dst")))
+      val arcs = if (nEdges < 1000000L) broadcast(arcsRaw) else arcsRaw
+      val msgs = labels
+        .join(arcs, labels("node") === arcs("src"))
+        .select(col("dst").as("node"), col("lab"),
+          lit(null).cast(idType).as("old"))
+      // the labels arm carries its own lab as `old`, so the aggregated
+      // row already knows whether this round changed it — convergence is
+      // a filter over the checkpointed blocks, not another join
+      val next = labels
+        .select(col("node"), col("lab"), col("lab").as("old"))
+        .unionByName(msgs)
         .repartition(parts, col("node"))
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .groupBy(col("node"))
+        .agg(min(col("lab")).as("lab"), max(col("old")).as("old"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("lab") =!= col("old")).count()
+      labels = next.select(col("node"), col("lab"))
       converged = changed == 0
       round += 1
     }

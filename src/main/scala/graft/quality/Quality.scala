@@ -46,29 +46,42 @@ object Quality {
   /** Violation count per rule, one output row per rule (rules with zero
     * violations still appear — an absent check and a passing check must
     * not look alike).
+    *
+    * All scalar rules (not-null / unique / range / custom) FUSE into one
+    * aggregate over one scan — at 100 TB the suite costs one pass
+    * regardless of rule count — then unpivot to (rule, count) rows.
+    * Only ref-integrity rules need their own anti-join subplan each.
     */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    rules.map {
-      case r @ NotNull(c) =>
-        df.agg(count(when(col(c).isNull, 1)).as("n_violations"))
-          .select(lit(r.name).as("rule"), col("n_violations"))
-      case r @ Unique(cs) =>
-        df.agg((count(lit(1)) -
-          count_distinct(struct(cs.map(col): _*))).as("n_violations"))
-          .select(lit(r.name).as("rule"), col("n_violations"))
-      case r @ InRange(c, lo, hi) =>
-        df.agg(count(when(col(c) < lo || col(c) > hi, 1)).as("n_violations"))
-          .select(lit(r.name).as("rule"), col("n_violations"))
-      case r @ RefIntegrity(fk, dim, pk) =>
-        df.filter(col(fk).isNotNull)
-          .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
-          .agg(count(lit(1)).as("n_violations"))
-          .select(lit(r.name).as("rule"), col("n_violations"))
-      case r @ Custom(_, pred) =>
-        df.agg(count(when(pred, 1)).as("n_violations"))
-          .select(lit(r.name).as("rule"), col("n_violations"))
-    }.reduce(_ unionByName _)
+    val (refRules, scalarRules) = rules.partition(_.isInstanceOf[RefIntegrity])
+    val scalarPart = if (scalarRules.isEmpty) Nil else {
+      val aggs = scalarRules.zipWithIndex.map { case (r, i) =>
+        val e = r match {
+          case NotNull(c) => count(when(col(c).isNull, 1))
+          case Unique(cs) =>
+            count(lit(1)) - count_distinct(struct(cs.map(col): _*))
+          case InRange(c, lo, hi) =>
+            count(when(col(c) < lo || col(c) > hi, 1))
+          case Custom(_, pred) => count(when(pred, 1))
+          case _: RefIntegrity =>
+            throw new IllegalStateException("partitioned out")
+        }
+        e.cast("long").as(s"__v$i")
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      Seq(one.select(explode(array(scalarRules.zipWithIndex.map {
+        case (r, i) => struct(lit(r.name).as("rule"),
+          col(s"__v$i").as("n_violations"))
+      }: _*)).as("kv")).select(col("kv.rule"), col("kv.n_violations")))
+    }
+    val refPart = refRules.map { case r @ RefIntegrity(fk, dim, pk) =>
+      df.filter(col(fk).isNotNull)
+        .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(r.name).as("rule"), col("n_violations"))
+    }
+    (scalarPart ++ refPart).reduce(_ unionByName _)
   }
 
   /** The rows violating ONE rule (for triage; unbounded output, so it is

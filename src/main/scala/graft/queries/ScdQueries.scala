@@ -151,10 +151,11 @@ object ScdQueries {
     // SCD Type 4: current table (active rows only) + append-only history
     // increment (rows closed by THIS run), split from one merge plan.
     "q49_scd_type4" -> ((s, dir) => {
+      // labeled = both sides from ONE merge execution (the union of the
+      // current/historyAppend filters would run the merge join twice)
       val r = graft.scd.ScdVariants.mergeType4(production(s, dir),
         staging(s, dir), schema, MergeOptions(asOf, highDate = highTs))
-      r.current.withColumn("side", lit("current"))
-        .unionByName(r.historyAppend.withColumn("side", lit("closed")))
+      r.labeled
         .orderBy(col("side"), col("c_custkey"), col("scd_version"))
     }),
 

@@ -68,19 +68,33 @@ object ScdVariants {
     * row per business key (no bookkeeping churn in the hot table), the
     * HISTORY table receives every superseded version as an append.
     *
-    * Runs the full [[ScdMerge]] once (one lazy plan) and splits the
-    * result: active rows -> current, newly-closed rows (end = asOf) ->
-    * the history increment. Publish with two catalog writes —
-    * `overwrite(current)` + `append(history)`.
+    * Runs the full [[ScdMerge]] once (one lazy plan), labels each output
+    * row with its destination side, and exposes both views:
+    *
+    *  - [[Type4Result.labeled]] is the SINGLE-PASS publish path: one
+    *    merge execution, written once `partitionBy("side")` — at scale
+    *    the merge join runs exactly once and the split is a free
+    *    partitioned write, where filtering `current` and `historyAppend`
+    *    separately would execute the merge twice.
+    *  - `current` / `historyAppend` are filters of the same labeled plan
+    *    for callers that want the individual relations.
     */
   def mergeType4(production: DataFrame, staging: DataFrame,
       schema: ScdSchema, opts: MergeOptions): Type4Result = {
     val merged = ScdMerge.merge(production, staging, schema, opts)
+    val labeled = merged.withColumn("side",
+        when(col(schema.activeCol), lit("current"))
+          .when(col(schema.endCol) === lit(opts.asOf), lit("closed")))
+      .filter(col("side").isNotNull)
     Type4Result(
-      current = merged.filter(col(schema.activeCol)),
-      historyAppend = merged.filter(!col(schema.activeCol) &&
-        col(schema.endCol) === lit(opts.asOf)))
+      current = labeled.filter(col("side") === "current").drop("side"),
+      historyAppend = labeled.filter(col("side") === "closed").drop("side"),
+      labeled = labeled)
   }
 
-  final case class Type4Result(current: DataFrame, historyAppend: DataFrame)
+  /** `labeled` = current ∪ historyAppend with a `side` discriminator
+    * column ("current" / "closed"), produced by ONE merge pass.
+    */
+  final case class Type4Result(current: DataFrame, historyAppend: DataFrame,
+      labeled: DataFrame)
 }

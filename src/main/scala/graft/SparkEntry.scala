@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.ScdQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.VectorQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.Round3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.ScdQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
-      graft.queries.ExtendedQueries.oracleSql
+      graft.queries.ExtendedQueries.oracleSql ++
+      graft.queries.Round3Queries.oracleSql
 }

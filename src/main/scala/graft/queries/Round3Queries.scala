@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.functions.PortableHash
+import graft.similarity.Similarity
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 coverage widening — the remaining checklist gaps, each
+  * oracle-checked: explicit GROUPING SETS (completing the lattice family
+  * next to q32 ROLLUP / q34 CUBE), MapType construction + access, time
+  * series gap-fill/resample with forward fill, int8-quantized ANN (exact
+  * integer scoring -> hash-checkable approximate search), and stratified
+  * deterministic sampling (per-stratum rates).
+  */
+object Round3Queries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec6(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  private val HourUs = 3600000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Explicit GROUPING SETS: an arbitrary subset of the lattice —
+    // (status, priority), (status), () — one Expand, partial agg intact.
+    "q63_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("o_totalprice"))).cast("double").as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_st"),
+          grouping(col("o_orderpriority")).cast("int").as("g_pr"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first, col("g_st"), col("g_pr"))
+    }),
+
+    // MapType: build a status->count map per priority (entries sorted so
+    // map construction is shuffle-order-independent), then probe/inspect
+    // it — access, size, key listing. Output flattened to scalars (the
+    // driver compare cannot hash nested cells); the ORACLE computes the
+    // same scalars relationally, which is the point: the map is the
+    // engine-side representation, the VALUES are the contract.
+    "q64_map_ops" -> ((s, dir) => {
+      val m = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+      def probe(k: String): Column =
+        coalesce(try_element_at(col("m"), lit(k)), lit(0L))
+      m.select(col("o_orderpriority"),
+          probe("O").as("n_open"),
+          probe("F").as("n_finished"),
+          probe("P").as("n_pending"),
+          size(col("m")).as("n_statuses"),
+          concat_ws(",", map_keys(col("m"))).as("statuses"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Time series: hourly resample of the event stream per user, gaps
+    // filled from a generated per-user hour grid (sequence + explode),
+    // counts zero-filled, values forward-filled (last non-null over an
+    // ordered running frame). All time math in epoch MICROSECONDS —
+    // events.ts is parquet ns, and µs is the cross-engine precision.
+    "q65_time_series" -> ((s, dir) => {
+      val agg = Tables(s, dir, "events")
+        .filter(col("user_id") < 20)
+        .select(col("user_id"),
+          expr(s"(ts_us div $HourUs) * $HourUs").as("hr"), col("value"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec6(col("value"))).cast("double").as("hv"))
+      val grid = agg.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), lit(HourUs))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hv"), ignoreNulls = true).over(w).as("ff_value"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
+    // Int8-quantized cosine top-k: symmetric per-vector quantization,
+    // codegen integer-dot kernel — approximate search whose scores are
+    // nonetheless EXACT integers/deterministic doubles, so the whole
+    // ranking hash-checks against the oracle (unlike float ANN paths
+    // where only the portable-plane variant q41 can).
+    "q66_quantized_ann" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.quantizedTopK(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Stratified deterministic sampling: per-stratum rates (heavy
+    // downsample of high-volume strata, light elsewhere) from the same
+    // portable md5 coin as q54's uniform sample — DataFrameStatFunctions
+    // .sampleBy's shape, reproducible in any engine, repartition-stable.
+    "q67_stratified_sample" -> ((s, dir) => {
+      val rateMilli = when(col("event_type") === "click", 20)
+        .when(col("event_type") === "view", 200)
+        .otherwise(100)
+      Tables(s, dir, "events")
+        .filter(PortableHash.hash60Base(col("event_id").cast("string"))
+          % 1000 < rateMilli)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(dec6(col("value"))).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q63_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+        |  g_st, g_pr""".stripMargin,
+    "q64_map_ops" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_finished,
+        |  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_pending,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS INT) AS n_statuses,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q65_time_series" ->
+      """WITH base AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600000000 AS hr,
+        |    value
+        |  FROM events WHERE user_id < 20),
+        |agg AS (
+        |  SELECT user_id, hr, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS hv
+        |  FROM base GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+        |  FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(mn, mx, 3600000000)) AS hr FROM b)
+        |SELECT g.user_id, g.hr,
+        |  CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+        |  last_value(a.hv IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS ff_value
+        |FROM grid g LEFT JOIN agg a USING (user_id, hr)
+        |ORDER BY user_id, hr""".stripMargin,
+    "q66_quantized_ann" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |m AS (SELECT vec_id, e,
+         |  list_max(list_transform(e, x -> abs(x))) AS mab FROM emb),
+         |qz AS (SELECT vec_id,
+         |  list_transform(e, x -> CAST(round((x * 127.0) / mab) AS BIGINT)) AS q
+         |  FROM m WHERE mab > 0),
+         |n AS (SELECT vec_id, q, ${dotSql("q", "q")} AS nrm FROM qz),
+         |qs AS (SELECT vec_id AS q_id, q AS qq, nrm AS nq
+         |  FROM n WHERE vec_id < 50),
+         |cos AS (
+         |  SELECT qs.q_id, c.vec_id AS n_id,
+         |    CAST(${dotSql("qs.qq", "c.q")} AS DOUBLE)
+         |      / sqrt(CAST(qs.nq * c.nrm AS DOUBLE)) AS qcos
+         |  FROM qs, n c WHERE c.vec_id <> qs.q_id)
+         |SELECT q_id, n_id, qcos, rank FROM (
+         |  SELECT q_id, n_id, qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY qcos DESC, n_id ASC) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q67_stratified_sample" ->
+      s"""SELECT event_type, COUNT(*) AS n_sampled,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         |FROM events
+         |WHERE ${PortableHash.hash60BaseSql("event_id::VARCHAR")} % 1000 <
+         |  CASE event_type WHEN 'click' THEN 20 WHEN 'view' THEN 200
+         |  ELSE 100 END
+         |GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

@@ -78,6 +78,49 @@ object Similarity {
       .select(col("a"), col("b"), col("cosine"))
   }
 
+  /** Int8-range symmetric quantization of `vecCol`: q_i = round(127 *
+    * x_i / max|x|) as `array<int>`, plus the precomputed integer
+    * self-dot `normCol`. Zero vectors (max|x| = 0) cannot be quantized
+    * and are dropped. Per-vector cost — the higher-order `transform`
+    * lambdas here are CodegenFallback, which is fine OFF the per-pair
+    * hot path (the pair kernel is the codegen [[IntDotProduct]]).
+    */
+  private def quantize(df: DataFrame, idCol: String, vecCol: String,
+      idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__e"))
+      .withColumn("__mab", array_max(transform(col("__e"), x => abs(x))))
+      .filter(col("__mab") > 0)
+      .withColumn(vecAs, transform(col("__e"),
+        x => round(x * lit(127.0) / col("__mab")).cast("int")))
+      .drop("__e", "__mab")
+      .withColumn(normAs,
+        VectorFunctions.dotInt(col(vecAs), col(vecAs)))
+
+  /** Quantized brute-force cosine top-k — the memory-bandwidth scale
+    * path: int8-range vectors store 8x less than float64 and the
+    * per-pair kernel is one integer multiply-add loop in whole-stage
+    * codegen. Integer dots are EXACT, so quantized scores (and their
+    * ranking) replay bit-identically in the DuckDB oracle (q66) — the
+    * determinism md5 buys for hashes, quantization buys for vector
+    * math. Quantization error costs only ranking QUALITY, measured
+    * against the exact ranking in SimilaritySpec.
+    */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = quantize(queries, idCol, vecCol, "q_id", "qq", "nq")
+    val c = quantize(corpus, idCol, vecCol, "n_id", "cq", "nc")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qcos",
+        VectorFunctions.dotInt(col("qq"), col("cq")).cast("double") /
+          sqrt((col("nq") * col("nc")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+  }
+
   /** Deterministic hyperplane components: plane `p`, dimension `i` is
     * derived from md5Low60("plane:p:i"). `signsOnly=true` gives Rademacher
     * ±1 components (portable to SQL as literal lists — the oracle-checked

@@ -72,4 +72,40 @@ class SimilaritySpec extends SparkSpec {
     val joined = res.join(brute, Seq("q_id", "n_id"))
     assert(joined.filter($"cosine" =!= $"bcos").count() === 0)
   }
+
+  test("IntDotProduct matches the interpreted integer fold") {
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextInt(255) - 127),
+        Array.fill(16)(rnd.nextInt(255) - 127))
+    }
+    val df = rows.toDF("id", "a", "b")
+      .withColumn("dot", VectorFunctions.dotInt($"a", $"b"))
+      .collect()
+    rows.zip(df.sortBy(_.getAs[Long]("id"))).foreach { case ((_, a, b), r) =>
+      val expected = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      assert(r.getAs[Long]("dot") === expected)
+    }
+  }
+
+  test("quantizedTopK ranks the scaled copy first (direction survives quantization)") {
+    val res = Similarity.quantizedTopK(
+      vecs.filter($"vec_id" >= 1000), vecs, "vec_id", "embedding", k = 3)
+    val top1 = res.filter($"rank" === 1).collect()
+    assert(top1.length === 5)
+    top1.foreach { r =>
+      // a scaled copy has identical direction; symmetric quantization is
+      // scale-invariant, so the quantized vectors are IDENTICAL and the
+      // quantized cosine is exactly 1
+      assert(r.getAs[Long]("n_id") === r.getAs[Long]("q_id") - 1000)
+      assert(r.getAs[Double]("qcos") === 1.0)
+    }
+    // ranking quality: quantized top-3 overlaps exact top-3 heavily
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" >= 1000), vecs, "vec_id", "embedding", 3)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val quant = res.select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(quant.intersect(brute).size >= (brute.size * 2) / 3)
+  }
 }

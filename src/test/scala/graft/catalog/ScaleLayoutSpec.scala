@@ -45,6 +45,40 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("z-order clustering shrinks per-file ranges on every dimension") {
+    val dir = Files.createTempDirectory("graft-zorder").toString
+    val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
+    val nFiles = 8
+    ZOrder.cluster(orders, Seq("o_custkey", "o_totalprice"), nFiles)
+      .write.mode("overwrite").parquet(dir)
+    val rd = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+    val g = orders.agg(
+      min("o_custkey").cast("double"), max("o_custkey").cast("double"),
+      min("o_totalprice"), max("o_totalprice")).head()
+    val (kLo, kHi, pLo, pHi) =
+      (g.getDouble(0), g.getDouble(1), g.getDouble(2), g.getDouble(3))
+    val perFile = rd.groupBy("f").agg(
+      min("o_custkey").cast("double").as("kmn"),
+      max("o_custkey").cast("double").as("kmx"),
+      min("o_totalprice").as("pmn"), max("o_totalprice").as("pmx"))
+      .collect()
+    assert(perFile.length === nFiles)
+    // a centered query box covering 1/4 of each dimension: a random
+    // layout intersects EVERY file's min/max box; the z-ordered layout
+    // must exclude at least half the files on stats alone
+    val (qkLo, qkHi) = (kLo + (kHi - kLo) * 0.375, kLo + (kHi - kLo) * 0.625)
+    val (qpLo, qpHi) = (pLo + (pHi - pLo) * 0.375, pLo + (pHi - pLo) * 0.625)
+    val touched = perFile.count { r =>
+      r.getDouble(2) >= qkLo && r.getDouble(1) <= qkHi &&
+        r.getDouble(4) >= qpLo && r.getDouble(3) <= qpHi
+    }
+    assert(touched <= nFiles / 2,
+      s"query box touched $touched of $nFiles z-ordered files")
+    // and the layout is only a reordering: same rows
+    assert(rd.drop("f").count() === orders.count())
+  }
+
   test("partitioned catalog table prunes partitions under a key predicate") {
     val cat = new ParquetCatalog(spark,
       Files.createTempDirectory("graft-part").toString)

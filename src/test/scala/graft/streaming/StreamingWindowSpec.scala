@@ -58,4 +58,41 @@ class StreamingWindowSpec extends SparkSpec {
       assert(after === 3.0) // late 100.0 never appears
     } finally q.stop()
   }
+
+  test("session_window merges gap-bounded activity per key in append mode") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val source = MemoryStream[Ev]
+    // built-in session windows (dynamic, gap-merged) — the declarative
+    // sibling of the custom flatMapGroupsWithState sessionizer
+    val agg = source.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out")
+      .start()
+    try {
+      // two bursts for 'a' separated by > 30 min -> two sessions;
+      // the middle event extends the first session (gap < 30 min)
+      source.addData(
+        Ev(ts("2024-01-01 09:00:00"), "a", 1.0),
+        Ev(ts("2024-01-01 09:20:00"), "a", 2.0),
+        Ev(ts("2024-01-01 10:30:00"), "a", 4.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      source.addData(Ev(ts("2024-01-01 13:00:00"), "z", 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .filter(col("event_type") === "a")
+        .select(col("session_window.start").cast("string"),
+          col("session_window.end").cast("string"), col("n"), col("v"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(sessions === Set(
+        // session end = last event + gap
+        ("2024-01-01 09:00:00", "2024-01-01 09:50:00", 2L, 3.0),
+        ("2024-01-01 10:30:00", "2024-01-01 11:00:00", 1L, 4.0)))
+    } finally q.stop()
+  }
 }

@@ -26,16 +26,19 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // textCols get a replica-specific token INSERTED BETWEEN EVERY PAIR
-    // OF WORDS (not just appended — one appended token leaves replicas
-    // ~0.99 Jaccard-similar, above any near-dup threshold). Without the
-    // perturbation every replica of a doc duplicates the others, near-dup
-    // candidate PAIRS grow ~factor^2 by construction, and the probe
-    // falsely reads the minhash path as super-linear. With it, every
-    // shingle differs across replicas, so only the corpus's own planted
-    // duplicates remain — duplicate structure scales linearly like real
-    // Nx data. (Replicas also stop being intra-replica-affected: the same
-    // rewrite is applied uniformly within a replica.)
+    // textCols get EVERY TOKEN suffixed with the replica index. This is
+    // the only perturbation that replicates honestly:
+    //  - appending one token per doc leaves replicas ~0.99
+    //    Jaccard-similar -> cross-replica dup cliques -> candidate pairs
+    //    grow ~factor^2 and the probe falsely reads super-linear;
+    //  - INSERTING a marker between words creates shingles like
+    //    (repN, w, repN) shared by any two same-replica docs with one
+    //    common word — it REWRITES the similarity structure (3-shingles
+    //    degrade to 1-shingles) and candidate pairs explode for real.
+    // Per-token suffixing keeps token counts and every within-replica
+    // shingle relation EXACTLY as in the original corpus, with zero
+    // cross-replica overlap: duplicate structure scales linearly, like
+    // genuinely new data.
     def replicate(df: DataFrame, keyCols: Seq[String], offset: Long,
         textCols: Seq[String] = Nil): DataFrame = {
       val reps = spark.range(factor).withColumnRenamed("id", "__rep")
@@ -43,8 +46,8 @@ object ScaleProbe {
         d.withColumn(k, col(k) + col("__rep") * offset)
       }
       textCols.foldLeft(keyed) { (d, t) =>
-        d.withColumn(t, regexp_replace(col(t), lit("\\s+"),
-          concat(lit(" rep"), col("__rep"), lit(" "))))
+        d.withColumn(t, regexp_replace(col(t), lit("(\\S+)"),
+          concat(lit("$1r"), col("__rep"))))
       }.drop("__rep")
     }
 
@@ -72,6 +75,15 @@ object ScaleProbe {
       graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
         persistShingles = false).count()
 
+    // end-to-end near-dup clustering: LSH pairs -> iterative connected
+    // components (the other scale-critical loop; per-round cost must
+    // track the edge count, not the corpus)
+    def cluster(d: DataFrame): Long = {
+      val pairs = graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id",
+        "text", persistShingles = false).select(col("a"), col("b"))
+      graft.dedup.Dedup.connectedComponents(pairs).count()
+    }
+
     def merge(c: DataFrame): Long = {
       val prod = c.select(col("c_custkey").cast("long").as("dim_id"),
         col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
@@ -92,6 +104,7 @@ object ScaleProbe {
     val results = Seq(
       "agg" -> (time(agg(li1)), time(agg(liN))),
       "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
+      "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
       "scd_merge" -> (time(merge(cust1)), time(merge(custN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>
       f"""\"$name\":{\"t1\":$t1%.2f,\"rows1\":$n1,\"tN\":$tN%.2f,\"rowsN\":$nN,\"ratio\":${tN / t1}%.2f}"""

@@ -254,4 +254,27 @@ object Dedup {
       .select(col(idCol),
         graft.functions.TextHash.simhash16(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
+
+  /** SimHash near-duplicate pairs at hamming distance <= 1: every
+    * left-side fingerprint expands to itself plus its 16 single-bit
+    * flips (17 join keys), candidates come from an EXACT equality join
+    * on the 16-bit value — no similarity scan anywhere — and the verify
+    * is one `bit_count(xor)`. The key space (65536) is dense relative to
+    * large corpora, so the join distributes near-uniformly; this is the
+    * short-text sibling of MinHash-LSH (which needs ~2x the passes for
+    * texts long enough to shingle). All-integer pipeline — replays
+    * bit-identically in the oracle (q68).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fp = simhash16(docs, idCol, textCol)
+    val masks = lit(0L) +: (0 until 16).map(i => lit(1L << i))
+    val l = fp.select(col(idCol).as("a"), col("simhash").as("fa"),
+      explode(array(masks.map(m => col("simhash").bitwiseXOR(m)): _*))
+        .as("k"))
+    val r = fp.select(col(idCol).as("b"), col("simhash").as("fb"))
+    l.join(r, col("k") === col("fb") && col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+  }
 }

@@ -92,6 +92,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash hamming<=1 near-dup pairs: 17-key bit-flip expansion +
+    // exact equality join + one bit_count(xor) verify — all-integer,
+    // also the bitwise-function surface (xor/shift/bit_count).
+    "q68_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Vocabulary induction: corpus-wide token frequencies, top-50 with a
     // total tiebreak (one explode + one map-side-combinable count).
     "q55_vocab" -> ((s, dir) => {
@@ -177,6 +185,23 @@ object PipelineQueries {
 
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** SimHash-16 fingerprint CTE chain ending in `fp(doc_id, simhash)` —
+    * shared by q21 (fingerprints) and q68 (hamming<=1 pairs).
+    */
+  private lazy val simhashFpCte =
+    s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |tokh AS (SELECT doc_id,
+       |    (('0x'||substr(md5('2:'||tok),1,15))::BIGINT) % 65536 AS h16
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t),
+       |bits AS (SELECT doc_id, j,
+       |    CAST(floor(h16 / pow(2, j)) AS BIGINT) % 2 AS bit
+       |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) js),
+       |votes AS (SELECT doc_id, j, SUM(bit*2 - 1) AS v FROM bits GROUP BY doc_id, j),
+       |fp AS (SELECT doc_id,
+       |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+       |    AS BIGINT) AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
 
   /** Quality-score expression over a `text` column — shared by q16 and
     * the q46 pipeline gate so both replay the same arithmetic.
@@ -422,17 +447,19 @@ object PipelineQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
          |ORDER BY e.doc_id""".stripMargin,
     "q21_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |tokh AS (SELECT doc_id,
-         |    (('0x'||substr(md5('2:'||tok),1,15))::BIGINT) % 65536 AS h16
-         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) t),
-         |bits AS (SELECT doc_id, j,
-         |    CAST(floor(h16 / pow(2, j)) AS BIGINT) % 2 AS bit
-         |  FROM tokh CROSS JOIN (SELECT unnest(generate_series(0,15)) AS j) js),
-         |votes AS (SELECT doc_id, j, SUM(bit*2 - 1) AS v FROM bits GROUP BY doc_id, j)
-         |SELECT doc_id,
-         |  CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
-         |    AS BIGINT) AS simhash
-         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      s"""WITH $simhashFpCte
+         |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin,
+    "q68_simhash_pairs" ->
+      s"""WITH $simhashFpCte,
+         |keys AS (
+         |  SELECT doc_id, simhash,
+         |    unnest(list_prepend(simhash,
+         |      list_transform(generate_series(0, 15),
+         |                     i -> xor(simhash, CAST(1 << i AS BIGINT))))) AS k
+         |  FROM fp)
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+         |FROM keys l JOIN fp r ON r.simhash = l.k AND l.doc_id < r.doc_id
+         |ORDER BY a, b""".stripMargin
   )
 }

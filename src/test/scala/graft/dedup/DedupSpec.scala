@@ -69,6 +69,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs finds exactly the hamming<=1 pairs of the brute-force scan") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force ground truth over the fingerprints
+    val fp = Dedup.simhash16(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 1
+    } yield (a, b, h)).toSet
+    assert(pairs === expected)
+    assert(expected.nonEmpty) // exact copies guarantee hamming-0 pairs
+  }
+
   test("connectedComponents resolves chains, stars and separate components") {
     import spark.implicits._
     // chain 1-2-3-4, star 10-(11,12,13), isolated pair 20-21

@@ -101,6 +101,28 @@ object Round3Queries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // Non-equi point-in-interval range join, bucketized (RangeJoin):
+    // shipment timestamps against 7-day order windows with NO shared
+    // key — the time-bucket equi-join shape that replaces a
+    // nested-loop/cartesian at scale. All time math in epoch µs.
+    "q69_interval_join" -> ((s, dir) => {
+      val dayUs = 86400000000L
+      val iv = Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 === 0)
+        .select(col("o_orderkey").as("win_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ws"))
+        .withColumn("we", col("ws") + lit(7 * dayUs))
+      val pts = Tables(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+      graft.operators.RangeJoin
+        .pointInInterval(pts, iv, "ship_us", "ws", "we", dayUs)
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_ship"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("win_id"))
+    }),
+
     // Stratified deterministic sampling: per-stratum rates (heavy
     // downsample of high-volume strata, light elsewhere) from the same
     // portable md5 coin as q54's uniform sample — DataFrameStatFunctions
@@ -182,6 +204,16 @@ object Round3Queries {
          |      ORDER BY qcos DESC, n_id ASC) AS rank
          |  FROM cos) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q69_interval_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey AS win_id, epoch_us(o_orderdate) AS ws,
+        |    epoch_us(o_orderdate) + 604800000000 AS we
+        |  FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT win_id, COUNT(*) AS n_ship,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM iv JOIN lineitem
+        |  ON epoch_us(l_shipdate) >= ws AND epoch_us(l_shipdate) < we
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
     "q67_stratified_sample" ->
       s"""SELECT event_type, COUNT(*) AS n_sampled,
          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value

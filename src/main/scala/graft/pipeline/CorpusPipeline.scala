@@ -33,21 +33,25 @@ object CorpusPipeline {
   def clean(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val id = col(idCol)
-    // 1. row-local gates
+    // 1. row-local gates — persisted HERE, not after the dedup join:
+    // the gate scan (quality + langId over the full corpus) feeds the
+    // fingerprint aggregate, the semi-join probe side, the shingle
+    // pipeline and the final anti join; persisting the survivors once
+    // makes every downstream consumer a cache read instead of a gate
+    // recompute. Caller-managed eviction, same contract as
+    // minhashNearDuplicates.
     val gated = docs.select(id, col(textCol),
         TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
         TextAnalysis.langId(col(textCol)).as("lang_pred"))
       .filter(col("quality") >= cfg.minQuality &&
         col("lang_pred").isin(cfg.languages: _*))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    // the exact-deduped relation feeds the shingle pipeline AND the final
-    // anti join — persist it so the row-local gates (quality/langId over
-    // the full corpus) run once, not once per consumer. Same
-    // caller-managed-eviction contract as minhashNearDuplicates.
+    // cheap join against the cached survivors (the min-id side
+    // broadcasts) — no second persist needed for the subset
     val exact = gated.join(keep, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal: resolve LSH-verified pairs into connected
     // components and keep each cluster's minimum id — one survivor per
     // duplicate group even across untested chains (a~b, b~c drops both

@@ -123,6 +123,39 @@ object Round3Queries {
         .orderBy(col("win_id"))
     }),
 
+    // Statistics functions: correlation / sample covariance / sample
+    // stddev from EXACT decimal co-moments (one pass, map-side
+    // combinable), assembled into doubles with an identical IEEE
+    // operation sequence in both engines — hash-checkable where the
+    // built-in streaming-moment implementations would drift in low
+    // bits. (Built-ins corr/covar_samp/stddev are asserted ~equal to
+    // these in StatsSpec.)
+    "q70_stats_corr" -> ((s, dir) => {
+      // DECIMAL(18,2) — the data's native precision; products stay at
+      // scale 4 / precision 37, inside BOTH engines' exact integer
+      // arithmetic (DuckDB overflows int64 multiplying scale-6 inputs)
+      val x = dec2(col("l_quantity"))
+      val y = dec2(col("l_extendedprice"))
+      def d(c: String): Column = col(c).cast("double")
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"),
+          sum(x * y).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((d("n") * d("sxy") - d("sx") * d("sy")) /
+            sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
+              (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qp"),
+          ((d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - lit(1.0)))
+            .as("cov_qp"),
+          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) /
+            (d("n") * (d("n") - lit(1.0)))).as("sd_q"),
+          sqrt((d("n") * d("syy") - d("sy") * d("sy")) /
+            (d("n") * (d("n") - lit(1.0)))).as("sd_p"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Stratified deterministic sampling: per-stratum rates (heavy
     // downsample of high-volume strata, light elsewhere) from the same
     // portable md5 coin as q54's uniform sample — DataFrameStatFunctions
@@ -204,6 +237,35 @@ object Round3Queries {
          |      ORDER BY qcos DESC, n_id ASC) AS rank
          |  FROM cos) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q70_stats_corr" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp,
+        |  (CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) - 1.0) AS cov_qp,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_q,
+        |  sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_p
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q69_interval_join" ->
       """WITH iv AS (
         |  SELECT o_orderkey AS win_id, epoch_us(o_orderdate) AS ws,

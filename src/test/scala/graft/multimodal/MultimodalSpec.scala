@@ -73,4 +73,20 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("count") =!= col("n_frames"))
     assert(perDoc.count() === 0)
   }
+
+  test("byteFeatures matches JVM-side byte statistics of the payload") {
+    val media = Multimodal.synthesize(docs)
+    val feats = Multimodal.byteFeatures(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    media.select("doc_id", "payload").collect().foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]]("payload").map(_ & 0xff)
+      val f = feats(id)
+      assert(f.getDouble(1) === bytes.sum.toDouble / 16) // mean_byte
+      assert(f.getInt(2) === bytes.min && f.getInt(3) === bytes.max)
+      assert(f.getLong(4) === bytes.distinct.length.toLong)
+      val mass = bytes.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      assert(f.getLong(5) === mass)
+    }
+  }
 }

@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // the native as-of join operator plans through this strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // graft_cosine lowers to the codegen DotProduct kernels here
+    ext.injectOptimizerRule(_ => CosineExpand)
   }
 }
 
@@ -60,17 +62,31 @@ object GraftExtensions {
     RollingHash(exprs.head)
   }
 
+  private val cosineBuilder: Builder = { exprs =>
+    require(exprs.length == 2, "graft_cosine(arrayA, arrayB)")
+    CosineMarker(VectorFunctions.castToDoubleArray(exprs.head),
+      VectorFunctions.castToDoubleArray(exprs(1)))
+  }
+
   /** All SQL-exposed engine functions. */
   private val builders: Seq[(String, Builder)] = Seq(
     "graft_dot" -> dotBuilder,
     "graft_shingle_hash60" -> shingleBuilder,
     "graft_simhash16" -> simhashBuilder,
-    "graft_rolling_hash" -> rollingBuilder)
+    "graft_rolling_hash" -> rollingBuilder,
+    "graft_cosine" -> cosineBuilder)
 
-  /** Register on an already-running session (tests, notebooks). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register on an already-running session (tests, notebooks): the
+    * function surface plus the marker-lowering optimizer rule (idempotent
+    * — extraOptimizations is only appended on first call).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.ColumnBridge
         .registerTempFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(CosineExpand))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ CosineExpand
+  }
 }

@@ -131,28 +131,36 @@ object Round3Queries {
     // bits. (Built-ins corr/covar_samp/stddev are asserted ~equal to
     // these in StatsSpec.)
     "q70_stats_corr" -> ((s, dir) => {
-      // DECIMAL(18,2) — the data's native precision; products stay at
-      // scale 4 / precision 37, inside BOTH engines' exact integer
-      // arithmetic (DuckDB overflows int64 multiplying scale-6 inputs)
-      val x = dec2(col("l_quantity"))
-      val y = dec2(col("l_extendedprice"))
+      // SCALE-0 centi-unit integers end to end: x,y in hundredths (the
+      // data's native 2-decimal precision), co-moment sums as exact
+      // DECIMAL(38,0) integers. Both engines then convert the SAME
+      // exact integer to double (a correctly-rounded conversion on both
+      // sides) — where a scaled DECIMAL sum diverges in low bits because
+      // DuckDB converts decimal->double as int/10^s in double
+      // arithmetic. The centi-scaling cancels in corr and divides out
+      // of cov (1e4) and the stddevs (1e2) as exact powers of ten.
+      val xc = (dec2(col("l_quantity")) * 100).cast("long")
+      val yc = (dec2(col("l_extendedprice")) * 100).cast("long")
+      def big(c: Column): Column = c.cast(DecimalType(38, 0))
       def d(c: String): Column = col(c).cast("double")
       Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
-          sum(x).as("sx"), sum(y).as("sy"),
-          sum(x * x).as("sxx"), sum(y * y).as("syy"),
-          sum(x * y).as("sxy"))
+          sum(big(col("xc"))).as("sx"), sum(big(col("yc"))).as("sy"),
+          sum(big(col("xc") * col("xc"))).as("sxx"),
+          sum(big(col("yc") * col("yc"))).as("syy"),
+          sum(big(col("xc") * col("yc"))).as("sxy"))
         .select(col("l_returnflag"), col("n"),
           ((d("n") * d("sxy") - d("sx") * d("sy")) /
             sqrt((d("n") * d("sxx") - d("sx") * d("sx")) *
               (d("n") * d("syy") - d("sy") * d("sy")))).as("corr_qp"),
-          ((d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - lit(1.0)))
-            .as("cov_qp"),
-          sqrt((d("n") * d("sxx") - d("sx") * d("sx")) /
-            (d("n") * (d("n") - lit(1.0)))).as("sd_q"),
-          sqrt((d("n") * d("syy") - d("sy") * d("sy")) /
-            (d("n") * (d("n") - lit(1.0)))).as("sd_p"))
+          (((d("sxy") - d("sx") * d("sy") / d("n")) / (d("n") - lit(1.0)))
+            / lit(10000.0)).as("cov_qp"),
+          (sqrt((d("n") * d("sxx") - d("sx") * d("sx")) /
+            (d("n") * (d("n") - lit(1.0)))) / lit(100.0)).as("sd_q"),
+          (sqrt((d("n") * d("syy") - d("sy") * d("sy")) /
+            (d("n") * (d("n") - lit(1.0)))) / lit(100.0)).as("sd_p"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -238,17 +246,17 @@ object Round3Queries {
          |  FROM cos) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q70_stats_corr" ->
-      """WITH m AS (
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        |  FROM lineitem),
+        |m AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
-        |        * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
-        |        * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
-        |  FROM lineitem GROUP BY l_returnflag)
+        |    SUM(xc) AS sx, SUM(yc) AS sy,
+        |    SUM(xc * xc) AS sxx, SUM(yc * yc) AS syy,
+        |    SUM(xc * yc) AS sxy
+        |  FROM c GROUP BY l_returnflag)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
         |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
@@ -258,13 +266,13 @@ object Round3Queries {
         |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qp,
         |  (CAST(sxy AS DOUBLE)
         |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / (CAST(n AS DOUBLE) - 1.0) AS cov_qp,
+        |    / (CAST(n AS DOUBLE) - 1.0) / 10000.0 AS cov_qp,
         |  sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_q,
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS sd_q,
         |  sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
-        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS sd_p
+        |       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0 AS sd_p
         |FROM m ORDER BY l_returnflag""".stripMargin,
     "q69_interval_join" ->
       """WITH iv AS (

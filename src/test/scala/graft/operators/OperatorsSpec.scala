@@ -68,6 +68,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got === 12.0)
   }
 
+  test("graft_cosine lowers to codegen dot_product via the optimizer rule") {
+    graft.functions.GraftExtensions.register(spark)
+    val df = spark.sql(
+      """SELECT graft_cosine(array(1.0D, 2.0D), array(3.0D, 6.0D)) AS c,
+        |       graft_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o""".stripMargin)
+    val row = df.head
+    assert(math.abs(row.getDouble(0) - 1.0) < 1e-12) // parallel vectors
+    assert(row.getDouble(1) === 0.0) // orthogonal
+    // the marker must be gone, replaced by the codegen kernel
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_cosine") &&
+      optimized.contains("dot_product"), optimized)
+  }
+
   test("text-hash functions are available in SQL after registration") {
     graft.functions.GraftExtensions.register(spark)
     val row = spark.sql(

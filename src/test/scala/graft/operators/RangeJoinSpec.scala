@@ -14,7 +14,11 @@ class RangeJoinSpec extends SparkSpec {
       (2L, 5L, 35L),    // spans 4 buckets
       (3L, 10L, 20L),   // end exactly on a bucket edge (exclusive)
       (4L, 19L, 21L),   // straddles an edge
-      (5L, 7L, 8L)      // width 1
+      (5L, 7L, 8L),     // width 1
+      (6L, 30L, 30L)    // zero-length ON a bucket boundary: the inverted
+                        // bucket bounds yield a descending 2-bucket
+                        // sequence whose rows the exact predicate drops —
+                        // empty intervals match nothing, never error
     ).toDF("iv_id", "s", "e")
     val points = (0L until 40L).map(p => (p, p)).toDF("p_id", "p")
     val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
@@ -29,5 +33,23 @@ class RangeJoinSpec extends SparkSpec {
     val asSet = got.toSet
     assert(asSet.contains((10L, 3L)) && !asSet.contains((20L, 3L)))
     assert(asSet.contains((7L, 5L)) && !asSet.contains((8L, 5L)))
+  }
+
+  test("fuzz: random intervals/points/widths agree with the naive join") {
+    val rnd = new scala.util.Random(42)
+    val intervals = (1L to 150L).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (i, s, s + rnd.nextInt(120)) // includes zero-length (empty) spans
+    }.toDF("iv_id", "s", "e")
+    val points = (1L to 300L).map(p => (p, rnd.nextInt(1100).toLong - 50))
+      .toDF("p_id", "p")
+    val naive = points.join(intervals, $"p" >= $"s" && $"p" < $"e")
+      .select($"p_id", $"iv_id").as[(Long, Long)].collect().sorted.toSeq
+    Seq(1L, 3L, 7L, 10L, 64L, 1000L).foreach { w =>
+      val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e", w)
+        .select($"p_id", $"iv_id").as[(Long, Long)].collect()
+      assert(got.length === got.toSet.size, s"width $w emitted duplicates")
+      assert(got.sorted.toSeq === naive, s"width $w diverged")
+    }
   }
 }

@@ -45,6 +45,55 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("SCD merge over bucketed tables joins without shuffling either side") {
+    import graft.scd.{MergeOptions, ScdMerge, ScdMergeSpec}
+    val dir = "/root/testdata/sf0.001"
+    spark.sql("DROP TABLE IF EXISTS dim_bkt")
+    spark.sql("DROP TABLE IF EXISTS stag_bkt")
+    val cust = Tables(spark, dir, "customer")
+    cust.select(col("c_custkey").cast("int").as("dim_user_id"),
+        concat(lit("u"), col("c_custkey")).as("login"),
+        (col("c_custkey") % 2 === 0).as("premium_user"),
+        col("c_mktsegment").as("address"), lit("555").as("phone"),
+        col("c_name").as("name"), lit("x").as("surname"),
+        lit(1980).as("year_of_birth"), lit(1).as("scd_version"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("scd_start_date"),
+        lit("9999-12-31 23:59:59").cast("timestamp").as("scd_end_date"),
+        lit(true).as("scd_active"))
+      .write.bucketBy(8, "login").sortBy("login").saveAsTable("dim_bkt")
+    cust.select(concat(lit("u"), col("c_custkey")).as("login"),
+        col("c_name").as("name"), lit("x").as("surname"),
+        lit(1980).as("year_of_birth"),
+        (col("c_custkey") % 3 === 0).as("premium_user"),
+        col("c_mktsegment").as("address"), lit("556").as("phone"))
+      .write.bucketBy(8, "login").sortBy("login").saveAsTable("stag_bkt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val merged = ScdMerge.merge(spark.table("dim_bkt"),
+        spark.table("stag_bkt"), ScdMergeSpec.dimUser,
+        MergeOptions(ScdMergeSpec.asOf))
+      merged.count() // execute so AQE finalizes the plan
+      val plan = merged.queryExecution.executedPlan.toString
+      // the full-outer merge join consumes the bucketed layout directly:
+      // Sort sits straight on the bucketed scans, and NO join-key
+      // shuffle (Exchange hashpartitioning) exists anywhere. (The only
+      // exchanges left are SinglePartition ones: the max-surrogate
+      // aggregate and the NEW-rows-only ranking window — both sized by
+      // the increment, not the dimension.)
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"expected a full-outer sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"merge join shuffled a bucketed side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("z-order clustering shrinks per-file ranges on every dimension") {
     val dir = Files.createTempDirectory("graft-zorder").toString
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")

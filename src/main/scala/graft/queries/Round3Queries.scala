@@ -164,6 +164,33 @@ object Round3Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // UNPIVOT / melt: wide measure columns to long (measure, value)
+    // rows — the Dataset.unpivot operator vs DuckDB's native UNPIVOT —
+    // folded back to per-measure aggregates for a compact compare.
+    "q72_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("val"))).cast("double").as("total"))
+        .orderBy(col("measure"))
+    }),
+
+    // LATERAL correlated subquery (one ANSI text, both engines — the
+    // q45 pattern): per-customer order stats computed in a lateral
+    // derived table.
+    "q73_lateral" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(LateralSql)
+    }),
+
     // Stratified deterministic sampling: per-stratum rates (heavy
     // downsample of high-volume strata, light elsewhere) from the same
     // portable md5 coin as q54's uniform sample — DataFrameStatFunctions
@@ -181,6 +208,17 @@ object Round3Queries {
         .orderBy(col("event_type"))
     })
   )
+
+  /** One ANSI text, two engines (q73). */
+  private val LateralSql =
+    """SELECT c.c_custkey, l.n_orders, l.best
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT COUNT(*) AS n_orders,
+      |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey) l
+      |WHERE l.n_orders > 0
+      |ORDER BY c.c_custkey""".stripMargin
 
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
@@ -245,6 +283,16 @@ object Round3Queries {
          |      ORDER BY qcos DESC, n_id ASC) AS rank
          |  FROM cos) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q72_unpivot" ->
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (
+        |  UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity,
+        |             l_extendedprice, l_discount, l_tax FROM lineitem)
+        |  ON l_quantity, l_extendedprice, l_discount, l_tax
+        |  INTO NAME measure VALUE val)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+    "q73_lateral" -> LateralSql,
     "q70_stats_corr" ->
       """WITH c AS (
         |  SELECT l_returnflag,

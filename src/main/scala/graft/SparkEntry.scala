@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.VectorQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.Round3Queries.queries
+      graft.queries.Round3Queries.queries ++
+      graft.queries.Round3bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
-      graft.queries.Round3Queries.oracleSql
+      graft.queries.Round3Queries.oracleSql ++
+      graft.queries.Round3bQueries.oracleSql
 }

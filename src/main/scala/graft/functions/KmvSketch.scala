@@ -83,6 +83,47 @@ class KmvSketch(k: Int) extends Aggregator[java.lang.Long, Array[Long], Double]
   override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
 }
 
+/** Sketch-VALUED aggregate: emits the sorted bottom-k hash buffer
+  * itself instead of the estimate — the materializable half of the
+  * rollup algebra. A 100 TB pipeline aggregates raw data once into
+  * fine-grained partial sketches (per day / per partition), persists
+  * them, and answers coarser distinct-counts by merging sketches with
+  * [[KmvMergeEstimate]] — never re-scanning the raw data. Bottom-k
+  * merge is LOSSLESS (the k smallest of a union are among the union of
+  * per-part k smallest), so the rolled-up estimate equals the
+  * direct-over-raw estimate exactly.
+  */
+class KmvBuffer(k: Int)
+    extends Aggregator[java.lang.Long, Array[Long], Array[Long]]
+    with Serializable {
+  private val inner = new KmvSketch(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], h: java.lang.Long): Array[Long] =
+    inner.reduce(buf, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Merge persisted KMV sketch buffers (sorted bottom-k arrays from
+  * [[KmvBuffer]]) and finish to the distinct-count estimate.
+  */
+class KmvMergeEstimate(k: Int)
+    extends Aggregator[Array[Long], Array[Long], Double]
+    with Serializable {
+  private val inner = new KmvSketch(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], sk: Array[Long]): Array[Long] =
+    if (sk == null) buf else inner.merge(buf, sk)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+    inner.merge(a, b)
+  override def finish(buf: Array[Long]): Double = inner.finish(buf)
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Double] = ExpressionEncoder[Double]()
+}
+
 object KmvSketch {
 
   /** 2^60 — the [[PortableHash.hash60Base]] value space. */
@@ -95,4 +136,12 @@ object KmvSketch {
     */
   def kmvEstimate(hash: Column, k: Int): Column = udaf(new KmvSketch(k))
     .apply(hash)
+
+  /** Partial sketch (sorted bottom-k hash array) — persist + roll up. */
+  def kmvBuffer(hash: Column, k: Int): Column = udaf(new KmvBuffer(k))
+    .apply(hash)
+
+  /** Merge partial sketches upward and finish to the estimate. */
+  def kmvMergeEstimate(sketch: Column, k: Int): Column =
+    udaf(new KmvMergeEstimate(k)).apply(sketch)
 }

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-3 widening, second batch: argmin/argmax aggregates,
+  * IGNORE NULLS across the window navigation family, native recursive
+  * CTE execution (Spark 4 UnionLoop — one ANSI text through both
+  * engines), and the mergeable-sketch rollup algebra (partial KMV
+  * sketches merged upward — the pre-aggregated-rollup shape a 100 TB
+  * pipeline uses to avoid re-scanning raw data).
+  */
+object Round3bQueries {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Deterministic total order for argmin/argmax: price in exact cents
+    * (no double ties at the low bits) scaled past the key range, plus
+    * the key as tiebreak — identical arithmetic in both engines.
+    */
+  private def ordv(price: Column, key: Column): Column =
+    (dec2(price) * 100).cast("long") * lit(10000000000L) + key
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // max_by / min_by (argmax/argmin) with a composite deterministic
+    // ordering value — one hash-aggregate, map-side combinable.
+    "q74_argminmax" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val v = ordv(col("o_totalprice"), col("o_orderkey"))
+      o.groupBy(col("o_orderpriority"))
+        .agg(
+          max_by(col("o_orderkey"), v).as("best_key"),
+          min_by(col("o_orderkey"), v).as("worst_key"),
+          (max((dec2(col("o_totalprice")) * 100).cast("long")) / 100.0)
+            .as("best_total"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Window navigation with IGNORE NULLS: lag / lead / first_value /
+    // nth_value skipping planted nulls, per-user event ordering with an
+    // event_id tiebreak. Values pass through un-arithmetic'd, so the
+    // doubles hash bit-exactly.
+    "q75_ignore_nulls" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events").filter(col("user_id") < 8)
+        .withColumn("v",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      ev.select(col("user_id"), col("ts_us"), col("event_id"), col("v"),
+          lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"),
+          lead(col("v"), 1, null, ignoreNulls = true).over(w).as("next_v"),
+          first(col("v"), ignoreNulls = true).over(w).as("first_v"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(wf).as("second_v"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    }),
+
+    // Mergeable-sketch rollup: raw events are aggregated ONCE into
+    // per-(type, day) partial KMV sketches (the persistable fine grain),
+    // which are then merged upward per type — the pre-aggregated-rollup
+    // algebra that answers distinct-counts at 100 TB without re-scanning
+    // raw data. Bottom-k merge is lossless, so the rolled-up estimate
+    // hash-matches the oracle's direct-over-raw computation exactly.
+    "q77_sketch_rollup" -> ((s, dir) => {
+      import graft.functions.{KmvSketch, PortableHash}
+      val h = PortableHash.hash60Base(col("user_id").cast("string"))
+      val daily = Tables(s, dir, "events")
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(KmvSketch.kmvBuffer(h, 64).as("sk"))
+      daily.groupBy(col("event_type"))
+        .agg(KmvSketch.kmvMergeEstimate(col("sk"), 64).as("approx_users"),
+          count(lit(1)).as("n_parts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Recursive CTE (Spark 4 native UnionLoop): walk the implicit
+    // decimal-digit parent chain over customers (parent = key div 10)
+    // from the single-digit roots, emitting each node's root and depth —
+    // ONE ANSI text executed by both engines (the q45/q73 pattern).
+    "q76_recursive_cte" -> ((s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(RecursiveSql)
+    })
+  )
+
+  /** One ANSI text, two engines (q76). */
+  private val RecursiveSql =
+    """WITH RECURSIVE tree AS (
+      |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+      |  FROM customer WHERE c_custkey < 10
+      |  UNION ALL
+      |  SELECT c.c_custkey AS node, t.root AS root, t.depth + 1 AS depth
+      |  FROM customer c JOIN tree t
+      |    ON CAST(FLOOR(c.c_custkey / 10.0) AS BIGINT) = t.node
+      |  WHERE c.c_custkey >= 10
+      |)
+      |SELECT node, root, depth FROM tree ORDER BY node""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q74_argminmax" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max_by(o_orderkey, cents * 10000000000 + o_orderkey) AS best_key,
+        |  min_by(o_orderkey, cents * 10000000000 + o_orderkey) AS worst_key,
+        |  CAST(MAX(cents) AS DOUBLE) / 100.0 AS best_total,
+        |  COUNT(*) AS n
+        |FROM o GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q75_ignore_nulls" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events WHERE user_id < 8)
+        |SELECT user_id, ts_us, event_id, v,
+        |  lag(v IGNORE NULLS) OVER w AS prev_v,
+        |  lead(v IGNORE NULLS) OVER w AS next_v,
+        |  first_value(v IGNORE NULLS) OVER w AS first_v,
+        |  nth_value(v, 2 IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND UNBOUNDED FOLLOWING) AS second_v
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q76_recursive_cte" -> RecursiveSql,
+    "q77_sketch_rollup" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ${graft.functions.PortableHash.hash60BaseSql("user_id::VARCHAR")} AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h),
+         |p AS (SELECT event_type,
+         |    COUNT(DISTINCT epoch_us(ts) // 86400000000) AS n_parts
+         |  FROM events GROUP BY event_type)
+         |SELECT r.event_type,
+         |  CASE WHEN max(r.nd) < 64 THEN CAST(max(r.nd) AS DOUBLE)
+         |       ELSE 63.0 * 1152921504606846976.0
+         |            / CAST(max(CASE WHEN r.rn = 64 THEN r.h END) AS DOUBLE)
+         |  END AS approx_users,
+         |  CAST(max(p.n_parts) AS BIGINT) AS n_parts
+         |FROM r JOIN p ON p.event_type = r.event_type
+         |GROUP BY r.event_type ORDER BY r.event_type""".stripMargin
+  )
+}

@@ -159,6 +159,15 @@ object ScdQueries {
         .orderBy(col("side"), col("c_custkey"), col("scd_version"))
     }),
 
+    // SCD Type 6 (hybrid 1+2+3): full Type-2 history plus cur_<col>
+    // columns carrying the member's CURRENT value on every historical
+    // row — one merge pass + one key-partitioned propagation window.
+    "q78_scd_type6" -> ((s, dir) => {
+      graft.scd.ScdVariants.mergeType6(production(s, dir), staging(s, dir),
+          schema, MergeOptions(asOf, highDate = highTs))
+        .orderBy(col("c_custkey"), col("scd_version"))
+    }),
+
     // Forward as-of: each order resolved to the EARLIEST dimension
     // version at or after the order date (orders after the last version
     // start take the outer-null path).
@@ -367,6 +376,16 @@ object ScdQueries {
          |SELECT 'closed' AS side, * FROM m
          |WHERE NOT scd_active AND scd_end_date = TIMESTAMP '2024-07-01 00:00:00'
          |ORDER BY side, c_custkey, scd_version""".stripMargin,
+    "q78_scd_type6" ->
+      s"""WITH m AS (
+         |${mergeSql(renumber = false)}
+         |)
+         |SELECT m.*,
+         |  max(CASE WHEN scd_active THEN c_acctbal END)
+         |    OVER (PARTITION BY c_custkey) AS cur_c_acctbal,
+         |  max(CASE WHEN scd_active THEN c_mktsegment END)
+         |    OVER (PARTITION BY c_custkey) AS cur_c_mktsegment
+         |FROM m ORDER BY c_custkey, scd_version""".stripMargin,
     "q58_asof_forward" ->
       """WITH dimv AS (
         |  SELECT c_custkey AS d_custkey, c_acctbal - 200 AS acctbal_v,

@@ -97,4 +97,29 @@ object ScdVariants {
     */
   final case class Type4Result(current: DataFrame, historyAppend: DataFrame,
       labeled: DataFrame)
+
+  /** Type-6 ("hybrid 1+2+3") merge: the full Type-2 version history PLUS
+    * a `cur_<col>` sibling for every Type-2 column carrying the member's
+    * CURRENT value on every historical row — so point-in-time queries
+    * can group/filter by today's attribute without a self-join to the
+    * active row.
+    *
+    * One [[ScdMerge]] pass, then one window partitioned by the business
+    * key propagates each member's single active-row value to all its
+    * versions (`max` over the one non-null `when(active, col)` — no
+    * arithmetic, so values carry bit-exactly). Scale shape: the merge
+    * join already shuffles on the business key; the propagation window
+    * re-keys on the same columns — one additional key-partitioned
+    * exchange, no ordering sort (partition-only window).
+    */
+  def mergeType6(production: DataFrame, staging: DataFrame,
+      schema: ScdSchema, opts: MergeOptions): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = ScdMerge.merge(production, staging, schema, opts)
+    val w = Window.partitionBy(schema.businessKeys.map(col): _*)
+    schema.type2Cols.foldLeft(merged) { (df, c) =>
+      df.withColumn(s"cur_$c",
+        max(when(col(schema.activeCol), col(c))).over(w))
+    }
+  }
 }

@@ -59,4 +59,27 @@ class KmvSketchSpec extends SparkSpec {
     val e32 = df.repartition(32).agg(KmvSketch.kmvEstimate(col("h"), 64)).head().getDouble(0)
     assert(e1 == e32)
   }
+
+  test("partial-sketch rollup equals the direct estimate (lossless merge)") {
+    // 12k ids spread over 10 "days": per-day partial sketches merged
+    // upward must give bit-identical estimates to aggregating raw data
+    val df = spark.range(12000)
+      .select(col("id"), (col("id") % 10).as("day"),
+        PortableHash.hash60Base(col("id").cast("string")).as("h"))
+    val direct = df.agg(KmvSketch.kmvEstimate(col("h"), 64)).head().getDouble(0)
+    val rolled = df.groupBy(col("day"))
+      .agg(KmvSketch.kmvBuffer(col("h"), 64).as("sk"))
+      .agg(KmvSketch.kmvMergeEstimate(col("sk"), 64))
+      .head().getDouble(0)
+    assert(rolled == direct)
+    // and below-k regime stays exact through the rollup
+    val small = spark.range(40)
+      .select((col("id") % 4).as("day"),
+        PortableHash.hash60Base(col("id").cast("string")).as("h"))
+    val smallRolled = small.groupBy(col("day"))
+      .agg(KmvSketch.kmvBuffer(col("h"), 64).as("sk"))
+      .agg(KmvSketch.kmvMergeEstimate(col("sk"), 64))
+      .head().getDouble(0)
+    assert(smallRolled == 40.0)
+  }
 }

@@ -66,4 +66,28 @@ class ScdVariantsSpec extends SparkSpec {
     assert(hist.length === 2) // user1+user2 v1 closed this run
     assert(hist.forall(row => !row.getBoolean(11) && row.getTimestamp(10) == asOf))
   }
+
+  test("type 6: every version carries the member's CURRENT type-2 values") {
+    val production = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, "user1", true, "address1", "123456789", "John", "Doe", 1980, 1,
+        ts("2024-04-01 00:00:00"), high, true),
+      Row(2, "user2", false, "address2", null, "Alice", "Smith", 1990, 1,
+        ts("2024-04-01 00:00:00"), high, true)
+    ), prodSchema)
+    val staging = spark.createDataFrame(java.util.Arrays.asList(
+      Row("user1", "John", "Doe", 1985, true, "addressX", "123456789"),
+      Row("user3", "Emma", "Johnson", 1985, true, "address3", "987654321")
+    ), stagSchema)
+    val out = ScdVariants.mergeType6(production, staging, dimUser,
+      MergeOptions(asOf)).collect()
+      .map(r => (r.getString(1), r.getInt(8)) -> r).toMap
+    // user1 has two versions now; BOTH carry the current address
+    assert(out(("user1", 1)).getAs[String]("cur_address") === "addressX")
+    assert(out(("user1", 2)).getAs[String]("cur_address") === "addressX")
+    assert(out(("user1", 1)).getAs[String]("address") === "address1") // history intact
+    // user2 untouched: current == own value; user3 insert: same
+    assert(out(("user2", 1)).getAs[String]("cur_address") === "address2")
+    assert(out(("user3", 1)).getAs[String]("cur_address") === "address3")
+    assert(out(("user2", 1)).getAs[String]("cur_phone") === null)
+  }
 }

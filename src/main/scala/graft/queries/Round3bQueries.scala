@@ -79,6 +79,21 @@ object Round3bQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Boolean aggregates + ordered LISTAGG (Spark 4 surface):
+    // bool_and / bool_or / count_if plus listagg DISTINCT ... WITHIN
+    // GROUP — DuckDB replays with its string_agg spelling.
+    "q79_bool_listagg" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus,
+        |  count_if(o_totalprice > 150000.0) AS n_high,
+        |  bool_and(o_totalprice > 0.0) AS all_pos,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  listagg(DISTINCT o_orderpriority, ',')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+    }),
+
     // Recursive CTE (Spark 4 native UnionLoop): walk the implicit
     // decimal-digit parent chain over customers (parent = key div 10)
     // from the single-digit roots, emitting each node's root and depth —
@@ -130,6 +145,16 @@ object Round3bQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
+    "q79_bool_listagg" ->
+      """SELECT o_orderstatus,
+        |  CAST(COUNT(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS BIGINT)
+        |    AS n_high,
+        |  bool_and(o_totalprice > 0.0) AS all_pos,
+        |  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        |  string_agg(DISTINCT o_orderpriority, ','
+        |    ORDER BY o_orderpriority) AS prios
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q77_sketch_rollup" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |    ${graft.functions.PortableHash.hash60BaseSql("user_id::VARCHAR")} AS h

@@ -63,4 +63,28 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Whole-file binary ingestion — the multimodal on-ramp: each matched
+    * file becomes one row `(path, modificationTime, length, content
+    * BINARY)`, ready for the `Multimodal` byte-level operators. Push a
+    * size cap via `spark.sql.binaryFile.maxLength` rather than filtering
+    * post-read (the source skips oversized files at listing time); at
+    * 100 TB prefer many medium files over few huge ones — one file is
+    * one task (the format is NOT splittable by design).
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+
+  /** Line-oriented text read: one row per line (`value` STRING), the raw
+    * corpus on-ramp (splittable, parallel within files).
+    */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  def writeTextLines(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
 }

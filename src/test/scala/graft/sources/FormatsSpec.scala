@@ -59,6 +59,33 @@ class FormatsSpec extends SparkSpec {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("binaryFile reads whole files as BINARY rows, glob-filtered") {
+    import java.nio.file.Paths
+    val dir = tmp("bin")
+    val payloads = Map("a.img" -> Array[Byte](1, 2, 3, -1),
+      "b.img" -> Array[Byte](9), "skip.txt" -> Array[Byte](0))
+    payloads.foreach { case (n, bytes) =>
+      Files.write(Paths.get(dir, n), bytes)
+    }
+    val rows = Formats.readBinaryFiles(spark, dir, glob = "*.img")
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"), col("content"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Array[Byte]]("content").toSeq)).toMap
+    assert(rows.keySet == Set("a.img", "b.img")) // glob excluded skip.txt
+    assert(rows("a.img") == ((4L, Seq[Byte](1, 2, 3, -1))))
+    assert(rows("b.img") == ((1L, Seq[Byte](9))))
+  }
+
+  test("text lines round-trip through the line-oriented source") {
+    import spark.implicits._
+    val df = Seq("alpha", "beta gamma", "").toDF("value")
+    val dir = tmp("txt")
+    Formats.writeTextLines(df, dir)
+    val back = Formats.readTextLines(spark, dir)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("ORC scan keeps predicate pushdown and column pruning") {
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
     val dir = tmp("orc-push")

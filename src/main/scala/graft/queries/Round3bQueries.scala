@@ -79,6 +79,30 @@ object Round3bQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Incremental rollup maintenance: a persisted (type, day) rollup is
+    // kept current by aggregating ONLY the newly-arrived batch and
+    // additively merging it into the stored partials — never re-scanning
+    // the base data (the materialized-view maintenance shape; COUNT and
+    // exact DECIMAL SUM are the additive algebra, the same reason the
+    // KMV rollup q77 works). Oracle recomputes the rollup directly over
+    // everything — the maintained table must match it bit-for-bit.
+    "q80_incremental_rollup" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("day", expr("ts_us div 86400000000"))
+      // base = the long-ago-ingested history; delta = this batch
+      def roll(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).as("hv"))
+      val base = roll(ev.filter(col("event_id") % 5 =!= 0))
+      val delta = roll(ev.filter(col("event_id") % 5 === 0))
+      base.unionByName(delta)
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("n")).as("n"),
+          sum(col("hv")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     // Boolean aggregates + ordered LISTAGG (Spark 4 surface):
     // bool_and / bool_or / count_if plus listagg DISTINCT ... WITHIN
     // GROUP — DuckDB replays with its string_agg spelling.
@@ -145,6 +169,11 @@ object Round3bQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
+    "q80_incremental_rollup" ->
+      """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q79_bool_listagg" ->
       """SELECT o_orderstatus,
         |  CAST(COUNT(CASE WHEN o_totalprice > 150000.0 THEN 1 END) AS BIGINT)

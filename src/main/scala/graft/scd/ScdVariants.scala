@@ -117,9 +117,10 @@ object ScdVariants {
     import org.apache.spark.sql.expressions.Window
     val merged = ScdMerge.merge(production, staging, schema, opts)
     val w = Window.partitionBy(schema.businessKeys.map(col): _*)
-    schema.type2Cols.foldLeft(merged) { (df, c) =>
-      df.withColumn(s"cur_$c",
-        max(when(col(schema.activeCol), col(c))).over(w))
-    }
+    // one select so all cur_ columns land in a SINGLE Window node
+    // (withColumn-per-column interleaves Projects that block
+    // CollapseWindow, stacking one Window exec per tracked column)
+    merged.select(col("*") +: schema.type2Cols.map(c =>
+      max(when(col(schema.activeCol), col(c))).over(w).as(s"cur_$c")): _*)
   }
 }

@@ -128,6 +128,23 @@ class ScaleLayoutSpec extends SparkSpec {
     assert(rd.drop("f").count() === orders.count())
   }
 
+  test("nested struct field selection prunes the parquet ReadSchema") {
+    // at 100 TB a wide metadata struct must not ride along when one
+    // field is projected — Spark's nestedSchemaPruning (on by default)
+    // narrows the scan to the selected leaf
+    val dir = Files.createTempDirectory("graft-nested").toString
+    Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        struct(col("lang"), col("source"), col("text"), col("n_chars"))
+          .as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).select(col("doc_id"), col("meta.lang"))
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,meta:struct<lang:string>>"),
+      s"expected nested pruning in scan:\n$scan")
+    assert(q.count() === 500)
+  }
+
   test("partitioned catalog table prunes partitions under a key predicate") {
     val cat = new ParquetCatalog(spark,
       Files.createTempDirectory("graft-part").toString)

@@ -93,4 +93,22 @@ class OperatorsSpec extends SparkSpec {
     // 'abc' -> ((97*257 + 98)*257 + 99) % (2^31-1)
     assert(row.getLong(2) === ((97L * 257 + 98) * 257 + 99) % 2147483647L)
   }
+
+  test("scalar Scala UDF surface matches the native codegen expression") {
+    // the UDF escape hatch exists and agrees with the preferred path —
+    // kept OUT of the declared queries: a black-box UDF breaks codegen
+    // and blocks every pushdown, so it's a last resort by policy
+    val dot = spark.udf.register("udf_dot",
+      (a: Seq[Double], b: Seq[Double]) =>
+        a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum)
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)))
+      .toDF("a", "b")
+    val viaUdf = df.select(dot(col("a"), col("b"))).head.getDouble(0)
+    val viaNative = df.select(
+      graft.functions.VectorFunctions.dot(col("a"), col("b"))).head.getDouble(0)
+    assert(viaUdf === viaNative)
+    assert(spark.sql(
+      "SELECT udf_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head.getDouble(0) === 11.0)
+  }
 }

@@ -79,6 +79,29 @@ object Round3bQueries {
         .orderBy(col("event_type"))
     }),
 
+    // PII redaction — the scrub stage of a training-data pipeline:
+    // detect + replace emails and IPv4s with placeholder tokens, in one
+    // codegen regexp pass per pattern. PII is PLANTED deterministically
+    // (the synthetic corpus has none) so the scrubber has work at every
+    // scale factor; output is counts + an md5 of the scrubbed text so
+    // the full rewritten string is hash-checked without shipping it.
+    // Patterns avoid Java/RE2 divergences (explicit classes, ASCII \b).
+    "q81_redact" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" reach me at user5@example.com")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" from 192.168.10.77 today")).otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(EmailRe)).as("n_email"),
+          regexp_count(col("t"), lit(Ipv4Re)).as("n_ip"),
+          md5(regexp_replace(regexp_replace(col("t"), EmailRe, "<EMAIL>"),
+            Ipv4Re, "<IP>")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Incremental rollup maintenance: a persisted (type, day) rollup is
     // kept current by aggregating ONLY the newly-arrived batch and
     // additively merging it into the stored partials — never re-scanning
@@ -128,6 +151,13 @@ object Round3bQueries {
     })
   )
 
+  /** Same interpretation under Java regex and RE2: explicit character
+    * classes, bounded repetition, ASCII word boundary.
+    */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
   /** One ANSI text, two engines (q76). */
   private val RecursiveSql =
     """WITH RECURSIVE tree AS (
@@ -169,6 +199,20 @@ object Round3bQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
+    "q81_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' reach me at user5@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' from 192.168.10.77 today' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '$EmailRe')) AS n_email,
+         |  len(regexp_extract_all(t, '$Ipv4Re')) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(t, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g')) AS scrub_md5
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q80_incremental_rollup" ->
       """SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |  COUNT(*) AS n,

@@ -99,13 +99,30 @@ object ScaleProbe {
           java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))).count()
     }
 
+    // sketch rollup (q77 shape): per-(type, day) KMV partials merged per
+    // type — per-group shuffle payload is k longs regardless of input
+    // size, so wall time must track the scan, not the distinct count
+    val ev1 = graft.sources.Tables(spark, sfDir, "events")
+    val evN = replicate(ev1, Seq("event_id", "user_id"), 1000000000L)
+    def rollup(ev: DataFrame): Long = {
+      val h = graft.functions.PortableHash
+        .hash60Base(col("user_id").cast("string"))
+      ev.withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(graft.functions.KmvSketch.kmvBuffer(h, 64).as("sk"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.KmvSketch.kmvMergeEstimate(col("sk"), 64))
+        .count()
+    }
+
     // warmup
     agg(li1); ()
     val results = Seq(
       "agg" -> (time(agg(li1)), time(agg(liN))),
       "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
       "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
-      "scd_merge" -> (time(merge(cust1)), time(merge(custN))))
+      "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
+      "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>
       f"""\"$name\":{\"t1\":$t1%.2f,\"rows1\":$n1,\"tN\":$tN%.2f,\"rowsN\":$nN,\"ratio\":${tN / t1}%.2f}"""
     }

@@ -141,6 +141,13 @@ object Round3bQueries {
         |ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // GROUP BY ALL / ORDER BY ALL (the modern shorthand both engines
+    // resolve identically) — one ANSI text, two engines.
+    "q82_group_by_all" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(GroupByAllSql)
+    }),
+
     // Recursive CTE (Spark 4 native UnionLoop): walk the implicit
     // decimal-digit parent chain over customers (parent = key div 10)
     // from the single-digit roots, emitting each node's root and depth —
@@ -157,6 +164,13 @@ object Round3bQueries {
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Ipv4Re =
     "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** One ANSI text, two engines (q82). */
+  private val GroupByAllSql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ALL ORDER BY ALL""".stripMargin
 
   /** One ANSI text, two engines (q76). */
   private val RecursiveSql =
@@ -199,6 +213,7 @@ object Round3bQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
+    "q82_group_by_all" -> GroupByAllSql,
     "q81_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, text

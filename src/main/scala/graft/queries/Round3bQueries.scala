@@ -141,6 +141,27 @@ object Round3bQueries {
         |ORDER BY o_orderstatus""".stripMargin)
     }),
 
+    // Per-dimension embedding statistics: posexplode the embedding
+    // column into (position, value) and aggregate per position — the
+    // column-diagnostics pass (dead/degenerate dimensions, scale drift)
+    // a training pipeline runs over its vector corpus. Values go
+    // through round(x*1e6) scale-0 integers (identical IEEE multiply +
+    // half-up round in both engines) so the per-dimension means
+    // hash-check exactly; min/max floats pass through un-arithmetic'd.
+    "q83_embedding_stats" -> ((s, dir) => {
+      val micro = round(col("v").cast("double") * lit(1000000.0))
+        .cast("long")
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("pos"), micro.as("vm"), col("v"))
+        .groupBy(col("pos"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("vm")).cast("double") / lit(1000000.0)).as("sum_v"),
+          min(col("v").cast("double")).as("min_v"),
+          max(col("v").cast("double")).as("max_v"))
+        .orderBy(col("pos"))
+    }),
+
     // GROUP BY ALL / ORDER BY ALL (the modern shorthand both engines
     // resolve identically) — one ANSI text, two engines.
     "q82_group_by_all" -> ((s, dir) => {
@@ -214,6 +235,18 @@ object Round3bQueries {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
     "q82_group_by_all" -> GroupByAllSql,
+    "q83_embedding_stats" ->
+      """WITH x AS (
+        |  SELECT i - 1 AS pos,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT)
+        |      AS vm,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, generate_series(1, 64) t(i)
+        |  WHERE i <= len(embedding))
+        |SELECT CAST(pos AS INT) AS pos, COUNT(*) AS n,
+        |  CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS sum_v,
+        |  MIN(v) AS min_v, MAX(v) AS max_v
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
     "q81_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, text

@@ -79,6 +79,36 @@ object PipelineQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Benchmark decontamination — the cross-SET n-gram overlap scan an
+    // LLM pipeline runs before training: held-out docs (planted here as
+    // suffixed copies of doc_id%37 train docs) are shingled together
+    // with the train corpus in ONE pass, and any train doc sharing
+    // >= 80% of a benchmark doc's 3-shingles is flagged. The inverted
+    // shingle join only ever fans out per shared hash (q19's shape,
+    // restricted to train x bench), and the threshold is compared in
+    // integers so the filter is engine-exact.
+    "q84_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 9000000L).as("doc_id"),
+          concat(col("text"), lit(" held out benchmark")).as("text"))
+      val sh = Dedup.hashedShingles(docs.unionByName(bench), "doc_id", "text")
+      val shT = sh.filter(col("doc") < 9000000L)
+        .select(col("doc").as("train_id"), col("sh"))
+      val shB = sh.filter(col("doc") >= 9000000L)
+        .select(col("doc").as("bench_id"), col("sh"))
+      val nb = shB.groupBy(col("bench_id")).agg(count(lit(1)).as("nb"))
+      shT.join(shB, Seq("sh"))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(nb, Seq("bench_id"))
+        .filter(col("n_common") * 10 >= col("nb") * 8)
+        .select(col("train_id"), col("bench_id"), col("n_common"),
+          (col("n_common").cast("double") / col("nb").cast("double"))
+            .as("overlap"))
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // MinHash + LSH banding + exact verification of candidates only —
     // the at-scale near-dup path, on the FULL planted corpus.
     "q20_minhash_lsh" -> ((s, dir) => {
@@ -343,6 +373,26 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = cm.b
          |WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= 0.5
          |ORDER BY a, b""".stripMargin,
+    "q84_decontaminate" ->
+      s"""WITH combined AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 9000000, text || ' held out benchmark'
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |${shinglesSql("combined")},
+         |tr AS (SELECT doc_id AS train_id, shh FROM sh WHERE doc_id < 9000000),
+         |be AS (SELECT doc_id AS bench_id, shh FROM sh WHERE doc_id >= 9000000),
+         |nb AS (SELECT bench_id, COUNT(*) AS nb FROM be GROUP BY bench_id),
+         |common AS (
+         |  SELECT tr.train_id, be.bench_id, COUNT(*) AS n_common
+         |  FROM tr JOIN be ON tr.shh = be.shh
+         |  GROUP BY 1, 2)
+         |SELECT c.train_id, c.bench_id,
+         |  CAST(c.n_common AS BIGINT) AS n_common,
+         |  CAST(c.n_common AS DOUBLE) / CAST(nb.nb AS DOUBLE) AS overlap
+         |FROM common c JOIN nb USING (bench_id)
+         |WHERE c.n_common * 10 >= nb.nb * 8
+         |ORDER BY train_id, bench_id""".stripMargin,
     "q20_minhash_lsh" ->
       s"""WITH $corpusSql,
          |${shinglesSql("corpus")},

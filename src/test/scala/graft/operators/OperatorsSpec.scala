@@ -94,6 +94,40 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getLong(2) === ((97L * 257 + 98) * 257 + 99) % 2147483647L)
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // thresholds lowered so the skew detector fires on test-sized data;
+    // the assertion is on the EXECUTED adaptive plan — the skewed
+    // partition is physically split (skew=true), no salting needed
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ).map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.1")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(60000)
+        .select((when(col("id") % 10 =!= 0, 1L).otherwise(col("id") % 97))
+          .as("k"), concat(lit("x" * 64), col("id")).as("pay"))
+      val dim = spark.range(97).select(col("id").as("k"),
+        concat(lit("d"), col("id")).as("d"))
+      val joined = big.join(dim, Seq("k"))
+      // drive joined's OWN QueryExecution so ITS adaptive plan finalizes
+      // (count() would plan a separate query)
+      assert(joined.collect().length === 60000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("scalar Scala UDF surface matches the native codegen expression") {
     // the UDF escape hatch exists and agrees with the preferred path —
     // kept OUT of the declared queries: a black-box UDF breaks codegen

@@ -169,6 +169,22 @@ object Round3bQueries {
       s.sql(GroupByAllSql)
     }),
 
+    // Conditional aggregation via the SQL-standard FILTER clause — one
+    // ANSI text, two engines (groups with no matching rows yield NULL
+    // sums in both).
+    "q85_filter_clause" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(FilterClauseSql)
+    }),
+
+    // Error-safe casting: TRY_CAST over deterministically messy strings
+    // (valid / garbage-prefixed / whitespace-padded) — NULL on failure,
+    // identical trim semantics — one ANSI text, two engines.
+    "q86_try_cast" -> ((s, dir) => {
+      Tables(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(TryCastSql)
+    }),
+
     // Recursive CTE (Spark 4 native UnionLoop): walk the implicit
     // decimal-digit parent chain over customers (parent = key div 10)
     // from the single-digit roots, emitting each node's root and depth —
@@ -192,6 +208,26 @@ object Round3bQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ALL ORDER BY ALL""".stripMargin
+
+  /** One ANSI text, two engines (q85). */
+  private val FilterClauseSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS total_f
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** One ANSI text, two engines (q86). */
+  private val TryCastSql =
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'x' || CAST(doc_id AS STRING)
+      |         WHEN doc_id % 3 = 1 THEN CAST(doc_id AS STRING)
+      |         ELSE ' ' || CAST(doc_id AS STRING) || ' ' END AS s
+      |  FROM documents)
+      |SELECT doc_id, TRY_CAST(s AS BIGINT) AS v, TRY_CAST(s AS DOUBLE) AS d
+      |FROM raw ORDER BY doc_id""".stripMargin
 
   /** One ANSI text, two engines (q76). */
   private val RecursiveSql =
@@ -235,6 +271,8 @@ object Round3bQueries {
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q76_recursive_cte" -> RecursiveSql,
     "q82_group_by_all" -> GroupByAllSql,
+    "q85_filter_clause" -> FilterClauseSql,
+    "q86_try_cast" -> TryCastSql,
     "q83_embedding_stats" ->
       """WITH x AS (
         |  SELECT i - 1 AS pos,

@@ -102,6 +102,27 @@ object Round3bQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Time-weighted average over SCD validity intervals — the analytics
+    // an SCD-2 dimension exists to serve: each version's value weighted
+    // by the exact number of days it was current. Weights are integer
+    // days, values exact DECIMAL(18,2) — the weighted sum is exact and
+    // the final division is one identical double op in both engines.
+    "q87_time_weighted" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      def ver(delta: Double, start: String, end: String) = cust.select(
+        col("c_custkey"),
+        dec2(col("c_acctbal") + delta).as("bal"),
+        datediff(lit(end).cast("date"), lit(start).cast("date")).as("days"))
+      ver(-200, "1993-01-01", "1995-01-01")
+        .unionByName(ver(-100, "1995-01-01", "1997-01-01"))
+        .unionByName(ver(0, "1997-01-01", "2000-01-01"))
+        .groupBy(col("c_custkey"))
+        .agg((sum(col("bal") * col("days")).cast("double") /
+          sum(col("days")).cast("double")).as("tw_acctbal"),
+          sum(col("days")).cast("long").as("n_days"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Incremental rollup maintenance: a persisted (type, day) rollup is
     // kept current by aggregating ONLY the newly-arrived batch and
     // additively merging it into the stored partials — never re-scanning
@@ -285,6 +306,24 @@ object Round3bQueries {
         |  CAST(SUM(vm) AS DOUBLE) / 1000000.0 AS sum_v,
         |  MIN(v) AS min_v, MAX(v) AS max_v
         |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
+    "q87_time_weighted" ->
+      """WITH v AS (
+        |  SELECT c_custkey, CAST(c_acctbal - 200 AS DECIMAL(18,2)) AS bal,
+        |    date_diff('day', DATE '1993-01-01', DATE '1995-01-01') AS days
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_acctbal - 100 AS DECIMAL(18,2)),
+        |    date_diff('day', DATE '1995-01-01', DATE '1997-01-01')
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)),
+        |    date_diff('day', DATE '1997-01-01', DATE '2000-01-01')
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  CAST(SUM(bal * days) AS DOUBLE) / CAST(SUM(days) AS DOUBLE)
+        |    AS tw_acctbal,
+        |  CAST(SUM(days) AS BIGINT) AS n_days
+        |FROM v GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "q81_redact" ->
       s"""WITH p AS (
          |  SELECT doc_id, text

@@ -20,23 +20,26 @@ import org.apache.spark.sql.functions._
   * curve, and `ParquetCatalog.overwrite` (or a plain parquet write)
   * persists it.
   *
-  * Normalization: each column is min-max scaled to a 16-bit rank (the
-  * min/max come from one tiny aggregate over the input — two scalars per
-  * column on the driver, not a collect of data). NULL scales to rank 0,
-  * so null rows cluster at the curve origin instead of erroring.
-  * 16 bits/dim keeps the interleaved z-value in a long for up to 4 dims.
+  * Normalization: each column is min-max scaled to a per-dimension bit
+  * rank (the min/max come from one tiny aggregate over the input — two
+  * scalars per column on the driver, not a collect of data). NULL scales
+  * to rank 0, so null rows cluster at the curve origin instead of
+  * erroring. Bits/dim is min(16, 63/k) — 16 for up to 3 dims, 15 for 4 —
+  * so the top interleaved bit never reaches the long sign bit (a signed
+  * z-value would range-partition high-rank rows to the wrong curve end).
   */
 object ZOrder {
 
-  private val Bits = 16
+  /** Rank bits per dimension: k * bits must stay <= 63. */
+  private[catalog] def bitsPerDim(k: Int): Int = math.min(16, 63 / k)
 
-  /** Morton interleave of pre-scaled 16-bit ranks: bit `i` of dimension
-    * `j` lands at z-bit `i * k + j`. Pure integer Column arithmetic —
+  /** Morton interleave of pre-scaled ranks: bit `i` of dimension `j`
+    * lands at z-bit `i * k + j`. Pure integer Column arithmetic —
     * constant-folded into whole-stage codegen, no UDF.
     */
   private[catalog] def interleave(ranks: Seq[Column]): Column = {
     val k = ranks.size
-    (0 until Bits).flatMap { i =>
+    (0 until bitsPerDim(k)).flatMap { i =>
       ranks.zipWithIndex.map { case (r, j) =>
         shiftright(r, i).bitwiseAND(lit(1)).cast("long") *
           lit(1L << (i * k + j))
@@ -44,11 +47,14 @@ object ZOrder {
     }.reduce(_ + _)
   }
 
-  /** 16-bit min-max rank of `c` given the column's global [mn, mx]. */
-  private[catalog] def rank16(c: Column, mn: Double, mx: Double): Column = {
+  /** `bits`-bit min-max rank of `c` given the column's global [mn, mx]. */
+  private[catalog] def rankN(c: Column, mn: Double, mx: Double,
+      bits: Int): Column = {
+    val top = (1 << bits) - 1
     val range = if (mx > mn) mx - mn else 1.0
-    least(lit(65535), greatest(lit(0),
-      ((c.cast("double") - lit(mn)) / lit(range) * lit(65535.0)).cast("int")))
+    least(lit(top), greatest(lit(0),
+      ((c.cast("double") - lit(mn)) / lit(range) * lit(top.toDouble))
+        .cast("int")))
   }
 
   /** Cluster `df` on the z-order curve over `colNames`: range-partition
@@ -59,13 +65,16 @@ object ZOrder {
   def cluster(df: DataFrame, colNames: Seq[String],
       numPartitions: Int): DataFrame = {
     require(colNames.nonEmpty && colNames.size <= 4,
-      "1-4 z-order columns (16 bits each in a long)")
+      "1-4 z-order columns (<= 63 interleaved bits in a long)")
     val aggs = colNames.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"__mn_$c"),
       max(col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
+    // empty input / all-NULL column -> null min/max -> rank everything 0
+    def stat(i: Int): Double = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    val bits = bitsPerDim(colNames.size)
     val ranks = colNames.zipWithIndex.map { case (c, i) =>
-      rank16(col(c), row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      rankN(col(c), stat(2 * i), stat(2 * i + 1), bits)
     }
     df.withColumn("__z", interleave(ranks))
       .repartitionByRange(numPartitions, col("__z"))

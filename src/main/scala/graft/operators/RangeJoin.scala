@@ -36,12 +36,15 @@ object RangeJoin {
     require(bucketWidth > 0)
     val pb = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
+    // end is exclusive: an interval ending exactly on a bucket edge does
+    // not reach into that bucket. The stop is clamped to >= start so a
+    // malformed interval (end <= start) explodes into one bucket and dies
+    // on the exact predicate, instead of sequence() stepping -1 (spurious
+    // candidates) or generating a huge descending list.
+    val startBucket = floor(col(startCol) / bucketWidth).cast("long")
+    val endBucket = floor((col(endCol) - 1) / bucketWidth).cast("long")
     val ib = intervals.withColumn("__bucket",
-      explode(sequence(
-        floor(col(startCol) / bucketWidth).cast("long"),
-        // end is exclusive: an interval ending exactly on a bucket edge
-        // does not reach into that bucket
-        floor((col(endCol) - 1) / bucketWidth).cast("long"))))
+      explode(sequence(startBucket, greatest(startBucket, endBucket))))
     pb.join(ib, Seq("__bucket"))
       .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bucket")

@@ -54,9 +54,11 @@ object Quality {
     */
   def report(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one rule")
-    val (refRules, scalarRules) = rules.partition(_.isInstanceOf[RefIntegrity])
+    val indexed = rules.zipWithIndex
+    val (refRules, scalarRules) =
+      indexed.partition(_._1.isInstanceOf[RefIntegrity])
     val scalarPart = if (scalarRules.isEmpty) Nil else {
-      val aggs = scalarRules.zipWithIndex.map { case (r, i) =>
+      val aggs = scalarRules.map { case (r, i) =>
         val e = r match {
           case NotNull(c) => count(when(col(c).isNull, 1))
           case Unique(cs) =>
@@ -70,18 +72,24 @@ object Quality {
         e.cast("long").as(s"__v$i")
       }
       val one = df.agg(aggs.head, aggs.tail: _*)
-      Seq(one.select(explode(array(scalarRules.zipWithIndex.map {
-        case (r, i) => struct(lit(r.name).as("rule"),
+      Seq(one.select(explode(array(scalarRules.map {
+        case (r, i) => struct(lit(i).as("idx"), lit(r.name).as("rule"),
           col(s"__v$i").as("n_violations"))
-      }: _*)).as("kv")).select(col("kv.rule"), col("kv.n_violations")))
+      }: _*)).as("kv")).select(col("kv.idx"), col("kv.rule"),
+        col("kv.n_violations")))
     }
-    val refPart = refRules.map { case r @ RefIntegrity(fk, dim, pk) =>
+    val refPart = refRules.collect { case (r @ RefIntegrity(fk, dim, pk), i) =>
       df.filter(col(fk).isNotNull)
         .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
-        .select(lit(r.name).as("rule"), col("n_violations"))
+        .select(lit(i).as("idx"), lit(r.name).as("rule"),
+          col("n_violations"))
     }
+    // rows come back in the caller's rule order, scalar and ref-integrity
+    // rules interleaved as declared (the fused-aggregate split is an
+    // implementation detail consumers must not see)
     (scalarPart ++ refPart).reduce(_ unionByName _)
+      .orderBy(col("idx")).drop("idx")
   }
 
   /** The rows violating ONE rule (for triage; unbounded output, so it is

@@ -15,10 +15,10 @@ class RangeJoinSpec extends SparkSpec {
       (3L, 10L, 20L),   // end exactly on a bucket edge (exclusive)
       (4L, 19L, 21L),   // straddles an edge
       (5L, 7L, 8L),     // width 1
-      (6L, 30L, 30L)    // zero-length ON a bucket boundary: the inverted
-                        // bucket bounds yield a descending 2-bucket
-                        // sequence whose rows the exact predicate drops —
-                        // empty intervals match nothing, never error
+      (6L, 30L, 30L)    // zero-length ON a bucket boundary: the bucket
+                        // stop clamps to the start bucket and the exact
+                        // predicate drops its rows — empty intervals
+                        // match nothing, never error
     ).toDF("iv_id", "s", "e")
     val points = (0L until 40L).map(p => (p, p)).toDF("p_id", "p")
     val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
@@ -33,6 +33,16 @@ class RangeJoinSpec extends SparkSpec {
     val asSet = got.toSet
     assert(asSet.contains((10L, 3L)) && !asSet.contains((20L, 3L)))
     assert(asSet.contains((7L, 5L)) && !asSet.contains((8L, 5L)))
+  }
+
+  test("badly inverted interval (end far below start) matches nothing cheaply") {
+    // without the clamp, sequence() would emit a ~1e6-element descending
+    // bucket list for this row; with it, one bucket, zero matches
+    val intervals = Seq((1L, 10000000L, 3L)).toDF("iv_id", "s", "e")
+    val points = (0L until 50L).map(p => (p, p)).toDF("p_id", "p")
+    val got = RangeJoin.pointInInterval(points, intervals, "p", "s", "e",
+      bucketWidth = 10L)
+    assert(got.count() === 0L)
   }
 
   test("fuzz: random intervals/points/widths agree with the naive join") {

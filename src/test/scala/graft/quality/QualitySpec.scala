@@ -33,6 +33,18 @@ class QualitySpec extends SparkSpec {
       "negative_x" -> 1L))
   }
 
+  test("report rows come back in the caller's rule order") {
+    // ref-integrity deliberately interleaved between scalar rules: the
+    // fused-aggregate split must not reorder the output
+    val names = report(df, Seq(
+      NotNull("fk"),
+      RefIntegrity("fk", dim, "pk"),
+      InRange("x", 0.0, 10.0),
+      Custom("negative_x", col("x") < 0))).collect().map(_.getString(0)).toSeq
+    assert(names === Seq("not_null(fk)", "ref_integrity(fk)",
+      "in_range(x,0.0,10.0)", "negative_x"))
+  }
+
   test("violatingRows returns exactly the offending rows") {
     val dup = violatingRows(df, Unique(Seq("fk", "seq")))
       .select("x").as[Double].collect().toSet

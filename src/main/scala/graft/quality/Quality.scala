@@ -87,9 +87,12 @@ object Quality {
     }
     // rows come back in the caller's rule order, scalar and ref-integrity
     // rules interleaved as declared (the fused-aggregate split is an
-    // implementation detail consumers must not see)
+    // implementation detail consumers must not see). The result is one
+    // row per RULE — coalesce(1) + local sort gives a total order without
+    // the range-partitioning exchange (and its sampling job) a global
+    // orderBy would plan on a ~rule-count-sized relation.
     (scalarPart ++ refPart).reduce(_ unionByName _)
-      .orderBy(col("idx")).drop("idx")
+      .coalesce(1).sortWithinPartitions(col("idx")).drop("idx")
   }
 
   /** The rows violating ONE rule (for triage; unbounded output, so it is

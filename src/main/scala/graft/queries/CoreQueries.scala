@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.{KmvSketch, PortableHash}
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -184,21 +185,27 @@ object CoreQueries {
       ).orderBy(col("o_orderkey"))
     }),
 
-    // Sketch aggregates: HLL++ cardinality + quantile sketch next to the
-    // exact answers. At 100 TB the sketches are the only affordable
-    // option for interactive cardinality/quantile work (mergeable,
-    // fixed-size state); declared WITHOUT oracle SQL — sketch values are
-    // engine-specific — so the driver records a rows-only check, and
-    // SketchSpec pins the error bound against the exact values.
+    // Sketch aggregates: PORTABLE distinct-count sketches (KMV bottom-k,
+    // md5-derived hashes — mergeable fixed-size state, the same scale
+    // shape as HLL) next to the exact count, plus the exact linear-
+    // interpolation median. At 100 TB the sketches are the affordable
+    // option for interactive cardinality work; unlike HLL++ the KMV
+    // estimate is deterministic AND engine-portable, so the DuckDB
+    // oracle replays it bit-for-bit. Spark's built-in HLL++/quantile
+    // sketches (engine-specific estimators) stay covered by SketchSpec's
+    // error-bound assertions against these exact values.
     "q29_sketches" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_orderkey")).as("exact_orders"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-            .as("approx_median_price"))
+          KmvSketch.kmvEstimate(
+            PortableHash.hash60Base(col("l_orderkey").cast("string")), 64)
+            .as("approx_orders"),
+          KmvSketch.kmvEstimate(
+            PortableHash.hash60Base(col("l_partkey").cast("string")), 64)
+            .as("approx_parts"),
+          expr("percentile(l_extendedprice, 0.5D)").as("median_price"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -235,7 +242,36 @@ object CoreQueries {
     })
   )
 
+  /** Relational replay of the KMV bottom-k estimate (same arithmetic as
+    * [[graft.functions.KmvSketch.finish]]) for one hashed key column,
+    * grouped by l_returnflag — used twice by the q29 oracle.
+    */
+  private def kmvOverSql(keyExpr: String, k: Int, as: String): String =
+    s"""(SELECT l_returnflag,
+       |  CASE WHEN max(nd) < $k THEN CAST(max(nd) AS DOUBLE)
+       |       ELSE ${k - 1}.0 * 1152921504606846976.0
+       |            / CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE)
+       |  END AS $as
+       | FROM (SELECT l_returnflag, h,
+       |         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+       |         COUNT(*) OVER (PARTITION BY l_returnflag) AS nd
+       |       FROM (SELECT DISTINCT l_returnflag,
+       |               ${PortableHash.hash60BaseSql(keyExpr)} AS h
+       |             FROM lineitem))
+       | GROUP BY l_returnflag)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q29_sketches" ->
+      s"""WITH eo AS ${kmvOverSql("l_orderkey::VARCHAR", 64, "approx_orders")},
+         |ep AS ${kmvOverSql("l_partkey::VARCHAR", 64, "approx_parts")},
+         |x AS (SELECT l_returnflag,
+         |        COUNT(DISTINCT l_orderkey) AS exact_orders,
+         |        quantile_cont(l_extendedprice, 0.5) AS median_price
+         |      FROM lineitem GROUP BY l_returnflag)
+         |SELECT x.l_returnflag, x.exact_orders, eo.approx_orders,
+         |  ep.approx_parts, x.median_price
+         |FROM x JOIN eo USING (l_returnflag) JOIN ep USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -70,13 +70,15 @@ object VectorQueries {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
-    // LSH-accelerated ANN — the 100 TB path (dense md5-constant planes,
-    // 12 bits; rows-only check — the oracle-portable ±1-plane sibling is
-    // q41; recall vs brute force is asserted in SimilaritySpec).
+    // LSH-accelerated ANN — the 100 TB path (dense md5-constant planes).
+    // The plane components are plan-time CONSTANTS, so the oracle embeds
+    // the same integers and replays the identical IEEE op sequence
+    // (divide, subtract, fold) — hash-checked like the ±1 sibling q41;
+    // recall vs brute force is asserted in SimilaritySpec.
     "q27_ann_lsh" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       Similarity.lshTopK(emb.filter(col("vec_id") < 50), emb, "vec_id",
-        "embedding", k = 10, bits = 6)
+        "embedding", k = 10, bits = LshBits)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -148,7 +150,36 @@ object VectorQueries {
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
 
+  /** q27's dense hyperplanes as the md5-derived INTEGERS k = h % 1e6;
+    * both engines then compute component = k/2e6 - 0.25 with the same
+    * two IEEE ops (see [[Similarity.hyperplanes]]) — bit-identical.
+    */
+  private val LshBits = 6
+  private def densePlaneSql(p: Int): String =
+    Array.tabulate(64)(i =>
+      graft.functions.TextHash.md5Low60(s"plane:$p:$i") % 1000000L)
+      .map(k => s"($k::DOUBLE / 2000000.0 - 0.25)")
+      .mkString("([", ",", "]::DOUBLE[])")
+
   val oracleSql: Map[String, String] = Map(
+    "q27_ann_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |  ${(0 until LshBits).map { p =>
+             s"(CASE WHEN ${dotSql("e", densePlaneSql(p))} > 0 THEN ${1L << p} ELSE 0 END)"
+           }.mkString("\n  + ")} AS bucket,
+         |  ${dotSql("e", "e")} AS nrm
+         |  FROM emb),
+         |q AS (SELECT vec_id AS q_id, e AS qe, bucket, nrm AS nq FROM b WHERE vec_id < 50),
+         |cos AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(q.nq * c.nrm) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+         |SELECT q_id, n_id, cosine, rank FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q22_cosine_topk" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id < 5),

@@ -36,6 +36,11 @@ object ExtendedQueries {
   private val AnnBits = 8
   private val annPlanes = Similarity.hyperplanes(AnnBits, 64, signsOnly = true)
 
+  /** q42 IVF parameters shared by the engine call and the oracle SQL. */
+  private val IvfC = 16
+  private val IvfIters = 2
+  private val IvfProbe = 4
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Full grouping-set lattice (CUBE) — q32's ROLLUP completes to the
     // whole powerset; partial aggregation still combines map-side.
@@ -146,13 +151,18 @@ object ExtendedQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // IVF ANN: deterministic k-means coarse quantizer, nProbe-cluster
-    // candidates, exact re-rank (rows-only: the Lloyd iterations are not
-    // SQL-expressible; exactness at full probe + recall are IvfSpec's).
+    // IVF ANN with the PORTABLE quantizer: Lloyd k-means trained on
+    // int8-quantized vectors with exact integer-sum centroid updates,
+    // so the md5-seeded init, both training iterations, the bucket
+    // assignment, the nProbe-cluster candidates AND the exact cosine
+    // re-rank all replay bit-identically in the DuckDB oracle (the
+    // training is a chain of CTEs — centroids are relations, not
+    // engine state). Recall vs brute force stays asserted in IvfSpec.
     "q42_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb,
-        "vec_id", "embedding", k = 10, c = 16, nProbe = 4)
+      Similarity.ivfTopKPortable(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", k = 10, c = IvfC, nProbe = IvfProbe,
+        iters = IvfIters)
         .orderBy(col("q_id"), col("rank"))
     }),
 
@@ -344,6 +354,35 @@ object ExtendedQueries {
   private def planeListSql(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("([", ",", "]::DOUBLE[])")
 
+  /** L2 ranking key `-2·(v·cent) + |cent|²` — the same op sequence as
+    * [[Similarity.nearestCentroids]] (|v|² is row-constant, dropped).
+    */
+  private def ivfDistSql(v: String, cent: String): String =
+    s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
+
+  /** One Lloyd iteration as CTE text: assign every quantized vector to
+    * its nearest `c$prev` centroid (ties → lower cluster id), then the
+    * per-dimension mean as EXACT integer sum / count, both converted to
+    * double (correctly rounded in every IEEE engine); empty clusters
+    * keep their previous centroid. Mirrors
+    * [[Similarity.ivfCentroidsPortable]] step for step.
+    */
+  private def ivfStepSql(i: Int): String =
+    s"""a$i AS (SELECT vec_id, qd, cluster FROM (
+       |  SELECT z.vec_id, z.qd, c.cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+       |      ORDER BY ${ivfDistSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+       |  FROM qz z CROSS JOIN c${i - 1} c) WHERE rn = 1),
+       |m$i AS (SELECT cluster, ii.p AS pos,
+       |    CAST(SUM(CAST(qd[ii.p] AS BIGINT)) AS DOUBLE)
+       |      / CAST(COUNT(*) AS DOUBLE) AS m
+       |  FROM a$i CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS p) ii
+       |  GROUP BY cluster, ii.p),
+       |c$i AS (SELECT p.cluster, COALESCE(u.cent, p.cent) AS cent
+       |  FROM c${i - 1} p LEFT JOIN (SELECT cluster, list(m ORDER BY pos) AS cent
+       |                              FROM m$i GROUP BY cluster) u
+       |    ON p.cluster = u.cluster)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q34_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -512,6 +551,41 @@ object ExtendedQueries {
         |  CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
         |  CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus45d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q42_ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |qz AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < $IvfC),
+         |${(1 to IvfIters).map(ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, e, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${ivfDistSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c$IvfIters c) WHERE rn = 1),
+         |qb AS (SELECT vec_id AS q_id, e AS qe, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${ivfDistSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c$IvfIters c WHERE z.vec_id < 50)
+         |  WHERE rn <= $IvfProbe),
+         |cos AS (SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")}
+         |      / sqrt(${dotSql("q.qe", "q.qe")} * ${dotSql("c.e", "c.e")}) AS cosine
+         |  FROM qb q JOIN cb c ON c.bucket = q.bucket AND c.vec_id <> q.q_id)
+         |SELECT q_id, n_id, cosine, rank FROM (
+         |  SELECT q_id, n_id, cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM cos) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "q41_ann_portable" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |b AS (SELECT vec_id, e,

@@ -208,6 +208,90 @@ object Similarity {
     bucketedTopK(withB(queries), withB(corpus), idCol, vecCol, k)
   }
 
+  /** Int8-range quantization of `vecCol` keeping BOTH views: `qi`
+    * (`array<int>`, for exact integer sums) and `qd` (`array<double>`,
+    * for strict-fold distance math) alongside the original column.
+    * Same arithmetic as [[quantize]]: q = round(x * 127 / max|x|), zero
+    * vectors dropped. Shared by the oracle-portable IVF path — every op
+    * here (abs/max/multiply/divide/round at scale 0) is bit-identical
+    * across engines.
+    */
+  private def withQuantizedDouble(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol))
+      .withColumn("__e", asDouble(col(vecCol)))
+      .withColumn("__mab", array_max(transform(col("__e"), x => abs(x))))
+      .filter(col("__mab") > 0)
+      .withColumn("qi", transform(col("__e"),
+        x => round(x * lit(127.0) / col("__mab")).cast("int")))
+      .withColumn("qd", col("qi").cast("array<double>"))
+      .drop("__e", "__mab")
+
+  /** Oracle-PORTABLE IVF coarse quantizer: Lloyd k-means over the int8-
+    * QUANTIZED vectors, with centroid updates computed as exact integer
+    * sums divided in double — so unlike [[ivfCentroids]]' float `avg`
+    * (whose low bits depend on engine summation order), every training
+    * step is bit-reproducible in any IEEE engine:
+    *
+    *   - init: the `c` vectors with the smallest (md5(id), id) — no RNG;
+    *   - assignment: argmin over `-2·(q·cent) + |cent|²`, all strict
+    *     left folds, ties broken by cluster index;
+    *   - update: per-dimension Σ int / count — the sum is exact (order-
+    *     independent) and int64→double + one division are correctly
+    *     rounded in every IEEE engine.
+    *
+    * The DuckDB oracle (q42) replays the WHOLE training relationally —
+    * centroids are a c-row CTE per iteration, not engine state.
+    */
+  def ivfCentroidsPortable(corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int, iters: Int = 2): Array[Array[Double]] = {
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+    var cents: Array[Array[Double]] = ds
+      .withColumn("h", graft.functions.PortableHash
+        .hash60Base(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol)).limit(c)
+      .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
+    var it = 0
+    while (it < iters) {
+      val dims = cents.head.length
+      val means = ds
+        .withColumn("cluster", nearestCentroid(col("qd"), cents))
+        .select(col("cluster"), posexplode(col("qi")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
+          .as("m"))
+        .groupBy(col("cluster"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ms"))
+        .select(col("cluster"), col("ms.m").as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      cents = Array.tabulate(cents.length)(i =>
+        means.getOrElse(i, cents(i)).ensuring(_.length == dims))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF top-k with the PORTABLE quantizer: buckets/probes are computed
+    * from the quantized view, the final re-rank is the exact cosine on
+    * the ORIGINAL embeddings — every stage hash-checks against the
+    * DuckDB replay (q42), the first ANN index whose TRAINING is part of
+    * the verified contract rather than trusted engine state.
+    */
+  def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, c: Int = 16, nProbe: Int = 4,
+      iters: Int = 2): DataFrame = {
+    val cents = ivfCentroidsPortable(corpus, idCol, vecCol, c, iters)
+    val cb = withQuantizedDouble(corpus, idCol, vecCol)
+      .select(col(idCol), col(vecCol),
+        nearestCentroid(col("qd"), cents).as("bucket"))
+    val qb = withQuantizedDouble(queries, idCol, vecCol)
+      .select(col(idCol), col(vecCol),
+        explode(nearestCentroids(col("qd"), cents, nProbe)).as("bucket"))
+    bucketedTopK(qb, cb, idCol, vecCol, k)
+  }
+
   /** IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means.
     *
     * Init picks the `c` corpus vectors with the smallest md5(id) — a

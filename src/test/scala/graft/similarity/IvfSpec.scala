@@ -46,6 +46,21 @@ class IvfSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("portable IVF: deterministic training, recall@10 >= 0.5 at 1/4 probe") {
+    val a = Similarity.ivfCentroidsPortable(emb, "vec_id", "embedding", c = 8)
+    val b = Similarity.ivfCentroidsPortable(emb.repartition(13), "vec_id",
+      "embedding", c = 8)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKPortable(q, emb, "vec_id", "embedding",
+        k = 10, c = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("partial probe keeps recall@10 above 0.5 at 1/4 of the clusters") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)

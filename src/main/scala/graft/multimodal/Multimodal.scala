@@ -7,22 +7,21 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode/feature steps as partition-wise batch
   * functions.
   *
-  * The actual image/audio codecs are NOT available in this environment,
-  * so [[decodeStub]] is a clearly-marked deterministic fake — but the
-  * Spark-side shape is the real thing: BinaryType column, a typed
-  * `Dataset[Media]`, `mapPartitions` batching (the Scala analogue of
-  * `mapInPandas`: one iterator per partition, amortized per-batch setup,
-  * no per-row interpreter crossings), and explodable frame samples. At
-  * 100 TB the payloads dominate I/O: keep them in their own column so
-  * metadata-only queries prune the binary from the parquet scan entirely.
+  * The decode path is REAL: [[synthesizeBmp]] writes genuine 24-bit BMP
+  * files (public format, [[Bmp]]) into a binary column and [[decode]]
+  * parses them back — headers, bottom-up padded BGR rows and all. The
+  * Spark-side shape is what a production pipeline needs: BinaryType
+  * column, typed Datasets, `mapPartitions` batching (the Scala analogue
+  * of `mapInPandas`: one iterator per partition, amortized per-batch
+  * codec setup, no per-row interpreter crossings), and explodable frame
+  * samples. At 100 TB the payloads dominate I/O: keep them in their own
+  * column so metadata-only queries prune the binary from the parquet
+  * scan entirely.
   */
 object Multimodal {
 
   case class Media(doc_id: Long, payload: Array[Byte], n_bytes: Int,
       width: Int, height: Int, n_frames: Int)
-
-  case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
-      height: Int, n_frames: Int, brightness: Double)
 
   /** Synthesize a deterministic binary payload column for testdata
     * documents (md5 bytes of the text standing in for encoded media) and
@@ -40,21 +39,52 @@ object Multimodal {
       (byteAt(2) % 8 + 1).as("n_frames"))
   }
 
-  /** STUB decoder — the real implementation would decode `payload` with
-    * an image/video library here; this environment has none, so features
-    * are computed deterministically from the payload bytes. Runs
-    * partition-wise so a real decoder would amortize codec init per
-    * partition, not per row.
+  /** A document's media as a real encoded image payload. */
+  case class BmpMedia(doc_id: Long, payload: Array[Byte], n_bytes: Int)
+
+  /** Features read out of a genuinely DECODED image. */
+  case class DecodedFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixel_bytes: Int, brightness: Double)
+
+  /** Synthesize a real 24-bit BMP payload per document: dimensions are
+    * md5-derived (width/height in 1..16), pixel byte `i` of the
+    * top-down RGB stream is `(doc_id + i) % 256` — a generative formula
+    * the DuckDB oracle replays arithmetically while the ENGINE round-
+    * trips it through a real encoder and parser (q28). Encoding runs
+    * partition-wise over the typed Dataset.
     */
-  def decodeStub(media: Dataset[Media])(implicit s: SparkSession): Dataset[MediaFeatures] = {
+  def synthesizeBmp(docs: DataFrame)(implicit s: SparkSession): Dataset[BmpMedia] = {
+    import s.implicits._
+    val h = md5(col("text"))
+    def byteAt(i: Int) = conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+    docs.select(
+      col("doc_id").cast("long").as("doc_id"),
+      (byteAt(0) % 16 + 1).as("w"),
+      (byteAt(1) % 16 + 1).as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, hh) =>
+        val rgb = Array.tabulate(w * hh * 3)(i => ((id + i) % 256).toByte)
+        val payload = Bmp.encode(Bmp.Image(w, hh, rgb))
+        BmpMedia(id, payload, payload.length)
+      })
+  }
+
+  /** REAL decoder: parse each BMP payload ([[Bmp.decode]] — header
+    * validation, bottom-up padded BGR rows) and emit the decoded
+    * dimensions plus mean pixel brightness (Σ channel bytes / n / 255).
+    * Runs partition-wise so codec setup amortizes per partition, not
+    * per row — the `mapInPandas` batching shape.
+    */
+  def decode(media: Dataset[BmpMedia])(implicit s: SparkSession): Dataset[DecodedFeatures] = {
     import s.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup would go here (codec handles, model weights)
       rows.map { m =>
-        val brightness = // ??? real decode; fake: mean byte / 255
-          if (m.payload.isEmpty) 0.0
-          else m.payload.map(b => (b & 0xff).toDouble).sum / m.payload.length / 255.0
-        MediaFeatures(m.doc_id, m.n_bytes, m.width, m.height, m.n_frames,
+        val img = Bmp.decode(m.payload)
+        var sum = 0L
+        var i = 0
+        while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
+        val brightness = sum.toDouble / img.rgb.length / 255.0
+        DecodedFeatures(m.doc_id, img.width, img.height, img.rgb.length,
           brightness)
       }
     }
@@ -92,36 +122,26 @@ object Multimodal {
     media.select(col("doc_id"), col("n_frames"),
       explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
 
-  case class ResizedMedia(doc_id: Long, payload: Array[Byte], n_bytes: Int,
-      width: Int, height: Int, n_frames: Int)
-
-  /** STUB resize — aspect-preserving fit into `maxSide` with the real
-    * pixel work faked: dimensions follow the true resize arithmetic
-    * (already-small media pass through untouched), the payload is
-    * deterministically re-sampled to the scaled byte budget. Same
-    * partition-wise batching contract as [[decodeStub]].
+  /** REAL resize — decode, aspect-preserving nearest-neighbor resample
+    * into `maxSide`, re-encode. Already-small media pass through with
+    * their original payload untouched. Same partition-wise batching
+    * contract as [[decode]].
     */
-  def resizeStub(media: Dataset[Media], maxSide: Int)(
-      implicit s: SparkSession): Dataset[ResizedMedia] = {
+  def resize(media: Dataset[BmpMedia], maxSide: Int)(
+      implicit s: SparkSession): Dataset[BmpMedia] = {
     import s.implicits._
     require(maxSide > 0, "maxSide > 0")
     media.mapPartitions { rows =>
       rows.map { m =>
-        val side = math.max(m.width, m.height)
-        if (side <= maxSide)
-          ResizedMedia(m.doc_id, m.payload, m.n_bytes, m.width, m.height,
-            m.n_frames)
+        val img = Bmp.decode(m.payload)
+        val side = math.max(img.width, img.height)
+        if (side <= maxSide) m
         else {
           val scale = maxSide.toDouble / side
-          val w = math.max(1, math.round(m.width * scale).toInt)
-          val h = math.max(1, math.round(m.height * scale).toInt)
-          // ??? real decode+rescale+re-encode; fake: byte budget scales
-          // with area, content re-sampled by stride from the original
-          val budget = math.max(1,
-            math.round(m.payload.length * scale * scale).toInt)
-          val out = Array.tabulate(budget)(i =>
-            m.payload((i.toLong * m.payload.length / budget).toInt))
-          ResizedMedia(m.doc_id, out, out.length, w, h, m.n_frames)
+          val w = math.max(1, math.round(img.width * scale).toInt)
+          val h = math.max(1, math.round(img.height * scale).toInt)
+          val out = Bmp.encode(Bmp.resample(img, w, h))
+          BmpMedia(m.doc_id, out, out.length)
         }
       }
     }

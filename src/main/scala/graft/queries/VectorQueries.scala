@@ -82,16 +82,18 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
-    // Multimodal decode via the typed mapPartitions path (stubbed codec;
-    // rows-only check — the decode itself is the non-SQL-expressible part).
+    // Multimodal decode with a REAL codec: synthesizeBmp writes genuine
+    // 24-bit BMPs (header + bottom-up padded BGR rows) whose pixel
+    // stream follows a generative formula; the engine round-trips them
+    // through Bmp.decode while the oracle replays the formula
+    // arithmetically — decoded dimensions and mean brightness
+    // hash-check.
     "q28_multimodal_decode" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      import sp.implicits._
-      val media = Multimodal.synthesize(Tables(s, dir, "documents"))
-        .as[Multimodal.Media]
-      Multimodal.decodeStub(media).toDF()
+      val media = Multimodal.synthesizeBmp(Tables(s, dir, "documents"))
+      Multimodal.decode(media).toDF()
         .select(col("doc_id"), col("width"), col("height"),
-          round(col("brightness"), 6).as("brightness"))
+          col("n_pixel_bytes"), col("brightness"))
         .orderBy(col("doc_id"))
     }),
 
@@ -162,6 +164,17 @@ object VectorQueries {
       .mkString("([", ",", "]::DOUBLE[])")
 
   val oracleSql: Map[String, String] = Map(
+    "q28_multimodal_decode" ->
+      """WITH m AS (SELECT doc_id,
+        |    ('0x'||substr(md5(text),1,2))::INT % 16 + 1 AS width,
+        |    ('0x'||substr(md5(text),3,2))::INT % 16 + 1 AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  width * height * 3 AS n_pixel_bytes,
+        |  CAST(list_sum(list_transform(generate_series(0, width*height*3 - 1),
+        |         i -> (doc_id + i) % 256)) AS DOUBLE)
+        |    / (width * height * 3) / 255.0 AS brightness
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q27_ann_lsh" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |b AS (SELECT vec_id, e,

@@ -24,41 +24,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("decodeStub runs partition-wise over the typed Dataset") {
+  test("Bmp codec round-trips pixel data exactly, incl. padded rows") {
+    // widths 3 and 5 force 4-byte row padding (9->12, 15->16 bytes);
+    // width 4 is the unpadded case
+    for ((w, h) <- Seq((3, 2), (5, 4), (4, 3), (1, 1), (16, 16))) {
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 7 + 13) % 256).toByte)
+      val enc = Bmp.encode(Bmp.Image(w, h, rgb))
+      assert(enc(0) === 'B'.toByte && enc(1) === 'M'.toByte)
+      val rowStride = (w * 3 + 3) / 4 * 4
+      assert(enc.length === Bmp.HeaderSize + rowStride * h)
+      val dec = Bmp.decode(enc)
+      assert(dec.width === w && dec.height === h)
+      assert(dec.rgb.toSeq === rgb.toSeq)
+    }
+    // malformed input is rejected loudly, not decoded plausibly
+    intercept[IllegalArgumentException](Bmp.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      Bmp.decode(Array.fill[Byte](54)(0)))
+  }
+
+  test("decode parses real BMP payloads back to the generated content") {
     implicit val s = spark
-    import s.implicits._
-    val media = Multimodal.synthesize(docs).as[Multimodal.Media]
-    val feats = Multimodal.decodeStub(media).collect()
+    val media = Multimodal.synthesizeBmp(docs)
+    val feats = Multimodal.decode(media).collect()
     assert(feats.length === 500)
     feats.foreach { f =>
-      assert(f.brightness >= 0.0 && f.brightness <= 1.0)
-      assert(f.n_bytes === 16)
+      assert(f.width >= 1 && f.width <= 16)
+      assert(f.height >= 1 && f.height <= 16)
+      assert(f.n_pixel_bytes === f.width * f.height * 3)
+      // brightness equals the generative formula mean((doc_id+i)%256)/255
+      val n = f.n_pixel_bytes
+      val sum = (0 until n).map(i => (f.doc_id + i) % 256).sum
+      assert(f.brightness === sum.toDouble / n / 255.0)
     }
-    // deterministic: same input -> same features
-    val again = Multimodal.decodeStub(media).collect()
+    val again = Multimodal.decode(media).collect()
     assert(feats.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
   }
 
-  test("resizeStub preserves aspect, caps the long side, passes small media through") {
+  test("resize decodes, nearest-neighbor resamples, re-encodes") {
     implicit val s = spark
-    import s.implicits._
-    val media = Multimodal.synthesize(docs).as[Multimodal.Media]
-    val resized = Multimodal.resizeStub(media, maxSide = 256).collect()
-    val orig = media.collect().map(m => m.doc_id -> m).toMap
+    val media = Multimodal.synthesizeBmp(docs)
+    val orig = media.collect().map(m => m.doc_id -> Bmp.decode(m.payload)).toMap
+    val resized = Multimodal.resize(media, maxSide = 8).collect()
     assert(resized.length === orig.size)
     resized.foreach { r =>
       val m = orig(r.doc_id)
-      assert(math.max(r.width, r.height) <= 256)
+      val img = Bmp.decode(r.payload) // resized payload is itself valid BMP
+      assert(math.max(img.width, img.height) <= 8)
       assert(r.n_bytes === r.payload.length)
-      if (math.max(m.width, m.height) <= 256) {
-        assert((r.width, r.height) === (m.width, m.height))
-        assert(r.payload.toSeq === m.payload.toSeq)
+      if (math.max(m.width, m.height) <= 8) {
+        assert((img.width, img.height) === (m.width, m.height))
+        assert(img.rgb.toSeq === m.rgb.toSeq) // pass-through untouched
       } else {
-        // aspect ratio preserved within rounding
-        val scale = 256.0 / math.max(m.width, m.height)
-        assert(r.width === math.max(1, math.round(m.width * scale).toInt))
-        assert(r.height === math.max(1, math.round(m.height * scale).toInt))
-        assert(r.n_bytes <= m.n_bytes)
+        val scale = 8.0 / math.max(m.width, m.height)
+        assert(img.width === math.max(1, math.round(m.width * scale).toInt))
+        assert(img.height === math.max(1, math.round(m.height * scale).toInt))
+        // nearest-neighbor: every output pixel is an exact source pixel
+        for (y <- 0 until img.height; x <- 0 until img.width) {
+          val sx = (x.toLong * m.width / img.width).toInt
+          val sy = (y.toLong * m.height / img.height).toInt
+          val d = (y * img.width + x) * 3
+          val sp = (sy * m.width + sx) * 3
+          assert(img.rgb(d) === m.rgb(sp) && img.rgb(d + 1) === m.rgb(sp + 1)
+            && img.rgb(d + 2) === m.rgb(sp + 2))
+        }
       }
     }
   }

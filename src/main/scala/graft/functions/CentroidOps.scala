@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** All-centroids argmin as ONE expression — the IVF scale path.
+  *
+  * The naive plan builds `c` literal dot-product subtrees plus an
+  * array_sort over `c` structs; at coarse-quantizer sizes of c ≈ √N
+  * (tens of thousands at 100 TB) that plan tree is a non-starter to
+  * analyze, codegen, and ship to executors. Here the centroid matrix
+  * rides along as a single referenced object (Catalyst `references`
+  * array — the same mechanism broadcast scalar subquery results use),
+  * the plan holds exactly ONE node regardless of `c`, and the per-row
+  * work is a fused c×dims multiply-add loop in whole-stage codegen.
+  *
+  * Determinism contract (so the swap is invisible to the q42 oracle):
+  * distances are `-2·(v·cent_i) + |cent_i|²` with the dot a strict
+  * left fold and |cent|² the same Scala fold the literal path used;
+  * selection returns the `nProbe` smallest by (distance, index) —
+  * identical to `array_sort(struct(d, idx))` + slice, including the
+  * lower-index tie-break. A vector whose length differs from a
+  * centroid's ranks that centroid last (NaN sorts after every number,
+  * matching Spark's double ordering).
+  */
+object CentroidOps {
+
+  /** `nProbe` nearest centroid indices, ascending by (L2 rank key,
+    * index). Selection loop is O(nProbe·c) — nProbe is small (≤ tens);
+    * the c·dims distance pass dominates and is the part that must be
+    * tight.
+    */
+  def nearest(v: ArrayData, cents: Array[Array[Double]], c2: Array[Double],
+      nProbe: Int): ArrayData = {
+    val dims = v.numElements()
+    val c = cents.length
+    val d = new Array[Double](c)
+    var i = 0
+    while (i < c) {
+      val cent = cents(i)
+      if (cent.length != dims) d(i) = Double.NaN
+      else {
+        var acc = 0.0
+        var j = 0
+        while (j < dims) { acc += v.getDouble(j) * cent(j); j += 1 }
+        d(i) = -2.0 * acc + c2(i)
+      }
+      i += 1
+    }
+    val k = math.min(nProbe, c)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](c)
+    var s = 0
+    while (s < k) {
+      var best = -1
+      var t = 0
+      while (t < c) {
+        if (!used(t) && (best < 0 || java.lang.Double.compare(d(t), d(best)) < 0))
+          best = t
+        t += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper: `nProbe` nearest centroid indices for an
+    * `array<double>` vector column.
+    */
+  def nearestCol(e: Column, cents: Array[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroids(
+      VectorFunctions.castToDoubleArray(ColumnBridge.expression(e)),
+      cents, nProbe))
+}
+
+/** See [[CentroidOps]]. `cents` lives on the expression node (shipped
+  * once per task via the references array), NOT in the expression tree.
+  */
+case class NearestCentroids(child: Expression, cents: Array[Array[Double]],
+    nProbe: Int) extends UnaryExpression {
+
+  require(cents.nonEmpty, "at least one centroid")
+  require(nProbe >= 1, "nProbe >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override def nullable: Boolean = child.nullable
+
+  /** |cent|² per centroid — same Scala fold the literal-subtree path
+    * computed at plan time, so rank keys are bit-identical.
+    */
+  @transient private lazy val c2: Array[Double] =
+    cents.map(_.map(x => x * x).sum)
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.nearest(v.asInstanceOf[ArrayData], cents, c2, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val c2Ref = ctx.addReferenceObj("c2", c2, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidOps.nearest($v, $centsRef, $c2Ref, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}

@@ -337,26 +337,25 @@ object Similarity {
     cents
   }
 
-  /** Index of the nearest centroid by L2 (array-argmin, not a
-    * when/otherwise fold — folds duplicate the running-best subtree
-    * exponentially).
-    */
+  /** Index of the nearest centroid by L2. */
   def nearestCentroid(e: Column, cents: Array[Array[Double]]): Column =
     nearestCentroids(e, cents, 1).getItem(0)
 
-  /** The `nProbe` nearest centroid indices, ascending by L2 distance.
-    * Ranking key: -2·(e·c) + |c|² (the |e|² term is constant per row).
+  /** The `nProbe` nearest centroid indices, ascending by L2 distance
+    * (rank key -2·(e·c) + |c|²; the |e|² term is constant per row),
+    * ties broken by lower index.
+    *
+    * ONE codegen expression holding the whole centroid matrix as a
+    * referenced object ([[graft.functions.CentroidOps]]) — plan node
+    * count is O(1) in `c`, so the coarse quantizer scales to the
+    * c ≈ √N (tens of thousands) a 100 TB corpus needs. The earlier
+    * c-literal-dot-subtree formulation produced bit-identical results
+    * but an O(c) plan tree; the swap is invisible to the q42 oracle
+    * (PlanSizeSpec asserts both properties).
     */
   def nearestCentroids(e: Column, cents: Array[Array[Double]],
-      nProbe: Int): Column = {
-    val scored = cents.zipWithIndex.map { case (cent, i) =>
-      val c2 = cent.map(x => x * x).sum
-      struct(
-        (lit(-2.0) * dot(e, array(cent.toSeq.map(lit): _*)) + lit(c2)).as("d"),
-        lit(i).as("cluster"))
-    }
-    slice(array_sort(array(scored.toSeq: _*)), 1, nProbe).getField("cluster")
-  }
+      nProbe: Int): Column =
+    graft.functions.CentroidOps.nearestCol(e, cents, nProbe)
 
   /** IVF-accelerated cosine top-k: candidates are the members of the
     * `nProbe` clusters nearest each query; exact cosine re-rank on the

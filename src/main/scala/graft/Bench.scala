@@ -40,7 +40,13 @@ object Bench {
     // from the headline. failed count keeps the total honest.
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout tails get truncated in driver logs; keep a self-contained
+    // record of the full per-query line next to the repo history
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }

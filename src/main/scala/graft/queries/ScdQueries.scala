@@ -83,6 +83,17 @@ object ScdQueries {
         .orderBy(col("c_custkey"), col("scd_version"))
     }),
 
+    // Delete detection: staging declared a FULL snapshot, so ACTIVE
+    // members whose key vanished (custkey%7=0 here) are closed at asOf
+    // instead of carried open forever — the reference pipeline's
+    // documented blind spot (it has no delete branch, SURVEY §2.3(6)).
+    // Oracle: the 6-branch SQL plus an explicit b1d delete branch.
+    "q88_scd_delete" -> ((s, dir) => {
+      ScdMerge.merge(production(s, dir), staging(s, dir), schema,
+        MergeOptions(asOf, highDate = highTs, closeMissing = true))
+        .orderBy(col("c_custkey"), col("scd_version"))
+    }),
+
     // Reference-shaped mode: three-valued change predicate + global
     // surrogate renumbering by start date (SCD_script.txt:143).
     "q14_scd_hivecompat" -> ((s, dir) => {
@@ -245,7 +256,8 @@ object ScdQueries {
     * branch) is thereby reproduced in the oracle itself, matching the
     * engine's `nullSafeCompare=false` compat mode (q14).
     */
-  private def mergeSql(renumber: Boolean, nullSafe: Boolean = true): String = {
+  private def mergeSql(renumber: Boolean, nullSafe: Boolean = true,
+      closeMissing: Boolean = false): String = {
     val same =
       if (nullSafe)
         """p.c_acctbal IS NOT DISTINCT FROM s.c_acctbal
@@ -277,6 +289,16 @@ object ScdQueries {
        |), b1 AS (
        |  SELECT p.* FROM prod p
        |  WHERE NOT EXISTS (SELECT 1 FROM stag s WHERE s.c_custkey = p.c_custkey)
+       |${if (closeMissing)
+           s"""    AND NOT p.scd_active
+              |), b1d AS (
+              |  SELECT p.dim_id, p.c_custkey, p.c_name, p.c_acctbal,
+              |         p.c_mktsegment, p.scd_version, p.scd_start_date,
+              |         $asOfSql AS scd_end_date, FALSE AS scd_active
+              |  FROM prod p
+              |  WHERE NOT EXISTS (SELECT 1 FROM stag s WHERE s.c_custkey = p.c_custkey)
+              |    AND p.scd_active""".stripMargin
+         else ""}
        |), b2 AS (
        |  SELECT p.dim_id, p.c_custkey, s.c_name, p.c_acctbal, p.c_mktsegment,
        |         p.scd_version, p.scd_start_date, p.scd_end_date, p.scd_active
@@ -305,7 +327,8 @@ object ScdQueries {
        |  FROM stag s
        |  WHERE NOT EXISTS (SELECT 1 FROM prod p WHERE p.c_custkey = s.c_custkey)
        |), unioned AS (
-       |  SELECT * FROM b1 UNION ALL SELECT * FROM b2 UNION ALL
+       |  SELECT * FROM b1 UNION ALL ${if (closeMissing) "SELECT * FROM b1d UNION ALL" else ""}
+       |  SELECT * FROM b2 UNION ALL
        |  SELECT * FROM b3 UNION ALL SELECT * FROM b4 UNION ALL
        |  SELECT * FROM b5 UNION ALL SELECT * FROM b6
        |), maxid AS (SELECT MAX(dim_id) AS m FROM prod)
@@ -319,6 +342,7 @@ object ScdQueries {
   val oracleSql: Map[String, String] = Map(
     "q13_scd_merge" -> mergeSql(renumber = false),
     "q14_scd_hivecompat" -> mergeSql(renumber = true, nullSafe = false),
+    "q88_scd_delete" -> mergeSql(renumber = false, closeMissing = true),
     "q62_snapshot_diff" ->
       s"""WITH prev AS (
          |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

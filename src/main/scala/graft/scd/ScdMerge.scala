@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Branches (reference step numbers in parens):
   *  - B1 production-only      -> carried verbatim               (step 2)
+  *       (with `closeMissing`: active production-only rows are detected
+  *        deletes and closed instead — no reference step; the reference
+  *        has no delete branch at all, SURVEY.md §2.3(6))
   *  - B2 matched, inactive    -> carried, Type-1 refreshed      (step 3)
   *  - B3 matched, active, ==  -> carried, Type-1 refreshed      (step 4)
   *  - B4 matched, active, !=  -> closed: end=asOf, active=false (step 5)
@@ -125,8 +128,16 @@ object ScdMerge {
       }: _*)
 
     val emptyBranch = slice(array(carried(false, false)), 1, 0) // typed empty
+    // B1: with closeMissing, an ACTIVE row whose key vanished from the
+    // (full) staging snapshot is a detected delete -> closed; inactive
+    // history is carried verbatim either way
+    val prodOnly =
+      if (opts.closeMissing)
+        when(coalesce(pActive, lit(false)), array(carried(false, true)))
+          .otherwise(array(carried(false, false)))
+      else array(carried(false, false))
     val branch =
-      when(pPresent && !sPresent, array(carried(false, false)))
+      when(pPresent && !sPresent, prodOnly)
         .when(pPresent && sPresent && !coalesce(pActive, lit(false)),
           array(carried(true, false)))
         .when(pPresent && sPresent && pActive && t2Unchanged,

@@ -64,10 +64,20 @@ object KeyMode {
   *   columns compared through `COALESCE(c,'')` as the reference does for
   *   `phone` (reference `SCD_script.txt:56,80,116`).
   * @param highDate open-interval sentinel (reference `SCD_script.txt:99,133`).
+  * @param closeMissing when true, `staging` is declared a FULL snapshot:
+  *   an ACTIVE dimension row whose business key is absent from staging is
+  *   a detected DELETE and gets closed (end=asOf, active=false) instead of
+  *   carried open forever — the reference's documented blind spot
+  *   (SURVEY.md §2.3(6)): its pipeline has no delete branch at all, so
+  *   departed members stay active. Historical (already-closed) rows are
+  *   carried verbatim either way. Leave false for partial/delta feeds,
+  *   where absence means "unchanged", or diff full extracts with
+  *   [[SnapshotDiff]] first and feed only the changes.
   */
 final case class MergeOptions(
     asOf: Timestamp,
     keyMode: KeyMode = KeyMode.Stable,
     nullSafeCompare: Boolean = true,
     coalesceCompareCols: Set[String] = Set.empty,
-    highDate: Timestamp = Timestamp.valueOf("9999-12-31 23:59:59"))
+    highDate: Timestamp = Timestamp.valueOf("9999-12-31 23:59:59"),
+    closeMissing: Boolean = false)

@@ -23,6 +23,9 @@ object StreamingScd {
     * `save` must publish atomically (e.g. ParquetCatalog.overwrite).
     * `eventTimeCol` rows within a batch are deduped keep-latest before
     * the merge (the reference would fan out duplicates, SURVEY §2.3(6)).
+    * `mergeOpts` builds the per-batch options from the batch `asOf` —
+    * e.g. `MergeOptions(_, closeMissing = true)` when each micro-batch
+    * carries a FULL snapshot and vanished keys must close.
     */
   def writer(
       stagingStream: DataFrame,
@@ -30,7 +33,9 @@ object StreamingScd {
       load: SparkSession => DataFrame,
       save: DataFrame => Unit,
       eventTimeCol: String,
-      asOfForBatch: Long => Timestamp): DataStreamWriter[org.apache.spark.sql.Row] =
+      asOfForBatch: Long => Timestamp,
+      mergeOpts: Timestamp => MergeOptions = MergeOptions(_))
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     stagingStream.writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(0L))
@@ -40,7 +45,7 @@ object StreamingScd {
           val latest = ScdMerge.dedupeStagingLatest(batch, schema, eventTimeCol)
             .drop(eventTimeCol)
           val merged = ScdMerge.merge(load(spark), latest, schema,
-            MergeOptions(asOfForBatch(batchId)))
+            mergeOpts(asOfForBatch(batchId)))
           save(merged)
         }
       }

@@ -100,6 +100,32 @@ class ScdMergeSpec extends SparkSpec {
     assert(fixed.head.getBoolean(11) === true) // still active, not versioned
   }
 
+  test("closeMissing: no active row survives for a vanished key") {
+    // user2 disappears from the full snapshot
+    val partial = staging.filter(org.apache.spark.sql.functions
+      .col("login") =!= "user2")
+    val closed = ScdMerge.merge(production, partial, dimUser,
+      MergeOptions(asOf, closeMissing = true))
+    val u2 = closed.filter(org.apache.spark.sql.functions
+      .col("login") === "user2").collect()
+    assert(u2.length === 1)
+    assert(!u2.head.getAs[Boolean]("scd_active"))
+    assert(u2.head.getAs[Timestamp]("scd_end_date") === asOf)
+    // property over every key: active rows exist only for staged keys
+    val activeKeys = closed
+      .filter(org.apache.spark.sql.functions.col("scd_active"))
+      .select("login").collect().map(_.getString(0)).toSet
+    val stagedKeys = partial.select("login").collect()
+      .map(_.getString(0)).toSet
+    assert(activeKeys.subsetOf(stagedKeys))
+    // default mode: the vanished key's row is carried verbatim, still open
+    val carried = ScdMerge.merge(production, partial, dimUser,
+      MergeOptions(asOf))
+      .filter(org.apache.spark.sql.functions.col("login") === "user2")
+      .collect()
+    assert(carried.length === 1 && carried.head.getAs[Boolean]("scd_active"))
+  }
+
   test("staging dedupe keeps latest by order column") {
     import spark.implicits._
     val dup = Seq(

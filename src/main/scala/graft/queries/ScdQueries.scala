@@ -83,6 +83,29 @@ object ScdQueries {
         .orderBy(col("c_custkey"), col("scd_version"))
     }),
 
+    // The 100 TB flagship layout: production AND staging live as tables
+    // BUCKETED on the business key, so the full-outer merge join
+    // consumes the co-located layout directly — ZERO join-key shuffle
+    // of either side, regardless of dimension size (the only exchanges
+    // left are increment-sized: max-surrogate + new-row ranking).
+    // Same merge semantics and oracle as q13; the no-Exchange plan
+    // property is asserted in ScaleLayoutSpec over this very query.
+    "q89_scd_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (pT, sT) = (s"graft_q89_prod_$tag", s"graft_q89_stag_$tag")
+      // write-once per session+scale; mode=overwrite clears leftover
+      // warehouse dirs from earlier JVMs (in-memory catalog, real path)
+      if (!s.catalog.tableExists(pT))
+        production(s, dir).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(pT)
+      if (!s.catalog.tableExists(sT))
+        staging(s, dir).write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(sT)
+      ScdMerge.merge(s.table(pT), s.table(sT), schema,
+        MergeOptions(asOf, highDate = highTs))
+        .orderBy(col("c_custkey"), col("scd_version"))
+    }),
+
     // Delete detection: staging declared a FULL snapshot, so ACTIVE
     // members whose key vanished (custkey%7=0 here) are closed at asOf
     // instead of carried open forever — the reference pipeline's
@@ -343,6 +366,7 @@ object ScdQueries {
     "q13_scd_merge" -> mergeSql(renumber = false),
     "q14_scd_hivecompat" -> mergeSql(renumber = true, nullSafe = false),
     "q88_scd_delete" -> mergeSql(renumber = false, closeMissing = true),
+    "q89_scd_bucketed" -> mergeSql(renumber = false),
     "q62_snapshot_diff" ->
       s"""WITH prev AS (
          |  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer

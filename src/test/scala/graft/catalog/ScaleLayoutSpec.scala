@@ -94,6 +94,28 @@ class ScaleLayoutSpec extends SparkSpec {
     }
   }
 
+  test("declared q89 merges from bucketed layout with zero join-key shuffle") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge path the layout exists for (at real scale
+      // neither side broadcasts)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val merged = graft.queries.ScdQueries.queries("q89_scd_bucketed")(
+        spark, "/root/testdata/sf0.001")
+      merged.collect() // AQE finalizes on the SAME Dataset
+      val plan = merged.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"expected a full-outer sort-merge join:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"declared bucketed merge shuffled a join side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("z-order clustering shrinks per-file ranges on every dimension") {
     val dir = Files.createTempDirectory("graft-zorder").toString
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")

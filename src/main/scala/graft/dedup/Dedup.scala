@@ -184,8 +184,13 @@ object Dedup {
     // exponential self-join deduplication. Checkpointing truncates the
     // lineage to the materialized blocks each round, the same reason
     // GraphX/ALS checkpoint their iterations.
-    val edges = pairs.select(a.as("src"), b.as("dst"))
-      .unionByName(pairs.select(b.as("src"), a.as("dst")))
+    // Materialize the caller's pair plan ONCE before mirroring: the
+    // undirected union would otherwise evaluate the (potentially
+    // expensive — LSH candidate+verify) upstream subtree twice in the
+    // same job.
+    val p0 = pairs.select(a.as("src"), b.as("dst")).localCheckpoint()
+    val edges = p0
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     // Right-size the per-round shuffles: the label relation is bounded by

@@ -49,9 +49,12 @@ object CorpusPipeline {
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
-    // cheap join against the cached survivors (the min-id side
-    // broadcasts) — no second persist needed for the subset
+    // the exact-dedup survivors feed BOTH the shingle pipeline (via the
+    // eager connected-components phase) and the final anti join, so they
+    // persist too — otherwise the fingerprint aggregate + semi join
+    // replay once per consumer
     val exact = gated.join(keep, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal: resolve LSH-verified pairs into connected
     // components and keep each cluster's minimum id — one survivor per
     // duplicate group even across untested chains (a~b, b~c drops both

@@ -93,14 +93,22 @@ object ScdQueries {
     "q89_scd_bucketed" -> ((s, dir) => {
       val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (pT, sT) = (s"graft_q89_prod_$tag", s"graft_q89_stag_$tag")
-      // write-once per session+scale; mode=overwrite clears leftover
-      // warehouse dirs from earlier JVMs (in-memory catalog, real path)
-      if (!s.catalog.tableExists(pT))
-        production(s, dir).write.mode("overwrite")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(pT)
-      if (!s.catalog.tableExists(sT))
-        staging(s, dir).write.mode("overwrite")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(sT)
+      // write-once per session+scale. A FRESH JVM's in-memory catalog
+      // forgets the table while its managed warehouse directory
+      // survives, and saveAsTable refuses to create over an existing
+      // location — so drop the stale path first (mode=overwrite does
+      // NOT cover the table-unknown-but-location-exists case).
+      def writeBucketed(name: String, df: DataFrame): Unit =
+        if (!s.catalog.tableExists(name)) {
+          val wh = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), name.toLowerCase)
+          val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(wh)) fs.delete(wh, true)
+          df.write.mode("overwrite")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable(name)
+        }
+      writeBucketed(pT, production(s, dir))
+      writeBucketed(sT, staging(s, dir))
       ScdMerge.merge(s.table(pT), s.table(sT), schema,
         MergeOptions(asOf, highDate = highTs))
         .orderBy(col("c_custkey"), col("scd_version"))

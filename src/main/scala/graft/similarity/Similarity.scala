@@ -246,6 +246,18 @@ object Similarity {
   def ivfCentroidsPortable(corpus: DataFrame, idCol: String, vecCol: String,
       c: Int, iters: Int = 2): Array[Array[Double]] = {
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try trainPortable(ds, idCol, c, iters)
+    finally ds.unpersist(blocking = false)
+  }
+
+  /** Lloyd training over an already-quantized relation. Training reads
+    * the corpus `iters + 1` times (init sample + one assignment pass per
+    * iteration), so callers persist `ds` around the loop — quantizing
+    * once instead of once per consumer.
+    */
+  private def trainPortable(ds: DataFrame, idCol: String,
+      c: Int, iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = ds
       .withColumn("h", graft.functions.PortableHash
         .hash60Base(col(idCol).cast("string")))
@@ -282,8 +294,15 @@ object Similarity {
   def ivfTopKPortable(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, c: Int = 16, nProbe: Int = 4,
       iters: Int = 2): DataFrame = {
-    val cents = ivfCentroidsPortable(corpus, idCol, vecCol, c, iters)
-    val cb = withQuantizedDouble(corpus, idCol, vecCol)
+    // One quantize pass total: training reads the cached relation
+    // iters+1 times and the corpus-side bucket assignment reads it once
+    // more. The cache is NOT unpersisted — the returned DataFrame is
+    // lazy and re-evaluates cb on every action (same caller-managed
+    // eviction contract as minhashNearDuplicates' shingle cache).
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainPortable(ds, idCol, c, iters)
+    val cb = ds
       .select(col(idCol), col(vecCol),
         nearestCentroid(col("qd"), cents).as("bucket"))
     val qb = withQuantizedDouble(queries, idCol, vecCol)

@@ -115,12 +115,36 @@ object ScaleProbe {
         .count()
     }
 
+    // ANN: corpus grows Nx, the query batch stays FIXED (50 vectors from
+    // the first replica) — the shape of "index more data, same query
+    // load". Replicated vectors land in the replica-independent buckets
+    // their originals chose, so per-query candidates grow exactly Nx:
+    // linear candidate growth is the honest outcome, and wall time must
+    // track it plus the corpus-side bucket-assignment scan.
+    val emb1 = graft.sources.Tables(spark, sfDir, "embeddings")
+    val embN = replicate(emb1, Seq("vec_id"), 100000000L)
+    def annLsh(e: DataFrame): Long =
+      graft.similarity.Similarity.portableAnnTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 10)
+        .count()
+    // IVF probes training too (the Lloyd loop is iters+1 corpus scans +
+    // one skinny-row shuffle per iteration) with the O(1)-plan-size
+    // CentroidOps argmin — c=64 exercises a wider centroid matrix than
+    // the declared q42
+    def annIvf(e: DataFrame): Long =
+      graft.similarity.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 10,
+        c = 64, nProbe = 8)
+        .count()
+
     // warmup
     agg(li1); ()
     val results = Seq(
       "agg" -> (time(agg(li1)), time(agg(liN))),
       "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
       "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
+      "ann_lsh" -> (time(annLsh(emb1)), time(annLsh(embN))),
+      "ann_ivf" -> (time(annIvf(emb1)), time(annIvf(embN))),
       "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
       "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>

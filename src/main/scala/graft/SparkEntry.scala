@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.VectorQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.Round3Queries.queries ++
-      graft.queries.Round3bQueries.queries
+      graft.queries.Round3bQueries.queries ++
+      graft.queries.Round5Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracleSql ++
       graft.queries.ExtendedQueries.oracleSql ++
       graft.queries.Round3Queries.oracleSql ++
-      graft.queries.Round3bQueries.oracleSql
+      graft.queries.Round3bQueries.oracleSql ++
+      graft.queries.Round5Queries.oracleSql
 }

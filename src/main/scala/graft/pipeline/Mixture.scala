@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic mixture sampling: downsample each corpus source to a
+  * target weight — the step that turns N crawled/curated sources into
+  * the training mixture (web 60%, code 20%, ... at whatever rates the
+  * ablations chose).
+  *
+  * Membership is a pure function of the row id: keep a row iff
+  * `md5-hash(id) mod unit < weight * unit` — no RNG state, no
+  * shuffling, embarrassingly parallel, and REPRODUCIBLE: the same row
+  * set comes back on every run, on any cluster layout, and in the
+  * DuckDB oracle (q93). Weights are expressed in integer parts per
+  * `Unit` so the comparison is exact integer arithmetic.
+  */
+object Mixture {
+
+  /** Parts-per-unit denominator for sampling thresholds. */
+  val Unit = 1000000L
+
+  /** Keep predicate: deterministic hash-gate at `threshold` parts per
+    * [[Unit]] on `id`.
+    */
+  def keepExpr(id: Column, threshold: Column): Column =
+    PortableHash.hash60Base(id.cast("string")) % Unit < threshold
+
+  /** Downsample `docs` so source `s` survives at `thresholds(s)` parts
+    * per [[Unit]] (absent sources drop to `defaultThreshold`). Returns
+    * the surviving rows unchanged plus the `threshold` column that
+    * admitted them.
+    */
+  def sample(docs: DataFrame, idCol: String, srcCol: String,
+      thresholds: Map[String, Long],
+      defaultThreshold: Long = 0L): DataFrame = {
+    val th = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (s, t)) => when(col(srcCol) === s, lit(t)).otherwise(acc)
+    }
+    docs.withColumn("threshold", th)
+      .filter(keepExpr(col(idCol), col("threshold")))
+  }
+}

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.functions.PortableHash
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-5 widening: the LLM-pipeline operators between cleaning and
+  * training — repetition-based quality signals (Gopher-style), sequence
+  * packing (concat-then-chunk layout), deterministic mixture sampling,
+  * and IVF-PQ (product-quantization ANN over a compressed index).
+  * Every query replays bit-identically in the DuckDB oracle.
+  */
+object Round5Queries {
+
+  /** q91/q92/q93 parameters shared by engine calls and oracle SQL. */
+  private val PackLen = 2048
+  private val PackGroups = 8
+  private val PqC = 16
+  private val PqM = 8
+  private val PqSub = 64 / PqM
+  private val PqProbe = 4
+  private val PqK = 64
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Gopher-style repetition signals: unique-token fraction, top-token
+    // mass, top-bigram mass, and the combined repetitive gate — exact
+    // integer counts, one double division per fraction.
+    "q90_repetition" -> ((s, dir) => {
+      graft.text.Repetition.signals(
+        Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Sequence packing: documents routed to 8 independent streams and
+    // laid head-to-tail, cut every 2048 tokens — per-doc placement
+    // (stream, first sequence, offset, sequences straddled) in pure
+    // integer arithmetic over stream-keyed prefix sums.
+    "q91_seq_packing" -> ((s, dir) => {
+      graft.pipeline.Packing.packSequences(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        seqLen = PackLen, numGroups = PackGroups)
+        .orderBy(col("doc_id"))
+    }),
+
+    // IVF-PQ ANN: coarse inverted-file routing + product-quantization
+    // ADC scoring — int8-exact integer scores over a compressed index
+    // (bucket + 8 one-byte codes per vector), ranks hash-checked.
+    "q92_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      graft.similarity.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+        k = 10, c = PqC, m = PqM, nProbe = PqProbe, kCodes = PqK)
+        .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Deterministic mixture sampling: each source survives at a
+    // per-source rate (parts-per-million thresholds derived from the
+    // source index), membership a pure hash of the doc id — the
+    // reproducible mixture-construction step. Per-source audit:
+    // incoming/kept rows, kept tokens, achieved fraction.
+    "q93_mixture" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val th = ((lit(20) - srcnum).cast("long") * 50000L).as("threshold")
+      val kept = docs
+        .withColumn("threshold", th)
+        .filter(graft.pipeline.Mixture.keepExpr(col("doc_id"),
+          col("threshold")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("tok_kept"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_in"))
+        .withColumn("threshold", th)
+        .join(kept, Seq("source"), "left")
+        .select(col("source"), col("threshold"), col("n_in"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"),
+          (coalesce(col("n_kept"), lit(0L)).cast("double") /
+            col("n_in").cast("double")).as("kept_frac"))
+        .orderBy(col("source"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
+  private def distSql(v: String, cent: String): String =
+    s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
+
+  private def sliceSql(l: String, j: String): String =
+    s"$l[$j*$PqSub+1 : $j*$PqSub+$PqSub]"
+
+  val oracleSql: Map[String, String] = Map(
+    "q90_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok),
+         |t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         |    COUNT(*) AS n_unique, CAST(MAX(n) AS BIGINT) AS top_tok_n
+         |  FROM tc GROUP BY doc_id),
+         |grams AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ts) >= 2
+         |      THEN list_transform(generate_series(1, len(ts)-1),
+         |             i -> ts[i] || ' ' || ts[i+1])
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM toks),
+         |gc AS (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram),
+         |g AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_gram,
+         |    CAST(MAX(n) AS BIGINT) AS top_gram_n
+         |  FROM gc GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tok, t.n_unique,
+         |  CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS uniq_frac,
+         |  CAST(t.top_tok_n AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS top_tok_frac,
+         |  CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE) AS top_gram_frac,
+         |  (COALESCE(CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE), 0.0) > 0.08
+         |    OR CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) < 0.4) AS repetitive
+         |FROM t LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q91_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackGroups AS grp,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |p AS (SELECT doc_id, grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_tok > 0)
+         |SELECT doc_id, grp, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // $PackLen AS seq_first,
+         |  (cum - n_tok) % $PackLen AS seq_off,
+         |  (cum - 1) // $PackLen - (cum - n_tok) // $PackLen + 1 AS n_seqs
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q92_ann_ivfpq" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < $PqC),
+         |k0 AS (SELECT code, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE code < $PqK),
+         |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+         |cw AS (SELECT k.code, js.j,
+         |    ${sliceSql("k.cent", "js.j")} AS w
+         |  FROM k0 k CROSS JOIN js),
+         |cb AS (SELECT vec_id, cluster AS bucket FROM (
+         |  SELECT z.vec_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c0 c) WHERE rn = 1),
+         |codes AS (SELECT vec_id, j, code FROM (
+         |  SELECT z.vec_id, w.j, w.code,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id, w.j
+         |      ORDER BY ${distSql(sliceSql("z.qd", "w.j"), "w.w")} ASC,
+         |        w.code ASC) AS rn
+         |  FROM qz z CROSS JOIN cw w) WHERE rn = 1),
+         |qp AS (SELECT vec_id AS q_id, qd, nq, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.qd, ${dotSql("z.qd", "z.qd")} AS nq, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c0 c WHERE z.vec_id < 50)
+         |  WHERE rn <= $PqProbe),
+         |cand AS (SELECT q.q_id, q.qd, q.nq, c.vec_id AS n_id
+         |  FROM qp q JOIN cb c ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         |adc AS (SELECT cd.q_id, cd.n_id, ANY_VALUE(cd.nq) AS nq,
+         |    SUM(${dotSql(sliceSql("cd.qd", "k.j"), "w.w")}) AS s,
+         |    SUM(${dotSql("w.w", "w.w")}) AS nc
+         |  FROM cand cd
+         |  JOIN codes k ON k.vec_id = cd.n_id
+         |  JOIN cw w ON w.j = k.j AND w.code = k.code
+         |  GROUP BY cd.q_id, cd.n_id)
+         |SELECT q_id, n_id, qcos, rank FROM (
+         |  SELECT q_id, n_id, s / sqrt(nq * nc) AS qcos,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY s / sqrt(nq * nc) DESC, n_id ASC) AS rank
+         |  FROM adc) t
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q93_mixture" ->
+      s"""WITH d AS (SELECT doc_id, source, text,
+         |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold
+         |  FROM documents),
+         |kept AS (SELECT source, COUNT(*) AS n_kept,
+         |    CAST(SUM(CAST(len($toksExpr) AS BIGINT)) AS BIGINT) AS tok_kept
+         |  FROM d
+         |  WHERE ${PortableHash.hash60BaseSql("doc_id::VARCHAR")} % 1000000 < threshold
+         |  GROUP BY source)
+         |SELECT t.source,
+         |  CAST(20 - CAST(substr(t.source, 4) AS INT) AS BIGINT) * 50000 AS threshold,
+         |  t.n_in,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.tok_kept, 0) AS tok_kept,
+         |  CAST(COALESCE(k.n_kept, 0) AS DOUBLE) / CAST(t.n_in AS DOUBLE) AS kept_frac
+         |FROM (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source) t
+         |LEFT JOIN kept k ON k.source = t.source
+         |ORDER BY t.source""".stripMargin
+  )
+}

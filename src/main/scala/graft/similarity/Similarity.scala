@@ -311,6 +311,87 @@ object Similarity {
     bucketedTopK(qb, cb, idCol, vecCol, k)
   }
 
+  /** IVF-PQ: coarse inverted-file routing plus product-quantization
+    * scoring — the memory-compressed ANN layout a 100 TB corpus needs:
+    * each indexed vector stores only its coarse bucket + `m` one-byte
+    * codes (vs dims×4 bytes of floats), and query scoring reads codes,
+    * never the original vectors.
+    *
+    *   - coarse quantizer: the `c` corpus vectors with the smallest
+    *     (md5(id), id) — the deterministic sample [[ivfCentroidsPortable]]
+    *     inits from (iters=0: a sample quantizer, no Lloyd loop);
+    *   - PQ codebooks: the first `kCodes` vectors of the same ordering,
+    *     sliced into `m` subspaces — codebook `j` holds the sample's
+    *     j-th subvectors. `kCodes` is independent of `c`: reconstruction
+    *     quality needs far more codewords (256 is the classical choice)
+    *     than coarse routing needs cells;
+    *   - encode: per subspace, the code is the argmin codeword by L2
+    *     (ties → lower code), via the O(1)-plan-size [[graft.functions
+    *     .CentroidOps]] argmin on the sliced quantized vector;
+    *   - score (ADC): the quantized cosine
+    *     Σ_j IntDot(q_j, cw_j[code_j]) / √(|q|²·|reconstruction|²) —
+    *     numerator and both norms are EXACT int64 inner products between
+    *     the int8-quantized query and the reconstructed codewords, and
+    *     the one division + sqrt are correctly-rounded IEEE ops, so
+    *     scores and ranks replay bit-identically in the DuckDB oracle
+    *     (q92): the q66 exact-integer trick applied to a compressed
+    *     index. (Range quantization is scale-invariant, so the
+    *     normalized score approximates COSINE; the raw inner product
+    *     would carry a per-vector 1/max|x| distortion.)
+    *
+    * Candidates are the members of the `nProbe` clusters nearest each
+    * query — linear in corpus + candidates, no all-pairs stage.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, c: Int = 16, m: Int = 8,
+      nProbe: Int = 4, kCodes: Int = 64): DataFrame = {
+    // one quantize pass (same persist contract as ivfTopKPortable)
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bigSample: Array[Array[Double]] = ds
+      .withColumn("h", graft.functions.PortableHash
+        .hash60Base(col(idCol).cast("string")))
+      .orderBy(col("h"), col(idCol)).limit(math.max(c, kCodes))
+      .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
+    val sample = bigSample.take(c)
+    val cbSample = bigSample.take(kCodes)
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+    val sub = dims / m
+    val subCents: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => cbSample.map(_.slice(j * sub, (j + 1) * sub)))
+    val codeCols = (0 until m).map(j =>
+      nearestCentroid(slice(col("qd"), j * sub + 1, sub), subCents(j))
+        .as(s"code_$j"))
+    val cb = ds.select(
+      Seq(col(idCol).as("n_id"),
+        nearestCentroid(col("qd"), sample).as("bucket")) ++ codeCols: _*)
+    val qs = withQuantizedDouble(queries, idCol, vecCol)
+      .select(col(idCol).as("q_id"), col("qi"),
+        VectorFunctions.dotInt(col("qi"), col("qi")).as("nq"),
+        explode(nearestCentroids(col("qd"), sample, nProbe)).as("bucket"))
+    // codebooks as int literals: codeword values are int8 quantities,
+    // so the ADC partials and both norms are exact integer dots
+    val subCentsInt: Seq[Seq[Seq[Int]]] =
+      subCents.toSeq.map(_.toSeq.map(_.toSeq.map(_.toInt)))
+    def codeword(j: Int) =
+      element_at(typedLit(subCentsInt(j)), col(s"code_$j") + 1)
+    val scoreCols = (0 until m).map(j =>
+      VectorFunctions.dotInt(slice(col("qi"), j * sub + 1, sub), codeword(j)))
+    val ncCols = (0 until m).map(j =>
+      VectorFunctions.dotInt(codeword(j), codeword(j)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("n_id").asc)
+    qs.join(cb, Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qcos",
+        scoreCols.reduce(_ + _).cast("double") /
+          sqrt((col("nq") * ncCols.reduce(_ + _)).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+  }
+
   /** IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means.
     *
     * Init picks the `c` corpus vectors with the smallest md5(id) — a

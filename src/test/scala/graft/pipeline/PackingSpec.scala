@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: the packed layout must tile each stream's token
+  * tape exactly — contiguous starts, in-range offsets, straddle counts
+  * consistent with the cut points — and be layout-independent.
+  */
+class PackingSpec extends SparkSpec {
+
+  private val L = 128
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("streams tile contiguously: each doc starts where the previous ended") {
+    val rows = Packing.packSequences(docs, "doc_id", "text",
+        seqLen = L, numGroups = 4)
+      .orderBy(col("grp"), col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))) // grp, n_tok, start
+    rows.groupBy(_._1).values.foreach { g =>
+      g.sliding(2).foreach {
+        case Array((_, n, s), (_, _, s2)) => assert(s2 == s + n)
+        case _ =>
+      }
+      assert(g.head._3 == 0L) // first doc of every stream starts at 0
+    }
+  }
+
+  test("placement fields are consistent with the cut points") {
+    Packing.packSequences(docs, "doc_id", "text", seqLen = L, numGroups = 4)
+      .collect().foreach { r =>
+        val (n, start, seqF, off, nSeqs) = (r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(n > 0)
+        assert(off >= 0 && off < L)
+        assert(seqF == start / L && off == start % L)
+        assert(nSeqs == (start + n - 1) / L - seqF + 1)
+      }
+  }
+
+  test("deterministic under repartitioning") {
+    val a = Packing.packSequences(docs, "doc_id", "text", L, 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Packing.packSequences(docs.repartition(13), "doc_id", "text", L, 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.functions.TextHash
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the whole pipeline (sampled coarse quantizer, subspace
+  * codebooks, encoding, probe routing, exact-integer ADC scores, ranks)
+  * is recomputed independently in plain Scala and compared tuple for
+  * tuple; plus layout-independence and recall sanity vs brute force.
+  */
+class IvfPqSpec extends SparkSpec {
+
+  private val (c, m, nProbe, k, kCodes) = (8, 8, 3, 5, 64)
+  private def emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** Plain-Scala replay of the operator's contract. */
+  private def reference(): Set[(Long, Long, Double, Int)] = {
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // int8-range quantization, HALF_UP = away-from-zero like SQL round
+    def quant(e: Array[Double]): Option[Array[Long]] = {
+      val mab = e.map(math.abs).max
+      if (mab <= 0) None
+      else Some(e.map(x => java.math.BigDecimal.valueOf(x * 127.0 / mab)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()))
+    }
+    val qz = vecs.flatMap { case (id, e) => quant(e).map(id -> _) }
+    val big = qz.sortBy { case (id, _) =>
+      (TextHash.md5Low60(id.toString), id) }
+      .take(math.max(c, kCodes)).map(_._2)
+    val sample = big.take(c)
+    val cbSample = big.take(kCodes)
+    val dims = sample.head.length
+    val sub = dims / m
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def argmin(v: Array[Long], cents: Array[Array[Long]], n: Int): Seq[Int] =
+      cents.zipWithIndex
+        .map { case (ct, i) => (-2L * dot(v, ct) + dot(ct, ct), i) }
+        .sortBy(identity).take(n).map(_._2).toSeq
+    val cw: Array[Array[Array[Long]]] =
+      Array.tabulate(m)(j => cbSample.map(_.slice(j * sub, (j + 1) * sub)))
+    val cb = qz.map { case (id, v) => (id, argmin(v, sample, 1).head,
+      Array.tabulate(m)(j =>
+        argmin(v.slice(j * sub, (j + 1) * sub), cw(j), 1).head)) }
+    val byBucket = cb.groupBy(_._2)
+    qz.filter(_._1 < 50).flatMap { case (qid, qv) =>
+      val cands = argmin(qv, sample, nProbe)
+        .flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
+        .filter(_._1 != qid)
+      val nq = dot(qv, qv)
+      cands.map { case (nid, _, codes) =>
+        val s = (0 until m).map(j =>
+          dot(qv.slice(j * sub, (j + 1) * sub), cw(j)(codes(j)))).sum
+        val nc = (0 until m).map(j =>
+          dot(cw(j)(codes(j)), cw(j)(codes(j)))).sum
+        (nid, s.toDouble / math.sqrt((nq * nc).toDouble))
+      }.sortBy { case (nid, s) => (-s, nid) }
+        .take(k).zipWithIndex
+        .map { case ((n, s), i) => (qid, n, s, i + 1) }
+    }.toSet
+  }
+
+  private def run(corpus: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 50), corpus,
+        "vec_id", "embedding", k = k, c = c, m = m, nProbe = nProbe,
+        kCodes = kCodes)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+
+  test("scores and ranks match an independent plain-Scala replay exactly") {
+    assert(run(emb) == reference())
+  }
+
+  test("deterministic under repartitioning") {
+    assert(run(emb.repartition(13)) == run(emb))
+  }
+
+  test("full probe over one coarse cell ranks like exact quantized ADC") {
+    // c=1: every vector lands in the single bucket, so the candidate set
+    // is the whole corpus and ranking is pure ADC — top-1 of a query
+    // against itself-duplicates must be deterministic and k rows per query
+    val out = Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+      "vec_id", "embedding", k = 3, c = 1, m = m, nProbe = 1,
+      kCodes = kCodes)
+    val counts = out.groupBy("q_id").count().collect().map(_.getLong(1))
+    assert(counts.nonEmpty && counts.forall(_ == 3))
+  }
+
+  test("recall sanity vs brute-force cosine") {
+    val q = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = run(emb).map { case (qid, nid, _, _) => (qid, nid) }
+      .filter(_._1 < 20)
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall >= 0.2, s"recall $recall") // compressed + sampled codebook
+  }
+}

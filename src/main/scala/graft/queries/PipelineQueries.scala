@@ -236,7 +236,7 @@ object PipelineQueries {
   /** Quality-score expression over a `text` column — shared by q16 and
     * the q46 pipeline gate so both replay the same arithmetic.
     */
-  private val qualityExprSql =
+  private[queries] val qualityExprSql =
     s"""(CASE WHEN len($toksExpr) BETWEEN 5 AND 5000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END
        |   + CASE WHEN len(list_filter($toksExpr, t -> list_contains(['the','a','of','and','is'], lower(t))))::DOUBLE
        |         / greatest(len($toksExpr), 1) > 0.01 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END
@@ -244,13 +244,13 @@ object PipelineQueries {
        |         / greatest(length(text), 1) < 0.2 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)""".stripMargin
 
   /** Per-language marker-hit columns + argmax CASE (shared q17 / q46). */
-  private val langHitColsSql: String = TextAnalysis.langMarkers.map {
+  private[queries] val langHitColsSql: String = TextAnalysis.langMarkers.map {
     case (code, words) =>
       "    len(regexp_extract_all(lower(text), '" +
         words.mkString("\\b(", "|", ")\\b") + s"')) AS h_$code"
   }.mkString(",\n")
 
-  private val langCaseSql =
+  private[queries] val langCaseSql =
     """CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
       |       WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
       |       WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
@@ -263,7 +263,7 @@ object PipelineQueries {
     * in-expression (distinct-then-hash and hash-then-distinct coincide
     * unless two distinct shingles of one doc collide in 60 bits).
     */
-  private def shinglesSql(src: String): String =
+  private[queries] def shinglesSql(src: String): String =
     s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM $src),
        |grams AS (SELECT doc_id,
        |    unnest(CASE WHEN len(toks) >= 3
@@ -277,7 +277,7 @@ object PipelineQueries {
   /** MinHash signature + LSH banding + candidate CTEs over `sh`
     * (mirrors Dedup.minhashCandidates: 12 affine hashes, 6 bands x 2).
     */
-  private def minhashCtesSql: String =
+  private[queries] def minhashCtesSql: String =
     s"""mh AS (
        |  SELECT doc_id,
        |${(0 until 12).map(i =>
@@ -297,7 +297,7 @@ object PipelineQueries {
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
 
   /** Exact-jaccard verification of `cand` as a `pairs` CTE. */
-  private def pairsCteSql(threshold: String): String =
+  private[queries] def pairsCteSql(threshold: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (
        |  SELECT c.a, c.b, count(*) AS n_common

@@ -55,6 +55,27 @@ object Round5Queries {
         .orderBy(col("q_id"), col("rank"))
     }),
 
+    // The COMPLETE training-data pipeline: mixture gate (cheapest —
+    // pure hash filter, no text read) -> repetition gate (Gopher
+    // rules) -> quality gate -> language gate -> exact dedup -> LSH
+    // near-dup removal. Every round-5 operator composed with the
+    // proven q46 chain, replayed stage-for-stage by the oracle.
+    "q94_pipeline_full" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val th = ((lit(20) - substring(col("source"), 4, 10).cast("int"))
+        .cast("long") * 50000L)
+      val mixed = docs
+        .filter(graft.pipeline.Mixture.keepExpr(col("doc_id"), th))
+        .select(col("doc_id"), col("text"))
+      val nonRep = graft.text.Repetition.signals(mixed, "doc_id", "text")
+        .filter(!col("repetitive")).select(col("doc_id"))
+      val gated = mixed.join(nonRep, Seq("doc_id"), "left_semi")
+      graft.pipeline.CorpusPipeline.clean(gated, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic mixture sampling: each source survives at a
     // per-source rate (parts-per-million thresholds derived from the
     // source index), membership a pure hash of the doc id — the
@@ -197,6 +218,73 @@ object Round5Queries {
          |      ORDER BY s / sqrt(nq * nc) DESC, n_id ASC) AS rank
          |  FROM adc) t
          |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q94_pipeline_full" -> {
+      import PipelineQueries.{qualityExprSql, langHitColsSql, langCaseSql,
+        shinglesSql, minhashCtesSql, pairsCteSql}
+      s"""WITH RECURSIVE
+         |mix AS (SELECT doc_id, text FROM documents
+         |  WHERE ${PortableHash.hash60BaseSql("doc_id::VARCHAR")} % 1000000
+         |    < CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000),
+         |rts AS (SELECT doc_id, $toksExpr AS ts FROM mix),
+         |rtok AS (SELECT doc_id, unnest(ts) AS tok FROM rts),
+         |rtc AS (SELECT doc_id, tok, COUNT(*) AS n FROM rtok
+         |  GROUP BY doc_id, tok),
+         |rt AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         |    COUNT(*) AS n_unique
+         |  FROM rtc GROUP BY doc_id),
+         |rgram AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ts) >= 2
+         |      THEN list_transform(generate_series(1, len(ts)-1),
+         |             i -> ts[i] || ' ' || ts[i+1])
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM rts),
+         |rgc AS (SELECT doc_id, gram, COUNT(*) AS n FROM rgram
+         |  GROUP BY doc_id, gram),
+         |rg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_gram,
+         |    CAST(MAX(n) AS BIGINT) AS top_gram_n
+         |  FROM rgc GROUP BY doc_id),
+         |rep AS (SELECT t.doc_id FROM rt t LEFT JOIN rg g USING (doc_id)
+         |  WHERE NOT (
+         |    COALESCE(CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE),
+         |             0.0) > 0.08
+         |    OR CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) < 0.4)),
+         |corpus AS (SELECT m.doc_id, m.text FROM mix m
+         |  WHERE m.doc_id IN (SELECT doc_id FROM rep)),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
     "q93_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold

@@ -348,48 +348,128 @@ object Similarity {
     // one quantize pass (same persist contract as ivfTopKPortable)
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bigSample: Array[Array[Double]] = ds
-      .withColumn("h", graft.functions.PortableHash
-        .hash60Base(col(idCol).cast("string")))
-      .orderBy(col("h"), col(idCol)).limit(math.max(c, kCodes))
-      .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
-    val sample = bigSample.take(c)
-    val cbSample = bigSample.take(kCodes)
-    val dims = sample.head.length
-    require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
-    val sub = dims / m
-    val subCents: Array[Array[Array[Double]]] =
-      Array.tabulate(m)(j => cbSample.map(_.slice(j * sub, (j + 1) * sub)))
-    val codeCols = (0 until m).map(j =>
-      nearestCentroid(slice(col("qd"), j * sub + 1, sub), subCents(j))
-        .as(s"code_$j"))
-    val cb = ds.select(
-      Seq(col(idCol).as("n_id"),
-        nearestCentroid(col("qd"), sample).as("bucket")) ++ codeCols: _*)
-    val qs = withQuantizedDouble(queries, idCol, vecCol)
-      .select(col(idCol).as("q_id"), col("qi"),
-        VectorFunctions.dotInt(col("qi"), col("qi")).as("nq"),
-        explode(nearestCentroids(col("qd"), sample, nProbe)).as("bucket"))
-    // codebooks as int literals: codeword values are int8 quantities,
-    // so the ADC partials and both norms are exact integer dots
-    val subCentsInt: Seq[Seq[Seq[Int]]] =
-      subCents.toSeq.map(_.toSeq.map(_.toSeq.map(_.toInt)))
-    def codeword(j: Int) =
-      element_at(typedLit(subCentsInt(j)), col(s"code_$j") + 1)
-    val scoreCols = (0 until m).map(j =>
-      VectorFunctions.dotInt(slice(col("qi"), j * sub + 1, sub), codeword(j)))
-    val ncCols = (0 until m).map(j =>
-      VectorFunctions.dotInt(codeword(j), codeword(j)))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("n_id").asc)
-    qs.join(cb, Seq("bucket"))
-      .filter(col("n_id") =!= col("q_id"))
-      .withColumn("qcos",
-        scoreCols.reduce(_ + _).cast("double") /
-          sqrt((col("nq") * ncCols.reduce(_ + _)).cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes)
+    idx.topK(queries, idx.encodeQuantized(ds, idCol), idCol, vecCol,
+      k, nProbe)
+  }
+
+  /** A trained IVF-PQ index: coarse centroid matrix + per-subspace
+    * codebooks. Like [[IvfIndex]] it is tiny, serializable and
+    * persistable, but the relation [[encode]] produces is the real
+    * artifact: ONE row per corpus vector holding only its coarse bucket
+    * and `m` small integer codes — write THAT to a table and
+    * [[topK]] answers queries from it without ever touching the
+    * original embedding column (the 100 TB deployment shape: the
+    * float corpus stays cold, queries scan the compressed index).
+    */
+  final case class IvfPqIndex(coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Int]]]) {
+
+    def m: Int = codebooks.length
+    def subDim: Int = codebooks.head.head.length
+
+    private def codebooksD: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.map(_.toDouble)))
+
+    /** Compress `corpus`: (id, bucket, code_0..code_{m-1}). */
+    def encode(corpus: DataFrame, idCol: String, vecCol: String): DataFrame =
+      encodeQuantized(withQuantizedDouble(corpus, idCol, vecCol), idCol)
+
+    private[similarity] def encodeQuantized(ds: DataFrame,
+        idCol: String): DataFrame = {
+      val cbD = codebooksD
+      val codeCols = (0 until m).map(j =>
+        nearestCentroid(slice(col("qd"), j * subDim + 1, subDim), cbD(j))
+          .as(s"code_$j"))
+      ds.select(Seq(col(idCol),
+        nearestCentroid(col("qd"), coarse).as("bucket")) ++ codeCols: _*)
+    }
+
+    /** ANN top-k over an [[encode]]d relation. Scores are the quantized
+      * cosine Σ_j IntDot(q_j, cw_j[code_j]) / √(|q|²·|reconstruction|²)
+      * — exact int64 dots, one division + sqrt (bit-portable, q92).
+      */
+    def topK(queries: DataFrame, encoded: DataFrame, idCol: String,
+        vecCol: String, k: Int, nProbe: Int): DataFrame = {
+      val qs = withQuantizedDouble(queries, idCol, vecCol)
+        .select(col(idCol).as("q_id"), col("qi"),
+          VectorFunctions.dotInt(col("qi"), col("qi")).as("nq"),
+          explode(nearestCentroids(col("qd"), coarse, nProbe)).as("bucket"))
+      // codebooks as int literals: codeword values are int8 quantities,
+      // so the ADC partials and both norms are exact integer dots
+      val cbLits: Seq[Seq[Seq[Int]]] =
+        codebooks.toSeq.map(_.toSeq.map(_.toSeq))
+      def codeword(j: Int) =
+        element_at(typedLit(cbLits(j)), col(s"code_$j") + 1)
+      val scoreCols = (0 until m).map(j =>
+        VectorFunctions.dotInt(slice(col("qi"), j * subDim + 1, subDim),
+          codeword(j)))
+      val ncCols = (0 until m).map(j =>
+        VectorFunctions.dotInt(codeword(j), codeword(j)))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("n_id").asc)
+      qs.join(encoded.withColumnRenamed(idCol, "n_id"), Seq("bucket"))
+        .filter(col("n_id") =!= col("q_id"))
+        .withColumn("qcos",
+          scoreCols.reduce(_ + _).cast("double") /
+            sqrt((col("nq") * ncCols.reduce(_ + _)).cast("double")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+    }
+
+    /** Flatten to a persistable relation: `("coarse", i, 0, vec)` rows
+      * for the centroid matrix, `("code", code, j, vec)` rows per
+      * subspace codeword (int codewords carried as exact doubles).
+      */
+    def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val rows =
+        coarse.zipWithIndex.toSeq.map { case (v, i) =>
+          ("coarse", i, 0, v.toSeq) } ++
+        (for (j <- 0 until m; code <- codebooks(j).indices)
+          yield ("code", code, j, codebooks(j)(code).map(_.toDouble).toSeq))
+      rows.toDF("kind", "i", "j", "vec")
+    }
+  }
+
+  object IvfPqIndex {
+
+    def build(corpus: DataFrame, idCol: String, vecCol: String,
+        c: Int = 16, m: Int = 8, kCodes: Int = 64): IvfPqIndex =
+      buildFromQuantized(withQuantizedDouble(corpus, idCol, vecCol),
+        idCol, c, m, kCodes)
+
+    private[similarity] def buildFromQuantized(ds: DataFrame, idCol: String,
+        c: Int, m: Int, kCodes: Int): IvfPqIndex = {
+      val bigSample: Array[Array[Double]] = ds
+        .withColumn("h", graft.functions.PortableHash
+          .hash60Base(col(idCol).cast("string")))
+        .orderBy(col("h"), col(idCol)).limit(math.max(c, kCodes))
+        .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
+      val dims = bigSample.head.length
+      require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
+      val sub = dims / m
+      IvfPqIndex(
+        coarse = bigSample.take(c),
+        codebooks = Array.tabulate(m)(j => bigSample.take(kCodes)
+          .map(_.slice(j * sub, (j + 1) * sub).map(_.toInt))))
+    }
+
+    /** Rehydrate from a [[IvfPqIndex.toDF]] relation. */
+    def fromDF(df: DataFrame): IvfPqIndex = {
+      val rows = df.select(col("kind"), col("i").cast("int"),
+          col("j").cast("int"), col("vec"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getSeq[Double](3).toArray))
+      val coarse = rows.filter(_._1 == "coarse").sortBy(_._2).map(_._4)
+      val m = rows.filter(_._1 == "code").map(_._3).max + 1
+      val codebooks = Array.tabulate(m)(j =>
+        rows.filter(r => r._1 == "code" && r._3 == j)
+          .sortBy(_._2).map(_._4.map(_.toInt)))
+      IvfPqIndex(coarse, codebooks)
+    }
   }
 
   /** IVF (inverted-file) coarse quantizer: deterministic Lloyd k-means.

@@ -91,6 +91,32 @@ class IvfPqSpec extends SparkSpec {
     assert(counts.nonEmpty && counts.forall(_ == 3))
   }
 
+  test("index + compressed relation persist through catalog tables and " +
+      "answer identically without the original vectors") {
+    import graft.catalog.ParquetCatalog
+    val idx = Similarity.IvfPqIndex.build(emb, "vec_id", "embedding",
+      c = c, m = m, kCodes = kCodes)
+    val cat = new ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-pq").toString)
+    cat.create("pq_idx", idx.toDF(spark).schema)
+    cat.overwrite("pq_idx", idx.toDF(spark))
+    val loaded = Similarity.IvfPqIndex.fromDF(cat.table("pq_idx"))
+    assert(loaded.coarse.map(_.toSeq).toSeq == idx.coarse.map(_.toSeq).toSeq)
+    assert(loaded.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      idx.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    // the compressed relation is the queryable artifact: write it,
+    // answer top-k from the TABLE — the float embeddings never load
+    val enc = loaded.encode(emb, "vec_id", "embedding")
+    cat.create("pq_enc", enc.schema)
+    cat.overwrite("pq_enc", enc)
+    val fromTable = loaded.topK(emb.filter(col("vec_id") < 50),
+        cat.table("pq_enc"), "vec_id", "embedding", k, nProbe)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(fromTable == run(emb))
+  }
+
   test("recall sanity vs brute-force cosine") {
     val q = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)

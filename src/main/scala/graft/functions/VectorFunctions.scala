@@ -78,6 +78,36 @@ case class DotProduct(left: Expression, right: Expression)
   * keeps `dot` < 2^21 and norms' product < 2^42 — no overflow anywhere
   * near int64. Same null/length contract as [[DotProduct]].
   */
+/** Native int8-range quantization of an `array<double>` column — ONE
+  * codegen call per row where the composed
+  * `transform(e, x -> round(x*127/max|x|))` formulation is
+  * CodegenFallback (interpreted lambda dispatch per ELEMENT: ~140µs/row
+  * at 64 dims, which made the quantize scan the dominant cost of every
+  * quantized-ANN build at scale). Semantics are bit-identical to the
+  * composed form — see [[VectorFunctions.quantInt8]]. NULL for all-zero
+  * vectors, replacing the `mab > 0` filter.
+  */
+case class Int8Quantize(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "int8_quantize"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    VectorFunctions.quantInt8(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.VectorFunctions.quantInt8($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Int8Quantize = copy(child = newChild)
+}
+
 case class IntDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -136,6 +166,45 @@ object VectorFunctions {
     ColumnBridge.column(IntDotProduct(
       castToIntArray(ColumnBridge.expression(a)),
       castToIntArray(ColumnBridge.expression(b))))
+
+  /** Codegen'd int8-range quantization; see [[Int8Quantize]]. */
+  def quantInt8Col(v: Column): Column =
+    ColumnBridge.column(Int8Quantize(
+      castToDoubleArray(ColumnBridge.expression(v))))
+
+  /** One-pass int8-range quantization of an `array<double>`:
+    * `q_i = round(x_i * 127 / max|x|)` with EXACTLY Spark's
+    * `round(double)` semantics (shortest-decimal BigDecimal, HALF_UP —
+    * the same operation DuckDB's `round` performs, which is what keeps
+    * q42/q66/q92 hash-identical) followed by the double→int cast's
+    * truncation. Returns null for all-zero vectors (the quantize
+    * pipeline's `mab > 0` gate). Called from both interpreted eval and
+    * generated code.
+    */
+  def quantInt8(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var mab = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(arr.getDouble(i))
+      if (v > mab) mab = v
+      i += 1
+    }
+    if (!(mab > 0)) return null
+    val out = new Array[Int](n)
+    i = 0
+    while (i < n) {
+      val x = arr.getDouble(i) * 127.0 / mab
+      // mirror Spark Round(double, 0): NaN/Inf pass through (then the
+      // int cast truncates them exactly as Cast would)
+      val r = if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = r.toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   private[graft] def castToIntArray(
       e: org.apache.spark.sql.catalyst.expressions.Expression)

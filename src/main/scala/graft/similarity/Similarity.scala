@@ -87,12 +87,9 @@ object Similarity {
     */
   private def quantize(df: DataFrame, idCol: String, vecCol: String,
       idAs: String, vecAs: String, normAs: String): DataFrame =
-    df.select(col(idCol).as(idAs), asDouble(col(vecCol)).as("__e"))
-      .withColumn("__mab", array_max(transform(col("__e"), x => abs(x))))
-      .filter(col("__mab") > 0)
-      .withColumn(vecAs, transform(col("__e"),
-        x => round(x * lit(127.0) / col("__mab")).cast("int")))
-      .drop("__e", "__mab")
+    df.select(col(idCol).as(idAs),
+        VectorFunctions.quantInt8Col(asDouble(col(vecCol))).as(vecAs))
+      .filter(col(vecAs).isNotNull)
       .withColumn(normAs,
         VectorFunctions.dotInt(col(vecAs), col(vecAs)))
 
@@ -218,14 +215,10 @@ object Similarity {
     */
   private def withQuantizedDouble(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    df.select(col(idCol), col(vecCol))
-      .withColumn("__e", asDouble(col(vecCol)))
-      .withColumn("__mab", array_max(transform(col("__e"), x => abs(x))))
-      .filter(col("__mab") > 0)
-      .withColumn("qi", transform(col("__e"),
-        x => round(x * lit(127.0) / col("__mab")).cast("int")))
+    df.select(col(idCol), col(vecCol),
+        VectorFunctions.quantInt8Col(asDouble(col(vecCol))).as("qi"))
+      .filter(col("qi").isNotNull)
       .withColumn("qd", col("qi").cast("array<double>"))
-      .drop("__e", "__mab")
 
   /** Oracle-PORTABLE IVF coarse quantizer: Lloyd k-means over the int8-
     * QUANTIZED vectors, with centroid updates computed as exact integer
@@ -259,8 +252,9 @@ object Similarity {
   private def trainPortable(ds: DataFrame, idCol: String,
       c: Int, iters: Int): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = ds
-      .withColumn("h", graft.functions.PortableHash
-        .hash60Base(col(idCol).cast("string")))
+      .select(col(idCol), col("qd"),
+        graft.functions.PortableHash
+          .hash60Base(col(idCol).cast("string")).as("h"))
       .orderBy(col("h"), col(idCol)).limit(c)
       .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
     var it = 0
@@ -442,9 +436,14 @@ object Similarity {
 
     private[similarity] def buildFromQuantized(ds: DataFrame, idCol: String,
         c: Int, m: Int, kCodes: Int): IvfPqIndex = {
+      // prune to the 3 sample columns BEFORE the TakeOrdered: the
+      // quantized relation carries the original vector and both
+      // quantized views, and dragging 4 arrays per row through the
+      // sample sort dominated the whole build at scale
       val bigSample: Array[Array[Double]] = ds
-        .withColumn("h", graft.functions.PortableHash
-          .hash60Base(col(idCol).cast("string")))
+        .select(col(idCol), col("qd"),
+          graft.functions.PortableHash
+            .hash60Base(col(idCol).cast("string")).as("h"))
         .orderBy(col("h"), col(idCol)).limit(math.max(c, kCodes))
         .select(col("qd")).collect().map(_.getSeq[Double](0).toArray)
       val dims = bigSample.head.length

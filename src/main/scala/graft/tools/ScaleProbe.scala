@@ -136,6 +136,14 @@ object ScaleProbe {
         e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 10,
         c = 64, nProbe = 8)
         .count()
+    // IVF-PQ probes the COMPRESSED path: build + encode + ADC top-k.
+    // Encode cost is linear in corpus (m argmins per vector); query
+    // cost tracks candidates — same fixed query batch as the others.
+    def annPq(e: DataFrame): Long =
+      graft.similarity.Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 50), e, "vec_id", "embedding", k = 10,
+        c = 16, m = 8, nProbe = 4, kCodes = 64)
+        .count()
 
     // warmup
     agg(li1); ()
@@ -145,6 +153,7 @@ object ScaleProbe {
       "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
       "ann_lsh" -> (time(annLsh(emb1)), time(annLsh(embN))),
       "ann_ivf" -> (time(annIvf(emb1)), time(annIvf(embN))),
+      "ann_ivfpq" -> (time(annPq(emb1)), time(annPq(embN))),
       "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
       "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>

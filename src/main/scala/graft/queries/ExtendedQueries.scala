@@ -36,9 +36,11 @@ object ExtendedQueries {
   private val AnnBits = 8
   private val annPlanes = Similarity.hyperplanes(AnnBits, 64, signsOnly = true)
 
-  /** q42 IVF parameters shared by the engine call and the oracle SQL. */
-  private val IvfC = 16
-  private val IvfIters = 2
+  /** q42 IVF parameters shared by the engine call and the oracle SQL
+    * (and by q95's semantic-dedup replay in [[Round5Queries]]).
+    */
+  private[queries] val IvfC = 16
+  private[queries] val IvfIters = 2
   private val IvfProbe = 4
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,7 +369,7 @@ object ExtendedQueries {
     * keep their previous centroid. Mirrors
     * [[Similarity.ivfCentroidsPortable]] step for step.
     */
-  private def ivfStepSql(i: Int): String =
+  private[queries] def ivfStepSql(i: Int): String =
     s"""a$i AS (SELECT vec_id, qd, cluster FROM (
        |  SELECT z.vec_id, z.qd, c.cluster,
        |    ROW_NUMBER() OVER (PARTITION BY z.vec_id

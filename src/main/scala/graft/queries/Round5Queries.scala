@@ -76,6 +76,56 @@ object Round5Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // SemDeDup-style semantic dedup — the cluster-bucketed SCALE path
+    // for embedding near-dup removal (q23 is the all-pairs baseline):
+    // portable-IVF coarse clusters bound the quadratic cosine stage to
+    // within-cluster pairs; connected components resolve transitive
+    // chains; min-id survives. Planted duplicates (exact copies and
+    // 2x-scaled copies — cosine-identical but byte-different, and
+    // co-clustered by construction since range quantization is
+    // scale-invariant) make the survivor set non-trivial: the base
+    // embeddings never exceed cosine ~0.6 pairwise.
+    "q95_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val repA = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val repB = emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          // x2 is exponent-only in IEEE: exact in float, and exact again
+          // after the oracle's float->double cast — no rounding skew
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.similarity.Similarity.semanticDedup(
+        emb.unionByName(repA).unionByName(repB), "vec_id", "embedding",
+        threshold = 0.99, c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Token-budget waterfill: spend a global token budget (2/5 of the
+    // corpus) down the source priority order — whole sources until the
+    // line, one hash-gated marginal source at an integer ppm rate, the
+    // rest dropped. The allocation table and the sampled membership are
+    // both exact integer arithmetic.
+    "q96_token_budget" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = graft.text.TextAnalysis.tokenCount(col("text"))
+      val alloc = graft.pipeline.TokenBudget.allocate(docs, "source",
+        substring(col("source"), 4, 10).cast("int"), toks,
+        budgetNum = 2L, budgetDen = 5L)
+      val kept = graft.pipeline.TokenBudget.sample(
+        docs.withColumn("n_tok", toks.cast("long")), "doc_id", "source",
+        alloc)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tok_kept"))
+      alloc.join(kept, Seq("source"), "left")
+        .select(col("source"), col("priority").as("srcnum"), col("n_in"),
+          col("tok_in"), col("cum_before"), col("budget"), col("keep_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
+        .orderBy(col("srcnum"))
+    }),
+
     // Deterministic mixture sampling: each source survives at a
     // per-source rate (parts-per-million thresholds derived from the
     // source index), membership a pure hash of the doc id — the
@@ -285,6 +335,83 @@ object Round5Queries {
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
          |ORDER BY e.doc_id""".stripMargin
     },
+    "q95_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |emb2 AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, e FROM base WHERE vec_id % 7 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(e, x -> x * 2.0)
+         |  FROM base WHERE vec_id % 11 = 0),
+         |qz AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb2)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, e, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c${ExtendedQueries.IvfIters} c) WHERE rn = 1),
+         |nb AS (SELECT vec_id, e, bucket, ${dotSql("e", "e")} AS nrm FROM cb),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.e", "y.e")} / sqrt(x.nrm * y.nrm)
+         |    >= 0.99::DOUBLE),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node)
+         |SELECT cb.vec_id, cb.bucket,
+         |  COALESCE(l.clus, cb.vec_id) AS cluster,
+         |  (COALESCE(l.clus, cb.vec_id) = cb.vec_id) AS kept
+         |FROM cb LEFT JOIN labels l ON l.node = cb.vec_id
+         |ORDER BY cb.vec_id""".stripMargin,
+    "q96_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS INT) AS srcnum,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT source, srcnum, COUNT(*) AS n_in,
+         |    CAST(SUM(n_tok) AS BIGINT) AS tok_in
+         |  FROM d GROUP BY source, srcnum),
+         |w AS (SELECT source, srcnum, n_in, tok_in,
+         |    CAST(COALESCE(SUM(tok_in) OVER (ORDER BY srcnum, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before,
+         |    CAST(SUM(tok_in) OVER () AS BIGINT) * 2 // 5 AS budget
+         |  FROM s),
+         |t AS (SELECT *, CASE WHEN cum_before >= budget THEN 0
+         |    WHEN cum_before + tok_in <= budget THEN 1000000
+         |    ELSE (budget - cum_before) * 1000000 // tok_in END AS keep_ppm
+         |  FROM w),
+         |k AS (SELECT d.source, COUNT(*) AS n_kept,
+         |    CAST(SUM(d.n_tok) AS BIGINT) AS tok_kept
+         |  FROM d JOIN t ON t.source = d.source
+         |  WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % 1000000
+         |    < t.keep_ppm
+         |  GROUP BY d.source)
+         |SELECT t.source, t.srcnum, t.n_in, t.tok_in, t.cum_before,
+         |  t.budget, t.keep_ppm,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.tok_kept, 0) AS tok_kept
+         |FROM t LEFT JOIN k ON k.source = t.source
+         |ORDER BY t.srcnum""".stripMargin,
     "q93_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold

@@ -305,6 +305,61 @@ object Similarity {
     bucketedTopK(qb, cb, idCol, vecCol, k)
   }
 
+  /** SemDeDup-style semantic deduplication: the cluster-bucketed SCALE
+    * path for embedding near-dup removal. [[cosinePairs]] (q23) is the
+    * exact all-pairs baseline — O(N²) dots, a non-starter past ~10⁶
+    * vectors. Here the corpus is first coarse-clustered with the
+    * oracle-portable IVF quantizer ([[ivfCentroidsPortable]] — int8
+    * Lloyd, md5-seeded init, exact-integer centroid updates), and the
+    * quadratic cosine stage runs only WITHIN each cluster: linear in the
+    * corpus plus Σ|cluster|² pair work, every stage a keyed join/groupBy
+    * AQE can skew-split. Near-duplicate embeddings co-cluster by
+    * construction — identical vectors share a quantized view, and range
+    * quantization is scale-invariant, so scaled copies (which cosine
+    * treats as exact duplicates) share one too.
+    *
+    * Within-bucket pairs at cosine >= `threshold` (exact arithmetic on
+    * the ORIGINAL embeddings) are resolved to clusters by
+    * [[graft.dedup.Dedup.connectedComponents]] — transitive chains
+    * collapse to one survivor even when the endpoints were never
+    * compared — and the minimum id per component survives.
+    *
+    * Every stage (training, bucket assignment, pair cosines, component
+    * labels) replays bit-identically in the DuckDB oracle (q95).
+    *
+    * @return one row per corpus vector: (idCol, bucket, cluster, kept)
+    *   where cluster is the minimum reachable id (self for singletons)
+    *   and kept marks the survivor. Like [[ivfTopKPortable]], the
+    *   quantized relation stays cached for the lazy result's lifetime
+    *   (caller-managed eviction).
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, c: Int = 16, iters: Int = 2): DataFrame = {
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainPortable(ds, idCol, c, iters)
+    val cb = ds
+      .select(col(idCol), asDouble(col(vecCol)).as("e"),
+        nearestCentroid(col("qd"), cents).as("bucket"))
+      .withColumn("nrm", norm2(col("e")))
+    val x = cb.select(col("bucket"), col(idCol).as("a"),
+      col("e").as("xe"), col("nrm").as("nx"))
+    val y = cb.select(col("bucket"), col(idCol).as("b"),
+      col("e").as("ye"), col("nrm").as("ny"))
+    val pairs = x.join(y, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(dot(col("xe"), col("ye")) / sqrt(col("nx") * col("ny"))
+        >= threshold)
+      .select(col("a"), col("b"))
+    val cc = graft.dedup.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("doc_id", idCol)
+    cb.select(col(idCol), col("bucket"))
+      .join(cc, Seq(idCol), "left")
+      .select(col(idCol), col("bucket"),
+        coalesce(col("cluster"), col(idCol)).as("cluster"))
+      .withColumn("kept", col("cluster") === col(idCol))
+  }
+
   /** IVF-PQ: coarse inverted-file routing plus product-quantization
     * scoring — the memory-compressed ANN layout a 100 TB corpus needs:
     * each indexed vector stores only its coarse bucket + `m` one-byte

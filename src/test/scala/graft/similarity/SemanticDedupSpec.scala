@@ -1,0 +1,64 @@
+package graft.similarity
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster-bucketed semantic dedup: planted exact and scaled copies are
+  * caught (including transitive triples), originals survive, and the
+  * result is layout-independent.
+  */
+class SemanticDedupSpec extends SparkSpec {
+
+  private def emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    .select(col("vec_id"), col("embedding"))
+
+  /** The q95 corpus: base + exact copies (%7) + 2x-scaled copies (%11). */
+  private def corpus: DataFrame = {
+    val repA = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val repB = emb.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+    emb.unionByName(repA).unionByName(repB)
+  }
+
+  private def run(df: DataFrame) =
+    Similarity.semanticDedup(df, "vec_id", "embedding", threshold = 0.99,
+        c = 4, iters = 1)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+
+  test("exact and scaled copies collapse onto their base; bases survive") {
+    val out = run(corpus)
+    val baseIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    for (k <- baseIds) {
+      assert(out(k) == (k, true), s"base $k must survive as its own rep")
+      if (k % 7 == 0)
+        assert(out(k + 1000000L) == (k, false), s"exact copy of $k")
+      if (k % 11 == 0)
+        assert(out(k + 2000000L) == (k, false), s"scaled copy of $k")
+    }
+    // survivor count == base count: every replica deduped, nothing else
+    assert(out.count(_._2._2) == baseIds.size)
+  }
+
+  test("transitive triple (base, exact, scaled) shares one cluster") {
+    val out = run(corpus)
+    // vec_id 0 is divisible by both 7 and 11 — a 3-clique through base 0
+    assert(out(1000000L)._1 == 0L && out(2000000L)._1 == 0L)
+  }
+
+  test("dedup is layout-independent") {
+    val a = run(corpus)
+    val b = run(corpus.repartition(13))
+    assert(a == b)
+  }
+
+  test("duplicate-free corpus keeps every vector") {
+    val out = run(emb)
+    assert(out.forall { case (id, (cluster, kept)) =>
+      cluster == id && kept })
+  }
+}

@@ -91,28 +91,59 @@ object Dedup {
       numHashes: Int, n: Int = 3): DataFrame =
     signaturesFrom(hashedShingles(docs, idCol, textCol, n), numHashes)
 
-  private def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
+  private[dedup] def signaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val h31 = col("sh") % PortableHash.MinhashPrime
     val aggs = (0 until numHashes).map(i =>
       min(PortableHash.minhash(h31, i)).as(s"mh_$i"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
-  private def candidatesFrom(sig: DataFrame, bands: Int,
+  /** LSH band buckets of a wide signature relation: one (doc, band,
+    * bucket) row per band, the bucket an md5 of the band's signature
+    * slice. The INDEX relation [[IncrementalLsh]] stores.
+    */
+  private[dedup] def bucketsFrom(sig: DataFrame, bands: Int,
       rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
       val bandCols = (0 until rowsPerBand)
         .map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", bandCols: _*)).as("bucket"))
     }
-    val buckets = sig
+    sig
       .select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"),
         col("bb.bucket").as("bucket"))
+  }
+
+  private def candidatesFrom(sig: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val buckets = bucketsFrom(sig, bands, rowsPerBand)
     val l = buckets.select(col("doc").as("a"), col("band"), col("bucket"))
     val r = buckets.select(col("doc").as("b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket")).filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against a hashed-
+    * shingle relation — the shared tail of [[minhashNearDuplicates]]
+    * and [[IncrementalLsh]]: candidates join their members' shingles,
+    * common-shingle counts become Jaccard, below-threshold pairs drop.
+    */
+  private[dedup] def verifiedPairs(cand: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
+    val withA = cand.join(sh.withColumnRenamed("doc", "a"), Seq("a"))
+    val common = withA
+      .join(sh.select(col("doc").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
   }
 
   /** Candidate near-dup pairs via LSH banding of MinHash signatures:
@@ -142,19 +173,7 @@ object Dedup {
     else sh0
     val cand = candidatesFrom(signaturesFrom(sh, bands * rowsPerBand),
       bands, rowsPerBand)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_sh"))
-    val withA = cand.join(sh.withColumnRenamed("doc", "a"), Seq("a"))
-    val common = withA
-      .join(sh.select(col("doc").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("n_sh", "nb"), "b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") /
-          (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a"), col("b"), col("jaccard"))
+    verifiedPairs(cand, sh, threshold)
   }
 
   /** Connected components over near-duplicate pairs: resolves pairwise

@@ -21,8 +21,10 @@ object PipelineQueries {
 
   private val enStops = Seq("the", "a", "of", "and", "is")
 
-  /** Planted-duplicate corpus over the full documents table. */
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  /** Planted-duplicate corpus over the full documents table (also the
+    * q97 incremental-LSH input in [[Round5Queries]]).
+    */
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     plant(Tables(s, dir, "documents").select(col("doc_id"), col("text")))
 
   /** Same planting on a 1-in-20 restricted base — for the exact all-pairs
@@ -194,7 +196,7 @@ object PipelineQueries {
 
   // ---- oracle SQL ----------------------------------------------------
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -313,7 +315,7 @@ object PipelineQueries {
        |  WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common)
        |    >= $threshold)""".stripMargin
 
-  private def jaccardTailSql(threshold: String): String =
+  private[queries] def jaccardTailSql(threshold: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (
        |  SELECT c.a, c.b, count(*) AS n_common

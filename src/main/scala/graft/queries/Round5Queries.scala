@@ -126,6 +126,21 @@ object Round5Queries {
         .orderBy(col("srcnum"))
     }),
 
+    // Incremental LSH: the near-dup index grows batch-by-batch (here:
+    // even doc_ids, then odd) — each batch shingles/signs/bands ONLY
+    // its own documents and joins against the stored buckets. Pairs
+    // are exactly-once across batches (the later member's batch emits),
+    // so the union of per-batch outputs must equal the one-shot run —
+    // the oracle is the SAME SQL as q20's whole-corpus replay.
+    "q97_incremental_lsh" -> ((s, dir) => {
+      val c = PipelineQueries.corpus(s, dir)
+      val (idx, p1) = graft.dedup.IncrementalLsh.build(
+        c.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      val (_, p2) = graft.dedup.IncrementalLsh.addBatch(idx,
+        c.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")
+      p1.unionByName(p2).orderBy(col("a"), col("b"))
+    }),
+
     // Deterministic mixture sampling: each source survives at a
     // per-source rate (parts-per-million thresholds derived from the
     // source index), membership a pure hash of the doc id — the
@@ -412,6 +427,15 @@ object Round5Queries {
          |  COALESCE(k.tok_kept, 0) AS tok_kept
          |FROM t LEFT JOIN k ON k.source = t.source
          |ORDER BY t.srcnum""".stripMargin,
+    // identical to q20's replay: batching must not change the answer
+    "q97_incremental_lsh" -> {
+      import PipelineQueries.{corpusSql, shinglesSql, minhashCtesSql,
+        jaccardTailSql}
+      s"""WITH $corpusSql,
+         |${shinglesSql("corpus")},
+         |$minhashCtesSql,
+         |${jaccardTailSql("0.5")}""".stripMargin
+    },
     "q93_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold

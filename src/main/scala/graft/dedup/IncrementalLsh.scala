@@ -66,8 +66,18 @@ object IncrementalLsh {
       .localCheckpoint()
     val allBuckets = idx.buckets.unionByName(newBuckets)
     val allSh = idx.shingles.unionByName(newSh)
-    val pairs = Dedup.verifiedPairs(
-      candidates(newBuckets, allBuckets), allSh, threshold)
+    // checkpointed: feeds the member semi-join (twice) and the verify —
+    // the bucket join must not re-run per consumer
+    val cand = candidates(newBuckets, allBuckets).localCheckpoint()
+    // Verification touches only collision partners: restrict the stored
+    // shingle relation to candidate members before the Jaccard joins so
+    // the per-batch SHUFFLE carries members' shingles, not the whole
+    // index (the index is still scanned once — the semi join's probe).
+    // Sizes are per-doc, so the restriction cannot change any Jaccard.
+    val members = cand.select(col("a").as("doc"))
+      .unionByName(cand.select(col("b").as("doc"))).distinct()
+    val shNeeded = allSh.join(members, Seq("doc"), "left_semi")
+    val pairs = Dedup.verifiedPairs(cand, shNeeded, threshold)
     (LshIndex(allBuckets, allSh), pairs)
   }
 

@@ -40,8 +40,8 @@ object ScaleProbe {
     // cross-replica overlap: duplicate structure scales linearly, like
     // genuinely new data.
     def replicate(df: DataFrame, keyCols: Seq[String], offset: Long,
-        textCols: Seq[String] = Nil): DataFrame = {
-      val reps = spark.range(factor).withColumnRenamed("id", "__rep")
+        textCols: Seq[String] = Nil, k: Int = factor): DataFrame = {
+      val reps = spark.range(k).withColumnRenamed("id", "__rep")
       val keyed = keyCols.foldLeft(df.crossJoin(reps)) { (d, k) =>
         d.withColumn(k, col(k) + col("__rep") * offset)
       }
@@ -145,6 +145,45 @@ object ScaleProbe {
         c = 16, m = 8, nProbe = 4, kCodes = 64)
         .count()
 
+    // Semantic dedup: replicas get a PER-REPLICA ±1 sign pattern — a
+    // diagonal isometry, so every within-replica dot product and norm
+    // is preserved EXACTLY (the planted dup structure replicates
+    // verbatim) while cross-replica cosines scramble to noise. That is
+    // the honest embedding analogue of the per-token text perturbation:
+    // duplicate structure grows linearly, like genuinely new data. The
+    // cluster count scales WITH the corpus (c ∝ N, the design's stated
+    // scale path) so per-cluster populations — and the quadratic
+    // within-cluster pair stage — stay flat per unit of data.
+    val embP = emb1.select(col("vec_id"), col("embedding"))
+      .unionByName(emb1.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    def signFlip(df: DataFrame, k: Int): DataFrame = {
+      val reps = spark.range(k).withColumnRenamed("id", "__rep")
+      df.crossJoin(reps)
+        .withColumn("vec_id", col("vec_id") + col("__rep") * 100000000L)
+        .withColumn("embedding", transform(col("embedding"), (x, i) =>
+          x * when(pmod(hash(col("__rep") * 64 + i), lit(2)) === 0, 1.0f)
+            .otherwise(-1.0f)))
+        .drop("__rep")
+    }
+    val sem1 = signFlip(embP, 1)
+    val semN = signFlip(embP, factor)
+    def semDedup(e: DataFrame, c: Int): Long =
+      graft.similarity.Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.99, c = c, iters = 2).count()
+
+    // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the
+    // growing-corpus ingest shape. The batch replays replica 0, so its
+    // collision count against the index is constant across sizes; the
+    // honest cost left is the index-side scan each batch pays.
+    val docs1r = replicate(docs1, Seq("doc_id"), 10000000L,
+      textCols = Seq("text"), k = 1)
+    val lshBatch = docs1r
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+    def incLsh(idx: graft.dedup.LshIndex): Long =
+      graft.dedup.IncrementalLsh.addBatch(idx, lshBatch, "doc_id",
+        "text")._2.count()
+
     // warmup
     agg(li1); ()
     val results = Seq(
@@ -154,6 +193,15 @@ object ScaleProbe {
       "ann_lsh" -> (time(annLsh(emb1)), time(annLsh(embN))),
       "ann_ivf" -> (time(annIvf(emb1)), time(annIvf(embN))),
       "ann_ivfpq" -> (time(annPq(emb1)), time(annPq(embN))),
+      "semantic_dedup" -> (time(semDedup(sem1, 16)),
+        time(semDedup(semN, 16 * factor))),
+      "incremental_lsh" -> {
+        val idx1 = graft.dedup.IncrementalLsh.build(docs1r, "doc_id",
+          "text")._1
+        val idxN = graft.dedup.IncrementalLsh.build(docsN, "doc_id",
+          "text")._1
+        (time(incLsh(idx1)), time(incLsh(idxN)))
+      },
       "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
       "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>

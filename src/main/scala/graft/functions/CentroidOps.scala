@@ -77,6 +77,58 @@ object CentroidOps {
     ColumnBridge.column(NearestCentroids(
       VectorFunctions.castToDoubleArray(ColumnBridge.expression(e)),
       cents, nProbe))
+
+  /** Single-level argmin index by (rank key, index) — the inner loop of
+    * both expressions.
+    */
+  def argmin(v: ArrayData, cents: Array[Array[Double]],
+      c2: Array[Double]): Int = {
+    val dims = v.numElements()
+    var best = -1
+    var bestD = Double.NaN
+    var i = 0
+    while (i < cents.length) {
+      val cent = cents(i)
+      val d =
+        if (cent.length != dims) Double.NaN
+        else {
+          var acc = 0.0
+          var j = 0
+          while (j < dims) { acc += v.getDouble(j) * cent(j); j += 1 }
+          -2.0 * acc + c2(i)
+        }
+      if (best < 0 || java.lang.Double.compare(d, bestD) < 0) {
+        best = i; bestD = d
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** Two-level (hierarchical) argmin: nearest of ~√c super-centroids,
+    * then exact argmin within that super's child group, returning the
+    * GLOBAL child index. Per-row work drops from c·dims to ~2√c·dims —
+    * the assignment scan that dominates coarse quantization once
+    * c ≈ √N. Approximate: a vector near a super-boundary can assign to
+    * a neighboring cluster; byte-identical (and, after range
+    * quantization, scale-identical) vectors still co-assign under any
+    * deterministic rule, so dedup semantics survive (asserted in
+    * SemanticDedupSpec).
+    */
+  def nearestHier(v: ArrayData, supers: Array[Array[Double]],
+      s2: Array[Double], children: Array[Array[Array[Double]]],
+      ch2: Array[Array[Double]], globalIdx: Array[Array[Int]]): Int = {
+    val s = argmin(v, supers, s2)
+    globalIdx(s)(argmin(v, children(s), ch2(s)))
+  }
+
+  /** Column wrapper for the two-level argmin (global centroid index). */
+  def nearestHierCol(e: Column, supers: Array[Array[Double]],
+      children: Array[Array[Array[Double]]],
+      globalIdx: Array[Array[Int]]): Column =
+    ColumnBridge.column(NearestCentroidHier(
+      VectorFunctions.castToDoubleArray(ColumnBridge.expression(e)),
+      supers, children, globalIdx))
 }
 
 /** See [[CentroidOps]]. `cents` lives on the expression node (shipped
@@ -109,5 +161,43 @@ case class NearestCentroids(child: Expression, cents: Array[Array[Double]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}
+
+/** See [[CentroidOps.nearestHier]]. Both centroid levels ride along as
+  * referenced objects; the plan holds ONE node regardless of c.
+  */
+case class NearestCentroidHier(child: Expression,
+    supers: Array[Array[Double]], subCents: Array[Array[Array[Double]]],
+    globalIdx: Array[Array[Int]]) extends UnaryExpression {
+
+  require(supers.nonEmpty && supers.length == subCents.length &&
+    subCents.length == globalIdx.length, "aligned level arrays")
+  require(subCents.forall(_.nonEmpty), "no empty child group")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid_hier"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val s2: Array[Double] =
+    supers.map(_.map(x => x * x).sum)
+  @transient private lazy val ch2: Array[Array[Double]] =
+    subCents.map(_.map(_.map(x => x * x).sum))
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.nearestHier(v.asInstanceOf[ArrayData], supers, s2,
+      subCents, ch2, globalIdx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supersRef = ctx.addReferenceObj("supers", supers, "double[][]")
+    val s2Ref = ctx.addReferenceObj("s2", s2, "double[]")
+    val chRef = ctx.addReferenceObj("subCents", subCents, "double[][][]")
+    val ch2Ref = ctx.addReferenceObj("ch2", ch2, "double[][]")
+    val giRef = ctx.addReferenceObj("globalIdx", globalIdx, "int[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidOps.nearestHier($v, $supersRef, $s2Ref, $chRef, $ch2Ref, $giRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidHier =
     copy(child = newChild)
 }

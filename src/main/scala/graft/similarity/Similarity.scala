@@ -244,13 +244,82 @@ object Similarity {
     finally ds.unpersist(blocking = false)
   }
 
+  /** Deterministic driver-side grouping of a centroid matrix into ~√c
+    * super-clusters: 3 local Lloyd rounds over the c centroid points
+    * themselves (spread init by index — no RNG), empty groups dropped.
+    * Pure Scala on c×dims doubles — microseconds next to any data pass.
+    */
+  private def centroidGroups(cents: Array[Array[Double]])
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Array[Array[Int]]) = {
+    val c = cents.length
+    val g = math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    val dims = cents.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var j = 0
+      while (j < dims) { val t = a(j) - b(j); acc += t * t; j += 1 }
+      acc
+    }
+    var supers = Array.tabulate(g)(i => cents((i.toLong * c / g).toInt))
+    val assign = Array.fill(c)(0)
+    var it = 0
+    while (it < 3) {
+      var i = 0
+      while (i < c) {
+        var best = 0; var bd = d2(cents(i), supers(0))
+        var s = 1
+        while (s < supers.length) {
+          val dd = d2(cents(i), supers(s))
+          if (dd < bd) { bd = dd; best = s }
+          s += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      supers = Array.tabulate(supers.length) { s =>
+        val members = (0 until c).filter(assign(_) == s)
+        if (members.isEmpty) supers(s)
+        else {
+          val m = new Array[Double](dims)
+          members.foreach { i =>
+            var j = 0; while (j < dims) { m(j) += cents(i)(j); j += 1 }
+          }
+          m.map(_ / members.length)
+        }
+      }
+      it += 1
+    }
+    val grouped = supers.indices
+      .map(s => s -> (0 until c).filter(assign(_) == s).toArray)
+      .filter(_._2.nonEmpty)
+    (grouped.map(x => supers(x._1)).toArray,
+      grouped.map(_._2.map(cents(_))).toArray,
+      grouped.map(_._2).toArray)
+  }
+
+  /** Two-level centroid assignment (global index) — the SCALE-ONLY
+    * alternative to [[nearestCentroid]] once c ≈ √N makes the flat
+    * c·dims scan the dominant cost: ~2√c·dims per row instead.
+    * Approximate near super-boundaries; identical-after-quantization
+    * vectors still co-assign, so dedup output is unchanged
+    * (SemanticDedupSpec asserts exact == hierarchical end-to-end).
+    * Oracle-checked paths keep the exact argmin.
+    */
+  def hierarchicalAssign(e: Column, cents: Array[Array[Double]]): Column = {
+    val (s, ch, gi) = centroidGroups(cents)
+    graft.functions.CentroidOps.nearestHierCol(e, s, ch, gi)
+  }
+
   /** Lloyd training over an already-quantized relation. Training reads
     * the corpus `iters + 1` times (init sample + one assignment pass per
     * iteration), so callers persist `ds` around the loop — quantizing
-    * once instead of once per consumer.
+    * once instead of once per consumer. `assign` swaps the per-
+    * iteration assignment expression (exact argmin by default; the
+    * hierarchical two-level scan for large c).
     */
   private def trainPortable(ds: DataFrame, idCol: String,
-      c: Int, iters: Int): Array[Array[Double]] = {
+      c: Int, iters: Int,
+      assign: (Column, Array[Array[Double]]) => Column = nearestCentroid)
+      : Array[Array[Double]] = {
     var cents: Array[Array[Double]] = ds
       .select(col(idCol), col("qd"),
         graft.functions.PortableHash
@@ -261,7 +330,7 @@ object Similarity {
     while (it < iters) {
       val dims = cents.head.length
       val means = ds
-        .withColumn("cluster", nearestCentroid(col("qd"), cents))
+        .withColumn("cluster", assign(col("qd"), cents))
         .select(col("cluster"), posexplode(col("qi")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
         .agg((sum(col("v")).cast("double") / count(lit(1)).cast("double"))
@@ -327,6 +396,12 @@ object Similarity {
     * Every stage (training, bucket assignment, pair cosines, component
     * labels) replays bit-identically in the DuckDB oracle (q95).
     *
+    * @param hierarchical swap every assignment (training AND bucketing)
+    *   to the two-level [[hierarchicalAssign]] scan — ~2√c·dims per row
+    *   instead of c·dims, the path for c ≈ √N centroid counts. Scale-
+    *   only (the oracle keeps the exact argmin); dedup output is
+    *   IDENTICAL because duplicates share a quantized view and
+    *   co-assign under any deterministic rule.
     * @return one row per corpus vector: (idCol, bucket, cluster, kept)
     *   where cluster is the minimum reachable id (self for singletons)
     *   and kept marks the survivor. Like [[ivfTopKPortable]], the
@@ -334,13 +409,16 @@ object Similarity {
     *   (caller-managed eviction).
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, c: Int = 16, iters: Int = 2): DataFrame = {
+      threshold: Double, c: Int = 16, iters: Int = 2,
+      hierarchical: Boolean = false): DataFrame = {
+    val assign: (Column, Array[Array[Double]]) => Column =
+      if (hierarchical) hierarchicalAssign else nearestCentroid
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = trainPortable(ds, idCol, c, iters)
+    val cents = trainPortable(ds, idCol, c, iters, assign)
     val cb = ds
       .select(col(idCol), asDouble(col(vecCol)).as("e"),
-        nearestCentroid(col("qd"), cents).as("bucket"))
+        assign(col("qd"), cents).as("bucket"))
       .withColumn("nrm", norm2(col("e")))
     val x = cb.select(col("bucket"), col(idCol).as("a"),
       col("e").as("xe"), col("nrm").as("nx"))

@@ -168,9 +168,11 @@ object ScaleProbe {
     }
     val sem1 = signFlip(embP, 1)
     val semN = signFlip(embP, factor)
+    // hierarchical two-level assignment on BOTH sides (the recommended
+    // config at scale): ~2√c·dims per row instead of c·dims
     def semDedup(e: DataFrame, c: Int): Long =
       graft.similarity.Similarity.semanticDedup(e, "vec_id", "embedding",
-        threshold = 0.99, c = c, iters = 2).count()
+        threshold = 0.99, c = c, iters = 2, hierarchical = true).count()
 
     // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the
     // growing-corpus ingest shape. The batch replays replica 0, so its

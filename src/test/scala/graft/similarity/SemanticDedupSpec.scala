@@ -61,4 +61,16 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.forall { case (id, (cluster, kept)) =>
       cluster == id && kept })
   }
+
+  test("hierarchical assignment yields the identical dedup output") {
+    // buckets may differ near super-boundaries; the DEDUP result
+    // (cluster labels + survivors) must not — duplicates share a
+    // quantized view, so they co-assign under either rule
+    val exact = run(corpus)
+    val hier = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, c = 4, iters = 1, hierarchical = true)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(hier == exact)
+  }
 }

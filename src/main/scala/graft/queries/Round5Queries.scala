@@ -141,6 +141,23 @@ object Round5Queries {
       p1.unionByName(p2).orderBy(col("a"), col("b"))
     }),
 
+    // Epoch manifest: the end-of-pipeline composition — fit the corpus
+    // under the token budget (q96's waterfill), then lay the surviving
+    // documents into fixed-length training sequences (q91's packing).
+    // Per-document placement for exactly the docs the budget funds.
+    "q98_epoch_manifest" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = graft.text.TextAnalysis.tokenCount(col("text"))
+      val alloc = graft.pipeline.TokenBudget.allocate(docs, "source",
+        substring(col("source"), 4, 10).cast("int"), toks,
+        budgetNum = 2L, budgetDen = 5L)
+      val kept = graft.pipeline.TokenBudget.sample(docs, "doc_id",
+        "source", alloc)
+      graft.pipeline.Packing.packSequences(kept, "doc_id", "text",
+        seqLen = PackLen, numGroups = PackGroups)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic mixture sampling: each source survives at a
     // per-source rate (parts-per-million thresholds derived from the
     // source index), membership a pure hash of the doc id — the
@@ -436,6 +453,38 @@ object Round5Queries {
          |$minhashCtesSql,
          |${jaccardTailSql("0.5")}""".stripMargin
     },
+    "q98_epoch_manifest" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS INT) AS srcnum,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT source, srcnum, CAST(SUM(n_tok) AS BIGINT) AS tok_in
+         |  FROM d GROUP BY source, srcnum),
+         |w AS (SELECT source, srcnum, tok_in,
+         |    CAST(COALESCE(SUM(tok_in) OVER (ORDER BY srcnum, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before,
+         |    CAST(SUM(tok_in) OVER () AS BIGINT) * 2 // 5 AS budget
+         |  FROM s),
+         |t AS (SELECT *, CASE WHEN cum_before >= budget THEN 0
+         |    WHEN cum_before + tok_in <= budget THEN 1000000
+         |    ELSE (budget - cum_before) * 1000000 // tok_in END AS keep_ppm
+         |  FROM w),
+         |kept AS (SELECT d.doc_id, d.doc_id % $PackGroups AS grp, d.n_tok
+         |  FROM d JOIN t ON t.source = d.source
+         |  WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % 1000000
+         |    < t.keep_ppm AND d.n_tok > 0),
+         |p AS (SELECT doc_id, grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM kept)
+         |SELECT doc_id, grp, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // $PackLen AS seq_first,
+         |  (cum - n_tok) % $PackLen AS seq_off,
+         |  (cum - 1) // $PackLen - (cum - n_tok) // $PackLen + 1 AS n_seqs
+         |FROM p ORDER BY doc_id""".stripMargin,
     "q93_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold

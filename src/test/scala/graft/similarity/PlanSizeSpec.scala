@@ -62,6 +62,33 @@ class PlanSizeSpec extends SparkSpec {
       s"plan grew with c: c=8 -> $small chars, c=512 -> $large chars")
   }
 
+  test("hierarchical assignment: flat plan, codegen, agrees on duplicates") {
+    val cents = Array.tabulate(1024)(i =>
+      Array.tabulate(64)(j => math.sin(i * 64 + j) * 10))
+    def planLen(cs: Array[Array[Double]]): Int =
+      emb.select(Similarity.hierarchicalAssign(
+          Similarity.asDouble(col("embedding")), cs).as("bucket"))
+        .queryExecution.optimizedPlan.toString.length
+    assert(planLen(cents) <= planLen(cents.take(16)) + 64,
+      "two-level plan must not grow with c")
+    val df = emb.select(col("vec_id"),
+      Similarity.hierarchicalAssign(
+        Similarity.asDouble(col("embedding")), cents).as("bucket"))
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    // identical vectors co-assign under the approximate rule too — the
+    // property semantic dedup rests on
+    val dup = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.select((col("vec_id") + 10000L).as("vec_id"),
+        col("embedding")))
+    val out = dup.select(col("vec_id"),
+        Similarity.hierarchicalAssign(
+          Similarity.asDouble(col("embedding")), cents).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.keys.filter(_ < 10000L).foreach { id =>
+      assert(out(id) == out(id + 10000L), s"copy of $id moved bucket")
+    }
+  }
+
   test("c=1024 assignment executes through whole-stage codegen") {
     val cents = Array.tabulate(1024)(i =>
       Array.tabulate(64)(j => math.sin(i * 64 + j) * 10))

@@ -176,6 +176,63 @@ object Dedup {
     verifiedPairs(cand, sh, threshold)
   }
 
+  /** Span-level EXACT duplicate detection — the "duplicated substring"
+    * analysis (suffix-array-style dedup, Spark-shaped): a k-token gram
+    * occurring more than once in the corpus (within OR across
+    * documents) marks a duplicated span start; consecutive duplicated
+    * starts merge into maximal spans. Catches verbatim boilerplate and
+    * quoted passages that document-level near-dup (Jaccard/MinHash)
+    * dilutes away.
+    *
+    * Shape: one doc-partitioned window pass builds positional k-gram
+    * hashes (k-1 `lead`s + md5 — positions matter here, unlike
+    * [[hashedShingles]] which dedupes row-locally); one keyed groupBy
+    * finds repeated grams; span merging is the sessionization pattern
+    * (gap-break flag + running sum) inside the same doc partitioning.
+    * Everything is counts + md5 + one double division — replays
+    * bit-identically in the DuckDB oracle (q100).
+    *
+    * @return per document with >= k tokens: (idCol, n_grams, n_dup,
+    *   dup_frac, n_spans, max_span) — duplicated-start count/fraction
+    *   and merged-span stats (span length in TOKENS: a run of starts
+    *   s..e covers e-s+k tokens)
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
+    val grams = toks
+      .withColumn("lastTok", lead(col("tok"), k - 1).over(w))
+      .withColumn("gram", md5(concat_ws(" ", parts: _*)))
+      .filter(col("lastTok").isNotNull)
+      .select(col("doc"), col("pos"), col("gram"))
+    val total = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("gram")
+    val starts = grams.join(dupGrams, "gram").select(col("doc"), col("pos"))
+    val spans = starts
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("span", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("span"))
+      .agg(count(lit(1)).as("n_starts"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
+    val perDoc = spans.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_starts")).as("n_dup"),
+        max(col("len")).as("max_span"))
+    total.join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("dup_frac"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
   /** Connected components over near-duplicate pairs: resolves pairwise
     * matches into clusters so exactly one representative (the minimum id)
     * survives per duplicate GROUP — chains like a~b, b~c collapse to one

@@ -209,6 +209,18 @@ object Round5Queries {
         .orderBy(col("rank"))
     }),
 
+    // Span-level exact duplicate detection (suffix-array-style dedup,
+    // Spark-shaped): positional 8-token gram hashes -> repeated grams
+    // mark duplicated span starts -> consecutive starts merge into
+    // maximal spans. On the planted corpus, verbatim copies read
+    // dup_frac = 1.0 and the tail-marker variants surface their shared
+    // prefix as one long span.
+    "q100_dup_spans" -> ((s, dir) => {
+      graft.dedup.Dedup.duplicateSpans(
+        PipelineQueries.corpus(s, dir), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic mixture sampling: each source survives at a
     // per-source rate (parts-per-million thresholds derived from the
     // source index), membership a pure hash of the doc id — the
@@ -576,6 +588,43 @@ object Round5Queries {
          |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
          |  FROM tot) t
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "q100_dup_spans" -> {
+      import PipelineQueries.corpusSql
+      s"""WITH $corpusSql,
+         |rts AS (SELECT doc_id, $toksExpr AS ts FROM corpus),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+         |  FROM rts, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+         |dp AS (SELECT doc_id, pos FROM grams
+         |  WHERE gram IN (SELECT gram FROM dup)),
+         |b AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+         |      ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+         |  FROM dp),
+         |sp AS (SELECT doc_id, pos,
+         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS span
+         |  FROM b),
+         |spans AS (SELECT doc_id, span, COUNT(*) AS n_starts,
+         |    CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS len
+         |  FROM sp GROUP BY doc_id, span),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+         |    CAST(SUM(n_starts) AS BIGINT) AS n_dup,
+         |    CAST(MAX(len) AS BIGINT) AS max_span
+         |  FROM spans GROUP BY doc_id),
+         |tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+         |    / CAST(t.n_grams AS DOUBLE) AS dup_frac,
+         |  COALESCE(p.n_spans, 0) AS n_spans,
+         |  COALESCE(p.max_span, 0) AS max_span
+         |FROM tot t LEFT JOIN pd p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
     "q93_mixture" ->
       s"""WITH d AS (SELECT doc_id, source, text,
          |    CAST(20 - CAST(substr(source, 4) AS INT) AS BIGINT) * 50000 AS threshold

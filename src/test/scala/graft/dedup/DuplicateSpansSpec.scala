@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Span-level exact duplicate detection on a handcrafted corpus with
+  * known span extents.
+  */
+class DuplicateSpansSpec extends SparkSpec {
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def run(rows: (Long, String)*) =
+    Dedup.duplicateSpans(df(rows: _*), "doc_id", "text", k = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))).toMap
+
+  test("verbatim copy marks every gram; unique doc marks none") {
+    val a = "w1 w2 w3 w4 w5 w6"
+    val out = run(1L -> a, 2L -> a, 3L -> "u1 u2 u3 u4 u5")
+    // 6 tokens, k=3 -> 4 gram starts, all duplicated, one merged span
+    assert(out(1L) == ((4L, 4L, 1L, 6L)))
+    assert(out(2L) == ((4L, 4L, 1L, 6L)))
+    assert(out(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("shared interior phrase yields one span with the right extent") {
+    // docs share exactly tokens "p1 p2 p3 p4" (starts at different
+    // offsets); 2 duplicated starts merge into one 4-token span
+    val out = run(
+      1L -> "a1 a2 p1 p2 p3 p4 a3",
+      2L -> "b1 p1 p2 p3 p4 b2 b3 b4")
+    assert(out(1L)._2 == 2L && out(1L)._3 == 1L && out(1L)._4 == 4L)
+    assert(out(2L)._2 == 2L && out(2L)._3 == 1L && out(2L)._4 == 4L)
+  }
+
+  test("two separated shared phrases stay two spans") {
+    val out = run(
+      1L -> "p1 p2 p3 x1 x2 x3 q1 q2 q3",
+      2L -> "p1 p2 p3 y1 y2 y3 q1 q2 q3")
+    assert(out(1L)._3 == 2L && out(1L)._4 == 3L)
+    assert(out(2L)._3 == 2L && out(2L)._4 == 3L)
+  }
+
+  test("within-document repetition is caught too") {
+    val out = run(1L -> "r1 r2 r3 z9 r1 r2 r3")
+    // "r1 r2 r3" occurs twice inside one doc -> both starts duplicated
+    assert(out(1L)._2 == 2L && out(1L)._3 == 2L && out(1L)._4 == 3L)
+  }
+
+  test("docs shorter than k are absent") {
+    val out = run(1L -> "s1 s2", 2L -> "t1 t2 t3 t4")
+    assert(!out.contains(1L) && out.contains(2L))
+  }
+}

@@ -56,4 +56,39 @@ class DuplicateSpansSpec extends SparkSpec {
     val out = run(1L -> "s1 s2", 2L -> "t1 t2 t3 t4")
     assert(!out.contains(1L) && out.contains(2L))
   }
+
+  test("fuzz: matches a plain-Scala reference on random small corpora") {
+    // tiny alphabet forces k-gram collisions both within and across docs
+    def ref(docs: Seq[(Long, String)], k: Int)
+        : Map[Long, (Long, Long, Long, Long)] = {
+      val grams = docs.flatMap { case (id, text) =>
+        text.split("\\s+").filter(_.nonEmpty).sliding(k)
+          .filter(_.length == k).zipWithIndex
+          .map { case (g, i) => (id, i, g.mkString(" ")) }.toSeq
+      }
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      grams.groupBy(_._1).map { case (id, gs) =>
+        val dupPos = gs.filter(g => counts(g._3) > 1).map(_._2).sorted
+        val spans = dupPos.foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          acc match {
+            case (s, e) :: rest if p == e + 1 => (s, p) :: rest
+            case _                            => (p, p) :: acc
+          }
+        }
+        val lens = spans.map { case (s, e) => e - s + k }
+        id -> ((gs.size.toLong, dupPos.size.toLong, spans.size.toLong,
+          (if (lens.isEmpty) 0 else lens.max).toLong))
+      }
+    }
+    for (seed <- Seq(7, 42, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 8).map { i =>
+        val n = rnd.nextInt(26)
+        i.toLong -> (0 until n).map(_ => s"t${rnd.nextInt(12)}")
+          .mkString(" ")
+      }
+      val got = run(docs: _*)
+      assert(got == ref(docs, 3), s"seed $seed")
+    }
+  }
 }

@@ -75,6 +75,12 @@ object ScaleProbe {
       graft.dedup.Dedup.minhashNearDuplicates(d, "doc_id", "text",
         persistShingles = false).count()
 
+    // span-level exact dedup: the per-token perturbation keeps every
+    // within-replica k-gram relation exact and shares nothing across
+    // replicas, so duplicated-span structure scales linearly
+    def spans(d: DataFrame): Long =
+      graft.dedup.Dedup.duplicateSpans(d, "doc_id", "text").count()
+
     // end-to-end near-dup clustering: LSH pairs -> iterative connected
     // components (the other scale-critical loop; per-round cost must
     // track the edge count, not the corpus)
@@ -192,6 +198,7 @@ object ScaleProbe {
       "agg" -> (time(agg(li1)), time(agg(liN))),
       "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
       "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
+      "dup_spans" -> (time(spans(docs1)), time(spans(docsN))),
       "ann_lsh" -> (time(annLsh(emb1)), time(annLsh(embN))),
       "ann_ivf" -> (time(annIvf(emb1)), time(annIvf(embN))),
       "ann_ivfpq" -> (time(annPq(emb1)), time(annPq(embN))),

@@ -180,6 +180,15 @@ object ScaleProbe {
       graft.similarity.Similarity.semanticDedup(e, "vec_id", "embedding",
         threshold = 0.99, c = c, iters = 2, hierarchical = true).count()
 
+    // Sequence packing: numGroups stays FIXED (4 streams) while the
+    // corpus grows Nx — the exact shape the old single-window plan
+    // funnelled (one task per stream). The two-phase prefix sum must
+    // keep per-task input at shuffle-slice size, so wall time tracks
+    // the scan, not the stream length.
+    def pack(d: DataFrame): Long =
+      graft.pipeline.Packing.packSequences(d, "doc_id", "text",
+        seqLen = 2048, numGroups = 4).count()
+
     // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the
     // growing-corpus ingest shape. The batch replays replica 0, so its
     // collision count against the index is constant across sizes; the
@@ -211,6 +220,7 @@ object ScaleProbe {
           "text")._1
         (time(incLsh(idx1)), time(incLsh(idxN)))
       },
+      "seq_packing" -> (time(pack(docs1)), time(pack(docsN))),
       "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
       "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
     val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>

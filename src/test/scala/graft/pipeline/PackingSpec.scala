@@ -41,6 +41,36 @@ class PackingSpec extends SparkSpec {
       }
   }
 
+  test("single stream matches a plain-Scala prefix sum (two-phase correctness)") {
+    // numGroups = 1 is the worst case for the old single-window plan:
+    // the whole corpus was one window partition. The two-phase plan
+    // must produce the same tape while slicing it across tasks.
+    val got = Packing.packSequences(docs, "doc_id", "text", L, numGroups = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(6))) // id, start, n_seqs
+    val toks = docs
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 > 0).sortBy(_._1)
+    var cum = 0L
+    val want = toks.map { case (id, n) =>
+      val start = cum; cum += n
+      (id, start, (cum - 1) / L - start / L + 1)
+    }
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("plan is two-phase: range slicing, no stream-sized window partition") {
+    val plan = Packing.packSequences(docs, "doc_id", "text", L, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    // The per-row window must be keyed by (grp, cell), never grp alone.
+    assert(plan.contains("cell"), s"expected cell-sliced windows in:\n$plan")
+  }
+
   test("deterministic under repartitioning") {
     val a = Packing.packSequences(docs, "doc_id", "text", L, 4)
       .orderBy("doc_id").collect().toSeq

@@ -266,6 +266,38 @@ object Round5Queries {
   private def sliceSql(l: String, j: String): String =
     s"$l[$j*$PqSub+1 : $j*$PqSub+$PqSub]"
 
+  /** One per-subspace Lloyd round over the whole corpus: assign each
+    * vector's j-th subvector to its nearest `cw{t-1}` codeword, sum the
+    * assigned components, and update each codeword component to the
+    * shifted round-half-up integer mean
+    * `(2*(s + 127n) + n) // (2n) - 127` (all terms nonnegative, so
+    * DuckDB's floor `//` matches the engine's truncating Long division);
+    * empty codes keep their previous codeword. Mirrors
+    * [[graft.similarity.Similarity.IvfPqIndex.buildFromQuantized]].
+    */
+  private def pqTrainSql(t: Int): String = {
+    val prev = s"cw${t - 1}"
+    s"""a$t AS (SELECT vec_id, j, code FROM (
+       |  SELECT z.vec_id, w.j, w.code,
+       |    ROW_NUMBER() OVER (PARTITION BY z.vec_id, w.j
+       |      ORDER BY ${distSql(sliceSql("z.qd", "w.j"), "w.w")} ASC,
+       |        w.code ASC) AS rn
+       |  FROM qz z CROSS JOIN $prev w) WHERE rn = 1),
+       |s$t AS (SELECT a.j, a.code, p.pos,
+       |    CAST(SUM(z.qd[a.j*$PqSub + p.pos]) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM a$t a JOIN qz z USING (vec_id) CROSS JOIN ps p
+       |  GROUP BY a.j, a.code, p.pos),
+       |cw$t AS (SELECT w.j, w.code,
+       |    list(CASE WHEN s.n IS NULL THEN w.w[p.pos]
+       |         ELSE CAST((2*(s.s + 127*s.n) + s.n) // (2*s.n) - 127
+       |              AS DOUBLE) END
+       |         ORDER BY p.pos) AS w
+       |  FROM $prev w CROSS JOIN ps p
+       |  LEFT JOIN s$t s ON s.j = w.j AND s.code = w.code AND s.pos = p.pos
+       |  GROUP BY w.j, w.code)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q90_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
@@ -328,9 +360,12 @@ object Round5Queries {
          |        FROM qz))
          |  WHERE code < $PqK),
          |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
-         |cw AS (SELECT k.code, js.j,
+         |ps AS (SELECT unnest(generate_series(1, $PqSub)) AS pos),
+         |cw0 AS (SELECT k.code, js.j,
          |    ${sliceSql("k.cent", "js.j")} AS w
          |  FROM k0 k CROSS JOIN js),
+         |${pqTrainSql(1)},
+         |${pqTrainSql(2)},
          |cb AS (SELECT vec_id, cluster AS bucket FROM (
          |  SELECT z.vec_id, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
@@ -341,7 +376,7 @@ object Round5Queries {
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id, w.j
          |      ORDER BY ${distSql(sliceSql("z.qd", "w.j"), "w.w")} ASC,
          |        w.code ASC) AS rn
-         |  FROM qz z CROSS JOIN cw w) WHERE rn = 1),
+         |  FROM qz z CROSS JOIN cw2 w) WHERE rn = 1),
          |qp AS (SELECT vec_id AS q_id, qd, nq, cluster AS bucket FROM (
          |  SELECT z.vec_id, z.qd, ${dotSql("z.qd", "z.qd")} AS nq, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
@@ -355,7 +390,7 @@ object Round5Queries {
          |    SUM(${dotSql("w.w", "w.w")}) AS nc
          |  FROM cand cd
          |  JOIN codes k ON k.vec_id = cd.n_id
-         |  JOIN cw w ON w.j = k.j AND w.code = k.code
+         |  JOIN cw2 w ON w.j = k.j AND w.code = k.code
          |  GROUP BY cd.q_id, cd.n_id)
          |SELECT q_id, n_id, qcos, rank FROM (
          |  SELECT q_id, n_id, s / sqrt(nq * nc) AS qcos,

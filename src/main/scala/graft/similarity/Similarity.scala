@@ -447,9 +447,12 @@ object Similarity {
     *   - coarse quantizer: the `c` corpus vectors with the smallest
     *     (md5(id), id) — the deterministic sample [[ivfCentroidsPortable]]
     *     inits from (iters=0: a sample quantizer, no Lloyd loop);
-    *   - PQ codebooks: the first `kCodes` vectors of the same ordering,
-    *     sliced into `m` subspaces — codebook `j` holds the sample's
-    *     j-th subvectors. `kCodes` is independent of `c`: reconstruction
+    *   - PQ codebooks: initialized from the first `kCodes` vectors of
+    *     the same ordering sliced into `m` subspaces, then refined with
+    *     `pqIters` rounds of per-subspace Lloyd over the whole corpus —
+    *     codeword components are shifted round-half-up integer means,
+    *     so they stay exact int8 quantities and the ADC dots remain
+    *     exact int64. `kCodes` is independent of `c`: reconstruction
     *     quality needs far more codewords (256 is the classical choice)
     *     than coarse routing needs cells;
     *   - encode: per subspace, the code is the argmin codeword by L2
@@ -471,11 +474,11 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, c: Int = 16, m: Int = 8,
-      nProbe: Int = 4, kCodes: Int = 64): DataFrame = {
+      nProbe: Int = 4, kCodes: Int = 64, pqIters: Int = 2): DataFrame = {
     // one quantize pass (same persist contract as ivfTopKPortable)
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes)
+    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes, pqIters)
     idx.topK(queries, idx.encodeQuantized(ds, idCol), idCol, vecCol,
       k, nProbe)
   }
@@ -563,12 +566,13 @@ object Similarity {
   object IvfPqIndex {
 
     def build(corpus: DataFrame, idCol: String, vecCol: String,
-        c: Int = 16, m: Int = 8, kCodes: Int = 64): IvfPqIndex =
+        c: Int = 16, m: Int = 8, kCodes: Int = 64,
+        pqIters: Int = 2): IvfPqIndex =
       buildFromQuantized(withQuantizedDouble(corpus, idCol, vecCol),
-        idCol, c, m, kCodes)
+        idCol, c, m, kCodes, pqIters)
 
     private[similarity] def buildFromQuantized(ds: DataFrame, idCol: String,
-        c: Int, m: Int, kCodes: Int): IvfPqIndex = {
+        c: Int, m: Int, kCodes: Int, pqIters: Int = 2): IvfPqIndex = {
       // prune to the 3 sample columns BEFORE the TakeOrdered: the
       // quantized relation carries the original vector and both
       // quantized views, and dragging 4 arrays per row through the
@@ -582,10 +586,48 @@ object Similarity {
       val dims = bigSample.head.length
       require(dims % m == 0, s"dims $dims not divisible into $m subspaces")
       val sub = dims / m
-      IvfPqIndex(
-        coarse = bigSample.take(c),
-        codebooks = Array.tabulate(m)(j => bigSample.take(kCodes)
-          .map(_.slice(j * sub, (j + 1) * sub).map(_.toInt))))
+      // Init: the first kCodes sample subvectors, then `pqIters` rounds
+      // of per-subspace Lloyd over the WHOLE corpus — all m subspaces
+      // refined in ONE aggregation pass per round (explode m
+      // (j, code, subvector) structs per row, sum per component).
+      // Codeword components stay EXACT int8 quantities — the updated
+      // component is the shifted round-half-up integer mean
+      // floor(mean + 0.5) = ((2*(s + 127n) + n) div (2n)) - 127, all
+      // terms nonnegative (int8 values are >= -127) so truncating and
+      // floor division agree and the DuckDB replay (q92) is `//` on
+      // BIGINTs — the exact-integer ADC contract survives training.
+      var books: Array[Array[Array[Int]]] =
+        Array.tabulate(m)(j => bigSample.take(kCodes)
+          .map(_.slice(j * sub, (j + 1) * sub).map(_.toInt)))
+      var it = 0
+      while (it < pqIters) {
+        val booksD = books.map(_.map(_.map(_.toDouble)))
+        val perJ = (0 until m).map(j =>
+          struct(lit(j).as("j"),
+            nearestCentroid(slice(col("qd"), j * sub + 1, sub), booksD(j))
+              .as("code"),
+            slice(col("qi"), j * sub + 1, sub).as("v")))
+        val sums = ds
+          .select(explode(array(perJ: _*)).as("s"))
+          .select(col("s.j"), col("s.code"),
+            posexplode(col("s.v")).as(Seq("pos", "x")))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg(sum(col("x")).cast("long").as("s"), count(lit(1)).as("n"))
+          .collect()
+          .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+            (r.getLong(3), r.getLong(4))))
+          .toMap
+        books = Array.tabulate(m)(j => Array.tabulate(books(j).length)(code =>
+          Array.tabulate(sub) { pos =>
+            sums.get((j, code, pos)) match {
+              case Some((s, n)) =>
+                ((2L * (s + 127L * n) + n) / (2L * n) - 127L).toInt
+              case None => books(j)(code)(pos) // empty code: keep codeword
+            }
+          }))
+        it += 1
+      }
+      IvfPqIndex(coarse = bigSample.take(c), codebooks = books)
     }
 
     /** Rehydrate from a [[IvfPqIndex.toDF]] relation. */

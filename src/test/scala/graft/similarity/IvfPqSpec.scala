@@ -41,8 +41,31 @@ class IvfPqSpec extends SparkSpec {
       cents.zipWithIndex
         .map { case (ct, i) => (-2L * dot(v, ct) + dot(ct, ct), i) }
         .sortBy(identity).take(n).map(_._2).toSeq
-    val cw: Array[Array[Array[Long]]] =
+    // per-subspace Lloyd: assign every corpus subvector, then update
+    // each codeword component to the shifted round-half-up integer mean
+    // (exactly buildFromQuantized's arithmetic)
+    var cw: Array[Array[Array[Long]]] =
       Array.tabulate(m)(j => cbSample.map(_.slice(j * sub, (j + 1) * sub)))
+    for (_ <- 0 until 2) {
+      val sums = scala.collection.mutable.Map[(Int, Int, Int), (Long, Long)]()
+      qz.foreach { case (_, v) =>
+        (0 until m).foreach { j =>
+          val sv = v.slice(j * sub, (j + 1) * sub)
+          val code = argmin(sv, cw(j), 1).head
+          (0 until sub).foreach { p =>
+            val (s, n) = sums.getOrElse((j, code, p), (0L, 0L))
+            sums((j, code, p)) = (s + sv(p), n + 1)
+          }
+        }
+      }
+      cw = Array.tabulate(m)(j => Array.tabulate(cw(j).length)(code =>
+        Array.tabulate(sub) { p =>
+          sums.get((j, code, p)) match {
+            case Some((s, n)) => (2L * (s + 127L * n) + n) / (2L * n) - 127L
+            case None => cw(j)(code)(p)
+          }
+        }))
+    }
     val cb = qz.map { case (id, v) => (id, argmin(v, sample, 1).head,
       Array.tabulate(m)(j =>
         argmin(v.slice(j * sub, (j + 1) * sub), cw(j), 1).head)) }
@@ -125,5 +148,24 @@ class IvfPqSpec extends SparkSpec {
       .filter(_._1 < 20)
     val recall = (brute intersect pq).size.toDouble / brute.size
     assert(recall >= 0.2, s"recall $recall") // compressed + sampled codebook
+  }
+
+  test("trained codebooks beat the untrained sample on recall") {
+    // Full single-cell probe isolates PQ reconstruction quality: the
+    // candidate set is the whole corpus, so recall differences come
+    // only from the codebooks. Lloyd-refined codewords must not lose
+    // to the raw sample slices they were initialized from.
+    val q = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val pq = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+          k = 10, c = 1, m = m, nProbe = 1, kCodes = 16, pqIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute intersect pq).size.toDouble / brute.size
+    }
+    val (untrained, trained) = (recall(0), recall(2))
+    assert(trained > untrained,
+      s"trained recall $trained <= untrained $untrained")
   }
 }

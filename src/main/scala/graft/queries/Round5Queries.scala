@@ -158,54 +158,16 @@ object Round5Queries {
         .orderBy(col("doc_id"))
     }),
 
-    // BM25 relevance ranking: query -> top-20 documents. The retrieval
-    // scorer over the inverted index (q57's tf-idf is per-doc salience;
-    // this is query relevance): tf saturation (k1=1.2) + length
-    // normalization (b=0.75) per BM25, with a RATIONAL idf
-    // (N-df+0.5)/(df+0.5) instead of its ln — ln is monotone, so
-    // ranking behavior is preserved, and cross-engine ln is not
-    // bit-stable while one double division is. Per-doc totals add the
-    // 4 term scores in a FIXED left-assoc order (conditional-max
-    // pivot), never an order-dependent double SUM. Top-k is
-    // TakeOrdered (O(k) per partition), ranks assigned on the 20
-    // survivors.
+    // BM25 relevance ranking: query -> top-20 documents, via the
+    // general graft.text.Bm25 operator — terms supplied AS DATA (a
+    // broadcast relation), per-doc totals a strict term-sorted left
+    // fold from 0.0, so any query relation ranks bit-identically in
+    // both engines (the spec exercises a second term set).
     "q99_bm25" -> ((s, dir) => {
-      val terms = Seq("table", "join", "fast", "query")
-      val docs = Tables(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl
-        .agg(sum(col("dl")).as("tot"), count(lit(1)).as("nd"))
-        .select(col("nd"),
-          (col("tot").cast("double") / col("nd").cast("double"))
-            .as("avgdl"))
-      val tf = toks.filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val scored = tf.join(broadcast(dfreq), "token").join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("score",
-          ((col("nd").cast("double") - col("df") + lit(0.5)) /
-            (col("df") + lit(0.5))) *
-            (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-      val termCols = terms.zipWithIndex.map { case (t, i) =>
-        coalesce(max(when(col("token") === t, col("score"))), lit(0.0))
-          .as(s"s${i + 1}")
-      }
-      val perDoc = scored.groupBy(col("doc_id"))
-        .agg(termCols.head, termCols.tail: _*)
-        .withColumn("bm25",
-          col("s1") + col("s2") + col("s3") + col("s4"))
-        .filter(col("bm25") > 0)
-      val top = perDoc.orderBy(col("bm25").desc, col("doc_id")).limit(20)
-      top
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("bm25").desc, col("doc_id"))))
-        .select(col("doc_id"), col("bm25"), col("rank"))
+      import s.implicits._
+      val terms = Seq("table", "join", "fast", "query").toDF("term")
+      graft.text.Bm25.rank(Tables(s, dir, "documents"), "doc_id", "text",
+        terms, k = 20)
         .orderBy(col("rank"))
     }),
 
@@ -590,9 +552,10 @@ object Round5Queries {
          |  FROM toks GROUP BY doc_id),
          |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS nd
          |  FROM dl),
+         |qt AS (SELECT unnest(['table', 'join', 'fast', 'query']) AS token),
          |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
          |  FROM toks
-         |  WHERE token IN ('table', 'join', 'fast', 'query')
+         |  WHERE token IN (SELECT token FROM qt)
          |  GROUP BY doc_id, token),
          |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
          |sc AS (SELECT t.doc_id, t.token,
@@ -607,17 +570,10 @@ object Round5Queries {
          |  JOIN dl l USING (doc_id)
          |  CROSS JOIN st),
          |pd AS (SELECT doc_id,
-         |    COALESCE(MAX(CASE WHEN token = 'table' THEN score END),
-         |             0.0::DOUBLE) AS s1,
-         |    COALESCE(MAX(CASE WHEN token = 'join' THEN score END),
-         |             0.0::DOUBLE) AS s2,
-         |    COALESCE(MAX(CASE WHEN token = 'fast' THEN score END),
-         |             0.0::DOUBLE) AS s3,
-         |    COALESCE(MAX(CASE WHEN token = 'query' THEN score END),
-         |             0.0::DOUBLE) AS s4
+         |    list_reduce([0.0::DOUBLE] || list(score ORDER BY token),
+         |      (x, y) -> x + y) AS bm25
          |  FROM sc GROUP BY doc_id),
-         |tot AS (SELECT doc_id, s1 + s2 + s3 + s4 AS bm25 FROM pd
-         |  WHERE s1 + s2 + s3 + s4 > 0)
+         |tot AS (SELECT doc_id, bm25 FROM pd WHERE bm25 > 0)
          |SELECT doc_id, bm25, rank FROM (
          |  SELECT doc_id, bm25,
          |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank

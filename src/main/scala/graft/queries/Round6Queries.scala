@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.functions.PortableHash
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 hardening queries: recall/generality extensions of the
+  * round-5 scale operators — multi-probe semantic dedup (near-boundary
+  * duplicate pairs single-probe SemDeDup misses by construction).
+  * Every query replays bit-identically in the DuckDB oracle.
+  */
+object Round6Queries {
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
+  private def distSql(v: String, cent: String): String =
+    s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multi-probe semantic dedup: q95's planted corpus (exact copies +
+    // 2x-scaled copies) deduplicated with nProbe=2 pair generation —
+    // each vector enters its TWO nearest buckets for the pair stage
+    // (output buckets stay primary), so duplicate pairs straddling a
+    // cluster boundary are compared instead of silently missed.
+    "q102_semantic_multiprobe" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val repA = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val repB = emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      graft.similarity.Similarity.semanticDedup(
+        emb.unionByName(repA).unionByName(repB), "vec_id", "embedding",
+        threshold = 0.99, c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters, nProbe = 2)
+        .orderBy(col("vec_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q102_semantic_multiprobe" ->
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |emb2 AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, e FROM base WHERE vec_id % 7 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(e, x -> x * 2.0)
+         |  FROM base WHERE vec_id % 11 = 0),
+         |qz AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb2)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |ranked AS (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c${ExtendedQueries.IvfIters} c),
+         |cb AS (SELECT vec_id, e, cluster AS bucket FROM ranked
+         |  WHERE rn = 1),
+         |pb AS (SELECT vec_id, e, cluster AS bucket FROM ranked
+         |  WHERE rn <= 2),
+         |nb AS (SELECT vec_id, e, bucket, ${dotSql("e", "e")} AS nrm FROM pb),
+         |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.e", "y.e")} / sqrt(x.nrm * y.nrm)
+         |    >= 0.99::DOUBLE),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node)
+         |SELECT cb.vec_id, cb.bucket,
+         |  COALESCE(l.clus, cb.vec_id) AS cluster,
+         |  (COALESCE(l.clus, cb.vec_id) = cb.vec_id) AS kept
+         |FROM cb LEFT JOIN labels l ON l.node = cb.vec_id
+         |ORDER BY cb.vec_id""".stripMargin
+  )
+}

@@ -402,6 +402,15 @@ object Similarity {
     *   only (the oracle keeps the exact argmin); dedup output is
     *   IDENTICAL because duplicates share a quantized view and
     *   co-assign under any deterministic rule.
+    * @param nProbe bucket assignments PER VECTOR for the pair stage
+    *   (the output `bucket` stays the single nearest). Single-probe
+    *   SemDeDup misses near-boundary duplicate pairs by construction —
+    *   two almost-identical vectors straddling a cluster boundary are
+    *   never compared; with nProbe >= 2 each vector enters its nProbe
+    *   nearest buckets, so boundary pairs meet in the second-choice
+    *   bucket. Pair work scales by <= nProbe (each pair deduplicated
+    *   before CC). Exact-argmin only (the hierarchical scan has no
+    *   top-n form).
     * @return one row per corpus vector: (idCol, bucket, cluster, kept)
     *   where cluster is the minimum reachable id (self for singletons)
     *   and kept marks the survivor. Like [[ivfTopKPortable]], the
@@ -410,7 +419,9 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, c: Int = 16, iters: Int = 2,
-      hierarchical: Boolean = false): DataFrame = {
+      hierarchical: Boolean = false, nProbe: Int = 1): DataFrame = {
+    require(nProbe == 1 || !hierarchical,
+      "multi-probe pair generation requires the exact argmin assignment")
     val assign: (Column, Array[Array[Double]]) => Column =
       if (hierarchical) hierarchicalAssign else nearestCentroid
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
@@ -420,15 +431,25 @@ object Similarity {
       .select(col(idCol), asDouble(col(vecCol)).as("e"),
         assign(col("qd"), cents).as("bucket"))
       .withColumn("nrm", norm2(col("e")))
-    val x = cb.select(col("bucket"), col(idCol).as("a"),
+    // pair stage reads the nProbe-expanded assignment; output buckets
+    // stay primary
+    val pb =
+      if (nProbe <= 1) cb
+      else ds
+        .select(col(idCol), asDouble(col(vecCol)).as("e"),
+          explode(nearestCentroids(col("qd"), cents, nProbe)).as("bucket"))
+        .withColumn("nrm", norm2(col("e")))
+    val x = pb.select(col("bucket"), col(idCol).as("a"),
       col("e").as("xe"), col("nrm").as("nx"))
-    val y = cb.select(col("bucket"), col(idCol).as("b"),
+    val y = pb.select(col("bucket"), col(idCol).as("b"),
       col("e").as("ye"), col("nrm").as("ny"))
-    val pairs = x.join(y, Seq("bucket"))
+    val rawPairs = x.join(y, Seq("bucket"))
       .filter(col("a") < col("b"))
       .filter(dot(col("xe"), col("ye")) / sqrt(col("nx") * col("ny"))
         >= threshold)
       .select(col("a"), col("b"))
+    // a boundary pair can meet in up to nProbe shared buckets
+    val pairs = if (nProbe <= 1) rawPairs else rawPairs.distinct()
     val cc = graft.dedup.Dedup.connectedComponents(pairs)
       .withColumnRenamed("doc_id", idCol)
     cb.select(col(idCol), col("bucket"))

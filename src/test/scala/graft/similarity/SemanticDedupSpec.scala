@@ -62,6 +62,52 @@ class SemanticDedupSpec extends SparkSpec {
       cluster == id && kept })
   }
 
+  test("multi-probe catches the planted boundary pair single-probe misses") {
+    // Two 200-point blobs on orthogonal axes plus a near-duplicate pair
+    // (cosine ~0.9999) straddling the midpoint: Lloyd converges to the
+    // blob centers, the pair's primary assignments split across the
+    // boundary, so single-probe never compares them — the structural
+    // miss of SemDeDup bucketing. nProbe=2 sends each vector into both
+    // buckets for the pair stage and the duplicate collapses.
+    import spark.implicits._
+    val blobA = (0 until 200).map(i =>
+      (i.toLong, Array(10f, 0.1f * (i % 5), 0f, 0f)))
+    val blobB = (0 until 200).map(i =>
+      (1000L + i, Array(0.1f * (i % 5), 10f, 0f, 0f)))
+    val pair = Seq((1500L, Array(7.0f, 6.9f, 0f, 0f)),
+      (1501L, Array(6.9f, 7.0f, 0f, 0f)))
+    val corpus2 = (blobA ++ blobB ++ pair).toDF("vec_id", "embedding")
+    def dedup(nProbe: Int): Map[Long, (Int, Long, Boolean)] =
+      Similarity.semanticDedup(corpus2, "vec_id", "embedding",
+          threshold = 0.99, c = 2, iters = 5, nProbe = nProbe)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    val single = dedup(1)
+    assert(single(1500L)._1 != single(1501L)._1,
+      "plant broken: pair must straddle the cluster boundary")
+    assert(single(1500L)._3 && single(1501L)._3,
+      "single-probe should miss the boundary pair (both kept)")
+    val multi = dedup(2)
+    // primary buckets unchanged; the pair now shares a component
+    assert(multi(1500L)._1 == single(1500L)._1 &&
+      multi(1501L)._1 == single(1501L)._1)
+    assert(multi(1501L)._2 == 1500L && !multi(1501L)._3 && multi(1500L)._3,
+      "nProbe=2 must collapse the boundary duplicate onto its min id")
+  }
+
+  test("multi-probe output is a refinement: every single-probe dup survives") {
+    val single = run(corpus)
+    val multi = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.99, c = 4, iters = 1, nProbe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    // multi-probe can only ADD pairs: anything deduped single-probe
+    // stays deduped (labels may shrink as components merge)
+    for ((id, (_, kept)) <- single if !kept)
+      assert(!multi(id)._2, s"$id was deduped single-probe but kept multi")
+  }
+
   test("hierarchical assignment yields the identical dedup output") {
     // buckets may differ near super-boundaries; the DEDUP result
     // (cluster labels + survivors) must not — duplicates share a

@@ -192,13 +192,22 @@ object Dedup {
     * Everything is counts + md5 + one double division — replays
     * bit-identically in the DuckDB oracle (q100).
     *
+    * @param maxDf document-frequency cap on duplicated grams (0 = no
+    *   cap): grams occurring more than `maxDf` times in the corpus are
+    *   EXCLUDED from span detection, the standard suffix-array-dedup
+    *   guard — at 100 TB a boilerplate 8-gram occurring in millions of
+    *   documents would otherwise make its `starts` join key hot (AQE
+    *   skew-split mitigates but can't bound the output, which grows
+    *   with df per gram); the cap bounds every gram's fanout, and
+    *   ultra-common grams are stop-phrases, not the verbatim copies
+    *   this analysis hunts.
     * @return per document with >= k tokens: (idCol, n_grams, n_dup,
     *   dup_frac, n_spans, max_span) — duplicated-start count/fraction
     *   and merged-span stats (span length in TOKENS: a run of starts
     *   s..e covers e-s+k tokens)
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, maxDf: Long = 0L): DataFrame = {
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val toks = docs.select(col(idCol).as("doc"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -210,7 +219,9 @@ object Dedup {
       .select(col("doc"), col("pos"), col("gram"))
     val total = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
     val dupGrams = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).select("gram")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .filter(if (maxDf > 0) col("n") <= maxDf else lit(true))
+      .select("gram")
     val starts = grams.join(dupGrams, "gram").select(col("doc"), col("pos"))
     val spans = starts
       .withColumn("brk",

@@ -179,7 +179,8 @@ object Round5Queries {
     // prefix as one long span.
     "q100_dup_spans" -> ((s, dir) => {
       graft.dedup.Dedup.duplicateSpans(
-        PipelineQueries.corpus(s, dir), "doc_id", "text", k = 8)
+        PipelineQueries.corpus(s, dir), "doc_id", "text", k = 8,
+        maxDf = 64L)
         .orderBy(col("doc_id"))
     }),
 
@@ -586,7 +587,8 @@ object Round5Queries {
          |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
          |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
          |  FROM rts, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
-         |dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1),
+         |dup AS (SELECT gram FROM grams GROUP BY gram
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
          |dp AS (SELECT doc_id, pos FROM grams
          |  WHERE gram IN (SELECT gram FROM dup)),
          |b AS (SELECT doc_id, pos,

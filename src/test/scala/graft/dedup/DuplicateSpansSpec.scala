@@ -52,6 +52,28 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(out(1L)._2 == 2L && out(1L)._3 == 2L && out(1L)._4 == 3L)
   }
 
+  test("maxDf excludes the planted hot gram, keeps real duplicate spans") {
+    // "h1 h2 h3" is boilerplate across 6 docs (df=6); "p1 p2 p3" is a
+    // genuine pair-duplicate (df=2). With maxDf=4 the hot gram must not
+    // mark spans; the pair-duplicate still must.
+    val boiler = (1L to 6L).map(i => i -> s"h1 h2 h3 u${i}a u${i}b u${i}c")
+    val pair = Seq(100L -> "x1 x2 p1 p2 p3 x3",
+      101L -> "y1 p1 p2 p3 y2 y3")
+    val rows = boiler ++ pair
+    val capped = Dedup.duplicateSpans(df(rows: _*), "doc_id", "text",
+        k = 3, maxDf = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 6L).forall(capped(_) == 0L),
+      "hot gram above maxDf must mark no spans")
+    assert(capped(100L) == 1L && capped(101L) == 1L,
+      "pair duplicate below maxDf must survive the cap")
+    // uncapped: the boilerplate IS flagged (df 6 > 1)
+    val uncapped = Dedup.duplicateSpans(df(rows: _*), "doc_id", "text",
+        k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert((1L to 6L).forall(uncapped(_) == 1L))
+  }
+
   test("docs shorter than k are absent") {
     val out = run(1L -> "s1 s2", 2L -> "t1 t2 t3 t4")
     assert(!out.contains(1L) && out.contains(2L))

@@ -81,6 +81,43 @@ object IncrementalLsh {
     (LshIndex(allBuckets, allSh), pairs)
   }
 
+  /** Remove documents from the index: one anti-join per stored
+    * relation, keyed on the doc id (shuffle carries only the delete
+    * set against each relation's key partitioning — at scale the
+    * delete side broadcasts). Deleting ids that were never indexed is
+    * a no-op; pairs already emitted for the deleted docs are history
+    * (an index removal does not retract past outputs, same as every
+    * LSM-style index).
+    */
+  def deleteDocs(idx: LshIndex, ids: DataFrame, idCol: String): LshIndex = {
+    val d = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
+    LshIndex(
+      idx.buckets.join(d, Seq("doc"), "left_anti").localCheckpoint(),
+      idx.shingles.join(d, Seq("doc"), "left_anti").localCheckpoint())
+  }
+
+  /** Publish the index as catalog tables `<name>_buckets` /
+    * `<name>_shingles` (atomic versioned overwrite per relation), then
+    * COMPACT the history: older versions are vacuumed so repeated
+    * saves keep exactly one on-disk version per relation — the ingest
+    * loop can checkpoint after every batch without version directories
+    * growing with batch count.
+    */
+  def save(idx: LshIndex, catalog: graft.catalog.ParquetCatalog,
+      name: String, vacuumHistory: Boolean = true): Unit = {
+    Seq(s"${name}_buckets" -> idx.buckets,
+        s"${name}_shingles" -> idx.shingles).foreach { case (t, df) =>
+      if (!catalog.exists(t)) catalog.create(t, df.schema)
+      catalog.overwrite(t, df)
+      if (vacuumHistory) catalog.vacuum(t)
+    }
+  }
+
+  /** Rehydrate a [[save]]d index. */
+  def load(catalog: graft.catalog.ParquetCatalog, name: String): LshIndex =
+    LshIndex(catalog.table(s"${name}_buckets"),
+      catalog.table(s"${name}_shingles"))
+
   /** Band-bucket collisions of `probe` against `all`, normalized to
     * (a < b) and deduped across bands. Probe×probe pairs surface from
     * both orientations, probe×rest from one; `distinct` collapses both

@@ -78,4 +78,53 @@ class IncrementalLshSpec extends SparkSpec {
     val (_, persisted) = IncrementalLsh.addBatch(loaded, batch2, "doc_id", "text")
     assert(pairSet(fresh) == pairSet(persisted))
   }
+
+  test("add a batch, delete it: index is exactly the pre-add index") {
+    val evens = corpus.filter(col("doc_id") % 2 === 0)
+    val odds = corpus.filter(col("doc_id") % 2 =!= 0)
+    val (idx0, _) = IncrementalLsh.build(evens, "doc_id", "text")
+    val (idx1, _) = IncrementalLsh.addBatch(idx0, odds, "doc_id", "text")
+    val idx2 = IncrementalLsh.deleteDocs(idx1, odds.select("doc_id"), "doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(idx2.buckets) == rows(idx0.buckets))
+    assert(rows(idx2.shingles) == rows(idx0.shingles))
+    // and the shrunk index behaves like the pre-add one: re-adding the
+    // deleted batch re-emits the same new pairs
+    val (_, fresh0) = IncrementalLsh.addBatch(idx0, odds, "doc_id", "text")
+    val (_, fresh2) = IncrementalLsh.addBatch(idx2, odds, "doc_id", "text")
+    assert(pairSet(fresh0) == pairSet(fresh2))
+  }
+
+  test("deleting unindexed ids is a no-op") {
+    import spark.implicits._
+    val (idx, _) = IncrementalLsh.build(corpus, "doc_id", "text")
+    val ghost = Seq(999999998L, 999999999L).toDF("doc_id")
+    val idx2 = IncrementalLsh.deleteDocs(idx, ghost, "doc_id")
+    assert(idx2.buckets.count() == idx.buckets.count() &&
+      idx2.shingles.count() == idx.shingles.count())
+  }
+
+  test("save/load round-trips and repeated saves keep version count bounded") {
+    import graft.catalog.ParquetCatalog
+    val root = java.nio.file.Files.createTempDirectory("graft-lshsv")
+    val cat = new ParquetCatalog(spark, root.toString)
+    val evens = corpus.filter(col("doc_id") % 2 === 0)
+    val odds = corpus.filter(col("doc_id") % 2 =!= 0)
+    var (idx, _) = IncrementalLsh.build(evens, "doc_id", "text")
+    IncrementalLsh.save(idx, cat, "lshsv")
+    val (idx1, _) = IncrementalLsh.addBatch(idx, odds, "doc_id", "text")
+    IncrementalLsh.save(idx1, cat, "lshsv")
+    val idx2 = IncrementalLsh.deleteDocs(idx1, odds.select("doc_id"), "doc_id")
+    IncrementalLsh.save(idx2, cat, "lshsv")
+    // exactly one on-disk version per relation after 3 saves
+    for (t <- Seq("lshsv_buckets", "lshsv_shingles")) {
+      val dirs = java.nio.file.Files.list(root.resolve(t)).toArray
+        .map(_.toString).filter(_.contains("/v_"))
+      assert(dirs.length == 1, s"$t versions: ${dirs.mkString(",")}")
+    }
+    val loaded = IncrementalLsh.load(cat, "lshsv")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().toSet
+    assert(rows(loaded.buckets) == rows(idx2.buckets))
+    assert(rows(loaded.shingles) == rows(idx2.shingles))
+  }
 }

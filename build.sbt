@@ -15,6 +15,12 @@ run / fork := true
 // prefixes every line with [info]/[error], which breaks the driver's parse
 // of Bench's single JSON result line (round-1 BENCH "parsed": null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and the "[success] Total time ..." epilogue sbt appends AFTER the
+// forked run would otherwise be the LAST stdout line, breaking a
+// parse-the-last-line reader (BENCH_r03..r05 "parsed": null). With it
+// suppressed, Bench's JSON line is the final line of stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * super-linear ratios expose the operators whose shuffles or candidate
   * sets grow faster than the input.
   *
-  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor]
+  * Usage: runMain graft.tools.ScaleProbe [sfDir] [factor] [rows]
+  * (`rows` = comma-separated row-name subset, e.g. the spill-regime
+  * runs push only scd_merge,minhash_lsh far past the heap)
   */
 object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(8)
+    val only = args.lift(2).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -25,6 +28,19 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // spill observability: cumulative executor spill bytes, sampled
+    // around each measurement so every probe row reports its own delta
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+            : Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null)
+            spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+        }
+      })
 
     // textCols get EVERY TOKEN suffixed with the replica index. This is
     // the only perturbation that replicates honestly:
@@ -51,10 +67,14 @@ object ScaleProbe {
       }.drop("__rep")
     }
 
-    def time(f: => Long): (Double, Long) = {
+    def time(f: => Long): (Double, Long, Long) = {
+      val s0 = spillBytes.get()
       val t0 = System.nanoTime()
       val n = f
-      ((System.nanoTime() - t0) / 1e9, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before sampling
+      Thread.sleep(500)
+      (dt, n, spillBytes.get() - s0)
     }
 
     val li1 = graft.sources.Tables(spark, sfDir, "lineitem")
@@ -203,28 +223,32 @@ object ScaleProbe {
 
     // warmup
     agg(li1); ()
-    val results = Seq(
-      "agg" -> (time(agg(li1)), time(agg(liN))),
-      "minhash_lsh" -> (time(minhash(docs1)), time(minhash(docsN))),
-      "dedup_cluster" -> (time(cluster(docs1)), time(cluster(docsN))),
-      "dup_spans" -> (time(spans(docs1)), time(spans(docsN))),
-      "ann_lsh" -> (time(annLsh(emb1)), time(annLsh(embN))),
-      "ann_ivf" -> (time(annIvf(emb1)), time(annIvf(embN))),
-      "ann_ivfpq" -> (time(annPq(emb1)), time(annPq(embN))),
-      "semantic_dedup" -> (time(semDedup(sem1, 16)),
-        time(semDedup(semN, 16 * factor))),
-      "incremental_lsh" -> {
+    type M = (Double, Long, Long) // seconds, rows, spill bytes
+    val rows: Seq[(String, () => (M, M))] = Seq(
+      "agg" -> (() => (time(agg(li1)), time(agg(liN)))),
+      "minhash_lsh" -> (() => (time(minhash(docs1)), time(minhash(docsN)))),
+      "dedup_cluster" -> (() => (time(cluster(docs1)), time(cluster(docsN)))),
+      "dup_spans" -> (() => (time(spans(docs1)), time(spans(docsN)))),
+      "ann_lsh" -> (() => (time(annLsh(emb1)), time(annLsh(embN)))),
+      "ann_ivf" -> (() => (time(annIvf(emb1)), time(annIvf(embN)))),
+      "ann_ivfpq" -> (() => (time(annPq(emb1)), time(annPq(embN)))),
+      "semantic_dedup" -> (() => (time(semDedup(sem1, 16)),
+        time(semDedup(semN, 16 * factor)))),
+      "incremental_lsh" -> (() => {
         val idx1 = graft.dedup.IncrementalLsh.build(docs1r, "doc_id",
           "text")._1
         val idxN = graft.dedup.IncrementalLsh.build(docsN, "doc_id",
           "text")._1
         (time(incLsh(idx1)), time(incLsh(idxN)))
-      },
-      "seq_packing" -> (time(pack(docs1)), time(pack(docsN))),
-      "scd_merge" -> (time(merge(cust1)), time(merge(custN))),
-      "sketch_rollup" -> (time(rollup(ev1)), time(rollup(evN))))
-    val parts = results.map { case (name, ((t1, n1), (tN, nN))) =>
-      f"""\"$name\":{\"t1\":$t1%.2f,\"rows1\":$n1,\"tN\":$tN%.2f,\"rowsN\":$nN,\"ratio\":${tN / t1}%.2f}"""
+      }),
+      "seq_packing" -> (() => (time(pack(docs1)), time(pack(docsN)))),
+      "scd_merge" -> (() => (time(merge(cust1)), time(merge(custN)))),
+      "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))))
+    val results = rows
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (n, f) => n -> f() }
+    val parts = results.map { case (name, ((t1, n1, s1), (tN, nN, sN))) =>
+      f"""\"$name\":{\"t1\":$t1%.2f,\"rows1\":$n1,\"tN\":$tN%.2f,\"rowsN\":$nN,\"ratio\":${tN / t1}%.2f,\"spill1MB\":${s1 / 1e6}%.1f,\"spillNMB\":${sN / 1e6}%.1f}"""
     }
     println(s"""{"factor":$factor,${parts.mkString(",")}}""")
     spark.stop()

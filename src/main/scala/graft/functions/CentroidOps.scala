@@ -129,6 +129,78 @@ object CentroidOps {
     ColumnBridge.column(NearestCentroidHier(
       VectorFunctions.castToDoubleArray(ColumnBridge.expression(e)),
       supers, children, globalIdx))
+
+  /** Two-level top-n: probe the `nProbe` nearest supers, then return
+    * the `nProbe` best children ACROSS those supers' groups, ascending
+    * by (rank key, global index) — hierarchical multi-probe, so
+    * `nProbe >= 2` pair generation composes with the ~2√c·dims scan.
+    * Approximate like [[nearestHier]] (children outside the probed
+    * supers are never ranked); its first element is at least as close
+    * as [[nearestHier]]'s single answer (same candidates plus more).
+    */
+  def nearestHierN(v: ArrayData, supers: Array[Array[Double]],
+      s2: Array[Double], children: Array[Array[Array[Double]]],
+      ch2: Array[Array[Double]], globalIdx: Array[Array[Int]],
+      nProbe: Int): ArrayData = {
+    val dims = v.numElements()
+    val sTop = nearest(v, supers, s2, nProbe)
+    var cand = 0
+    var i = 0
+    while (i < sTop.numElements()) {
+      cand += children(sTop.getInt(i)).length; i += 1
+    }
+    val d = new Array[Double](cand)
+    val gi = new Array[Int](cand)
+    var w = 0
+    i = 0
+    while (i < sTop.numElements()) {
+      val s = sTop.getInt(i)
+      val grp = children(s)
+      var k = 0
+      while (k < grp.length) {
+        val cent = grp(k)
+        d(w) =
+          if (cent.length != dims) Double.NaN
+          else {
+            var acc = 0.0
+            var j = 0
+            while (j < dims) { acc += v.getDouble(j) * cent(j); j += 1 }
+            -2.0 * acc + ch2(s)(k)
+          }
+        gi(w) = globalIdx(s)(k)
+        w += 1
+        k += 1
+      }
+      i += 1
+    }
+    val n = math.min(nProbe, cand)
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](cand)
+    var sSel = 0
+    while (sSel < n) {
+      var best = -1
+      var t = 0
+      while (t < cand) {
+        if (!used(t) && (best < 0 || {
+          val c = java.lang.Double.compare(d(t), d(best))
+          c < 0 || (c == 0 && gi(t) < gi(best))
+        })) best = t
+        t += 1
+      }
+      used(best) = true
+      out(sSel) = gi(best)
+      sSel += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Column wrapper for the two-level top-n (global centroid indices). */
+  def nearestHierNCol(e: Column, supers: Array[Array[Double]],
+      children: Array[Array[Array[Double]]],
+      globalIdx: Array[Array[Int]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCentroidHierN(
+      VectorFunctions.castToDoubleArray(ColumnBridge.expression(e)),
+      supers, children, globalIdx, nProbe))
 }
 
 /** See [[CentroidOps]]. `cents` lives on the expression node (shipped
@@ -199,5 +271,44 @@ case class NearestCentroidHier(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidHier =
+    copy(child = newChild)
+}
+
+/** See [[CentroidOps.nearestHierN]]. Same referenced-object layout as
+  * [[NearestCentroidHier]], returning `nProbe` global indices.
+  */
+case class NearestCentroidHierN(child: Expression,
+    supers: Array[Array[Double]], subCents: Array[Array[Array[Double]]],
+    globalIdx: Array[Array[Int]], nProbe: Int) extends UnaryExpression {
+
+  require(supers.nonEmpty && supers.length == subCents.length &&
+    subCents.length == globalIdx.length, "aligned level arrays")
+  require(subCents.forall(_.nonEmpty), "no empty child group")
+  require(nProbe >= 1, "nProbe >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroid_hier_n"
+  override def nullable: Boolean = child.nullable
+
+  @transient private lazy val s2: Array[Double] =
+    supers.map(_.map(x => x * x).sum)
+  @transient private lazy val ch2: Array[Array[Double]] =
+    subCents.map(_.map(_.map(x => x * x).sum))
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidOps.nearestHierN(v.asInstanceOf[ArrayData], supers, s2,
+      subCents, ch2, globalIdx, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val supersRef = ctx.addReferenceObj("supers", supers, "double[][]")
+    val s2Ref = ctx.addReferenceObj("s2", s2, "double[]")
+    val chRef = ctx.addReferenceObj("subCents", subCents, "double[][][]")
+    val ch2Ref = ctx.addReferenceObj("ch2", ch2, "double[][]")
+    val giRef = ctx.addReferenceObj("globalIdx", globalIdx, "int[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.CentroidOps.nearestHierN($v, $supersRef, $s2Ref, $chRef, $ch2Ref, $giRef, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidHierN =
     copy(child = newChild)
 }

@@ -309,6 +309,17 @@ object Similarity {
     graft.functions.CentroidOps.nearestHierCol(e, s, ch, gi)
   }
 
+  /** Hierarchical multi-probe: the `nProbe` best children across the
+    * `nProbe` nearest supers — [[hierarchicalAssign]]'s ~2√c·dims scan
+    * composed with multi-probe pair generation (still approximate near
+    * super-boundaries; candidates scale with nProbe·c/√c, not c).
+    */
+  def hierarchicalAssignN(e: Column, cents: Array[Array[Double]],
+      nProbe: Int): Column = {
+    val (s, ch, gi) = centroidGroups(cents)
+    graft.functions.CentroidOps.nearestHierNCol(e, s, ch, gi, nProbe)
+  }
+
   /** Lloyd training over an already-quantized relation. Training reads
     * the corpus `iters + 1` times (init sample + one assignment pass per
     * iteration), so callers persist `ds` around the loop — quantizing
@@ -409,8 +420,9 @@ object Similarity {
     *   never compared; with nProbe >= 2 each vector enters its nProbe
     *   nearest buckets, so boundary pairs meet in the second-choice
     *   bucket. Pair work scales by <= nProbe (each pair deduplicated
-    *   before CC). Exact-argmin only (the hierarchical scan has no
-    *   top-n form).
+    *   before CC). Composes with `hierarchical` via
+    *   [[hierarchicalAssignN]] (nProbe supers probed, nProbe best
+    *   children across them) — the c ≈ √N configuration.
     * @return one row per corpus vector: (idCol, bucket, cluster, kept)
     *   where cluster is the minimum reachable id (self for singletons)
     *   and kept marks the survivor. Like [[ivfTopKPortable]], the
@@ -420,10 +432,11 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, c: Int = 16, iters: Int = 2,
       hierarchical: Boolean = false, nProbe: Int = 1): DataFrame = {
-    require(nProbe == 1 || !hierarchical,
-      "multi-probe pair generation requires the exact argmin assignment")
     val assign: (Column, Array[Array[Double]]) => Column =
       if (hierarchical) hierarchicalAssign else nearestCentroid
+    val assignN: (Column, Array[Array[Double]]) => Column =
+      if (hierarchical) (e, cs) => hierarchicalAssignN(e, cs, nProbe)
+      else (e, cs) => nearestCentroids(e, cs, nProbe)
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = trainPortable(ds, idCol, c, iters, assign)
@@ -437,7 +450,7 @@ object Similarity {
       if (nProbe <= 1) cb
       else ds
         .select(col(idCol), asDouble(col(vecCol)).as("e"),
-          explode(nearestCentroids(col("qd"), cents, nProbe)).as("bucket"))
+          explode(assignN(col("qd"), cents)).as("bucket"))
         .withColumn("nrm", norm2(col("e")))
     val x = pb.select(col("bucket"), col(idCol).as("a"),
       col("e").as("xe"), col("nrm").as("nx"))

@@ -94,6 +94,26 @@ class SemanticDedupSpec extends SparkSpec {
       multi(1501L)._1 == single(1501L)._1)
     assert(multi(1501L)._2 == 1500L && !multi(1501L)._3 && multi(1500L)._3,
       "nProbe=2 must collapse the boundary duplicate onto its min id")
+    // the hierarchical two-level scan composes with multi-probe: the
+    // same boundary pair is caught through nearestHierN's probes
+    val hierMulti = Similarity.semanticDedup(corpus2, "vec_id",
+        "embedding", threshold = 0.99, c = 2, iters = 5,
+        hierarchical = true, nProbe = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(hierMulti(1501L) == ((1500L, false)) &&
+      hierMulti(1500L)._2,
+      "hierarchical + nProbe=2 must also collapse the boundary pair")
+  }
+
+  test("hierarchical multi-probe equals exact multi-probe on the q95 corpus") {
+    def go(hier: Boolean) =
+      Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          threshold = 0.99, c = 4, iters = 1, hierarchical = hier,
+          nProbe = 2)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(go(true) == go(false))
   }
 
   test("multi-probe output is a refinement: every single-probe dup survives") {

@@ -38,11 +38,13 @@ import org.apache.spark.sql.functions._
   *     multiple source rows (the ANSI cardinality violation Delta also
   *     throws on) whenever any MATCHED clause exists.
   *
-  * `USING`/`INTO` operands must be named relations (catalog tables or
-  * views — register a preparatory subquery as a temp view first, the
-  * idiomatic Spark pattern). Expressions are rebuilt from the parsed
-  * tree's SQL form and resolved against the aliased join, so qualified
-  * references (`p.col`, `m.col`) behave exactly as in the statement.
+  * The `INTO` operand must be a named relation (catalog table or
+  * view). `USING` additionally accepts an aliased subquery —
+  * `USING (SELECT ...) m` — recovered verbatim from the statement text
+  * via the parser's origin spans and planned with `spark.sql`.
+  * Expressions are rebuilt from the parsed tree's SQL form and
+  * resolved against the aliased join, so qualified references
+  * (`p.col`, `m.col`) behave exactly as in the statement.
   */
 object MergeSql {
 
@@ -58,7 +60,7 @@ object MergeSql {
   def plan(spark: SparkSession, sql: String,
       resolve: String => DataFrame = null): DataFrame = {
     val r = Option(resolve).getOrElse((n: String) => spark.table(n))
-    compile(parse(spark, sql), r)
+    compile(spark, parse(spark, sql), r)
   }
 
   /** Parse, cardinality-check, and atomically publish: the target must
@@ -75,17 +77,17 @@ object MergeSql {
     if (mit.matchedActions.nonEmpty) {
       // ANSI cardinality check: >1 source rows hitting one target row.
       // The rid exists only in this count plan, never in the output.
-      val (sName, sAlias) = relName(mit.sourceTable)
+      val (sDf, sQ) = sourceRel(mit.sourceTable, spark, r)
       val (_, tAlias) = relName(mit.targetTable)
       val t = r(tName).withColumn(RID, monotonically_increasing_id())
         .alias(tAlias.getOrElse(tName))
-      val s = r(sName).alias(sAlias.getOrElse(sName))
+      val s = sDf.alias(sQ)
       val dup = t.join(s, toCol(mit.mergeCondition), "inner")
         .groupBy(col(RID)).count().filter(col("count") > 1).limit(1).count()
       require(dup == 0L,
         "MERGE cardinality violation: a target row matches multiple source rows")
     }
-    catalog.overwrite(tName, compile(mit, r))
+    catalog.overwrite(tName, compile(spark, mit, r))
     catalog.table(tName)
   }
 
@@ -100,8 +102,30 @@ object MergeSql {
     case SubqueryAlias(ident, child) => (relName(child)._1, Some(ident.name))
     case r: UnresolvedRelation => (r.multipartIdentifier.mkString("."), None)
     case other => throw new IllegalArgumentException(
-      "MERGE operands must be named relations (register subqueries as " +
-        s"temp views); got: ${other.nodeName}")
+      "MERGE target must be a named relation; got: " + other.nodeName)
+  }
+
+  /** Source operand: a named relation, or an aliased subquery whose
+    * text is recovered from the statement via the parser's origin span.
+    */
+  private def sourceRel(p: LogicalPlan, spark: SparkSession,
+      resolve: String => DataFrame): (DataFrame, String) = p match {
+    case SubqueryAlias(ident, r: UnresolvedRelation) =>
+      (resolve(r.multipartIdentifier.mkString(".")), ident.name)
+    case r: UnresolvedRelation =>
+      val n = r.multipartIdentifier.mkString(".")
+      (resolve(n), n)
+    case SubqueryAlias(ident, child) =>
+      (child.origin.sqlText, child.origin.startIndex,
+          child.origin.stopIndex) match {
+        case (Some(txt), Some(a), Some(b)) =>
+          (spark.sql(txt.substring(a, b + 1)), ident.name)
+        case _ => throw new IllegalArgumentException(
+          "cannot recover USING subquery text from parse origins")
+      }
+    case other => throw new IllegalArgumentException(
+      "MERGE source must be a named relation or an aliased subquery; " +
+        s"got: ${other.nodeName}")
   }
 
   private def toCol(e: Expression): Column = expr(e.sql)
@@ -111,13 +135,12 @@ object MergeSql {
     case other => other.sql
   }
 
-  private def compile(mit: MergeIntoTable,
+  private def compile(spark: SparkSession, mit: MergeIntoTable,
       resolve: String => DataFrame): DataFrame = {
     val (tName, tAlias) = relName(mit.targetTable)
-    val (sName, sAlias) = relName(mit.sourceTable)
-    val (tQ, sQ) = (tAlias.getOrElse(tName), sAlias.getOrElse(sName))
+    val tQ = tAlias.getOrElse(tName)
     val tDf = resolve(tName)
-    val sDf = resolve(sName)
+    val (sDf, sQ) = sourceRel(mit.sourceTable, spark, resolve)
     val outFields = tDf.schema.fields.toSeq
     val t = tDf.withColumn(TP, lit(true)).alias(tQ)
     val s = sDf.withColumn(SP, lit(true)).alias(sQ)

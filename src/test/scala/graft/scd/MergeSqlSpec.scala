@@ -61,6 +61,23 @@ class MergeSqlSpec extends SparkSpec {
       (1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("USING an aliased subquery (recovered from the statement text)") {
+    fixture()
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_t t
+        |USING (SELECT id, upper(name) AS name, v * 10 AS v
+        |       FROM msql_s WHERE v >= 40) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // ids 2 (v=200) and 4 (v=40) survive the subquery filter,
+    // transformed; id 3 (v=30) is filtered out so its target row carries
+    assert(out.toSeq == Seq(
+      (1L, "a", 10L), (2L, "B", 2000L), (3L, "c", 30L), (4L, "D", 400L)))
+  }
+
   test("execute publishes atomically through the catalog and rejects " +
       "cardinality violations") {
     fixture()

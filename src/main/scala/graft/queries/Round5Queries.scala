@@ -240,16 +240,16 @@ object Round5Queries {
     */
   private def pqTrainSql(t: Int): String = {
     val prev = s"cw${t - 1}"
-    s"""a$t AS (SELECT vec_id, j, code FROM (
+    s"""qa$t AS (SELECT vec_id, j, code FROM (
        |  SELECT z.vec_id, w.j, w.code,
        |    ROW_NUMBER() OVER (PARTITION BY z.vec_id, w.j
        |      ORDER BY ${distSql(sliceSql("z.qd", "w.j"), "w.w")} ASC,
        |        w.code ASC) AS rn
        |  FROM qz z CROSS JOIN $prev w) WHERE rn = 1),
-       |s$t AS (SELECT a.j, a.code, p.pos,
+       |qs$t AS (SELECT a.j, a.code, p.pos,
        |    CAST(SUM(z.qd[a.j*$PqSub + p.pos]) AS BIGINT) AS s,
        |    CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM a$t a JOIN qz z USING (vec_id) CROSS JOIN ps p
+       |  FROM qa$t a JOIN qz z USING (vec_id) CROSS JOIN ps p
        |  GROUP BY a.j, a.code, p.pos),
        |cw$t AS (SELECT w.j, w.code,
        |    list(CASE WHEN s.n IS NULL THEN w.w[p.pos]
@@ -257,7 +257,7 @@ object Round5Queries {
        |              AS DOUBLE) END
        |         ORDER BY p.pos) AS w
        |  FROM $prev w CROSS JOIN ps p
-       |  LEFT JOIN s$t s ON s.j = w.j AND s.code = w.code AND s.pos = p.pos
+       |  LEFT JOIN qs$t s ON s.j = w.j AND s.code = w.code AND s.pos = p.pos
        |  GROUP BY w.j, w.code)""".stripMargin
   }
 
@@ -315,6 +315,8 @@ object Round5Queries {
          |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
          |        FROM qz))
          |  WHERE cluster < $PqC),
+         |${ExtendedQueries.ivfStepSql(1)},
+         |${ExtendedQueries.ivfStepSql(2)},
          |k0 AS (SELECT code, cent FROM (
          |  SELECT qd AS cent,
          |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS code
@@ -333,7 +335,7 @@ object Round5Queries {
          |  SELECT z.vec_id, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
          |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
-         |  FROM qz z CROSS JOIN c0 c) WHERE rn = 1),
+         |  FROM qz z CROSS JOIN c2 c) WHERE rn = 1),
          |codes AS (SELECT vec_id, j, code FROM (
          |  SELECT z.vec_id, w.j, w.code,
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id, w.j
@@ -344,7 +346,7 @@ object Round5Queries {
          |  SELECT z.vec_id, z.qd, ${dotSql("z.qd", "z.qd")} AS nq, c.cluster,
          |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
          |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
-         |  FROM qz z CROSS JOIN c0 c WHERE z.vec_id < 50)
+         |  FROM qz z CROSS JOIN c2 c WHERE z.vec_id < 50)
          |  WHERE rn <= $PqProbe),
          |cand AS (SELECT q.q_id, q.qd, q.nq, c.vec_id AS n_id
          |  FROM qp q JOIN cb c ON c.bucket = q.bucket AND c.vec_id <> q.q_id),

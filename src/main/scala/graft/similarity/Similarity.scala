@@ -478,9 +478,10 @@ object Similarity {
     * codes (vs dims×4 bytes of floats), and query scoring reads codes,
     * never the original vectors.
     *
-    *   - coarse quantizer: the `c` corpus vectors with the smallest
-    *     (md5(id), id) — the deterministic sample [[ivfCentroidsPortable]]
-    *     inits from (iters=0: a sample quantizer, no Lloyd loop);
+    *   - coarse quantizer: the portable Lloyd loop
+    *     ([[ivfCentroidsPortable]]'s md5-seeded init + `coarseIters`
+    *     exact-integer-mean rounds, the q42-verified training) — the
+    *     same trained routing the plain IVF index uses;
     *   - PQ codebooks: initialized from the first `kCodes` vectors of
     *     the same ordering sliced into `m` subspaces, then refined with
     *     `pqIters` rounds of per-subspace Lloyd over the whole corpus —
@@ -508,11 +509,13 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, c: Int = 16, m: Int = 8,
-      nProbe: Int = 4, kCodes: Int = 64, pqIters: Int = 2): DataFrame = {
+      nProbe: Int = 4, kCodes: Int = 64, pqIters: Int = 2,
+      coarseIters: Int = 2): DataFrame = {
     // one quantize pass (same persist contract as ivfTopKPortable)
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes, pqIters)
+    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes,
+      pqIters, coarseIters)
     idx.topK(queries, idx.encodeQuantized(ds, idCol), idCol, vecCol,
       k, nProbe)
   }
@@ -601,12 +604,13 @@ object Similarity {
 
     def build(corpus: DataFrame, idCol: String, vecCol: String,
         c: Int = 16, m: Int = 8, kCodes: Int = 64,
-        pqIters: Int = 2): IvfPqIndex =
+        pqIters: Int = 2, coarseIters: Int = 2): IvfPqIndex =
       buildFromQuantized(withQuantizedDouble(corpus, idCol, vecCol),
-        idCol, c, m, kCodes, pqIters)
+        idCol, c, m, kCodes, pqIters, coarseIters)
 
     private[similarity] def buildFromQuantized(ds: DataFrame, idCol: String,
-        c: Int, m: Int, kCodes: Int, pqIters: Int = 2): IvfPqIndex = {
+        c: Int, m: Int, kCodes: Int, pqIters: Int = 2,
+        coarseIters: Int = 2): IvfPqIndex = {
       // prune to the 3 sample columns BEFORE the TakeOrdered: the
       // quantized relation carries the original vector and both
       // quantized views, and dragging 4 arrays per row through the
@@ -661,7 +665,13 @@ object Similarity {
           }))
         it += 1
       }
-      IvfPqIndex(coarse = bigSample.take(c), codebooks = books)
+      // Coarse quantizer: the same portable Lloyd loop the IVF index
+      // trains with (q42's CTE-replayed contract) — double means over
+      // the whole corpus, `coarseIters = 0` keeps the raw sample.
+      val coarse =
+        if (coarseIters <= 0) bigSample.take(c)
+        else trainPortable(ds, idCol, c, coarseIters)
+      IvfPqIndex(coarse = coarse, codebooks = books)
     }
 
     /** Rehydrate from a [[IvfPqIndex.toDF]] relation. */

@@ -199,6 +199,12 @@ object ScaleProbe {
     def semDedup(e: DataFrame, c: Int): Long =
       graft.similarity.Similarity.semanticDedup(e, "vec_id", "embedding",
         threshold = 0.99, c = c, iters = 2, hierarchical = true).count()
+    // ...and the recommended 100 TB configuration: hierarchical scan +
+    // nProbe=2 pair generation (pair-stage input 2 rows/vector)
+    def semDedup2(e: DataFrame, c: Int): Long =
+      graft.similarity.Similarity.semanticDedup(e, "vec_id", "embedding",
+        threshold = 0.99, c = c, iters = 2, hierarchical = true,
+        nProbe = 2).count()
 
     // Sequence packing: numGroups stays FIXED (4 streams) while the
     // corpus grows Nx — the exact shape the old single-window plan
@@ -234,6 +240,8 @@ object ScaleProbe {
       "ann_ivfpq" -> (() => (time(annPq(emb1)), time(annPq(embN)))),
       "semantic_dedup" -> (() => (time(semDedup(sem1, 16)),
         time(semDedup(semN, 16 * factor)))),
+      "semantic_multiprobe" -> (() => (time(semDedup2(sem1, 16)),
+        time(semDedup2(semN, 16 * factor)))),
       "incremental_lsh" -> (() => {
         val idx1 = graft.dedup.IncrementalLsh.build(docs1r, "doc_id",
           "text")._1

@@ -41,6 +41,36 @@ class IvfPqSpec extends SparkSpec {
       cents.zipWithIndex
         .map { case (ct, i) => (-2L * dot(v, ct) + dot(ct, ct), i) }
         .sortBy(identity).take(n).map(_._2).toSeq
+    // double-centroid variant (post-Lloyd coarse): strict left-fold dot
+    // + |c|² rank key, lower index on ties — the engine's argmin
+    def argminD(v: Array[Long], cents: Array[Array[Double]], n: Int): Seq[Int] =
+      cents.zipWithIndex
+        .map { case (ct, i) =>
+          var acc = 0.0
+          var j = 0
+          while (j < ct.length) { acc += v(j) * ct(j); j += 1 }
+          (-2.0 * acc + ct.map(y => y * y).sum, i)
+        }
+        .sortBy(identity).take(n).map(_._2).toSeq
+    // coarse Lloyd (2 rounds, trainPortable's arithmetic): exact-int
+    // sums cast to double means; empty clusters keep their centroid
+    var coarse: Array[Array[Double]] = sample.map(_.map(_.toDouble))
+    for (_ <- 0 until 2) {
+      val sums = scala.collection.mutable.Map[(Int, Int), (Long, Long)]()
+      qz.foreach { case (_, v) =>
+        val cl = argminD(v, coarse, 1).head
+        v.indices.foreach { p =>
+          val (s, n) = sums.getOrElse((cl, p), (0L, 0L))
+          sums((cl, p)) = (s + v(p), n + 1)
+        }
+      }
+      coarse = Array.tabulate(coarse.length)(cl =>
+        if (sums.contains((cl, 0)))
+          Array.tabulate(dims) { p =>
+            val (s, n) = sums((cl, p)); s.toDouble / n.toDouble
+          }
+        else coarse(cl))
+    }
     // per-subspace Lloyd: assign every corpus subvector, then update
     // each codeword component to the shifted round-half-up integer mean
     // (exactly buildFromQuantized's arithmetic)
@@ -66,12 +96,12 @@ class IvfPqSpec extends SparkSpec {
           }
         }))
     }
-    val cb = qz.map { case (id, v) => (id, argmin(v, sample, 1).head,
+    val cb = qz.map { case (id, v) => (id, argminD(v, coarse, 1).head,
       Array.tabulate(m)(j =>
         argmin(v.slice(j * sub, (j + 1) * sub), cw(j), 1).head)) }
     val byBucket = cb.groupBy(_._2)
     qz.filter(_._1 < 50).flatMap { case (qid, qv) =>
-      val cands = argmin(qv, sample, nProbe)
+      val cands = argminD(qv, coarse, nProbe)
         .flatMap(b => byBucket.getOrElse(b, Array.empty).toSeq)
         .filter(_._1 != qid)
       val nq = dot(qv, qv)

@@ -26,6 +26,26 @@ object Round6Queries {
     // each vector enters its TWO nearest buckets for the pair stage
     // (output buckets stay primary), so duplicate pairs straddling a
     // cluster boundary are compared instead of silently missed.
+    // Deterministic epoch shuffle: each training epoch is a seeded
+    // global permutation of the corpus (hash of epoch:doc), with an
+    // interleaved writer-shard assignment — the reproducible
+    // "shuffle the data every epoch" step of a training-data loader.
+    // The global rank comes from Ranking.globalRowNumber (two-phase:
+    // range slices + broadcast count offsets), never a
+    // single-partition sort of the corpus.
+    "q103_epoch_shuffle" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val epochs = s.range(2).select(col("id").cast("int").as("epoch"))
+      val keyed = docs.crossJoin(broadcast(epochs))
+        .withColumn("k", graft.functions.PortableHash.hash60Base(
+          concat_ws(":", col("epoch"), col("doc_id"))))
+      graft.operators.Ranking.globalRowNumber(keyed,
+          Seq(col("epoch"), col("k"), col("doc_id")), "ord")
+        .select(col("epoch"), col("doc_id"), col("ord"),
+          ((col("ord") - 1) % 16).as("shard"))
+        .orderBy(col("ord"))
+    }),
+
     "q102_semantic_multiprobe" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
@@ -43,6 +63,17 @@ object Round6Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q103_epoch_shuffle" ->
+      s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+         |k AS (SELECT d.doc_id, e.epoch,
+         |    ${PortableHash.hash60BaseSql(
+               "(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR)")} AS k
+         |  FROM documents d CROSS JOIN e),
+         |r AS (SELECT epoch, doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY epoch, k, doc_id) AS ord
+         |  FROM k)
+         |SELECT epoch, doc_id, ord, (ord - 1) % 16 AS shard
+         |FROM r ORDER BY ord""".stripMargin,
     "q102_semantic_multiprobe" ->
       s"""WITH RECURSIVE
          |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

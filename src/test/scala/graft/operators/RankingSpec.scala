@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Two-phase global row-number: must equal the single-window global
+  * rank exactly, independent of input layout, while planning range
+  * slices instead of a corpus-wide single-partition sort.
+  */
+class RankingSpec extends SparkSpec {
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .select(col("doc_id"),
+      graft.functions.PortableHash.hash60Base(col("doc_id").cast("string"))
+        .as("k"))
+
+  test("equals the single-window global row_number") {
+    val got = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")),
+        "ord")
+      .select(col("doc_id"), col("ord"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = docs
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("ord"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("layout-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Ranking.globalRowNumber(df, Seq(col("k"), col("doc_id")), "ord")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
+  test("plan is range-sliced, not a single-partition global sort") {
+    val plan = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange in:\n$plan")
+    assert(plan.contains("__rank_cell"),
+      s"expected cell-sliced window in:\n$plan")
+  }
+
+  test("ranks are a permutation of 1..N") {
+    val n = docs.count()
+    val ords = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")),
+        "ord")
+      .select("ord").collect().map(_.getLong(0)).sorted
+    assert(ords.toSeq == (1L to n).toSeq)
+  }
+}

@@ -7,8 +7,10 @@ import org.apache.spark.sql.functions._
 
 /** Round-6 hardening queries: recall/generality extensions of the
   * round-5 scale operators — multi-probe semantic dedup (near-boundary
-  * duplicate pairs single-probe SemDeDup misses by construction).
-  * Every query replays bit-identically in the DuckDB oracle.
+  * duplicate pairs single-probe SemDeDup misses by construction) and
+  * the deterministic epoch shuffle (seeded per-epoch permutation via
+  * the two-phase global row-number). Every query replays
+  * bit-identically in the DuckDB oracle.
   */
 object Round6Queries {
 

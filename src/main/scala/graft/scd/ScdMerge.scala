@@ -164,6 +164,13 @@ object ScdMerge {
     *
     * HiveCompat mode: global renumber like reference `SCD_script.txt:143`,
     * deterministic via the (start, keys, version) total tiebreak.
+    *
+    * If a deployment's per-batch increments ever rival the dimension
+    * itself, [[graft.operators.Ranking.globalRowNumber]] ranks the same
+    * total order two-phase (range slices + broadcast count offsets) —
+    * not used here because its slice window would add a hash exchange
+    * inside the otherwise exchange-free bucketed merge plan (the q89
+    * property), and increments are batch-sized by construction.
     */
   private def assignSurrogates(
       merged: DataFrame,

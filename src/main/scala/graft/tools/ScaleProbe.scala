@@ -215,6 +215,18 @@ object ScaleProbe {
       graft.pipeline.Packing.packSequences(d, "doc_id", "text",
         seqLen = 2048, numGroups = 4).count()
 
+    // Epoch shuffle: 2 seeded global permutations of the corpus via
+    // the two-phase rank — wall must track the scan + range shuffle,
+    // never a single-partition sort (output rows exactly 2N)
+    def shuffleEpochs(d: DataFrame): Long = {
+      val epochs = spark.range(2).select(col("id").cast("int").as("epoch"))
+      val keyed = d.select(col("doc_id")).crossJoin(broadcast(epochs))
+        .withColumn("k", graft.functions.PortableHash.hash60Base(
+          concat_ws(":", col("epoch"), col("doc_id"))))
+      graft.operators.Ranking.globalRowNumber(keyed,
+        Seq(col("epoch"), col("k"), col("doc_id")), "ord").count()
+    }
+
     // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the
     // growing-corpus ingest shape. The batch replays replica 0, so its
     // collision count against the index is constant across sizes; the
@@ -250,6 +262,8 @@ object ScaleProbe {
         (time(incLsh(idx1)), time(incLsh(idxN)))
       }),
       "seq_packing" -> (() => (time(pack(docs1)), time(pack(docsN)))),
+      "epoch_shuffle" -> (() => (time(shuffleEpochs(docs1)),
+        time(shuffleEpochs(docsN)))),
       "scd_merge" -> (() => (time(merge(cust1)), time(merge(custN)))),
       "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))))
     val results = rows

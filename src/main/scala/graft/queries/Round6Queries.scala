@@ -23,11 +23,6 @@ object Round6Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Multi-probe semantic dedup: q95's planted corpus (exact copies +
-    // 2x-scaled copies) deduplicated with nProbe=2 pair generation —
-    // each vector enters its TWO nearest buckets for the pair stage
-    // (output buckets stay primary), so duplicate pairs straddling a
-    // cluster boundary are compared instead of silently missed.
     // Deterministic epoch shuffle: each training epoch is a seeded
     // global permutation of the corpus (hash of epoch:doc), with an
     // interleaved writer-shard assignment — the reproducible
@@ -42,12 +37,17 @@ object Round6Queries {
         .withColumn("k", graft.functions.PortableHash.hash60Base(
           concat_ws(":", col("epoch"), col("doc_id"))))
       graft.operators.Ranking.globalRowNumber(keyed,
-          Seq(col("epoch"), col("k"), col("doc_id")), "ord")
+          Seq("epoch", "k", "doc_id"), "ord")
         .select(col("epoch"), col("doc_id"), col("ord"),
           ((col("ord") - 1) % 16).as("shard"))
         .orderBy(col("ord"))
     }),
 
+    // Multi-probe semantic dedup: q95's planted corpus (exact copies +
+    // 2x-scaled copies) deduplicated with nProbe=2 pair generation —
+    // each vector enters its TWO nearest buckets for the pair stage
+    // (output buckets stay primary), so duplicate pairs straddling a
+    // cluster boundary are compared instead of silently missed.
     "q102_semantic_multiprobe" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))

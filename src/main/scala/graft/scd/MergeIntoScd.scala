@@ -11,7 +11,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * numbers precomputed in the preparation.
   *
   * Generated statements reproduce [[ScdMerge]]'s stable-key, null-safe
-  * semantics exactly (MergeIntoScdSpec asserts set equality with the
+  * semantics exactly (MergeSqlSpec asserts set equality with the
   * q13 feed; q101 hash-checks both against the same DuckDB oracle):
   *   - WHEN MATCHED + active + Type-2-changed: Type-1 refresh, close
   *     (B4);
@@ -108,17 +108,21 @@ object MergeIntoScd {
        |  VALUES (${insVals.mkString(", ")})""".stripMargin
   }
 
-  /** Register `production`/`staging` as temp views, build the prepared
-    * source, and return the merged dimension as one lazy plan through
-    * the [[MergeSql]] door.
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong
+
+  /** Register `production`/`staging` as temp views (names unique per
+    * call, so interleaved merges on one session never clobber each
+    * other's inputs), build the prepared source, and return the merged
+    * dimension as one lazy plan through the [[MergeSql]] door.
     */
   def apply(spark: SparkSession, production: DataFrame, staging: DataFrame,
       schema: ScdSchema, asOf: String, high: String): DataFrame = {
-    production.createOrReplaceTempView("merge_scd_dim")
-    staging.createOrReplaceTempView("merge_scd_stag")
-    spark.sql(s"CREATE OR REPLACE TEMP VIEW merge_scd_src AS\n" +
-      sourceSql(schema, "merge_scd_dim", "merge_scd_stag"))
+    val tag = s"merge_scd_${viewSeq.incrementAndGet()}"
+    production.createOrReplaceTempView(s"${tag}_dim")
+    staging.createOrReplaceTempView(s"${tag}_stag")
+    spark.sql(s"CREATE OR REPLACE TEMP VIEW ${tag}_src AS\n" +
+      sourceSql(schema, s"${tag}_dim", s"${tag}_stag"))
     MergeSql.plan(spark,
-      mergeSql(schema, "merge_scd_dim", "merge_scd_src", asOf, high))
+      mergeSql(schema, s"${tag}_dim", s"${tag}_src", asOf, high))
   }
 }

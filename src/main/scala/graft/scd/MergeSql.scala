@@ -53,9 +53,11 @@ object MergeSql {
   private val RID = "__merge_t_rid"
 
   /** Parse `sql` and compile it into the POST-MERGE target content as
-    * one lazy plan (no publish, no cardinality action). `resolve` maps
-    * relation names to DataFrames; defaults to `spark.table` (temp
-    * views + session catalog).
+    * one lazy plan (no publish, no cardinality action — with MATCHED
+    * clauses, a multi-matched target row fans out pairwise here; use
+    * [[execute]] for the enforced ANSI check). `resolve` maps relation
+    * names to DataFrames; defaults to `spark.table` (temp views +
+    * session catalog).
     */
   def plan(spark: SparkSession, sql: String,
       resolve: String => DataFrame = null): DataFrame = {
@@ -130,11 +132,6 @@ object MergeSql {
 
   private def toCol(e: Expression): Column = expr(e.sql)
 
-  private def asgKey(a: Assignment): String = a.key match {
-    case u: UnresolvedAttribute => u.nameParts.last
-    case other => other.sql
-  }
-
   private def compile(spark: SparkSession, mit: MergeIntoTable,
       resolve: String => DataFrame): DataFrame = {
     val (tName, tAlias) = relName(mit.targetTable)
@@ -142,13 +139,19 @@ object MergeSql {
     val tDf = resolve(tName)
     val (sDf, sQ) = sourceRel(mit.sourceTable, spark, resolve)
     val outFields = tDf.schema.fields.toSeq
-    val t = tDf.withColumn(TP, lit(true)).alias(tQ)
-    val s = sDf.withColumn(SP, lit(true)).alias(sQ)
-    val joined = t.join(s, toCol(mit.mergeCondition), "full_outer")
-    val tP = coalesce(col(TP), lit(false))
-    val sP = coalesce(col(SP), lit(false))
     def tc(c: String): Column = col(s"$tQ.$c")
     def sc(c: String): Column = col(s"$sQ.$c")
+    // assignment keys resolve like Spark's default analyzer:
+    // case-insensitively against the target schema, unknown -> error
+    val byLower = outFields.map(f => f.name.toLowerCase -> f.name).toMap
+    def asgKey(a: Assignment): String = {
+      val raw = a.key match {
+        case u: UnresolvedAttribute => u.nameParts.last
+        case other => other.sql
+      }
+      byLower.getOrElse(raw.toLowerCase, throw new IllegalArgumentException(
+        s"unknown target column in MERGE assignment: $raw"))
+    }
 
     // Per-class routing: a value function (output column -> Column) and
     // a keep flag, folded so the FIRST satisfied clause wins.
@@ -176,16 +179,40 @@ object MergeSql {
     val inserts = fold(mit.notMatchedActions,
       Routed(_ => lit(null), lit(false)))
     val tgtOnly = fold(mit.notMatchedBySourceActions, Routed(tc, lit(true)))
+    def route(df: DataFrame, r: Routed): DataFrame =
+      df.filter(r.keep)
+        .select(outFields.map(f =>
+          r.value(f.name).cast(f.dataType).as(f.name)): _*)
 
-    val keep = when(tP && sP, matched.keep)
-      .when(!tP && sP, inserts.keep)
-      .otherwise(tgtOnly.keep)
-    val outCols = outFields.map { f =>
-      when(tP && sP, matched.value(f.name).cast(f.dataType))
-        .when(!tP && sP, inserts.value(f.name).cast(f.dataType))
-        .otherwise(tgtOnly.value(f.name).cast(f.dataType))
-        .as(f.name)
+    if (mit.matchedActions.isEmpty) {
+      // No MATCHED clause: an ANSI insert-only (or source-delete-only)
+      // merge ALLOWS a target row to match many source rows — it must
+      // still carry exactly once, so route set-wise (semi/anti joins),
+      // never through the pairwise outer join.
+      val cond = toCol(mit.mergeCondition)
+      val t = tDf.alias(tQ)
+      val s = sDf.alias(sQ)
+      val carried = t.join(s, cond, "left_semi")
+        .select(outFields.map(f => col(f.name)): _*)
+      val unmatched = route(t.join(s, cond, "left_anti"), tgtOnly)
+      val inserted = route(s.join(t, cond, "left_anti"), inserts)
+      carried.unionByName(unmatched).unionByName(inserted)
+    } else {
+      val t = tDf.withColumn(TP, lit(true)).alias(tQ)
+      val s = sDf.withColumn(SP, lit(true)).alias(sQ)
+      val joined = t.join(s, toCol(mit.mergeCondition), "full_outer")
+      val tP = coalesce(col(TP), lit(false))
+      val sP = coalesce(col(SP), lit(false))
+      val keep = when(tP && sP, matched.keep)
+        .when(!tP && sP, inserts.keep)
+        .otherwise(tgtOnly.keep)
+      val outCols = outFields.map { f =>
+        when(tP && sP, matched.value(f.name).cast(f.dataType))
+          .when(!tP && sP, inserts.value(f.name).cast(f.dataType))
+          .otherwise(tgtOnly.value(f.name).cast(f.dataType))
+          .as(f.name)
+      }
+      joined.filter(keep).select(outCols: _*)
     }
-    joined.filter(keep).select(outCols: _*)
   }
 }

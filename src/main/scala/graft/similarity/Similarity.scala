@@ -448,10 +448,17 @@ object Similarity {
     // stay primary
     val pb =
       if (nProbe <= 1) cb
-      else ds
-        .select(col(idCol), asDouble(col(vecCol)).as("e"),
-          explode(assignN(col("qd"), cents)).as("bucket"))
-        .withColumn("nrm", norm2(col("e")))
+      else {
+        val probes = ds
+          .select(col(idCol), asDouble(col(vecCol)).as("e"),
+            explode(assignN(col("qd"), cents)).as("bucket"))
+          .withColumn("nrm", norm2(col("e")))
+        // exact top-n always contains the primary bucket (element 0);
+        // the hierarchical top-n need NOT (its best-n children can all
+        // come from another super), so union the primary assignment in
+        // — multi-probe must only ever ADD pairs
+        if (hierarchical) probes.unionByName(cb) else probes
+      }
     val x = pb.select(col("bucket"), col(idCol).as("a"),
       col("e").as("xe"), col("nrm").as("nx"))
     val y = pb.select(col("bucket"), col(idCol).as("b"),
@@ -604,9 +611,15 @@ object Similarity {
 
     def build(corpus: DataFrame, idCol: String, vecCol: String,
         c: Int = 16, m: Int = 8, kCodes: Int = 64,
-        pqIters: Int = 2, coarseIters: Int = 2): IvfPqIndex =
-      buildFromQuantized(withQuantizedDouble(corpus, idCol, vecCol),
-        idCol, c, m, kCodes, pqIters, coarseIters)
+        pqIters: Int = 2, coarseIters: Int = 2): IvfPqIndex = {
+      // training makes ~2(pqIters + coarseIters) passes over the
+      // quantized relation; quantize once (ivfPqTopK's contract) and
+      // release after the build fully materializes into plain arrays
+      val ds = withQuantizedDouble(corpus, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try buildFromQuantized(ds, idCol, c, m, kCodes, pqIters, coarseIters)
+      finally ds.unpersist(false)
+    }
 
     private[similarity] def buildFromQuantized(ds: DataFrame, idCol: String,
         c: Int, m: Int, kCodes: Int, pqIters: Int = 2,

@@ -224,7 +224,7 @@ object ScaleProbe {
         .withColumn("k", graft.functions.PortableHash.hash60Base(
           concat_ws(":", col("epoch"), col("doc_id"))))
       graft.operators.Ranking.globalRowNumber(keyed,
-        Seq(col("epoch"), col("k"), col("doc_id")), "ord").count()
+        Seq("epoch", "k", "doc_id"), "ord").count()
     }
 
     // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the

@@ -16,7 +16,7 @@ class RankingSpec extends SparkSpec {
         .as("k"))
 
   test("equals the single-window global row_number") {
-    val got = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")),
+    val got = Ranking.globalRowNumber(docs, Seq("k", "doc_id"),
         "ord")
       .select(col("doc_id"), col("ord"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -31,23 +31,23 @@ class RankingSpec extends SparkSpec {
 
   test("layout-independent") {
     def run(df: org.apache.spark.sql.DataFrame) =
-      Ranking.globalRowNumber(df, Seq(col("k"), col("doc_id")), "ord")
+      Ranking.globalRowNumber(df, Seq("k", "doc_id"), "ord")
         .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(run(docs) == run(docs.repartition(13)))
   }
 
   test("plan is range-sliced, not a single-partition global sort") {
-    val plan = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")))
+    val plan = Ranking.globalRowNumber(docs, Seq("k", "doc_id"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"),
       s"expected a range exchange in:\n$plan")
-    assert(plan.contains("__rank_cell"),
+    assert(plan.contains("__tp_cell"),
       s"expected cell-sliced window in:\n$plan")
   }
 
   test("ranks are a permutation of 1..N") {
     val n = docs.count()
-    val ords = Ranking.globalRowNumber(docs, Seq(col("k"), col("doc_id")),
+    val ords = Ranking.globalRowNumber(docs, Seq("k", "doc_id"),
         "ord")
       .select("ord").collect().map(_.getLong(0)).sorted
     assert(ords.toSeq == (1L to n).toSeq)

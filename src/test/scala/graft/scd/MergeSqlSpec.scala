@@ -78,6 +78,35 @@ class MergeSqlSpec extends SparkSpec {
       (1L, "a", 10L), (2L, "B", 2000L), (3L, "c", 30L), (4L, "D", 400L)))
   }
 
+  test("insert-only merge carries a multi-matched target row exactly once") {
+    fixture()
+    import spark.implicits._
+    // two source rows hit target id=2 — legal without MATCHED clauses;
+    // the target row must not duplicate through the pairwise join
+    Seq((2L, "x", 1L), (2L, "y", 2L), (9L, "new", 90L))
+      .toDF("id", "name", "v").createOrReplaceTempView("msql_multi")
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_t t USING msql_multi s ON t.id = s.id
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c"), (9L, "new")))
+  }
+
+  test("assignment keys resolve case-insensitively; unknown columns error") {
+    fixture()
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_t t USING msql_s s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET V = s.v""".stripMargin)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 200L), (3L, 30L)))
+    val e = intercept[IllegalArgumentException] {
+      MergeSql.plan(spark,
+        """MERGE INTO msql_t t USING msql_s s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET nosuch = s.v""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown target column"))
+  }
+
   test("execute publishes atomically through the catalog and rejects " +
       "cardinality violations") {
     fixture()

@@ -244,6 +244,32 @@ object Dedup {
         coalesce(col("max_span"), lit(0L)).as("max_span"))
   }
 
+  /** Survivor selection over near-duplicate clusters by SCORE: resolve
+    * `pairs` to connected components (cluster labels stay the minimum
+    * reachable id — stable regardless of scoring), then keep the
+    * HIGHEST-scoring member per cluster, ties to the lowest id — the
+    * quality-aware "keep best" policy a curation pipeline wants
+    * instead of keep-min-id. Docs not in any pair survive trivially.
+    *
+    * Scale: CC is the bounded-rounds label propagation below; the
+    * survivor pick is one window keyed on the cluster id, so its
+    * partitions are cluster-sized (near-dup clusters are shallow and
+    * small), never corpus-sized.
+    *
+    * @return one row per doc: (idCol, scoreCol, cluster, kept)
+    */
+  def survivorsByScore(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val id = col(idCol)
+    val cc = connectedComponents(pairs).withColumnRenamed("doc_id", idCol)
+    val labeled = docs.select(id, col(scoreCol))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), id))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc, id.asc)
+    labeled.withColumn("kept", row_number().over(w) === 1)
+  }
+
   /** Connected components over near-duplicate pairs: resolves pairwise
     * matches into clusters so exactly one representative (the minimum id)
     * survives per duplicate GROUP — chains like a~b, b~c collapse to one

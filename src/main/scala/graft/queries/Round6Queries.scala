@@ -43,6 +43,25 @@ object Round6Queries {
         .orderBy(col("ord"))
     }),
 
+    // Quality-aware near-dup survivor selection: LSH pairs resolve to
+    // clusters (min-id labels), but the SURVIVOR is the best-quality
+    // member (ties -> lowest id) — the keep-best policy real curation
+    // pipelines use instead of keep-min-id. Every stage (shingles,
+    // signatures, banding, verify, CC, quality, survivor window)
+    // replays in the oracle.
+    "q104_dedup_best" -> ((s, dir) => {
+      val c = PipelineQueries.corpus(s, dir)
+      val scored = c.select(col("doc_id"),
+        graft.text.TextAnalysis.qualityScore(col("text"),
+          Seq("the", "a", "of", "and", "is")).as("quality"))
+      val pairs = graft.dedup.Dedup.minhashNearDuplicates(
+        c, "doc_id", "text")
+      graft.dedup.Dedup.survivorsByScore(scored, "doc_id", "quality",
+          pairs)
+        .select(col("doc_id"), col("quality"), col("cluster"), col("kept"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multi-probe semantic dedup: q95's planted corpus (exact copies +
     // 2x-scaled copies) deduplicated with nProbe=2 pair generation —
     // each vector enters its TWO nearest buckets for the pair stage
@@ -65,6 +84,31 @@ object Round6Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q104_dedup_best" -> {
+      import PipelineQueries.{corpusSql, minhashCtesSql, pairsCteSql,
+        qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE
+         |$corpusSql,
+         |${shinglesSql("corpus")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node),
+         |scored AS (SELECT doc_id, $qualityExprSql AS quality FROM corpus),
+         |lab2 AS (SELECT s.doc_id, s.quality,
+         |    COALESCE(l.clus, s.doc_id) AS cluster
+         |  FROM scored s LEFT JOIN labels l ON l.node = s.doc_id)
+         |SELECT doc_id, quality, cluster,
+         |  (ROW_NUMBER() OVER (PARTITION BY cluster
+         |     ORDER BY quality DESC, doc_id) = 1) AS kept
+         |FROM lab2 ORDER BY doc_id""".stripMargin
+    },
     "q103_epoch_shuffle" ->
       s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
          |k AS (SELECT d.doc_id, e.epoch,

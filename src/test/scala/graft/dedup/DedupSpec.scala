@@ -107,4 +107,21 @@ class DedupSpec extends SparkSpec {
     assert(got.length === 200)
     assert(got.forall(_._2 == 1L), "every chain node must resolve to node 1")
   }
+
+  test("survivorsByScore keeps the best-scoring member, ties to lowest id") {
+    import spark.implicits._
+    val docs = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7),
+      (6L, 0.1)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = Dedup.survivorsByScore(docs, "doc_id", "score", pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // chain 1~2~3: cluster label is min id (1), survivor is best score (2)
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, true)) &&
+      out(3L) == ((1L, false)))
+    // tie 4/5 at 0.7: lower id survives
+    assert(out(4L) == ((4L, true)) && out(5L) == ((4L, false)))
+    // singleton survives trivially
+    assert(out(6L) == ((6L, true)))
+  }
 }

@@ -21,11 +21,18 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPipeline {
 
+  /** @param keepBest near-dup survivor policy: false = each cluster
+    *   keeps its minimum id; true = each cluster keeps its
+    *   HIGHEST-quality member (ties -> lowest id) via
+    *   [[graft.dedup.Dedup.survivorsByScore]] — the quality-aware
+    *   policy, reusing the quality score stage 1 already computed.
+    */
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      keepBest: Boolean = false)
 
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
@@ -61,9 +68,15 @@ object CorpusPipeline {
     // b AND c, though (a,c) never met in a bucket)
     val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol,
       threshold = cfg.jaccardThreshold).select(col("a"), col("b"))
-    val losers = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as(idCol))
+    val losers =
+      if (cfg.keepBest)
+        Dedup.survivorsByScore(exact.select(id, col("quality")), idCol,
+            "quality", pairs)
+          .filter(!col("kept")).select(id)
+      else
+        Dedup.connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -43,6 +43,18 @@ object Round6Queries {
         .orderBy(col("ord"))
     }),
 
+    // The full cleaning pipeline with the keep-best survivor policy:
+    // same gates and dedup stages as q46, but each near-dup cluster
+    // keeps its HIGHEST-quality member (ties -> lowest id) instead of
+    // its minimum id — the survivor policy composed into the pipeline.
+    "q105_pipeline_best" -> ((s, dir) => {
+      graft.pipeline.CorpusPipeline.clean(
+        PipelineQueries.corpus(s, dir), "doc_id", "text",
+        graft.pipeline.CorpusPipeline.Config(keepBest = true))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Quality-aware near-dup survivor selection: LSH pairs resolve to
     // clusters (min-id labels), but the SURVIVOR is the best-quality
     // member (ties -> lowest id) — the keep-best policy real curation
@@ -84,6 +96,49 @@ object Round6Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q105_pipeline_best" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE
+         |$corpusSql,
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node),
+         |ranked AS (SELECT e.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY COALESCE(l.clus, e.doc_id)
+         |      ORDER BY e.quality DESC, e.doc_id) AS rk
+         |  FROM ex e LEFT JOIN labels l ON l.node = e.doc_id),
+         |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
     "q104_dedup_best" -> {
       import PipelineQueries.{corpusSql, minhashCtesSql, pairsCteSql,
         qualityExprSql, shinglesSql}

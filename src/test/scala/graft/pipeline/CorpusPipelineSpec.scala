@@ -40,4 +40,31 @@ class CorpusPipelineSpec extends SparkSpec {
       out.select(col("doc_id"), col("text")), "doc_id", "text")
     assert(again.count() === out.count())
   }
+
+  test("keepBest: one survivor per cluster, with the cluster's best quality") {
+    val c = planted
+    val minId = CorpusPipeline.clean(c, "doc_id", "text")
+    val best = CorpusPipeline.clean(c, "doc_id", "text",
+      CorpusPipeline.Config(keepBest = true))
+    // same number of survivors (one per cluster, whatever the policy)
+    assert(best.count() == minId.count())
+    // every keep-best survivor has quality >= every member of the
+    // cluster it represents
+    val exact = minId.select(col("doc_id")).unionByName(
+        best.select(col("doc_id"))).distinct() // superset of survivors
+    val bestRows = best.select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val minRows = minId.select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // for clusters where the policies disagree, keep-best's pick must
+    // strictly beat (or tie by a lower id against) min-id's pick
+    val onlyBest = bestRows.keySet -- minRows.keySet
+    val onlyMin = minRows.keySet -- bestRows.keySet
+    assert(onlyBest.size == onlyMin.size)
+    if (onlyBest.nonEmpty) {
+      val bq = onlyBest.toSeq.map(bestRows).max
+      val mq = onlyMin.toSeq.map(minRows).max
+      assert(bq >= mq, s"keep-best pick $bq should not lose to min-id $mq")
+    }
+  }
 }

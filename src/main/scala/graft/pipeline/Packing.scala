@@ -52,4 +52,36 @@ object Packing {
         (expr(s"(cum - 1) div ${seqLen}L") -
           expr(s"start_tok div ${seqLen}L") + 1L).as("n_seqs"))
   }
+
+  /** Expand a [[packSequences]] placement into the per-sequence
+    * manifest a training loader consumes: one row per (sequence,
+    * document) span — which token range of the document lands at which
+    * offset of which sequence. A document straddling `n_seqs`
+    * sequences contributes that many rows (a row-local `explode` of an
+    * integer range — no shuffle at all; the manifest inherits the
+    * placement's partitioning).
+    *
+    * Within each `(grp, seq)`, spans tile the sequence exactly:
+    * contiguous `seq_from`, summing to `seqLen` tokens (the stream's
+    * final partial sequence excepted). All integer arithmetic —
+    * replays bit-identically in DuckDB (q106).
+    *
+    * @return (grp, seq, doc column, doc_from, doc_to, seq_from): doc
+    *   tokens [doc_from, doc_to) placed at sequence offset seq_from
+    */
+  def sequenceManifest(placement: DataFrame, idCol: String,
+      seqLen: Int = 2048): DataFrame = {
+    val L = lit(seqLen.toLong)
+    placement
+      .withColumn("seq",
+        explode(sequence(col("seq_first"),
+          col("seq_first") + col("n_seqs") - 1L)))
+      .select(col("grp"), col("seq"), col(idCol),
+        when(col("seq") === col("seq_first"), lit(0L))
+          .otherwise(col("seq") * L - col("start_tok")).as("doc_from"),
+        least(col("n_tok"), (col("seq") + 1L) * L - col("start_tok"))
+          .as("doc_to"),
+        when(col("seq") === col("seq_first"), col("seq_off"))
+          .otherwise(lit(0L)).as("seq_from"))
+  }
 }

@@ -43,6 +43,20 @@ object Round6Queries {
         .orderBy(col("ord"))
     }),
 
+    // Per-sequence packing manifest: q91's placement expanded to one
+    // row per (sequence, document) span — which token range of which
+    // document lands at which offset of which training sequence. A
+    // row-local integer-range explode; spans tile each sequence
+    // exactly.
+    "q106_seq_manifest" -> ((s, dir) => {
+      val placed = graft.pipeline.Packing.packSequences(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        seqLen = 2048, numGroups = 8)
+      graft.pipeline.Packing.sequenceManifest(placed, "doc_id",
+          seqLen = 2048)
+        .orderBy(col("grp"), col("seq"), col("seq_from"), col("doc_id"))
+    }),
+
     // The full cleaning pipeline with the keep-best survivor policy:
     // same gates and dedup stages as q46, but each near-dup cluster
     // keeps its HIGHEST-quality member (ties -> lowest id) instead of
@@ -95,7 +109,32 @@ object Round6Queries {
     })
   )
 
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
   val oracleSql: Map[String, String] = Map(
+    "q106_seq_manifest" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS grp,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |p AS (SELECT doc_id, grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_tok > 0),
+         |pl AS (SELECT doc_id, grp, n_tok, cum - n_tok AS start_tok,
+         |    (cum - n_tok) // 2048 AS seq_first,
+         |    (cum - n_tok) % 2048 AS seq_off,
+         |    (cum - 1) // 2048 - (cum - n_tok) // 2048 + 1 AS n_seqs
+         |  FROM p),
+         |m AS (SELECT grp, s.seq, doc_id,
+         |    CASE WHEN s.seq = seq_first THEN 0
+         |         ELSE s.seq * 2048 - start_tok END AS doc_from,
+         |    LEAST(n_tok, (s.seq + 1) * 2048 - start_tok) AS doc_to,
+         |    CASE WHEN s.seq = seq_first THEN seq_off ELSE 0 END AS seq_from
+         |  FROM pl, UNNEST(generate_series(seq_first,
+         |    seq_first + n_seqs - 1)) AS s(seq))
+         |SELECT grp, seq, doc_id, doc_from, doc_to, seq_from FROM m
+         |ORDER BY grp, seq, seq_from, doc_id""".stripMargin,
     "q105_pipeline_best" -> {
       import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
         minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}

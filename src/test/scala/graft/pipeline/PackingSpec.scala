@@ -71,6 +71,43 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("cell"), s"expected cell-sliced windows in:\n$plan")
   }
 
+  test("sequence manifest tiles every sequence exactly") {
+    val placed = Packing.packSequences(docs, "doc_id", "text", L, 4)
+    val m = Packing.sequenceManifest(placed, "doc_id", L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // grp, seq, doc, from, to, seq_from
+    // group by (grp, seq): spans are contiguous from seq_from 0 or the
+    // first doc's offset, and each non-final sequence holds exactly L
+    val byGrp = m.groupBy(_._1)
+    byGrp.foreach { case (_, rows) =>
+      val bySeq = rows.groupBy(_._2)
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (seq, spans) =>
+        val sorted = spans.sortBy(_._6)
+        // spans tile: each starts where the previous ended
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._6 == a._6 + (a._5 - a._4))
+          case _ =>
+        }
+        val total = spans.map(s => s._5 - s._4).sum
+        if (seq < lastSeq) assert(sorted.head._6 == 0L && total == L.toLong,
+          s"seq $seq not fully tiled: $total")
+      }
+    }
+    // every document's spans cover [0, n_tok) exactly
+    val placedMap = placed.collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    m.groupBy(_._3).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0L && sorted.last._5 == placedMap(doc))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 == a._5)
+        case _ =>
+      }
+    }
+  }
+
   test("deterministic under repartitioning") {
     val a = Packing.packSequences(docs, "doc_id", "text", L, 4)
       .orderBy("doc_id").collect().toSeq

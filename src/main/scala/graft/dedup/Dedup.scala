@@ -208,6 +208,27 @@ object Dedup {
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, maxDf: Long = 0L): DataFrame = {
+    val (grams, spans) = spanRelations(docs, idCol, textCol, k, maxDf)
+    val total = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
+    val perDoc = spans.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("n_starts")).as("n_dup"),
+        max(col("len")).as("max_span"))
+    total.join(perDoc, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("dup_frac"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
+  /** Shared span machinery: positional-gram relation and merged
+    * maximal spans with extents ((doc, pos, gram) and (doc, span,
+    * n_starts, len, from_tok, to_tok) — a run of starts s..e covers
+    * tokens [s, e + k)).
+    */
+  private def spanRelations(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDf: Long): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     val toks = docs.select(col(idCol).as("doc"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
@@ -217,7 +238,6 @@ object Dedup {
       .withColumn("gram", md5(concat_ws(" ", parts: _*)))
       .filter(col("lastTok").isNotNull)
       .select(col("doc"), col("pos"), col("gram"))
-    val total = grams.groupBy(col("doc")).agg(count(lit(1)).as("n_grams"))
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .filter(if (maxDf > 0) col("n") <= maxDf else lit(true))
@@ -231,17 +251,56 @@ object Dedup {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc"), col("span"))
       .agg(count(lit(1)).as("n_starts"),
-        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"))
-    val perDoc = spans.groupBy(col("doc"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("n_starts")).as("n_dup"),
-        max(col("len")).as("max_span"))
-    total.join(perDoc, Seq("doc"), "left")
-      .select(col("doc").as(idCol), col("n_grams"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        (coalesce(col("n_dup"), lit(0L)).cast("double") /
-          col("n_grams").cast("double")).as("dup_frac"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("max_span"), lit(0L)).as("max_span"))
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"),
+        min(col("pos")).cast("long").as("from_tok"),
+        (max(col("pos")) + lit(k)).cast("long").as("to_tok"))
+    (grams, spans)
+  }
+
+  /** Maximal duplicated-span extents: one row per merged span,
+    * (idCol, from_tok, to_tok) — tokens [from_tok, to_tok) are covered
+    * by duplicated k-grams. The action-side companion to
+    * [[duplicateSpans]]' statistics.
+    */
+  def duplicateSpanRanges(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Long = 0L): DataFrame =
+    spanRelations(docs, idCol, textCol, k, maxDf)._2
+      .select(col("doc").as(idCol), col("from_tok"), col("to_tok"))
+
+  /** Span-level dedup as an ACTION: rewrite each document with the
+    * tokens of every duplicated span removed (the remaining tokens
+    * re-joined in order with single spaces). Documents without spans —
+    * including those shorter than `k` tokens — pass through with
+    * whitespace-normalized text.
+    *
+    * Shape: token positions semi-join the span ranges (keyed on the
+    * doc id; ranges per doc are few) to find covered positions, the
+    * survivors anti-join back, and the rebuild is one per-doc sorted
+    * collect. The only higher-order call (`transform` over the sorted
+    * struct array) runs once per document — never per token pair.
+    *
+    * @return (idCol, textCol): the scrubbed corpus
+    */
+  def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Long = 0L): DataFrame = {
+    val ranges = duplicateSpanRanges(docs, idCol, textCol, k, maxDf)
+      .withColumnRenamed(idCol, "doc")
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val covered = toks.join(ranges,
+      toks("doc") === ranges("doc") &&
+        col("pos") >= col("from_tok") && col("pos") < col("to_tok"),
+      "left_semi")
+    val kept = toks.join(covered.select(col("doc"), col("pos")),
+      Seq("doc", "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col("doc"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x.getField("tok")), " ").as("__scrubbed"))
+    docs.select(col(idCol), col(textCol))
+      .join(rebuilt.withColumnRenamed("doc", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__scrubbed"), lit("")).as(textCol))
   }
 
   /** Survivor selection over near-duplicate clusters by SCORE: resolve

@@ -43,6 +43,17 @@ object Round6Queries {
         .orderBy(col("ord"))
     }),
 
+    // Span-level dedup as an ACTION: q100 detects duplicated spans,
+    // this rewrites the corpus with those spans REMOVED (suffix-array-
+    // style scrubbing) — surviving tokens re-joined in order; docs
+    // without spans pass through whitespace-normalized.
+    "q107_span_scrub" -> ((s, dir) => {
+      graft.dedup.Dedup.scrubDuplicateSpans(
+        PipelineQueries.corpus(s, dir), "doc_id", "text", k = 8,
+        maxDf = 64L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-sequence packing manifest: q91's placement expanded to one
     // row per (sequence, document) span — which token range of which
     // document lands at which offset of which training sequence. A
@@ -113,6 +124,39 @@ object Round6Queries {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q107_span_scrub" -> {
+      import PipelineQueries.corpusSql
+      s"""WITH $corpusSql,
+         |rts AS (SELECT doc_id, $toksExpr AS ts FROM corpus),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+         |  FROM rts, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+         |dup AS (SELECT gram FROM grams GROUP BY gram
+         |  HAVING COUNT(*) > 1 AND COUNT(*) <= 64),
+         |dp AS (SELECT doc_id, pos FROM grams
+         |  WHERE gram IN (SELECT gram FROM dup)),
+         |ranges AS (SELECT doc_id, span, MIN(pos) AS f,
+         |    MAX(pos) + 8 AS t FROM (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS span
+         |  FROM (SELECT doc_id, pos,
+         |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+         |    FROM dp))
+         |  GROUP BY doc_id, span),
+         |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ts[i] AS tok
+         |  FROM rts, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |kept AS (SELECT k.doc_id, k.p, k.tok FROM toks k
+         |  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+         |    WHERE r.doc_id = k.doc_id AND k.p >= r.f AND k.p < r.t)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT c.doc_id, COALESCE(a.text, '') AS text
+         |FROM corpus c LEFT JOIN agg a USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin
+    },
     "q106_seq_manifest" ->
       s"""WITH t AS (SELECT doc_id, doc_id % 8 AS grp,
          |    CAST(len($toksExpr) AS BIGINT) AS n_tok

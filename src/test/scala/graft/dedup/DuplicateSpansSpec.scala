@@ -113,4 +113,33 @@ class DuplicateSpansSpec extends SparkSpec {
       assert(got == ref(docs, 3), s"seed $seed")
     }
   }
+
+  test("scrubDuplicateSpans removes exactly the duplicated spans") {
+    // docs share "p1 p2 p3" (k=3): the shared run is removed from both;
+    // unique tokens survive in order; a span-free doc passes through
+    val out = Dedup.scrubDuplicateSpans(df(
+        1L -> "a1 a2 p1 p2 p3 a3",
+        2L -> "b1 p1 p2 p3 b2 b3",
+        3L -> "u1 u2 u3 u4"), "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a1 a2 a3")
+    assert(out(2L) == "b1 b2 b3")
+    assert(out(3L) == "u1 u2 u3 u4")
+  }
+
+  test("scrub of a full verbatim copy empties both docs") {
+    val a = "w1 w2 w3 w4"
+    val out = Dedup.scrubDuplicateSpans(df(1L -> a, 2L -> a),
+        "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "" && out(2L) == "")
+  }
+
+  test("scrub respects maxDf: hot boilerplate is NOT removed") {
+    val boiler = (1L to 6L).map(i => i -> s"h1 h2 h3 u${i}a u${i}b")
+    val out = Dedup.scrubDuplicateSpans(df(boiler: _*),
+        "doc_id", "text", k = 3, maxDf = 4L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 6L).forall(i => out(i) == s"h1 h2 h3 u${i}a u${i}b"))
+  }
 }

@@ -43,6 +43,16 @@ object Round6Queries {
         .orderBy(col("ord"))
     }),
 
+    // Corpus-relative bigram familiarity: the LM-lite fluency signal —
+    // fraction of a doc's bigram occurrences whose bigram appears >= 3
+    // times corpus-wide. Pure integer counts + one double division
+    // (cross-engine ln is not bit-stable; counts are).
+    "q108_bigram_familiarity" -> ((s, dir) => {
+      graft.text.Repetition.bigramFamiliarity(
+        Tables(s, dir, "documents"), "doc_id", "text", minDf = 3L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Span-level dedup as an ACTION: q100 detects duplicated spans,
     // this rewrites the corpus with those spans REMOVED (suffix-array-
     // style scrubbing) — surviving tokens re-joined in order; docs
@@ -124,6 +134,23 @@ object Round6Queries {
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
   val oracleSql: Map[String, String] = Map(
+    "q108_bigram_familiarity" ->
+      s"""WITH ts AS (SELECT doc_id, $toksExpr AS t FROM documents),
+         |g AS (SELECT doc_id, ts.t[i] || ' ' || ts.t[i+1] AS gram
+         |  FROM ts, UNNEST(generate_series(1, len(ts.t) - 1)) AS u(i)),
+         |pg AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM g GROUP BY doc_id, gram),
+         |cd AS (SELECT gram, CAST(SUM(n) AS BIGINT) AS df
+         |  FROM pg GROUP BY gram),
+         |agg AS (SELECT doc_id,
+         |    CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN cd.df >= 3 THEN n ELSE 0 END) AS BIGINT)
+         |      AS n_familiar
+         |  FROM pg JOIN cd USING (gram) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, n_familiar,
+         |  CAST(n_familiar AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+         |    AS familiarity
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q107_span_scrub" -> {
       import PipelineQueries.corpusSql
       s"""WITH $corpusSql,

@@ -64,4 +64,45 @@ object Repetition {
         (coalesce(d(col("top_gram_n")) / d(col("n_gram")), lit(0.0)) > 0.08 ||
           d(col("n_unique")) / d(col("n_tok")) < 0.4).as("repetitive"))
   }
+
+  /** Corpus-relative bigram familiarity — the LM-lite fluency signal:
+    * the fraction of a document's bigram OCCURRENCES whose bigram
+    * appears at least `minDf` times across the corpus. Fluent text is
+    * built from common word transitions; gibberish and mangled
+    * extractions are not. Logprob-free on purpose: exact integer
+    * counts + one double division per doc, so the signal replays
+    * bit-identically in DuckDB (q108) — where a real LM perplexity
+    * (cross-engine `ln`) never could.
+    *
+    * Shape: one token explode + doc-keyed lead window (the
+    * [[signals]] dataflow), a corpus-wide (bigram -> count) aggregate
+    * joined back per distinct (doc, bigram) — every shuffle keyed on
+    * the doc id or the bigram.
+    *
+    * @return per document with >= 2 tokens: (idCol, n_bigrams,
+    *   n_familiar, familiarity)
+    */
+  def bigramFamiliarity(docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 3L): DataFrame = {
+    val id = col(idCol)
+    val grams = docs
+      .select(id, posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1)
+        .over(Window.partitionBy(id).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(id, concat_ws(" ", col("tok"), col("nxt")).as("gram"))
+    val perDocGram = grams.groupBy(id, col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val corpusDf = perDocGram.groupBy(col("gram"))
+      .agg(sum(col("n")).as("df"))
+    perDocGram.join(corpusDf, "gram")
+      .groupBy(id)
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(when(col("df") >= minDf, col("n")).otherwise(lit(0L)))
+          .as("n_familiar"))
+      .select(id, col("n_bigrams"), col("n_familiar"),
+        (col("n_familiar").cast("double") /
+          col("n_bigrams").cast("double")).as("familiarity"))
+  }
 }

@@ -60,4 +60,26 @@ class RepetitionSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("bigramFamiliarity: planted common vs rare transitions") {
+    import spark.implicits._
+    // "c1 c2" occurs 4x corpus-wide (familiar at minDf=3); every other
+    // bigram is unique (unfamiliar)
+    val docs = Seq(
+      (1L, "c1 c2 a1 a2"),   // bigrams: c1c2, c2a1, a1a2 -> 1 familiar / 3
+      (2L, "c1 c2 b1"),      // c1c2, c2b1 -> 1 / 2
+      (3L, "c1 c2"),         // c1c2 -> 1 / 1
+      (4L, "x9 c1 c2"),      // x9c1, c1c2 -> 1 / 2
+      (5L, "solo")           // < 2 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = Repetition.bigramFamiliarity(docs, "doc_id", "text", minDf = 3L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out(1L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((1L, 1L, 1.0)))
+    assert(out(4L) == ((2L, 1L, 0.5)))
+    assert(!out.contains(5L))
+  }
 }

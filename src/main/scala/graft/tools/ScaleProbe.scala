@@ -99,7 +99,17 @@ object ScaleProbe {
     // within-replica k-gram relation exact and shares nothing across
     // replicas, so duplicated-span structure scales linearly
     def spans(d: DataFrame): Long =
-      graft.dedup.Dedup.duplicateSpans(d, "doc_id", "text").count()
+      graft.dedup.Dedup.duplicateSpans(d, "doc_id", "text")
+        .filter(col("dup_frac") >= 0).count()
+
+    // span dedup as an ACTION: detect + rewrite the corpus with spans
+    // removed — adds the covered-position semi join and the per-doc
+    // rebuild on top of the spans pass. The filter REFERENCES the
+    // rebuilt text: a bare count() lets Catalyst eliminate the whole
+    // outer join (unique-keyed right side) and measures nothing.
+    def scrub(d: DataFrame): Long =
+      graft.dedup.Dedup.scrubDuplicateSpans(d, "doc_id", "text")
+        .filter(length(col("text")) >= 0).count()
 
     // end-to-end near-dup clustering: LSH pairs -> iterative connected
     // components (the other scale-critical loop; per-round cost must
@@ -213,7 +223,8 @@ object ScaleProbe {
     // the scan, not the stream length.
     def pack(d: DataFrame): Long =
       graft.pipeline.Packing.packSequences(d, "doc_id", "text",
-        seqLen = 2048, numGroups = 4).count()
+        seqLen = 2048, numGroups = 4)
+        .filter(col("n_seqs") >= 0).count()
 
     // Epoch shuffle: 2 seeded global permutations of the corpus via
     // the two-phase rank — wall must track the scan + range shuffle,
@@ -224,7 +235,8 @@ object ScaleProbe {
         .withColumn("k", graft.functions.PortableHash.hash60Base(
           concat_ws(":", col("epoch"), col("doc_id"))))
       graft.operators.Ranking.globalRowNumber(keyed,
-        Seq("epoch", "k", "doc_id"), "ord").count()
+        Seq("epoch", "k", "doc_id"), "ord")
+        .filter(col("ord") >= 0).count()
     }
 
     // Incremental LSH: a FIXED batch folds into a 1x vs Nx index — the
@@ -239,6 +251,10 @@ object ScaleProbe {
       graft.dedup.IncrementalLsh.addBatch(idx, lshBatch, "doc_id",
         "text")._2.count()
 
+    // Every probe thunk's action FILTERS on a computed output column:
+    // a bare count() lets Catalyst prune unused projections and
+    // eliminate unique-keyed outer joins (and the windows feeding
+    // them), silently measuring a fraction of the operator.
     // warmup
     agg(li1); ()
     type M = (Double, Long, Long) // seconds, rows, spill bytes
@@ -247,6 +263,7 @@ object ScaleProbe {
       "minhash_lsh" -> (() => (time(minhash(docs1)), time(minhash(docsN)))),
       "dedup_cluster" -> (() => (time(cluster(docs1)), time(cluster(docsN)))),
       "dup_spans" -> (() => (time(spans(docs1)), time(spans(docsN)))),
+      "span_scrub" -> (() => (time(scrub(docs1)), time(scrub(docsN)))),
       "ann_lsh" -> (() => (time(annLsh(emb1)), time(annLsh(embN)))),
       "ann_ivf" -> (() => (time(annIvf(emb1)), time(annIvf(embN)))),
       "ann_ivfpq" -> (() => (time(annPq(emb1)), time(annPq(embN)))),

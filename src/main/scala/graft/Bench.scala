@@ -15,37 +15,53 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries.head._2(spark, sfDir).count()
     catch { case _: Throwable => () }
-    // best-of-3 per query: damps scheduler/GC noise without hiding
-    // systematic cost (container CPU noise is +/-40% on this box)
+    // Two actions per query:
+    //  - count(): the action EVERY prior round's records (and
+    //    BASELINE.json) were taken with — kept as the headline so the
+    //    driver's vs-baseline comparison stays like-for-like;
+    //  - noop sink (one run): materializes every output column, which
+    //    count does not — Catalyst prunes unused projections and
+    //    eliminates unique-keyed outer joins plus the windows feeding
+    //    them, so count under-times queries whose expensive columns it
+    //    doesn't need. Reported as queries_noop/noop_total for the
+    //    honest end-to-end cost.
+    // best-of-3 on the headline damps scheduler/GC noise without
+    // hiding systematic cost (container CPU noise is +/-40% here).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).flatMap { i =>
+      def run(action: org.apache.spark.sql.DataFrame => Unit,
+          tag: String, i: Int): Option[Double] = {
         val t0 = System.nanoTime()
         try {
-          // noop sink, not count(): count lets Catalyst prune unused
-          // projections and eliminate unique-keyed outer joins (and
-          // the windows feeding them), under-timing any query whose
-          // expensive columns a count doesn't need
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          action(fn(spark, sfDir))
           Some((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
             // a failed run contributes NO timing (its time-to-failure
             // would otherwise masquerade as a fast success)
-            System.err.println(s"[bench] $name run $i FAILED: ${e.getMessage}")
+            System.err.println(
+              s"[bench] $name $tag run $i FAILED: ${e.getMessage}")
             None
         }
       }
+      val counts = (1 to 3).flatMap(i => run(_.count(): Unit, "count", i))
+      val noop = run(
+        _.write.format("noop").mode("overwrite").save(), "noop", 1)
       // -1 is the explicit all-runs-failed marker in the emitted JSON
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      (name, if (counts.nonEmpty) counts.min else -1.0,
+        noop.getOrElse(-1.0))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double)) => (String, Double)): String =
+      results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = obj(r => (r._1, r._2))
+    val qsNoop = obj(r => (r._1, r._3))
     // total = successful queries only; -1 markers would otherwise SUBTRACT
     // from the headline. failed count keeps the total honest.
     val total = results.map(_._2).filter(_ >= 0).sum
+    val noopTotal = results.map(_._3).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"noop_total":$noopTotal,"queries_noop":$qsNoop,"sf":"$sfDir"}"""
     println(line)
     // stdout tails get truncated in driver logs; keep a self-contained
     // record of the full per-query line next to the repo history

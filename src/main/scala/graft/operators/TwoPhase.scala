@@ -17,9 +17,26 @@ import org.apache.spark.sql.functions._
   * per-row prefix and the subtotal aggregate) to see the SAME slicing:
   * range-partitioner bounds are sampled per physical execution, and
   * the two subtrees only coincide because Spark's exchange reuse
-  * materializes the range exchange once (`ReusedExchange` in the
-  * plan). That is the default; the guard below turns a config that
-  * would silently break the invariant into a loud error.
+  * materializes the exchange once (`ReusedExchange` in the plan, or
+  * AQE's stage cache keyed on the canonicalized exchange). Defense in
+  * depth, because a silent reuse failure would mean silently wrong
+  * sums:
+  *   - the config guard turns `spark.sql.exchange.reuse=false` into a
+  *     loud error;
+  *   - the range shuffle pins an EXPLICIT partition count, so AQE
+  *     never rewrites one reader's shuffle-read (coalesce) without the
+  *     other — user-numbered repartitions are left alone;
+  *   - the subtotal aggregate consumes the WINDOW output (the same
+  *     `within` subtree as the per-row reader, canonically identical,
+  *     and already clustered by `(part, slice)` so the aggregate adds
+  *     no exchange of its own);
+  *   - an in-plan guard raises at execution if the phases diverged
+  *     anyway: a row whose slice is missing from the subtotal
+  *     relation, or whose within-slice prefix exceeds its slice's
+  *     total (`value` must be NONNEGATIVE — both callers sum counts),
+  *     fails the job instead of emitting wrong offsets.
+  * RankingSpec additionally asserts the executed plan carries exactly
+  * one range exchange (reuse observed, not assumed).
   *
   * The `order` must be TOTAL within each `part` group (include a
   * unique tiebreak) — with ties, within-slice order would be
@@ -40,8 +57,9 @@ object TwoPhase {
         "phases must consume one materialized range exchange")
     val partC = part.map(col)
     val orderC = order.map(col)
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sliced = df
-      .repartitionByRange(partC ++ orderC: _*)
+      .repartitionByRange(n, partC ++ orderC: _*)
       .withColumn("__tp_cell", spark_partition_id())
     val wCell = Window.partitionBy(partC :+ col("__tp_cell"): _*)
       .orderBy(orderC: _*)
@@ -52,11 +70,15 @@ object TwoPhase {
     val base = within
       .groupBy(partC :+ col("__tp_cell"): _*)
       .agg(sum(value).as("__tp_n"))
-      .select(partC :+ col("__tp_cell") :+
+      .select(partC :+ col("__tp_cell") :+ col("__tp_n") :+
         coalesce(sum(col("__tp_n")).over(wOff), lit(0L)).as("__tp_base"): _*)
     within
-      .join(broadcast(base), part :+ "__tp_cell")
-      .withColumn(as, col("__tp_base") + col("__tp_in"))
-      .drop("__tp_cell", "__tp_in", "__tp_base")
+      .join(broadcast(base), part :+ "__tp_cell", "left")
+      .withColumn(as,
+        when(col("__tp_base").isNull || col("__tp_in") > col("__tp_n"),
+          raise_error(lit("TwoPhase.prefixSum: phase divergence — the " +
+            "two readers of the range exchange saw different slicings")))
+          .otherwise(col("__tp_base") + col("__tp_in")))
+      .drop("__tp_cell", "__tp_in", "__tp_base", "__tp_n")
   }
 }

@@ -51,6 +51,10 @@ object MergeSql {
   private val TP = "__merge_t_present"
   private val SP = "__merge_s_present"
   private val RID = "__merge_t_rid"
+  private val SID = "__merge_s_rid"
+  private val CNT = "__merge_match_cnt"
+  private val CardMsg =
+    "MERGE cardinality violation: a target row matches multiple source rows"
 
   /** Parse `sql` and compile it into the POST-MERGE target content as
     * one lazy plan (no publish, no cardinality action — with MATCHED
@@ -65,6 +69,19 @@ object MergeSql {
     compile(spark, parse(spark, sql), r)
   }
 
+  /** The [[execute]] path's plan without the publish: identical to
+    * [[plan]] plus the in-join ANSI cardinality guard (raises on
+    * materialization if a target row matches multiple source rows).
+    * Exposed so tests can assert the executed plan carries ONE
+    * target-vs-source join.
+    */
+  private[scd] def planChecked(spark: SparkSession, sql: String,
+      resolve: String => DataFrame = null): DataFrame = {
+    val r = Option(resolve).getOrElse((n: String) => spark.table(n))
+    val mit = parse(spark, sql)
+    compile(spark, mit, r, checked = mit.matchedActions.nonEmpty)
+  }
+
   /** Parse, cardinality-check, and atomically publish: the target must
     * be a [[ParquetCatalog]] table; sources resolve from the catalog
     * first, then session views. Returns the published content.
@@ -76,22 +93,23 @@ object MergeSql {
     require(catalog.exists(tName), s"MERGE target not in catalog: $tName")
     val r: String => DataFrame =
       n => if (catalog.exists(n)) catalog.table(n) else spark.table(n)
-    if (mit.matchedActions.nonEmpty) {
-      // ANSI cardinality check: >1 source rows hitting one target row.
-      // The rid exists only in this count plan, never in the output.
-      val (sDf, sQ) = sourceRel(mit.sourceTable, spark, r)
-      val (_, tAlias) = relName(mit.targetTable)
-      val t = r(tName).withColumn(RID, monotonically_increasing_id())
-        .alias(tAlias.getOrElse(tName))
-      val s = sDf.alias(sQ)
-      val dup = t.join(s, toCol(mit.mergeCondition), "inner")
-        .groupBy(col(RID)).count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE cardinality violation: a target row matches multiple source rows")
+    // The ANSI cardinality check rides INSIDE the merge join (see
+    // compile's `checked` path): one target-vs-source join total, the
+    // violation raised from the plan while the new version materializes.
+    // The catalog's versioned pointer swap makes the failure atomic —
+    // a raised write job never publishes.
+    try catalog.overwrite(tName,
+      compile(spark, mit, r, checked = mit.matchedActions.nonEmpty))
+    catch {
+      case e: Throwable if causeChain(e).exists(
+          t => Option(t.getMessage).exists(_.contains(CardMsg))) =>
+        throw new IllegalArgumentException(CardMsg)
     }
-    catalog.overwrite(tName, compile(spark, mit, r))
     catalog.table(tName)
   }
+
+  private def causeChain(e: Throwable): Iterator[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(32)
 
   private def parse(spark: SparkSession, sql: String): MergeIntoTable =
     spark.sessionState.sqlParser.parsePlan(sql) match {
@@ -132,8 +150,19 @@ object MergeSql {
 
   private def toCol(e: Expression): Column = expr(e.sql)
 
+  /** Compile the parsed merge onto one full-outer join. With
+    * `checked` set (the [[execute]] path, matched clauses present), the
+    * ANSI multiple-match detection is folded into the SAME join: each
+    * target row carries a row id, a window over the join output counts
+    * its source matches (one extra exchange of the join OUTPUT — never
+    * a second scan/join of the inputs), and any count > 1 raises from
+    * the routing expressions the filter must evaluate for every row —
+    * so the violation fires even when the offending rows would be
+    * deleted. Unmatched source rows get unique negative window keys
+    * (count 1, no skewed null partition).
+    */
   private def compile(spark: SparkSession, mit: MergeIntoTable,
-      resolve: String => DataFrame): DataFrame = {
+      resolve: String => DataFrame, checked: Boolean = false): DataFrame = {
     val (tName, tAlias) = relName(mit.targetTable)
     val tQ = tAlias.getOrElse(tName)
     val tDf = resolve(tName)
@@ -153,6 +182,26 @@ object MergeSql {
         s"unknown target column in MERGE assignment: $raw"))
     }
 
+    // Assignment coercion is LOUD (ANSI/Delta-style store assignment):
+    // a non-null clause value that does not convert to the target
+    // column type (non-numeric string into BIGINT, malformed
+    // timestamp, ...) raises instead of silently writing NULL. Applied
+    // to the RAW clause value at extraction — before the clause fold's
+    // CaseWhen, whose ANSI type coercion would otherwise wrap the
+    // value in its own throwing cast first. The probe uses try_cast so
+    // the guard itself never ANSI-throws: the error is ours in both
+    // ANSI modes.
+    val fieldBy = outFields.map(f => f.name -> f).toMap
+    def coerce(v: Column, f: org.apache.spark.sql.types.StructField): Column =
+      when(v.isNotNull && v.try_cast(f.dataType).isNull,
+        raise_error(lit("MERGE assignment value not coercible to " +
+          s"${f.name}: ${f.dataType.simpleString}")).cast(f.dataType))
+        .otherwise(v.try_cast(f.dataType))
+    def coerceAsg(xs: Seq[Assignment]): Map[String, Column] =
+      xs.map { x =>
+        val k = asgKey(x); k -> coerce(toCol(x.value), fieldBy(k))
+      }.toMap
+
     // Per-class routing: a value function (output column -> Column) and
     // a keep flag, folded so the FIRST satisfied clause wins.
     case class Routed(value: String => Column, keep: Column)
@@ -161,12 +210,12 @@ object MergeSql {
         val cond = a.condition.map(toCol).getOrElse(lit(true))
         val (v, k): (String => Column, Column) = a match {
           case u: UpdateAction =>
-            val m = u.assignments.map(x => asgKey(x) -> toCol(x.value)).toMap
+            val m = coerceAsg(u.assignments)
             (c => m.getOrElse(c, tc(c)), lit(true))
           case _: UpdateStarAction => (c => sc(c), lit(true))
           case _: DeleteAction => (c => tc(c), lit(false))
           case i: InsertAction =>
-            val m = i.assignments.map(x => asgKey(x) -> toCol(x.value)).toMap
+            val m = coerceAsg(i.assignments)
             (c => m.getOrElse(c, lit(null)), lit(true))
           case _: InsertStarAction => (c => sc(c), lit(true))
           case other => throw new IllegalArgumentException(
@@ -198,11 +247,26 @@ object MergeSql {
       val inserted = route(s.join(t, cond, "left_anti"), inserts)
       carried.unionByName(unmatched).unionByName(inserted)
     } else {
-      val t = tDf.withColumn(TP, lit(true)).alias(tQ)
-      val s = sDf.withColumn(SP, lit(true)).alias(sQ)
-      val joined = t.join(s, toCol(mit.mergeCondition), "full_outer")
-      val tP = coalesce(col(TP), lit(false))
+      val t0 = tDf.withColumn(TP, lit(true))
+      val t = (if (checked) t0.withColumn(RID, monotonically_increasing_id())
+               else t0).alias(tQ)
+      val s0 = sDf.withColumn(SP, lit(true))
+      val s = (if (checked) s0.withColumn(SID, monotonically_increasing_id())
+               else s0).alias(sQ)
+      val joined0 = t.join(s, toCol(mit.mergeCondition), "full_outer")
       val sP = coalesce(col(SP), lit(false))
+      val joined =
+        if (checked) joined0.withColumn(CNT,
+          sum(when(sP, lit(1L)).otherwise(lit(0L))).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(
+              coalesce(col(RID), -col(SID) - lit(1L)))))
+        else joined0
+      val tP0 = coalesce(col(TP), lit(false))
+      val tP =
+        if (checked)
+          when(col(CNT) > lit(1L), raise_error(lit(CardMsg)).cast("boolean"))
+            .otherwise(tP0)
+        else tP0
       val keep = when(tP && sP, matched.keep)
         .when(!tP && sP, inserts.keep)
         .otherwise(tgtOnly.keep)

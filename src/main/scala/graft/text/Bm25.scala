@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   * retrieval scorer over the inverted index (tf-idf is per-doc
   * salience; this is query relevance): tf saturation (`k1`) + length
   * normalization (`b`) per BM25, with a RATIONAL idf
-  * `(N - df + 0.5) / (df + 0.5)` instead of its `ln` — ln is monotone,
-  * so ranking behavior is preserved, and cross-engine ln is not
-  * bit-stable while one double division is.
+  * `(N - df + 0.5) / (df + 0.5)` instead of its `ln`, because
+  * cross-engine ln is not bit-stable while one double division is.
+  * This is an INTENTIONAL approximation of BM25: ln is monotone, so
+  * for SINGLE-term queries the ranking is exactly BM25's, but a
+  * per-doc score is a SUM over terms and a monotone transform of each
+  * addend does not preserve the ordering of sums — multi-term
+  * rankings can diverge from standard BM25 (the rational idf weights
+  * rare terms far more heavily than ln does).
   *
   * Terms are a RELATION (one `term` column), broadcast into the token
   * join — any query, not a fixed list. Per-doc totals fold the term

@@ -45,6 +45,19 @@ class RankingSpec extends SparkSpec {
       s"expected cell-sliced window in:\n$plan")
   }
 
+  test("both phases consume ONE materialized range exchange " +
+      "(ReusedExchange observed in the final adaptive plan)") {
+    val out = Ranking.globalRowNumber(docs, Seq("k", "doc_id"), "ord")
+    out.collect()
+    val fin = out.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange") &&
+      fin.linesIterator.exists(l =>
+        l.contains("ReusedExchange") && l.contains("rangepartitioning")),
+      s"expected the range exchange to be reused in:\n$fin")
+    // and the pinned partition count kept AQE off the range shuffle
+    assert(fin.contains("REPARTITION_BY_NUM"), fin)
+  }
+
   test("ranks are a permutation of 1..N") {
     val n = docs.count()
     val ords = Ranking.globalRowNumber(docs, Seq("k", "doc_id"),

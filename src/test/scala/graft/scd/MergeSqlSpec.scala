@@ -136,6 +136,55 @@ class MergeSqlSpec extends SparkSpec {
     assert(cat.table("msql_dim").count() == 4)
   }
 
+  test("checked plan (the execute path) joins target against source ONCE " +
+      "and still raises on a multi-match") {
+    fixture()
+    val sql =
+      """MERGE INTO msql_t t USING msql_s s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin
+    val checked = MergeSql.planChecked(spark, sql)
+    val joins = checked.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.length == 1, s"expected ONE join, got:\n${joins.mkString}")
+    // same content as the unchecked plan when cardinality holds
+    assert(checked.orderBy("id").collect().toSeq ==
+      MergeSql.plan(spark, sql).orderBy("id").collect().toSeq)
+    // and the guard still fires from inside that single-join plan
+    import spark.implicits._
+    Seq((2L, "x", 1L), (2L, "y", 2L)).toDF("id", "name", "v")
+      .createOrReplaceTempView("msql_dup2")
+    val bad = MergeSql.planChecked(spark,
+      """MERGE INTO msql_t t USING msql_dup2 s ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val e = intercept[Exception] { bad.count() }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(32)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("cardinality"))))
+  }
+
+  test("non-coercible assignment values raise instead of writing NULL") {
+    fixture()
+    val bad = MergeSql.plan(spark,
+      """MERGE INTO msql_t t USING msql_s s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = 'not-a-number'""".stripMargin)
+    // collect(), not count(): a bare count lets Catalyst prune the
+    // projected columns and the coercion guard with them
+    val e = intercept[Exception] { bad.collect() }
+    def chain(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(32)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("not coercible"))))
+    // a legitimately-coercible string still converts
+    val ok = MergeSql.plan(spark,
+      """MERGE INTO msql_t t USING msql_s s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = '77'""".stripMargin)
+      .filter(col("id") === 2).collect()
+    assert(ok.head.getLong(2) == 77L)
+  }
+
   test("SCD-2 recipe through the MERGE door equals ScdMerge on the q13 feed") {
     val dir = "/root/testdata/sf0.001"
     val viaMerge = MergeIntoScd(spark,

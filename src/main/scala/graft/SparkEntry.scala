@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Round3Queries.queries ++
       graft.queries.Round3bQueries.queries ++
       graft.queries.Round5Queries.queries ++
-      graft.queries.Round6Queries.queries
+      graft.queries.Round6Queries.queries ++
+      graft.queries.Round7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Round3Queries.oracleSql ++
       graft.queries.Round3bQueries.oracleSql ++
       graft.queries.Round5Queries.oracleSql ++
-      graft.queries.Round6Queries.oracleSql
+      graft.queries.Round6Queries.oracleSql ++
+      graft.queries.Round7Queries.oracleSql
 }

@@ -117,4 +117,26 @@ object TextAnalysis {
 
   /** Deterministic 128-bit content fingerprint of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Unicode-aware canonical form (opt-in; [[normalized]] keeps its
+    * a-z-only contract for the existing oracle queries): NFC
+    * composition (native codegen [[graft.functions.UnicodeNorm]]) so
+    * composed and decomposed spellings coincide, lowercase, keep
+    * Unicode letters/digits (`\p{L}\p{N}` — non-Latin text SURVIVES
+    * instead of degrading to whitespace), collapse whitespace. The
+    * character classes are identical in Java regex and DuckDB's RE2,
+    * and NFC is NFC in both engines (UAX #15), so the form replays
+    * bit-identically: `trim(regexp_replace(regexp_replace(
+    * lower(nfc_normalize(t)), '[^\p{L}\p{N}\s]', '', 'g'),
+    * '\s+', ' ', 'g'))`.
+    */
+  def normalizedUnicode(text: Column): Column =
+    trim(regexp_replace(regexp_replace(
+      lower(graft.functions.UnicodeNorm.nfc(text)),
+      "[^\\p{L}\\p{N}\\s]", ""), "\\s+", " "))
+
+  /** [[fingerprint]] over the Unicode canonical form: NFC/NFD variant
+    * spellings of the same text get ONE fingerprint.
+    */
+  def fingerprintUnicode(text: Column): Column = md5(normalizedUnicode(text))
 }

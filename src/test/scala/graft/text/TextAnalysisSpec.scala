@@ -50,6 +50,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("regex")).count() === 0)
   }
 
+  test("unicode canonical form: NFC==NFD fingerprints, non-Latin " +
+      "text survives, ASCII fast path unchanged") {
+    val nfc = "Caf\u00e9 \u03b4\u03bf\u03ba\u03b9\u03bc\u03ae"
+    val nfd = "Cafe\u0301 \u03b4\u03bf\u03ba\u03b9\u03bc\u03b7\u0301"
+    assert(nfc != nfd) // genuinely different byte sequences
+    val rows = Seq(
+      (1L, nfc), (2L, nfd),
+      // non-Latin only: must NOT degrade to empty
+      (3L, "\u041f\u0440\u0438\u0432\u0435\u0442, \u043c\u0438\u0440!"),
+      (4L, "plain ascii. text")
+    ).toDF("doc_id", "text")
+      .withColumn("u", TextAnalysis.normalizedUnicode(col("text")))
+      .withColumn("fu", TextAnalysis.fingerprintUnicode(col("text")))
+      .withColumn("fb", TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), r.getString(3), r.getString(4))).toMap
+    // NFC and NFD variants: same unicode fingerprint...
+    assert(rows(1L)._2 == rows(2L)._2)
+    // ...where the a-z-only byte fingerprint sees two documents
+    // ("caf" vs "cafe" after its strip)
+    assert(rows(1L)._3 != rows(2L)._3)
+    // non-Latin survives (normalized() strips it to "")
+    assert(rows(3L)._1 ==
+      "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440")
+    // ASCII: unicode form == classic form (fast path, same contract)
+    val classic = Seq((4L, "plain ascii. text")).toDF("doc_id", "text")
+      .select(TextAnalysis.normalized(col("text"))).collect().head.getString(0)
+    assert(rows(4L)._1 == classic)
+  }
+
   test("shingles skip docs shorter than n and handle empty text") {
     val sh = Dedup.shingles(edgy, "doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1)))

@@ -49,6 +49,67 @@ object Round7Queries {
         .agg(count(lit(1)).as("n"), min(col("rid")).as("first_rid"))
         .select(col("first_rid"), col("n"), col("fp"))
         .orderBy(col("first_rid"))
+    }),
+
+    // Perceptual image dedup: the corpus plants, per selected document,
+    // a REAL re-encoded copy (decode -> encode; different file bytes,
+    // identical pixels), a REAL 2x nearest-neighbor upscale (different
+    // pixels, same picture), and a shifted near-variant (pixel phase
+    // +8 — close in gradient space, hamming small but nonzero,
+    // exercising the verify threshold both ways). dHash over the
+    // decoded bitmaps, banded hamming pairs (bucketed, never
+    // all-pairs), CC cluster labels. The oracle replays the hash from
+    // the generative pixel formulas and the SAME band-limited pair
+    // semantics.
+    "q110_perceptual_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.multimodal.{Bmp, Multimodal, Perceptual}
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      // q28's md5-derived dims, but a per-document pixel formula with a
+      // distinct phase and a nonlinear ramp — unrelated documents get
+      // genuinely different gradient structure (the linear (id+i)%256
+      // ramp of synthesizeBmp makes most images collide in dHash
+      // space, which would demonstrate nothing)
+      val h = md5(col("text"))
+      def byteAt(i: Int) =
+        conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+      def pix(id: Long, i: Int, off: Int): Byte =
+        ((id * 2654435761L + i.toLong * (i + 7) + off) % 256).toByte
+      // dims 8..23: with width >= 8 the 8-wide dHash sample grid hits
+      // 8 DISTINCT columns — widths below the grid would degenerate
+      // entire images to dhash 0 (giant false cliques)
+      val base = docs.select(col("doc_id").cast("long").as("id"),
+          (byteAt(0) % 16 + 8).as("w"), (byteAt(1) % 16 + 8).as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, hh) =>
+          val rgb = Array.tabulate(w * hh * 3)(i => pix(id, i, 0))
+          val p = Bmp.encode(Bmp.Image(w, hh, rgb))
+          Multimodal.BmpMedia(id, p, p.length)
+        })
+      val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
+      val reenc = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 3 == 0)
+        .mapPartitions(_.map { m =>
+          val p = Bmp.encode(Bmp.decode(m.payload))
+          Multimodal.BmpMedia(m.doc_id * 4 + 1, p, p.length)
+        })
+      val resized = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 5 == 0)
+        .mapPartitions(_.map { m =>
+          val img = Bmp.decode(m.payload)
+          val p = Bmp.encode(Bmp.resample(img, img.width * 2, img.height * 2))
+          Multimodal.BmpMedia(m.doc_id * 4 + 2, p, p.length)
+        })
+      val shifted = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 7 == 0)
+        .mapPartitions(_.map { m =>
+          val img = Bmp.decode(m.payload)
+          val rgb = Array.tabulate(img.rgb.length)(i => pix(m.doc_id, i, 8))
+          val p = Bmp.encode(Bmp.Image(img.width, img.height, rgb))
+          Multimodal.BmpMedia(m.doc_id * 4 + 3, p, p.length)
+        })
+      val media = orig.union(reenc).union(resized).union(shifted)
+      Perceptual.clusters(Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6)
+        .orderBy(col("id"))
     })
   )
 
@@ -63,6 +124,68 @@ object Round7Queries {
          |fps AS (SELECT rid, md5(${normalizedUnicodeSql("t")}) AS fp
          |  FROM corpus)
          |SELECT min(rid) AS first_rid, CAST(count(*) AS BIGINT) AS n, fp
-         |FROM fps GROUP BY fp ORDER BY first_rid""".stripMargin
+         |FROM fps GROUP BY fp ORDER BY first_rid""".stripMargin,
+
+    // Replays q110 arithmetically: image dims from md5 (q28's pattern),
+    // pixel(i) = (id0*2654435761 + i*(i+7) + off) % 256, the 2x upscale as a //sc
+    // coordinate map, the 8x8 grayscale grid with truncating integer
+    // divisions (nonnegative -> floor == trunc both engines), the
+    // 56-bit dHash, 4x14-bit band candidates, hamming<=6 verify, and
+    // min-label connected components as a recursive CTE.
+    "q110_perceptual_dedup" ->
+      s"""WITH RECURSIVE dims AS (
+         |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT % 16 + 8 AS w,
+         |         ('0x'||substr(md5(text),3,2))::INT % 16 + 8 AS h
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |imgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0, w, h, 0 AS off, 1 AS sc
+         |  FROM dims
+         |  UNION ALL SELECT doc_id*4+1, doc_id, w, h, 0, 1 FROM dims
+         |    WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+2, doc_id, w, h, 0, 2 FROM dims
+         |    WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id, w, h, 8, 1 FROM dims
+         |    WHERE doc_id % 7 = 0),
+         |cells AS (
+         |  SELECT rid, gy, gx,
+         |    ((id0*2654435761 + b*(b+7) + off) % 256
+         |     + (id0*2654435761 + (b+1)*(b+8) + off) % 256
+         |     + (id0*2654435761 + (b+2)*(b+9) + off) % 256) // 3 AS gray
+         |  FROM (
+         |    SELECT rid, id0, off, gy.g AS gy, gx.g AS gx,
+         |      ((gy.g*(h*sc)//8)//sc*w + (gx.g*(w*sc)//8)//sc)*3 AS b
+         |    FROM imgs,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx)),
+         |dh AS (
+         |  SELECT l.rid, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM cells l JOIN cells r
+         |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.rid),
+         |bands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM bands x JOIN bands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid)
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM dh d LEFT JOIN labels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin
   )
 }

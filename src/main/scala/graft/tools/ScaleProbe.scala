@@ -120,6 +120,34 @@ object ScaleProbe {
       graft.dedup.Dedup.connectedComponents(pairs).count()
     }
 
+    // perceptual image dedup: per-doc BMP (distinct per-id pixel phase,
+    // so replicas are genuinely new images), real decode -> dHash ->
+    // banded hamming pairs -> CC. Probed at the LARGE-CORPUS band
+    // setting (2x28-bit bands: random band collisions ~ n^2/2^28 stay
+    // negligible at probe sizes, so cost must track the linear
+    // decode+hash scan — the q110 default 4x14 is the small-corpus
+    // recall setting whose collision space saturates by design).
+    def perceptual(d: DataFrame): Long = {
+      import spark.implicits._
+      val hmd5 = md5(col("text"))
+      def byteAt(i: Int) =
+        conv(substring(hmd5, 2 * i + 1, 2), 16, 10).cast("int")
+      val media = d.select(col("doc_id").cast("long").as("id"),
+          (byteAt(0) % 16 + 8).as("w"), (byteAt(1) % 16 + 8).as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, hh) =>
+          val rgb = Array.tabulate(w * hh * 3)(i =>
+            ((id * 2654435761L + i.toLong * (i + 7)) % 256).toByte)
+          val p = graft.multimodal.Bmp.encode(
+            graft.multimodal.Bmp.Image(w, hh, rgb))
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+        })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media)(spark),
+          "id", "dhash", maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
     def merge(c: DataFrame): Long = {
       val prod = c.select(col("c_custkey").cast("long").as("dim_id"),
         col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"),
@@ -264,6 +292,8 @@ object ScaleProbe {
       "dedup_cluster" -> (() => (time(cluster(docs1)), time(cluster(docsN)))),
       "dup_spans" -> (() => (time(spans(docs1)), time(spans(docsN)))),
       "span_scrub" -> (() => (time(scrub(docs1)), time(scrub(docsN)))),
+      "perceptual_dedup" -> (() => (time(perceptual(docs1)),
+        time(perceptual(docsN)))),
       "ann_lsh" -> (() => (time(annLsh(emb1)), time(annLsh(embN)))),
       "ann_ivf" -> (() => (time(annIvf(emb1)), time(annIvf(embN)))),
       "ann_ivfpq" -> (() => (time(annPq(emb1)), time(annPq(embN)))),

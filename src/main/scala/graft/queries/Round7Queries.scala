@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.PortableHash
 import graft.sources.Tables
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -20,6 +21,13 @@ object Round7Queries {
   // oracle SQL text compile to identical UTF-8 on both engines.
   private[queries] val PrefixNfc = "Caf\u00e9 \u03b4\u03bf\u03ba\u03b9\u03bc\u03ae: "
   private[queries] val PrefixNfd = "Cafe\u0301 \u03b4\u03bf\u03ba\u03b9\u03bc\u03b7\u0301: "
+
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
+  private def distSql(v: String, cent: String): String =
+    s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
 
   /** The DuckDB replay of [[TextAnalysis.normalizedUnicode]]. */
   private[queries] def normalizedUnicodeSql(c: String): String =
@@ -110,6 +118,43 @@ object Round7Queries {
       Perceptual.clusters(Perceptual.dHashes(media), "id", "dhash",
           maxHamming = 6)
         .orderBy(col("id"))
+    }),
+
+    // Incremental semantic-dedup ingest: q95's planted corpus (base +
+    // exact copies + x2-scaled copies) arrives in THREE batches
+    // (vec_id % 3). Centroids train once, on batch 0; batches 1 and 2
+    // assign to the STORED centroids and pair only against stored-plus-
+    // new bucket members (new x new, new x old — never old x old). The
+    // batched pair union feeds one CC; because batching is exactly-
+    // once, the oracle replays it as a ONE-SHOT pass against the same
+    // batch-0-trained centroids.
+    "q111_incremental_semantic" -> ((s, dir) => {
+      import graft.similarity.IncrementalSemantic
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val repA = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val repB = emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val full = emb.unionByName(repA).unionByName(repB)
+      def batch(b: Int) = full.filter(col("vec_id") % 3 === b)
+      val (i0, p0) = IncrementalSemantic.build(batch(0), "vec_id",
+        "embedding", threshold = 0.99, c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters)
+      val (i1, p1) = IncrementalSemantic.addBatch(i0, batch(1), "vec_id",
+        "embedding", threshold = 0.99)
+      val (i2, p2) = IncrementalSemantic.addBatch(i1, batch(2), "vec_id",
+        "embedding", threshold = 0.99)
+      val pairs = p0.unionByName(p1).unionByName(p2)
+      val cc = graft.dedup.Dedup.connectedComponents(pairs)
+        .withColumnRenamed("doc_id", "vec_id")
+      i2.members.select(col("id").as("vec_id"), col("bucket"))
+        .join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+        .withColumn("kept", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -186,6 +231,61 @@ object Round7Queries {
          |  COALESCE(l.clus, d.rid) AS cluster,
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM dh d LEFT JOIN labels l ON l.node = d.rid
-         |ORDER BY d.rid""".stripMargin
+         |ORDER BY d.rid""".stripMargin,
+
+    // Replays q111 as a ONE-SHOT pass against batch-0-trained
+    // centroids: training CTEs (q42's ivfStepSql) read `qz` = the
+    // batch-0 slice of the quantized corpus; assignment, within-bucket
+    // exact-cosine pairs, and min-label CC run over the FULL corpus —
+    // equal to the batched union because batching is exactly-once.
+    "q111_incremental_semantic" ->
+      s"""WITH RECURSIVE
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |emb2 AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, e FROM base WHERE vec_id % 7 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(e, x -> x * 2.0)
+         |  FROM base WHERE vec_id % 11 = 0),
+         |qzall AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb2)
+         |  WHERE mab > 0),
+         |qz AS (SELECT * FROM qzall WHERE vec_id % 3 = 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, e, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qzall z CROSS JOIN c${ExtendedQueries.IvfIters} c)
+         |  WHERE rn = 1),
+         |nb AS (SELECT vec_id, e, bucket, ${dotSql("e", "e")} AS nrm FROM cb),
+         |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b
+         |  FROM nb x JOIN nb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE ${dotSql("x.e", "y.e")} / sqrt(x.nrm * y.nrm)
+         |    >= 0.99::DOUBLE),
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node)
+         |SELECT cb.vec_id, cb.bucket,
+         |  COALESCE(l.clus, cb.vec_id) AS cluster,
+         |  (COALESCE(l.clus, cb.vec_id) = cb.vec_id) AS kept
+         |FROM cb LEFT JOIN labels l ON l.node = cb.vec_id
+         |ORDER BY cb.vec_id""".stripMargin
   )
 }

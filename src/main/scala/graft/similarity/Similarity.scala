@@ -213,7 +213,7 @@ object Similarity {
     * here (abs/max/multiply/divide/round at scale 0) is bit-identical
     * across engines.
     */
-  private def withQuantizedDouble(df: DataFrame, idCol: String,
+  private[similarity] def withQuantizedDouble(df: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     df.select(col(idCol), col(vecCol),
         VectorFunctions.quantInt8Col(asDouble(col(vecCol))).as("qi"))
@@ -327,7 +327,7 @@ object Similarity {
     * iteration assignment expression (exact argmin by default; the
     * hierarchical two-level scan for large c).
     */
-  private def trainPortable(ds: DataFrame, idCol: String,
+  private[similarity] def trainPortable(ds: DataFrame, idCol: String,
       c: Int, iters: Int,
       assign: (Column, Array[Array[Double]]) => Column = nearestCentroid)
       : Array[Array[Double]] = {

@@ -279,6 +279,17 @@ object ScaleProbe {
       graft.dedup.IncrementalLsh.addBatch(idx, lshBatch, "doc_id",
         "text")._2.count()
 
+    // Incremental semantic ingest, same fixed-batch shape: a constant
+    // batch (replica 0 of the sign-flip corpus, ids offset) folds into
+    // a 1x vs Nx index built on the sign-flip corpus — collision
+    // structure against the index is constant, so the honest cost left
+    // is the batch assignment + the index-side member join.
+    val semBatch = sem1
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+    def incSem(idx: graft.similarity.SemanticIndex): Long =
+      graft.similarity.IncrementalSemantic.addBatch(idx, semBatch,
+        "vec_id", "embedding", threshold = 0.99)._2.count()
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -307,6 +318,13 @@ object ScaleProbe {
         val idxN = graft.dedup.IncrementalLsh.build(docsN, "doc_id",
           "text")._1
         (time(incLsh(idx1)), time(incLsh(idxN)))
+      }),
+      "incremental_semantic" -> (() => {
+        val idx1 = graft.similarity.IncrementalSemantic.build(sem1,
+          "vec_id", "embedding", threshold = 0.99, c = 16)._1
+        val idxN = graft.similarity.IncrementalSemantic.build(semN,
+          "vec_id", "embedding", threshold = 0.99, c = 16 * factor)._1
+        (time(incSem(idx1)), time(incSem(idxN)))
       }),
       "seq_packing" -> (() => (time(pack(docs1)), time(pack(docsN)))),
       "epoch_shuffle" -> (() => (time(shuffleEpochs(docs1)),

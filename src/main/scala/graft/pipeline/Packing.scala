@@ -53,6 +53,56 @@ object Packing {
           expr(s"start_tok div ${seqLen}L") + 1L).as("n_seqs"))
   }
 
+  /** The epoch-sharded loader manifest — the one artifact a
+    * distributed training loader actually maps: for each epoch, a
+    * seeded global permutation of the corpus
+    * ([[graft.operators.Ranking.globalRowNumber]] over
+    * (epoch, md5-key, id) — the q103 shuffle, never a single-partition
+    * sort), documents dealt round-robin to `nShards` writer shards in
+    * permuted order, each (epoch, shard) stream packed head-to-tail
+    * into `seqLen`-token sequences, expanded to one row per
+    * (sequence, document) span.
+    *
+    * Composes the three verified layers verbatim: the rank is q103's,
+    * the per-stream prefix sum is q91's ([[graft.operators.TwoPhase]]
+    * with `grp = epoch * nShards + shard` as the stream key), the span
+    * expansion is q106's [[sequenceManifest]]. All integer arithmetic;
+    * replays bit-identically in DuckDB (q112).
+    *
+    * @return (epoch, shard, seq, id, doc_from, doc_to, seq_from):
+    *   document tokens [doc_from, doc_to) land at offset seq_from of
+    *   sequence seq of the (epoch, shard) stream; within each stream,
+    *   spans tile every sequence exactly (final partial excepted)
+    */
+  def epochShardManifest(docs: DataFrame, idCol: String, textCol: String,
+      epochs: Int, nShards: Int, seqLen: Int = 2048): DataFrame = {
+    val id = col(idCol)
+    val eps = broadcast(docs.sparkSession.range(epochs)
+      .select(col("id").cast("int").as("epoch")))
+    val counted = docs
+      .select(id, TextAnalysis.tokenCount(col(textCol)).cast("long")
+        .as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .crossJoin(eps)
+      .withColumn("k", graft.functions.PortableHash.hash60Base(
+        concat_ws(":", col("epoch"), id)))
+    val ranked = graft.operators.Ranking
+      .globalRowNumber(counted, Seq("epoch", "k", idCol), "ord")
+      .withColumn("shard", ((col("ord") - 1L) % nShards).cast("int"))
+      .withColumn("grp", col("epoch").cast("long") * nShards + col("shard"))
+    val placed = graft.operators.TwoPhase
+      .prefixSum(ranked, Seq("grp"), Seq("ord"), col("n_tok"), "cum")
+      .withColumn("start_tok", col("cum") - col("n_tok"))
+      .withColumn("seq_first", expr(s"start_tok div ${seqLen}L"))
+      .withColumn("seq_off", col("start_tok") % lit(seqLen.toLong))
+      .withColumn("n_seqs",
+        expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
+    sequenceManifest(placed, idCol, seqLen)
+      .select(expr(s"grp div $nShards").cast("int").as("epoch"),
+        (col("grp") % nShards).cast("int").as("shard"),
+        col("seq"), id, col("doc_from"), col("doc_to"), col("seq_from"))
+  }
+
   /** Expand a [[packSequences]] placement into the per-sequence
     * manifest a training loader consumes: one row per (sequence,
     * document) span — which token range of the document lands at which

@@ -22,6 +22,9 @@ object Round7Queries {
   private[queries] val PrefixNfc = "Caf\u00e9 \u03b4\u03bf\u03ba\u03b9\u03bc\u03ae: "
   private[queries] val PrefixNfd = "Cafe\u0301 \u03b4\u03bf\u03ba\u03b9\u03bc\u03b7\u0301: "
 
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
   private val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
 
@@ -155,6 +158,20 @@ object Round7Queries {
           coalesce(col("cluster"), col("vec_id")).as("cluster"))
         .withColumn("kept", col("cluster") === col("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Epoch-sharded loader manifest: q103's seeded per-epoch
+    // permutation deals documents round-robin onto 16 writer shards;
+    // each (epoch, shard) stream packs head-to-tail into 2048-token
+    // sequences (q91's two-phase prefix sum, grp = epoch*16+shard) and
+    // expands to (sequence, document) spans (q106) — the single
+    // artifact a distributed loader maps per epoch and shard.
+    "q112_epoch_shard_manifest" -> ((s, dir) => {
+      graft.pipeline.Packing.epochShardManifest(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        epochs = 2, nShards = 16, seqLen = 2048)
+        .orderBy(col("epoch"), col("shard"), col("seq"), col("seq_from"),
+          col("doc_id"))
     })
   )
 
@@ -286,6 +303,40 @@ object Round7Queries {
          |  COALESCE(l.clus, cb.vec_id) AS cluster,
          |  (COALESCE(l.clus, cb.vec_id) = cb.vec_id) AS kept
          |FROM cb LEFT JOIN labels l ON l.node = cb.vec_id
-         |ORDER BY cb.vec_id""".stripMargin
+         |ORDER BY cb.vec_id""".stripMargin,
+
+    // q103's rank (over tokened docs) + q91's per-stream prefix sum
+    // (grp = epoch*16 + shard) + q106's span expansion, recombined.
+    "q112_epoch_shard_manifest" ->
+      s"""WITH e AS (SELECT unnest([0, 1]) AS epoch),
+         |t AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |k AS (SELECT d.doc_id, d.n_tok, e.epoch,
+         |    ${PortableHash.hash60BaseSql(
+               "(e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR)")} AS k
+         |  FROM t d CROSS JOIN e WHERE d.n_tok > 0),
+         |r AS (SELECT epoch, doc_id, n_tok,
+         |    ROW_NUMBER() OVER (ORDER BY epoch, k, doc_id) AS ord
+         |  FROM k),
+         |sh AS (SELECT *, CAST((ord - 1) % 16 AS INT) AS shard,
+         |    epoch * 16 + (ord - 1) % 16 AS grp FROM r),
+         |p AS (SELECT *, CAST(SUM(n_tok) OVER (PARTITION BY grp
+         |      ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum FROM sh),
+         |pl AS (SELECT *, cum - n_tok AS start_tok,
+         |    (cum - n_tok) // 2048 AS seq_first,
+         |    (cum - n_tok) % 2048 AS seq_off,
+         |    (cum - 1) // 2048 - (cum - n_tok) // 2048 + 1 AS n_seqs
+         |  FROM p),
+         |m AS (SELECT epoch, shard, s2.seq, doc_id,
+         |    CASE WHEN s2.seq = seq_first THEN 0
+         |         ELSE s2.seq * 2048 - start_tok END AS doc_from,
+         |    LEAST(n_tok, (s2.seq + 1) * 2048 - start_tok) AS doc_to,
+         |    CASE WHEN s2.seq = seq_first THEN seq_off ELSE 0 END AS seq_from
+         |  FROM pl, UNNEST(generate_series(seq_first,
+         |    seq_first + n_seqs - 1)) AS s2(seq))
+         |SELECT epoch, shard, seq, doc_id, doc_from, doc_to, seq_from
+         |FROM m ORDER BY epoch, shard, seq, seq_from, doc_id""".stripMargin
   )
 }

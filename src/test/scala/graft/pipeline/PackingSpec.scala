@@ -108,6 +108,59 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("epoch-shard manifest tiles exactly per (epoch, shard) and " +
+      "covers every tokened doc once per epoch") {
+    val epochs = 2
+    val shards = 4
+    val m = Packing.epochShardManifest(docs, "doc_id", "text",
+        epochs = epochs, nShards = shards, seqLen = L)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (epoch, shard, seq, doc, from, to, seq_from)
+    assert(m.map(_._1).toSet == (0 until epochs).toSet)
+    assert(m.map(_._2).toSet == (0 until shards).toSet)
+    // tiling within each (epoch, shard) stream
+    m.groupBy(x => (x._1, x._2)).foreach { case (_, rows) =>
+      val bySeq = rows.groupBy(_._3)
+      val lastSeq = bySeq.keys.max
+      bySeq.foreach { case (seq, spans) =>
+        val sorted = spans.sortBy(_._7)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._7 == a._7 + (a._6 - a._5))
+          case _ =>
+        }
+        val total = spans.map(s => s._6 - s._5).sum
+        if (seq < lastSeq) assert(sorted.head._7 == 0L && total == L.toLong)
+      }
+    }
+    // each epoch covers every tokened document exactly ([0, n_tok))
+    val nTok = docs
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+          .as("n"))
+      .filter(col("n") > 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (e <- 0 until epochs) {
+      val byDoc = m.filter(_._1 == e).groupBy(_._4)
+      assert(byDoc.keySet == nTok.keySet)
+      byDoc.foreach { case (doc, spans) =>
+        val sorted = spans.sortBy(_._5)
+        assert(sorted.head._5 == 0L && sorted.last._6 == nTok(doc))
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(b._5 == a._6)
+          case _ =>
+        }
+      }
+    }
+    // the permutation differs between epochs (same docs, different
+    // shard deal) — a degenerate identical shuffle would defeat the
+    // point of per-epoch reshuffling
+    val deal = (e: Int) => m.filter(_._1 == e)
+      .map(x => x._4 -> x._2).distinct.sortBy(_._1).toSeq
+    assert(deal(0) != deal(1))
+  }
+
   test("deterministic under repartitioning") {
     val a = Packing.packSequences(docs, "doc_id", "text", L, 4)
       .orderBy("doc_id").collect().toSeq

@@ -19,13 +19,13 @@ object Bench {
     //  - count(): the action EVERY prior round's records (and
     //    BASELINE.json) were taken with — kept as the headline so the
     //    driver's vs-baseline comparison stays like-for-like;
-    //  - noop sink (one run): materializes every output column, which
-    //    count does not — Catalyst prunes unused projections and
-    //    eliminates unique-keyed outer joins plus the windows feeding
-    //    them, so count under-times queries whose expensive columns it
-    //    doesn't need. Reported as queries_noop/noop_total for the
-    //    honest end-to-end cost.
-    // best-of-3 on the headline damps scheduler/GC noise without
+    //  - noop sink: materializes every output column, which count
+    //    does not — Catalyst prunes unused projections and eliminates
+    //    unique-keyed outer joins plus the windows feeding them, so
+    //    count under-times queries whose expensive columns it doesn't
+    //    need. Reported as queries_noop/noop_total for the honest
+    //    end-to-end cost.
+    // best-of-3 on BOTH actions damps scheduler/GC noise without
     // hiding systematic cost (container CPU noise is +/-40% here).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(action: org.apache.spark.sql.DataFrame => Unit,
@@ -44,11 +44,11 @@ object Bench {
         }
       }
       val counts = (1 to 3).flatMap(i => run(_.count(): Unit, "count", i))
-      val noop = run(
-        _.write.format("noop").mode("overwrite").save(), "noop", 1)
+      val noops = (1 to 3).flatMap(i => run(
+        _.write.format("noop").mode("overwrite").save(), "noop", i))
       // -1 is the explicit all-runs-failed marker in the emitted JSON
       (name, if (counts.nonEmpty) counts.min else -1.0,
-        noop.getOrElse(-1.0))
+        if (noops.nonEmpty) noops.min else -1.0)
     }
     def obj(f: ((String, Double, Double)) => (String, Double)): String =
       results.map { r => val (k, v) = f(r); "\"" + k + "\":" + v }
@@ -60,13 +60,16 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val noopTotal = results.map(_._3).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
-    val line =
+    val full =
       s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"noop_total":$noopTotal,"queries_noop":$qsNoop,"sf":"$sfDir"}"""
-    println(line)
-    // stdout tails get truncated in driver logs; keep a self-contained
-    // record of the full per-query line next to the repo history
+    // Per-query detail goes to BENCH_LAST.json ONLY: the full line
+    // outgrew the driver's captured stdout tail (r06's tail began
+    // mid-line and parsed as null). Stdout carries one COMPACT line —
+    // totals + failure count — small enough to always fit the buffer,
+    // and it is the LAST line (showSuccess := false keeps sbt quiet).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST.json"), full + "\n")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"n_queries":${results.size},"noop_total":$noopTotal,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,7 @@ object Round5Queries {
   private val PqM = 8
   private val PqSub = 64 / PqM
   private val PqProbe = 4
-  private val PqK = 64
+  private val PqK = 256
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -516,7 +516,7 @@ object Similarity {
     */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, c: Int = 16, m: Int = 8,
-      nProbe: Int = 4, kCodes: Int = 64, pqIters: Int = 2,
+      nProbe: Int = 4, kCodes: Int = 256, pqIters: Int = 2,
       coarseIters: Int = 2): DataFrame = {
     // one quantize pass (same persist contract as ivfTopKPortable)
     val ds = withQuantizedDouble(corpus, idCol, vecCol)
@@ -610,7 +610,7 @@ object Similarity {
   object IvfPqIndex {
 
     def build(corpus: DataFrame, idCol: String, vecCol: String,
-        c: Int = 16, m: Int = 8, kCodes: Int = 64,
+        c: Int = 16, m: Int = 8, kCodes: Int = 256,
         pqIters: Int = 2, coarseIters: Int = 2): IvfPqIndex = {
       // training makes ~2(pqIters + coarseIters) passes over the
       // quantized relation; quantize once (ivfPqTopK's contract) and

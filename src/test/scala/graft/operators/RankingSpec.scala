@@ -36,26 +36,31 @@ class RankingSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(13)))
   }
 
-  test("plan is range-sliced, not a single-partition global sort") {
-    val plan = Ranking.globalRowNumber(docs, Seq("k", "doc_id"))
+  test("slicing phase is range-sliced, not a single-partition sort") {
+    val plan = TwoPhase
+      .slicedWithin(docs, Nil, Seq("k", "doc_id"), lit(1L))
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"),
       s"expected a range exchange in:\n$plan")
     assert(plan.contains("__tp_cell"),
       s"expected cell-sliced window in:\n$plan")
+    // pinned partition count: AQE never rewrites the range shuffle
+    assert(plan.contains("REPARTITION_BY_NUM"), plan)
   }
 
-  test("both phases consume ONE materialized range exchange " +
-      "(ReusedExchange observed in the final adaptive plan)") {
+  test("both phases consume ONE materialized slicing (the sliced " +
+      "relation is checkpointed; readers scan frozen blocks)") {
     val out = Ranking.globalRowNumber(docs, Seq("k", "doc_id"), "ord")
-    out.collect()
     val fin = out.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange") &&
-      fin.linesIterator.exists(l =>
-        l.contains("ReusedExchange") && l.contains("rangepartitioning")),
-      s"expected the range exchange to be reused in:\n$fin")
-    // and the pinned partition count kept AQE off the range shuffle
-    assert(fin.contains("REPARTITION_BY_NUM"), fin)
+    // both the per-row leg and the subtotal leg read the checkpoint
+    // scan — the range exchange ran exactly once, before it, so
+    // divergent re-sampling (rdd.id-seeded skew re-sample on a
+    // duplicated exchange, the q112-at-sf0.1 failure) cannot occur
+    assert(fin.contains("ExistingRDD") || fin.contains("Scan ExistingRDD"),
+      s"expected the materialized slicing scan in:\n$fin")
+    assert(!fin.contains("rangepartitioning"),
+      s"range exchange must be behind the checkpoint, not re-planned:\n$fin")
+    out.collect()
   }
 
   test("ranks are a permutation of 1..N") {

@@ -63,12 +63,26 @@ class PackingSpec extends SparkSpec {
   }
 
   test("plan is two-phase: range slicing, no stream-sized window partition") {
-    val plan = Packing.packSequences(docs, "doc_id", "text", L, 4)
+    // The slicing phase (behind prefixSum's one materialization) must
+    // range-exchange and key the per-row window by (grp, cell), never
+    // grp alone — packing's old scale-killer.
+    import org.apache.spark.sql.functions.col
+    val counted = docs.selectExpr("doc_id",
+      "cast(doc_id % 4 as long) as grp", "cast(1 as long) as n_tok")
+    val plan = graft.operators.TwoPhase
+      .slicedWithin(counted, Seq("grp"), Seq("doc_id"), col("n_tok"))
       .queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"),
       s"expected a range exchange in:\n$plan")
-    // The per-row window must be keyed by (grp, cell), never grp alone.
-    assert(plan.contains("cell"), s"expected cell-sliced windows in:\n$plan")
+    assert(plan.contains("__tp_cell"),
+      s"expected cell-sliced windows in:\n$plan")
+    // and the OUTPUT consumes one materialized slicing, never a
+    // re-planned (divergence-prone) second range exchange
+    val out = Packing.packSequences(docs, "doc_id", "text", L, 4)
+      .queryExecution.executedPlan.toString
+    assert(out.contains("ExistingRDD"),
+      s"expected the materialized slicing scan in:\n$out")
+    assert(!out.contains("rangepartitioning"), out)
   }
 
   test("sequence manifest tiles every sequence exactly") {

@@ -32,6 +32,48 @@ object Round7Queries {
   private def distSql(v: String, cent: String): String =
     s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
 
+  /** q113/q114 merge-round count, shared by engine calls and oracle. */
+  private val BpeK = 12
+
+  /** The DuckDB replay of [[graft.text.Bpe.trainMerges]]: w0 = the
+    * unique-word dict with per-char separator-wrapped segmentation;
+    * each round i: pair counts from w(i-1) (correlated UNNEST over
+    * adjacent symbol positions), the argmax row b(i) (count DESC, pair
+    * ASC), and w(i) = literal replace of the wrapped pair — the same
+    * greedy-BPE-as-string-replace semantics as the Spark side.
+    */
+  private def bpeCtes(k: Int): String = {
+    // MATERIALIZED is load-bearing: w(i) and b(i) are each referenced
+    // twice, so DuckDB's default CTE inlining would expand the chain
+    // to 2^k copies of the documents scan (observed: "Too many open
+    // files" at k=12). Materializing each round keeps it linear.
+    val sep = "chr(31)"
+    val init =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         |    list_reduce(list_transform(generate_series(1, length(word)),
+         |      i -> $sep || word[i] || $sep), (a, b) -> a || b) AS seg
+         |  FROM (SELECT unnest($toksExpr) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |      list_filter(string_split(seg, $sep), x -> x <> '') AS syms
+         |    FROM w${i - 1}),
+         |    UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+         |  GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
+         |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |w$i AS MATERIALIZED (SELECT freq, replace(seg,
+         |    (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
+         |    (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS seg
+         |  FROM w${i - 1})""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
+
   /** The DuckDB replay of [[TextAnalysis.normalizedUnicode]]. */
   private[queries] def normalizedUnicodeSql(c: String): String =
     "trim(regexp_replace(regexp_replace(" +
@@ -158,6 +200,31 @@ object Round7Queries {
           coalesce(col("cluster"), col("vec_id")).as("cluster"))
         .withColumn("kept", col("cluster") === col("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // BPE tokenizer TRAINING: the learn side of the tokenizer surface
+    // (q38 is the regex apply-side approximation; q96/q103 budget and
+    // shard what a tokenizer emits). One corpus pass reduces to the
+    // unique-word frequency dict; each of the 12 merge rounds is a
+    // dict-sized distributed pair-count groupBy + a one-row argmax
+    // (count DESC, pair ASC — exact integer counts), re-segmenting by
+    // LITERAL replace over separator-wrapped symbols (= greedy BPE;
+    // see graft.text.Bpe). Output: the learned merge table.
+    "q113_bpe_train" -> ((s, dir) => {
+      graft.text.Bpe.train(Tables(s, dir, "documents"), "text", BpeK)
+        .orderBy(col("rank"))
+    }),
+
+    // The apply side of q113 at corpus scale: every word occurrence
+    // runs through the rank-ordered merge replace chain (pure codegen
+    // string ops — the path new data takes AFTER training), then
+    // symbol counts. Top 50 under a total order.
+    "q114_bpe_vocab" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text", BpeK)
+      graft.text.Bpe.vocabCounts(docs, "text", merges)
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
     }),
 
     // Epoch-sharded loader manifest: q103's seeded per-epoch
@@ -304,6 +371,23 @@ object Round7Queries {
          |  (COALESCE(l.clus, cb.vec_id) = cb.vec_id) AS kept
          |FROM cb LEFT JOIN labels l ON l.node = cb.vec_id
          |ORDER BY cb.vec_id""".stripMargin,
+
+    "q113_bpe_train" -> {
+      val merges = (1 to BpeK).map(i =>
+        s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"cnt AS pair_count FROM b$i").mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(BpeK)}
+         |$merges
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q114_bpe_vocab" ->
+      s"""WITH ${bpeCtes(BpeK)}
+         |SELECT token, CAST(SUM(freq) AS BIGINT) AS n FROM (
+         |  SELECT freq, unnest(list_filter(string_split(seg, chr(31)),
+         |    x -> x <> '')) AS token
+         |  FROM w$BpeK)
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
 
     // q103's rank (over tokened docs) + q91's per-stream prefix sum
     // (grp = epoch*16 + shard) + q106's span expansion, recombined.

@@ -305,6 +305,17 @@ object ScaleProbe {
       "span_scrub" -> (() => (time(scrub(docs1)), time(scrub(docsN)))),
       "perceptual_dedup" -> (() => (time(perceptual(docs1)),
         time(perceptual(docsN)))),
+      // BPE training: the corpus pass is the word-frequency
+      // reduction; the per-token perturbation grows the unique-word
+      // dict EXACTLY Nx (every word distinct per replica), so each
+      // merge round's pair-count groupBy scales in dict size. The
+      // returned merge count stays 8 — the output is the learned
+      // table, not data — so the honest row is wall time vs dict
+      // growth. Training's argmax consumes the full pair count; no
+      // pruning hazard.
+      "bpe_train" -> (() => (
+        time(graft.text.Bpe.trainMerges(docs1, "text", 8).length.toLong),
+        time(graft.text.Bpe.trainMerges(docsN, "text", 8).length.toLong))),
       "ann_lsh" -> (() => (time(annLsh(emb1)), time(annLsh(embN)))),
       "ann_ivf" -> (() => (time(annIvf(emb1)), time(annIvf(embN)))),
       "ann_ivfpq" -> (() => (time(annPq(emb1)), time(annPq(embN)))),

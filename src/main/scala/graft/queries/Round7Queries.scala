@@ -227,6 +227,21 @@ object Round7Queries {
         .limit(50)
     }),
 
+    // Leakage-safe train/val/test split: assignment hashes the
+    // near-dup CLUSTER label (q52's CC over LSH pairs; singletons =
+    // own id), so no near-dup pair can straddle splits — the
+    // per-document hash split's eval-contamination bug is impossible
+    // by construction. Same planted-dup corpus as q52.
+    "q115_leakage_safe_split" -> ((s, dir) => {
+      val c = PipelineQueries.corpus(s, dir)
+      val pairs = graft.dedup.Dedup
+        .minhashNearDuplicates(c, "doc_id", "text")
+        .select(col("a"), col("b"))
+      graft.pipeline.Splits.byCluster(c, "doc_id", pairs)
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Epoch-sharded loader manifest: q103's seeded per-epoch
     // permutation deals documents round-robin onto 16 writer shards;
     // each (epoch, shard) stream packs head-to-tail into 2048-token
@@ -388,6 +403,35 @@ object Round7Queries {
          |    x -> x <> '')) AS token
          |  FROM w$BpeK)
          |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+
+    // q52's CC replay + cluster-keyed hash split over the full corpus
+    // (unpaired docs fall back to their own id as cluster).
+    "q115_leakage_safe_split" -> {
+      import PipelineQueries.{shinglesSql, minhashCtesSql, pairsCteSql}
+      s"""WITH RECURSIVE ${PipelineQueries.corpusSql},
+         |${shinglesSql("corpus")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node),
+         |lab AS (SELECT c.doc_id,
+         |    COALESCE(l.clus, c.doc_id) AS cluster
+         |  FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id),
+         |h AS (SELECT doc_id, cluster,
+         |    ${PortableHash.hash60BaseSql("cluster::VARCHAR")} % 100 AS hv
+         |  FROM lab)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN hv < 90 THEN 'train'
+         |       WHEN hv < 95 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
 
     // q103's rank (over tokened docs) + q91's per-stream prefix sum
     // (grp = epoch*16 + shard) + q106's span expansion, recombined.

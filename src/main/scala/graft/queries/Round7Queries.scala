@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-7 generality queries: the forward-looking gaps the round-6
-  * verdict ranked — Unicode-normalizing text canonicalization (NFC/NFD
-  * variant spellings of the same text must dedup together; non-Latin
-  * corpora must survive normalization). Every query replays
+  * verdict ranked — Unicode-canonical text dedup (q109), perceptual
+  * image dedup (q110), incremental semantic-dedup ingest (q111), the
+  * epoch-sharded loader manifest (q112) — plus BPE tokenizer training
+  * and its corpus-scale apply path (q113/q114) and the leakage-safe
+  * cluster-keyed train/val/test split (q115). Every query replays
   * bit-identically in the DuckDB oracle.
   */
 object Round7Queries {

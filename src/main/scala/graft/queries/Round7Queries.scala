@@ -244,6 +244,18 @@ object Round7Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // Winnowing fingerprints (MOSS): positional k-gram hashes, one
+    // rightmost-min selection per w-window — any >= (w+k-1)-token
+    // match between documents shares a fingerprint, at ~2/(w+1)
+    // storage. The (hash, rightmost-pos) choice rides ONE integer
+    // min over a packed key, decoded with truncating div on
+    // nonnegative terms — identical both engines.
+    "q116_winnowing" -> ((s, dir) => {
+      graft.text.Winnow.fingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // Epoch-sharded loader manifest: q103's seeded per-epoch
     // permutation deals documents round-robin onto 16 writer shards;
     // each (epoch, shard) stream packs head-to-tail into 2048-token
@@ -434,6 +446,32 @@ object Round7Queries {
          |       ELSE 'test' END AS split
          |FROM h ORDER BY doc_id""".stripMargin
     },
+
+    // Grams via list slices (== the Spark side's lead-window grams),
+    // packed-key window min, partial-window fallback for short docs.
+    "q116_winnowing" ->
+      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+         |g AS (SELECT doc_id, u.i - 1 AS pos,
+         |    ${PortableHash.hash60BaseSql(
+               "array_to_string(toks[u.i:u.i+2], ' ')")} % 1099511627776 AS gh
+         |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |keyed AS (SELECT doc_id, pos,
+         |    gh * 4194304 + (4194303 - pos) AS key,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS m,
+         |    MIN(gh * 4194304 + (4194303 - pos)) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |    COUNT(*) OVER (
+         |      PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf
+         |  FROM g),
+         |sel AS (SELECT DISTINCT doc_id, wmin FROM keyed
+         |  WHERE nf = 4 OR (m < 4 AND pos = 0))
+         |SELECT doc_id,
+         |  CAST(4194303 - (wmin % 4194304) AS BIGINT) AS pos,
+         |  CAST(wmin // 4194304 AS BIGINT) AS fp
+         |FROM sel ORDER BY doc_id, pos""".stripMargin,
 
     // q103's rank (over tokened docs) + q91's per-stream prefix sum
     // (grp = epoch*16 + shard) + q106's span expansion, recombined.

@@ -1,0 +1,65 @@
+package graft.text
+
+import graft.functions.PortableHash
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): positional k-gram hashes, then
+  * from every window of `w` consecutive gram positions select the
+  * MINIMUM hash, rightmost on ties. The selection guarantee: any match
+  * of at least w + k - 1 consecutive tokens between two documents
+  * shares at least one selected fingerprint, while storage is ~2/(w+1)
+  * of the gram count — the standard local, position-aware alternative
+  * to MinHash when match LOCATION matters (plagiarism/provenance).
+  *
+  * Portability: the per-window rightmost-min is ONE integer `min` —
+  * the (hash, position) choice is packed into a single BIGINT key
+  * `h40 * 2^22 + (2^22 - 1 - pos)` (40-bit hash, position < 2^22), so
+  * smaller key = smaller hash, then RIGHTMOST position; both engines
+  * take `min` over the same ROWS frame and decode with truncating
+  * division on nonnegative terms (Spark `div` == DuckDB `//`).
+  *
+  * Scale shape: one doc-keyed window pass builds positional grams
+  * (q100's lead idiom), one more computes the windowed min — doc-sized
+  * partitions, no corpus-wide shuffle beyond the doc keying; the
+  * fingerprint relation is the compact artifact downstream joins use.
+  */
+object Winnow {
+
+  private val PosBits = 22
+  private val PosCap = (1L << PosBits) - 1
+
+  /** One row per selected fingerprint: (idCol, pos, fp) — the k-gram
+    * starting at token `pos` (0-based) whose 40-bit hash `fp` was the
+    * rightmost window minimum. Documents with fewer than `w` grams
+    * (but at least one) contribute their single partial-window
+    * rightmost-min, so every non-empty document has >= 1 fingerprint.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing parameters: k=$k w=$w")
+    val win = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(win))
+    val grams = toks
+      .withColumn("lastTok", lead(col("tok"), k - 1).over(win))
+      .withColumn("gh",
+        PortableHash.hash60Base(concat_ws(" ", parts: _*)) % (1L << 40))
+      .filter(col("lastTok").isNotNull)
+    val frame = win.rowsBetween(0, w - 1)
+    grams
+      .withColumn("key",
+        col("gh") * (PosCap + 1) + (lit(PosCap) - col("pos")))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("doc"))))
+      .withColumn("wmin", min(col("key")).over(frame))
+      .withColumn("nf", count(lit(1)).over(frame))
+      .filter(col("nf") === w || (col("m") < w && col("pos") === 0))
+      .select(col("doc"), col("wmin")).distinct()
+      .select(col("doc").as(idCol),
+        (lit(PosCap) - expr(s"wmin % ${PosCap + 1}L")).as("pos"),
+        expr(s"wmin div ${PosCap + 1}L").as("fp"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Winnowing vs an independent plain-Scala implementation (explicit
+  * window scan with rightmost-min, no packed-key trick), plus the
+  * paper's selection guarantee on planted matches.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private val (k, w) = (3, 4)
+
+  private def md5Hash40(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % (1L << 40)
+  }
+
+  private def refWinnow(text: String): Set[(Long, Long)] = {
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Set.empty
+    val hs = (0 to toks.length - k)
+      .map(i => md5Hash40(toks.slice(i, i + k).mkString(" ")))
+    def rightmostMin(from: Int, until: Int): (Long, Long) = {
+      var best = -1
+      for (i <- from until until)
+        if (best < 0 || hs(i) <= hs(best)) best = i
+      (best.toLong, hs(best))
+    }
+    if (hs.length < w) Set(rightmostMin(0, hs.length))
+    else (0 to hs.length - w).map(j => rightmostMin(j, j + w)).toSet
+  }
+
+  private def docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .select(col("doc_id"), col("text"))
+
+  test("equals the plain-Scala reference on the corpus") {
+    val got = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = docs.collect()
+      .map(r => r.getLong(0) -> refWinnow(r.getString(1)))
+      .filter(_._2.nonEmpty).toMap
+    assert(got == want)
+  }
+
+  test("selection guarantee: a shared >= w+k-1 token run shares a fingerprint") {
+    val spark0 = spark
+    import spark0.implicits._
+    // two docs sharing a 6-token run (w + k - 1 = 6) amid distinct text
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq(
+      (1L, s"one two three $shared four five six"),
+      (2L, s"seven eight $shared nine ten eleven twelve"),
+      (3L, "entirely different words with no overlap at all"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(d, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val by = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((by(1L) intersect by(2L)).nonEmpty, "shared run must collide")
+    assert((by(1L) intersect by(3L)).isEmpty, "disjoint docs must not")
+  }
+
+  test("short docs still fingerprint; empty docs do not") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d = Seq((1L, "just three tokens"), (2L, "a b"), (3L, ""))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(d, "doc_id", "text", k, w)
+      .collect().map(_.getLong(0)).toSet
+    assert(fp == Set(1L)) // 1 gram -> partial window; <k tokens -> none
+  }
+
+  test("layout-independent") {
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Winnow.fingerprints(d, "doc_id", "text", k, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+}

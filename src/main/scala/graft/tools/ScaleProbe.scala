@@ -313,6 +313,15 @@ object ScaleProbe {
       // table, not data — so the honest row is wall time vs dict
       // growth. Training's argmax consumes the full pair count; no
       // pruning hazard.
+      // winnowing: two doc-keyed window passes; per-token perturbation
+      // keeps every within-replica gram relation intact (hash VALUES
+      // differ so selected positions redistribute, but density ~2/(w+1)
+      // of grams holds) — fingerprint rows grow ~Nx
+      "winnow" -> (() => (
+        time(graft.text.Winnow.fingerprints(docs1, "doc_id", "text")
+          .filter(col("fp") >= 0).count()),
+        time(graft.text.Winnow.fingerprints(docsN, "doc_id", "text")
+          .filter(col("fp") >= 0).count()))),
       "bpe_train" -> (() => (
         time(graft.text.Bpe.trainMerges(docs1, "text", 8).length.toLong),
         time(graft.text.Bpe.trainMerges(docsN, "text", 8).length.toLong))),

@@ -76,6 +76,34 @@ object Round7Queries {
     (init +: rounds).mkString(",\n")
   }
 
+  /** The DuckDB replay of [[graft.text.Winnow.fingerprints]] at
+    * k=3, w=4 over `documents`: CTE chain ending in
+    * `fps(doc_id, pos, fp)`. Shared by q116 and q117.
+    */
+  private def winnowFpCtes: String =
+    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |g AS (SELECT doc_id, u.i - 1 AS pos,
+       |    ${PortableHash.hash60BaseSql(
+             "array_to_string(toks[u.i:u.i+2], ' ')")} % 1099511627776 AS gh
+       |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 3),
+       |keyed AS (SELECT doc_id, pos,
+       |    gh * 4194304 + (4194303 - pos) AS key,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS m,
+       |    MIN(gh * 4194304 + (4194303 - pos)) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |    COUNT(*) OVER (
+       |      PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf
+       |  FROM g),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM keyed
+       |  WHERE nf = 4 OR (m < 4 AND pos = 0)),
+       |fps AS MATERIALIZED (SELECT doc_id,
+       |  CAST(4194303 - (wmin % 4194304) AS BIGINT) AS pos,
+       |  CAST(wmin // 4194304 AS BIGINT) AS fp
+       |FROM sel)""".stripMargin
+
   /** The DuckDB replay of [[TextAnalysis.normalizedUnicode]]. */
   private[queries] def normalizedUnicodeSql(c: String): String =
     "trim(regexp_replace(regexp_replace(" +
@@ -254,6 +282,17 @@ object Round7Queries {
       graft.text.Winnow.fingerprints(
         Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // Cross-document provenance matches from the winnowing relation:
+    // fp-keyed self-join (collision-bucketed, never all-pairs; hot
+    // boilerplate fps capped at df 16), shared-fingerprint mass and
+    // position extents per pair.
+    "q117_winnow_matches" -> ((s, dir) => {
+      val fps = graft.text.Winnow.fingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 3, w = 4)
+      graft.text.Winnow.matches(fps, "doc_id", minShared = 2, maxDf = 16)
+        .orderBy(col("a"), col("b"))
     }),
 
     // Epoch-sharded loader manifest: q103's seeded per-epoch
@@ -450,28 +489,23 @@ object Round7Queries {
     // Grams via list slices (== the Spark side's lead-window grams),
     // packed-key window min, partial-window fallback for short docs.
     "q116_winnowing" ->
-      s"""WITH t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-         |g AS (SELECT doc_id, u.i - 1 AS pos,
-         |    ${PortableHash.hash60BaseSql(
-               "array_to_string(toks[u.i:u.i+2], ' ')")} % 1099511627776 AS gh
-         |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
-         |  WHERE len(toks) >= 3),
-         |keyed AS (SELECT doc_id, pos,
-         |    gh * 4194304 + (4194303 - pos) AS key,
-         |    COUNT(*) OVER (PARTITION BY doc_id) AS m,
-         |    MIN(gh * 4194304 + (4194303 - pos)) OVER (
-         |      PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-         |    COUNT(*) OVER (
-         |      PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf
-         |  FROM g),
-         |sel AS (SELECT DISTINCT doc_id, wmin FROM keyed
-         |  WHERE nf = 4 OR (m < 4 AND pos = 0))
-         |SELECT doc_id,
-         |  CAST(4194303 - (wmin % 4194304) AS BIGINT) AS pos,
-         |  CAST(wmin // 4194304 AS BIGINT) AS fp
-         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+      s"""WITH $winnowFpCtes
+         |SELECT doc_id, pos, fp
+         |FROM fps ORDER BY doc_id, pos""".stripMargin,
+
+    // fp-keyed self-join of the winnowing relation: shared-mass pairs
+    // with position extents on both sides, hot fps capped at df 16.
+    "q117_winnow_matches" ->
+      s"""WITH $winnowFpCtes,
+         |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16),
+         |f AS (SELECT fps.* FROM fps JOIN keep USING (fp))
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  MIN(l.pos) AS a_from, MAX(l.pos) AS a_to,
+         |  MIN(r.pos) AS b_from, MAX(r.pos) AS b_to
+         |FROM f l JOIN f r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a, b""".stripMargin,
 
     // q103's rank (over tokened docs) + q91's per-stream prefix sum
     // (grp = epoch*16 + shard) + q106's span expansion, recombined.

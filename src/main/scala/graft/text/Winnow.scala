@@ -31,6 +31,33 @@ object Winnow {
   private val PosBits = 22
   private val PosCap = (1L << PosBits) - 1
 
+  /** Cross-document matches from a fingerprint relation: pairs sharing
+    * selected fingerprints, with match mass and position extents on
+    * both sides — the provenance query winnowing exists to serve
+    * ("who copied which span from whom"). The join is keyed on the
+    * 40-bit fingerprint value — collision-bucketed, never all-pairs;
+    * hot fingerprints (boilerplate) can be capped with `maxDf` exactly
+    * like duplicateSpans' hot-gram cap. */
+  def matches(fps: DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Long = 0L): DataFrame = {
+    val base =
+      if (maxDf > 0) {
+        val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fp")
+        fps.join(hot, "fp")
+      } else fps
+    val l = base.select(col(idCol).as("a"), col("fp"),
+      col("pos").as("pos_a"))
+    val r = base.select(col(idCol).as("b"), col("fp"),
+      col("pos").as("pos_b"))
+    l.join(r, Seq("fp")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("a_from"), max(col("pos_a")).as("a_to"),
+        min(col("pos_b")).as("b_from"), max(col("pos_b")).as("b_to"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One row per selected fingerprint: (idCol, pos, fp) — the k-gram
     * starting at token `pos` (0-based) whose 40-bit hash `fp` was the
     * rightmost window minimum. Documents with fewer than `w` grams

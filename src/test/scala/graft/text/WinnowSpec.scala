@@ -75,6 +75,35 @@ class WinnowSpec extends SparkSpec {
     assert(fp == Set(1L)) // 1 gram -> partial window; <k tokens -> none
   }
 
+  test("matches: planted copies pair with correct extents; maxDf caps " +
+      "boilerplate") {
+    val spark0 = spark
+    import spark0.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val boiler = "lorem ipsum dolor sit" // in EVERY doc -> hot fps
+    val d = (1L to 12L).map { i =>
+      val own = s"own$i a$i b$i c$i d$i e$i f$i"
+      val t =
+        if (i <= 2) s"$boiler $shared $own" // 1,2 share an 8-token run
+        else s"$boiler $own"
+      (i, t)
+    }.toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(d, "doc_id", "text", k, w)
+    val m = Winnow.matches(fps, "doc_id", minShared = 1, maxDf = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // the boilerplate prefix appears in all 12 docs -> df 12 > 6 ->
+    // capped; only the planted 8-token run should match
+    assert(m.keySet == Set((1L, 2L)), m.toString)
+    val (n, aFrom, aTo) = m((1L, 2L))
+    assert(n >= 1)
+    // every shared fingerprint lies inside the shared run's gram span
+    // (tokens 4..11 -> gram starts 2..9: a gram at pos p spans p..p+2,
+    // and selected grams must start at >= boilerplate length - k + 1)
+    assert(aFrom >= 2 && aTo <= 9, s"extent [$aFrom,$aTo]")
+  }
+
   test("layout-independent") {
     def run(d: org.apache.spark.sql.DataFrame) =
       Winnow.fingerprints(d, "doc_id", "text", k, w)

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.queries.Round3bQueries.queries ++
       graft.queries.Round5Queries.queries ++
       graft.queries.Round6Queries.queries ++
-      graft.queries.Round7Queries.queries
+      graft.queries.Round7Queries.queries ++
+      graft.queries.Round7bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Round3bQueries.oracleSql ++
       graft.queries.Round5Queries.oracleSql ++
       graft.queries.Round6Queries.oracleSql ++
-      graft.queries.Round7Queries.oracleSql
+      graft.queries.Round7Queries.oracleSql ++
+      graft.queries.Round7bQueries.oracleSql
 }

@@ -5,9 +5,9 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 continuation: the streaming ingest front door for the
-  * near-dup index (q118). Every query replays bit-identically in the
-  * DuckDB oracle.
+/** Round-7 continuation: the streaming ingest front doors for the
+  * near-dup text index (q118) and the semantic embedding index (q119).
+  * Every query replays bit-identically in the DuckDB oracle.
   */
 object Round7bQueries {
 
@@ -36,6 +36,51 @@ object Round7bQueries {
       val (_, pairs) = graft.streaming.StreamingLsh.ingest(
         stream, "doc_id", "text", cp)
       pairs.orderBy(col("a"), col("b"))
+    }),
+
+    // Streaming ingest for the EMBEDDING index: q111's planted corpus,
+    // but only the seed slice (vec_id % 3 = 0) is indexed up front
+    // (centroids train there — the oracle's `qz` slice); the growth
+    // slices land as parquet files and a file-source stream drains
+    // them one file per micro-batch through foreachBatch into
+    // IncrementalSemantic. The file split (hash of vec_id, 2 files)
+    // deliberately DIFFERS from q111's %3 batching: per-batch pair
+    // output is exactly-once under ANY batching, so the accumulated
+    // union still equals the one-shot replay — the oracle is q111's
+    // SQL verbatim, hash-checking batching-independence for real.
+    "q119_stream_semantic_ingest" -> ((s, dir) => {
+      import graft.similarity.IncrementalSemantic
+      import graft.sources.Tables
+      val stage = Files.createTempDirectory("graft-q119-landing").toString
+      val cp = Files.createTempDirectory("graft-q119-cp").toString
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val repA = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val repB = emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val full = emb.unionByName(repA).unionByName(repB)
+      val (i0, p0) = IncrementalSemantic.build(
+        full.filter(col("vec_id") % 3 === 0), "vec_id", "embedding",
+        threshold = 0.99, c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters)
+      full.filter(col("vec_id") % 3 =!= 0)
+        .repartition(2, col("vec_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (idx, streamed) = graft.streaming.StreamingSemantic.ingest(
+        stream, "vec_id", "embedding", cp, i0, threshold = 0.99)
+      val cc = graft.dedup.Dedup
+        .connectedComponents(p0.unionByName(streamed))
+        .withColumnRenamed("doc_id", "vec_id")
+      idx.members.select(col("id").as("vec_id"), col("bucket"))
+        .join(cc, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("bucket"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+        .withColumn("kept", col("cluster") === col("vec_id"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -48,6 +93,11 @@ object Round7bQueries {
          |${shinglesSql("corpus")},
          |$minhashCtesSql,
          |${jaccardTailSql("0.5")}""".stripMargin
-    }
+    },
+
+    // identical to q111's one-shot replay: streamed ingest against the
+    // seed-trained centroids must not change the answer
+    "q119_stream_semantic_ingest" ->
+      Round7Queries.oracleSql("q111_incremental_semantic")
   )
 }

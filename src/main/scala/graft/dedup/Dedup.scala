@@ -176,6 +176,68 @@ object Dedup {
     verifiedPairs(cand, sh, threshold)
   }
 
+  /** CROSS-corpus near-dup matching — the train-vs-eval contamination
+    * check at LSH scale: one (a = `a`-corpus id, b = `b`-corpus id,
+    * jaccard) row per near-dup pair ACROSS the two corpora. Same
+    * machinery as [[minhashNearDuplicates]] (shingle → sign → band →
+    * bucket join → exact-Jaccard verify on candidates only), but the
+    * bucket join pairs `a`'s buckets against `b`'s — never a-vs-a or
+    * b-vs-b, no id-ordering filter, so the two id spaces may overlap
+    * freely. [[TextAnalysis.decontaminate]] is the EXACT n-gram-overlap
+    * form of this check; this catches near-duplicate contamination
+    * (light paraphrase, appended boilerplate) that exact-gram overlap
+    * scores dilute.
+    *
+    * At 100 TB: cost is linear in both corpora plus cross collisions;
+    * the eval side is typically tiny — its shingle and bucket relations
+    * broadcast, so the train corpus is never shuffled by the candidate
+    * stage at all.
+    */
+  def crossCorpusMatches(a: DataFrame, aId: String, aText: String,
+      b: DataFrame, bId: String, bText: String, threshold: Double = 0.5,
+      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val shA = hashedShingles(a, aId, aText, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shB = hashedShingles(b, bId, bText, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = bands * rowsPerBand
+    val bktA = bucketsFrom(signaturesFrom(shA, k), bands, rowsPerBand)
+    val bktB = bucketsFrom(signaturesFrom(shB, k), bands, rowsPerBand)
+    val cand = bktA.select(col("doc").as("a"), col("band"), col("bucket"))
+      .join(bktB.select(col("doc").as("b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("a"), col("b")).distinct()
+    val sizesA = shA.groupBy(col("doc")).agg(count(lit(1)).as("na"))
+    val sizesB = shB.groupBy(col("doc")).agg(count(lit(1)).as("nb"))
+    val common = cand
+      .join(shA.select(col("doc").as("a"), col("sh")), Seq("a"))
+      .join(shB.select(col("doc").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizesA.withColumnRenamed("doc", "a"), "a")
+      .join(sizesB.withColumnRenamed("doc", "b"), "b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** Remove from `train` every document with a near-dup match in
+    * `eval` ([[crossCorpusMatches]] at `threshold`): one anti-join on
+    * the matched train ids (a distinct id set — broadcastable whenever
+    * the contaminated fraction is small, which it is by construction
+    * when eval is an eval set).
+    */
+  def decontaminateNearDup(train: DataFrame, trainId: String,
+      trainText: String, eval: DataFrame, evalId: String, evalText: String,
+      threshold: Double = 0.5): DataFrame = {
+    val hit = crossCorpusMatches(train, trainId, trainText,
+      eval, evalId, evalText, threshold)
+      .select(col("a").as(trainId)).distinct()
+    train.join(hit, Seq(trainId), "left_anti")
+  }
+
   /** Span-level EXACT duplicate detection — the "duplicated substring"
     * analysis (suffix-array-style dedup, Spark-shaped): a k-token gram
     * occurring more than once in the corpus (within OR across

@@ -265,34 +265,46 @@ object PipelineQueries {
     * in-expression (distinct-then-hash and hash-then-distinct coincide
     * unless two distinct shingles of one doc collide in 60 bits).
     */
-  private[queries] def shinglesSql(src: String): String =
-    s"""toks AS (SELECT doc_id, $toksExpr AS toks FROM $src),
-       |grams AS (SELECT doc_id,
+  /** Shingle CTE chain ending in `sh<sfx>(doc_id, shh)`. The `sfx`
+    * suffixes every CTE name so two chains (e.g. a train and an eval
+    * corpus, q120) can coexist in one statement; "" keeps the original
+    * names for the single-corpus oracles.
+    */
+  private[queries] def shinglesSql(src: String, sfx: String = ""): String =
+    s"""toks$sfx AS (SELECT doc_id, $toksExpr AS toks FROM $src),
+       |grams$sfx AS (SELECT doc_id,
        |    unnest(CASE WHEN len(toks) >= 3
        |      THEN list_transform(generate_series(1, len(toks)-2),
        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
        |      ELSE []::VARCHAR[] END) AS shingle
-       |  FROM toks),
-       |sh AS (SELECT DISTINCT doc_id,
-       |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM grams)""".stripMargin
+       |  FROM toks$sfx),
+       |sh$sfx AS (SELECT DISTINCT doc_id,
+       |  ${PortableHash.hash60BaseSql("shingle")} AS shh FROM grams$sfx)""".stripMargin
 
-  /** MinHash signature + LSH banding + candidate CTEs over `sh`
-    * (mirrors Dedup.minhashCandidates: 12 affine hashes, 6 bands x 2).
+  /** MinHash signature + LSH bucket CTEs over `sh<sfx>`, ending in
+    * `buckets<sfx>(doc_id, band, bucket)` (mirrors
+    * Dedup.minhashSignatures + bucketsFrom: 12 affine hashes, 6 bands x 2).
     */
-  private[queries] def minhashCtesSql: String =
-    s"""mh AS (
+  private[queries] def sigBucketsSql(sfx: String = ""): String =
+    s"""mh$sfx AS (
        |  SELECT doc_id,
        |${(0 until 12).map(i =>
           s"    min(${PortableHash.minhashSql("shh % 2147483647", i)}) AS mh_$i")
           .mkString(",\n")}
-       |  FROM sh GROUP BY doc_id),
-       |buckets AS (
+       |  FROM sh$sfx GROUP BY doc_id),
+       |buckets$sfx AS (
        |  SELECT doc_id,
        |    unnest([0,1,2,3,4,5]) AS band,
        |    unnest([${(0 until 6).map(b =>
             s"md5(mh_${2 * b}::VARCHAR||','||mh_${2 * b + 1}::VARCHAR)")
             .mkString(", ")}]) AS bucket
-       |  FROM mh),
+       |  FROM mh$sfx)""".stripMargin
+
+  /** Signatures + banding + SELF-join candidates over `sh`
+    * (mirrors Dedup.minhashCandidates).
+    */
+  private[queries] def minhashCtesSql: String =
+    s"""${sigBucketsSql()},
        |cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
        |  FROM buckets l JOIN buckets r

@@ -81,6 +81,31 @@ object Round7bQueries {
           coalesce(col("cluster"), col("vec_id")).as("cluster"))
         .withColumn("kept", col("cluster") === col("vec_id"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Cross-corpus near-dup contamination: train = documents; eval =
+    // planted exact copies (%13), near copies with an appended marker
+    // (%17), and wholly fresh synthetic docs (%5, must NOT match).
+    // q84 is the EXACT n-gram-overlap decontamination check; this is
+    // its near-dup form — LSH buckets of the train corpus joined
+    // against the eval corpus's buckets (never train-vs-train or
+    // eval-vs-eval), exact Jaccard on the cross candidates only.
+    "q120_cross_contamination" -> ((s, dir) => {
+      import graft.sources.Tables
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content")).as("text")))
+      graft.dedup.Dedup.crossCorpusMatches(docs, "doc_id", "text",
+          ev, "doc_id", "text")
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -98,6 +123,46 @@ object Round7bQueries {
     // identical to q111's one-shot replay: streamed ingest against the
     // seed-trained centroids must not change the answer
     "q119_stream_semantic_ingest" ->
-      Round7Queries.oracleSql("q111_incremental_semantic")
+      Round7Queries.oracleSql("q111_incremental_semantic"),
+
+    // two suffixed shingle/signature chains (train `t`, eval `e`),
+    // cross-only candidate join, exact-Jaccard verification
+    "q120_cross_contamination" -> {
+      import PipelineQueries.{shinglesSql, sigBucketsSql}
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, text || ' zz tail marker'
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${shinglesSql("train", "t")},
+         |${sigBucketsSql("t")},
+         |${shinglesSql("ev", "e")},
+         |${sigBucketsSql("e")},
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bucketst l JOIN bucketse r
+         |    ON l.band = r.band AND l.bucket = r.bucket),
+         |sizest AS (SELECT doc_id, count(*) AS na FROM sht GROUP BY doc_id),
+         |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sht x ON x.doc_id = c.a
+         |  JOIN she y ON y.doc_id = c.b AND y.shh = x.shh
+         |  GROUP BY c.a, c.b)
+         |SELECT cm.a, cm.b,
+         |  cm.n_common::DOUBLE / (sa.na + sb.nb - cm.n_common) AS jaccard
+         |FROM common cm
+         |JOIN sizest sa ON sa.doc_id = cm.a
+         |JOIN sizese sb ON sb.doc_id = cm.b
+         |WHERE cm.n_common::DOUBLE / (sa.na + sb.nb - cm.n_common) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    }
   )
 }

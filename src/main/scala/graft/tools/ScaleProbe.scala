@@ -290,6 +290,22 @@ object ScaleProbe {
       graft.similarity.IncrementalSemantic.addBatch(idx, semBatch,
         "vec_id", "embedding", threshold = 0.99)._2.count()
 
+    // Cross-corpus contamination: the train corpus grows Nx while the
+    // eval set stays FIXED (replica 0's %13 docs) — the production
+    // shape, "re-check a grown corpus against the same benchmark".
+    // Both sides derive from the r0-PERTURBED corpus (docs1r), so the
+    // 1x and Nx train sides carry identical replica-0 text; the other
+    // N-1 replicas share nothing with the eval set, so the match count
+    // is constant across sizes and the honest cost left is the
+    // train-side shingle/signature scan + the cross bucket join
+    // against the fixed eval buckets.
+    val contamEval = docs1r.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    def crossContam(d: DataFrame): Long =
+      graft.dedup.Dedup.crossCorpusMatches(d, "doc_id", "text",
+        contamEval, "doc_id", "text")
+        .filter(col("jaccard") >= 0).count()
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -301,6 +317,8 @@ object ScaleProbe {
       "agg" -> (() => (time(agg(li1)), time(agg(liN)))),
       "minhash_lsh" -> (() => (time(minhash(docs1)), time(minhash(docsN)))),
       "dedup_cluster" -> (() => (time(cluster(docs1)), time(cluster(docsN)))),
+      "cross_contamination" -> (() => (time(crossContam(docs1r)),
+        time(crossContam(docsN)))),
       "dup_spans" -> (() => (time(spans(docs1)), time(spans(docsN)))),
       "span_scrub" -> (() => (time(scrub(docs1)), time(scrub(docsN)))),
       "perceptual_dedup" -> (() => (time(perceptual(docs1)),

@@ -77,17 +77,19 @@ object Round7Queries {
   }
 
   /** The DuckDB replay of [[graft.text.Winnow.fingerprints]] at
-    * k=3, w=4 over `documents`: CTE chain ending in
-    * `fps(doc_id, pos, fp)`. Shared by q116 and q117.
+    * k=3, w=4 over `src`: CTE chain ending in
+    * `fps<sfx>(doc_id, pos, fp)`. Shared by q116/q117 (defaults, one
+    * chain) and q121 (two suffixed chains in one statement).
     */
-  private def winnowFpCtes: String =
-    s"""t AS (SELECT doc_id, $toksExpr AS toks FROM documents),
-       |g AS (SELECT doc_id, u.i - 1 AS pos,
+  private[queries] def winnowFpCtes(src: String = "documents",
+      sfx: String = ""): String =
+    s"""t$sfx AS (SELECT doc_id, $toksExpr AS toks FROM $src),
+       |g$sfx AS (SELECT doc_id, u.i - 1 AS pos,
        |    ${PortableHash.hash60BaseSql(
              "array_to_string(toks[u.i:u.i+2], ' ')")} % 1099511627776 AS gh
-       |  FROM t, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
+       |  FROM t$sfx, UNNEST(generate_series(1, len(toks) - 2)) AS u(i)
        |  WHERE len(toks) >= 3),
-       |keyed AS (SELECT doc_id, pos,
+       |keyed$sfx AS (SELECT doc_id, pos,
        |    gh * 4194304 + (4194303 - pos) AS key,
        |    COUNT(*) OVER (PARTITION BY doc_id) AS m,
        |    MIN(gh * 4194304 + (4194303 - pos)) OVER (
@@ -96,13 +98,13 @@ object Round7Queries {
        |    COUNT(*) OVER (
        |      PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS nf
-       |  FROM g),
-       |sel AS (SELECT DISTINCT doc_id, wmin FROM keyed
+       |  FROM g$sfx),
+       |sel$sfx AS (SELECT DISTINCT doc_id, wmin FROM keyed$sfx
        |  WHERE nf = 4 OR (m < 4 AND pos = 0)),
-       |fps AS MATERIALIZED (SELECT doc_id,
+       |fps$sfx AS MATERIALIZED (SELECT doc_id,
        |  CAST(4194303 - (wmin % 4194304) AS BIGINT) AS pos,
        |  CAST(wmin // 4194304 AS BIGINT) AS fp
-       |FROM sel)""".stripMargin
+       |FROM sel$sfx)""".stripMargin
 
   /** The DuckDB replay of [[TextAnalysis.normalizedUnicode]]. */
   private[queries] def normalizedUnicodeSql(c: String): String =
@@ -489,14 +491,14 @@ object Round7Queries {
     // Grams via list slices (== the Spark side's lead-window grams),
     // packed-key window min, partial-window fallback for short docs.
     "q116_winnowing" ->
-      s"""WITH $winnowFpCtes
+      s"""WITH ${winnowFpCtes()}
          |SELECT doc_id, pos, fp
          |FROM fps ORDER BY doc_id, pos""".stripMargin,
 
     // fp-keyed self-join of the winnowing relation: shared-mass pairs
     // with position extents on both sides, hot fps capped at df 16.
     "q117_winnow_matches" ->
-      s"""WITH $winnowFpCtes,
+      s"""WITH ${winnowFpCtes()},
          |keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 16),
          |f AS (SELECT fps.* FROM fps JOIN keep USING (fp))
          |SELECT l.doc_id AS a, r.doc_id AS b,

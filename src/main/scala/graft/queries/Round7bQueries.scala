@@ -106,6 +106,38 @@ object Round7bQueries {
       graft.dedup.Dedup.crossCorpusMatches(docs, "doc_id", "text",
           ev, "doc_id", "text")
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Span-level contamination provenance: q120 says WHETHER an eval
+    // doc near-dups a train doc; this localizes WHERE. Eval plants
+    // exact copies (%13), span copies (%17 — the first 24 tokens of a
+    // train doc + a fresh continuation; the winnowing guarantee makes
+    // any >= w+k-1 = 6-token copied run share a fingerprint), and
+    // wholly fresh docs (%5, must not match). Cross-only fp join with
+    // the combined-df hot-fingerprint cap; position extents on both
+    // sides are the actionable output ("scrub train doc a tokens
+    // a_from..a_to").
+    "q121_cross_provenance" -> ((s, dir) => {
+      import graft.sources.Tables
+      import graft.text.{TextAnalysis, Winnow}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(
+              concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 24)),
+              lit(" wholly fresh continuation appended beyond the span"))
+              .as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content tokens")).as("text")))
+      val fpsT = Winnow.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      val fpsE = Winnow.fingerprints(ev, "doc_id", "text", k = 3, w = 4)
+      Winnow.crossMatches(fpsT, fpsE, "doc_id", minShared = 2, maxDf = 16)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -162,6 +194,41 @@ object Round7bQueries {
          |JOIN sizest sa ON sa.doc_id = cm.a
          |JOIN sizese sb ON sb.doc_id = cm.b
          |WHERE cm.n_common::DOUBLE / (sa.na + sb.nb - cm.n_common) >= 0.5
+         |ORDER BY a, b""".stripMargin
+    },
+
+    // two suffixed winnowing chains, combined-df hot-fp cap, cross-only
+    // fp join with shared mass + position extents
+    "q121_cross_provenance" -> {
+      import Round7Queries.winnowFpCtes
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000,
+         |    array_to_string(
+         |      (list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x <> ''))[1:24], ' ')
+         |      || ' wholly fresh continuation appended beyond the span'
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content tokens'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${winnowFpCtes("train", "t")},
+         |${winnowFpCtes("ev", "e")},
+         |keep AS (SELECT fp FROM (
+         |    SELECT fp FROM fpst UNION ALL SELECT fp FROM fpse)
+         |  GROUP BY fp HAVING COUNT(*) <= 16),
+         |fa AS (SELECT f.* FROM fpst f JOIN keep USING (fp)),
+         |fb AS (SELECT f.* FROM fpse f JOIN keep USING (fp))
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  MIN(l.pos) AS a_from, MAX(l.pos) AS a_to,
+         |  MIN(r.pos) AS b_from, MAX(r.pos) AS b_to
+         |FROM fa l JOIN fb r ON l.fp = r.fp
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY a, b""".stripMargin
     }
   )

@@ -58,6 +58,38 @@ object Winnow {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** CROSS-corpus provenance matches: `fpsA`'s fingerprints joined
+    * against `fpsB`'s — one (a, b) row per document pair sharing
+    * selected fingerprints ACROSS the corpora, never within either.
+    * This is the span-level contamination check ("which eval passage
+    * appears inside which train document, and where"):
+    * [[graft.dedup.Dedup.crossCorpusMatches]] answers whether two
+    * documents are near-dups overall; this localizes shared >=
+    * (w+k-1)-token passages via the winnowing guarantee, with position
+    * extents on both sides. Id spaces may overlap freely. The hot-
+    * fingerprint cap `maxDf` is computed over the COMBINED relation —
+    * boilerplate is boilerplate whichever corpus it lives in.
+    */
+  def crossMatches(fpsA: DataFrame, fpsB: DataFrame, idCol: String,
+      minShared: Int = 2, maxDf: Long = 0L): DataFrame = {
+    val (fa, fb) =
+      if (maxDf > 0) {
+        val keep = fpsA.select(col("fp"))
+          .unionAll(fpsB.select(col("fp")))
+          .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("fp")
+        (fpsA.join(keep, "fp"), fpsB.join(keep, "fp"))
+      } else (fpsA, fpsB)
+    fa.select(col(idCol).as("a"), col("fp"), col("pos").as("pos_a"))
+      .join(fb.select(col(idCol).as("b"), col("fp"),
+        col("pos").as("pos_b")), Seq("fp"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("pos_a")).as("a_from"), max(col("pos_a")).as("a_to"),
+        min(col("pos_b")).as("b_from"), max(col("pos_b")).as("b_to"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** One row per selected fingerprint: (idCol, pos, fp) — the k-gram
     * starting at token `pos` (0-based) whose 40-bit hash `fp` was the
     * rightmost window minimum. Documents with fewer than `w` grams

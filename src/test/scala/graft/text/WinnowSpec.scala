@@ -110,4 +110,32 @@ class WinnowSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(run(docs) == run(docs.repartition(13)))
   }
+
+  test("crossMatches: span copies localize, fresh docs and within-" +
+      "corpus pairs never match, id spaces may overlap") {
+    val spark0 = spark
+    import spark0.implicits._
+    val src = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val train = Seq(
+      1L -> s"train one $src and a much longer own continuation here",
+      2L -> "train two totally different content about other things",
+      // train-internal duplicate pair — must NOT surface cross-corpus
+      3L -> "dup pair x1 x2 x3 x4 x5 x6 x7 x8",
+      4L -> "dup pair x1 x2 x3 x4 x5 x6 x7 x8").toDF("doc_id", "text")
+    val eval = Seq(
+      // id 1 REUSED on the eval side: overlapping id spaces
+      1L -> s"copied span $src then a wholly fresh ending",
+      9L -> "fresh eval doc sharing nothing with the train corpus")
+      .toDF("doc_id", "text")
+    val fT = Winnow.fingerprints(train, "doc_id", "text", k, w)
+    val fE = Winnow.fingerprints(eval, "doc_id", "text", k, w)
+    val m = Winnow.crossMatches(fT, fE, "doc_id", minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the span copy matches, and only against its source
+    assert(m == Set((1L, 1L)), m.toString)
+    // the winnowing guarantee held ACROSS corpora for the 10-token run
+    val ext = Winnow.crossMatches(fT, fE, "doc_id", minShared = 1)
+      .collect().head
+    assert(ext.getLong(2) >= 1 && ext.getLong(3) >= 0)
+  }
 }

@@ -138,6 +138,29 @@ object Round7bQueries {
       val fpsE = Winnow.fingerprints(ev, "doc_id", "text", k = 3, w = 4)
       Winnow.crossMatches(fpsT, fpsE, "doc_id", minShared = 2, maxDf = 16)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Mergeable histogram-sketch quantiles — the quantile sibling of
+    // the KMV distinct sketch (q77's maintenance pattern for
+    // distribution stats): per-(source, lang) doc-length histogram
+    // PARTIALS (bounded sketch rows, map-side combinable) merge up to
+    // per-source by pure addition, then p25/p50/p90/p99 come off the
+    // merged sketch via integer cumulative counts — the oracle builds
+    // per-source DIRECTLY, so partial-merge == direct-build is the
+    // hash-checked contract. All-integer (rational levels, truncating
+    // div), exact to one binWidth.
+    "q122_hist_quantiles" -> ((s, dir) => {
+      import graft.quality.HistSketch
+      import graft.sources.Tables
+      val docs = Tables(s, dir, "documents")
+        .withColumn("len", length(col("text")).cast("long"))
+      val parts = HistSketch.partials(docs, Seq("source", "lang"),
+        "len", binWidth = 64)
+      val merged = HistSketch.mergeUp(parts, Seq("source"))
+      HistSketch.quantiles(merged, Seq("source"), binWidth = 64,
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p90", 9L, 10L),
+          ("p99", 99L, 100L)))
+        .orderBy(col("source"), col("level"))
     })
   )
 
@@ -230,6 +253,26 @@ object Round7bQueries {
          |FROM fa l JOIN fb r ON l.fp = r.fp
          |GROUP BY 1, 2 HAVING COUNT(*) >= 2
          |ORDER BY a, b""".stripMargin
-    }
+    },
+
+    // direct per-source build — equal to the engine's partial-merge by
+    // the sketch-merge contract; integer cum-count quantile selection
+    "q122_hist_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT source, length(text) // 64 AS bin,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+         |  FROM h GROUP BY 1),
+         |c AS (SELECT source, bin, cnt,
+         |    SUM(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+         |  FROM h),
+         |lv(level, num, den) AS (VALUES
+         |  ('p25', 1, 4), ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+         |SELECT c.source, lv.level, CAST(MIN(c.bin) * 64 AS BIGINT) AS est
+         |FROM c JOIN t ON t.source = c.source CROSS JOIN lv
+         |WHERE c.cum * lv.den >= lv.num * t.n
+         |GROUP BY 1, 2
+         |ORDER BY c.source, level""".stripMargin
   )
 }

@@ -191,7 +191,10 @@ object Dedup {
     * At 100 TB: cost is linear in both corpora plus cross collisions;
     * the eval side is typically tiny — its shingle and bucket relations
     * broadcast, so the train corpus is never shuffled by the candidate
-    * stage at all.
+    * stage at all. Both shingle relations are cached (each feeds the
+    * signature and the verify subtrees) with the same lifecycle caveat
+    * as [[minhashNearDuplicates]]: the returned frame is lazy, so the
+    * cache is left for Spark's LRU / the caller to manage.
     */
   def crossCorpusMatches(a: DataFrame, aId: String, aText: String,
       b: DataFrame, bId: String, bText: String, threshold: Double = 0.5,

@@ -16,21 +16,31 @@ object Tables {
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) refuses outright. Read it as a raw nanosecond long
-    * (legacy conf) and expose `ts_ns` (full precision), `ts_us`
-    * (microsecond ticks — use THIS for anything compared against the
-    * DuckDB oracle, which truncates parquet ns timestamps to µs on
-    * read), and a truncated TimestampType `ts` for window/date logic.
+  /** `events.ts` arrives as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark's µs TimestampType refuses it — read as a raw
+    * nanosecond long via the legacy conf) and TIMESTAMP(MICROS) in
+    * others. Both layouts expose the same contract: `ts_ns` (nanosecond
+    * ticks), `ts_us` (microsecond ticks — use THIS for anything compared
+    * against the DuckDB oracle, which reads either layout at µs), and a
+    * TimestampType `ts` for window/date logic.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    read(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      // integer division: ts_ns exceeds double's 2^53 mantissa, so a
-      // float path would corrupt low digits
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) read as nanosecond longs
+        raw.withColumnRenamed("ts", "ts_ns")
+          // integer division: ts_ns exceeds double's 2^53 mantissa, so a
+          // float path would corrupt low digits
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case _ => // TIMESTAMP(MICROS); NTZ casts losslessly under the
+        // pinned-UTC session timezone
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+    }
   }
 }

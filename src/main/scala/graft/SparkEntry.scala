@@ -28,7 +28,8 @@ object SparkEntry {
       graft.queries.Round5Queries.queries ++
       graft.queries.Round6Queries.queries ++
       graft.queries.Round7Queries.queries ++
-      graft.queries.Round7bQueries.queries
+      graft.queries.Round7bQueries.queries ++
+      graft.queries.Round7cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Round5Queries.oracleSql ++
       graft.queries.Round6Queries.oracleSql ++
       graft.queries.Round7Queries.oracleSql ++
-      graft.queries.Round7bQueries.oracleSql
+      graft.queries.Round7bQueries.oracleSql ++
+      graft.queries.Round7cQueries.oracleSql
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Bloom
+import graft.functions.PortableHash
+import graft.sources.Tables
+import graft.text.TextAnalysis
+
+/** Round-7 continuation (part c): join-free Bloom decontamination.
+  * Every query replays bit-identically in the DuckDB oracle.
+  */
+object Round7cQueries {
+
+  /** Bloom geometry for q123: 2^16 bits, 4 probes. At the sf0.01 train
+    * cardinality (~1.5k distinct fingerprints) the load factor is
+    * ~0.09, so a fresh doc false-positives with probability ~0.09^4 —
+    * and even when one does, both engines compute the identical bits,
+    * so the oracle still hash-matches.
+    */
+  private val BloomM = 65536
+  private val BloomK = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Benchmark decontamination WITHOUT the join: q84 shuffles train
+    // against eval on shared shingles; this builds one mergeable
+    // m-bit Bloom bitset over the train fingerprints (map-side
+    // partial OR merges) and probes the eval side with k scan-local
+    // integer tests against the broadcast bitset literal — no join,
+    // no shuffle, no second pass over train. Planted eval: verbatim
+    // train copies (must flag — Bloom has no false negatives) and
+    // suffixed fresh docs (unflagged modulo deterministic false
+    // positives, which the oracle replays exactly).
+    "q123_bloom_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      def fp(c: org.apache.spark.sql.Column) =
+        PortableHash.hash60Base(TextAnalysis.normalized(c))
+      val filter = Bloom.build(docs, fp(col("text")), BloomM, BloomK)
+      val eval = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("eval_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 5 === 1)
+          .select(col("doc_id").as("eval_id"),
+            concat(col("text"), lit(" eval fresh suffix")).as("text")))
+      eval.select(col("eval_id"),
+          Bloom.probeHits(fp(col("text")), filter).cast("long").as("hits"),
+          Bloom.mightContain(fp(col("text")), filter).as("contaminated"))
+        .orderBy(col("eval_id"))
+    })
+  )
+
+  /** Normalization + 60-bit fingerprint, DuckDB text (q18's canonical
+    * form fed into the portable hash).
+    */
+  private def fpSql(textExpr: String): String =
+    PortableHash.hash60BaseSql(
+      s"""trim(regexp_replace(regexp_replace(lower($textExpr),
+         |    '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))""".stripMargin)
+
+  private def posArms(rel: String, fpCol: String): String =
+    (0 until BloomK).map { i =>
+      s"SELECT ${if (rel.isEmpty) "" else "eval_id, "}" +
+        s"${Bloom.positionSql(fpCol, i, BloomM)} AS pos FROM " +
+        (if (rel.isEmpty) "train_fp" else rel)
+    }.mkString("\n  UNION ALL ")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q123_bloom_decontaminate" ->
+      s"""WITH train_fp AS (
+         |  SELECT DISTINCT ${fpSql("text")} AS fp FROM documents),
+         |train_pos AS (
+         |  SELECT DISTINCT pos FROM (
+         |  ${posArms("", "fp")})),
+         |eval AS (
+         |  SELECT doc_id AS eval_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, text || ' eval fresh suffix' FROM documents
+         |  WHERE doc_id % 5 = 1),
+         |eval_fp AS (SELECT eval_id, ${fpSql("text")} AS fp FROM eval),
+         |probes AS (
+         |  ${posArms("eval_fp", "fp")})
+         |SELECT p.eval_id,
+         |  CAST(count(t.pos) AS BIGINT) AS hits,
+         |  count(t.pos) = $BloomK AS contaminated
+         |FROM probes p LEFT JOIN train_pos t ON p.pos = t.pos
+         |GROUP BY p.eval_id ORDER BY p.eval_id""".stripMargin
+  )
+}

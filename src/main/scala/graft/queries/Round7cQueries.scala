@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Bloom
 import graft.functions.PortableHash
 import graft.sources.Tables
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, TextClassify}
 
 /** Round-7 continuation (part c): join-free Bloom decontamination.
   * Every query replays bit-identically in the DuckDB oracle.
@@ -47,8 +47,25 @@ object Round7cQueries {
           Bloom.probeHits(fp(col("text")), filter).cast("long").as("hits"),
           Bloom.mightContain(fp(col("text")), filter).as("contaminated"))
         .orderBy(col("eval_id"))
+    }),
+
+    // Model-based quality gate: hashed linear classifier inference at
+    // corpus scale. The model is a (bucket, weight) RELATION broadcast
+    // into the exploded token stream; integer weights make the per-doc
+    // score an exact commutative sum, and the accept gate is a
+    // mean-weight threshold as integer cross-multiplication — the
+    // fastText-classifier-gate shape with zero cross-engine float
+    // hazards.
+    "q124_classifier_gate" -> ((s, dir) => {
+      val w = TextClassify.syntheticWeights(s, ClassifierDim)
+      TextClassify.hashedLinear(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          w, ClassifierDim, thresholdNum = -248, thresholdDen = 1)
+        .orderBy(col("doc_id"))
     })
   )
+
+  private val ClassifierDim = 1024
 
   /** Normalization + 60-bit fingerprint, DuckDB text (q18's canonical
     * form fed into the portable hash).
@@ -85,6 +102,24 @@ object Round7cQueries {
          |  CAST(count(t.pos) AS BIGINT) AS hits,
          |  count(t.pos) = $BloomK AS contaminated
          |FROM probes p LEFT JOIN train_pos t ON p.pos = t.pos
-         |GROUP BY p.eval_id ORDER BY p.eval_id""".stripMargin
+         |GROUP BY p.eval_id ORDER BY p.eval_id""".stripMargin,
+
+    "q124_classifier_gate" ->
+      s"""WITH weights AS (${TextClassify.syntheticWeightsSql(ClassifierDim)}),
+         |toks AS (
+         |  SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '')) AS token
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    ${TextClassify.bucketSql("token", ClassifierDim)} AS bucket
+         |  FROM toks)
+         |SELECT b.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w.weight) AS BIGINT) AS score,
+         |  CAST(sum(w.weight) AS BIGINT) * 1
+         |    >= -248 * CAST(count(*) AS BIGINT) AS keep
+         |FROM b JOIN weights w USING (bucket)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   )
 }

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PortableHash
+
+/** Model-based quality filtering: linear bag-of-words inference with
+  * the hashing trick — the shape of the fastText-style classifier
+  * gates production pretraining pipelines run after the heuristic
+  * gates (quality score, repetition, langId).
+  *
+  * The model is DATA, not code: a `(bucket, weight)` relation with
+  * `dim` rows — however the weights were trained, inference here is
+  * one broadcast join against the exploded token stream plus one
+  * keyed aggregation. Token → bucket uses the portable 60-bit hash
+  * mod dim, weights are INTEGERS (scaled fixed-point, as trained
+  * models ship for quantized inference), so the per-doc score is an
+  * exact integer sum — commutative, layout-independent, and
+  * bit-replayable in the oracle, where cross-engine double dot
+  * products would not be. The accept gate is a mean-weight threshold
+  * expressed as integer cross-multiplication
+  * (`score * den >= num * n_tokens`), no division anywhere.
+  *
+  * At 100 TB: the corpus side is one tokenize+explode scan feeding a
+  * map-side-combinable sum; the model side is dim rows — broadcast;
+  * nothing shuffles but doc-keyed partial sums.
+  */
+object TextClassify {
+
+  /** Hash bucket of a token in a dim-bucket model (seeded so the
+    * feature space is independent of the other corpus hashes).
+    */
+  val BucketSeed = 9
+
+  def bucket(token: Column, dim: Int): Column =
+    PortableHash.hash60(token, BucketSeed) % lit(dim.toLong)
+
+  /** DuckDB SQL computing exactly [[bucket]]. */
+  def bucketSql(tokenExpr: String, dim: Int): String =
+    s"(${PortableHash.hash60Sql(tokenExpr, BucketSeed)} % $dim)"
+
+  /** Score every document with a hashed linear model and gate on mean
+    * token weight >= thresholdNum/thresholdDen.
+    *
+    * @param weights model relation with integer columns
+    *                `(bucket: long, weight: long)`, `dim` rows
+    * @return (id, n_tokens, score, keep) — exact integers + boolean
+    */
+  def hashedLinear(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int,
+      thresholdNum: Long, thresholdDen: Long): DataFrame = {
+    require(thresholdDen > 0, "thresholdDen > 0")
+    val toks = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    toks
+      .select(col(idCol), bucket(col("token"), dim).as("bucket"))
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("score"))
+      .withColumn("keep",
+        col("score") * lit(thresholdDen) >= lit(thresholdNum) * col("n_tokens"))
+  }
+
+  /** Deterministic pseudo-trained weight table (bucket, weight) with
+    * weight uniform-ish in [-1000, 1000] — the portable stand-in for a
+    * shipped model in oracle-checked queries; real deployments pass
+    * their trained relation instead.
+    */
+  def syntheticWeights(spark: org.apache.spark.sql.SparkSession,
+      dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      (PortableHash.hash60(col("id").cast("string"), seed = 7)
+        % lit(2001L) - lit(1000L)).as("weight"))
+
+  /** DuckDB CTE body generating exactly [[syntheticWeights]]. */
+  def syntheticWeightsSql(dim: Int): String =
+    s"""SELECT range AS bucket,
+       |  (${PortableHash.hash60Sql("CAST(range AS VARCHAR)", 7)} % 2001) - 1000
+       |    AS weight
+       |FROM range($dim)""".stripMargin
+}

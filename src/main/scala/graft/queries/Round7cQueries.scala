@@ -62,8 +62,31 @@ object Round7cQueries {
           Tables(s, dir, "documents"), "doc_id", "text",
           w, ClassifierDim, thresholdNum = -248, thresholdDen = 1)
         .orderBy(col("doc_id"))
+    }),
+
+    // Exact corpus quantiles WITHOUT a global sort: iterative
+    // histogram refinement — each round one 256-cell
+    // map-side-combinable histogram over the narrowed candidate range
+    // (filter pushed to the scan), rounds = log_256(range). Exact
+    // where HistSketch (q122) answers to bin precision, and
+    // shuffle-free where percentile/ORDER BY pay a corpus sort.
+    // Rank contract: k = ceil(p·n), value = k-th smallest inclusive
+    // of duplicates — replayed by the oracle as a ROW_NUMBER probe.
+    "q125_exact_quantiles" -> ((s, dir) => {
+      import graft.operators.Selection
+      val d = Tables(s, dir, "documents")
+      val n = d.count()
+      val rows = Quantiles.map { case (lbl, num, den) =>
+        val k = (n * num + den - 1) / den
+        (lbl, k, Selection.kthSmallest(d, col("n_chars"), k))
+      }
+      import s.implicits._
+      rows.toDF("pct", "k", "value").orderBy(col("pct"))
     })
   )
+
+  private val Quantiles =
+    Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
 
   private val ClassifierDim = 1024
 
@@ -120,6 +143,20 @@ object Round7cQueries {
          |  CAST(sum(w.weight) AS BIGINT) * 1
          |    >= -248 * CAST(count(*) AS BIGINT) AS keep
          |FROM b JOIN weights w USING (bucket)
-         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q125_exact_quantiles" -> {
+      val arms = Quantiles.map { case (lbl, num, den) =>
+        s"SELECT '$lbl' AS pct, (c*$num + ${den - 1}) // $den AS k FROM n"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH n AS (SELECT count(*) AS c FROM documents),
+         |ks AS (
+         |  $arms),
+         |r AS (SELECT n_chars AS value,
+         |    row_number() OVER (ORDER BY n_chars) AS rn
+         |  FROM documents)
+         |SELECT ks.pct, CAST(ks.k AS BIGINT) AS k, r.value
+         |FROM ks JOIN r ON r.rn = ks.k ORDER BY ks.pct""".stripMargin
+    }
   )
 }

@@ -18,18 +18,26 @@ object BenchSome {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        fn(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$name%-24s best=${times.min}%6.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      // warmup run (uncounted), then best-of-3 per action — the same
+      // protocol as Bench, for like-for-like A/B against BENCH_r{N}
+      fn(spark, dir).count()
+      def bo3(action: org.apache.spark.sql.DataFrame => Unit): Seq[Double] =
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          action(fn(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }
+      val counts = bo3(_.count(): Unit)
+      val noops = bo3(_.write.format("noop").mode("overwrite").save())
+      println(f"$name%-28s count_best=${counts.min}%6.3f noop_best=${noops.min}%6.3f  " +
+        f"count=${counts.map(t => f"$t%.3f").mkString(",")} noop=${noops.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

@@ -59,8 +59,12 @@ object Selection {
       while (cum + hist(idx)._2 < kRem) { cum += hist(idx)._2; idx += 1 }
       val b = hist(idx)._1
       kRem -= cum
-      lo = lo + b * width
-      hi = math.min(hi, lo + width - 1)
+      // BigInt: lo + b*width is always <= hi (bucket b is occupied), but
+      // the tentative upper bound lo + width - 1 can exceed Long.MaxValue
+      // when hi sits within one bucket width of it — min in BigInt first
+      val newLo = BigInt(lo) + BigInt(b) * width
+      hi = (newLo + (width - 1)).min(BigInt(hi)).toLong
+      lo = newLo.toLong
     }
     lo
   }

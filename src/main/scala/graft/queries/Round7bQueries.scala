@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
   */
 object Round7bQueries {
 
+  /** Recursive delete of a staging/checkpoint temp directory. */
+  private def rmTree(dir: String): Unit = {
+    import java.nio.file.{Files => F, Path}
+    import java.util.Comparator
+    val root = Path.of(dir)
+    if (F.exists(root))
+      F.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => F.deleteIfExists(p))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Streaming near-dup ingestion, run FOR REAL: the planted corpus
@@ -35,6 +45,10 @@ object Round7bQueries {
         .option("maxFilesPerTrigger", 1).parquet(stage)
       val (_, pairs) = graft.streaming.StreamingLsh.ingest(
         stream, "doc_id", "text", cp)
+      // pairs + index relations are localCheckpoint-materialized, so the
+      // staging corpus and stream checkpoint are deletable immediately
+      // (a bench sweep would otherwise leave ~12 corpus copies in /tmp)
+      rmTree(stage); rmTree(cp)
       pairs.orderBy(col("a"), col("b"))
     }),
 
@@ -72,6 +86,7 @@ object Round7bQueries {
         .option("maxFilesPerTrigger", 1).parquet(stage)
       val (idx, streamed) = graft.streaming.StreamingSemantic.ingest(
         stream, "vec_id", "embedding", cp, i0, threshold = 0.99)
+      rmTree(stage); rmTree(cp)
       val cc = graft.dedup.Dedup
         .connectedComponents(p0.unionByName(streamed))
         .withColumnRenamed("doc_id", "vec_id")

@@ -139,10 +139,10 @@ object Round7cQueries {
          |  FROM toks)
          |SELECT b.doc_id,
          |  CAST(count(*) AS BIGINT) AS n_tokens,
-         |  CAST(sum(w.weight) AS BIGINT) AS score,
-         |  CAST(sum(w.weight) AS BIGINT) * 1
+         |  CAST(sum(COALESCE(w.weight, 0)) AS BIGINT) AS score,
+         |  CAST(sum(COALESCE(w.weight, 0)) AS BIGINT) * 1
          |    >= -248 * CAST(count(*) AS BIGINT) AS keep
-         |FROM b JOIN weights w USING (bucket)
+         |FROM b LEFT JOIN weights w USING (bucket)
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "q125_exact_quantiles" -> {

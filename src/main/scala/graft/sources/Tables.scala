@@ -40,7 +40,15 @@ object Tables {
         // pinned-UTC session timezone
         raw.withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_us", unix_micros(col("ts")))
-          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          // a MICROS file can hold timestamps past year 2262 whose
+          // nanosecond tick overflows int64 (a NANOS file cannot) —
+          // fail loudly instead of wrapping
+          .withColumn("ts_ns",
+            when(abs(col("ts_us")) <= lit(Long.MaxValue / 1000L),
+              col("ts_us") * lit(1000L))
+              .otherwise(raise_error(concat(
+                lit("events.ts beyond year-2262 nanosecond range: ts_us="),
+                col("ts_us").cast("string"))).cast(LongType)))
     }
   }
 }

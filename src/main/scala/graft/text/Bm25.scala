@@ -64,8 +64,12 @@ object Bm25 {
       .filter(col("bm25") > 0)
     val top = perDoc.orderBy(col("bm25").desc, id).limit(k)
     top
+      // partitionBy(lit(0)): at most k rows reach this exchange (the
+      // limit above), so the single partition is by construction — the
+      // constant partition key documents that and silences WindowExec's
+      // all-data-to-one-partition warning for the genuinely-global case
       .withColumn("rank",
-        row_number().over(Window.orderBy(col("bm25").desc, id)))
+        row_number().over(Window.partitionBy(lit(0)).orderBy(col("bm25").desc, id)))
       .select(id, col("bm25"), col("rank"))
   }
 }

@@ -53,11 +53,15 @@ object TextClassify {
     require(thresholdDen > 0, "thresholdDen > 0")
     val toks = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("token"))
+    // LEFT join + coalesce: a sparse trained model (weights relation not
+    // covering every bucket) must still count the unmatched tokens in
+    // n_tokens — an inner join would silently skew the mean-weight gate
     toks
       .select(col(idCol), bucket(col("token"), dim).as("bucket"))
-      .join(broadcast(weights), "bucket")
+      .join(broadcast(weights), Seq("bucket"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("weight")).as("score"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).as("score"))
       .withColumn("keep",
         col("score") * lit(thresholdDen) >= lit(thresholdNum) * col("n_tokens"))
   }

@@ -29,7 +29,8 @@ object SparkEntry {
       graft.queries.Round6Queries.queries ++
       graft.queries.Round7Queries.queries ++
       graft.queries.Round7bQueries.queries ++
-      graft.queries.Round7cQueries.queries
+      graft.queries.Round7cQueries.queries ++
+      graft.queries.Round8Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Round6Queries.oracleSql ++
       graft.queries.Round7Queries.oracleSql ++
       graft.queries.Round7bQueries.oracleSql ++
-      graft.queries.Round7cQueries.oracleSql
+      graft.queries.Round7cQueries.oracleSql ++
+      graft.queries.Round8Queries.oracleSql
 }

@@ -27,12 +27,22 @@ object CorpusPipeline {
     *   [[graft.dedup.Dedup.survivorsByScore]] — the quality-aware
     *   policy, reusing the quality score stage 1 already computed.
     */
+  /** @param collisionBand optional order-0 entropy gate
+    *   (spewNum, spewDen, spamNum, spamDen): drop documents whose
+    *   character collision index is <= spewNum/spewDen (random spew) or
+    *   >= spamNum/spamDen (repeated boilerplate) — see
+    *   [[graft.quality.Entropy]]. Runs after the row-local gates (it
+    *   costs a per-character aggregation, so it sees the reduced set)
+    *   and before dedup. None (default) preserves the historical
+    *   pipeline exactly.
+    */
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
       jaccardThreshold: Double = 0.5,
-      keepBest: Boolean = false)
+      keepBest: Boolean = false,
+      collisionBand: Option[(Long, Long, Long, Long)] = None)
 
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
@@ -53,14 +63,24 @@ object CorpusPipeline {
       .filter(col("quality") >= cfg.minQuality &&
         col("lang_pred").isin(cfg.languages: _*))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 1b. optional entropy band (per-character aggregation — costlier
+    // than the row-local gates, so it runs on their survivors)
+    val banded = cfg.collisionBand match {
+      case None => gated
+      case Some((spewNum, spewDen, spamNum, spamDen)) =>
+        val ok = graft.quality.Entropy.gate(gated, idCol, textCol,
+            spewNum, spewDen, spamNum, spamDen)
+          .filter(col("keep")).select(id)
+        gated.join(ok, Seq(idCol), "left_semi")
+    }
     // 2. exact dedup: keep the minimum id per content fingerprint
-    val keep = Dedup.exactGroups(gated, idCol, textCol)
+    val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))
     // the exact-dedup survivors feed BOTH the shingle pipeline (via the
     // eager connected-components phase) and the final anti join, so they
     // persist too — otherwise the fingerprint aggregate + semi join
     // replay once per consumer
-    val exact = gated.join(keep, Seq(idCol), "left_semi")
+    val exact = banded.join(keep, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. near-dup removal: resolve LSH-verified pairs into connected
     // components and keep each cluster's minimum id — one survivor per

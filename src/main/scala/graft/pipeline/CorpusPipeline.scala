@@ -44,6 +44,34 @@ object CorpusPipeline {
       keepBest: Boolean = false,
       collisionBand: Option[(Long, Long, Long, Long)] = None)
 
+  /** Stage-1 row-local gates (quality score + predicted language): a
+    * pure codegen scan emitting `(id, text, quality, lang_pred)` for
+    * the admitted rows. Shared by [[clean]] and the streaming front
+    * door ([[graft.streaming.StreamingCorpus]]) — per-row logic, so
+    * batch-at-a-time application over any partitioning of the corpus
+    * produces exactly the one-shot result.
+    */
+  def rowGates(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame =
+    docs.select(col(idCol), col(textCol),
+        TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
+        TextAnalysis.langId(col(textCol)).as("lang_pred"))
+      .filter(col("quality") >= cfg.minQuality &&
+        col("lang_pred").isin(cfg.languages: _*))
+
+  /** Stage-1b optional entropy band over gate survivors (per-document
+    * aggregation — independent of corpus batching, like [[rowGates]]).
+    */
+  def entropyBand(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.collisionBand match {
+    case None => gated
+    case Some((spewNum, spewDen, spamNum, spamDen)) =>
+      val ok = graft.quality.Entropy.gate(gated, idCol, textCol,
+          spewNum, spewDen, spamNum, spamDen)
+        .filter(col("keep")).select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
     */
@@ -57,22 +85,11 @@ object CorpusPipeline {
     // makes every downstream consumer a cache read instead of a gate
     // recompute. Caller-managed eviction, same contract as
     // minhashNearDuplicates.
-    val gated = docs.select(id, col(textCol),
-        TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
-        TextAnalysis.langId(col(textCol)).as("lang_pred"))
-      .filter(col("quality") >= cfg.minQuality &&
-        col("lang_pred").isin(cfg.languages: _*))
+    val gated = rowGates(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1b. optional entropy band (per-character aggregation — costlier
     // than the row-local gates, so it runs on their survivors)
-    val banded = cfg.collisionBand match {
-      case None => gated
-      case Some((spewNum, spewDen, spamNum, spamDen)) =>
-        val ok = graft.quality.Entropy.gate(gated, idCol, textCol,
-            spewNum, spewDen, spamNum, spamDen)
-          .filter(col("keep")).select(id)
-        gated.join(ok, Seq(idCol), "left_semi")
-    }
+    val banded = entropyBand(gated, idCol, textCol, cfg)
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))

@@ -45,10 +45,42 @@ object Round8Queries {
           .select((col("doc_id") + 4000000L).as("doc_id"),
             lit("spam " * 40).as("text")))
       Entropy.gate(corpus, "doc_id", "text").orderBy(col("doc_id"))
+    }),
+
+    // Streaming END-TO-END corpus cleaning, run for real: the planted
+    // q46 corpus lands as a 3-file staging directory, a file-source
+    // stream drains it one file per micro-batch, and each batch is
+    // gated (quality + language) and folded into the incremental LSH
+    // index inside one foreachBatch frame — land → gate → fold in one
+    // pass. Survivors resolve at end of stream from the accumulated
+    // materialized state. The oracle is q46's whole-corpus SQL replay
+    // VERBATIM while the stream's file batching differs — "streamed
+    // cleaning == one-shot cleaning" is a hash-checked contract.
+    "q126_stream_corpus_clean" -> ((s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft-q126-landing").toString
+      val cp = Files.createTempDirectory("graft-q126-cp").toString
+      PipelineQueries.corpus(s, dir)
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp)
+      // gated/pairs are per-batch localCheckpoint'd — the resolve plan
+      // never reads the staging files, so they are deletable now
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      graft.streaming.StreamingCorpus
+        .resolveSurvivors(gated, pairs, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // q46's SQL verbatim: streaming the cleaning must not change the answer
+    "q126_stream_corpus_clean" -> PipelineQueries.oracleSql("q46_pipeline"),
 
     "q127_entropy_gate" -> {
       val n2 = "CAST(n_chars * n_chars AS BIGINT)"

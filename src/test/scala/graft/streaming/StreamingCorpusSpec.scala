@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.pipeline.CorpusPipeline
+import graft.quality.Entropy
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming end-to-end corpus cleaning: the file-source drain (gate →
+  * fold-into-index per micro-batch, resolve at end of stream) must
+  * produce exactly the one-shot CorpusPipeline.clean result, under any
+  * file batching, for every survivor policy.
+  */
+class StreamingCorpusSpec extends SparkSpec {
+
+  /** sf0.001 docs + exact copies (%7) and near copies (%11) — the q46
+    * planted corpus shape.
+    */
+  private def corpus: DataFrame = {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    base
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz tail marker")).as("text")))
+  }
+
+  private def streamClean(nFiles: Int,
+      cfg: CorpusPipeline.Config): Set[(Long, Double, String)] = {
+    val stage = Files.createTempDirectory("graft-sc-landing").toString
+    val cp = Files.createTempDirectory("graft-sc-cp").toString
+    corpus.repartition(nFiles, col("doc_id"))
+      .write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(spark.read.parquet(stage).schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val (_, gated, pairs) = StreamingCorpus.ingest(
+      stream, "doc_id", "text", cp, cfg)
+    collectOut(StreamingCorpus.resolveSurvivors(
+      gated, pairs, "doc_id", "text", cfg))
+  }
+
+  private def collectOut(df: DataFrame): Set[(Long, Double, String)] =
+    df.select(col("doc_id"), col("quality"), col("lang_pred"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSet
+
+  test("streamed cleaning == one-shot clean (default config)") {
+    val cfg = CorpusPipeline.Config()
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    assert(streamClean(3, cfg) === oneShot)
+  }
+
+  test("batching-independent: a different file split gives the same set") {
+    val cfg = CorpusPipeline.Config()
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    assert(streamClean(2, cfg) === oneShot)
+  }
+
+  test("keepBest policy streams identically") {
+    val cfg = CorpusPipeline.Config(keepBest = true)
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    assert(streamClean(3, cfg) === oneShot)
+  }
+
+  test("entropy collisionBand streams identically") {
+    val cfg = CorpusPipeline.Config(collisionBand =
+      Some((Entropy.SpewNum, Entropy.SpewDen, Entropy.SpamNum, Entropy.SpamDen)))
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    assert(streamClean(3, cfg) === oneShot)
+  }
+}

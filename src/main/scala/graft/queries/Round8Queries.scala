@@ -74,6 +74,42 @@ object Round8Queries {
         .resolveSurvivors(gated, pairs, "doc_id", "text")
         .select(col("doc_id"), col("quality"), col("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Full PII compliance pass — q81 (email+IPv4) extended with phone
+    // numbers, IBAN-shaped account ids, and credit cards with a LUHN
+    // validity check as explicit integer arithmetic: card-SHAPED
+    // numbers are counted, but only checksum-valid ones are scrubbed
+    // (the %19 plant is shaped-but-invalid and must survive). Counts
+    // per category + md5 of the fully scrubbed text hash-check the
+    // whole rewrite without shipping it.
+    "q128_pii_classes" -> ((s, dir) => {
+      import graft.text.Pii
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" reach me at user5@example.com")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" from 192.168.10.77 today")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" call +1-555-0147 or +44-207-946-0958")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" card 4539 1488 0343 6467 or 4111111111111111 on file"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0,
+          lit(" card 4539-1488-0343-6468 rejected")).otherwise(lit("")),
+        when(col("doc_id") % 23 === 0,
+          lit(" pay DE44500105175407324931 ref")).otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(Pii.EmailRe)).as("n_email"),
+          regexp_count(col("t"), lit(Pii.Ipv4Re)).as("n_ip"),
+          regexp_count(col("t"), lit(Pii.PhoneRe)).as("n_phone"),
+          size(Pii.cardMatches(col("t"))).as("n_card_shaped"),
+          size(Pii.validCards(col("t"))).as("n_card_valid"),
+          regexp_count(col("t"), lit(Pii.IbanRe)).as("n_iban"),
+          md5(Pii.scrub(col("t"))).as("scrub_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -104,6 +140,36 @@ object Round8Queries {
          |    OR coll_num * ${Entropy.SpewDen} <= ${Entropy.SpewNum} * $n2)
          |    AS keep
          |FROM entsig ORDER BY doc_id""".stripMargin
+    },
+
+    "q128_pii_classes" -> {
+      import graft.text.Pii
+      s"""WITH p AS (
+         |  SELECT doc_id, text
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' reach me at user5@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' from 192.168.10.77 today' ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |         THEN ' call +1-555-0147 or +44-207-946-0958' ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0
+         |         THEN ' card 4539 1488 0343 6467 or 4111111111111111 on file'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 19 = 0
+         |         THEN ' card 4539-1488-0343-6468 rejected' ELSE '' END
+         |    || CASE WHEN doc_id % 23 = 0
+         |         THEN ' pay DE44500105175407324931 ref' ELSE '' END AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(t, '${Pii.EmailRe}')) AS n_email,
+         |  len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS n_ip,
+         |  len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS n_phone,
+         |  len(regexp_extract_all(t, '${Pii.CardRe}')) AS n_card_shaped,
+         |  len(list_filter(regexp_extract_all(t, '${Pii.CardRe}'),
+         |    c -> ${Pii.luhn16Sql(Pii.cardDigitsSql("c"))})) AS n_card_valid,
+         |  len(regexp_extract_all(t, '${Pii.IbanRe}')) AS n_iban,
+         |  md5(${Pii.scrubSql("t")}) AS scrub_md5
+         |FROM p ORDER BY doc_id""".stripMargin
     }
   )
 }

@@ -93,10 +93,11 @@ object Perceptual {
     * shuffle partitions: size to the corpus.
     */
   def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int, bands: Int = 4): DataFrame = {
-    require(bands > 0 && HashBits % bands == 0,
-      s"bands must divide $HashBits")
-    val bandBits = HashBits / bands
+      maxHamming: Int, bands: Int = 4,
+      hashBits: Int = HashBits): DataFrame = {
+    require(bands > 0 && hashBits % bands == 0,
+      s"bands must divide $hashBits")
+    val bandBits = hashBits / bands
     val bandKeys = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
         shiftright(col(hashCol), bnd * bandBits)
@@ -119,8 +120,10 @@ object Perceptual {
     * their own id), and whether it is a non-survivor duplicate.
     */
   def clusters(hashes: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int, bands: Int = 4): DataFrame = {
-    val pairs = hammingPairs(hashes, idCol, hashCol, maxHamming, bands)
+      maxHamming: Int, bands: Int = 4,
+      hashBits: Int = HashBits): DataFrame = {
+    val pairs = hammingPairs(hashes, idCol, hashCol, maxHamming, bands,
+      hashBits)
     val labels = Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("__cc_node"), col("cluster").as("__cc_lab"))
     hashes.join(labels, hashes(idCol) === col("__cc_node"), "left")

@@ -110,6 +110,64 @@ object Round8Queries {
           regexp_count(col("t"), lit(Pii.IbanRe)).as("n_iban"),
           md5(Pii.scrub(col("t"))).as("scrub_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual AUDIO dedup — the q110 sibling for sound: real 16-bit
+    // PCM WAV payloads are built, re-encoded (decode->encode, %3),
+    // nearest-neighbor resampled 2x (%5), and gain-doubled (%7); the
+    // spectral-energy fingerprint (8 windows x lag-{0,1,2,4} comb
+    // energies; 52 gradient bits along both the temporal and spectral
+    // axes) is invariant to all three — probes sample a fixed time
+    // grid, and bits compare energy RATIOS — while distinct clips
+    // separate (measured min inter-clip hamming 5-6 over ~20k pairs).
+    // 4x13-bit bands + hamming<=3 verify keeps the banded candidate
+    // stage exhaustive by pigeonhole.
+    "q129_audio_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.multimodal.{AudioFp, Wav}
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      val h = md5(col("text"))
+      def byteAt(i: Int) =
+        conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+      // per-id SLOPE in the phase term: a purely additive id term would
+      // leave every lag-difference band identical across clips (q110's
+      // linear-ramp lesson) — the multiplicative mix gives each clip
+      // its own pseudo-noise gradient structure
+      def sample(id: Long, i: Int): Short =
+        ((((id + 1) * 2654435761L * (i + 3) + i.toLong * (i + 7))
+          % 16384L) - 8192L).toShort
+      val base = docs
+        .select(col("doc_id").cast("long").as("id"),
+          (byteAt(0) * 8 + 512).as("n"))
+        .as[(Long, Int)]
+        .mapPartitions(_.map { case (id, n) =>
+          val p = Wav.encode(
+            Wav.Audio(8000, 1, Array.tabulate(n)(i => sample(id, i))))
+          AudioFp.AudioMedia(id, p, p.length)
+        })
+      val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
+      val reenc = base.filter((m: AudioFp.AudioMedia) => m.doc_id % 3 == 0)
+        .mapPartitions(_.map { m =>
+          val p = Wav.encode(Wav.decode(m.payload))
+          AudioFp.AudioMedia(m.doc_id * 4 + 1, p, p.length)
+        })
+      val resamp = base.filter((m: AudioFp.AudioMedia) => m.doc_id % 5 == 0)
+        .mapPartitions(_.map { m =>
+          val a = Wav.decode(m.payload)
+          val p = Wav.encode(Wav.resample(a, a.frames * 2))
+          AudioFp.AudioMedia(m.doc_id * 4 + 2, p, p.length)
+        })
+      val gained = base.filter((m: AudioFp.AudioMedia) => m.doc_id % 7 == 0)
+        .mapPartitions(_.map { m =>
+          val a = Wav.decode(m.payload)
+          val p = Wav.encode(a.copy(
+            samples = a.samples.map(v => (v * 2).toShort)))
+          AudioFp.AudioMedia(m.doc_id * 4 + 3, p, p.length)
+        })
+      val media = orig.union(reenc).union(resamp).union(gained)
+      AudioFp.clusters(AudioFp.fingerprints(media), "id", "afp")
+        .orderBy(col("id"))
     })
   )
 
@@ -170,6 +228,87 @@ object Round8Queries {
          |  len(regexp_extract_all(t, '${Pii.IbanRe}')) AS n_iban,
          |  md5(${Pii.scrubSql("t")}) AS scrub_md5
          |FROM p ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // Replays q129 arithmetically (the q110 discipline for audio):
+    // clip length from md5, sample(id0,i) = ((id0+1)*2654435761*(i+3)
+    // + i*(i+7)) % 16384 - 8192 (x2 gain for the volume variant), the
+    // 2x resample as a //sc probe-index map, lag-{0,1,2,4} window
+    // energies, 28 temporal + 24 spectral gradient bits, 4x13-bit band
+    // candidates, hamming<=3 verify, min-label CC as a recursive CTE.
+    "q129_audio_dedup" ->
+      s"""WITH RECURSIVE dims AS (
+         |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT * 8 + 512 AS n
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |clips AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0, n, 1 AS sc, 1 AS vol
+         |  FROM dims
+         |  UNION ALL SELECT doc_id*4+1, doc_id, n, 1, 1 FROM dims
+         |    WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+2, doc_id, n, 2, 1 FROM dims
+         |    WHERE doc_id % 5 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id, n, 1, 2 FROM dims
+         |    WHERE doc_id % 7 = 0),
+         |probes AS (
+         |  SELECT rid, j, j // 16 AS w,
+         |    vol * ((((id0+1)*2654435761*(idx+3) + idx*(idx+7)) % 16384)
+         |      - 8192) AS p
+         |  FROM (
+         |    SELECT c.rid, c.id0, c.vol, js.j,
+         |      (js.j*(c.n*c.sc)//128)//c.sc AS idx
+         |    FROM clips c,
+         |      (SELECT unnest(generate_series(0, 127)) AS j) js) t),
+         |lagt AS (SELECT unnest([0,1,2,4]) AS lag,
+         |                unnest([0,1,2,3]) AS bi),
+         |en AS (
+         |  SELECT x.rid, x.w, lt.bi,
+         |    CAST(SUM(CASE WHEN lt.lag = 0 THEN x.p*x.p
+         |             ELSE (y.p-x.p)*(y.p-x.p) END) AS BIGINT) AS e
+         |  FROM probes x
+         |  CROSS JOIN lagt lt
+         |  JOIN probes y
+         |    ON y.rid = x.rid AND y.j = x.j + lt.lag AND y.w = x.w
+         |  GROUP BY 1, 2, 3),
+         |fpt AS (
+         |  SELECT l.rid,
+         |    CAST(COALESCE(SUM(CASE WHEN r.e > l.e
+         |      THEN (1::BIGINT << (l.bi*7 + l.w)) END), 0) AS BIGINT) AS ht
+         |  FROM en l JOIN en r
+         |    ON r.rid = l.rid AND r.bi = l.bi AND r.w = l.w + 1
+         |  WHERE l.w < 7
+         |  GROUP BY l.rid),
+         |fpsp AS (
+         |  SELECT l.rid,
+         |    CAST(COALESCE(SUM(CASE WHEN r.e > l.e
+         |      THEN (1::BIGINT << (28 + l.w*3 + l.bi)) END), 0) AS BIGINT)
+         |      AS hs
+         |  FROM en l JOIN en r
+         |    ON r.rid = l.rid AND r.w = l.w AND r.bi = l.bi + 1
+         |  WHERE l.bi < 3
+         |  GROUP BY l.rid),
+         |fp AS (SELECT t.rid, t.ht | s2.hs AS afp
+         |  FROM fpt t JOIN fpsp s2 USING (rid)),
+         |bands AS (
+         |  SELECT rid, afp, bb.band, (afp >> (bb.band * 13)) & 8191 AS v
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.afp AS ha, y.afp AS hb
+         |    FROM bands x JOIN bands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid)
+         |  WHERE bit_count(xor(ha, hb)) <= 3),
+         |edges AS (SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |labels AS (SELECT node, min(lab) AS clus FROM reach GROUP BY node)
+         |SELECT f.rid AS id, f.afp,
+         |  COALESCE(l.clus, f.rid) AS cluster,
+         |  (COALESCE(l.clus, f.rid) <> f.rid) AS is_dup
+         |FROM fp f LEFT JOIN labels l ON l.node = f.rid
+         |ORDER BY f.rid""".stripMargin
   )
 }

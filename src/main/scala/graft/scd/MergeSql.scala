@@ -64,9 +64,10 @@ object MergeSql {
     * session catalog).
     */
   def plan(spark: SparkSession, sql: String,
-      resolve: String => DataFrame = null): DataFrame = {
+      resolve: String => DataFrame = null,
+      evolveSchema: Boolean = false): DataFrame = {
     val r = Option(resolve).getOrElse((n: String) => spark.table(n))
-    compile(spark, parse(spark, sql), r)
+    compile(spark, parse(spark, sql), r, evolve = evolveSchema)
   }
 
   /** The [[execute]] path's plan without the publish: identical to
@@ -86,8 +87,16 @@ object MergeSql {
     * be a [[ParquetCatalog]] table; sources resolve from the catalog
     * first, then session views. Returns the published content.
     */
+  /** @param evolveSchema Delta-style automatic schema evolution (opt-in,
+    *   like Delta's autoMerge conf): source columns referenced by star
+    *   actions or explicit assignments that are absent from the target
+    *   schema are APPENDED to it (existing rows read NULL there), and
+    *   the widened schema publishes as the table's next catalog version.
+    *   Off (default) preserves the strict behavior: unknown assignment
+    *   targets error.
+    */
   def execute(spark: SparkSession, catalog: ParquetCatalog,
-      sql: String): DataFrame = {
+      sql: String, evolveSchema: Boolean = false): DataFrame = {
     val mit = parse(spark, sql)
     val (tName, _) = relName(mit.targetTable)
     require(catalog.exists(tName), s"MERGE target not in catalog: $tName")
@@ -97,9 +106,11 @@ object MergeSql {
     // compile's `checked` path): one target-vs-source join total, the
     // violation raised from the plan while the new version materializes.
     // The catalog's versioned pointer swap makes the failure atomic —
-    // a raised write job never publishes.
+    // a raised write job never publishes (and a failed EVOLVING merge
+    // leaves the old schema current, same mechanism).
     try catalog.overwrite(tName,
-      compile(spark, mit, r, checked = mit.matchedActions.nonEmpty))
+      compile(spark, mit, r, checked = mit.matchedActions.nonEmpty,
+        evolve = evolveSchema))
     catch {
       case e: Throwable if causeChain(e).exists(
           t => Option(t.getMessage).exists(_.contains(CardMsg))) =>
@@ -162,13 +173,68 @@ object MergeSql {
     * (count 1, no skewed null partition).
     */
   private def compile(spark: SparkSession, mit: MergeIntoTable,
-      resolve: String => DataFrame, checked: Boolean = false): DataFrame = {
+      resolve: String => DataFrame, checked: Boolean = false,
+      evolve: Boolean = false): DataFrame = {
     val (tName, tAlias) = relName(mit.targetTable)
     val tQ = tAlias.getOrElse(tName)
     val tDf = resolve(tName)
     val (sDf, sQ) = sourceRel(mit.sourceTable, spark, resolve)
-    val outFields = tDf.schema.fields.toSeq
+    val allActions = mit.matchedActions ++ mit.notMatchedActions ++
+      mit.notMatchedBySourceActions
+    // Schema evolution: append source-derived columns the target lacks.
+    // Star actions contribute every source column not in the target (in
+    // source order); explicit assignments contribute their key, typed
+    // by resolving the assigned value against the aliased source (new
+    // columns' values come from the source — a value needing target
+    // columns cannot define a column the target doesn't have).
+    val targetFields = tDf.schema.fields.toSeq
+    val targetHas = targetFields.map(_.name.toLowerCase).toSet
+    val outFields: Seq[org.apache.spark.sql.types.StructField] =
+      if (!evolve) targetFields
+      else {
+        val hasStar = allActions.exists {
+          case _: InsertStarAction | _: UpdateStarAction => true
+          case _ => false
+        }
+        val fromStar =
+          if (hasStar)
+            sDf.schema.fields.toSeq.filterNot(f => targetHas(f.name.toLowerCase))
+          else Nil
+        val sAliased = sDf.alias(sQ)
+        val explicit = allActions.flatMap {
+          case u: UpdateAction => u.assignments
+          case i: InsertAction => i.assignments
+          case _ => Nil
+        }.flatMap { a =>
+          val raw = a.key match {
+            case u: UnresolvedAttribute => u.nameParts.last
+            case other => other.sql
+          }
+          if (targetHas(raw.toLowerCase)) None
+          else {
+            val dt =
+              try sAliased.select(toCol(a.value)).schema.head.dataType
+              catch {
+                case e: Exception => throw new IllegalArgumentException(
+                  s"cannot infer type for evolved MERGE column $raw: the " +
+                    "assigned value must resolve against the source alone", e)
+              }
+            Some(org.apache.spark.sql.types.StructField(raw, dt))
+          }
+        }
+        val newCols = (fromStar ++ explicit)
+          .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+            (acc, f) =>
+              if (acc.exists(_.name.toLowerCase == f.name.toLowerCase)) acc
+              else acc :+ f
+          }
+        targetFields ++ newCols
+      }
     def tc(c: String): Column = col(s"$tQ.$c")
+    // target-side value of an output column: NULL (typed by the route
+    // cast) for columns that exist only post-evolution
+    def tcol(c: String): Column =
+      if (targetHas(c.toLowerCase)) tc(c) else lit(null)
     def sc(c: String): Column = col(s"$sQ.$c")
     // assignment keys resolve like Spark's default analyzer:
     // case-insensitively against the target schema, unknown -> error
@@ -211,9 +277,9 @@ object MergeSql {
         val (v, k): (String => Column, Column) = a match {
           case u: UpdateAction =>
             val m = coerceAsg(u.assignments)
-            (c => m.getOrElse(c, tc(c)), lit(true))
+            (c => m.getOrElse(c, tcol(c)), lit(true))
           case _: UpdateStarAction => (c => sc(c), lit(true))
-          case _: DeleteAction => (c => tc(c), lit(false))
+          case _: DeleteAction => (c => tcol(c), lit(false))
           case i: InsertAction =>
             val m = coerceAsg(i.assignments)
             (c => m.getOrElse(c, lit(null)), lit(true))
@@ -224,10 +290,10 @@ object MergeSql {
         Routed(c => when(cond, v(c)).otherwise(acc.value(c)),
           when(cond, k).otherwise(acc.keep))
       }
-    val matched = fold(mit.matchedActions, Routed(tc, lit(true)))
+    val matched = fold(mit.matchedActions, Routed(tcol, lit(true)))
     val inserts = fold(mit.notMatchedActions,
       Routed(_ => lit(null), lit(false)))
-    val tgtOnly = fold(mit.notMatchedBySourceActions, Routed(tc, lit(true)))
+    val tgtOnly = fold(mit.notMatchedBySourceActions, Routed(tcol, lit(true)))
     def route(df: DataFrame, r: Routed): DataFrame =
       df.filter(r.keep)
         .select(outFields.map(f =>
@@ -242,7 +308,9 @@ object MergeSql {
       val t = tDf.alias(tQ)
       val s = sDf.alias(sQ)
       val carried = t.join(s, cond, "left_semi")
-        .select(outFields.map(f => col(f.name)): _*)
+        .select(outFields.map(f =>
+          (if (targetHas(f.name.toLowerCase)) col(f.name)
+           else lit(null).cast(f.dataType)).as(f.name)): _*)
       val unmatched = route(t.join(s, cond, "left_anti"), tgtOnly)
       val inserted = route(s.join(t, cond, "left_anti"), inserts)
       carried.unionByName(unmatched).unionByName(inserted)

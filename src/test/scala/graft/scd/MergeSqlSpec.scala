@@ -201,4 +201,83 @@ class MergeSqlSpec extends SparkSpec {
       df.collect().toSet
     assert(rows(viaMerge) == rows(viaEngine))
   }
+
+  // ---- schema evolution (opt-in, Delta autoMerge-style) --------------
+
+  private def evoFixture(): Unit = {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .createOrReplaceTempView("msql_et")
+    Seq((2L, "B", 200L, "eu"), (4L, "d", 40L, "us"))
+      .toDF("id", "name", "v", "region").createOrReplaceTempView("msql_es")
+  }
+
+  test("evolution off: star forms ignore extra source columns; explicit " +
+      "assignment to an unknown column still errors") {
+    evoFixture()
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_et t USING msql_es s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin)
+    assert(out.columns.toSeq == Seq("id", "name"))
+    val e = intercept[IllegalArgumentException] {
+      MergeSql.plan(spark,
+        """MERGE INTO msql_et t USING msql_es s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET region = s.region""".stripMargin)
+    }
+    assert(e.getMessage.contains("unknown target column"))
+  }
+
+  test("evolution: INSERT */UPDATE SET * append new source columns; " +
+      "pre-existing rows read NULL there") {
+    evoFixture()
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_et t USING msql_es s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin, evolveSchema = true)
+    assert(out.columns.toSeq == Seq("id", "name", "v", "region"))
+    val m = out.orderBy("id").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(m(1L) === (None, None), "carried row: NULL in evolved columns")
+    assert(m(2L) === (Some(200L), Some("eu")), "updated row takes source")
+    assert(m(4L) === (Some(40L), Some("us")), "inserted row takes source")
+  }
+
+  test("evolution: explicit assignments define new typed columns") {
+    evoFixture()
+    val out = MergeSql.plan(spark,
+      """MERGE INTO msql_et t USING msql_es s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET region = s.region
+        |WHEN NOT MATCHED THEN INSERT (id, name, region)
+        |  VALUES (s.id, s.name, s.region)
+        |""".stripMargin, evolveSchema = true)
+    assert(out.columns.toSeq == Seq("id", "name", "region"))
+    assert(out.schema("region").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val m = out.orderBy("id").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2))).toMap
+    assert(m === Map(1L -> None, 2L -> Some("eu"), 4L -> Some("us")))
+  }
+
+  test("evolution: execute publishes the widened schema as the next " +
+      "catalog version") {
+    evoFixture()
+    val cat = new ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-msql-evo").toString)
+    cat.create("msql_edim", StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType))))
+    cat.overwrite("msql_edim", spark.table("msql_et"))
+    val v0 = cat.currentVersion("msql_edim").get
+    MergeSql.execute(spark, cat,
+      """MERGE INTO msql_edim t USING msql_es s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+        |""".stripMargin, evolveSchema = true)
+    val now = cat.table("msql_edim")
+    assert(now.columns.toSeq == Seq("id", "name", "v", "region"))
+    assert(now.count() == 3)
+    assert(cat.currentVersion("msql_edim").get > v0)
+    // the pre-evolution version is still readable with the old schema
+    assert(cat.tableAsOfVersion("msql_edim", v0).columns.toSeq ==
+      Seq("id", "name"))
+  }
 }

@@ -306,6 +306,48 @@ object ScaleProbe {
         contamEval, "doc_id", "text")
         .filter(col("jaccard") >= 0).count()
 
+    // Bloom decontamination: the train side grows Nx while the eval set
+    // stays FIXED (replica 0's %5 docs) — "re-check a grown corpus" with
+    // the join-free gate. The m-bit bitset is CONSTANT-size driver state
+    // (2^22 bits = 512 KiB here, sized so the filter is not saturated at
+    // 64x) and the eval probe is k scan-local integer tests, so the
+    // honest cost left is the train-side fingerprint scan + the
+    // constant-size aggregate merge; output rows stay constant.
+    val bloomEval = docs1r.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("eval_id"), col("text"))
+    def bloomProbe(d: DataFrame): Long = {
+      def fp(c: org.apache.spark.sql.Column) =
+        graft.functions.PortableHash.hash60Base(
+          graft.text.TextAnalysis.normalized(c))
+      val filt = graft.dedup.Bloom.build(d, fp(col("text")), 1 << 22, 4)
+      bloomEval.select(col("eval_id"),
+          graft.dedup.Bloom.probeHits(fp(col("text")), filt)
+            .cast("long").as("h"))
+        .filter(col("h") >= 0).count()
+    }
+
+    // Hashed-linear classifier gate: one tokenize+explode scan feeding a
+    // map-side-combinable doc-keyed sum against the broadcast (bucket,
+    // weight) relation — cost must track the token scan; output rows
+    // grow exactly Nx.
+    def classify(d: DataFrame): Long = {
+      val w = graft.text.TextClassify.syntheticWeights(spark, 1024)
+      graft.text.TextClassify.hashedLinear(d, "doc_id", "text",
+          w, 1024, thresholdNum = -248, thresholdDen = 1)
+        .filter(col("score") >= Long.MinValue).count()
+    }
+
+    // Exact distributed selection (median of the doc-length column):
+    // rounds = ceil(log_256(valueRange)) stays CONSTANT as the corpus
+    // grows, each round is one 256-cell map-side-combinable histogram
+    // with the range filter pushed to the scan — cost must track
+    // rounds x scan, never a sort.
+    def selection(d: DataFrame): Long = {
+      val dd = d.withColumn("len", length(col("text")).cast("long"))
+      val n = dd.count()
+      graft.operators.Selection.kthSmallest(dd, col("len"), (n + 1) / 2)
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -368,7 +410,13 @@ object ScaleProbe {
       "epoch_shuffle" -> (() => (time(shuffleEpochs(docs1)),
         time(shuffleEpochs(docsN)))),
       "scd_merge" -> (() => (time(merge(cust1)), time(merge(custN)))),
-      "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))))
+      "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))),
+      "bloom_decontaminate" -> (() => (time(bloomProbe(docs1r)),
+        time(bloomProbe(docsN)))),
+      "classifier_gate" -> (() => (time(classify(docs1)),
+        time(classify(docsN)))),
+      "exact_selection" -> (() => (time(selection(docs1)),
+        time(selection(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

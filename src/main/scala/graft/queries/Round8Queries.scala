@@ -128,22 +128,27 @@ object Round8Queries {
       import graft.multimodal.{AudioFp, Wav}
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       val h = md5(col("text"))
-      def byteAt(i: Int) =
-        conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
-      // per-id SLOPE in the phase term: a purely additive id term would
-      // leave every lag-difference band identical across clips (q110's
-      // linear-ramp lesson) — the multiplicative mix gives each clip
-      // its own pseudo-noise gradient structure
-      def sample(id: Long, i: Int): Short =
-        ((((id + 1) * 2654435761L * (i + 3) + i.toLong * (i + 7))
+      // Clip samples are a quadratic-in-i polynomial mod 2^14 whose
+      // THREE coefficients come from the text's md5 — a 2^42 coefficient
+      // space, so clips never alias however many there are (an
+      // id-multiplier formula has only 2^14 slope classes — mod-2^14
+      // reduction aliases them at corpus scale, the audio analogue of
+      // q110's linear-ramp lesson; found when the 64x probe's replicas
+      // collided). Per-doc pseudo-noise, same derivation in the oracle.
+      def hx(from: Int, len: Int) =
+        conv(substring(h, from, len), 16, 10).cast("long")
+      def sample(s1: Long, s2: Long, s3: Long, i: Int): Short =
+        ((((s1 + 1) * (i + 3) + (s2 + 1) * i.toLong * (i + 7) + s3)
           % 16384L) - 8192L).toShort
       val base = docs
         .select(col("doc_id").cast("long").as("id"),
-          (byteAt(0) * 8 + 512).as("n"))
-        .as[(Long, Int)]
-        .mapPartitions(_.map { case (id, n) =>
+          (hx(1, 2).cast("int") * 8 + 512).as("n"),
+          (hx(3, 4) % 16384L).as("s1"), (hx(7, 4) % 16384L).as("s2"),
+          (hx(11, 4) % 16384L).as("s3"))
+        .as[(Long, Int, Long, Long, Long)]
+        .mapPartitions(_.map { case (id, n, s1, s2, s3) =>
           val p = Wav.encode(
-            Wav.Audio(8000, 1, Array.tabulate(n)(i => sample(id, i))))
+            Wav.Audio(8000, 1, Array.tabulate(n)(i => sample(s1, s2, s3, i))))
           AudioFp.AudioMedia(id, p, p.length)
         })
       val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
@@ -231,30 +236,34 @@ object Round8Queries {
     },
 
     // Replays q129 arithmetically (the q110 discipline for audio):
-    // clip length from md5, sample(id0,i) = ((id0+1)*2654435761*(i+3)
-    // + i*(i+7)) % 16384 - 8192 (x2 gain for the volume variant), the
-    // 2x resample as a //sc probe-index map, lag-{0,1,2,4} window
-    // energies, 28 temporal + 24 spectral gradient bits, 4x13-bit band
-    // candidates, hamming<=3 verify, min-label CC as a recursive CTE.
+    // clip length + the three polynomial coefficients from md5(text),
+    // sample(i) = ((s1+1)*(i+3) + (s2+1)*i*(i+7) + s3) % 16384 - 8192
+    // (x2 gain for the volume variant), the 2x resample as a //sc
+    // probe-index map, lag-{0,1,2,4} window energies, 28 temporal + 24
+    // spectral gradient bits, 4x13-bit band candidates, hamming<=3
+    // verify, min-label CC as a recursive CTE.
     "q129_audio_dedup" ->
       s"""WITH RECURSIVE dims AS (
-         |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT * 8 + 512 AS n
+         |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT * 8 + 512 AS n,
+         |    ('0x'||substr(md5(text),3,4))::BIGINT % 16384 AS s1,
+         |    ('0x'||substr(md5(text),7,4))::BIGINT % 16384 AS s2,
+         |    ('0x'||substr(md5(text),11,4))::BIGINT % 16384 AS s3
          |  FROM documents WHERE doc_id % 10 = 0),
          |clips AS (
-         |  SELECT doc_id*4 AS rid, doc_id AS id0, n, 1 AS sc, 1 AS vol
+         |  SELECT doc_id*4 AS rid, n, s1, s2, s3, 1 AS sc, 1 AS vol
          |  FROM dims
-         |  UNION ALL SELECT doc_id*4+1, doc_id, n, 1, 1 FROM dims
+         |  UNION ALL SELECT doc_id*4+1, n, s1, s2, s3, 1, 1 FROM dims
          |    WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id*4+2, doc_id, n, 2, 1 FROM dims
+         |  UNION ALL SELECT doc_id*4+2, n, s1, s2, s3, 2, 1 FROM dims
          |    WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT doc_id*4+3, doc_id, n, 1, 2 FROM dims
+         |  UNION ALL SELECT doc_id*4+3, n, s1, s2, s3, 1, 2 FROM dims
          |    WHERE doc_id % 7 = 0),
          |probes AS (
          |  SELECT rid, j, j // 16 AS w,
-         |    vol * ((((id0+1)*2654435761*(idx+3) + idx*(idx+7)) % 16384)
+         |    vol * ((((s1+1)*(idx+3) + (s2+1)*idx*(idx+7) + s3) % 16384)
          |      - 8192) AS p
          |  FROM (
-         |    SELECT c.rid, c.id0, c.vol, js.j,
+         |    SELECT c.rid, c.s1, c.s2, c.s3, c.vol, js.j,
          |      (js.j*(c.n*c.sc)//128)//c.sc AS idx
          |    FROM clips c,
          |      (SELECT unnest(generate_series(0, 127)) AS j) js) t),

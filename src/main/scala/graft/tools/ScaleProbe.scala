@@ -306,6 +306,38 @@ object ScaleProbe {
         contamEval, "doc_id", "text")
         .filter(col("jaccard") >= 0).count()
 
+    // Audio fingerprint dedup: per-doc WAV with md5-of-text-derived
+    // polynomial coefficients (2^42 coefficient space — the per-token
+    // replica perturbation changes every md5, so replicas are genuinely
+    // new clips; an id-multiplier formula aliased mod 2^14 and collided
+    // at 64x), real decode -> 52-bit spectral fingerprint -> banded
+    // hamming pairs -> CC. Probed at the LARGE-CORPUS band setting
+    // (2x26-bit bands: random band collisions ~ n^2/2^26 stay
+    // negligible at probe sizes) — cost must track the linear
+    // encode+decode+fingerprint scan.
+    def audio(d: DataFrame): Long = {
+      import spark.implicits._
+      val hmd5 = md5(col("text"))
+      def hx(from: Int, len: Int) =
+        conv(substring(hmd5, from, len), 16, 10).cast("long")
+      val media = d.select(col("doc_id").cast("long").as("id"),
+          (hx(1, 2).cast("int") * 8 + 512).as("n"),
+          (hx(3, 4) % 16384L).as("s1"), (hx(7, 4) % 16384L).as("s2"),
+          (hx(11, 4) % 16384L).as("s3"))
+        .as[(Long, Int, Long, Long, Long)]
+        .mapPartitions(_.map { case (id, n, s1, s2, s3) =>
+          val p = graft.multimodal.Wav.encode(graft.multimodal.Wav.Audio(
+            8000, 1, Array.tabulate(n)(i =>
+              ((((s1 + 1) * (i + 3) + (s2 + 1) * i.toLong * (i + 7) + s3)
+                % 16384L) - 8192L).toShort)))
+          graft.multimodal.AudioFp.AudioMedia(id, p, p.length)
+        })
+      graft.multimodal.AudioFp.clusters(
+          graft.multimodal.AudioFp.fingerprints(media)(spark),
+          "id", "afp", maxHamming = 1, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
     // Bloom decontamination: the train side grows Nx while the eval set
     // stays FIXED (replica 0's %5 docs) — "re-check a grown corpus" with
     // the join-free gate. The m-bit bitset is CONSTANT-size driver state
@@ -411,6 +443,7 @@ object ScaleProbe {
         time(shuffleEpochs(docsN)))),
       "scd_merge" -> (() => (time(merge(cust1)), time(merge(custN)))),
       "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))),
+      "audio_dedup" -> (() => (time(audio(docs1)), time(audio(docsN)))),
       "bloom_decontaminate" -> (() => (time(bloomProbe(docs1r)),
         time(bloomProbe(docsN)))),
       "classifier_gate" -> (() => (time(classify(docs1)),

@@ -380,6 +380,18 @@ object ScaleProbe {
       graft.operators.Selection.kthSmallest(dd, col("len"), (n + 1) / 2)
     }
 
+    // Entropy gate: per-char explode + two map-side-combinable aggs —
+    // cost must track the character scan; output rows grow exactly Nx.
+    def entropy(d: DataFrame): Long =
+      graft.quality.Entropy.gate(d, "doc_id", "text")
+        .filter(col("coll") >= 0).count()
+
+    // PII scrub: pure row-local regex + Luhn pass, zero shuffle — the
+    // action hashes the scrubbed text so the full rewrite materializes.
+    def pii(d: DataFrame): Long =
+      d.select(col("doc_id"), md5(graft.text.Pii.scrub(col("text"))).as("m"))
+        .filter(length(col("m")) >= 0).count()
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -449,7 +461,9 @@ object ScaleProbe {
       "classifier_gate" -> (() => (time(classify(docs1)),
         time(classify(docsN)))),
       "exact_selection" -> (() => (time(selection(docs1)),
-        time(selection(docsN)))))
+        time(selection(docsN)))),
+      "entropy_gate" -> (() => (time(entropy(docs1)), time(entropy(docsN)))),
+      "pii_scrub" -> (() => (time(pii(docs1)), time(pii(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

@@ -1,0 +1,106 @@
+package graft.multimodal
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental ingest for the perceptual AUDIO index — the
+  * [[graft.dedup.IncrementalLsh]] contract for [[AudioFp]] fingerprints:
+  * clips arrive in batches, only the BATCH is fingerprint-banded,
+  * candidates come from new-vs-(stored+new) band collisions, and
+  * per-batch pair outputs are exactly-once (the later member's batch
+  * emits a pair), so the union over any batching equals the one-shot
+  * [[Perceptual.hammingPairs]] run — band membership, like a MinHash
+  * bucket, is a per-clip quantity that other corpus members cannot
+  * change. That equivalence is the q131 oracle (q129's SQL verbatim)
+  * and the IncrementalAudioSpec contract.
+  *
+  * Index state is one (id, afp) relation — 16 bytes a clip —
+  * localCheckpoint-materialized per fold (an index is state, not a
+  * plan). At 100 TB of audio the index is millions of rows where the
+  * corpus is petabytes of payload: the decode+fingerprint scan happens
+  * once per clip at ingest, never again.
+  */
+object IncrementalAudio {
+
+  /** @param hashes (id: long, afp: long), materialized */
+  final case class AudioIndex(hashes: DataFrame, bands: Int, hashBits: Int)
+
+  private def keys(h: DataFrame, bands: Int, hashBits: Int): DataFrame = {
+    val bandBits = hashBits / bands
+    val bandKeys = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        shiftright(col("afp"), bnd * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
+    }
+    h.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  /** Candidate ids (a < b, distinct) with at least one member in
+    * `newH`: new bands join ALL bands — stored-vs-stored pairs are
+    * never regenerated.
+    */
+  private def candidates(newH: DataFrame, allH: DataFrame, bands: Int,
+      hashBits: Int): DataFrame = {
+    val l = keys(newH, bands, hashBits)
+      .select(col("id").as("na"), col("bk").as("kl"))
+    val r = keys(allH, bands, hashBits)
+      .select(col("id").as("nb"), col("bk").as("kr"))
+    l.join(r, col("kl") === col("kr") && col("na") =!= col("nb"))
+      .select(least(col("na"), col("nb")).as("a"),
+        greatest(col("na"), col("nb")).as("b"))
+      .distinct()
+  }
+
+  private def verified(cand: DataFrame, allH: DataFrame,
+      maxHamming: Int): DataFrame =
+    cand
+      .join(allH.select(col("id").as("a"), col("afp").as("ha")), Seq("a"))
+      .join(allH.select(col("id").as("b"), col("afp").as("hb")), Seq("b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("a"), col("b"))
+
+  /** Index an initial batch of fingerprints; returns the index and the
+    * near-pairs within it.
+    */
+  def build(hashes: DataFrame, maxHamming: Int = 3, bands: Int = 4,
+      hashBits: Int = AudioFp.HashBits): (AudioIndex, DataFrame) = {
+    require(bands > 0 && hashBits % bands == 0, s"bands must divide $hashBits")
+    val h = hashes.select(col("id"), col("afp")).localCheckpoint()
+    (AudioIndex(h, bands, hashBits),
+      verified(candidates(h, h, bands, hashBits), h, maxHamming))
+  }
+
+  /** Fold one batch in; returns the grown index and the NEW pairs
+    * (those with at least one member in the batch).
+    */
+  def addBatch(idx: AudioIndex, hashes: DataFrame,
+      maxHamming: Int = 3): (AudioIndex, DataFrame) = {
+    val newH = hashes.select(col("id"), col("afp")).localCheckpoint()
+    val all = idx.hashes.unionByName(newH).localCheckpoint()
+    (idx.copy(hashes = all),
+      verified(candidates(newH, all, idx.bands, idx.hashBits), all,
+        maxHamming))
+  }
+
+  /** Remove clips by id (e.g. takedowns); already-emitted pairs are the
+    * caller's to reconcile, as in [[graft.dedup.IncrementalLsh.delete]].
+    */
+  def delete(idx: AudioIndex, ids: DataFrame, idCol: String): AudioIndex = {
+    val d = ids.select(col(idCol).as("id")).distinct().localCheckpoint()
+    idx.copy(hashes =
+      idx.hashes.join(d, Seq("id"), "left_anti").localCheckpoint())
+  }
+
+  /** Cluster labels over accumulated pairs — [[Perceptual.clusters]]'
+    * output shape from incremental state.
+    */
+  def clusters(idx: AudioIndex, pairs: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("__cc_node"), col("cluster").as("__cc_lab"))
+    idx.hashes.join(labels, col("id") === col("__cc_node"), "left")
+      .select(col("id"), col("afp"),
+        coalesce(col("__cc_lab"), col("id")).as("cluster"),
+        (coalesce(col("__cc_lab"), col("id")) =!= col("id")).as("is_dup"))
+  }
+}

@@ -124,8 +124,68 @@ object Round8Queries {
     // stage exhaustive by pigeonhole.
     "q129_audio_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      import s.implicits._
-      import graft.multimodal.{AudioFp, Wav}
+      import graft.multimodal.AudioFp
+      AudioFp.clusters(AudioFp.fingerprints(audioMedia(s, dir)), "id", "afp")
+        .orderBy(col("id"))
+    }),
+
+    // Incremental ingest for the audio index: q129's clip corpus
+    // arrives in 3 batches (rid % 3), each folding into
+    // IncrementalAudio — only the batch is banded, candidates from
+    // new-vs-stored collisions, pairs exactly-once. The oracle is
+    // q129's one-shot SQL VERBATIM: batched ingest must not change the
+    // clustering.
+    "q131_incremental_audio" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.multimodal.{AudioFp, IncrementalAudio}
+      val fps = AudioFp.fingerprints(audioMedia(s, dir)).localCheckpoint()
+      val (i0, p0) = IncrementalAudio.build(fps.filter(col("id") % 3 === 0))
+      val (i1, p1) = IncrementalAudio.addBatch(i0,
+        fps.filter(col("id") % 3 === 1))
+      val (i2, p2) = IncrementalAudio.addBatch(i1,
+        fps.filter(col("id") % 3 === 2))
+      IncrementalAudio.clusters(i2, p0.unionByName(p1).unionByName(p2))
+        .orderBy(col("id"))
+    }),
+
+    // The corpus pipeline WITH the entropy band wired in (q46 = band
+    // off). The plants are crafted to PASS the quality and language
+    // gates — "the spam " repetition carries an en marker + stopword,
+    // the hex spew gets a "the " prefix — so only the collision band
+    // can remove them: spam coll = 11/81 ≈ 0.136 ≥ 1/8, spew ≈ 0.053
+    // ≤ 3/50. Survivors equal q46's exactly (plants share no shingles
+    // with real docs and are banded out before dedup).
+    "q130_pipeline_banded" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spew = d.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("the ") +: (1 to 16).map { i =>
+            val block = md5(concat(col("doc_id").cast("string"), lit(s":p$i")))
+            if (i % 2 == 0) upper(block) else block
+          }: _*).as("text"))
+      val spam = d.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          lit("the spam " * 30).as("text"))
+      val corpus = PipelineQueries.corpus(s, dir)
+        .unionByName(spew).unionByName(spam)
+      CorpusPipeline.clean(corpus, "doc_id", "text",
+          CorpusPipeline.Config(collisionBand = Some((Entropy.SpewNum,
+            Entropy.SpewDen, Entropy.SpamNum, Entropy.SpamDen))))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  /** q129/q131's planted clip corpus: per-doc WAV built from
+    * md5(text)-derived polynomial coefficients, plus re-encoded (%3),
+    * 2x-resampled (%5), and gain-doubled (%7) variants.
+    */
+  private def audioMedia(s: SparkSession, dir: String) = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.multimodal.{AudioFp, Wav}
+    {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       val h = md5(col("text"))
       // Clip samples are a quadratic-in-i polynomial mod 2^14 whose
@@ -170,39 +230,9 @@ object Round8Queries {
             samples = a.samples.map(v => (v * 2).toShort)))
           AudioFp.AudioMedia(m.doc_id * 4 + 3, p, p.length)
         })
-      val media = orig.union(reenc).union(resamp).union(gained)
-      AudioFp.clusters(AudioFp.fingerprints(media), "id", "afp")
-        .orderBy(col("id"))
-    }),
-
-    // The corpus pipeline WITH the entropy band wired in (q46 = band
-    // off). The plants are crafted to PASS the quality and language
-    // gates — "the spam " repetition carries an en marker + stopword,
-    // the hex spew gets a "the " prefix — so only the collision band
-    // can remove them: spam coll = 11/81 ≈ 0.136 ≥ 1/8, spew ≈ 0.053
-    // ≤ 3/50. Survivors equal q46's exactly (plants share no shingles
-    // with real docs and are banded out before dedup).
-    "q130_pipeline_banded" -> ((s, dir) => {
-      import graft.pipeline.CorpusPipeline
-      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
-      val spew = d.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 3000000L).as("doc_id"),
-          concat(lit("the ") +: (1 to 16).map { i =>
-            val block = md5(concat(col("doc_id").cast("string"), lit(s":p$i")))
-            if (i % 2 == 0) upper(block) else block
-          }: _*).as("text"))
-      val spam = d.filter(col("doc_id") % 29 === 0)
-        .select((col("doc_id") + 4000000L).as("doc_id"),
-          lit("the spam " * 30).as("text"))
-      val corpus = PipelineQueries.corpus(s, dir)
-        .unionByName(spew).unionByName(spam)
-      CorpusPipeline.clean(corpus, "doc_id", "text",
-          CorpusPipeline.Config(collisionBand = Some((Entropy.SpewNum,
-            Entropy.SpewDen, Entropy.SpamNum, Entropy.SpamDen))))
-        .select(col("doc_id"), col("quality"), col("lang_pred"))
-        .orderBy(col("doc_id"))
-    })
-  )
+      orig.union(reenc).union(resamp).union(gained)
+    }
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -270,8 +300,80 @@ object Round8Queries {
     // probe-index map, lag-{0,1,2,4} window energies, 28 temporal + 24
     // spectral gradient bits, 4x13-bit band candidates, hamming<=3
     // verify, min-label CC as a recursive CTE.
-    "q129_audio_dedup" ->
-      s"""WITH RECURSIVE dims AS (
+    "q129_audio_dedup" -> oracleSql129,
+
+    // q129's one-shot SQL verbatim: incremental ingest must not change
+    // the clustering (the q97/q118 contract for the audio index)
+    "q131_incremental_audio" -> oracleSql129,
+
+    // q46's stage-for-stage replay with the entropy band inserted
+    // between the row-local gates and exact dedup, over the q46 corpus
+    // + the gate-passing spam/spew plants
+    "q130_pipeline_banded" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      val spewSql = "'the ' || " + (1 to 16).map { i =>
+        val b = s"md5(doc_id::VARCHAR||':p$i')"
+        if (i % 2 == 0) s"upper($b)" else b
+      }.mkString(" || ")
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, $spewSql
+         |  FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, repeat('the spam ', 30)
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |${graft.quality.Entropy.signalsSql("g2", "doc_id", "text")},
+         |g3 AS (
+         |  SELECT g2.* FROM g2 JOIN entsig USING (doc_id)
+         |  WHERE coll_num * ${Entropy.SpewDen}
+         |      > ${Entropy.SpewNum} * CAST(n_chars * n_chars AS BIGINT)
+         |    AND coll_num * ${Entropy.SpamDen}
+         |      < ${Entropy.SpamNum} * CAST(n_chars * n_chars AS BIGINT)),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    }
+  )
+
+  /** q129's full DuckDB replay — shared verbatim by q131 (incremental
+    * ingest must reproduce the one-shot clustering).
+    */
+  private lazy val oracleSql129: String =
+    s"""WITH RECURSIVE dims AS (
          |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT * 8 + 512 AS n,
          |    ('0x'||substr(md5(text),3,4))::BIGINT % 16384 AS s1,
          |    ('0x'||substr(md5(text),7,4))::BIGINT % 16384 AS s2,
@@ -346,68 +448,6 @@ object Round8Queries {
          |  COALESCE(l.clus, f.rid) AS cluster,
          |  (COALESCE(l.clus, f.rid) <> f.rid) AS is_dup
          |FROM fp f LEFT JOIN labels l ON l.node = f.rid
-         |ORDER BY f.rid""".stripMargin,
+         |ORDER BY f.rid""".stripMargin
 
-    // q46's stage-for-stage replay with the entropy band inserted
-    // between the row-local gates and exact dedup, over the q46 corpus
-    // + the gate-passing spam/spew plants
-    "q130_pipeline_banded" -> {
-      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
-        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
-      val spewSql = "'the ' || " + (1 to 16).map { i =>
-        val b = s"md5(doc_id::VARCHAR||':p$i')"
-        if (i % 2 == 0) s"upper($b)" else b
-      }.mkString(" || ")
-      s"""WITH RECURSIVE $corpusSql,
-         |corpus2 AS (
-         |  SELECT doc_id, text FROM corpus
-         |  UNION ALL
-         |  SELECT doc_id + 3000000, $spewSql
-         |  FROM documents WHERE doc_id % 23 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 4000000, repeat('the spam ', 30)
-         |  FROM documents WHERE doc_id % 29 = 0),
-         |scored AS (
-         |  SELECT doc_id, text,
-         |  $qualityExprSql AS quality,
-         |$langHitColsSql
-         |  FROM corpus2),
-         |gated AS (
-         |  SELECT doc_id, text, quality,
-         |  $langCaseSql AS lang_pred
-         |  FROM scored),
-         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
-         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
-         |${graft.quality.Entropy.signalsSql("g2", "doc_id", "text")},
-         |g3 AS (
-         |  SELECT g2.* FROM g2 JOIN entsig USING (doc_id)
-         |  WHERE coll_num * ${Entropy.SpewDen}
-         |      > ${Entropy.SpewNum} * CAST(n_chars * n_chars AS BIGINT)
-         |    AND coll_num * ${Entropy.SpamDen}
-         |      < ${Entropy.SpamNum} * CAST(n_chars * n_chars AS BIGINT)),
-         |fp AS (SELECT doc_id, text, quality, lang_pred,
-         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
-         |  FROM g3),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
-         |${shinglesSql("ex")},
-         |$minhashCtesSql,
-         |${pairsCteSql("0.5")},
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b, a FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
-         |losers AS (
-         |  SELECT node AS doc_id FROM reach
-         |  GROUP BY node HAVING node <> min(lab))
-         |SELECT e.doc_id, e.quality, e.lang_pred
-         |FROM ex e
-         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
-         |ORDER BY e.doc_id""".stripMargin
-    }
-  )
 }

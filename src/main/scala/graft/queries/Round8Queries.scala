@@ -148,6 +148,30 @@ object Round8Queries {
         .orderBy(col("id"))
     }),
 
+    // STREAMING ingest for the audio index — the third front door of
+    // the ingest trilogy (q118 text, q119 embeddings): q129's WAV
+    // payloads land as a 3-file staging directory, a file-source
+    // stream drains it one file per micro-batch, each batch is decoded
+    // + fingerprinted once and folded into IncrementalAudio. Oracle =
+    // q129's one-shot SQL VERBATIM while the stream's file batching
+    // differs from q131's %3 batching — batching-independence is
+    // hash-checked for real.
+    "q132_stream_audio_ingest" -> ((s, dir) => {
+      import java.nio.file.Files
+      implicit val sp: SparkSession = s
+      import graft.multimodal.IncrementalAudio
+      val stage = Files.createTempDirectory("graft-q132-landing").toString
+      val cp = Files.createTempDirectory("graft-q132-cp").toString
+      audioMedia(s, dir).toDF()
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (idx, pairs) = graft.streaming.StreamingAudio.ingest(stream, cp)
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      IncrementalAudio.clusters(idx, pairs).orderBy(col("id"))
+    }),
+
     // The corpus pipeline WITH the entropy band wired in (q46 = band
     // off). The plants are crafted to PASS the quality and language
     // gates — "the spam " repetition carries an en marker + stopword,
@@ -305,6 +329,10 @@ object Round8Queries {
     // q129's one-shot SQL verbatim: incremental ingest must not change
     // the clustering (the q97/q118 contract for the audio index)
     "q131_incremental_audio" -> oracleSql129,
+
+    // q129's one-shot SQL verbatim again: the STREAMED drain (per-file
+    // batching, differing from q131's %3) must also reproduce it
+    "q132_stream_audio_ingest" -> oracleSql129,
 
     // q46's stage-for-stage replay with the entropy band inserted
     // between the row-local gates and exact dedup, over the q46 corpus

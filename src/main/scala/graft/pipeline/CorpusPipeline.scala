@@ -36,13 +36,23 @@ object CorpusPipeline {
     *   and before dedup. None (default) preserves the historical
     *   pipeline exactly.
     */
+  /** Model-based quality gate: a trained hashed-linear classifier
+    * ([[graft.text.TextClassify]]) applied after the heuristic gates —
+    * the fastText-gate shape production pipelines run last because it
+    * is the costliest per document. `weights` is the (bucket, weight)
+    * relation; keep iff `score * thresholdDen >= thresholdNum * n_tokens`.
+    */
+  case class ClassifierGate(weights: DataFrame, dim: Int,
+      thresholdNum: Long, thresholdDen: Long)
+
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
       stopwords: Seq[String] = Seq("the", "a", "of", "and", "is"),
       jaccardThreshold: Double = 0.5,
       keepBest: Boolean = false,
-      collisionBand: Option[(Long, Long, Long, Long)] = None)
+      collisionBand: Option[(Long, Long, Long, Long)] = None,
+      classifier: Option[ClassifierGate] = None)
 
   /** Stage-1 row-local gates (quality score + predicted language): a
     * pure codegen scan emitting `(id, text, quality, lang_pred)` for
@@ -72,6 +82,22 @@ object CorpusPipeline {
       gated.join(ok, Seq(idCol), "left_semi")
   }
 
+  /** Stage-1c optional classifier gate over the band survivors (also
+    * per-document: the score is a function of the doc's own tokens and
+    * the broadcast weights relation, so batch-at-a-time == one-shot).
+    * Documents with zero tokens produce no score row and are dropped —
+    * unreachable after the quality gate's 5-token minimum.
+    */
+  def classifierGate(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.classifier match {
+    case None => gated
+    case Some(c) =>
+      val ok = graft.text.TextClassify.hashedLinear(gated, idCol, textCol,
+          c.weights, c.dim, c.thresholdNum, c.thresholdDen)
+        .filter(col("keep")).select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
     */
@@ -87,9 +113,11 @@ object CorpusPipeline {
     // minhashNearDuplicates.
     val gated = rowGates(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 1b. optional entropy band (per-character aggregation — costlier
-    // than the row-local gates, so it runs on their survivors)
-    val banded = entropyBand(gated, idCol, textCol, cfg)
+    // 1b/1c. optional entropy band, then optional classifier gate
+    // (per-doc stages in ascending cost, each on the previous
+    // survivors)
+    val banded = classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg)
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))

@@ -198,8 +198,30 @@ object Round8Queries {
             Entropy.SpewDen, Entropy.SpamNum, Entropy.SpamDen))))
         .select(col("doc_id"), col("quality"), col("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // The pipeline with the MODEL-BASED gate wired in: q124's hashed
+    // linear classifier as CorpusPipeline stage 1c (after the
+    // heuristic gates — the cost order production pipelines use).
+    // Threshold -300 is the measured ~p25 of the per-doc mean weight
+    // (distribution: p25 -301 / median -248 / p75 -187), so the gate
+    // keeps ~75% and genuinely filters the rest. Dedup then runs on
+    // the classifier's survivors; the oracle replays q46
+    // stage-for-stage with the classifier CTEs inserted.
+    "q133_pipeline_classified" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      import graft.text.TextClassify
+      val w = TextClassify.syntheticWeights(s, ClassifierDim)
+      CorpusPipeline.clean(PipelineQueries.corpus(s, dir), "doc_id", "text",
+          CorpusPipeline.Config(classifier = Some(
+            CorpusPipeline.ClassifierGate(w, ClassifierDim,
+              thresholdNum = -300L, thresholdDen = 1L))))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
     })
   )
+
+  private val ClassifierDim = 1024
 
   /** q129/q131's planted clip corpus: per-doc WAV built from
     * md5(text)-derived polynomial coefficients, plus re-encoded (%3),
@@ -333,6 +355,63 @@ object Round8Queries {
     // q129's one-shot SQL verbatim again: the STREAMED drain (per-file
     // batching, differing from q131's %3) must also reproduce it
     "q132_stream_audio_ingest" -> oracleSql129,
+
+    // q46's stage-for-stage replay with the classifier CTEs (q124's
+    // arithmetic over g2) inserted between the heuristic gates and
+    // exact dedup
+    "q133_pipeline_classified" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      import graft.text.TextClassify
+      val toksExpr =
+        """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      s"""WITH RECURSIVE $corpusSql,
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |cweights AS (${TextClassify.syntheticWeightsSql(ClassifierDim)}),
+         |ctoks AS (SELECT doc_id, unnest($toksExpr) AS token FROM g2),
+         |cbk AS (SELECT doc_id,
+         |    ${TextClassify.bucketSql("token", ClassifierDim)} AS bucket
+         |  FROM ctoks),
+         |cscore AS (SELECT cbk.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(sum(COALESCE(w.weight, 0)) AS BIGINT) AS score
+         |  FROM cbk LEFT JOIN cweights w USING (bucket) GROUP BY 1),
+         |g3 AS (SELECT g2.* FROM g2 JOIN cscore USING (doc_id)
+         |  WHERE score * 1 >= -300 * n_tokens),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     // q46's stage-for-stage replay with the entropy band inserted
     // between the row-local gates and exact dedup, over the q46 corpus

@@ -77,4 +77,16 @@ class StreamingCorpusSpec extends SparkSpec {
       CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
     assert(streamClean(3, cfg) === oneShot)
   }
+
+  test("classifier gate streams identically and genuinely filters") {
+    val w = graft.text.TextClassify.syntheticWeights(spark, 1024)
+    val cfg = CorpusPipeline.Config(classifier = Some(
+      CorpusPipeline.ClassifierGate(w, 1024, -300L, 1L)))
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    val base = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", CorpusPipeline.Config()))
+    assert(oneShot.size < base.size, "the gate must drop something")
+    assert(streamClean(3, cfg) === oneShot)
+  }
 }

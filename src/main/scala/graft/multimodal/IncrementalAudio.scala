@@ -92,6 +92,23 @@ object IncrementalAudio {
       idx.hashes.join(d, Seq("id"), "left_anti").localCheckpoint())
   }
 
+  /** Publish the index's hash relation through the catalog (atomic
+    * versioned overwrite — the [[graft.dedup.IncrementalLsh.save]]
+    * contract; band geometry is caller configuration, not state).
+    */
+  def save(idx: AudioIndex, catalog: graft.catalog.ParquetCatalog,
+      name: String, vacuumHistory: Boolean = true): Unit = {
+    val t = s"${name}_afp"
+    if (!catalog.exists(t)) catalog.create(t, idx.hashes.schema)
+    catalog.overwrite(t, idx.hashes)
+    if (vacuumHistory) catalog.vacuum(t)
+  }
+
+  /** Rehydrate a [[save]]d index. */
+  def load(catalog: graft.catalog.ParquetCatalog, name: String,
+      bands: Int = 4, hashBits: Int = AudioFp.HashBits): AudioIndex =
+    AudioIndex(catalog.table(s"${name}_afp"), bands, hashBits)
+
   /** Cluster labels over accumulated pairs — [[Perceptual.clusters]]'
     * output shape from incremental state.
     */

@@ -27,6 +27,33 @@ object Mixture {
   def keepExpr(id: Column, threshold: Column): Column =
     PortableHash.hash60Base(id.cast("string")) % Unit < threshold
 
+  /** Temperature-based mixture thresholds at alpha = 1/2: source `s`
+    * is allocated `targetRows * sqrt(n_s) / Σ sqrt(n_t)` of the budget
+    * (the classic up-weighting of small high-quality sources relative
+    * to proportional sampling), converted to a per-row hash-gate
+    * threshold `min(Unit, floor(rate * Unit))`.
+    *
+    * alpha = 1/2 specifically because `sqrt` is IEEE-correctly-rounded
+    * — unlike `pow(x, alpha)`, whose libm low bits differ across
+    * engines — and the normalizer folds in source-name order from 0.0,
+    * so every double op replays bit-identically in the oracle (q134).
+    * Counts arrive as a driver-side Seq: one row per SOURCE, the same
+    * bounded-state shape as the centroid matrices.
+    */
+  def temperatureThresholds(counts: Seq[(String, Long)],
+      targetRows: Long): Map[String, Long] = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0), "positive counts")
+    val sorted = counts.sortBy(_._1)
+    val w = sorted.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    sorted.map { case (s, n) =>
+      val rate =
+        ((targetRows.toDouble * math.sqrt(n.toDouble)) / w) / n.toDouble
+      s -> math.min(Unit, math.floor(rate * 1000000.0).toLong)
+    }.toMap
+  }
+
   /** Downsample `docs` so source `s` survives at `thresholds(s)` parts
     * per [[Unit]] (absent sources drop to `defaultThreshold`). Returns
     * the surviving rows unchanged plus the `threshold` column that

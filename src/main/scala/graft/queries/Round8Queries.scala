@@ -218,6 +218,25 @@ object Round8Queries {
               thresholdNum = -300L, thresholdDen = 1L))))
         .select(col("doc_id"), col("quality"), col("lang_pred"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Temperature-based mixture sampling at alpha = 1/2: each source's
+    // budget share is proportional to sqrt(its size) — the classic
+    // up-weighting of small sources vs proportional sampling. sqrt is
+    // IEEE-correctly-rounded (pow is not), and the normalizer folds in
+    // source-name order, so the derived integer thresholds — and hence
+    // the exact surviving row set — replay bit-identically.
+    "q134_temperature_mixture" -> ((s, dir) => {
+      import graft.pipeline.Mixture
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val counts = docs.groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      val th = Mixture.temperatureThresholds(counts, targetRows = 300L)
+      Mixture.sample(docs, "doc_id", "source", th)
+        .groupBy(col("source"), col("threshold"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
     })
   )
 
@@ -473,6 +492,31 @@ object Round8Queries {
          |FROM ex e
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
          |ORDER BY e.doc_id""".stripMargin
+    },
+
+    // sqrt-temperature thresholds re-derived relationally: the SAME op
+    // order as Mixture.temperatureThresholds (T*sqrt(n) / W / n * Unit,
+    // W folded in source order from 0.0), then the q93 hash gate
+    "q134_temperature_mixture" -> {
+      import graft.functions.PortableHash
+      s"""WITH c AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |wsum AS (
+         |  SELECT list_reduce([0.0] || list(sqrt(n::DOUBLE) ORDER BY source),
+         |    (a, b) -> a + b) AS w
+         |  FROM c),
+         |th AS (
+         |  SELECT source, n,
+         |    LEAST(1000000, CAST(floor(
+         |      ((300::DOUBLE * sqrt(n::DOUBLE)) / wsum.w) / n::DOUBLE
+         |        * 1000000.0) AS BIGINT)) AS threshold
+         |  FROM c, wsum)
+         |SELECT d.source, t.threshold, CAST(count(*) AS BIGINT) AS n_kept
+         |FROM documents d JOIN th t USING (source)
+         |WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % 1000000
+         |  < t.threshold
+         |GROUP BY 1, 2 ORDER BY d.source""".stripMargin
     }
   )
 

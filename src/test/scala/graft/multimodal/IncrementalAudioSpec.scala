@@ -65,6 +65,19 @@ class IncrementalAudioSpec extends SparkSpec {
     assert(pairSet(np).forall { case (a, b) => a != 3L && b != 103L })
   }
 
+  test("save/load round-trips through the catalog; loaded index ingests") {
+    val cat = new graft.catalog.ParquetCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-audio-idx").toString)
+    val f = fps.localCheckpoint()
+    val (idx, _) = IncrementalAudio.build(f.filter(col("id") <= 10))
+    IncrementalAudio.save(idx, cat, "aidx")
+    val back = IncrementalAudio.load(cat, "aidx")
+    assert(back.hashes.collect().toSet === idx.hashes.collect().toSet)
+    val (_, npA) = IncrementalAudio.addBatch(idx, f.filter(col("id") > 10))
+    val (_, npB) = IncrementalAudio.addBatch(back, f.filter(col("id") > 10))
+    assert(pairSet(npA) === pairSet(npB))
+  }
+
   test("clusters output matches Perceptual.clusters on the same state") {
     val f = fps.localCheckpoint()
     val (idx, p) = IncrementalAudio.build(f)

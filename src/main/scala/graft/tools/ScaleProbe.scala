@@ -338,6 +338,41 @@ object ScaleProbe {
         .filter(col("cluster") >= 0).count()
     }
 
+    // fingerprint relation for the incremental-audio probe (same
+    // md5-coefficient clips as `audio`, hashes only)
+    def audioFps(d: DataFrame): DataFrame = {
+      import spark.implicits._
+      val hmd5 = md5(col("text"))
+      def hx(from: Int, len: Int) =
+        conv(substring(hmd5, from, len), 16, 10).cast("long")
+      val media = d.select(col("doc_id").cast("long").as("id"),
+          (hx(1, 2).cast("int") * 8 + 512).as("n"),
+          (hx(3, 4) % 16384L).as("s1"), (hx(7, 4) % 16384L).as("s2"),
+          (hx(11, 4) % 16384L).as("s3"))
+        .as[(Long, Int, Long, Long, Long)]
+        .mapPartitions(_.map { case (id, n, s1, s2, s3) =>
+          val p = graft.multimodal.Wav.encode(graft.multimodal.Wav.Audio(
+            8000, 1, Array.tabulate(n)(i =>
+              ((((s1 + 1) * (i + 3) + (s2 + 1) * i.toLong * (i + 7) + s3)
+                % 16384L) - 8192L).toShort)))
+          graft.multimodal.AudioFp.AudioMedia(id, p, p.length)
+        })
+      graft.multimodal.AudioFp.fingerprints(media)(spark)
+    }
+
+    // Incremental audio: a FIXED batch (replica 0's clips, ids offset)
+    // folds into a 1x vs Nx index — the growing-corpus ingest shape.
+    // The index side of addBatch is a 16-byte-per-clip hash relation,
+    // so the honest cost left is the batch decode+fingerprint plus the
+    // banded join against the index (2x26 bands keep random collisions
+    // negligible at probe sizes).
+    val audioBatch = audioFps(docs1r
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+      .localCheckpoint()
+    def incAudio(idx: graft.multimodal.IncrementalAudio.AudioIndex): Long =
+      graft.multimodal.IncrementalAudio.addBatch(idx, audioBatch,
+        maxHamming = 1)._2.count()
+
     // Bloom decontamination: the train side grows Nx while the eval set
     // stays FIXED (replica 0's %5 docs) — "re-check a grown corpus" with
     // the join-free gate. The m-bit bitset is CONSTANT-size driver state
@@ -456,6 +491,13 @@ object ScaleProbe {
       "scd_merge" -> (() => (time(merge(cust1)), time(merge(custN)))),
       "sketch_rollup" -> (() => (time(rollup(ev1)), time(rollup(evN)))),
       "audio_dedup" -> (() => (time(audio(docs1)), time(audio(docsN)))),
+      "incremental_audio" -> (() => {
+        val idx1 = graft.multimodal.IncrementalAudio.build(
+          audioFps(docs1r), maxHamming = 1, bands = 2)._1
+        val idxN = graft.multimodal.IncrementalAudio.build(
+          audioFps(docsN), maxHamming = 1, bands = 2)._1
+        (time(incAudio(idx1)), time(incAudio(idxN)))
+      }),
       "bloom_decontaminate" -> (() => (time(bloomProbe(docs1r)),
         time(bloomProbe(docsN)))),
       "classifier_gate" -> (() => (time(classify(docs1)),

@@ -77,10 +77,12 @@ object MergeSql {
     * target-vs-source join.
     */
   private[scd] def planChecked(spark: SparkSession, sql: String,
-      resolve: String => DataFrame = null): DataFrame = {
+      resolve: String => DataFrame = null,
+      evolveSchema: Boolean = false): DataFrame = {
     val r = Option(resolve).getOrElse((n: String) => spark.table(n))
     val mit = parse(spark, sql)
-    compile(spark, mit, r, checked = mit.matchedActions.nonEmpty)
+    compile(spark, mit, r, checked = mit.matchedActions.nonEmpty,
+      evolve = evolveSchema)
   }
 
   /** Parse, cardinality-check, and atomically publish: the target must

@@ -259,6 +259,36 @@ class MergeSqlSpec extends SparkSpec {
     assert(m === Map(1L -> None, 2L -> Some("eu"), 4L -> Some("us")))
   }
 
+  test("evolution composes with NOT MATCHED BY SOURCE and the " +
+      "cardinality check") {
+    evoFixture()
+    val out = MergeSql.planChecked(spark,
+      """MERGE INTO msql_et t USING msql_es s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET name = 'stale'
+        |""".stripMargin, evolveSchema = true)
+    val m = out.orderBy("id").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(3)))).toMap
+    assert(m(1L) === ("stale", None), "by-source update; NULL evolved col")
+    assert(m(2L) === ("B", Some("eu")))
+    // duplicate source keys still raise through the evolving plan
+    import spark.implicits._
+    Seq((2L, "x", 1L, "a"), (2L, "y", 2L, "b"))
+      .toDF("id", "name", "v", "region")
+      .createOrReplaceTempView("msql_edup")
+    val e = intercept[Exception] {
+      MergeSql.planChecked(spark,
+        """MERGE INTO msql_et t USING msql_edup s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *""".stripMargin,
+        evolveSchema = true).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("cardinality"))))
+  }
+
   test("evolution: execute publishes the widened schema as the next " +
       "catalog version") {
     evoFixture()

@@ -237,6 +237,52 @@ object Round8Queries {
         .groupBy(col("source"), col("threshold"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("source"))
+    }),
+
+    // Per-source corpus HEALTH REPORT — every release gate fused into
+    // one pass over a corpus planted with q128's PII and q127's
+    // spam/spew (plants keep their source, so the report localizes
+    // them): doc/token counts, quality-gate and language-gate pass
+    // counts, per-class PII incidence, and entropy classes (one
+    // per-doc signal aggregation joined back). The compliance
+    // dashboard a data-release review reads.
+    "q135_corpus_report" -> ((s, dir) => {
+      import graft.text.{Pii, TextAnalysis}
+      val piiText = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" reach me at user5@example.com")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" card 4539 1488 0343 6467 on file")).otherwise(lit("")))
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), piiText.as("text"))
+      val corpus = d
+        .unionByName(Tables(s, dir, "documents")
+          .filter(col("doc_id") % 23 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"), col("source"),
+            spewText(col("doc_id")).as("text")))
+        .unionByName(Tables(s, dir, "documents")
+          .filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("source"),
+            lit("spam " * 40).as("text")))
+      val cls = Entropy.gate(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("cls"))
+      corpus.join(cls, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          count(when(TextAnalysis.qualityScore(col("text"),
+            Seq("the", "a", "of", "and", "is")) >= 0.7, 1)).as("n_quality_ok"),
+          count(when(TextAnalysis.langId(col("text")) === "en", 1))
+            .as("n_en"),
+          count(when(regexp_count(col("text"), lit(Pii.EmailRe)) > 0, 1))
+            .as("n_pii_email"),
+          count(when(size(Pii.validCards(col("text"))) > 0, 1))
+            .as("n_pii_card"),
+          count(when(col("cls") === "spam", 1)).as("n_spam"),
+          count(when(col("cls") === "spew", 1)).as("n_spew"))
+        .orderBy(col("source"))
     })
   )
 
@@ -517,6 +563,60 @@ object Round8Queries {
          |WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % 1000000
          |  < t.threshold
          |GROUP BY 1, 2 ORDER BY d.source""".stripMargin
+    },
+
+    // every gate's arithmetic replayed over the same planted corpus,
+    // fused into one per-source aggregate
+    "q135_corpus_report" -> {
+      import PipelineQueries.{langCaseSql, langHitColsSql, qualityExprSql}
+      import graft.text.Pii
+      val toksExpr =
+        """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val n2 = "CAST(n_chars * n_chars AS BIGINT)"
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' reach me at user5@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0
+         |         THEN ' card 4539 1488 0343 6467 on file' ELSE '' END AS text
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, source, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, source, ${spewTextSql("doc_id")}
+         |  FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, source, repeat('spam ', 40)
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |${graft.quality.Entropy.signalsSql("corpus", "doc_id", "text")},
+         |cls AS (
+         |  SELECT doc_id,
+         |    CASE WHEN coll_num * ${Entropy.SpamDen}
+         |           >= ${Entropy.SpamNum} * $n2 THEN 'spam'
+         |         WHEN coll_num * ${Entropy.SpewDen}
+         |           <= ${Entropy.SpewNum} * $n2 THEN 'spew'
+         |         ELSE 'ok' END AS cls
+         |  FROM entsig),
+         |scored AS (
+         |  SELECT c.source, c.text, cls.cls,
+         |    $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus c JOIN cls USING (doc_id))
+         |SELECT source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len($toksExpr)) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(CASE WHEN quality >= 0.7::DOUBLE THEN 1 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(COUNT(CASE WHEN $langCaseSql = 'en' THEN 1 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(COUNT(CASE WHEN len(regexp_extract_all(text,
+         |    '${Pii.EmailRe}')) > 0 THEN 1 END) AS BIGINT) AS n_pii_email,
+         |  CAST(COUNT(CASE WHEN len(list_filter(regexp_extract_all(text,
+         |    '${Pii.CardRe}'), c -> ${Pii.luhn16Sql(Pii.cardDigitsSql("c"))}))
+         |    > 0 THEN 1 END) AS BIGINT) AS n_pii_card,
+         |  CAST(COUNT(CASE WHEN cls = 'spam' THEN 1 END) AS BIGINT) AS n_spam,
+         |  CAST(COUNT(CASE WHEN cls = 'spew' THEN 1 END) AS BIGINT) AS n_spew
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin
     }
   )
 

@@ -45,7 +45,8 @@ object AudioFp {
   final case class AudioMedia(doc_id: Long, payload: Array[Byte],
       n_bytes: Int)
 
-  /** 28-bit spectral fingerprint of a decoded clip (probes channel 0). */
+  /** 52-bit spectral fingerprint of a decoded clip (probes channel 0):
+    * 28 temporal-gradient bits + 24 spectral-gradient bits ([[HashBits]]). */
   def fingerprint(audio: Wav.Audio): Long = {
     val n = audio.frames
     require(n > 0, "empty clip")
@@ -112,7 +113,7 @@ object AudioFp {
   }
 
   /** Cluster labels over banded-hamming near-pairs — the [[Perceptual]]
-    * machinery at 28 bits. `maxHamming = 3` (default) keeps the 4-band
+    * machinery at 52 bits. `maxHamming = 3` (default) keeps the 4-band
     * candidate stage exhaustive by pigeonhole.
     */
   def clusters(hashes: DataFrame, idCol: String, hashCol: String,

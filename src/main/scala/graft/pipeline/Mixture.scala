@@ -50,7 +50,7 @@ object Mixture {
     sorted.map { case (s, n) =>
       val rate =
         ((targetRows.toDouble * math.sqrt(n.toDouble)) / w) / n.toDouble
-      s -> math.min(Unit, math.floor(rate * 1000000.0).toLong)
+      s -> math.min(Unit, math.floor(rate * Unit.toDouble).toLong)
     }.toMap
   }
 

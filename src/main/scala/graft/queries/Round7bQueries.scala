@@ -16,9 +16,12 @@ object Round7bQueries {
     import java.nio.file.{Files => F, Path}
     import java.util.Comparator
     val root = Path.of(dir)
-    if (F.exists(root))
-      F.walk(root).sorted(Comparator.reverseOrder[Path]())
+    if (F.exists(root)) {
+      val walk = F.walk(root)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => F.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -545,6 +545,7 @@ object Round8Queries {
     // W folded in source order from 0.0), then the q93 hash gate
     "q134_temperature_mixture" -> {
       import graft.functions.PortableHash
+      import graft.pipeline.Mixture
       s"""WITH c AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n
          |  FROM documents GROUP BY 1),
@@ -554,13 +555,13 @@ object Round8Queries {
          |  FROM c),
          |th AS (
          |  SELECT source, n,
-         |    LEAST(1000000, CAST(floor(
+         |    LEAST(${Mixture.Unit}, CAST(floor(
          |      ((300::DOUBLE * sqrt(n::DOUBLE)) / wsum.w) / n::DOUBLE
-         |        * 1000000.0) AS BIGINT)) AS threshold
+         |        * ${Mixture.Unit}.0) AS BIGINT)) AS threshold
          |  FROM c, wsum)
          |SELECT d.source, t.threshold, CAST(count(*) AS BIGINT) AS n_kept
          |FROM documents d JOIN th t USING (source)
-         |WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % 1000000
+         |WHERE ${PortableHash.hash60BaseSql("d.doc_id::VARCHAR")} % ${Mixture.Unit}
          |  < t.threshold
          |GROUP BY 1, 2 ORDER BY d.source""".stripMargin
     },

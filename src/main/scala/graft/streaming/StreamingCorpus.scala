@@ -103,8 +103,13 @@ object StreamingCorpus {
     val id = col(idCol)
     val keep = Dedup.exactGroups(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
+    // localCheckpoint, not persist: the survivors feed three consumers
+    // (id projection, score window, final anti-join) but a Dataset
+    // persist would pin the relation in the CacheManager for the
+    // session lifetime (repeat invocations accumulate). Checkpointed
+    // RDD blocks are GC-cleaned once this DataFrame is unreachable.
     val exact = gated.join(keep, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val ids = exact.select(id)
     val pairsK = pairs.select(col("a"), col("b"))
       .join(ids.select(id.as("a")), Seq("a"), "left_semi")

@@ -30,7 +30,8 @@ object SparkEntry {
       graft.queries.Round7Queries.queries ++
       graft.queries.Round7bQueries.queries ++
       graft.queries.Round7cQueries.queries ++
-      graft.queries.Round8Queries.queries
+      graft.queries.Round8Queries.queries ++
+      graft.queries.Round9Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Round7Queries.oracleSql ++
       graft.queries.Round7bQueries.oracleSql ++
       graft.queries.Round7cQueries.oracleSql ++
-      graft.queries.Round8Queries.oracleSql
+      graft.queries.Round8Queries.oracleSql ++
+      graft.queries.Round9Queries.oracleSql
 }

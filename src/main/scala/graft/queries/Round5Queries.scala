@@ -16,11 +16,11 @@ object Round5Queries {
   /** q91/q92/q93 parameters shared by engine calls and oracle SQL. */
   private val PackLen = 2048
   private val PackGroups = 8
-  private val PqC = 16
-  private val PqM = 8
-  private val PqSub = 64 / PqM
-  private val PqProbe = 4
-  private val PqK = 256
+  private[queries] val PqC = 16
+  private[queries] val PqM = 8
+  private[queries] val PqSub = 64 / PqM
+  private[queries] val PqProbe = 4
+  private[queries] val PqK = 256
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -219,7 +219,7 @@ object Round5Queries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  private val dotSql = (a: String, b: String) =>
+  private[queries] val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
 
   /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
@@ -261,48 +261,12 @@ object Round5Queries {
        |  GROUP BY w.j, w.code)""".stripMargin
   }
 
-  val oracleSql: Map[String, String] = Map(
-    "q90_repetition" ->
-      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
-         |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
-         |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok),
-         |t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
-         |    COUNT(*) AS n_unique, CAST(MAX(n) AS BIGINT) AS top_tok_n
-         |  FROM tc GROUP BY doc_id),
-         |grams AS (SELECT doc_id,
-         |    unnest(CASE WHEN len(ts) >= 2
-         |      THEN list_transform(generate_series(1, len(ts)-1),
-         |             i -> ts[i] || ' ' || ts[i+1])
-         |      ELSE []::VARCHAR[] END) AS gram
-         |  FROM toks),
-         |gc AS (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram),
-         |g AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_gram,
-         |    CAST(MAX(n) AS BIGINT) AS top_gram_n
-         |  FROM gc GROUP BY doc_id)
-         |SELECT t.doc_id, t.n_tok, t.n_unique,
-         |  CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS uniq_frac,
-         |  CAST(t.top_tok_n AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS top_tok_frac,
-         |  CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE) AS top_gram_frac,
-         |  (COALESCE(CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE), 0.0) > 0.08
-         |    OR CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) < 0.4) AS repetitive
-         |FROM t LEFT JOIN g USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
-    "q91_seq_packing" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % $PackGroups AS grp,
-         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
-         |  FROM documents),
-         |p AS (SELECT doc_id, grp, n_tok,
-         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM t WHERE n_tok > 0)
-         |SELECT doc_id, grp, n_tok,
-         |  cum - n_tok AS start_tok,
-         |  (cum - n_tok) // $PackLen AS seq_first,
-         |  (cum - n_tok) % $PackLen AS seq_off,
-         |  (cum - 1) // $PackLen - (cum - n_tok) // $PackLen + 1 AS n_seqs
-         |FROM p ORDER BY doc_id""".stripMargin,
-    "q92_ann_ivfpq" ->
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+  /** q92's full IVF-PQ training + ADC-scoring pipeline as a CTE
+    * chain ending at `adc` (q_id, n_id, nq, s, nc) — shared VERBATIM
+    * by q92 (ADC ranking) and q136 (ADC top-R + exact re-rank).
+    */
+  private[queries] def pqAdcCtesSql: String =
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |qz AS (SELECT vec_id,
          |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
          |  FROM (SELECT vec_id, e,
@@ -356,7 +320,50 @@ object Round5Queries {
          |  FROM cand cd
          |  JOIN codes k ON k.vec_id = cd.n_id
          |  JOIN cw2 w ON w.j = k.j AND w.code = k.code
-         |  GROUP BY cd.q_id, cd.n_id)
+         |  GROUP BY cd.q_id, cd.n_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q90_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok FROM toks),
+         |tc AS (SELECT doc_id, tok, COUNT(*) AS n FROM tok GROUP BY doc_id, tok),
+         |t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok,
+         |    COUNT(*) AS n_unique, CAST(MAX(n) AS BIGINT) AS top_tok_n
+         |  FROM tc GROUP BY doc_id),
+         |grams AS (SELECT doc_id,
+         |    unnest(CASE WHEN len(ts) >= 2
+         |      THEN list_transform(generate_series(1, len(ts)-1),
+         |             i -> ts[i] || ' ' || ts[i+1])
+         |      ELSE []::VARCHAR[] END) AS gram
+         |  FROM toks),
+         |gc AS (SELECT doc_id, gram, COUNT(*) AS n FROM grams GROUP BY doc_id, gram),
+         |g AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_gram,
+         |    CAST(MAX(n) AS BIGINT) AS top_gram_n
+         |  FROM gc GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_tok, t.n_unique,
+         |  CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS uniq_frac,
+         |  CAST(t.top_tok_n AS DOUBLE) / CAST(t.n_tok AS DOUBLE) AS top_tok_frac,
+         |  CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE) AS top_gram_frac,
+         |  (COALESCE(CAST(g.top_gram_n AS DOUBLE) / CAST(g.n_gram AS DOUBLE), 0.0) > 0.08
+         |    OR CAST(t.n_unique AS DOUBLE) / CAST(t.n_tok AS DOUBLE) < 0.4) AS repetitive
+         |FROM t LEFT JOIN g USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    "q91_seq_packing" ->
+      s"""WITH t AS (SELECT doc_id, doc_id % $PackGroups AS grp,
+         |    CAST(len($toksExpr) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |p AS (SELECT doc_id, grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t WHERE n_tok > 0)
+         |SELECT doc_id, grp, n_tok,
+         |  cum - n_tok AS start_tok,
+         |  (cum - n_tok) // $PackLen AS seq_first,
+         |  (cum - n_tok) % $PackLen AS seq_off,
+         |  (cum - 1) // $PackLen - (cum - n_tok) // $PackLen + 1 AS n_seqs
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q92_ann_ivfpq" ->
+      s"""WITH $pqAdcCtesSql
          |SELECT q_id, n_id, qcos, rank FROM (
          |  SELECT q_id, n_id, s / sqrt(nq * nc) AS qcos,
          |    ROW_NUMBER() OVER (PARTITION BY q_id

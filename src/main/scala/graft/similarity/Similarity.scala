@@ -527,6 +527,22 @@ object Similarity {
       k, nProbe)
   }
 
+  /** [[ivfPqTopK]] with an exact re-rank tail: ADC selects `refineR`
+    * candidates per query, the exact double cosine re-scores them from
+    * the original embeddings (see [[IvfPqIndex.topKRefined]]).
+    */
+  def ivfPqTopKRefined(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, c: Int = 16, m: Int = 8,
+      nProbe: Int = 4, kCodes: Int = 256, refineR: Int = 100,
+      pqIters: Int = 2, coarseIters: Int = 2): DataFrame = {
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idx = IvfPqIndex.buildFromQuantized(ds, idCol, c, m, kCodes,
+      pqIters, coarseIters)
+    idx.topKRefined(queries, idx.encodeQuantized(ds, idCol), corpus,
+      idCol, vecCol, k, nProbe, refineR)
+  }
+
   /** A trained IVF-PQ index: coarse centroid matrix + per-subspace
     * codebooks. Like [[IvfIndex]] it is tiny, serializable and
     * persistable, but the relation [[encode]] produces is the real
@@ -590,6 +606,40 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+    }
+
+    /** ADC-select-then-exact-re-rank: the compressed index picks the
+      * `refineR` strongest candidates per query (one [[topK]] pass —
+      * codes only, the float corpus stays cold), then ONLY those
+      * Q×R candidate rows fetch their original embeddings and are
+      * re-scored with the exact double cosine (strict-left-fold
+      * [[dot]], the q22 kernel) — so the final ranking carries no PQ
+      * reconstruction error, only coarse-routing loss. The re-score
+      * join is keyed on the candidate id: a shuffle join over
+      * candidates, never a corpus scan. Exact arithmetic end-to-end →
+      * replays bit-identically in the DuckDB oracle (q136 = q92's
+      * CTEs + one re-score CTE).
+      */
+    def topKRefined(queries: DataFrame, encoded: DataFrame,
+        corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+        nProbe: Int, refineR: Int): DataFrame = {
+      val cands = topK(queries, encoded, idCol, vecCol, refineR, nProbe)
+        .select(col("q_id"), col("n_id"))
+      val q = queries.select(col(idCol).as("q_id"),
+          asDouble(col(vecCol)).as("qe"))
+        .withColumn("nq2", norm2(col("qe")))
+      val nb = corpus.select(col(idCol).as("n_id"),
+          asDouble(col(vecCol)).as("ne"))
+        .withColumn("nn2", norm2(col("ne")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cosine").desc, col("n_id").asc)
+      cands.join(broadcast(q), Seq("q_id"))
+        .join(nb, Seq("n_id"))
+        .withColumn("cosine",
+          dot(col("qe"), col("ne")) / sqrt(col("nq2") * col("nn2")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("q_id"), col("n_id"), col("cosine"), col("rank"))
     }
 
     /** Flatten to a persistable relation: `("coarse", i, 0, vec)` rows

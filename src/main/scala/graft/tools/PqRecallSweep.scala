@@ -40,9 +40,31 @@ object PqRecallSweep {
       val rProbe = recall(nProbe)
       val query = (System.nanoTime() - t1) / 1e9
       val rFull = recall(c)
+      // exact re-rank tail (round-8 verdict item 1): ADC top-R then
+      // exact double-cosine re-score of only those candidates
+      def recallRefined(np: Int, r: Int): (Double, Double) = {
+        val t = System.nanoTime()
+        val pq = idx.topKRefined(q, enc, emb, "vec_id", "embedding",
+            10, np, r)
+          .collect().map(row => (row.getLong(0), row.getLong(1))).toSet
+        ((brute intersect pq).size.toDouble / brute.size,
+          (System.nanoTime() - t) / 1e9)
+      }
+      val (rRef100, tRef100) = recallRefined(nProbe, 100)
+      val (rRef1000, _) = recallRefined(nProbe, 1000)
+      // routing ceiling: refine EVERYTHING in the probed buckets
+      val (rCeil, _) = recallRefined(nProbe, Int.MaxValue)
+      val (rRef8, tRef8) = recallRefined(8, 100)
+      val (rRefFull, _) = recallRefined(c, 1000)
       println(s"""{"kCodes":$kCodes,"n":$n,"build_s":$build,""" +
         s""""recall_probe$nProbe":$rProbe,"recall_full":$rFull,""" +
-        s""""query_s":$query}""")
+        s""""refine100_probe$nProbe":$rRef100,""" +
+        s""""refine1000_probe$nProbe":$rRef1000,""" +
+        s""""routing_ceiling_probe$nProbe":$rCeil,""" +
+        s""""refine100_probe8":$rRef8,""" +
+        s""""refine1000_full":$rRefFull,""" +
+        s""""query_s":$query,"refine100_s":$tRef100,""" +
+        s""""refine100_probe8_s":$tRef8}""")
     }
     spark.stop()
   }

@@ -180,6 +180,57 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall $recall") // compressed + sampled codebook
   }
 
+  test("refine tail: exact re-rank of ADC candidates matches a " +
+      "plain-Scala re-score tuple for tuple") {
+    val q = emb.filter(col("vec_id") < 20)
+    val idx = Similarity.IvfPqIndex.build(emb, "vec_id", "embedding",
+      c = c, m = m, kCodes = kCodes)
+    val enc = idx.encode(emb, "vec_id", "embedding").localCheckpoint()
+    val refined = idx.topKRefined(q, enc, emb, "vec_id", "embedding",
+        k, nProbe, refineR = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    // independent tail: ADC top-50 from the SAME index, then an exact
+    // double-cosine re-score in plain Scala (strict left-fold dots)
+    val cand = idx.topK(q, enc, "vec_id", "embedding", 50, nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val v = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (qid, ns) =>
+      ns.toSeq.map { case (_, nid) =>
+        (nid, dot(v(qid), v(nid)) /
+          math.sqrt(dot(v(qid), v(qid)) * dot(v(nid), v(nid))))
+      }.sortBy { case (nid, cos) => (-cos, nid) }
+        .take(k).zipWithIndex
+        .map { case ((nid, cos), i) => (qid, nid, cos, i + 1) }
+    }.toSet
+    assert(refined == expected)
+  }
+
+  test("refine tail never loses recall vs ADC-only ranking") {
+    val q = emb.filter(col("vec_id") < 100)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val idx = Similarity.IvfPqIndex.build(emb, "vec_id", "embedding",
+      c = c, m = m, kCodes = kCodes)
+    val enc = idx.encode(emb, "vec_id", "embedding").localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = pairs(idx.topK(q, enc, "vec_id", "embedding", k, nProbe))
+    val ref = pairs(idx.topKRefined(q, enc, emb, "vec_id", "embedding",
+      k, nProbe, refineR = 100))
+    val rAdc = (brute intersect adc).size.toDouble / brute.size
+    val rRef = (brute intersect ref).size.toDouble / brute.size
+    assert(rRef >= rAdc, s"refined recall $rRef < ADC recall $rAdc")
+  }
+
   test("trained codebooks beat the untrained sample on recall") {
     // Full single-cell probe isolates PQ reconstruction quality: the
     // candidate set is the whole corpus, so recall differences come

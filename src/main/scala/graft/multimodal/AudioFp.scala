@@ -119,4 +119,14 @@ object AudioFp {
   def clusters(hashes: DataFrame, idCol: String, hashCol: String,
       maxHamming: Int = 3, bands: Int = 4): DataFrame =
     Perceptual.clusters(hashes, idCol, hashCol, maxHamming, bands, HashBits)
+
+  /** Cross-corpus audio contamination: banded fingerprint matches
+    * joined across two clip corpora, never within — the
+    * [[Perceptual.crossMatches]] machinery at 52 bits. Output
+    * `(a, b, hamming)`, `a` from train, `b` from eval.
+    */
+  def crossMatches(train: DataFrame, eval: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    Perceptual.crossMatches(train, eval, idCol, hashCol, maxHamming,
+      bands, HashBits)
 }

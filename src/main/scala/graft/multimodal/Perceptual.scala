@@ -92,9 +92,8 @@ object Perceptual {
     * so candidate generation stays far below all-pairs. Same dial as
     * shuffle partitions: size to the corpus.
     */
-  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
-      maxHamming: Int, bands: Int = 4,
-      hashBits: Int = HashBits): DataFrame = {
+  private def bandKeyed(hashes: DataFrame, idCol: String, hashCol: String,
+      bands: Int, hashBits: Int): DataFrame = {
     require(bands > 0 && hashBits % bands == 0,
       s"bands must divide $hashBits")
     val bandBits = hashBits / bands
@@ -103,8 +102,14 @@ object Perceptual {
         shiftright(col(hashCol), bnd * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
     }
-    val keyed = hashes.select(col(idCol), col(hashCol),
+    hashes.select(col(idCol), col(hashCol),
       explode(array(bandKeys: _*)).as("bk"))
+  }
+
+  def hammingPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 4,
+      hashBits: Int = HashBits): DataFrame = {
+    val keyed = bandKeyed(hashes, idCol, hashCol, bands, hashBits)
     val l = keyed.select(col(idCol).as("a"), col(hashCol).as("ha"),
       col("bk").as("kl"))
     val r = keyed.select(col(idCol).as("b"), col(hashCol).as("hb"),
@@ -113,6 +118,29 @@ object Perceptual {
       .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
       .select(col("a"), col("b"))
+  }
+
+  /** Cross-corpus contamination matches: banded candidates joined
+    * ACROSS the two hash relations only — never within either corpus —
+    * then the exact `bit_count` verify ([[graft.dedup.Dedup
+    * .crossCorpusMatches]]'s shape in hamming space). Output
+    * `(a, b, hamming)` where `a` is a train id and `b` an eval id.
+    * The eval side is typically tiny: its band relation broadcasts,
+    * so the train corpus is never shuffled by the candidate stage.
+    */
+  def crossMatches(train: DataFrame, eval: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int, bands: Int = 4,
+      hashBits: Int = HashBits): DataFrame = {
+    val l = bandKeyed(train, idCol, hashCol, bands, hashBits)
+      .select(col(idCol).as("a"), col(hashCol).as("ha"), col("bk").as("kl"))
+    val r = bandKeyed(eval, idCol, hashCol, bands, hashBits)
+      .select(col(idCol).as("b"), col(hashCol).as("hb"), col("bk").as("kr"))
+    l.join(r, col("kl") === col("kr"))
+      .select(col("a"), col("b"), col("ha"), col("hb")).distinct()
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
   }
 
   /** Per-media cluster labels: every id, its dhash, its connected-

@@ -112,6 +112,59 @@ object Round7Queries {
       s"lower(nfc_normalize($c)), '[^\\p{L}\\p{N}\\s]', '', 'g'), " +
       "'\\s+', ' ', 'g'))"
 
+  /** q110/q137 image corpus: md5-derived dims + a per-document
+    * NONLINEAR pixel formula (distinct phase per doc, so unrelated
+    * documents get genuinely different gradient structure — a linear
+    * ramp would collide most images in dHash space). rid = doc_id*4
+    * (original), +1 re-encoded copy (%3: decode->encode, same pixels),
+    * +2 2x nearest-neighbor upscale (%5), +3 phase-shifted
+    * near-variant (%7: off=8, hamming small but nonzero — exercises
+    * the verify threshold both ways).
+    */
+  private[queries] def bmpMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    import graft.multimodal.{Bmp, Multimodal}
+    val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+    val h = md5(col("text"))
+      def byteAt(i: Int) =
+        conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
+      def pix(id: Long, i: Int, off: Int): Byte =
+        ((id * 2654435761L + i.toLong * (i + 7) + off) % 256).toByte
+      // dims 8..23: with width >= 8 the 8-wide dHash sample grid hits
+      // 8 DISTINCT columns — widths below the grid would degenerate
+      // entire images to dhash 0 (giant false cliques)
+      val base = docs.select(col("doc_id").cast("long").as("id"),
+          (byteAt(0) % 16 + 8).as("w"), (byteAt(1) % 16 + 8).as("h"))
+        .as[(Long, Int, Int)]
+        .mapPartitions(_.map { case (id, w, hh) =>
+          val rgb = Array.tabulate(w * hh * 3)(i => pix(id, i, 0))
+          val p = Bmp.encode(Bmp.Image(w, hh, rgb))
+          Multimodal.BmpMedia(id, p, p.length)
+        })
+      val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
+      val reenc = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 3 == 0)
+        .mapPartitions(_.map { m =>
+          val p = Bmp.encode(Bmp.decode(m.payload))
+          Multimodal.BmpMedia(m.doc_id * 4 + 1, p, p.length)
+        })
+      val resized = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 5 == 0)
+        .mapPartitions(_.map { m =>
+          val img = Bmp.decode(m.payload)
+          val p = Bmp.encode(Bmp.resample(img, img.width * 2, img.height * 2))
+          Multimodal.BmpMedia(m.doc_id * 4 + 2, p, p.length)
+        })
+      val shifted = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 7 == 0)
+        .mapPartitions(_.map { m =>
+          val img = Bmp.decode(m.payload)
+          val rgb = Array.tabulate(img.rgb.length)(i => pix(m.doc_id, i, 8))
+          val p = Bmp.encode(Bmp.Image(img.width, img.height, rgb))
+          Multimodal.BmpMedia(m.doc_id * 4 + 3, p, p.length)
+        })
+      orig.union(reenc).union(resized).union(shifted)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Unicode-canonical exact dedup: the corpus carries each document
@@ -148,52 +201,9 @@ object Round7Queries {
     // semantics.
     "q110_perceptual_dedup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      import s.implicits._
-      import graft.multimodal.{Bmp, Multimodal, Perceptual}
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
-      // q28's md5-derived dims, but a per-document pixel formula with a
-      // distinct phase and a nonlinear ramp — unrelated documents get
-      // genuinely different gradient structure (the linear (id+i)%256
-      // ramp of synthesizeBmp makes most images collide in dHash
-      // space, which would demonstrate nothing)
-      val h = md5(col("text"))
-      def byteAt(i: Int) =
-        conv(substring(h, 2 * i + 1, 2), 16, 10).cast("int")
-      def pix(id: Long, i: Int, off: Int): Byte =
-        ((id * 2654435761L + i.toLong * (i + 7) + off) % 256).toByte
-      // dims 8..23: with width >= 8 the 8-wide dHash sample grid hits
-      // 8 DISTINCT columns — widths below the grid would degenerate
-      // entire images to dhash 0 (giant false cliques)
-      val base = docs.select(col("doc_id").cast("long").as("id"),
-          (byteAt(0) % 16 + 8).as("w"), (byteAt(1) % 16 + 8).as("h"))
-        .as[(Long, Int, Int)]
-        .mapPartitions(_.map { case (id, w, hh) =>
-          val rgb = Array.tabulate(w * hh * 3)(i => pix(id, i, 0))
-          val p = Bmp.encode(Bmp.Image(w, hh, rgb))
-          Multimodal.BmpMedia(id, p, p.length)
-        })
-      val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
-      val reenc = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 3 == 0)
-        .mapPartitions(_.map { m =>
-          val p = Bmp.encode(Bmp.decode(m.payload))
-          Multimodal.BmpMedia(m.doc_id * 4 + 1, p, p.length)
-        })
-      val resized = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 5 == 0)
-        .mapPartitions(_.map { m =>
-          val img = Bmp.decode(m.payload)
-          val p = Bmp.encode(Bmp.resample(img, img.width * 2, img.height * 2))
-          Multimodal.BmpMedia(m.doc_id * 4 + 2, p, p.length)
-        })
-      val shifted = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 7 == 0)
-        .mapPartitions(_.map { m =>
-          val img = Bmp.decode(m.payload)
-          val rgb = Array.tabulate(img.rgb.length)(i => pix(m.doc_id, i, 8))
-          val p = Bmp.encode(Bmp.Image(img.width, img.height, rgb))
-          Multimodal.BmpMedia(m.doc_id * 4 + 3, p, p.length)
-        })
-      val media = orig.union(reenc).union(resized).union(shifted)
-      Perceptual.clusters(Perceptual.dHashes(media), "id", "dhash",
-          maxHamming = 6)
+      import graft.multimodal.Perceptual
+      Perceptual.clusters(Perceptual.dHashes(bmpMedia(s, dir)), "id",
+          "dhash", maxHamming = 6)
         .orderBy(col("id"))
     }),
 
@@ -312,27 +322,12 @@ object Round7Queries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-
-    "q109_unicode_dedup" ->
-      s"""WITH corpus AS (
-         |  SELECT doc_id * 2 AS rid, '$PrefixNfc' || text AS t
-         |  FROM documents
-         |  UNION ALL
-         |  SELECT doc_id * 2 + 1, '$PrefixNfd' || text FROM documents),
-         |fps AS (SELECT rid, md5(${normalizedUnicodeSql("t")}) AS fp
-         |  FROM corpus)
-         |SELECT min(rid) AS first_rid, CAST(count(*) AS BIGINT) AS n, fp
-         |FROM fps GROUP BY fp ORDER BY first_rid""".stripMargin,
-
-    // Replays q110 arithmetically: image dims from md5 (q28's pattern),
-    // pixel(i) = (id0*2654435761 + i*(i+7) + off) % 256, the 2x upscale as a //sc
-    // coordinate map, the 8x8 grayscale grid with truncating integer
-    // divisions (nonnegative -> floor == trunc both engines), the
-    // 56-bit dHash, 4x14-bit band candidates, hamming<=6 verify, and
-    // min-label connected components as a recursive CTE.
-    "q110_perceptual_dedup" ->
-      s"""WITH RECURSIVE dims AS (
+  /** q110/q137 oracle prefix: the generative image formulas replayed
+    * down to per-image dHash — CTE chain ending at `dh(rid, dhash)`.
+    * rid%4=0 are originals; +1 re-encoded, +2 resized, +3 shifted.
+    */
+  private[queries] def imageDhCtesSql: String =
+    """dims AS (
          |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT % 16 + 8 AS w,
          |         ('0x'||substr(md5(text),3,2))::INT % 16 + 8 AS h
          |  FROM documents WHERE doc_id % 10 = 0),
@@ -362,7 +357,29 @@ object Round7Queries {
          |    AS dhash
          |  FROM cells l JOIN cells r
          |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
-         |  WHERE l.gx < 7 GROUP BY l.rid),
+         |  WHERE l.gx < 7 GROUP BY l.rid)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q109_unicode_dedup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id * 2 AS rid, '$PrefixNfc' || text AS t
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id * 2 + 1, '$PrefixNfd' || text FROM documents),
+         |fps AS (SELECT rid, md5(${normalizedUnicodeSql("t")}) AS fp
+         |  FROM corpus)
+         |SELECT min(rid) AS first_rid, CAST(count(*) AS BIGINT) AS n, fp
+         |FROM fps GROUP BY fp ORDER BY first_rid""".stripMargin,
+
+    // Replays q110 arithmetically: image dims from md5 (q28's pattern),
+    // pixel(i) = (id0*2654435761 + i*(i+7) + off) % 256, the 2x upscale as a //sc
+    // coordinate map, the 8x8 grayscale grid with truncating integer
+    // divisions (nonnegative -> floor == trunc both engines), the
+    // 56-bit dHash, 4x14-bit band candidates, hamming<=6 verify, and
+    // min-label connected components as a recursive CTE.
+    "q110_perceptual_dedup" ->
+      s"""WITH RECURSIVE ${imageDhCtesSql},
          |bands AS (
          |  SELECT rid, dhash, bb.band,
          |    (dhash >> (bb.band * 14)) & 16383 AS v

@@ -292,7 +292,7 @@ object Round8Queries {
     * md5(text)-derived polynomial coefficients, plus re-encoded (%3),
     * 2x-resampled (%5), and gain-doubled (%7) variants.
     */
-  private def audioMedia(s: SparkSession, dir: String) = {
+  private[queries] def audioMedia(s: SparkSession, dir: String) = {
     implicit val sp: SparkSession = s
     import s.implicits._
     import graft.multimodal.{AudioFp, Wav}
@@ -624,8 +624,13 @@ object Round8Queries {
   /** q129's full DuckDB replay — shared verbatim by q131 (incremental
     * ingest must reproduce the one-shot clustering).
     */
-  private lazy val oracleSql129: String =
-    s"""WITH RECURSIVE dims AS (
+  /** q129/q131/q132/q138 oracle prefix: the generative clip formulas
+    * replayed down to the 52-bit spectral fingerprint — CTE chain
+    * ending at `fp(rid, afp)`. rid%4=0 are originals; +1 re-encoded,
+    * +2 resampled, +3 gain-doubled.
+    */
+  private[queries] def audioFpCtesSql: String =
+    """dims AS (
          |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT * 8 + 512 AS n,
          |    ('0x'||substr(md5(text),3,4))::BIGINT % 16384 AS s1,
          |    ('0x'||substr(md5(text),7,4))::BIGINT % 16384 AS s2,
@@ -678,7 +683,10 @@ object Round8Queries {
          |  WHERE l.bi < 3
          |  GROUP BY l.rid),
          |fp AS (SELECT t.rid, t.ht | s2.hs AS afp
-         |  FROM fpt t JOIN fpsp s2 USING (rid)),
+         |  FROM fpt t JOIN fpsp s2 USING (rid))""".stripMargin
+
+  private lazy val oracleSql129: String =
+    s"""WITH RECURSIVE ${audioFpCtesSql},
          |bands AS (
          |  SELECT rid, afp, bb.band, (afp >> (bb.band * 13)) & 8191 AS v
          |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bb),

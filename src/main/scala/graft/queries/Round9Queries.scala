@@ -30,6 +30,38 @@ object Round9Queries {
         nProbe = Round5Queries.PqProbe, kCodes = Round5Queries.PqK,
         refineR = PqR)
         .orderBy(col("q_id"), col("rank"))
+    }),
+
+    // Cross-corpus PERCEPTUAL contamination (images): q110's corpus
+    // split into TRAIN (the originals, rid%4=0) and EVAL (the planted
+    // re-encodes, 2x upscales, and phase-shifted near-variants) — the
+    // q120/q121 train-vs-eval question asked in dHash space. Banded
+    // hamming candidates join ACROSS the corpora only, never within;
+    // exact bit_count verify; output (train id, eval id, hamming).
+    // One decode pass feeds both sides.
+    "q137_perceptual_cross" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.multimodal.Perceptual
+      val hashes = Perceptual.dHashes(Round7Queries.bmpMedia(s, dir))
+        .localCheckpoint()
+      Perceptual.crossMatches(hashes.filter(col("id") % 4 === 0),
+          hashes.filter(col("id") % 4 =!= 0), "id", "dhash",
+          maxHamming = 6)
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // Cross-corpus AUDIO contamination: q129's clip corpus split the
+    // same way — TRAIN originals vs EVAL re-encodes/resamples/gain
+    // copies; 52-bit spectral fingerprints, cross-only band join,
+    // hamming<=3 verify (exhaustive by pigeonhole at 4 bands).
+    "q138_audio_cross" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.multimodal.AudioFp
+      val fps = AudioFp.fingerprints(Round8Queries.audioMedia(s, dir))
+        .localCheckpoint()
+      AudioFp.crossMatches(fps.filter(col("id") % 4 === 0),
+          fps.filter(col("id") % 4 =!= 0), "id", "afp")
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -61,6 +93,38 @@ object Round9Queries {
          |    ROW_NUMBER() OVER (PARTITION BY q_id
          |      ORDER BY cosine DESC, n_id ASC) AS rank
          |  FROM rs) t
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    // q110's generative dHash CTEs verbatim, then the cross-only band
+    // join: train side rid%4=0, eval side rid%4<>0 (disjoint by
+    // construction), exact hamming verify at the same threshold.
+    "q137_perceptual_cross" ->
+      s"""WITH ${Round7Queries.imageDhCtesSql},
+         |bands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM dh, (SELECT unnest(generate_series(0, 3)) AS band) bb)
+         |SELECT a, b, hamming FROM (
+         |  SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |    CAST(bit_count(xor(x.dhash, y.dhash)) AS INT) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v
+         |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0)
+         |WHERE hamming <= 6 ORDER BY a, b""".stripMargin,
+
+    // q129's generative fingerprint CTEs verbatim, then the cross-only
+    // band join at 52 bits / 4x13-bit bands / hamming<=3.
+    "q138_audio_cross" ->
+      s"""WITH ${Round8Queries.audioFpCtesSql},
+         |bands AS (
+         |  SELECT rid, afp, bb.band, (afp >> (bb.band * 13)) & 8191 AS v
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bb)
+         |SELECT a, b, hamming FROM (
+         |  SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |    CAST(bit_count(xor(x.afp, y.afp)) AS INT) AS hamming
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.v = y.v
+         |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0)
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
   )
 }

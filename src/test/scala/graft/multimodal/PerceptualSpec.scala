@@ -49,6 +49,35 @@ class PerceptualSpec extends SparkSpec {
     assert(got.contains((2L, 3L)))
   }
 
+  test("crossMatches: cross-corpus only, never within; equals the " +
+      "cross-restricted hammingPairs; re-encoded plants found") {
+    // train: two originals near each other (hamming 1 — must NOT pair,
+    // they are both train); eval: a re-encode of train id 1 (identical
+    // pixels -> hamming 0), plus an unrelated far hash
+    val t1 = Perceptual.dHash(img(1L, 12, 10))
+    val t2 = t1 ^ (1L << 5)
+    val e1 = Perceptual.dHash(Bmp.decode(Bmp.encode(img(1L, 12, 10))))
+    val eFar = t1 ^ 0x1L ^ (1L << 14) ^ (1L << 28) ^ (1L << 42)
+    val train = Seq((1L, t1), (2L, t2)).toDF("id", "dhash")
+    val eval = Seq((101L, e1), (102L, eFar)).toDF("id", "dhash")
+    val got = Perceptual.crossMatches(train, eval, "id", "dhash",
+        maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // plant found at hamming 0; t2 is hamming 1 from the plant too
+    assert(got.contains((1L, 101L, 0)))
+    assert(got.contains((2L, 101L, 1)))
+    // within-train pair (1,2) absent; eFar shares no band with anything
+    assert(got.forall { case (a, b, _) => a < 100 && b >= 100 })
+    assert(!got.exists(_._2 == 102L))
+    // contract: crossMatches == hammingPairs over the union, restricted
+    // to cross pairs (ids disjoint so a<b orients train->eval)
+    val viaPairs = Perceptual.hammingPairs(train.unionByName(eval), "id",
+        "dhash", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a < 100 && b >= 100 }.toSet
+    assert(got.map { case (a, b, _) => (a, b) } == viaPairs)
+  }
+
   test("clusters: min-id labels, singletons not duplicates") {
     val df = Seq(
       (10L, 0x0AAAL), (11L, 0x0AABL), // pair (hamming 1)

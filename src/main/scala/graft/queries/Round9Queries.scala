@@ -62,6 +62,37 @@ object Round9Queries {
       AudioFp.crossMatches(fps.filter(col("id") % 4 === 0),
           fps.filter(col("id") % 4 =!= 0), "id", "afp")
         .orderBy(col("a"), col("b"))
+    }),
+
+    // Right-to-be-forgotten, end to end THROUGH STORAGE: build the LSH
+    // index over the initial corpus slice, publish it to a catalog
+    // (history deliberately kept), purge an id set with Purge.forget
+    // (anti-join + republish + VACUUM — no version retains the purged
+    // docs), reload from the purged catalog, and ingest a fresh batch.
+    // The emitted pairs must equal a from-scratch build over (initial
+    // minus purged) + batch, restricted to batch-touching pairs — the
+    // oracle replays exactly that one-shot, proving the purged docs
+    // are gone from the STORED index, not merely filtered in memory.
+    "q139_purge_forget" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.catalog.ParquetCatalog
+      import graft.dedup.IncrementalLsh
+      import graft.pipeline.Purge
+      val c = PipelineQueries.corpus(s, dir)
+      val initial = c.filter(col("doc_id") % 4 =!= 1)
+      val batch = c.filter(col("doc_id") % 4 === 1)
+      val (idx, _) = IncrementalLsh.build(initial, "doc_id", "text")
+      val root = Files.createTempDirectory("graft-q139").toString
+      val cat = new ParquetCatalog(s, root)
+      IncrementalLsh.save(idx, cat, "lsh", vacuumHistory = false)
+      Purge.forget(cat, c.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id")), "doc_id", lsh = Seq("lsh"))
+      val (_, pairs) = IncrementalLsh.addBatch(
+        IncrementalLsh.load(cat, "lsh"), batch, "doc_id", "text")
+      // materialize before deleting the temp catalog the plan reads
+      val out = pairs.orderBy(col("a"), col("b")).localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
     })
   )
 
@@ -125,6 +156,33 @@ object Round9Queries {
          |  FROM bands x JOIN bands y
          |    ON x.band = y.band AND x.v = y.v
          |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0)
-         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // One-shot replay of the post-purge state: near-dup pairs (q20's
+    // arithmetic) over (initial minus purged) + batch, restricted to
+    // pairs with at least one endpoint in the batch — exactly what the
+    // reloaded-then-grown index must emit if and only if the purge
+    // removed the docs from storage.
+    "q139_purge_forget" ->
+      s"""WITH ${PipelineQueries.corpusSql},
+         |allowed AS (SELECT doc_id, text FROM corpus
+         |  WHERE doc_id % 4 = 1 OR doc_id % 3 <> 0),
+         |${PipelineQueries.shinglesSql("allowed")},
+         |${PipelineQueries.minhashCtesSql},
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.a
+         |  JOIN sh y ON y.doc_id = c.b AND y.shh = x.shh
+         |  GROUP BY c.a, c.b)
+         |SELECT cm.a, cm.b,
+         |  cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS jaccard
+         |FROM common cm
+         |JOIN sizes sa ON sa.doc_id = cm.a
+         |JOIN sizes sb ON sb.doc_id = cm.b
+         |WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= 0.5
+         |  AND (cm.a % 4 = 1 OR cm.b % 4 = 1)
+         |ORDER BY a, b""".stripMargin
   )
 }

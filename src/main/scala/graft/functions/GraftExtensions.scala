@@ -21,6 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[DotProduct].getName, name),
         builder))
     }
+    // composite pipeline operators as table-valued functions
+    GraftTableFunctions.builders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProduct].getName, name),
+        builder))
+    }
     // the native as-of join operator plans through this strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     // graft_cosine lowers to the codegen DotProduct kernels here
@@ -84,6 +91,10 @@ object GraftExtensions {
     builders.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.ColumnBridge
         .registerTempFunction(spark, name, builder)
+    }
+    GraftTableFunctions.builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.ColumnBridge
+        .registerTempTableFunction(spark, name, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(CosineExpand))
       spark.experimental.extraOptimizations =

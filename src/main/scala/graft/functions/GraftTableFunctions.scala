@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** SQL table-valued entry points for the composite pipeline operators —
+  * the `spark-sql` front door the scalar registrations in
+  * [[GraftExtensions]] cannot provide. Each TVF takes table/view NAMES
+  * and column names as string literals, resolves them through the
+  * session catalog, and returns the SAME logical plan the Scala API
+  * builds — so a pure-SQL user drives the dedup/ANN/packing operators
+  * exactly as q101 drives MERGE:
+  *
+  * {{{
+  * spark.sql("SELECT * FROM graft_near_duplicates('docs', 'doc_id', 'text', 0.5)")
+  * spark.sql("SELECT * FROM graft_ann_topk('queries', 'corpus', 'vec_id', 'embedding', 10)")
+  * spark.sql("SELECT * FROM graft_pack_sequences('docs', 'doc_id', 'text', 2048, 8)")
+  * }}}
+  *
+  * Arguments must be literals (they configure the plan, they are not
+  * data). `graft_ann_topk` trains its IVF-PQ index eagerly when the
+  * query is ANALYZED (centroids/codebooks are driver-bounded state, the
+  * same contract as the Scala path); the other TVFs are pure plan
+  * construction.
+  */
+object GraftTableFunctions {
+
+  private type Builder = Seq[Expression] => LogicalPlan
+
+  private def str(e: Expression, usage: String): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$usage: expected a string literal, got $other")
+  }
+
+  private def dbl(e: Expression, usage: String): Double = e match {
+    case l @ Literal(v, _: NumericType) if v != null =>
+      l.eval() match {
+        case d: java.lang.Number => d.doubleValue()
+        case d: org.apache.spark.sql.types.Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$usage: expected a numeric literal, got $other")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$usage: expected a numeric literal, got $other")
+  }
+
+  private def int(e: Expression, usage: String): Int = {
+    val d = dbl(e, usage)
+    require(d == math.rint(d), s"$usage: expected an integer literal")
+    d.toInt
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+
+  private val nearDuplicates: Builder = { args =>
+    val u = "graft_near_duplicates(table, idCol, textCol[, threshold])"
+    require(args.length == 3 || args.length == 4, u)
+    val s = SparkSession.active
+    val th = if (args.length == 4) dbl(args(3), u) else 0.5
+    plan(graft.dedup.Dedup.minhashNearDuplicates(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u), th))
+  }
+
+  private val annTopK: Builder = { args =>
+    val u = "graft_ann_topk(queriesTable, corpusTable, idCol, vecCol, k)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    plan(graft.similarity.Similarity.ivfPqTopKRefined(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u), str(args(3), u), int(args(4), u)))
+  }
+
+  private val packSequences: Builder = { args =>
+    val u = "graft_pack_sequences(table, idCol, textCol, seqLen, numGroups)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    plan(graft.pipeline.Packing.packSequences(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u), int(args(4), u)))
+  }
+
+  /** All SQL-exposed table functions. */
+  private[functions] val builders: Seq[(String, Builder)] = Seq(
+    "graft_near_duplicates" -> nearDuplicates,
+    "graft_ann_topk" -> annTopK,
+    "graft_pack_sequences" -> packSequences)
+}

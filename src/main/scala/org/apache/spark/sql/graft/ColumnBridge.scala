@@ -26,6 +26,16 @@ object ColumnBridge {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, builder, "scala_udf")
 
+  /** Register a temp TABLE function (TVF) on an existing session —
+    * the relation-valued sibling of [[registerTempFunction]].
+    */
+  def registerTempTableFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
+
   /** Wrap a custom LogicalPlan as a DataFrame (`Dataset.ofRows` is
     * `private[sql]`).
     */

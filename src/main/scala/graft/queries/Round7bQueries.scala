@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 object Round7bQueries {
 
   /** Recursive delete of a staging/checkpoint temp directory. */
-  private[queries] def rmTree(dir: String): Unit = {
+  private[graft] def rmTree(dir: String): Unit = {
     import java.nio.file.{Files => F, Path}
     import java.util.Comparator
     val root = Path.of(dir)

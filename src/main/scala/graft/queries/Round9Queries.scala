@@ -93,8 +93,44 @@ object Round9Queries {
       val out = pairs.orderBy(col("a"), col("b")).localCheckpoint()
       Round7bQueries.rmTree(root)
       out
+    }),
+
+    // Semantic-index RETRAIN: q111's three-batch ingest (centroids
+    // frozen at batch 0), then IncrementalSemantic.retrain re-trains
+    // c=32 centroids from the accumulated member set and re-buckets
+    // every member — the cost re-balance the drift probe recommends
+    // (SEMANTIC_DRIFT_r9: frozen centroids lose no recall but their
+    // seed-sized buckets hold N× the population). The oracle replays
+    // the ENTIRE retrain relationally: md5-ordered init + both Lloyd
+    // iterations + the final argmin, trained over the full corpus —
+    // retrain(index) == build(all surviving vectors) is the contract.
+    "q140_semantic_retrain" -> ((s, dir) => {
+      import graft.similarity.IncrementalSemantic
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val repA = emb.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val repB = emb.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 2000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      val full = emb.unionByName(repA).unionByName(repB)
+      def batch(b: Int) = full.filter(col("vec_id") % 3 === b)
+      val (i0, _) = IncrementalSemantic.build(batch(0), "vec_id",
+        "embedding", threshold = 0.99, c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters)
+      val (i1, _) = IncrementalSemantic.addBatch(i0, batch(1), "vec_id",
+        "embedding", threshold = 0.99)
+      val (i2, _) = IncrementalSemantic.addBatch(i1, batch(2), "vec_id",
+        "embedding", threshold = 0.99)
+      val r = IncrementalSemantic.retrain(i2, c = RetrainC,
+        iters = ExtendedQueries.IvfIters)
+      r.members.select(col("id").as("vec_id"), col("bucket"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** q140's grown centroid count (2x the q111 seed c — the c ∝ N path). */
+  private val RetrainC = 32
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -183,6 +219,52 @@ object Round9Queries {
          |JOIN sizes sb ON sb.doc_id = cm.b
          |WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) >= 0.5
          |  AND (cm.a % 4 = 1 OR cm.b % 4 = 1)
-         |ORDER BY a, b""".stripMargin
+         |ORDER BY a, b""".stripMargin,
+
+    // Full relational replay of the retrain: q111's planted corpus,
+    // quantized (qzall); training reads qz = the WHOLE corpus (retrain
+    // trains on everything indexed — vs q111 where qz is the batch-0
+    // slice) with c=32 md5-ordered seeds and the same two exact-
+    // integer Lloyd steps; final assignment argmin over the retrained
+    // centroids. retrain() re-quantizes from the stored double view
+    // `e`, which equals quantization of the original float column, so
+    // every step replays bit-identically.
+    "q140_semantic_retrain" ->
+      s"""WITH
+         |base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |emb2 AS (
+         |  SELECT vec_id, e FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, e FROM base WHERE vec_id % 7 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 2000000, list_transform(e, x -> x * 2.0)
+         |  FROM base WHERE vec_id % 11 = 0),
+         |qzall AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb2)
+         |  WHERE mab > 0),
+         |qz AS (SELECT * FROM qzall),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${graft.functions.PortableHash
+                      .hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < $RetrainC),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, cluster AS bucket FROM (
+         |  SELECT z.vec_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qzall z CROSS JOIN c${ExtendedQueries.IvfIters} c)
+         |  WHERE rn = 1)
+         |SELECT vec_id, bucket FROM cb ORDER BY vec_id""".stripMargin
   )
+
+  /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
+  private def distSql(v: String, cent: String): String =
+    s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
 }

@@ -87,6 +87,44 @@ object IncrementalSemantic {
       idx.members.join(d, Seq("id"), "left_anti").localCheckpoint())
   }
 
+  /** Re-train the centroids from the CURRENT member set (growing `c`
+    * with the corpus — c ∝ N is the design's scale path) and re-bucket
+    * every member under the new centroids. This is the remedy for
+    * seed-frozen centroid drift: [[graft.tools.SemanticDriftProbe]]
+    * measures that frozen seed centroids barely lose planted-pair
+    * recall but their seed-sized buckets hold N× the population, so
+    * per-batch ingest cost grows linearly with the index where a
+    * retrained c ∝ N index keeps bucket populations — and per-batch
+    * cost — flat.
+    *
+    * Equivalent to [[build]] over the surviving corpus: the member
+    * relation stores the exact double view `e` of each original
+    * embedding, and int8 quantization of `e` equals quantization of
+    * the original float column, so the md5-ordered init, every Lloyd
+    * step, and the final argmin replay identically (the q140 oracle
+    * re-runs the whole training relationally over the full corpus).
+    * Emits no pairs: pair history is append-only (the LSM contract —
+    * [[delete]] does not retract either); retraining re-balances
+    * future ingest cost, it does not rewrite past outputs.
+    */
+  def retrain(idx: SemanticIndex, c: Int, iters: Int = 2): SemanticIndex = {
+    val ds = idx.members
+      .select(col("id"), col("e"),
+        graft.functions.VectorFunctions.quantInt8Col(col("e")).as("qi"))
+      .filter(col("qi").isNotNull)
+      .withColumn("qd", col("qi").cast("array<double>"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainPortable(ds, "id", c, iters)
+    val m = ds
+      .select(col("id"), col("e"),
+        Similarity.nearestCentroid(col("qd"), cents).as("bucket"))
+      .withColumn("nrm", norm2(col("e")))
+      .select(col("id"), col("e"), col("bucket"), col("nrm"))
+      .localCheckpoint()
+    ds.unpersist(blocking = false)
+    SemanticIndex(cents, m)
+  }
+
   /** Publish as catalog tables `<name>_centroids` / `<name>_members`
     * (atomic versioned overwrite, history vacuumed).
     */

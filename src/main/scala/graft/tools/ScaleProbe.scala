@@ -427,6 +427,42 @@ object ScaleProbe {
       d.select(col("doc_id"), md5(graft.text.Pii.scrub(col("text"))).as("m"))
         .filter(length(col("m")) >= 0).count()
 
+    // END-TO-END streaming corpus clean (the q126 front door composed:
+    // land as staged parquet -> 3-file stream -> per-batch gates + LSH
+    // fold -> end-of-stream resolve). File count stays FIXED at both
+    // sizes (q126's batching) so the per-batch payload grows Nx — the
+    // "same ingest cadence, bigger files" axis; the batch-count axis
+    // (fixed batch into a grown index) is the incremental_lsh row.
+    // Gates run with plant-insensitive selectivity (minQuality 0,
+    // every langId label admitted): the per-token replica suffix
+    // destroys stopword/marker tokens, so the DEFAULT thresholds would
+    // gate replicas differently from real text — scoring still runs at
+    // full cost, admission is corpus-independent, and survivors must
+    // come out exactly Nx (within-replica exact-dup and near-dup
+    // structure is preserved by the perturbation; nothing collides
+    // across replicas). Includes the staging write, like the q126
+    // bench number — landing is part of the front door.
+    def streamCorpus(d: DataFrame): Long = {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft-probe-stream").toString
+      val cp = Files.createTempDirectory("graft-probe-stream-cp").toString
+      val cfg = graft.pipeline.CorpusPipeline.Config(minQuality = 0.0,
+        languages = Seq("en", "de", "fr", "es", "und"))
+      d.repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp, cfg)
+      graft.queries.Round7bQueries.rmTree(stage)
+      graft.queries.Round7bQueries.rmTree(cp)
+      graft.streaming.StreamingCorpus
+        .resolveSurvivors(gated, pairs, "doc_id", "text", cfg)
+        .filter(length(col("text")) >= 0 && col("quality") >= -1.0)
+        .count()
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -505,7 +541,9 @@ object ScaleProbe {
       "exact_selection" -> (() => (time(selection(docs1)),
         time(selection(docsN)))),
       "entropy_gate" -> (() => (time(entropy(docs1)), time(entropy(docsN)))),
-      "pii_scrub" -> (() => (time(pii(docs1)), time(pii(docsN)))))
+      "pii_scrub" -> (() => (time(pii(docs1)), time(pii(docsN)))),
+      "streaming_corpus" -> (() => (time(streamCorpus(docs1r)),
+        time(streamCorpus(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

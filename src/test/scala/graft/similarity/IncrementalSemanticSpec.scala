@@ -101,4 +101,38 @@ class IncrementalSemanticSpec extends SparkSpec {
       Seq(999999999L).toDF("vec_id"), "vec_id")
     assert(iNoop.members.count() == iDel.members.count())
   }
+
+  test("retrain equals a from-scratch build over the surviving corpus") {
+    def memberSet(i: SemanticIndex): Set[(Long, Int)] = i.members
+      .select(col("id"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+
+    // grow in two batches (centroids frozen at batch 0), then retrain
+    val (i0, _) = IncrementalSemantic.build(batch(0, 2), "vec_id",
+      "embedding", Th, c = 4, iters = 1)
+    val (i1, _) = IncrementalSemantic.addBatch(i0, batch(1, 2), "vec_id",
+      "embedding", Th)
+    val r = IncrementalSemantic.retrain(i1, c = 8, iters = 2)
+    val (scratch, _) = IncrementalSemantic.build(corpus, "vec_id",
+      "embedding", Th, c = 8, iters = 2)
+    assert(r.centroids.map(_.toSeq).toSeq ==
+      scratch.centroids.map(_.toSeq).toSeq)
+    assert(memberSet(r) == memberSet(scratch))
+    // re-bucketing must actually use the new centroids: with c grown
+    // 4 -> 8, some member lands in a bucket the frozen index lacked
+    assert(r.members.select(col("bucket")).distinct().count() >
+      i1.members.select(col("bucket")).distinct().count())
+
+    // retrain after delete trains only on survivors
+    val victims = batch(0, 2).filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"))
+    val rDel = IncrementalSemantic.retrain(
+      IncrementalSemantic.delete(i1, victims, "vec_id"), c = 8, iters = 2)
+    val (scratchDel, _) = IncrementalSemantic.build(
+      corpus.join(victims, Seq("vec_id"), "left_anti"), "vec_id",
+      "embedding", Th, c = 8, iters = 2)
+    assert(rDel.centroids.map(_.toSeq).toSeq ==
+      scratchDel.centroids.map(_.toSeq).toSeq)
+    assert(memberSet(rDel) == memberSet(scratchDel))
+  }
 }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_near_duplicates('docs', 'doc_id', 'text', 0.5)")
   * spark.sql("SELECT * FROM graft_ann_topk('queries', 'corpus', 'vec_id', 'embedding', 10)")
   * spark.sql("SELECT * FROM graft_pack_sequences('docs', 'doc_id', 'text', 2048, 8)")
+  * spark.sql("SELECT * FROM graft_semantic_dedup('embs', 'vec_id', 'embedding', 0.99, 16)")
+  * spark.sql("SELECT * FROM graft_clean_corpus('docs', 'doc_id', 'text')")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -83,9 +85,37 @@ object GraftTableFunctions {
       int(args(3), u), int(args(4), u)))
   }
 
+  private val semanticDedup: Builder = { args =>
+    val u = "graft_semantic_dedup(table, idCol, vecCol[, threshold[, c]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val th = if (args.length >= 4) dbl(args(3), u) else 0.99
+    val c = if (args.length == 5) int(args(4), u) else 16
+    plan(graft.similarity.Similarity.semanticDedup(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      th, c))
+  }
+
+  private val cleanCorpus: Builder = { args =>
+    val u = "graft_clean_corpus(table, idCol, textCol[, minQuality[, jaccardThreshold]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      minQuality =
+        if (args.length >= 4) dbl(args(3), u)
+        else graft.pipeline.CorpusPipeline.Config().minQuality,
+      jaccardThreshold =
+        if (args.length == 5) dbl(args(4), u)
+        else graft.pipeline.CorpusPipeline.Config().jaccardThreshold)
+    plan(graft.pipeline.CorpusPipeline.clean(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u), cfg))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
     "graft_ann_topk" -> annTopK,
-    "graft_pack_sequences" -> packSequences)
+    "graft_pack_sequences" -> packSequences,
+    "graft_semantic_dedup" -> semanticDedup,
+    "graft_clean_corpus" -> cleanCorpus)
 }

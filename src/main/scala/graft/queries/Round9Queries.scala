@@ -126,8 +126,92 @@ object Round9Queries {
         iters = ExtendedQueries.IvfIters)
       r.members.select(col("id").as("vec_id"), col("bucket"))
         .orderBy(col("vec_id"))
+    }),
+
+    // Streaming SCD-2 ingest: the reference's flagship merge driven
+    // through the file-source streaming door (the trilogy's fourth
+    // member — documents q118/q126, embeddings q119, audio q132, and
+    // now the DIMENSION). Two staged snapshots land as single ordered
+    // files (explicit mtimes — CDC streams are ordered, and the file
+    // source drains oldest-first); StreamingScd.writer dedupes each
+    // batch keep-latest and merges it into a ParquetCatalog-held
+    // dimension with a per-batch asOf, exactly-once via the catalog's
+    // atomic versioned publish. The oracle replays BOTH merges as
+    // chained 6-branch SQL (mergeStepCtes) — streamed sequential
+    // merging == the one-shot two-step replay, hash-checked.
+    "q141_stream_scd" -> ((s, dir) => {
+      import java.nio.file.{Files, Path}
+      import java.nio.file.attribute.FileTime
+      import java.sql.Timestamp
+      import graft.scd.MergeOptions
+      import org.apache.spark.sql.streaming.Trigger
+      val stage = Files.createTempDirectory("graft-q141-landing")
+      val cp = Files.createTempDirectory("graft-q141-cp").toString
+      val root = Files.createTempDirectory("graft-q141-cat").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      val prod0 = ScdQueries.production(s, dir)
+      cat.create("dim", prod0.schema)
+      cat.overwrite("dim", prod0)
+      def land(df: DataFrame, name: String, mtimeMs: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-q141-snap").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = stage.resolve(name)
+        Files.move(part.toPath, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtimeMs))
+        Round7bQueries.rmTree(tmp)
+      }
+      land(ScdQueries.staging(s, dir).withColumn("seq", lit(1L)),
+        "snap0.parquet", 1700000000000L)
+      land(secondSnapshot(s, dir).withColumn("seq", lit(2L)),
+        "snap1.parquet", 1700000100000L)
+      val stream = s.readStream
+        .schema(s.read.parquet(stage.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val asOfs = Map(
+        0L -> Timestamp.valueOf("2024-07-01 00:00:00"),
+        1L -> Timestamp.valueOf("2024-08-01 00:00:00"))
+      val query = graft.streaming.StreamingScd.writer(
+          stream, ScdQueries.schema,
+          load = _ => cat.table("dim"),
+          save = df => cat.overwrite("dim", df),
+          eventTimeCol = "seq",
+          asOfForBatch = asOfs(_),
+          mergeOpts = ts => MergeOptions(ts, highDate = ScdQueries.highTs))
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      val out = cat.table("dim")
+        .orderBy(col("c_custkey"), col("scd_version")).localCheckpoint()
+      Round7bQueries.rmTree(stage.toString); Round7bQueries.rmTree(cp)
+      Round7bQueries.rmTree(root)
+      out
     })
   )
+
+  /** q141's second CDC wave (fresh derivation from `customer`, so the
+    * %3/%4/%6 keys changed by wave 1 revert — more B4/B5 closures):
+    * %9=0 keys absent (B1 carries), %5=0 acctbal+25 and %11=0
+    * segment change (Type-2), %8=0 lower-cases the name (Type-1),
+    * %12=0 keys reappear offset by 1,000,000 (B6 inserts).
+    */
+  private def secondSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(s, dir, "customer")
+    cust.filter(col("c_custkey") % 9 =!= 0)
+      .select(
+        col("c_custkey"),
+        when(col("c_custkey") % 8 === 0, lower(col("c_name")))
+          .otherwise(col("c_name")).as("c_name"),
+        when(col("c_custkey") % 5 === 0, col("c_acctbal") + 25)
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(col("c_custkey") % 11 === 0, lit("STREAMING"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(cust.filter(col("c_custkey") % 12 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          col("c_name"), col("c_acctbal"), col("c_mktsegment")))
+  }
 
   /** q140's grown centroid count (2x the q111 seed c — the c ∝ N path). */
   private val RetrainC = 32
@@ -261,7 +345,34 @@ object Round9Queries {
          |      ORDER BY ${distSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
          |  FROM qzall z CROSS JOIN c${ExtendedQueries.IvfIters} c)
          |  WHERE rn = 1)
-         |SELECT vec_id, bucket FROM cb ORDER BY vec_id""".stripMargin
+         |SELECT vec_id, bucket FROM cb ORDER BY vec_id""".stripMargin,
+
+    // Chained two-step replay of the streamed merges: step 1 is q13's
+    // merge (prod + wave-1 staging at 2024-07-01), step 2 merges the
+    // second wave into step 1's output at 2024-08-01 — the streamed
+    // dimension must equal the sequential batch replay exactly.
+    "q141_stream_scd" ->
+      s"""WITH prod AS (
+         |  ${ScdQueries.prodSql}
+         |), stag AS (
+         |  ${ScdQueries.stagSql}
+         |), ${ScdQueries.mergeStepCtes("m1", "prod", "stag",
+             "TIMESTAMP '2024-07-01 00:00:00'")},
+         |stag2 AS (
+         |  SELECT c_custkey,
+         |    CASE WHEN c_custkey % 8 = 0 THEN lower(c_name) ELSE c_name END AS c_name,
+         |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 25 ELSE c_acctbal END AS c_acctbal,
+         |    CASE WHEN c_custkey % 11 = 0 THEN 'STREAMING' ELSE c_mktsegment END AS c_mktsegment
+         |  FROM customer WHERE c_custkey % 9 <> 0
+         |  UNION ALL
+         |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+         |  FROM customer WHERE c_custkey % 12 = 0
+         |), ${ScdQueries.mergeStepCtes("m2", "m1out", "stag2",
+             "TIMESTAMP '2024-08-01 00:00:00'")}
+         |SELECT dim_id, c_custkey, c_name, c_acctbal, c_mktsegment,
+         |  scd_version, scd_start_date, scd_end_date, scd_active
+         |FROM m2out
+         |ORDER BY c_custkey, scd_version""".stripMargin
   )
 
   /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */

@@ -78,6 +78,43 @@ class GraftTvfSpec extends SparkSpec {
     assert(n == api)
   }
 
+  test("graft_semantic_dedup TVF == Similarity.semanticDedup") {
+    // plant exact duplicates so the pair stage has work to do
+    val planted = vecs.unionByName(vecs.filter($"vec_id" % 9 === 0)
+      .select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    planted.createOrReplaceTempView("tvf_sem")
+    val sql = spark.sql(
+      "SELECT * FROM graft_semantic_dedup('tvf_sem', 'vec_id', " +
+        "'embedding', 0.99, 4) ORDER BY vec_id")
+    val api = graft.similarity.Similarity
+      .semanticDedup(planted, "vec_id", "embedding", 0.99, c = 4)
+      .orderBy(col("vec_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+    // the plant must actually dedup: some row is not kept
+    assert(got.exists(r => r.last == false))
+  }
+
+  test("graft_clean_corpus TVF == CorpusPipeline.clean") {
+    val corpus = docs.select($"doc_id",
+      concat($"text", lit(" the state of the art is a rich theme and" +
+        " the pace of progress is real")).as("text"))
+    corpus.createOrReplaceTempView("tvf_corpus_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_clean_corpus('tvf_corpus_docs', 'doc_id', " +
+        "'text', 0.1, 0.5) ORDER BY doc_id")
+    val api = graft.pipeline.CorpusPipeline.clean(corpus, "doc_id",
+        "text", graft.pipeline.CorpusPipeline.Config(minQuality = 0.1,
+          jaccardThreshold = 0.5))
+      .orderBy(col("doc_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+    // near-dup removal must have dropped someone
+    assert(got.size < corpus.count())
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

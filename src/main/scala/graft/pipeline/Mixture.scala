@@ -68,4 +68,32 @@ object Mixture {
     docs.withColumn("threshold", th)
       .filter(keepExpr(col(idCol), col("threshold")))
   }
+
+  /** UPSAMPLE: the other half of mixture construction — sources whose
+    * ablated rate EXCEEDS one epoch (weight > [[Unit]] parts per unit,
+    * e.g. 2 500 000 = repeat 2.5x). Every row emits
+    * `floor(weight / Unit)` full copies plus one more iff the
+    * fractional hash gate admits it, each copy tagged `rep` 0..k-1 so
+    * downstream epoch sharding can spread the repeats. The fractional
+    * gate is salted ("up:" prefix) so it is independent of the
+    * DOWNSAMPLE gate on the same ids — a source at weight 0.3 here is
+    * a different (but equally deterministic) row set than
+    * [[sample]] at threshold 300 000. Same portability contract as
+    * [[sample]]: membership and copy count are pure integer functions
+    * of the row id, reproducible on any layout and in the DuckDB
+    * oracle (q142).
+    */
+  def upsample(docs: DataFrame, idCol: String, weight: Column): DataFrame = {
+    // exact integer floor/mod: (w - w%U)/U divides a multiple of U, so
+    // the double division is exact and the long cast loses nothing
+    val full = ((weight - pmod(weight, lit(Unit))) / lit(Unit)).cast("long")
+    val frac = pmod(weight, lit(Unit))
+    val gate = PortableHash.hash60Base(
+      concat_ws(":", lit("up"), col(idCol).cast("string"))) % Unit < frac
+    val n = full + when(gate, lit(1L)).otherwise(lit(0L))
+    docs.withColumn("__n_copies", n)
+      .filter(col("__n_copies") > 0)
+      .select(docs.columns.map(col).toSeq :+
+        explode(sequence(lit(0L), col("__n_copies") - 1)).as("rep"): _*)
+  }
 }

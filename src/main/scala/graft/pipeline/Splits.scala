@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.dedup.Dedup
 import graft.functions.PortableHash
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Leakage-safe train/val/test splitting: assignment at near-duplicate
@@ -42,5 +42,60 @@ object Splits {
         when(h < trainPct, "train")
           .when(h < trainPct + valPct, "val")
           .otherwise("test"))
+  }
+
+  /** EXACT stratified split: per source, exactly
+    * `floor(n_s * trainPpm / Unit)` rows go to train and the next
+    * `floor(n_s * (trainPpm+valPpm)/Unit) - floor(n_s * trainPpm/Unit)`
+    * to val — the hash split ([[byCluster]], q115) is proportional only
+    * in expectation, which a small high-value source (or a tiny val
+    * slice) cannot tolerate. Rows are ranked per source in salted-hash
+    * order (deterministic shuffle, independent of the mixture and
+    * split gates on the same ids) and the rank is cut at the exact
+    * integer boundaries.
+    *
+    * Scale shape: the per-source rank is [[graft.operators.TwoPhase
+    * .prefixSum]] partitioned by source — range partition + slice-sized
+    * windows + a broadcast of per-(source, slice) subtotals — never a
+    * one-partition-per-source window funnel; the per-source counts are
+    * one map-side-combinable aggregate broadcast back (source-count
+    * rows). All boundary arithmetic is exact integer (parts per
+    * [[Mixture.Unit]]).
+    *
+    * Output: input columns + `src_rank` (1-based within source) +
+    * `split`. Leakage note: assignment is per-document; to also
+    * guarantee no near-dup pair straddles splits, collapse to cluster
+    * representatives first ([[byCluster]]'s CC) and broadcast the
+    * representative's split to members.
+    */
+  def stratifiedExact(docs: DataFrame, idCol: String, srcCol: String,
+      trainPpm: Long = 800000L, valPpm: Long = 100000L): DataFrame = {
+    val U = Mixture.Unit
+    require(trainPpm > 0 && valPpm >= 0 && trainPpm + valPpm <= U,
+      s"bad split ppm: $trainPpm/$valPpm")
+    // fail fast: a missing source column would otherwise surface as a
+    // confusing partial-resolution error deep inside the prefix sum
+    Seq(idCol, srcCol).foreach(c => require(docs.columns.contains(c),
+      s"stratifiedExact: input has no column '$c' " +
+        s"(columns: ${docs.columns.mkString(", ")})"))
+    // exact floor((n * ppm) / U) on longs: subtract the mod, divide —
+    // the double division of an exact multiple is exact
+    def cut(n: Column, ppm: Long): Column = {
+      val prod = n * ppm
+      ((prod - pmod(prod, lit(U))) / lit(U)).cast("long")
+    }
+    val withH = docs.withColumn("__h", PortableHash.hash60Base(
+      concat_ws(":", lit("strat"), col(idCol).cast("string"))))
+    val ranked = graft.operators.TwoPhase.prefixSum(withH,
+      Seq(srcCol), Seq("__h", idCol), lit(1L), "src_rank")
+    val counts = docs.groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(counts), Seq(srcCol))
+      .withColumn("split",
+        when(col("src_rank") <= cut(col("__n"), trainPpm), "train")
+          .when(col("src_rank") <= cut(col("__n"), trainPpm + valPpm),
+            "val")
+          .otherwise("test"))
+      .drop("__h", "__n")
   }
 }

@@ -188,6 +188,37 @@ object Round9Queries {
       Round7bQueries.rmTree(stage.toString); Round7bQueries.rmTree(cp)
       Round7bQueries.rmTree(root)
       out
+    }),
+
+    // Mixture UPSAMPLING: sources whose ablated rate exceeds one epoch
+    // (q93/q134 are the downsample half). Per-source weights span
+    // 0.25x..2.65x (srcnum%4): the 0.25x sources exercise the pure-
+    // fractional path (zero full copies — most rows vanish), the
+    // 2.65x sources emit 2 or 3 tagged copies per row. Copy count is
+    // an exact integer function of (source, id) — the oracle unnests
+    // generate_series over the same arithmetic.
+    "q142_upsample" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val docsW = docs.withColumn("w",
+        lit(250000L) + (srcnum % 4).cast("long") * 800000L)
+      graft.pipeline.Mixture.upsample(docsW, "doc_id", col("w"))
+        .orderBy(col("doc_id"), col("rep"))
+    }),
+
+    // EXACT stratified split: per source, exactly floor(0.8·n_s) train
+    // and floor(0.9·n_s)-floor(0.8·n_s) val rows — q115's hash split
+    // is proportional only in expectation. Per-source rank via the
+    // two-phase prefix sum (source-partitioned — slice-sized windows,
+    // no per-source funnel), boundaries as exact integer ppm cuts.
+    "q143_stratified_split" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      graft.pipeline.Splits.stratifiedExact(docs, "doc_id", "source")
+        .select(col("doc_id"), col("source"), col("src_rank"),
+          col("split"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -372,7 +403,42 @@ object Round9Queries {
          |SELECT dim_id, c_custkey, c_name, c_acctbal, c_mktsegment,
          |  scd_version, scd_start_date, scd_end_date, scd_active
          |FROM m2out
-         |ORDER BY c_custkey, scd_version""".stripMargin
+         |ORDER BY c_custkey, scd_version""".stripMargin,
+
+    // floor/mod in exact integer arithmetic (// on BIGINT), the salted
+    // md5 gate for the fractional copy, generate_series for the
+    // replication — empty series (n_copies = 0) yields no rows.
+    "q142_upsample" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    250000 + CAST(CAST(substr(source, 4) AS INT) % 4 AS BIGINT)
+         |      * 800000 AS w
+         |  FROM documents),
+         |n AS (SELECT doc_id, source, w,
+         |    w // 1000000 + CASE WHEN ${graft.functions.PortableHash
+                 .hash60BaseSql("'up:' || doc_id::VARCHAR")} % 1000000
+         |        < w % 1000000 THEN 1 ELSE 0 END AS n_copies
+         |  FROM d)
+         |SELECT doc_id, source, w,
+         |  CAST(unnest(generate_series(0, n_copies - 1)) AS BIGINT) AS rep
+         |FROM n
+         |ORDER BY doc_id, rep""".stripMargin,
+
+    // Per-source salted-hash rank + exact integer ppm boundary cuts.
+    "q143_stratified_split" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    ${graft.functions.PortableHash
+                .hash60BaseSql("'strat:' || doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |r AS (SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY h, doc_id) AS BIGINT) AS src_rank,
+         |    COUNT(*) OVER (PARTITION BY source) AS n
+         |  FROM d)
+         |SELECT doc_id, source, src_rank,
+         |  CASE WHEN src_rank <= (n * 800000) // 1000000 THEN 'train'
+         |       WHEN src_rank <= (n * 900000) // 1000000 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin
   )
 
   /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */

@@ -47,4 +47,36 @@ class MixtureSpec extends SparkSpec {
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids(docs) == ids(docs.repartition(17)))
   }
+
+  test("upsample: copy counts are floor(w)+gate, reps dense from 0") {
+    val n = docs.count()
+    // integer weights replicate exactly, no fractional gate involved
+    val twoX = Mixture.upsample(docs, "doc_id", lit(2L * Mixture.Unit))
+    assert(twoX.count() == 2 * n)
+    assert(twoX.groupBy(col("doc_id")).count()
+      .filter(col("count") =!= 2).count() == 0)
+    // 2.5x: every doc has 2 or 3 copies, total strictly between
+    val halfUp = Mixture.upsample(docs, "doc_id",
+      lit(2L * Mixture.Unit + Mixture.Unit / 2))
+    val perDoc = halfUp.groupBy(col("doc_id")).count()
+    assert(perDoc.filter(col("count") < 2 || col("count") > 3).count() == 0)
+    val total = halfUp.count()
+    assert(total > 2 * n && total < 3 * n)
+    // rep indices are dense 0..k-1 per doc
+    val maxRep = halfUp.groupBy(col("doc_id"))
+      .agg(max(col("rep")).as("mx"), count(lit(1)).as("k"))
+    assert(maxRep.filter(col("mx") =!= col("k") - 1).count() == 0)
+    // weight < 1 epoch: pure-fractional path, a strict nonempty subset
+    val frac = Mixture.upsample(docs, "doc_id", lit(Mixture.Unit / 2))
+    val fn = frac.count()
+    assert(fn > 0 && fn < n)
+    assert(frac.groupBy(col("doc_id")).count()
+      .filter(col("count") =!= 1).count() == 0)
+    // deterministic under repartitioning
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      Mixture.upsample(d, "doc_id", lit(1300000L))
+        .select(col("doc_id"), col("rep"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(docs) == rows(docs.repartition(13)))
+  }
 }

@@ -54,4 +54,36 @@ class SplitsSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getString(1)).toSet
     assert(run(corpus) == run(corpus.repartition(13)))
   }
+
+  test("stratifiedExact: per-source counts hit the exact floors") {
+    val srcDocs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"))
+    val split = Splits.stratifiedExact(srcDocs, "doc_id", "source",
+      trainPpm = 800000L, valPpm = 100000L)
+    val got = split.groupBy(col("source"), col("split")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val ns = srcDocs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ns.nonEmpty)
+    ns.foreach { case (src, n) =>
+      val kTrain = n * 800000L / 1000000L
+      val kVal = n * 900000L / 1000000L - kTrain
+      assert(got.getOrElse((src, "train"), 0L) == kTrain,
+        s"$src train: ${got.get((src, "train"))} vs $kTrain of $n")
+      assert(got.getOrElse((src, "val"), 0L) == kVal)
+      assert(got.getOrElse((src, "test"), 0L) == n - kTrain - kVal)
+    }
+    // ranks are dense 1..n_s per source
+    val bad = split.groupBy(col("source"))
+      .agg(max(col("src_rank")).as("mx"), count(lit(1)).as("k"))
+      .filter(col("mx") =!= col("k")).count()
+    assert(bad == 0)
+    // deterministic under layout
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Splits.stratifiedExact(d, "doc_id", "source")
+        .select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(run(srcDocs) == run(srcDocs.repartition(17)))
+  }
 }

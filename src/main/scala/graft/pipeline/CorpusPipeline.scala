@@ -144,4 +144,66 @@ object CorpusPipeline {
           .select(col("doc_id").as(idCol))
     exact.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** One-call TRAINING-DATA RELEASE MANIFEST — the whole front-to-back
+    * decision chain a data release runs, composed from the verified
+    * stages: row gates → exact dedup → near-dup removal at
+    * `cfg.jaccardThreshold` → near-dup DECONTAMINATION against
+    * `evalDocs` → leakage-safe split → per-doc token counts. Output:
+    * one row per released document `(id, quality, lang_pred, cluster,
+    * split, n_tok)` — feed the train slice to TokenBudget/Packing
+    * (q96/q91) for the loader artifacts.
+    *
+    * The split is guarded at a LOOSER similarity than the dedup
+    * (`splitThreshold`, default 0.3): dedup removes pairs above 0.5,
+    * so survivors cannot straddle at 0.5 — but weaker relatives
+    * (0.3–0.5) still leak if split independently. ONE shingle/LSH
+    * pass serves both: pairs are verified once at `splitThreshold`,
+    * the dedup set is its `jaccard >= cfg.jaccardThreshold` subset,
+    * and the loose pairs restricted to the released docs key the
+    * cluster-granular split ([[Splits.byCluster]]).
+    *
+    * Scale shape: every stage is the same bucketed machinery as
+    * [[clean]] (nothing new shuffles); the pair relation is
+    * localCheckpoint-materialized once for its three consumers (dedup
+    * subset, CC loop, split restriction). Persisted gate/exact caches
+    * follow [[clean]]'s caller-managed-eviction contract.
+    */
+  def release(docs: DataFrame, evalDocs: DataFrame, idCol: String,
+      textCol: String, cfg: Config = Config(),
+      splitThreshold: Double = 0.3, trainPct: Int = 90, valPct: Int = 5)
+      : DataFrame = {
+    require(splitThreshold <= cfg.jaccardThreshold,
+      "splitThreshold must not exceed the dedup threshold (the loose " +
+        "pair set must contain the dedup pair set)")
+    val id = col(idCol)
+    val gated = rowGates(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg)
+    val keep = Dedup.exactGroups(banded, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exact = banded.join(keep, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsAll = Dedup.minhashNearDuplicates(exact, idCol, textCol,
+      threshold = splitThreshold).localCheckpoint()
+    val pairsDedup = pairsAll
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("a"), col("b"))
+    val losers = Dedup.connectedComponents(pairsDedup)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    val survivors = exact.join(losers, Seq(idCol), "left_anti")
+    val released = Dedup.decontaminateNearDup(survivors, idCol, textCol,
+      evalDocs, idCol, textCol, cfg.jaccardThreshold)
+    val ids = released.select(id)
+    val pairsSplit = pairsAll.select(col("a"), col("b"))
+      .join(ids.select(id.as("a")), Seq("a"), "left_semi")
+      .join(ids.select(id.as("b")), Seq("b"), "left_semi")
+    Splits.byCluster(released, idCol, pairsSplit, trainPct, valPct)
+      .withColumn("n_tok",
+        TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .select(id, col("quality"), col("lang_pred"), col("cluster"),
+        col("split"), col("n_tok"))
+  }
 }

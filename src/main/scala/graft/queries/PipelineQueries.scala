@@ -310,6 +310,30 @@ object PipelineQueries {
        |  FROM buckets l JOIN buckets r
        |    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)""".stripMargin
 
+  /** q46's stage-1/stage-2 chain as CTE text — row gates (quality +
+    * language) then exact dedup — ending in `ex(doc_id, text, quality,
+    * lang_pred)`, the gate-and-exact-dedup survivors over `corpus`.
+    * Shared by the q46 pipeline replay and the q144 release manifest.
+    */
+  private[queries] val gateExactCtesSql: String =
+    s"""scored AS (
+       |  SELECT doc_id, text,
+       |  $qualityExprSql AS quality,
+       |$langHitColsSql
+       |  FROM corpus),
+       |gated AS (
+       |  SELECT doc_id, text, quality,
+       |  $langCaseSql AS lang_pred
+       |  FROM scored),
+       |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+       |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+       |fp AS (SELECT doc_id, text, quality, lang_pred,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+       |  FROM g2),
+       |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+       |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep))""".stripMargin
+
   /** Exact-jaccard verification of `cand` as a `pairs` CTE. */
   private[queries] def pairsCteSql(threshold: String): String =
     s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -476,23 +500,7 @@ object PipelineQueries {
          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     "q46_pipeline" ->
       s"""WITH RECURSIVE $corpusSql,
-         |scored AS (
-         |  SELECT doc_id, text,
-         |  $qualityExprSql AS quality,
-         |$langHitColsSql
-         |  FROM corpus),
-         |gated AS (
-         |  SELECT doc_id, text, quality,
-         |  $langCaseSql AS lang_pred
-         |  FROM scored),
-         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
-         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
-         |fp AS (SELECT doc_id, text, quality, lang_pred,
-         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
-         |  FROM g2),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |$gateExactCtesSql,
          |${shinglesSql("ex")},
          |$minhashCtesSql,
          |${pairsCteSql("0.5")},

@@ -219,6 +219,33 @@ object Round9Queries {
         .select(col("doc_id"), col("source"), col("src_rank"),
           col("split"))
         .orderBy(col("doc_id"))
+    }),
+
+    // One-call TRAINING-DATA RELEASE: the whole front-to-back decision
+    // chain — gates -> exact dedup -> near-dup removal at 0.5 ->
+    // near-dup DECONTAMINATION against the q120 eval corpus ->
+    // leakage-safe split clustered at the LOOSER 0.3 threshold (one
+    // shingle pass serves both thresholds) -> per-doc token counts.
+    // Output: the per-document release manifest. The oracle chains
+    // every verified stage replay: q46's gate+exact CTEs, the jaccard
+    // relation read at both thresholds, two recursive CC chains, the
+    // q120-style cross-corpus contamination join, and the q115 split
+    // hash.
+    "q144_release_manifest" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content")).as("text")))
+      graft.pipeline.CorpusPipeline.release(
+          PipelineQueries.corpus(s, dir), ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -438,7 +465,107 @@ object Round9Queries {
          |  CASE WHEN src_rank <= (n * 800000) // 1000000 THEN 'train'
          |       WHEN src_rank <= (n * 900000) // 1000000 THEN 'val'
          |       ELSE 'test' END AS split
-         |FROM r ORDER BY doc_id""".stripMargin
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q46's gate+exact chain, one jaccard relation read at 0.5 (dedup
+    // CC) and 0.3 (split CC over released docs), the q120 cross-corpus
+    // contamination join restricted to survivors, the q115 cluster
+    // hash split, and the q96 token-count expression.
+    "q144_release_manifest" -> {
+      import PipelineQueries.{corpusSql, gateExactCtesSql, shinglesSql,
+        sigBucketsSql, minhashCtesSql}
+      val nTokSql =
+        """CAST(len(list_filter(string_split_regex(r.text, '\s+'),
+          |    x -> x <> '')) AS BIGINT)""".stripMargin
+      val splitHash = graft.functions.PortableHash
+        .hash60BaseSql("cluster::VARCHAR")
+      s"""WITH RECURSIVE $corpusSql,
+         |$gateExactCtesSql,
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.a
+         |  JOIN sh y ON y.doc_id = c.b AND y.shh = x.shh
+         |  GROUP BY c.a, c.b),
+         |jac AS (SELECT cm.a, cm.b,
+         |    cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS j
+         |  FROM common cm
+         |  JOIN sizes sa ON sa.doc_id = cm.a
+         |  JOIN sizes sb ON sb.doc_id = cm.b),
+         |edges5 AS (
+         |  SELECT a AS src, b AS dst FROM jac WHERE j >= 0.5::DOUBLE
+         |  UNION SELECT b, a FROM jac WHERE j >= 0.5::DOUBLE),
+         |reach5(node, lab) AS (
+         |  SELECT src, src FROM edges5
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach5 r JOIN edges5 e2 ON e2.src = r.node),
+         |losers5 AS (
+         |  SELECT node AS doc_id FROM reach5
+         |  GROUP BY node HAVING node <> min(lab)),
+         |surv AS (SELECT e.* FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers5 l WHERE l.doc_id = e.doc_id)),
+         |ev AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, text || ' zz tail marker'
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${shinglesSql("ev", "e")},
+         |${sigBucketsSql("e")},
+         |candx AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM buckets l JOIN bucketse r
+         |    ON l.band = r.band AND l.bucket = r.bucket
+         |  WHERE l.doc_id IN (SELECT doc_id FROM surv)),
+         |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id),
+         |commonx AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM candx c
+         |  JOIN sh x ON x.doc_id = c.a
+         |  JOIN she y ON y.doc_id = c.b AND y.shh = x.shh
+         |  GROUP BY c.a, c.b),
+         |hitx AS (SELECT DISTINCT cm.a AS doc_id
+         |  FROM commonx cm
+         |  JOIN sizes sa ON sa.doc_id = cm.a
+         |  JOIN sizese sb ON sb.doc_id = cm.b
+         |  WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.nb - cm.n_common)
+         |    >= 0.5::DOUBLE),
+         |rel AS (SELECT s.* FROM surv s
+         |  WHERE NOT EXISTS (SELECT 1 FROM hitx h WHERE h.doc_id = s.doc_id)),
+         |edges3 AS (
+         |  SELECT a AS src, b AS dst FROM jac
+         |  WHERE j >= 0.3::DOUBLE
+         |    AND a IN (SELECT doc_id FROM rel)
+         |    AND b IN (SELECT doc_id FROM rel)
+         |  UNION SELECT b, a FROM jac
+         |  WHERE j >= 0.3::DOUBLE
+         |    AND a IN (SELECT doc_id FROM rel)
+         |    AND b IN (SELECT doc_id FROM rel)),
+         |reach3(node, lab) AS (
+         |  SELECT src, src FROM edges3
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach3 r JOIN edges3 e2 ON e2.src = r.node),
+         |labels3 AS (SELECT node, min(lab) AS clus FROM reach3 GROUP BY node),
+         |manifest AS (
+         |  SELECT r.doc_id, r.quality, r.lang_pred,
+         |    COALESCE(l.clus, r.doc_id) AS cluster,
+         |    $nTokSql AS n_tok
+         |  FROM rel r LEFT JOIN labels3 l ON l.node = r.doc_id)
+         |SELECT doc_id, quality, lang_pred, cluster,
+         |  CASE WHEN $splitHash % 100 < 90 THEN 'train'
+         |       WHEN $splitHash % 100 < 95 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  n_tok
+         |FROM manifest
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */

@@ -67,4 +67,47 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(bq >= mq, s"keep-best pick $bq should not lose to min-id $mq")
     }
   }
+
+  test("release: clean survivors minus eval hits, leakage-safe split") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    // eval = a slice of the corpus itself (near-dup contamination by
+    // construction) plus fresh docs that must match nothing
+    val ev = docs.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("fresh eval doc "), col("doc_id"))
+            .as("text")))
+    val rel = CorpusPipeline.release(planted, ev, "doc_id", "text")
+      .cache()
+    val relIds = rel.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    assert(relIds.nonEmpty)
+
+    // released == clean survivors minus cross-corpus near-dup hits
+    val cleanIds = CorpusPipeline.clean(planted, "doc_id", "text")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(relIds.subsetOf(cleanIds))
+    val contaminated = graft.dedup.Dedup.crossCorpusMatches(
+        planted, "doc_id", "text", ev, "doc_id", "text")
+      .select(col("a")).collect().map(_.getLong(0)).toSet
+    assert(relIds == cleanIds -- contaminated)
+    assert((cleanIds -- relIds).nonEmpty,
+      "the planted eval slice must actually remove someone")
+
+    // no released pair above the LOOSE threshold straddles splits
+    val splitOf = rel.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val loosePairs = graft.dedup.Dedup.minhashNearDuplicates(
+        planted, "doc_id", "text", threshold = 0.3)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => relIds.contains(a) && relIds.contains(b) }
+    loosePairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b),
+        s"loose pair ($a,$b) straddles ${splitOf(a)}/${splitOf(b)}")
+    }
+    rel.unpersist(blocking = false)
+  }
 }

@@ -246,8 +246,56 @@ object Round9Queries {
       graft.pipeline.CorpusPipeline.release(
           PipelineQueries.corpus(s, dir), ev, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Classifier TRAINING in the engine: batch perceptron over hashed
+    // bag-of-words features — the learn side of q124's inference.
+    // Labeled corpus = real documents (+1) vs generated junk (-1);
+    // 3 full-batch rounds of exact-integer updates (y·score <= 0 →
+    // misclassified; weights += Σ y·count per bucket). The oracle
+    // unrolls the rounds as CTEs, like BPE merges and Lloyd steps —
+    // model training is part of the verified contract, not trusted
+    // engine state. Output: the dense (bucket, weight) model relation.
+    "q145_perceptron_train" -> ((s, dir) => {
+      graft.text.TextClassify.trainPerceptron(labeledCorpus(s, dir),
+        "doc_id", "text", "y", dim = PercDim, rounds = PercRounds)
+        .orderBy(col("bucket"))
+    }),
+
+    // ...and the trained model APPLIED: train (q145's exact rounds),
+    // then score the same labeled corpus through q124's inference door
+    // (mean-weight threshold 0). Train -> infer end to end in one
+    // declared query; per-doc scores hash-checked.
+    "q146_perceptron_gate" -> ((s, dir) => {
+      val lab = labeledCorpus(s, dir)
+      val wts = graft.text.TextClassify.trainPerceptron(lab,
+        "doc_id", "text", "y", dim = PercDim, rounds = PercRounds)
+      graft.text.TextClassify.hashedLinear(lab, "doc_id", "text",
+          wts, PercDim, thresholdNum = 0L, thresholdDen = 1L)
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** q145/q146 labeled corpus: every document as a positive, plus a
+    * generated junk negative per document (repeat-count and ref tag
+    * derived from the original id — SQL-replicable on both engines).
+    */
+  private def labeledCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), lit(1L).as("y"))
+    val junk = Tables(s, dir, "documents").select(
+      (col("doc_id") + 9000000L).as("doc_id"),
+      concat(
+        expr("repeat('the offer is free buy now click here ', " +
+          "CAST(3 + doc_id % 4 AS INT))"),
+        lit("ref "), col("doc_id").cast("string")).as("text"),
+      lit(-1L).as("y"))
+    docs.unionByName(junk)
+  }
+
+  /** q145/q146 model geometry. */
+  private val PercDim = 256
+  private val PercRounds = 3
 
   /** q141's second CDC wave (fresh derivation from `customer`, so the
     * %3/%4/%6 keys changed by wave 1 revert — more B4/B5 closures):
@@ -565,8 +613,65 @@ object Round9Queries {
          |  n_tok
          |FROM manifest
          |ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    "q145_perceptron_train" ->
+      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
+         |SELECT bucket, weight FROM w$PercRounds ORDER BY bucket""".stripMargin,
+
+    // the trained rounds + q124's inference arithmetic over the same
+    // feature matrix (n_tokens = Σ cnt; keep = score >= 0)
+    "q146_perceptron_gate" ->
+      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
+         |SELECT x.doc_id,
+         |  CAST(SUM(x.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) AS score,
+         |  (CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) >= 0)
+         |    AS keep
+         |FROM xm x LEFT JOIN w$PercRounds w ON w.bucket = x.bucket
+         |GROUP BY x.doc_id
+         |ORDER BY x.doc_id""".stripMargin
   )
+
+  /** The q145 training replay as CTE text: `lab` (labeled corpus) →
+    * `xm` (hashed feature matrix) → `w0..wR` unrolled perceptron
+    * rounds. Integer SUMs wrapped BIGINT (DuckDB SUM promotes to
+    * HUGEINT).
+    */
+  private def perceptronCtes(dim: Int, rounds: Int): String = {
+    val base =
+      s"""lab AS (
+         |  SELECT doc_id, text, CAST(1 AS BIGINT) AS y FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 9000000,
+         |    repeat('the offer is free buy now click here ',
+         |      CAST(3 + doc_id % 4 AS INT)) || 'ref ' || doc_id::VARCHAR,
+         |    CAST(-1 AS BIGINT)
+         |  FROM documents),
+         |xt AS (SELECT doc_id, y,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'),
+         |      t -> t <> '')) AS token
+         |  FROM lab),
+         |xm AS (SELECT doc_id, y,
+         |    ${graft.text.TextClassify.bucketSql("token", dim)} AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM xt GROUP BY doc_id, y, bucket),
+         |w0 AS (SELECT range AS bucket, CAST(0 AS BIGINT) AS weight
+         |  FROM range($dim))""".stripMargin
+    val steps = (1 to rounds).map { t =>
+      s"""s$t AS (SELECT x.doc_id, x.y,
+         |    CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) AS score
+         |  FROM xm x LEFT JOIN w${t - 1} w ON w.bucket = x.bucket
+         |  GROUP BY x.doc_id, x.y),
+         |m$t AS (SELECT doc_id, y FROM s$t WHERE y * score <= 0),
+         |d$t AS (SELECT x.bucket, CAST(SUM(m.y * x.cnt) AS BIGINT) AS d
+         |  FROM xm x JOIN m$t m ON m.doc_id = x.doc_id
+         |  GROUP BY x.bucket),
+         |w$t AS (SELECT w.bucket, w.weight + COALESCE(d.d, 0) AS weight
+         |  FROM w${t - 1} w LEFT JOIN d$t d ON d.bucket = w.bucket)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$steps"
+  }
 
   /** L2 rank key (|v|² row-constant term dropped) — q42's formulation. */
   private def distSql(v: String, cent: String): String =

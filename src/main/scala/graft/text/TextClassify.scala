@@ -66,6 +66,64 @@ object TextClassify {
         col("score") * lit(thresholdDen) >= lit(thresholdNum) * col("n_tokens"))
   }
 
+  /** Batch-perceptron TRAINING of the hashed linear model — the learn
+    * side of [[hashedLinear]]: `labeled` docs carry `labelCol` = +1
+    * (keep) / -1 (junk); features are the SAME hashed bag-of-words
+    * buckets inference uses; each of `rounds` full-batch rounds applies
+    * the classic update
+    *
+    *   w_t(b) = w_{t-1}(b) + Σ_{misclassified i} y_i · x_i(b)
+    *
+    * with "misclassified" = `y · score <= 0` (all-zero initial weights
+    * update on every doc in round 1). Everything is exact INTEGER
+    * arithmetic — token counts and weights are longs — and updates are
+    * full-batch, so within-round order is irrelevant: training is
+    * layout-independent and bit-replayable in the DuckDB oracle, where
+    * the rounds unroll as CTEs (q145), the same pattern as BPE merges
+    * and the Lloyd steps. Gradient methods would need exp/log — not
+    * portable; the perceptron needs nothing past + and ×.
+    *
+    * Scale shape: the (doc, bucket, cnt) feature matrix is built once
+    * (one tokenize+explode scan, map-side-combinable count) and
+    * localCheckpoint-materialized; each round is one broadcast join +
+    * doc-keyed sum + a ≤dim-row delta aggregate collected to the
+    * driver (bounded state, like Selection's 256-row histograms).
+    * Returns the `(bucket, weight)` model relation [[hashedLinear]]
+    * consumes, with zero-weight buckets included (dense, dim rows).
+    */
+  def trainPerceptron(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, rounds: Int): DataFrame = {
+    require(dim > 0 && rounds > 0, "dim and rounds must be positive")
+    val spark = labeled.sparkSession
+    val x = labeled
+      .select(col(idCol), col(labelCol).cast("long").as("__y"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .select(col(idCol), col("__y"), bucket(col("token"), dim).as("bucket"))
+      .groupBy(col(idCol), col("__y"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
+    val w = Array.fill(dim)(0L)
+    def weightsDf = {
+      import spark.implicits._
+      w.toSeq.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }
+        .toDF("bucket", "weight")
+    }
+    (0 until rounds).foreach { _ =>
+      val mis = x.join(broadcast(weightsDf), Seq("bucket"), "left")
+        .groupBy(col(idCol), col("__y"))
+        .agg(sum(col("cnt") * coalesce(col("weight"), lit(0L)))
+          .as("score"))
+        .filter(col("__y") * col("score") <= 0)
+        .select(col(idCol), col("__y").as("__ym"))
+      x.join(mis, Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(sum(col("__ym") * col("cnt")).as("d"))
+        .collect()
+        .foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+    }
+    weightsDf
+  }
+
   /** Deterministic pseudo-trained weight table (bucket, weight) with
     * weight uniform-ish in [-1000, 1000] — the portable stand-in for a
     * shipped model in oracle-checked queries; real deployments pass

@@ -79,4 +79,31 @@ class TextClassifySpec extends SparkSpec {
       assert(score == n && keep)
     }
   }
+
+  test("perceptron training separates a separable labeled corpus") {
+    // vocabularies overlap on 'the' so separation is not free
+    val pos = (1L to 40L).map(i =>
+      (i, s"the quick brown fox number $i jumps over the lazy dog", 1L))
+    val neg = (1L to 40L).map(i =>
+      (1000L + i, "the offer is free buy now click here " * 2 + s"ref $i",
+        -1L))
+    val lab = (pos ++ neg).toDF("doc_id", "text", "y")
+    val w = TextClassify.trainPerceptron(lab, "doc_id", "text", "y",
+      dim = Dim, rounds = 3)
+    // dense model relation
+    assert(w.count() == Dim)
+    // the trained model classifies its training set perfectly
+    val scored = TextClassify.hashedLinear(lab, "doc_id", "text", w,
+        Dim, 0L, 1L)
+      .join(lab.select(col("doc_id"), col("y")), Seq("doc_id"))
+    val wrong = scored.filter(
+      (col("y") === 1L && !col("keep")) ||
+      (col("y") === -1L && col("score") >= 0L)).count()
+    assert(wrong == 0, s"$wrong training docs misclassified after 3 rounds")
+    // full-batch updates: training is layout-independent
+    def weightsOf(d: org.apache.spark.sql.DataFrame) =
+      TextClassify.trainPerceptron(d, "doc_id", "text", "y", Dim, 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weightsOf(lab) == weightsOf(lab.repartition(7)))
+  }
 }

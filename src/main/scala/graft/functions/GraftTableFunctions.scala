@@ -111,11 +111,25 @@ object GraftTableFunctions {
       s.table(str(args.head, u)), str(args(1), u), str(args(2), u), cfg))
   }
 
+  private val release: Builder = { args =>
+    val u = "graft_release(docsTable, evalTable, idCol, textCol[, minQuality])"
+    require(args.length == 4 || args.length == 5, u)
+    val s = SparkSession.active
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      minQuality =
+        if (args.length == 5) dbl(args(4), u)
+        else graft.pipeline.CorpusPipeline.Config().minQuality)
+    plan(graft.pipeline.CorpusPipeline.release(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u), str(args(3), u), cfg))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
     "graft_ann_topk" -> annTopK,
     "graft_pack_sequences" -> packSequences,
     "graft_semantic_dedup" -> semanticDedup,
-    "graft_clean_corpus" -> cleanCorpus)
+    "graft_clean_corpus" -> cleanCorpus,
+    "graft_release" -> release)
 }

@@ -115,6 +115,32 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.size < corpus.count())
   }
 
+  test("graft_release TVF == CorpusPipeline.release") {
+    // per-base bodies are DISTINCT (cross-base jaccard ~0.25, below the
+    // 0.3 split threshold too), same-base docs identical — so exact
+    // dedup keeps one rep per base and only the eval bases drop
+    val corpus = (1L to 60L).map { i =>
+      val b = i % 20
+      (i, s"topic $b story w${b}a w${b}b w${b}c w${b}d w${b}e w${b}f " * 2
+        + "the state of the art is a rich theme and the pace of" +
+        " progress is real")
+    }.toDF("doc_id", "text")
+    val ev = corpus.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + 9000L).as("doc_id"), $"text")
+    corpus.createOrReplaceTempView("tvf_rel_docs")
+    ev.createOrReplaceTempView("tvf_rel_eval")
+    val sql = spark.sql(
+      "SELECT * FROM graft_release('tvf_rel_docs', 'tvf_rel_eval', " +
+        "'doc_id', 'text', 0.1) ORDER BY doc_id")
+    val api = graft.pipeline.CorpusPipeline
+      .release(corpus, ev, "doc_id", "text",
+        graft.pipeline.CorpusPipeline.Config(minQuality = 0.1))
+      .orderBy(col("doc_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

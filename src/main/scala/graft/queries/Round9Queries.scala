@@ -273,6 +273,44 @@ object Round9Queries {
       graft.text.TextClassify.hashedLinear(lab, "doc_id", "text",
           wts, PercDim, thresholdNum = 0L, thresholdDen = 1L)
         .orderBy(col("doc_id"))
+    }),
+
+    // The RELEASE pipeline as a continuous ingest: q126's streaming
+    // door collects the LOOSE (0.3) pair set while gating and folding
+    // each landed batch, then resolveRelease replays q144's whole
+    // decision chain from the accumulated state — exact dedup, the
+    // 0.5 dedup subset by filter, eval decontamination, loose-cluster
+    // split, token counts. Oracle = q144's SQL VERBATIM while the
+    // stream's file batching differs: "streamed release == one-shot
+    // release" is a hash-checked contract.
+    "q147_stream_release" -> ((s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft-q147-landing").toString
+      val cp = Files.createTempDirectory("graft-q147-cp").toString
+      val cfg = graft.pipeline.CorpusPipeline.Config(
+        jaccardThreshold = 0.3)
+      PipelineQueries.corpus(s, dir)
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp, cfg)
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content")).as("text")))
+      graft.streaming.StreamingCorpus.resolveRelease(
+          gated, pairs, ev, "doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -519,7 +557,32 @@ object Round9Queries {
     // CC) and 0.3 (split CC over released docs), the q120 cross-corpus
     // contamination join restricted to survivors, the q115 cluster
     // hash split, and the q96 token-count expression.
-    "q144_release_manifest" -> {
+    "q144_release_manifest" -> oracleSqlQ144,
+
+    // streamed release == one-shot release, hash-checked
+    "q147_stream_release" -> oracleSqlQ144,
+
+    "q145_perceptron_train" ->
+      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
+         |SELECT bucket, weight FROM w$PercRounds ORDER BY bucket""".stripMargin,
+
+    // the trained rounds + q124's inference arithmetic over the same
+    // feature matrix (n_tokens = Σ cnt; keep = score >= 0)
+    "q146_perceptron_gate" ->
+      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
+         |SELECT x.doc_id,
+         |  CAST(SUM(x.cnt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) AS score,
+         |  (CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) >= 0)
+         |    AS keep
+         |FROM xm x LEFT JOIN w$PercRounds w ON w.bucket = x.bucket
+         |GROUP BY x.doc_id
+         |ORDER BY x.doc_id""".stripMargin
+  )
+
+  /** q144's full release replay — shared verbatim by q147 (streamed
+    * release must equal the one-shot). */
+  private lazy val oracleSqlQ144: String = {
       import PipelineQueries.{corpusSql, gateExactCtesSql, shinglesSql,
         sigBucketsSql, minhashCtesSql}
       val nTokSql =
@@ -613,25 +676,7 @@ object Round9Queries {
          |  n_tok
          |FROM manifest
          |ORDER BY doc_id""".stripMargin
-    },
-
-    "q145_perceptron_train" ->
-      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
-         |SELECT bucket, weight FROM w$PercRounds ORDER BY bucket""".stripMargin,
-
-    // the trained rounds + q124's inference arithmetic over the same
-    // feature matrix (n_tokens = Σ cnt; keep = score >= 0)
-    "q146_perceptron_gate" ->
-      s"""WITH ${perceptronCtes(PercDim, PercRounds)}
-         |SELECT x.doc_id,
-         |  CAST(SUM(x.cnt) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) AS score,
-         |  (CAST(SUM(x.cnt * COALESCE(w.weight, 0)) AS BIGINT) >= 0)
-         |    AS keep
-         |FROM xm x LEFT JOIN w$PercRounds w ON w.bucket = x.bucket
-         |GROUP BY x.doc_id
-         |ORDER BY x.doc_id""".stripMargin
-  )
+  }
 
   /** The q145 training replay as CTE text: `lab` (labeled corpus) →
     * `xm` (hashed feature matrix) → `w0..wR` unrolled perceptron

@@ -126,6 +126,53 @@ object StreamingCorpus {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Resolve the full RELEASE manifest (q144's semantics) from
+    * accumulated stream state: exact dedup, near-dup removal at
+    * `dedupThreshold` (the accumulated pairs carry jaccard, so the
+    * dedup set is a filter — ingest with
+    * `cfg.jaccardThreshold = splitThreshold` so the LOOSE pairs were
+    * collected), near-dup decontamination against `evalDocs`,
+    * leakage-safe split keyed on the loose-pair clusters, per-doc
+    * token counts. Equals the one-shot [[CorpusPipeline.release]] for
+    * the same reason [[resolveSurvivors]] equals `clean`: every pair
+    * quantity is per-doc-pair, so restricting accumulated pairs to
+    * exact-dedup survivors recovers exactly the one-shot pair set —
+    * q147's oracle is q144's SQL verbatim under a different batching.
+    */
+  def resolveRelease(gated: DataFrame, pairs: DataFrame,
+      evalDocs: DataFrame, idCol: String, textCol: String,
+      dedupThreshold: Double = 0.5, trainPct: Int = 90, valPct: Int = 5)
+      : DataFrame = {
+    val id = col(idCol)
+    val keep = Dedup.exactGroups(gated, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exact = gated.join(keep, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val ids0 = exact.select(id)
+    val pairsK = pairs
+      .join(ids0.select(id.as("a")), Seq("a"), "left_semi")
+      .join(ids0.select(id.as("b")), Seq("b"), "left_semi")
+      .localCheckpoint()
+    val losers = Dedup.connectedComponents(
+        pairsK.filter(col("jaccard") >= dedupThreshold)
+          .select(col("a"), col("b")))
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    val survivors = exact.join(losers, Seq(idCol), "left_anti")
+    val released = Dedup.decontaminateNearDup(survivors, idCol, textCol,
+      evalDocs, idCol, textCol, dedupThreshold)
+    val relIds = released.select(id)
+    val pairsSplit = pairsK.select(col("a"), col("b"))
+      .join(relIds.select(id.as("a")), Seq("a"), "left_semi")
+      .join(relIds.select(id.as("b")), Seq("b"), "left_semi")
+    graft.pipeline.Splits.byCluster(released, idCol, pairsSplit,
+        trainPct, valPct)
+      .withColumn("n_tok",
+        graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .select(id, col("quality"), col("lang_pred"), col("cluster"),
+        col("split"), col("n_tok"))
+  }
+
   private def empty(spark: SparkSession, schema: StructType): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
 }

@@ -427,6 +427,50 @@ object ScaleProbe {
       d.select(col("doc_id"), md5(graft.text.Pii.scrub(col("text"))).as("m"))
         .filter(length(col("m")) >= 0).count()
 
+    // One-call RELEASE manifest (q144 composed: gates -> exact dedup ->
+    // 0.5 dedup CC -> cross-corpus decontamination vs a FIXED eval set
+    // (replica 0's %13 docs — production shape: re-release a grown
+    // corpus against the same benchmark) -> 0.3 split CC -> token
+    // counts). Gate admission corpus-independent (same reasoning as
+    // streaming_corpus). Output = Nx clean survivors minus a CONSTANT
+    // contaminated set (only replica 0 overlaps the eval docs), so
+    // rows grow ~Nx with a fixed offset.
+    val releaseEval = docs1r.filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    def releaseRun(d: DataFrame): Long = {
+      val cfg = graft.pipeline.CorpusPipeline.Config(minQuality = 0.0,
+        languages = Seq("en", "de", "fr", "es", "und"))
+      graft.pipeline.CorpusPipeline.release(d, releaseEval,
+          "doc_id", "text", cfg)
+        .filter(col("n_tok") >= 0 && length(col("split")) > 0).count()
+    }
+
+    // Exact stratified split: per-source two-phase rank + boundary
+    // cuts — wall must track the range shuffle + slice windows, never
+    // a per-source funnel (sources stay FIXED at ~20 while rows grow
+    // Nx, the funnel-exposing shape).
+    val docsSrc1 = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"))
+    val docsSrcN = replicate(docsSrc1, Seq("doc_id"), 10000000L)
+    def stratified(d: DataFrame): Long =
+      graft.pipeline.Splits.stratifiedExact(d, "doc_id", "source")
+        .filter(col("src_rank") >= 1 && length(col("split")) > 0).count()
+
+    // Perceptron training: feature matrix build (one tokenize scan)
+    // + 3 full-batch rounds, each one broadcast join + doc-keyed sum
+    // + a dim-row delta collect — wall must track the token scan x
+    // rounds; the model relation stays a constant dim rows.
+    def percTrain(d: DataFrame): Long = {
+      val lab = d.select(col("doc_id"), col("text"), lit(1L).as("y"))
+        .unionByName(d.select((col("doc_id") + 900000000L).as("doc_id"),
+          concat(lit("the offer is free buy now click here ref "),
+            col("doc_id").cast("string")).as("text"),
+          lit(-1L).as("y")))
+      graft.text.TextClassify.trainPerceptron(lab, "doc_id", "text",
+          "y", dim = 256, rounds = 3)
+        .filter(col("weight") > Long.MinValue).count()
+    }
+
     // END-TO-END streaming corpus clean (the q126 front door composed:
     // land as staged parquet -> 3-file stream -> per-batch gates + LSH
     // fold -> end-of-stream resolve). File count stays FIXED at both
@@ -543,7 +587,13 @@ object ScaleProbe {
       "entropy_gate" -> (() => (time(entropy(docs1)), time(entropy(docsN)))),
       "pii_scrub" -> (() => (time(pii(docs1)), time(pii(docsN)))),
       "streaming_corpus" -> (() => (time(streamCorpus(docs1r)),
-        time(streamCorpus(docsN)))))
+        time(streamCorpus(docsN)))),
+      "release_manifest" -> (() => (time(releaseRun(docs1r)),
+        time(releaseRun(docsN)))),
+      "stratified_split" -> (() => (time(stratified(docsSrc1)),
+        time(stratified(docsSrcN)))),
+      "perceptron_train" -> (() => (time(percTrain(docs1)),
+        time(percTrain(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

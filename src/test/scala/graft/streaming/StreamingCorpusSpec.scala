@@ -78,6 +78,36 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamClean(3, cfg) === oneShot)
   }
 
+  test("streamed release == one-shot release, under two batchings") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    def releaseRows(df: DataFrame): Set[(Long, Long, String, Long)] =
+      df.select(col("doc_id"), col("cluster"), col("split"),
+          col("n_tok"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSet
+    val oneShot = releaseRows(CorpusPipeline.release(
+      corpus, ev, "doc_id", "text"))
+    assert(oneShot.nonEmpty)
+    def streamRelease(nFiles: Int): Set[(Long, Long, String, Long)] = {
+      val stage = Files.createTempDirectory("graft-sr-landing").toString
+      val cp = Files.createTempDirectory("graft-sr-cp").toString
+      corpus.repartition(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = StreamingCorpus.ingest(stream, "doc_id",
+        "text", cp, CorpusPipeline.Config(jaccardThreshold = 0.3))
+      releaseRows(StreamingCorpus.resolveRelease(
+        gated, pairs, ev, "doc_id", "text"))
+    }
+    assert(streamRelease(3) === oneShot)
+    assert(streamRelease(2) === oneShot)
+  }
+
   test("classifier gate streams identically and genuinely filters") {
     val w = graft.text.TextClassify.syntheticWeights(spark, 1024)
     val cfg = CorpusPipeline.Config(classifier = Some(

@@ -53,6 +53,41 @@ object Packing {
           expr(s"start_tok div ${seqLen}L") + 1L).as("n_seqs"))
   }
 
+  /** TOKEN-BALANCED shard assignment: deal documents to `numShards`
+    * output shards so every shard carries ~total/numShards TOKENS
+    * (balanced to within one document), not merely ~equal row counts —
+    * the writer-sharding a training-data export needs when document
+    * lengths are heavy-tailed (round-robin by row leaves shards 2-3x
+    * apart on tokens; a loader is throttled by its fattest shard).
+    *
+    * Mechanism: order docs by a salted hash (deterministic shuffle so
+    * long docs spread), take the inclusive token prefix sum with the
+    * two-phase operator (range partition + slice windows — no global
+    * sort), and cut the token tape into `numShards` contiguous spans:
+    * `shard = (start_tok * numShards) div total_tok`. All exact
+    * integer arithmetic; layout-independent; replays in DuckDB (q148).
+    *
+    * @return input id + `n_tok` + `shard` (0-based)
+    */
+  def tokenShards(docs: DataFrame, idCol: String, textCol: String,
+      numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val id = col(idCol)
+    val counted = docs
+      .select(id,
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        graft.functions.PortableHash.hash60Base(
+          concat_ws(":", lit("shard"), id.cast("string"))).as("__h"))
+      .filter(col("n_tok") > 0)
+    val ranked = graft.operators.TwoPhase
+      .prefixSum(counted, Nil, Seq("__h", idCol), col("n_tok"), "__cum")
+    val total = counted.agg(sum(col("n_tok")).as("__total"))
+    ranked.crossJoin(broadcast(total))
+      .withColumn("shard",
+        expr(s"((__cum - n_tok) * $numShards) div __total"))
+      .select(id, col("n_tok"), col("shard"))
+  }
+
   /** The epoch-sharded loader manifest — the one artifact a
     * distributed training loader actually maps: for each epoch, a
     * seeded global permutation of the corpus

@@ -311,6 +311,17 @@ object Round9Queries {
       graft.streaming.StreamingCorpus.resolveRelease(
           gated, pairs, ev, "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // TOKEN-balanced shard assignment: the token tape (docs in
+    // salted-hash order) cut into 8 contiguous spans — every shard
+    // carries ~total/8 tokens regardless of the document-length tail,
+    // where row-count dealing leaves shards far apart. Two-phase
+    // prefix sum with a token-weight value; exact integer cuts.
+    "q148_token_shards" -> ((s, dir) => {
+      graft.pipeline.Packing.tokenShards(
+          Tables(s, dir, "documents"), "doc_id", "text", numShards = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -561,6 +572,26 @@ object Round9Queries {
 
     // streamed release == one-shot release, hash-checked
     "q147_stream_release" -> oracleSqlQ144,
+
+    // inclusive token prefix over the salted-hash order, integer cuts;
+    // windowed BIGINT sums cast back from DuckDB's HUGEINT
+    "q148_token_shards" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      x -> x <> '')) AS BIGINT) AS n_tok,
+         |    ${graft.functions.PortableHash
+                .hash60BaseSql("'shard:' || doc_id::VARCHAR")} AS h
+         |  FROM documents),
+         |d2 AS (SELECT * FROM d WHERE n_tok > 0),
+         |r AS (SELECT doc_id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(n_tok) OVER () AS BIGINT) AS total
+         |  FROM d2)
+         |SELECT doc_id, n_tok,
+         |  CAST(((cum - n_tok) * 8) // total AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q145_perceptron_train" ->
       s"""WITH ${perceptronCtes(PercDim, PercRounds)}

@@ -182,4 +182,29 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a == b)
   }
+
+  test("tokenShards: shards balanced to within one document") {
+    val S = 8
+    val out = Packing.tokenShards(docs, "doc_id", "text", S).cache()
+    val perShard = out.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("tok"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perShard.keySet == (0L until S).toSet, s"shards: $perShard")
+    val maxDoc = out.agg(max(col("n_tok"))).first().getLong(0)
+    val toks = perShard.values
+    // contiguous token-tape cuts: any two shards differ by at most
+    // one boundary-straddling document on each side
+    assert(toks.max - toks.min <= 2 * maxDoc,
+      s"imbalance ${toks.max - toks.min} vs maxDoc $maxDoc")
+    // every positive-token doc assigned exactly once
+    val inDocs = docs.select(col("doc_id"))
+      .filter(graft.text.TextAnalysis.tokenCount(col("text")) > 0)
+    assert(out.count() == inDocs.count())
+    // layout determinism
+    val again = Packing.tokenShards(docs.repartition(13), "doc_id",
+        "text", S)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+    out.unpersist(blocking = false)
+  }
 }

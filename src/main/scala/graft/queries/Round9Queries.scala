@@ -322,6 +322,28 @@ object Round9Queries {
       graft.pipeline.Packing.tokenShards(
           Tables(s, dir, "documents"), "doc_id", "text", numShards = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Incremental WINNOWING provenance index: the q116/q117 span
+    // machinery under the IncrementalLsh ingest contract — three %3
+    // batches, only the batch fingerprinted per fold, matches from
+    // new-vs-(stored+new) fp collisions, exactly-once with full
+    // shared-mass and extents (a pair's shared-fp set is fixed once
+    // both docs exist). The batched union must equal the one-shot
+    // Winnow.matches — the oracle replays exactly that (uncapped;
+    // the hot-fp cap is a full-corpus property, resolve-time only).
+    "q149_incremental_winnow" -> ((s, dir) => {
+      import graft.text.IncrementalWinnow
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def batch(b: Int) = docs.filter(col("doc_id") % 3 === b)
+      val (i0, p0) = IncrementalWinnow.build(batch(0), "doc_id", "text")
+      val (i1, p1) = IncrementalWinnow.addBatch(i0, batch(1), "doc_id",
+        "text")
+      val (_, p2) = IncrementalWinnow.addBatch(i1, batch(2), "doc_id",
+        "text")
+      p0.unionByName(p1).unionByName(p2)
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -592,6 +614,19 @@ object Round9Queries {
          |SELECT doc_id, n_tok,
          |  CAST(((cum - n_tok) * 8) // total AS BIGINT) AS shard
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // one-shot uncapped Winnow.matches over the full corpus — the
+    // batched union must reproduce it exactly (q117's SQL without the
+    // df-16 keep filter)
+    "q149_incremental_winnow" ->
+      s"""WITH ${Round7Queries.winnowFpCtes()}
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  MIN(l.pos) AS a_from, MAX(l.pos) AS a_to,
+         |  MIN(r.pos) AS b_from, MAX(r.pos) AS b_to
+         |FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a, b""".stripMargin,
 
     "q145_perceptron_train" ->
       s"""WITH ${perceptronCtes(PercDim, PercRounds)}

@@ -344,6 +344,28 @@ object Round9Queries {
         "text")
       p0.unionByName(p1).unionByName(p2)
         .orderBy(col("a"), col("b"))
+    }),
+
+    // ...and its STREAMING door (the fourth: text q118, embeddings
+    // q119, audio q132, spans q150): documents land as a 3-file
+    // staging directory, each micro-batch fingerprints only itself
+    // and folds into IncrementalWinnow. Oracle = q149's one-shot SQL
+    // VERBATIM while the stream's file batching differs from q149's
+    // %3 — streamed provenance == batch provenance, hash-checked.
+    "q150_stream_winnow" -> ((s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft-q150-landing").toString
+      val cp = Files.createTempDirectory("graft-q150-cp").toString
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, matches) = graft.streaming.StreamingWinnow.ingest(
+        stream, "doc_id", "text", cp)
+      val out = matches.orderBy(col("a"), col("b")).localCheckpoint()
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      out
     })
   )
 
@@ -618,15 +640,10 @@ object Round9Queries {
     // one-shot uncapped Winnow.matches over the full corpus — the
     // batched union must reproduce it exactly (q117's SQL without the
     // df-16 keep filter)
-    "q149_incremental_winnow" ->
-      s"""WITH ${Round7Queries.winnowFpCtes()}
-         |SELECT l.doc_id AS a, r.doc_id AS b,
-         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
-         |  MIN(l.pos) AS a_from, MAX(l.pos) AS a_to,
-         |  MIN(r.pos) AS b_from, MAX(r.pos) AS b_to
-         |FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
-         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-         |ORDER BY a, b""".stripMargin,
+    "q149_incremental_winnow" -> oracleSqlQ149,
+
+    // streamed provenance == batch provenance, hash-checked
+    "q150_stream_winnow" -> oracleSqlQ149,
 
     "q145_perceptron_train" ->
       s"""WITH ${perceptronCtes(PercDim, PercRounds)}
@@ -645,6 +662,18 @@ object Round9Queries {
          |GROUP BY x.doc_id
          |ORDER BY x.doc_id""".stripMargin
   )
+
+  /** q149's one-shot uncapped matches replay — shared verbatim by
+    * q150 (streamed provenance must equal the batched ingest). */
+  private lazy val oracleSqlQ149: String =
+    s"""WITH ${Round7Queries.winnowFpCtes()}
+         |SELECT l.doc_id AS a, r.doc_id AS b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared,
+         |  MIN(l.pos) AS a_from, MAX(l.pos) AS a_to,
+         |  MIN(r.pos) AS b_from, MAX(r.pos) AS b_to
+         |FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+         |ORDER BY a, b""".stripMargin
 
   /** q144's full release replay — shared verbatim by q147 (streamed
     * release must equal the one-shot). */

@@ -1,6 +1,5 @@
 package graft.multimodal
 
-import graft.dedup.Dedup
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,39 +25,13 @@ object IncrementalAudio {
   /** @param hashes (id: long, afp: long), materialized */
   final case class AudioIndex(hashes: DataFrame, bands: Int, hashBits: Int)
 
-  private def keys(h: DataFrame, bands: Int, hashBits: Int): DataFrame = {
-    val bandBits = hashBits / bands
-    val bandKeys = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        shiftright(col("afp"), bnd * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("v"))
-    }
-    h.select(col("id"), explode(array(bandKeys: _*)).as("bk"))
-  }
-
-  /** Candidate ids (a < b, distinct) with at least one member in
-    * `newH`: new bands join ALL bands — stored-vs-stored pairs are
-    * never regenerated.
-    */
   private def candidates(newH: DataFrame, allH: DataFrame, bands: Int,
-      hashBits: Int): DataFrame = {
-    val l = keys(newH, bands, hashBits)
-      .select(col("id").as("na"), col("bk").as("kl"))
-    val r = keys(allH, bands, hashBits)
-      .select(col("id").as("nb"), col("bk").as("kr"))
-    l.join(r, col("kl") === col("kr") && col("na") =!= col("nb"))
-      .select(least(col("na"), col("nb")).as("a"),
-        greatest(col("na"), col("nb")).as("b"))
-      .distinct()
-  }
+      hashBits: Int): DataFrame =
+    HammingOps.candidates(newH, allH, "afp", bands, hashBits)
 
   private def verified(cand: DataFrame, allH: DataFrame,
       maxHamming: Int): DataFrame =
-    cand
-      .join(allH.select(col("id").as("a"), col("afp").as("ha")), Seq("a"))
-      .join(allH.select(col("id").as("b"), col("afp").as("hb")), Seq("b"))
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-      .select(col("a"), col("b"))
+    HammingOps.verified(cand, allH, "afp", maxHamming)
 
   /** Index an initial batch of fingerprints; returns the index and the
     * near-pairs within it.
@@ -112,12 +85,6 @@ object IncrementalAudio {
   /** Cluster labels over accumulated pairs — [[Perceptual.clusters]]'
     * output shape from incremental state.
     */
-  def clusters(idx: AudioIndex, pairs: DataFrame): DataFrame = {
-    val labels = Dedup.connectedComponents(pairs)
-      .select(col("doc_id").as("__cc_node"), col("cluster").as("__cc_lab"))
-    idx.hashes.join(labels, col("id") === col("__cc_node"), "left")
-      .select(col("id"), col("afp"),
-        coalesce(col("__cc_lab"), col("id")).as("cluster"),
-        (coalesce(col("__cc_lab"), col("id")) =!= col("id")).as("is_dup"))
-  }
+  def clusters(idx: AudioIndex, pairs: DataFrame): DataFrame =
+    HammingOps.clusters(idx.hashes, "afp", pairs)
 }

@@ -2,13 +2,15 @@ package graft.pipeline
 
 import graft.catalog.ParquetCatalog
 import graft.dedup.IncrementalLsh
-import graft.multimodal.IncrementalAudio
+import graft.multimodal.{IncrementalAudio, IncrementalPerceptual}
 import graft.similarity.IncrementalSemantic
+import graft.text.IncrementalWinnow
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Unified right-to-be-forgotten sweep across the stored incremental
-  * index trilogy (text LSH, semantic embedding, audio fingerprint):
+/** Unified right-to-be-forgotten sweep across every stored incremental
+  * index family (text LSH, semantic embedding, audio fingerprint,
+  * winnowing span provenance, perceptual image dHash):
   * ONE call removes an id set from every named index a catalog holds
   * and republishes each relation with its history VACUUMED — after the
   * sweep no current or historical table version retains any purged
@@ -34,7 +36,7 @@ object Purge {
     * never indexed are no-ops and not counted).
     */
   final case class Report(lshRemoved: Long, semanticRemoved: Long,
-      audioRemoved: Long)
+      audioRemoved: Long, winnowRemoved: Long = 0L, imageRemoved: Long = 0L)
 
   /** Remove `ids` from every listed index stored in `catalog` and
     * vacuum each table's version history. Names are the per-family
@@ -42,12 +44,13 @@ object Purge {
     */
   def forget(catalog: ParquetCatalog, ids: DataFrame, idCol: String,
       lsh: Seq[String] = Nil, semantic: Seq[String] = Nil,
-      audio: Seq[String] = Nil): Report = {
+      audio: Seq[String] = Nil, winnow: Seq[String] = Nil,
+      image: Seq[String] = Nil): Report = {
     implicit val s: SparkSession = ids.sparkSession
     val d = ids.select(col(idCol)).distinct().localCheckpoint()
     def nIds(df: DataFrame, key: String): Long =
       df.select(col(key)).distinct().count()
-    var (nL, nS, nA) = (0L, 0L, 0L)
+    var (nL, nS, nA, nW, nI) = (0L, 0L, 0L, 0L, 0L)
     // counts run BEFORE each save: the loaded relations read the
     // pre-purge version (still on disk at that point) and the purged
     // relations are localCheckpoint'd, so the save + vacuum that
@@ -70,6 +73,18 @@ object Purge {
       nA += nIds(idx.hashes, "id") - nIds(next.hashes, "id")
       IncrementalAudio.save(next, catalog, name)
     }
-    Report(nL, nS, nA)
+    winnow.foreach { name =>
+      val idx = IncrementalWinnow.load(catalog, name)
+      val next = IncrementalWinnow.delete(idx, d, idCol)
+      nW += nIds(idx.fps, "id") - nIds(next.fps, "id")
+      IncrementalWinnow.save(next, catalog, name)
+    }
+    image.foreach { name =>
+      val idx = IncrementalPerceptual.load(catalog, name)
+      val next = IncrementalPerceptual.delete(idx, d, idCol)
+      nI += nIds(idx.hashes, "id") - nIds(next.hashes, "id")
+      IncrementalPerceptual.save(next, catalog, name)
+    }
+    Report(nL, nS, nA, nW, nI)
   }
 }

@@ -5,13 +5,14 @@ import java.nio.file.{Files, Path}
 import graft.SparkSpec
 import graft.catalog.ParquetCatalog
 import graft.dedup.IncrementalLsh
-import graft.multimodal.IncrementalAudio
+import graft.multimodal.{IncrementalAudio, IncrementalPerceptual}
 import graft.similarity.IncrementalSemantic
+import graft.text.IncrementalWinnow
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The unified forget sweep: one call must (1) remove the ids from all
-  * three index families, (2) leave NO trace in any on-disk version —
+  * five index families, (2) leave NO trace in any on-disk version —
   * current or historical — of any family table, and (3) make the
   * stored state indistinguishable from never having indexed the ids:
   * post-purge ingest == rebuild-from-scratch without them.
@@ -37,6 +38,9 @@ class PurgeSpec extends SparkSpec {
   private def afps(ids: Seq[Long]): DataFrame =
     ids.map(i => (i, (i % 100) * 0x1234567L + 5)).toDF("id", "afp")
 
+  private def dhashes(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, (i % 100) * 0x30507FFL + 11)).toDF("id", "dhash")
+
   // every on-disk parquet row of every version of every table
   private def allVersionRows(root: String, col0: String): Set[Long] = {
     val listing = Files.list(Path.of(root))
@@ -60,7 +64,7 @@ class PurgeSpec extends SparkSpec {
     }.toSet
   }
 
-  test("forget purges all three families, vacuums history, and reports " +
+  test("forget purges all five families, vacuums history, and reports " +
       "per-family removal counts") {
     val root = Files.createTempDirectory("graft-purge").toString
     val cat = new ParquetCatalog(spark, root)
@@ -76,11 +80,18 @@ class PurgeSpec extends SparkSpec {
     val (audIdx, _) = IncrementalAudio.build(afps(ids))
     IncrementalAudio.save(audIdx, cat, "a", vacuumHistory = false)
     IncrementalAudio.save(audIdx, cat, "a", vacuumHistory = false)
+    val (winIdx, _) = IncrementalWinnow.build(docs(ids), "doc_id", "text")
+    IncrementalWinnow.save(winIdx, cat, "w", vacuumHistory = false)
+    IncrementalWinnow.save(winIdx, cat, "w", vacuumHistory = false)
+    val (imgIdx, _) = IncrementalPerceptual.build(dhashes(ids))
+    IncrementalPerceptual.save(imgIdx, cat, "i", vacuumHistory = false)
+    IncrementalPerceptual.save(imgIdx, cat, "i", vacuumHistory = false)
 
     val purged = Seq(3L, 7L, 107L, 999L) // 999 never indexed: no-op
     val report = Purge.forget(cat, purged.toDF("doc_id"), "doc_id",
-      lsh = Seq("t"), semantic = Seq("s"), audio = Seq("a"))
-    assert(report == Purge.Report(3L, 3L, 3L))
+      lsh = Seq("t"), semantic = Seq("s"), audio = Seq("a"),
+      winnow = Seq("w"), image = Seq("i"))
+    assert(report == Purge.Report(3L, 3L, 3L, 3L, 3L))
 
     // no trace anywhere on disk — any version of any table
     val survivors = allVersionRows(root, "doc_id")
@@ -142,5 +153,26 @@ class PurgeSpec extends SparkSpec {
     val (a1, _) = IncrementalAudio.build(afps(keptIds))
     val (_, aAll) = IncrementalAudio.addBatch(a1, afps(batchIds))
     assert(pairsOf(ap) == pairsOf(aAll))
+
+    // winnow (matches carry shared-mass/extent columns; the (a, b)
+    // projection is the rebuild-equivalence key)
+    val (w0, _) = IncrementalWinnow.build(docs(initIds), "doc_id", "text")
+    IncrementalWinnow.save(w0, cat, "w")
+    Purge.forget(cat, purged.toDF("doc_id"), "doc_id", winnow = Seq("w"))
+    val (_, wp) = IncrementalWinnow.addBatch(
+      IncrementalWinnow.load(cat, "w"), docs(batchIds), "doc_id", "text")
+    val (_, wAll) = IncrementalWinnow.build(docs(keptIds ++ batchIds),
+      "doc_id", "text")
+    assert(pairsOf(wp) == batchTouching(pairsOf(wAll)))
+
+    // image
+    val (i0, _) = IncrementalPerceptual.build(dhashes(initIds))
+    IncrementalPerceptual.save(i0, cat, "i")
+    Purge.forget(cat, purged.toDF("doc_id"), "doc_id", image = Seq("i"))
+    val (_, ipp) = IncrementalPerceptual.addBatch(
+      IncrementalPerceptual.load(cat, "i"), dhashes(batchIds))
+    val (i1, _) = IncrementalPerceptual.build(dhashes(keptIds))
+    val (_, iAll) = IncrementalPerceptual.addBatch(i1, dhashes(batchIds))
+    assert(pairsOf(ipp) == pairsOf(iAll))
   }
 }

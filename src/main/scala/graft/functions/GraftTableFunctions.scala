@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_pack_sequences('docs', 'doc_id', 'text', 2048, 8)")
   * spark.sql("SELECT * FROM graft_semantic_dedup('embs', 'vec_id', 'embedding', 0.99, 16)")
   * spark.sql("SELECT * FROM graft_clean_corpus('docs', 'doc_id', 'text')")
+  * spark.sql("SELECT * FROM graft_dsir_resample('raw', 'target', 'doc_id', 'text')")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -124,6 +125,18 @@ object GraftTableFunctions {
       str(args(2), u), str(args(3), u), cfg))
   }
 
+  private val dsirResample: Builder = { args =>
+    val u = "graft_dsir_resample(rawTable, targetTable, idCol, textCol" +
+      "[, dim[, keepPpm]])"
+    require(args.length >= 4 && args.length <= 6, u)
+    val s = SparkSession.active
+    val dim = if (args.length >= 5) int(args(4), u) else 1024
+    val keepPpm = if (args.length == 6) int(args(5), u).toLong else 500000L
+    plan(graft.pipeline.Dsir.resample(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u), str(args(3), u), dim, keepPpm))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
@@ -131,5 +144,6 @@ object GraftTableFunctions {
     "graft_pack_sequences" -> packSequences,
     "graft_semantic_dedup" -> semanticDedup,
     "graft_clean_corpus" -> cleanCorpus,
-    "graft_release" -> release)
+    "graft_release" -> release,
+    "graft_dsir_resample" -> dsirResample)
 }

@@ -326,21 +326,27 @@ object Round7Queries {
     * down to per-image dHash — CTE chain ending at `dh(rid, dhash)`.
     * rid%4=0 are originals; +1 re-encoded, +2 resized, +3 shifted.
     */
-  private[queries] def imageDhCtesSql: String =
-    """dims AS (
+  private[queries] def imageDhCtesSql: String = imageDhCtes("")
+
+  /** The same chain with suffixed CTE names (`dh$sfx` etc.) so it can
+    * share a WITH clause with the audio chain, whose `dims` would
+    * otherwise collide (q155).
+    */
+  private[queries] def imageDhCtes(sfx: String): String =
+    s"""dims$sfx AS (
          |  SELECT doc_id, ('0x'||substr(md5(text),1,2))::INT % 16 + 8 AS w,
          |         ('0x'||substr(md5(text),3,2))::INT % 16 + 8 AS h
          |  FROM documents WHERE doc_id % 10 = 0),
-         |imgs AS (
+         |imgs$sfx AS (
          |  SELECT doc_id*4 AS rid, doc_id AS id0, w, h, 0 AS off, 1 AS sc
-         |  FROM dims
-         |  UNION ALL SELECT doc_id*4+1, doc_id, w, h, 0, 1 FROM dims
+         |  FROM dims$sfx
+         |  UNION ALL SELECT doc_id*4+1, doc_id, w, h, 0, 1 FROM dims$sfx
          |    WHERE doc_id % 3 = 0
-         |  UNION ALL SELECT doc_id*4+2, doc_id, w, h, 0, 2 FROM dims
+         |  UNION ALL SELECT doc_id*4+2, doc_id, w, h, 0, 2 FROM dims$sfx
          |    WHERE doc_id % 5 = 0
-         |  UNION ALL SELECT doc_id*4+3, doc_id, w, h, 8, 1 FROM dims
+         |  UNION ALL SELECT doc_id*4+3, doc_id, w, h, 8, 1 FROM dims$sfx
          |    WHERE doc_id % 7 = 0),
-         |cells AS (
+         |cells$sfx AS (
          |  SELECT rid, gy, gx,
          |    ((id0*2654435761 + b*(b+7) + off) % 256
          |     + (id0*2654435761 + (b+1)*(b+8) + off) % 256
@@ -348,14 +354,14 @@ object Round7Queries {
          |  FROM (
          |    SELECT rid, id0, off, gy.g AS gy, gx.g AS gx,
          |      ((gy.g*(h*sc)//8)//sc*w + (gx.g*(w*sc)//8)//sc)*3 AS b
-         |    FROM imgs,
+         |    FROM imgs$sfx,
          |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
          |      (SELECT unnest(generate_series(0, 7)) AS g) gx)),
-         |dh AS (
+         |dh$sfx AS (
          |  SELECT l.rid, CAST(SUM(CASE WHEN r.gray > l.gray
          |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
          |    AS dhash
-         |  FROM cells l JOIN cells r
+         |  FROM cells$sfx l JOIN cells$sfx r
          |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
          |  WHERE l.gx < 7 GROUP BY l.rid)""".stripMargin
 

@@ -115,6 +115,70 @@ object Round9bQueries {
       out
     }),
 
+    // CROSS-MODAL contamination report: every train-vs-eval matcher
+    // the engine has — text near-dup (q120), span provenance (q121),
+    // perceptual image (q137), audio fingerprint (q138) — fused into
+    // ONE per-eval-item release-review relation (modality, eval_id,
+    // n_matches). Each modality checks its own established planted
+    // benchmark corpus; the oracle chains all four verified replays
+    // (suffixed CTE chains coexisting in one WITH) and aggregates the
+    // same way. One decode pass per media family feeds both sides.
+    "q155_contamination_report" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import graft.multimodal.{AudioFp, Perceptual}
+      import graft.text.{TextAnalysis, Winnow}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // q120's eval corpus: exact copies, tail-marker near-dups, fresh
+      val evNear = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content")).as("text")))
+      val near = graft.dedup.Dedup.crossCorpusMatches(docs, "doc_id",
+          "text", evNear, "doc_id", "text")
+        .groupBy(col("b")).agg(count(lit(1)).as("n_matches"))
+      // q121's eval corpus: exact, 24-token span copies, fresh
+      val evSpan = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            concat(
+              concat_ws(" ",
+                slice(TextAnalysis.tokens(col("text")), 1, 24)),
+              lit(" wholly fresh continuation appended beyond the span"))
+              .as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content tokens")).as("text")))
+      val span = Winnow.crossMatches(
+          Winnow.fingerprints(docs, "doc_id", "text", k = 3, w = 4),
+          Winnow.fingerprints(evSpan, "doc_id", "text", k = 3, w = 4),
+          "doc_id", minShared = 2, maxDf = 16)
+        .groupBy(col("b")).agg(count(lit(1)).as("n_matches"))
+      val dhs = Perceptual.dHashes(Round7Queries.bmpMedia(s, dir))
+        .localCheckpoint()
+      val img = Perceptual.crossMatches(dhs.filter(col("id") % 4 === 0),
+          dhs.filter(col("id") % 4 =!= 0), "id", "dhash", maxHamming = 6)
+        .groupBy(col("b")).agg(count(lit(1)).as("n_matches"))
+      val afps = AudioFp.fingerprints(Round8Queries.audioMedia(s, dir))
+        .localCheckpoint()
+      val aud = AudioFp.crossMatches(afps.filter(col("id") % 4 === 0),
+          afps.filter(col("id") % 4 =!= 0), "id", "afp")
+        .groupBy(col("b")).agg(count(lit(1)).as("n_matches"))
+      def tag(df: DataFrame, m: String) =
+        df.select(lit(m).as("modality"), col("b").as("eval_id"),
+          col("n_matches"))
+      tag(near, "near").unionByName(tag(span, "span"))
+        .unionByName(tag(img, "image")).unionByName(tag(aud, "audio"))
+        .orderBy(col("modality"), col("eval_id"))
+    }),
+
     // DSIR-style importance resampling: raw corpus = all documents;
     // target = the srcnum%4==1 sources. Hashed unigram+bigram
     // likelihood ratios (exact scaled integers, clamped), per-doc
@@ -178,6 +242,108 @@ object Round9bQueries {
          |  SELECT 'image', a, b FROM ip
          |    WHERE a % 4 = 1 OR b % 4 = 1)
          |ORDER BY family, a, b""".stripMargin,
+
+    // all four verified cross-corpus replays — q120's near-dup chain,
+    // q121's winnowing chain (suffixed wt/we), q137's image chain
+    // (suffixed i), q138's audio chain — in one WITH, each aggregated
+    // per eval item and union-tagged by modality
+    "q155_contamination_report" -> {
+      import PipelineQueries.{shinglesSql, sigBucketsSql}
+      import Round7Queries.winnowFpCtes
+      s"""WITH train AS (SELECT doc_id, text FROM documents),
+         |ev AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, text || ' zz tail marker'
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${shinglesSql("train", "t")},
+         |${sigBucketsSql("t")},
+         |${shinglesSql("ev", "e")},
+         |${sigBucketsSql("e")},
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bucketst l JOIN bucketse r
+         |    ON l.band = r.band AND l.bucket = r.bucket),
+         |sizest AS (SELECT doc_id, count(*) AS na FROM sht GROUP BY doc_id),
+         |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id),
+         |common AS (
+         |  SELECT c.a, c.b, count(*) AS n_common
+         |  FROM cand c
+         |  JOIN sht x ON x.doc_id = c.a
+         |  JOIN she y ON y.doc_id = c.b AND y.shh = x.shh
+         |  GROUP BY c.a, c.b),
+         |nearm AS (
+         |  SELECT cm.b AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         |  FROM common cm
+         |  JOIN sizest sa ON sa.doc_id = cm.a
+         |  JOIN sizese sb ON sb.doc_id = cm.b
+         |  WHERE cm.n_common::DOUBLE / (sa.na + sb.nb - cm.n_common) >= 0.5
+         |  GROUP BY 1),
+         |evw AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000,
+         |    array_to_string(
+         |      (list_filter(string_split_regex(text, '\\s+'),
+         |        x -> x <> ''))[1:24], ' ')
+         |      || ' wholly fresh continuation appended beyond the span'
+         |  FROM documents WHERE doc_id % 17 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content tokens'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${winnowFpCtes("train", "wt")},
+         |${winnowFpCtes("evw", "we")},
+         |wkeep AS (SELECT fp FROM (
+         |    SELECT fp FROM fpswt UNION ALL SELECT fp FROM fpswe)
+         |  GROUP BY fp HAVING COUNT(*) <= 16),
+         |wfa AS (SELECT f.* FROM fpswt f JOIN wkeep USING (fp)),
+         |wfb AS (SELECT f.* FROM fpswe f JOIN wkeep USING (fp)),
+         |spanp AS (SELECT l.doc_id AS a, r.doc_id AS b
+         |  FROM wfa l JOIN wfb r ON l.fp = r.fp
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |spanm AS (SELECT b AS eval_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_matches
+         |  FROM spanp GROUP BY 1),
+         |${Round7Queries.imageDhCtes("i")},
+         |bandsi AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM dhi, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |imgp AS (
+         |  SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |    x.dhash AS ha, y.dhash AS hb
+         |  FROM bandsi x JOIN bandsi y
+         |    ON x.band = y.band AND x.v = y.v
+         |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0),
+         |imgm AS (SELECT b AS eval_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_matches
+         |  FROM imgp WHERE bit_count(xor(ha, hb)) <= 6 GROUP BY 1),
+         |${Round8Queries.audioFpCtesSql},
+         |bandsa AS (
+         |  SELECT rid, afp, bb.band, (afp >> (bb.band * 13)) & 8191 AS v
+         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |audp AS (
+         |  SELECT DISTINCT x.rid AS a, y.rid AS b, x.afp AS ha, y.afp AS hb
+         |  FROM bandsa x JOIN bandsa y
+         |    ON x.band = y.band AND x.v = y.v
+         |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0),
+         |audm AS (SELECT b AS eval_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_matches
+         |  FROM audp WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1)
+         |SELECT modality, eval_id, n_matches FROM (
+         |  SELECT 'near' AS modality, eval_id, n_matches FROM nearm
+         |  UNION ALL SELECT 'span', eval_id, n_matches FROM spanm
+         |  UNION ALL SELECT 'image', eval_id, n_matches FROM imgm
+         |  UNION ALL SELECT 'audio', eval_id, n_matches FROM audm)
+         |ORDER BY modality, eval_id""".stripMargin
+    },
 
     // the full DSIR replay: tokenize, unigram+bigram occurrences,
     // hashed buckets, smoothed clamped integer ratios over the dense

@@ -127,26 +127,38 @@ object ScaleProbe {
     // negligible at probe sizes, so cost must track the linear
     // decode+hash scan — the q110 default 4x14 is the small-corpus
     // recall setting whose collision space saturates by design).
-    def perceptual(d: DataFrame): Long = {
+    // per-doc BMP with md5-of-text-derived polynomial pixel
+    // coefficients — the audio probe's generative-formula lesson
+    // applies here too: an id-linear pixel formula shifts every pixel
+    // by a CONSTANT per id, leaving the gradient structure (and so the
+    // dHash) aliased across ids; md5 coefficients (2^42 space) plus
+    // the per-token replica perturbation make every replica a
+    // genuinely new image
+    def imageDhs(d: DataFrame): DataFrame = {
       import spark.implicits._
       val hmd5 = md5(col("text"))
-      def byteAt(i: Int) =
-        conv(substring(hmd5, 2 * i + 1, 2), 16, 10).cast("int")
+      def hx(from: Int, len: Int) =
+        conv(substring(hmd5, from, len), 16, 10).cast("long")
       val media = d.select(col("doc_id").cast("long").as("id"),
-          (byteAt(0) % 16 + 8).as("w"), (byteAt(1) % 16 + 8).as("h"))
-        .as[(Long, Int, Int)]
-        .mapPartitions(_.map { case (id, w, hh) =>
+          (hx(1, 2).cast("int") % 16 + 8).as("w"),
+          (hx(3, 2).cast("int") % 16 + 8).as("h"),
+          (hx(5, 4) % 16384L).as("s1"), (hx(9, 4) % 16384L).as("s2"),
+          (hx(13, 4) % 16384L).as("s3"))
+        .as[(Long, Int, Int, Long, Long, Long)]
+        .mapPartitions(_.map { case (id, w, hh, s1, s2, s3) =>
           val rgb = Array.tabulate(w * hh * 3)(i =>
-            ((id * 2654435761L + i.toLong * (i + 7)) % 256).toByte)
+            (((s1 + 1) * (i + 3) + (s2 + 1) * i.toLong * (i + 7) + s3)
+              % 256).toByte)
           val p = graft.multimodal.Bmp.encode(
             graft.multimodal.Bmp.Image(w, hh, rgb))
           graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
         })
-      graft.multimodal.Perceptual.clusters(
-          graft.multimodal.Perceptual.dHashes(media)(spark),
+      graft.multimodal.Perceptual.dHashes(media)(spark)
+    }
+    def perceptual(d: DataFrame): Long =
+      graft.multimodal.Perceptual.clusters(imageDhs(d),
           "id", "dhash", maxHamming = 6, bands = 2)
         .filter(col("cluster") >= 0).count()
-    }
 
     def merge(c: DataFrame): Long = {
       val prod = c.select(col("c_custkey").cast("long").as("dim_id"),
@@ -373,6 +385,41 @@ object ScaleProbe {
       graft.multimodal.IncrementalAudio.addBatch(idx, audioBatch,
         maxHamming = 1)._2.count()
 
+    // Incremental image: a FIXED batch (replica 0's dHashes, ids
+    // offset) folds into a 1x vs Nx perceptual index — same
+    // growing-corpus ingest shape as incremental_audio, at the
+    // large-corpus 2x28-bit band setting (random band collisions
+    // ~ n^2/2^28 negligible at probe sizes). The index side is a
+    // 16-byte-per-image hash relation; honest cost = the batch
+    // decode+dHash plus the banded join against the index.
+    val imageBatch = imageDhs(docs1r
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+      .localCheckpoint()
+    def incImage(
+        idx: graft.multimodal.IncrementalPerceptual.PerceptualIndex): Long =
+      graft.multimodal.IncrementalPerceptual.addBatch(idx, imageBatch,
+        maxHamming = 1)._2.count()
+
+    // DSIR importance resampling: the raw corpus grows Nx while the
+    // TARGET stays fixed (replica 0's %4==1 sources) — "re-weight a
+    // grown crawl against the same curated target". Cost must track
+    // the two tokenize+explode scans (raw Nx + target constant) and
+    // the doc-keyed score sum against the broadcast dim-row ratio
+    // table; output rows grow exactly Nx.
+    val docsFull1 = graft.sources.Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val docsFull1r = replicate(docsFull1, Seq("doc_id"), 10000000L,
+      textCols = Seq("text"), k = 1)
+    val docsFullN = replicate(docsFull1, Seq("doc_id"), 10000000L,
+      textCols = Seq("text"))
+    val dsirTarget = docsFull1r
+      .filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    def dsir(d: DataFrame): Long =
+      graft.pipeline.Dsir.resample(d.select(col("doc_id"), col("text")),
+          dsirTarget, "doc_id", "text", dim = 256, keepPpm = 500000L)
+        .filter(col("imp") >= 0 && col("threshold") >= 0).count()
+
     // Bloom decontamination: the train side grows Nx while the eval set
     // stays FIXED (replica 0's %5 docs) — "re-check a grown corpus" with
     // the join-free gate. The m-bit bitset is CONSTANT-size driver state
@@ -578,6 +625,15 @@ object ScaleProbe {
           audioFps(docsN), maxHamming = 1, bands = 2)._1
         (time(incAudio(idx1)), time(incAudio(idxN)))
       }),
+      "incremental_image" -> (() => {
+        val idx1 = graft.multimodal.IncrementalPerceptual.build(
+          imageDhs(docs1r), maxHamming = 1, bands = 2)._1
+        val idxN = graft.multimodal.IncrementalPerceptual.build(
+          imageDhs(docsN), maxHamming = 1, bands = 2)._1
+        (time(incImage(idx1)), time(incImage(idxN)))
+      }),
+      "dsir_resample" -> (() => (time(dsir(docsFull1r)),
+        time(dsir(docsFullN)))),
       "bloom_decontaminate" -> (() => (time(bloomProbe(docs1r)),
         time(bloomProbe(docsN)))),
       "classifier_gate" -> (() => (time(classify(docs1)),

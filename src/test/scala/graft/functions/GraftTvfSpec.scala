@@ -141,6 +141,22 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_dsir_resample TVF == Dsir.resample") {
+    docs.createOrReplaceTempView("tvf_dsir_raw")
+    docs.filter($"doc_id" % 4 === 1)
+      .createOrReplaceTempView("tvf_dsir_target")
+    val sql = spark.sql(
+      "SELECT * FROM graft_dsir_resample('tvf_dsir_raw', " +
+        "'tvf_dsir_target', 'doc_id', 'text', 128, 500000) " +
+        "ORDER BY doc_id")
+    val api = graft.pipeline.Dsir.resample(docs,
+        docs.filter($"doc_id" % 4 === 1), "doc_id", "text", 128, 500000L)
+      .orderBy(col("doc_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -138,7 +138,16 @@ object Dsir {
     // cleanly instead of NULLing every threshold
     val mean = imp.agg(sum(col("imp")).as("__s"), count(lit(1)).as("__n"))
       .select(greatest(lit(1L), idivExpr("__s", "__n")).as("__mean_imp"))
-    imp.crossJoin(broadcast(mean))
+    gateTail(imp.crossJoin(broadcast(mean)), idCol, keepPpm)
+  }
+
+  /** threshold + hash-gate tail shared by [[resample]] (corpus-mean
+    * normalizer) and [[applyModel]] (frozen fitted normalizer): the
+    * input carries `__mean_imp` however it was derived.
+    */
+  private def gateTail(scored: DataFrame, idCol: String,
+      keepPpm: Long): DataFrame =
+    scored
       .withColumn("__thnum", lit(keepPpm) * col("imp"))
       .withColumn("threshold",
         least(lit(Mixture.Unit), idivExpr("__thnum", "__mean_imp")))
@@ -147,5 +156,44 @@ object Dsir {
           concat(lit(GateSalt), col(idCol).cast("string")))
           % Mixture.Unit < col("threshold"))
       .drop("__mean_imp", "__thnum")
+
+  /** A FITTED sampler: the dim-row ratio table plus the frozen mean
+    * normalizer and keep rate — DSIR's deployment shape, where the
+    * importance weights are computed once on a seed sample and then
+    * stream over the crawl. `meanImp` is one long (bounded driver
+    * state, like the centroid matrices).
+    */
+  final case class Model(ratios: DataFrame, dim: Int, meanImp: Long,
+      keepPpm: Long)
+
+  /** Fit the sampler once: ratio table from (seed raw, target), mean
+    * normalizer from the seed's own importance distribution. The
+    * ratio relation is localCheckpoint-materialized — a model is
+    * state, not a plan.
+    */
+  def fit(seedRaw: DataFrame, target: DataFrame, idCol: String,
+      textCol: String, dim: Int, keepPpm: Long): Model = {
+    require(keepPpm > 0 && keepPpm <= Mixture.Unit,
+      s"keepPpm in (0, ${Mixture.Unit}]")
+    val ratios = bucketRatios(seedRaw, target, idCol, textCol, dim)
+      .localCheckpoint()
+    val meanImp = importance(seedRaw, ratios, idCol, textCol, dim)
+      .agg(sum(col("imp")).as("__s"), count(lit(1)).as("__n"))
+      .select(greatest(lit(1L), idivExpr("__s", "__n")))
+      .collect()(0).getLong(0)
+    Model(ratios, dim, meanImp, keepPpm)
   }
+
+  /** Apply a fitted sampler to a batch or corpus. Scoring is per-doc
+    * against the frozen ratios and normalizer, so the union over ANY
+    * batching equals the one-shot apply — a streaming door can call
+    * this per micro-batch unchanged (the q133 classifier-gate
+    * argument).
+    */
+  def applyModel(model: Model, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    gateTail(
+      importance(docs, model.ratios, idCol, textCol, model.dim)
+        .withColumn("__mean_imp", lit(model.meanImp)),
+      idCol, model.keepPpm)
 }

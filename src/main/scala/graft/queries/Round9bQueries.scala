@@ -194,8 +194,46 @@ object Round9bQueries {
           docs.filter(srcnum % 4 === 1).select(col("doc_id"), col("text")),
           "doc_id", "text", dim = DsirDim, keepPpm = DsirKeepPpm)
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR's DEPLOYMENT shape: the sampler is FITTED once on a seed
+    // slice (%3==0) of the raw corpus — ratio table + frozen mean
+    // normalizer, both derived from seed statistics — then APPLIED to
+    // the whole corpus. Scoring is per-doc against frozen state, so
+    // any batching equals this one-shot apply (the streaming doors
+    // can call applyModel per micro-batch unchanged). The oracle
+    // derives the ratios and the mean from the SEED slice and the
+    // thresholds over all documents.
+    "q156_dsir_fit_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val raw = docs.select(col("doc_id"), col("text"))
+      val model = graft.pipeline.Dsir.fit(
+        raw.filter(col("doc_id") % 3 === 0),
+        docs.filter(srcnum % 4 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text", dim = DsirDim, keepPpm = DsirKeepPpm)
+      graft.pipeline.Dsir.applyModel(model, raw, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster-balanced DIVERSITY selection — semanticDedup's coverage
+    // complement: q42's verified portable Lloyd trains the coarse
+    // quantizer, every vector scores its exact double cosine to its
+    // own centroid, and the 8 most CENTRAL members per cluster
+    // survive. The oracle replays training (q42's CTEs), assignment,
+    // the centrality cosine, and the per-cluster rank.
+    "q157_diversity_sample" -> ((s, dir) => {
+      graft.similarity.Similarity.diversitySample(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding",
+          perCluster = DivPer, c = ExtendedQueries.IvfC,
+          iters = ExtendedQueries.IvfIters)
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** q157 representatives kept per cluster. */
+  private val DivPer = 8
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -393,6 +431,98 @@ object Round9bQueries {
          |    AS keep
          |FROM sc, m
          |ORDER BY sc.doc_id""".stripMargin
+    },
+
+    // q154's replay with the fit/apply split: ratios from the SEED
+    // slice (rn restricted to doc_id%3=0), target counts from the full
+    // target slice, the mean normalizer from the seed's own importance
+    // rows, thresholds applied to every document
+    "q156_dsir_fit_apply" -> {
+      val toksExpr =
+        """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+      val gateSql = graft.functions.PortableHash
+        .hash60BaseSql("'dsir:' || sc.doc_id::VARCHAR")
+      s"""WITH ts AS (SELECT doc_id, source, $toksExpr AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id, source, unnest(t) AS feat FROM ts
+         |  UNION ALL
+         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS feat
+         |  FROM ts, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         |feats AS (SELECT doc_id, source,
+         |    ${graft.text.TextClassify.bucketSql("feat", DsirDim)} AS bucket
+         |  FROM occ),
+         |rn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM feats WHERE doc_id % 3 = 0 GROUP BY bucket),
+         |tn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM feats WHERE CAST(substr(source, 4) AS INT) % 4 = 1
+         |  GROUP BY bucket),
+         |ratios AS (SELECT g.range AS bucket,
+         |    LEAST(${graft.pipeline.Dsir.RatioCap},
+         |      ((COALESCE(t.c, 0) + 1) * ${graft.pipeline.Dsir.Scale})
+         |        // (COALESCE(r.c, 0) + 1)) AS ratio
+         |  FROM range($DsirDim) g
+         |  LEFT JOIN rn r ON r.bucket = g.range
+         |  LEFT JOIN tn t ON t.bucket = g.range),
+         |sc AS (SELECT f.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(ra.ratio) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |      AS imp
+         |  FROM feats f JOIN ratios ra ON ra.bucket = f.bucket
+         |  GROUP BY f.doc_id),
+         |m AS (SELECT GREATEST(1,
+         |    CAST(SUM(imp) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+         |  AS mean_imp FROM sc WHERE doc_id % 3 = 0)
+         |SELECT sc.doc_id, sc.n_feats, sc.imp,
+         |  CAST(LEAST(1000000, ($DsirKeepPpm * sc.imp) // m.mean_imp)
+         |    AS BIGINT) AS threshold,
+         |  (($gateSql % 1000000)
+         |    < LEAST(1000000, ($DsirKeepPpm * sc.imp) // m.mean_imp))
+         |    AS keep
+         |FROM sc, m
+         |ORDER BY sc.doc_id""".stripMargin
+    },
+
+    // q42's training + assignment CTEs over the full corpus, then the
+    // centrality cosine against each member's own centroid and the
+    // per-cluster ROW_NUMBER cut
+    "q157_diversity_sample" -> {
+      val dotSql = Round5Queries.dotSql
+      def dist(v: String, cent: String) =
+        s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
+      val iters = ExtendedQueries.IvfIters
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab FROM emb)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${graft.functions.PortableHash
+                      .hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to iters).map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, e, cluster AS bucket FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${dist("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c$iters c) WHERE rn = 1),
+         |sc AS (SELECT b.vec_id, b.bucket,
+         |    ${dotSql("b.e", "c.cent")}
+         |      / sqrt(${dotSql("b.e", "b.e")} * ${dotSql("c.cent", "c.cent")})
+         |      AS centrality
+         |  FROM cb b JOIN c$iters c ON c.cluster = b.bucket)
+         |SELECT vec_id, bucket, centrality, rank FROM (
+         |  SELECT vec_id, bucket, centrality,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY centrality DESC, vec_id ASC) AS rank
+         |  FROM sc) t
+         |WHERE rank <= $DivPer
+         |ORDER BY vec_id""".stripMargin
     }
   )
 }

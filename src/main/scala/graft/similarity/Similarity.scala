@@ -429,6 +429,49 @@ object Similarity {
     *   quantized relation stays cached for the lazy result's lifetime
     *   (caller-managed eviction).
     */
+  /** Cluster-balanced DIVERSITY selection — the coverage complement of
+    * [[semanticDedup]]: where dedup drops redundant near-twins,
+    * diversity sampling keeps a bounded, representative slice of EVERY
+    * region of embedding space (the "cluster-then-pick-representatives"
+    * curation step production pipelines run to cap over-represented
+    * modes without losing coverage of rare ones).
+    *
+    * Train the portable coarse quantizer (q42's verified Lloyd), assign
+    * every vector to its cluster, score each member's CENTRALITY (exact
+    * double cosine to its own centroid — the strict-fold [[dot]], so the
+    * DuckDB oracle replays it bit-exactly), and keep the `perCluster`
+    * most central members per cluster (ties by id).
+    *
+    * Scale shape: one training pass (iters+1 scans + skinny shuffles),
+    * one assignment scan against the O(1)-plan-size centroid matrix,
+    * one broadcast join against the c-row centroid relation, and
+    * per-cluster windows bounded at ~N/c rows — with the documented
+    * c ∝ N dial, per-window populations stay flat as the corpus grows.
+    */
+  def diversitySample(corpus: DataFrame, idCol: String, vecCol: String,
+      perCluster: Int, c: Int = 16, iters: Int = 2): DataFrame = {
+    require(perCluster > 0, "perCluster must be positive")
+    val spark = corpus.sparkSession
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainPortable(ds, idCol, c, iters)
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("bucket", "cent")
+    val scored = ds
+      .select(col(idCol), asDouble(col(vecCol)).as("e"),
+        nearestCentroid(col("qd"), cents).as("bucket"))
+      .join(broadcast(centsDf), Seq("bucket"))
+      .withColumn("centrality",
+        dot(col("e"), col("cent"))
+          / sqrt(norm2(col("e")) * norm2(col("cent"))))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("centrality").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= perCluster)
+      .select(col(idCol), col("bucket"), col("centrality"), col("rank"))
+  }
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
       threshold: Double, c: Int = 16, iters: Int = 2,
       hierarchical: Boolean = false, nProbe: Int = 1): DataFrame = {

@@ -85,6 +85,27 @@ class DsirSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("fit on the full corpus + applyModel == resample") {
+    val m = Dsir.fit(rawDocs, targetDocs, "doc_id", "text", Dim, 500000L)
+    val applied = Dsir.applyModel(m, rawDocs, "doc_id", "text")
+      .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val oneShot = Dsir.resample(rawDocs, targetDocs, "doc_id", "text",
+      Dim, 500000L).orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    assert(applied == oneShot)
+  }
+
+  test("applyModel is batching-independent against the frozen model") {
+    val m = Dsir.fit(rawDocs.filter($"doc_id" % 3 === 0), targetDocs,
+      "doc_id", "text", Dim, 500000L)
+    def part(r: Int) = Dsir.applyModel(m,
+      rawDocs.filter($"doc_id" % 2 === r), "doc_id", "text")
+    val batched = part(0).unionByName(part(1))
+      .collect().map(_.toSeq).toSet
+    val oneShot = Dsir.applyModel(m, rawDocs, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    assert(batched == oneShot && oneShot.nonEmpty)
+  }
+
   test("gate salt differs from the Mixture sample gate on the same ids") {
     // same id, different salts — thresholds at 50% must disagree on
     // SOME id in a 40-doc corpus if the gates are independent

@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_semantic_dedup('embs', 'vec_id', 'embedding', 0.99, 16)")
   * spark.sql("SELECT * FROM graft_clean_corpus('docs', 'doc_id', 'text')")
   * spark.sql("SELECT * FROM graft_dsir_resample('raw', 'target', 'doc_id', 'text')")
+  * spark.sql("SELECT * FROM graft_diversity_sample('embs', 'vec_id', 'embedding', 5)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -137,6 +138,16 @@ object GraftTableFunctions {
       str(args(2), u), str(args(3), u), dim, keepPpm))
   }
 
+  private val diversitySample: Builder = { args =>
+    val u = "graft_diversity_sample(table, idCol, vecCol, perCluster[, c])"
+    require(args.length == 4 || args.length == 5, u)
+    val s = SparkSession.active
+    val c = if (args.length == 5) int(args(4), u) else 16
+    plan(graft.similarity.Similarity.diversitySample(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u), c))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
@@ -145,5 +156,6 @@ object GraftTableFunctions {
     "graft_semantic_dedup" -> semanticDedup,
     "graft_clean_corpus" -> cleanCorpus,
     "graft_release" -> release,
-    "graft_dsir_resample" -> dsirResample)
+    "graft_dsir_resample" -> dsirResample,
+    "graft_diversity_sample" -> diversitySample)
 }

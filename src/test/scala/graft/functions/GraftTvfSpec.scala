@@ -157,6 +157,19 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_diversity_sample TVF == Similarity.diversitySample") {
+    vecs.createOrReplaceTempView("tvf_div_vecs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_diversity_sample('tvf_div_vecs', 'vec_id', " +
+        "'embedding', 3, 8) ORDER BY vec_id")
+    val api = graft.similarity.Similarity.diversitySample(vecs, "vec_id",
+        "embedding", perCluster = 3, c = 8)
+      .orderBy(col("vec_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

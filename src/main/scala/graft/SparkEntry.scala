@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Round7cQueries.queries ++
       graft.queries.Round8Queries.queries ++
       graft.queries.Round9Queries.queries ++
-      graft.queries.Round9bQueries.queries
+      graft.queries.Round9bQueries.queries ++
+      graft.queries.Round9cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Round7cQueries.oracleSql ++
       graft.queries.Round8Queries.oracleSql ++
       graft.queries.Round9Queries.oracleSql ++
-      graft.queries.Round9bQueries.oracleSql
+      graft.queries.Round9bQueries.oracleSql ++
+      graft.queries.Round9cQueries.oracleSql
 }

@@ -522,6 +522,71 @@ object Similarity {
       .withColumn("kept", col("cluster") === col(idCol))
   }
 
+  /** Cross-corpus SEMANTIC contamination matches — the embedding-space
+    * member of the train-vs-eval matcher family (text near-dup
+    * [[graft.dedup.Dedup.crossCorpusMatches]], span provenance
+    * [[graft.text.Winnow.crossMatches]], image/audio
+    * [[graft.multimodal.Perceptual.crossMatches]]): eval items whose
+    * EMBEDDINGS near-duplicate a train item — the paraphrase-level leak
+    * the lexical matchers cannot see (a reworded benchmark answer
+    * shares no shingles but keeps its embedding).
+    *
+    * Deployment posture: the portable Lloyd quantizer (q42's verified
+    * training) trains on the TRAIN side only — the train index exists,
+    * eval probes it. Train vectors take their single nearest bucket;
+    * each eval vector probes its `nProbe` nearest buckets (the IVF
+    * query pattern: a cross pair is found iff train's bucket is among
+    * eval's probes, so probing widens recall at eval-side cost only —
+    * the [[semanticDedup]] nProbe boundary argument, one-sided).
+    * Candidates join ACROSS corpora only — never within either (id
+    * spaces may overlap) — then the exact strict-left-fold double
+    * cosine verifies, so the DuckDB oracle replays bit-identically.
+    *
+    * Scale shape: training + one assignment scan over train, an
+    * nProbe-exploded assignment of the (typically tiny) eval side whose
+    * bucket relation broadcasts, candidate work bounded by bucket
+    * populations — never all-pairs. A (train, eval) pair appears at
+    * most once: train holds one bucket and eval's probes are distinct.
+    *
+    * @return (train_id, eval_id, cosine), one row per verified match.
+    */
+  def crossCorpusSemanticMatches(train: DataFrame, trainId: String,
+      eval: DataFrame, evalId: String, vecCol: String,
+      threshold: Double, c: Int = 16, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val tds = withQuantizedDouble(train, trainId, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = trainPortable(tds, trainId, c, iters)
+    val tb = tds
+      .select(col(trainId).as("train_id"), asDouble(col(vecCol)).as("xe"),
+        nearestCentroid(col("qd"), cents).as("bucket"))
+      .withColumn("nx", norm2(col("xe")))
+    val eb = withQuantizedDouble(eval, evalId, vecCol)
+      .select(col(evalId).as("eval_id"), asDouble(col(vecCol)).as("ye"),
+        explode(nearestCentroids(col("qd"), cents, nProbe)).as("bucket"))
+      .withColumn("ny", norm2(col("ye")))
+    tb.join(eb, Seq("bucket"))
+      .withColumn("cosine",
+        dot(col("xe"), col("ye")) / sqrt(col("nx") * col("ny")))
+      .filter(col("cosine") >= threshold)
+      .select(col("train_id"), col("eval_id"), col("cosine"))
+  }
+
+  /** Drop every train doc semantically matched by `eval`
+    * ([[crossCorpusSemanticMatches]] at `threshold`): one anti-join on
+    * the matched train-id set — the embedding-space sibling of
+    * [[graft.dedup.Dedup.decontaminateNearDup]].
+    */
+  def decontaminateSemantic(train: DataFrame, trainId: String,
+      eval: DataFrame, evalId: String, vecCol: String,
+      threshold: Double, c: Int = 16, iters: Int = 2,
+      nProbe: Int = 2): DataFrame = {
+    val hit = crossCorpusSemanticMatches(train, trainId, eval, evalId,
+        vecCol, threshold, c, iters, nProbe)
+      .select(col("train_id").as("__sem_hit")).distinct()
+    train.join(hit, train(trainId) === col("__sem_hit"), "left_anti")
+  }
+
   /** IVF-PQ: coarse inverted-file routing plus product-quantization
     * scoring — the memory-compressed ANN layout a 100 TB corpus needs:
     * each indexed vector stores only its coarse bucket + `m` one-byte

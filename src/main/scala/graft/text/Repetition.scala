@@ -105,4 +105,85 @@ object Repetition {
         (col("n_familiar").cast("double") /
           col("n_bigrams").cast("double")).as("familiarity"))
   }
+
+  /** Trigram STUPID-BACKOFF familiarity (Brants et al. 2007, "Large
+    * Language Models in Machine Translation") — the CCNet-style
+    * reference-LM quality score, in exact integer arithmetic: n-gram
+    * counts FIT on a reference corpus, held-out documents scored per
+    * trigram position with the classic backoff chain
+    *
+    *   S(w | a b) = c3(a b w)/c2(a b)            if the trigram was seen
+    *              = 0.4 · c2(b w)/c1(b)          else if the bigram was
+    *              = 0.4² · c1(w)/N               else if the word was
+    *              = 0                             never seen
+    *
+    * scaled to parts-per-million with every division SQL `div` (==
+    * DuckDB `//` on nonnegative ints — the portable idiom), so unlike a
+    * real logprob perplexity (cross-engine `ln`) the score replays
+    * bit-identically in the oracle (q160). 0.4 and 0.4² become the
+    * integer factors 400 000 and 160 000; numerators stay inside int64
+    * for any corpus below ~9·10¹² reference tokens (counts · 10⁶).
+    *
+    * The fit/apply split is the deployment shape ([[graft.pipeline
+    * .Dsir.fit]]'s argument): self-scoring a corpus never exercises
+    * backoff (every trigram of the corpus has count ≥ 1 in itself).
+    * Scoring is per-doc against the frozen count relations, so any
+    * batching equals the one-shot apply.
+    *
+    * Shape: one explode + two doc-keyed lead windows per side; count
+    * relations keyed by gram; scoring is five keyed left joins of the
+    * position relation (trigram, context-bigram, backoff-bigram, two
+    * unigrams) plus the broadcast 1-row total — never all-pairs.
+    *
+    * @return per scored document with ≥ 3 tokens: (idCol, n_ctx,
+    *   score_sum, score_mean) where score_mean = score_sum/n_ctx in
+    *   double. Like [[graft.similarity.Similarity.semanticDedup]], the
+    *   reference position relation stays cached for the lazy result's
+    *   lifetime (caller-managed eviction; identical re-invocations
+    *   reuse the same cache entry).
+    */
+  def backoffScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    def positions(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("pos"))
+      df.select(id, posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "w")))
+        .withColumn("p1", lag(col("w"), 1).over(w))
+        .withColumn("p2", lag(col("w"), 2).over(w))
+    }
+    val trPos = positions(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = trPos.filter(col("p2").isNotNull)
+      .select(concat_ws(" ", col("p2"), col("p1"), col("w")).as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
+    val c2 = trPos.filter(col("p1").isNotNull)
+      .select(concat_ws(" ", col("p1"), col("w")).as("g2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val c1 = trPos.groupBy(col("w").as("g1")).agg(count(lit(1)).as("c1"))
+    val n = trPos.agg(count(lit(1)).as("n_total"))
+    val pos = positions(docs).filter(col("p2").isNotNull)
+    val scored = pos
+      .join(c3.withColumnRenamed("c3", "ct"),
+        concat_ws(" ", col("p2"), col("p1"), col("w")) === col("g3"), "left")
+      .join(c2.select(col("g2").as("g2p"), col("c2").as("cbp")),
+        concat_ws(" ", col("p2"), col("p1")) === col("g2p"), "left")
+      .join(c2.select(col("g2").as("g2b"), col("c2").as("cb")),
+        concat_ws(" ", col("p1"), col("w")) === col("g2b"), "left")
+      .join(c1.select(col("g1").as("u1p"), col("c1").as("cup")),
+        col("p1") === col("u1p"), "left")
+      .join(c1.select(col("g1").as("u1w"), col("c1").as("cuw")),
+        col("w") === col("u1w"), "left")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        when(col("ct").isNotNull, expr("ct * 1000000 div cbp"))
+          .when(col("cb").isNotNull, expr("cb * 400000 div cup"))
+          .when(col("cuw").isNotNull, expr("cuw * 160000 div n_total"))
+          .otherwise(lit(0L)))
+    scored.groupBy(id)
+      .agg(count(lit(1)).as("n_ctx"), sum(col("score")).as("score_sum"))
+      .select(id, col("n_ctx"), col("score_sum"),
+        (col("score_sum").cast("double") / col("n_ctx").cast("double"))
+          .as("score_mean"))
+  }
 }

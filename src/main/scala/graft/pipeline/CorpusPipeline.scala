@@ -45,6 +45,14 @@ object CorpusPipeline {
   case class ClassifierGate(weights: DataFrame, dim: Int,
       thresholdNum: Long, thresholdDen: Long)
 
+  /** @param dsir optional stage-1d DSIR importance-resampling gate: a
+    *   FITTED [[Dsir.Model]] (frozen ratio table + mean normalizer)
+    *   applied after the classifier gate — the "make the mixture look
+    *   like the target" sampler as a pipeline stage. Per-doc against
+    *   frozen state, so batch-at-a-time == one-shot and the streaming
+    *   front door applies it unchanged (the q133 classifier argument).
+    *   None (default) preserves the historical pipeline exactly.
+    */
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
@@ -52,7 +60,8 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5,
       keepBest: Boolean = false,
       collisionBand: Option[(Long, Long, Long, Long)] = None,
-      classifier: Option[ClassifierGate] = None)
+      classifier: Option[ClassifierGate] = None,
+      dsir: Option[Dsir.Model] = None)
 
   /** Stage-1 row-local gates (quality score + predicted language): a
     * pure codegen scan emitting `(id, text, quality, lang_pred)` for
@@ -98,6 +107,20 @@ object CorpusPipeline {
       gated.join(ok, Seq(idCol), "left_semi")
   }
 
+  /** Stage-1d optional DSIR gate over the classifier survivors (also
+    * per-document: importance is a function of the doc's own features
+    * and the broadcast frozen ratio table; the keep verdict is the
+    * deterministic hash gate against the frozen normalizer).
+    */
+  def dsirGate(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.dsir match {
+    case None => gated
+    case Some(m) =>
+      val ok = Dsir.applyModel(m, gated, idCol, textCol)
+        .filter(col("keep")).select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
     */
@@ -113,11 +136,12 @@ object CorpusPipeline {
     // minhashNearDuplicates.
     val gated = rowGates(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 1b/1c. optional entropy band, then optional classifier gate
+    // 1b/1c/1d. optional entropy band, classifier gate, DSIR gate
     // (per-doc stages in ascending cost, each on the previous
     // survivors)
-    val banded = classifierGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg)
+    val banded = dsirGate(classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg)
     // 2. exact dedup: keep the minimum id per content fingerprint
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))
@@ -179,8 +203,9 @@ object CorpusPipeline {
     val id = col(idCol)
     val gated = rowGates(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = classifierGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg)
+    val banded = dsirGate(classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg)
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val exact = banded.join(keep, Seq(idCol), "left_semi")

@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
 object Round9bQueries {
 
   /** q154 feature-space size (hashed unigram+bigram buckets). */
-  private val DsirDim = 256
+  private[queries] val DsirDim = 256
 
   /** q154 target keep rate, parts per million. */
-  private val DsirKeepPpm = 500000L
+  private[queries] val DsirKeepPpm = 500000L
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -52,6 +52,42 @@ object Round9cQueries {
         .orderBy(col("train_id"), col("eval_id"))
     }),
 
+    // The streaming cleaning front door with the DSIR sampler wired in
+    // as stage 1d: the model is FITTED once before the stream starts
+    // (frozen ratio table + mean normalizer — q156's deployment
+    // shape), then the q46 planted corpus lands as a 3-file staging
+    // directory and every micro-batch runs gates -> DSIR keep-gate ->
+    // fold into the incremental LSH index in one foreachBatch frame.
+    // Scoring is per-doc against frozen state, so streamed == one-shot;
+    // the oracle replays q46's stages with the DSIR gate CTEs inserted
+    // between the heuristic gates and exact dedup.
+    "q159_stream_dsir_clean" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val model = graft.pipeline.Dsir.fit(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text")),
+        docs.filter(srcnum % 4 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text", dim = Round9bQueries.DsirDim,
+        keepPpm = Round9bQueries.DsirKeepPpm)
+      val cfg = graft.pipeline.CorpusPipeline.Config(dsir = Some(model))
+      val stage = Files.createTempDirectory("graft-q159-landing").toString
+      val cp = Files.createTempDirectory("graft-q159-cp").toString
+      PipelineQueries.corpus(s, dir).repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp, cfg)
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      graft.streaming.StreamingCorpus
+        .resolveSurvivors(gated, pairs, "doc_id", "text", cfg)
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Trigram stupid-backoff familiarity: n-gram counts FIT on the
     // even-numbered sources, the odd-numbered sources SCORED per
     // trigram position through the Brants backoff chain in exact
@@ -123,6 +159,103 @@ object Round9cQueries {
          |  FROM tb t JOIN eb v ON t.bucket = v.bucket)
          |WHERE cosine >= 0.99::DOUBLE
          |ORDER BY train_id, eval_id""".stripMargin,
+
+    // q46's stage-for-stage replay with the DSIR gate CTEs inserted
+    // between the heuristic gates and exact dedup: fit CTEs = q156's
+    // (ratios from the documents %3 seed vs the %4==1 target sources,
+    // mean normalizer from the seed's own importance), apply CTEs
+    // score the PLANTED corpus's gate survivors against the frozen
+    // model.
+    "q159_stream_dsir_clean" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      val gateSql = PortableHash
+        .hash60BaseSql("'dsir:' || g2.doc_id::VARCHAR")
+      val dim = Round9bQueries.DsirDim
+      val keepPpm = Round9bQueries.DsirKeepPpm
+      s"""WITH RECURSIVE $corpusSql,
+         |ts AS (SELECT doc_id, source, $toksExpr AS t FROM documents),
+         |occ AS (
+         |  SELECT doc_id, source, unnest(t) AS feat FROM ts
+         |  UNION ALL
+         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS feat
+         |  FROM ts, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         |feats AS (SELECT doc_id, source,
+         |    ${graft.text.TextClassify.bucketSql("feat", dim)} AS bucket
+         |  FROM occ),
+         |drn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM feats WHERE doc_id % 3 = 0 GROUP BY bucket),
+         |dtn AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM feats WHERE CAST(substr(source, 4) AS INT) % 4 = 1
+         |  GROUP BY bucket),
+         |ratios AS (SELECT g.range AS bucket,
+         |    LEAST(${graft.pipeline.Dsir.RatioCap},
+         |      ((COALESCE(t.c, 0) + 1) * ${graft.pipeline.Dsir.Scale})
+         |        // (COALESCE(r.c, 0) + 1)) AS ratio
+         |  FROM range($dim) g
+         |  LEFT JOIN drn r ON r.bucket = g.range
+         |  LEFT JOIN dtn t ON t.bucket = g.range),
+         |scseed AS (SELECT f.doc_id,
+         |    CAST(SUM(ra.ratio) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |      AS imp
+         |  FROM feats f JOIN ratios ra ON ra.bucket = f.bucket
+         |  WHERE f.doc_id % 3 = 0 GROUP BY f.doc_id),
+         |m AS (SELECT GREATEST(1,
+         |    CAST(SUM(imp) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+         |  AS mean_imp FROM scseed),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |ts2 AS (SELECT doc_id, $toksExpr AS t FROM g2),
+         |occ2 AS (
+         |  SELECT doc_id, unnest(t) AS feat FROM ts2
+         |  UNION ALL
+         |  SELECT doc_id, t[i] || ' ' || t[i+1] AS feat
+         |  FROM ts2, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         |feats2 AS (SELECT doc_id,
+         |    ${graft.text.TextClassify.bucketSql("feat", dim)} AS bucket
+         |  FROM occ2),
+         |sc2 AS (SELECT f.doc_id,
+         |    CAST(SUM(ra.ratio) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+         |      AS imp
+         |  FROM feats2 f JOIN ratios ra ON ra.bucket = f.bucket
+         |  GROUP BY f.doc_id),
+         |g3 AS (SELECT g2.* FROM g2
+         |  JOIN sc2 ON sc2.doc_id = g2.doc_id CROSS JOIN m
+         |  WHERE ($gateSql % 1000000)
+         |    < LEAST(1000000, ($keepPpm * sc2.imp) // m.mean_imp)),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     // The same joins, counts, and backoff CASE as the engine; integer
     // sums BIGINT-cast (DuckDB SUM(int) -> HUGEINT), final mean = one

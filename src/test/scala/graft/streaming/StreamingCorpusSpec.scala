@@ -108,6 +108,23 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(streamRelease(2) === oneShot)
   }
 
+  test("DSIR gate streams identically and genuinely filters") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val model = graft.pipeline.Dsir.fit(
+      base.filter(col("doc_id") % 3 === 0).select(col("doc_id"), col("text")),
+      base.filter(substring(col("source"), 4, 10).cast("int") % 4 === 1)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", dim = 256, keepPpm = 500000L)
+    val cfg = CorpusPipeline.Config(dsir = Some(model))
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    val noGate = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", CorpusPipeline.Config()))
+    assert(oneShot.size < noGate.size, "the DSIR gate must drop something")
+    assert(streamClean(3, cfg) === oneShot)
+    assert(streamClean(2, cfg) === oneShot)
+  }
+
   test("classifier gate streams identically and genuinely filters") {
     val w = graft.text.TextClassify.syntheticWeights(spark, 1024)
     val cfg = CorpusPipeline.Config(classifier = Some(

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object Round9bQueries {
 
+  /** q155's semantic-modality oracle helpers (q158's formulation). */
+  private val semDot = Round5Queries.dotSql
+  private def semDist(v: String, cent: String): String =
+    s"-2.0 * ${semDot(v, cent)} + ${semDot(cent, cent)}"
+
   /** q154 feature-space size (hashed unigram+bigram buckets). */
   private[queries] val DsirDim = 256
 
@@ -117,12 +122,13 @@ object Round9bQueries {
 
     // CROSS-MODAL contamination report: every train-vs-eval matcher
     // the engine has — text near-dup (q120), span provenance (q121),
-    // perceptual image (q137), audio fingerprint (q138) — fused into
-    // ONE per-eval-item release-review relation (modality, eval_id,
-    // n_matches). Each modality checks its own established planted
-    // benchmark corpus; the oracle chains all four verified replays
-    // (suffixed CTE chains coexisting in one WITH) and aggregates the
-    // same way. One decode pass per media family feeds both sides.
+    // perceptual image (q137), audio fingerprint (q138), SEMANTIC
+    // embedding (q158) — fused into ONE per-eval-item release-review
+    // relation (modality, eval_id, n_matches). Each modality checks
+    // its own established planted benchmark corpus; the oracle chains
+    // all five verified replays (suffixed CTE chains coexisting in one
+    // WITH) and aggregates the same way. One decode pass per media
+    // family feeds both sides.
     "q155_contamination_report" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import graft.multimodal.{AudioFp, Perceptual}
@@ -171,11 +177,29 @@ object Round9bQueries {
       val aud = AudioFp.crossMatches(afps.filter(col("id") % 4 === 0),
           afps.filter(col("id") % 4 =!= 0), "id", "afp")
         .groupBy(col("b")).agg(count(lit(1)).as("n_matches"))
+      // q158's eval corpus: the embedding-space (paraphrase-level)
+      // modality — scaled copies of the train slice + held-out fresh
+      val embT = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val trainE = embT.filter(col("vec_id") % 5 =!= 1)
+      val evalE = trainE.filter(col("vec_id") % 13 === 0)
+        .select((col("vec_id") + 3000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(embT.filter(col("vec_id") % 5 === 1)
+          .select((col("vec_id") + 4000000L).as("vec_id"),
+            col("embedding")))
+      val sem = graft.similarity.Similarity.crossCorpusSemanticMatches(
+          trainE, "vec_id", evalE, "vec_id", "embedding",
+          threshold = 0.99, c = ExtendedQueries.IvfC,
+          iters = ExtendedQueries.IvfIters, nProbe = 2)
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("n_matches"))
       def tag(df: DataFrame, m: String) =
         df.select(lit(m).as("modality"), col("b").as("eval_id"),
           col("n_matches"))
       tag(near, "near").unionByName(tag(span, "span"))
         .unionByName(tag(img, "image")).unionByName(tag(aud, "audio"))
+        .unionByName(sem.select(lit("semantic").as("modality"),
+          col("eval_id"), col("n_matches")))
         .orderBy(col("modality"), col("eval_id"))
     }),
 
@@ -374,12 +398,65 @@ object Round9bQueries {
          |   AND x.rid % 4 = 0 AND y.rid % 4 <> 0),
          |audm AS (SELECT b AS eval_id,
          |    CAST(COUNT(*) AS BIGINT) AS n_matches
-         |  FROM audp WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1)
+         |  FROM audp WHERE bit_count(xor(ha, hb)) <= 3 GROUP BY 1),
+         |sembase AS (SELECT vec_id, embedding::DOUBLE[] AS e
+         |  FROM embeddings),
+         |semtr AS (SELECT vec_id, e FROM sembase WHERE vec_id % 5 <> 1),
+         |semev AS (
+         |  SELECT vec_id + 3000000 AS vec_id,
+         |    list_transform(e, x -> x * 2.0) AS e
+         |  FROM semtr WHERE vec_id % 13 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 4000000, e FROM sembase WHERE vec_id % 5 = 1),
+         |qz AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab
+         |        FROM semtr)
+         |  WHERE mab > 0),
+         |qze AS (SELECT vec_id, e,
+         |    list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, e,
+         |          list_max(list_transform(e, x -> abs(x))) AS mab
+         |        FROM semev)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${graft.functions.PortableHash
+                      .hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |semtb AS (SELECT vec_id, e, cluster AS bucket,
+         |    ${semDot("e", "e")} AS nrm FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${semDist("z.qd", "c.cent")} ASC, c.cluster ASC)
+         |      AS rn
+         |  FROM qz z CROSS JOIN c${ExtendedQueries.IvfIters} c)
+         |  WHERE rn = 1),
+         |semeb AS (SELECT vec_id, e, cluster AS bucket,
+         |    ${semDot("e", "e")} AS nrm FROM (
+         |  SELECT z.vec_id, z.e, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${semDist("z.qd", "c.cent")} ASC, c.cluster ASC)
+         |      AS rn
+         |  FROM qze z CROSS JOIN c${ExtendedQueries.IvfIters} c)
+         |  WHERE rn <= 2),
+         |semm AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+         |  FROM (SELECT t.vec_id AS train_id, v.vec_id AS eval_id,
+         |      ${semDot("t.e", "v.e")} / sqrt(t.nrm * v.nrm) AS cosine
+         |    FROM semtb t JOIN semeb v ON t.bucket = v.bucket)
+         |  WHERE cosine >= 0.99::DOUBLE GROUP BY 1)
          |SELECT modality, eval_id, n_matches FROM (
          |  SELECT 'near' AS modality, eval_id, n_matches FROM nearm
          |  UNION ALL SELECT 'span', eval_id, n_matches FROM spanm
          |  UNION ALL SELECT 'image', eval_id, n_matches FROM imgm
-         |  UNION ALL SELECT 'audio', eval_id, n_matches FROM audm)
+         |  UNION ALL SELECT 'audio', eval_id, n_matches FROM audm
+         |  UNION ALL SELECT 'semantic', eval_id, n_matches FROM semm)
          |ORDER BY modality, eval_id""".stripMargin
     },
 

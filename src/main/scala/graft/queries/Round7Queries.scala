@@ -35,7 +35,7 @@ object Round7Queries {
     s"-2.0 * ${dotSql(v, cent)} + ${dotSql(cent, cent)}"
 
   /** q113/q114 merge-round count, shared by engine calls and oracle. */
-  private val BpeK = 12
+  private[queries] val BpeK = 12
 
   /** The DuckDB replay of [[graft.text.Bpe.trainMerges]]: w0 = the
     * unique-word dict with per-char separator-wrapped segmentation;
@@ -44,7 +44,7 @@ object Round7Queries {
     * ASC), and w(i) = literal replace of the wrapped pair — the same
     * greedy-BPE-as-string-replace semantics as the Spark side.
     */
-  private def bpeCtes(k: Int): String = {
+  private[queries] def bpeCtes(k: Int): String = {
     // MATERIALIZED is load-bearing: w(i) and b(i) are each referenced
     // twice, so DuckDB's default CTE inlining would expand the chain
     // to 2^k copies of the documents scan (observed: "Too many open
@@ -52,7 +52,7 @@ object Round7Queries {
     val sep = "chr(31)"
     val init =
       s"""w0 AS MATERIALIZED (
-         |  SELECT CAST(COUNT(*) AS BIGINT) AS freq,
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
          |    list_reduce(list_transform(generate_series(1, length(word)),
          |      i -> $sep || word[i] || $sep), (a, b) -> a || b) AS seg
          |  FROM (SELECT unnest($toksExpr) AS word FROM documents)
@@ -68,7 +68,7 @@ object Round7Queries {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$i
          |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
-         |w$i AS MATERIALIZED (SELECT freq, replace(seg,
+         |w$i AS MATERIALIZED (SELECT word, freq, replace(seg,
          |    (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
          |    (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS seg
          |  FROM w${i - 1})""".stripMargin

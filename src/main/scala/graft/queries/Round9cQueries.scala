@@ -104,6 +104,25 @@ object Round9cQueries {
           docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
           "doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // Tokenizer FERTILITY report: q113's trained merges applied per
+    // word occurrence (the q114 replace chain), aggregated per source
+    // — tokens/word and chars/token, the numbers a tokenizer choice is
+    // judged by before the token budgets (q96) and packing (q91)
+    // consume its output. The oracle reuses the verified BPE training
+    // CTEs with the word threaded through, and derives each word's
+    // symbol count from the final dict segmentation (equal to the
+    // per-occurrence replay because each word segments
+    // deterministically).
+    "q161_tokenizer_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      graft.text.Bpe.fertilityReport(
+          docs.select(col("source"), col("text")), "source", "text",
+          merges)
+        .orderBy(col("source"))
     })
   )
 
@@ -297,6 +316,30 @@ object Round9cQueries {
          |  CAST(SUM(score) AS BIGINT) AS score_sum,
          |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE)
          |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS score_mean
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q161_tokenizer_fertility" ->
+      s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |ws AS (SELECT word,
+         |    CAST(len(list_filter(string_split(seg, chr(31)),
+         |      x -> x <> '')) AS BIGINT) AS n_sym
+         |  FROM w${Round7Queries.BpeK}),
+         |occ AS (SELECT source, unnest($toksExpr) AS word
+         |  FROM documents),
+         |per AS (SELECT occ.source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(ws.n_sym) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(length(occ.word)) AS BIGINT) AS n_chars
+         |  FROM occ JOIN ws USING (word) GROUP BY occ.source),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT nd.source, nd.n_docs, per.n_words, per.n_tokens,
+         |  per.n_chars,
+         |  CAST(per.n_tokens AS DOUBLE) / CAST(per.n_words AS DOUBLE)
+         |    AS fertility,
+         |  CAST(per.n_chars AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
+         |    AS chars_per_token
+         |FROM nd JOIN per ON per.source = nd.source
+         |ORDER BY nd.source""".stripMargin
   )
 }

@@ -135,4 +135,39 @@ object Bpe {
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .select(explode(segment(col("word"), merges)).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** Tokenizer FERTILITY report — the metric a tokenizer choice is
+    * judged by per data source (tokens per word; its inverse,
+    * characters per token, is the compression rate): under-trained
+    * merges fragment rare-vocabulary sources into near-character
+    * sequences, inflating their effective token cost in every
+    * downstream budget (q96's waterfill, q91's packing). Per source:
+    * doc/word/token/char counts (exact integers) and the two ratios
+    * (one double division each).
+    *
+    * Shape: one tokenize+explode scan, the per-occurrence replace
+    * chain (pure codegen string ops — [[segment]]), and one map-side-
+    * combinable per-source aggregate; `n_chars` counts word characters
+    * (whitespace excluded by construction).
+    */
+  def fertilityReport(docs: DataFrame, srcCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val src = col(srcCol)
+    val per = docs
+      .select(src, explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(src, length(col("word")).cast("long").as("n_chr"),
+        size(segment(col("word"), merges)).cast("long").as("n_sym"))
+      .groupBy(src).agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("n_chr")).as("n_chars"))
+    docs.groupBy(src).agg(count(lit(1)).as("n_docs"))
+      .join(per, Seq(srcCol))
+      .select(src, col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_chars"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"))
+  }
 }

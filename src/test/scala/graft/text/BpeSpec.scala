@@ -104,4 +104,32 @@ class BpeSpec extends SparkSpec {
     val b = Bpe.trainMerges(docs.repartition(13), "text", 6)
     assert(a == b)
   }
+
+  test("fertility report matches plain-Scala per-word arithmetic") {
+    val merges = Bpe.trainMerges(docs, "text", 6)
+    val segCache = scala.collection.mutable.Map.empty[String, Long]
+    def nSym(word: String): Long = segCache.getOrElseUpdate(word, {
+      var syms = word.split("").toVector
+      merges.sortBy(_.rank).foreach(m =>
+        syms = refSegment(syms, (m.lhs, m.rhs)))
+      syms.length.toLong
+    })
+    val rows = docs.select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = rows.groupBy(_._1).map { case (src, rs) =>
+      val words = rs.toSeq.flatMap(
+        _._2.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      src -> ((rs.length.toLong, words.length.toLong,
+        words.map(nSym).sum, words.map(_.length.toLong).sum))
+    }
+    val rep = Bpe.fertilityReport(docs.select(col("source"), col("text")),
+        "source", "text", merges).collect()
+    val got = rep.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expect)
+    rep.foreach { r =>
+      assert(r.getDouble(5) == r.getLong(3).toDouble / r.getLong(2).toDouble)
+      assert(r.getDouble(6) == r.getLong(4).toDouble / r.getLong(3).toDouble)
+    }
+  }
 }

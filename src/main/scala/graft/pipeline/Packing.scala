@@ -88,6 +88,47 @@ object Packing {
       .select(id, col("n_tok"), col("shard"))
   }
 
+  /** LENGTH-BUCKETED batch manifest — the padding-minimization layout
+    * for fine-tuning/inference loaders that pad each batch to its
+    * longest member (unlike the packed-pretraining path, q91, which
+    * concatenates): grouping similar lengths bounds per-batch waste to
+    * `batchSize · (bucketWidth - 1)` tokens, where naive random
+    * batching wastes proportionally to the length spread.
+    *
+    *   - `bucket = (n_tok - 1) div bucketWidth` — the length class;
+    *   - within each bucket, docs are shuffled deterministically
+    *     (salted-md5 order, the q103 key — batches stay i.i.d. WITHIN
+    *     a length class) and dealt into `batchSize`-row batches by the
+    *     per-bucket two-phase rank (range slices + broadcast offsets —
+    *     no bucket-sized window funnel);
+    *   - `pos` is the row's slot in its batch; only each bucket's last
+    *     batch may be short.
+    *
+    * All exact integer arithmetic; layout-independent; replays in
+    * DuckDB (q162).
+    *
+    * @return (id, n_tok, bucket, batch, pos); `batch` is dense per
+    *   bucket from 0, `pos` dense within each batch from 0
+    */
+  def lengthBatches(docs: DataFrame, idCol: String, textCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0,
+      "bucketWidth and batchSize must be positive")
+    val id = col(idCol)
+    val counted = docs
+      .select(id,
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"),
+        graft.functions.PortableHash.hash60Base(
+          concat_ws(":", lit("lenbatch"), id.cast("string"))).as("__h"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket", expr(s"(n_tok - 1) div ${bucketWidth}L"))
+    graft.operators.TwoPhase
+      .prefixSum(counted, Seq("bucket"), Seq("__h", idCol), lit(1L), "__rk")
+      .withColumn("batch", expr(s"(__rk - 1) div ${batchSize}L"))
+      .withColumn("pos", (col("__rk") - 1L) % batchSize)
+      .select(id, col("n_tok"), col("bucket"), col("batch"), col("pos"))
+  }
+
   /** The epoch-sharded loader manifest — the one artifact a
     * distributed training loader actually maps: for each epoch, a
     * seeded global permutation of the corpus

@@ -123,6 +123,25 @@ object Round9cQueries {
           docs.select(col("source"), col("text")), "source", "text",
           merges)
         .orderBy(col("source"))
+    }),
+
+    // Length-bucketed batch manifest, summarized per batch: docs
+    // bucket by length class, shuffle deterministically within the
+    // bucket (salted md5), deal into 16-row batches via the per-bucket
+    // two-phase rank, and report each batch's padded cost — n_rows,
+    // max_len, sum_tok, pad_waste = n_rows*max_len - sum_tok (what a
+    // pad-to-longest loader actually burns). Waste is bounded by
+    // construction at batchSize*(bucketWidth-1) per batch.
+    "q162_length_batches" -> ((s, dir) => {
+      graft.pipeline.Packing.lengthBatches(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          bucketWidth = 32, batchSize = 16)
+        .groupBy(col("bucket"), col("batch"))
+        .agg(count(lit(1)).as("n_rows"), max(col("n_tok")).as("max_len"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("pad_waste",
+          col("n_rows") * col("max_len") - col("sum_tok"))
+        .orderBy(col("bucket"), col("batch"))
     })
   )
 
@@ -340,6 +359,26 @@ object Round9cQueries {
          |  CAST(per.n_chars AS DOUBLE) / CAST(per.n_tokens AS DOUBLE)
          |    AS chars_per_token
          |FROM nd JOIN per ON per.source = nd.source
-         |ORDER BY nd.source""".stripMargin
+         |ORDER BY nd.source""".stripMargin,
+
+    "q162_length_batches" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |b AS (SELECT doc_id, n_tok, (n_tok - 1) // 32 AS bucket,
+         |    ${PortableHash.hash60BaseSql(
+                "'lenbatch:' || doc_id::VARCHAR")} AS h
+         |  FROM d WHERE n_tok > 0),
+         |r AS (SELECT bucket, n_tok,
+         |    ROW_NUMBER() OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id) AS rk
+         |  FROM b),
+         |m AS (SELECT bucket, (rk - 1) // 16 AS batch, n_tok FROM r)
+         |SELECT bucket, batch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(MAX(n_tok) AS BIGINT) AS max_len,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT)
+         |    AS pad_waste
+         |FROM m GROUP BY bucket, batch
+         |ORDER BY bucket, batch""".stripMargin
   )
 }

@@ -207,4 +207,36 @@ class PackingSpec extends SparkSpec {
     assert(again == out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
     out.unpersist(blocking = false)
   }
+
+  test("lengthBatches: buckets bound lengths, batches dense and full, " +
+      "positions dense, layout-independent") {
+    val (w, bs) = (32, 16)
+    val rows = Packing.lengthBatches(docs, "doc_id", "text", w, bs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.nonEmpty)
+    // bucket bound: b*w < n_tok <= (b+1)*w
+    rows.foreach { case (id, n, b, _, _) =>
+      assert(b * w < n && n <= (b + 1) * w, s"doc $id n=$n bucket=$b")
+    }
+    rows.groupBy(_._3).foreach { case (b, ms) =>
+      val byBatch = ms.groupBy(_._4)
+      // batches dense from 0; all full except possibly the last
+      val nb = byBatch.keys.max + 1
+      assert(byBatch.keySet == (0L until nb).toSet)
+      byBatch.foreach { case (k, bm) =>
+        if (k < nb - 1) assert(bm.size == bs, s"bucket $b batch $k short")
+        else assert(bm.size <= bs)
+        // positions dense within the batch
+        assert(bm.map(_._5).sorted == (0L until bm.size).toSeq)
+      }
+    }
+    val again = Packing.lengthBatches(docs.repartition(13), "doc_id",
+        "text", w, bs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(again.toSet == rows.toSet)
+  }
 }

@@ -125,6 +125,32 @@ object Round9cQueries {
         .orderBy(col("source"))
     }),
 
+    // Per-source distribution DRIFT between two snapshots (the
+    // pre-release corpus monitor): A/B = the (doc_id div 20) parity
+    // halves (plain doc_id parity is CORRELATED with source in this
+    // corpus — each source holds one residue class); src1's B
+    // half is planted with an 8-token drift marker suffix, so exactly
+    // one source must stand out while every other source's halves are
+    // i.i.d. draws of the same synthetic distribution (low drift).
+    // Score = squared L2 distance between exact ppm bucket histograms
+    // — bounded integers at any corpus size where a chi-square
+    // cross-product would overflow.
+    "q163_source_drift" -> ((s, dir) => {
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val planted = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(srcnum === 1 && expr("(doc_id div 20) % 2") === 1,
+              lit(" driftmarker0 driftmarker1 driftmarker2 driftmarker3" +
+                " driftmarker4 driftmarker5 driftmarker6 driftmarker7"))
+              .otherwise(lit(""))).as("text"))
+      graft.quality.Drift.sourceDrift(
+          planted.filter(expr("(doc_id div 20) % 2") === 0),
+          planted.filter(expr("(doc_id div 20) % 2") === 1),
+          "doc_id", "source", "text", dim = Round9bQueries.DsirDim)
+        .orderBy(col("source"))
+    }),
+
     // Length-bucketed batch manifest, summarized per batch: docs
     // bucket by length class, shuffle deterministically within the
     // bucket (salted md5), deal into 16-row batches via the per-bucket
@@ -360,6 +386,47 @@ object Round9cQueries {
          |    AS chars_per_token
          |FROM nd JOIN per ON per.source = nd.source
          |ORDER BY nd.source""".stripMargin,
+
+    "q163_source_drift" -> {
+      val marker = " driftmarker0 driftmarker1 driftmarker2 driftmarker3" +
+        " driftmarker4 driftmarker5 driftmarker6 driftmarker7"
+      s"""WITH d AS (SELECT doc_id, source,
+         |    text || CASE WHEN CAST(substr(source, 4) AS INT) = 1
+         |      AND (doc_id // 20) % 2 = 1 THEN '$marker' ELSE '' END
+         |      AS text
+         |  FROM documents),
+         |ts AS (SELECT doc_id, source, $toksExpr AS t FROM d),
+         |occ AS (
+         |  SELECT doc_id, source, unnest(t) AS feat FROM ts
+         |  UNION ALL
+         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS feat
+         |  FROM ts, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+         |feats AS (SELECT doc_id, source,
+         |    ${graft.text.TextClassify.bucketSql("feat",
+                Round9bQueries.DsirDim)} AS bucket
+         |  FROM occ),
+         |ha AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+         |  FROM feats WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+         |hb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+         |  FROM feats WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+         |taa AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS n_a
+         |  FROM ha GROUP BY 1),
+         |tbb AS (SELECT source, CAST(SUM(cb) AS BIGINT) AS n_b
+         |  FROM hb GROUP BY 1),
+         |j AS (SELECT COALESCE(ha.source, hb.source) AS source,
+         |    COALESCE(ha.ca, 0) AS ca, COALESCE(hb.cb, 0) AS cb
+         |  FROM ha FULL OUTER JOIN hb
+         |    ON ha.source = hb.source AND ha.bucket = hb.bucket),
+         |sel AS (SELECT j.source, taa.n_a, tbb.n_b,
+         |    ((j.ca * 1000000) // taa.n_a)
+         |      - ((j.cb * 1000000) // tbb.n_b) AS dev
+         |  FROM j JOIN taa ON taa.source = j.source
+         |  JOIN tbb ON tbb.source = j.source)
+         |SELECT source, n_a, n_b,
+         |  CAST(SUM(dev * dev) AS BIGINT) AS drift
+         |FROM sel GROUP BY source, n_a, n_b
+         |ORDER BY source""".stripMargin
+    },
 
     "q162_length_batches" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT)

@@ -420,6 +420,59 @@ object ScaleProbe {
           dsirTarget, "doc_id", "text", dim = 256, keepPpm = 500000L)
         .filter(col("imp") >= 0 && col("threshold") >= 0).count()
 
+    // Cross-corpus SEMANTIC contamination: the train corpus grows Nx
+    // while the eval set stays FIXED (x2-scaled copies of replica 0's
+    // %13 vectors — cosine-identical to their sources, byte-different).
+    // Only replica 0 can match (cross-replica cosines scramble under
+    // the sign-flip isometry), so the match count is constant across
+    // sizes. c stays FIXED here — unlike semantic_dedup's c ∝ N, the
+    // candidate stage is train-x-eval: with a fixed eval side the
+    // per-bucket eval population is constant, so candidate work is
+    // already linear in N at fixed c (growing c only helps when BOTH
+    // sides grow).
+    val semEval = sem1.filter(col("vec_id") % 13 === 0)
+      .select((col("vec_id") + 900000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      .localCheckpoint()
+    def semCross(d: DataFrame): Long =
+      graft.similarity.Similarity.crossCorpusSemanticMatches(d, "vec_id",
+          semEval, "vec_id", "embedding", threshold = 0.99, c = 16,
+          iters = 2, nProbe = 2)
+        .filter(col("cosine") >= -2.0).count()
+
+    // Stupid-backoff familiarity: counts fit on the even-source half,
+    // odd-source half scored — BOTH grow Nx. The per-token perturbation
+    // keeps every replica's n-gram space disjoint, so count relations
+    // grow exactly Nx and every scoring join stays key-partitioned;
+    // scored rows grow exactly Nx.
+    def backoff(d: DataFrame): Long = {
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      graft.text.Repetition.backoffScore(
+          d.filter(srcnum % 2 === 0).select(col("doc_id"), col("text")),
+          d.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .filter(col("score_sum") >= 0).count()
+    }
+
+    // Length-bucketed batching: the bucket count stays FIXED (token
+    // lengths don't grow under the per-token perturbation) while rows
+    // per bucket grow Nx — the funnel-exposing shape for the
+    // per-bucket two-phase rank. Output rows exactly Nx.
+    def lenBatch(d: DataFrame): Long =
+      graft.pipeline.Packing.lengthBatches(d, "doc_id", "text", 32, 16)
+        .filter(col("pos") >= 0).count()
+
+    // Tokenizer fertility: merges trained ONCE on replica 0 (the
+    // deployment shape — apply a frozen tokenizer to a grown corpus);
+    // the report is one tokenize scan through the constant-depth
+    // replace chain into a source-keyed aggregate. Sources stay fixed,
+    // so output rows are constant and the honest axis is wall vs scan.
+    lazy val fertMerges = graft.text.Bpe.trainMerges(
+      docsFull1r.select(col("doc_id"), col("text")), "text", 8)
+    def fert(d: DataFrame): Long =
+      graft.text.Bpe.fertilityReport(d, "source", "text", fertMerges)
+        .filter(col("fertility") >= 0).count()
+
     // Bloom decontamination: the train side grows Nx while the eval set
     // stays FIXED (replica 0's %5 docs) — "re-check a grown corpus" with
     // the join-free gate. The m-bit bitset is CONSTANT-size driver state
@@ -649,7 +702,17 @@ object ScaleProbe {
       "stratified_split" -> (() => (time(stratified(docsSrc1)),
         time(stratified(docsSrcN)))),
       "perceptron_train" -> (() => (time(percTrain(docs1)),
-        time(percTrain(docsN)))))
+        time(percTrain(docsN)))),
+      "semantic_cross" -> (() => (time(semCross(sem1)),
+        time(semCross(semN)))),
+      "backoff_familiarity" -> (() => (time(backoff(docsFull1r)),
+        time(backoff(docsFullN)))),
+      "length_batches" -> (() => (time(lenBatch(docs1)),
+        time(lenBatch(docsN)))),
+      "tokenizer_fertility" -> (() => {
+        fertMerges // train OUTSIDE the timed region (frozen tokenizer)
+        (time(fert(docsFull1r)), time(fert(docsFullN)))
+      }))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

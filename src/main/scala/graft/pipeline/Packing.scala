@@ -129,6 +129,46 @@ object Packing {
       .select(id, col("n_tok"), col("bucket"), col("batch"), col("pos"))
   }
 
+  /** Sliding-window CHUNK manifest — the long-document splitter for
+    * context-bounded consumers (fine-tuning on capped windows,
+    * retrieval/eval chunking): each document with `n_tok` tokens emits
+    * chunks of `window` tokens every `stride` tokens (overlap =
+    * `window − stride` tokens preserves cross-boundary context), the
+    * last chunk clamped to the document end. Complementary to [[
+    * packSequences]] (which concatenates SHORT docs; this splits LONG
+    * ones).
+    *
+    * Pure per-doc integer arithmetic — one scan, a per-doc
+    * `sequence`/`explode` (chunk counts are bounded by doc length),
+    * zero shuffles; replays in DuckDB (q165).
+    *
+    * @return (id, n_tok, chunk, tok_from, tok_to): token span
+    *   [tok_from, tok_to) of chunk number `chunk` (0-based); spans
+    *   tile the document with the configured overlap and every token
+    *   is covered.
+    */
+  def chunkManifest(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val id = col(idCol)
+    docs
+      .select(id,
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tok"))
+      .filter(col("n_tok") > 0)
+      // chunks = 1 + ceil(max(0, n_tok - window) / stride); the +stride-1
+      // trick keeps it integral (all terms nonnegative)
+      .withColumn("__nc",
+        lit(1L) + expr(
+          s"(greatest(0L, n_tok - ${window}L) + ${stride - 1}L) div ${stride}L"))
+      .withColumn("chunk", explode(sequence(lit(0L), col("__nc") - 1L)))
+      .withColumn("tok_from", col("chunk") * stride)
+      .withColumn("tok_to",
+        least(col("tok_from") + window, col("n_tok")))
+      .select(id, col("n_tok"), col("chunk"), col("tok_from"),
+        col("tok_to"))
+  }
+
   /** The epoch-sharded loader manifest — the one artifact a
     * distributed training loader actually maps: for each epoch, a
     * seeded global permutation of the corpus

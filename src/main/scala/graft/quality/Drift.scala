@@ -33,6 +33,29 @@ object Drift {
   /** Ppm proportion scale (10⁶ — one part per million). */
   val Unit = 1000000L
 
+  /** The (srcCol, bucket, n) histogram relation of one snapshot side.
+    * Counts are per-OCCURRENCE quantities (the bigram window partitions
+    * per doc), so partial histograms over any batching of the corpus
+    * ADD to the one-shot histogram — the mergeable-partials contract
+    * (the q122 HistSketch argument), which is what lets the streaming
+    * door ([[graft.streaming.StreamingDrift]]) fold batches.
+    */
+  def bucketCounts(d: DataFrame, idCol: String, srcCol: String,
+      textCol: String, dim: Int = 256): DataFrame = {
+    val src = col(srcCol)
+    val toks = d.select(src, col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val uni = toks.select(src, col("tok").as("feat"))
+    val bi = toks
+      .withColumn("nxt", lead(col("tok"), 1)
+        .over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(src, concat_ws(" ", col("tok"), col("nxt")).as("feat"))
+    uni.unionByName(bi)
+      .select(src, TextClassify.bucket(col("feat"), dim).as("bucket"))
+      .groupBy(src, col("bucket")).agg(count(lit(1)).as("n"))
+  }
+
   /** Drift report for every source present in BOTH snapshots:
     * `(srcCol, n_a, n_b, drift)` with `n_a`/`n_b` the side's feature
     * occurrence totals and `drift` the squared ppm-histogram L2
@@ -40,29 +63,24 @@ object Drift {
     * both sides scores exactly 0 by construction).
     */
   def sourceDrift(a: DataFrame, b: DataFrame, idCol: String,
-      srcCol: String, textCol: String, dim: Int = 256): DataFrame = {
+      srcCol: String, textCol: String, dim: Int = 256): DataFrame =
+    fromCounts(bucketCounts(a, idCol, srcCol, textCol, dim),
+      bucketCounts(b, idCol, srcCol, textCol, dim), srcCol)
+
+  /** The report tail over two prebuilt [[bucketCounts]] relations —
+    * the entry point for stored/streamed partials.
+    */
+  def fromCounts(histA: DataFrame, histB: DataFrame,
+      srcCol: String): DataFrame = {
     val src = col(srcCol)
-    def hist(d: DataFrame, cnt: String): DataFrame = {
-      val toks = d.select(src, col(idCol),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-      val uni = toks.select(src, col("tok").as("feat"))
-      val bi = toks
-        .withColumn("nxt", lead(col("tok"), 1)
-          .over(Window.partitionBy(col(idCol)).orderBy(col("pos"))))
-        .filter(col("nxt").isNotNull)
-        .select(src, concat_ws(" ", col("tok"), col("nxt")).as("feat"))
-      uni.unionByName(bi)
-        .select(src, TextClassify.bucket(col("feat"), dim).as("bucket"))
-        .groupBy(src, col("bucket")).agg(count(lit(1)).as(cnt))
-    }
-    // the four joined relations often descend from one base plan
-    // (callers pass two filters of one snapshot) — rename each side's
-    // key columns to fresh attributes before joining, keeping every
-    // join condition unambiguous under Spark's self-join attribute
-    // dedup
-    val ca = hist(a, "ca")
-    val cb = hist(b, "cb")
-      .select(src.as("__db"), col("bucket").as("__bb"), col("cb"))
+    // the joined relations often descend from one base plan (callers
+    // pass two filters of one snapshot) — rename each side's key
+    // columns to fresh attributes before joining, keeping every join
+    // condition unambiguous under Spark's self-join attribute dedup
+    val ca = histA.select(src, col("bucket"), col("n").as("ca"))
+    val cb = histB
+      .select(src.as("__db"), col("bucket").as("__bb"),
+        col("n").as("cb"))
     val ta = ca.groupBy(src.as("__da")).agg(sum(col("ca")).as("n_a"))
     val tb = cb.groupBy(col("__db").as("__dt"))
       .agg(sum(col("cb")).as("n_b"))

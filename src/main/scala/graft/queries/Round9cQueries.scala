@@ -151,6 +151,52 @@ object Round9cQueries {
         .orderBy(col("source"))
     }),
 
+    // ...and the drift monitor's STREAMING door: the baseline (A)
+    // histogram is frozen once; the current (B) snapshot lands as a
+    // 3-file staging directory and each micro-batch folds its partial
+    // (source, bucket) histogram — counts are per-occurrence, so the
+    // accumulated sum over ANY batching equals the one-shot histogram.
+    // Oracle = q163's SQL VERBATIM under the file batching.
+    "q164_stream_drift" -> ((s, dir) => {
+      import java.nio.file.Files
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val planted = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          concat(col("text"),
+            when(srcnum === 1 && expr("(doc_id div 20) % 2") === 1,
+              lit(" driftmarker0 driftmarker1 driftmarker2 driftmarker3" +
+                " driftmarker4 driftmarker5 driftmarker6 driftmarker7"))
+              .otherwise(lit(""))).as("text"))
+      val base = graft.quality.Drift.bucketCounts(
+        planted.filter(expr("(doc_id div 20) % 2") === 0),
+        "doc_id", "source", "text", Round9bQueries.DsirDim)
+        .localCheckpoint()
+      val stage = Files.createTempDirectory("graft-q164-landing").toString
+      val cp = Files.createTempDirectory("graft-q164-cp").toString
+      planted.filter(expr("(doc_id div 20) % 2") === 1)
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val cur = graft.streaming.StreamingDrift.ingest(stream, "doc_id",
+        "source", "text", cp, Round9bQueries.DsirDim)
+      val out = graft.quality.Drift.fromCounts(base, cur, "source")
+        .orderBy(col("source")).localCheckpoint()
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      out
+    }),
+
+    // Sliding-window chunk manifest: every document split into
+    // 64-token windows every 48 tokens (16-token overlap), the long-
+    // document complement of q91's concat packing. Pure per-doc
+    // integer arithmetic; chunks tile each doc and cover every token.
+    "q165_chunk_manifest" -> ((s, dir) => {
+      graft.pipeline.Packing.chunkManifest(
+          Tables(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk"))
+    }),
+
     // Length-bucketed batch manifest, summarized per batch: docs
     // bucket by length class, shuffle deterministically within the
     // bucket (salted md5), deal into 16-row batches via the per-bucket
@@ -170,6 +216,50 @@ object Round9cQueries {
         .orderBy(col("bucket"), col("batch"))
     })
   )
+
+  /** q163's full replay — also q164's oracle VERBATIM (streamed
+    * partial-histogram folding must reproduce the one-shot report).
+    */
+  private val drift163Sql: String = {
+    val marker = " driftmarker0 driftmarker1 driftmarker2 driftmarker3" +
+      " driftmarker4 driftmarker5 driftmarker6 driftmarker7"
+    s"""WITH d AS (SELECT doc_id, source,
+       |    text || CASE WHEN CAST(substr(source, 4) AS INT) = 1
+       |      AND (doc_id // 20) % 2 = 1 THEN '$marker' ELSE '' END
+       |      AS text
+       |  FROM documents),
+       |ts AS (SELECT doc_id, source, $toksExpr AS t FROM d),
+       |occ AS (
+       |  SELECT doc_id, source, unnest(t) AS feat FROM ts
+       |  UNION ALL
+       |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS feat
+       |  FROM ts, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
+       |feats AS (SELECT doc_id, source,
+       |    ${graft.text.TextClassify.bucketSql("feat",
+              Round9bQueries.DsirDim)} AS bucket
+       |  FROM occ),
+       |ha AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+       |  FROM feats WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+       |hb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM feats WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+       |taa AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS n_a
+       |  FROM ha GROUP BY 1),
+       |tbb AS (SELECT source, CAST(SUM(cb) AS BIGINT) AS n_b
+       |  FROM hb GROUP BY 1),
+       |j AS (SELECT COALESCE(ha.source, hb.source) AS source,
+       |    COALESCE(ha.ca, 0) AS ca, COALESCE(hb.cb, 0) AS cb
+       |  FROM ha FULL OUTER JOIN hb
+       |    ON ha.source = hb.source AND ha.bucket = hb.bucket),
+       |sel AS (SELECT j.source, taa.n_a, tbb.n_b,
+       |    ((j.ca * 1000000) // taa.n_a)
+       |      - ((j.cb * 1000000) // tbb.n_b) AS dev
+       |  FROM j JOIN taa ON taa.source = j.source
+       |  JOIN tbb ON tbb.source = j.source)
+       |SELECT source, n_a, n_b,
+       |  CAST(SUM(dev * dev) AS BIGINT) AS drift
+       |FROM sel GROUP BY source, n_a, n_b
+       |ORDER BY source""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -387,46 +477,24 @@ object Round9cQueries {
          |FROM nd JOIN per ON per.source = nd.source
          |ORDER BY nd.source""".stripMargin,
 
-    "q163_source_drift" -> {
-      val marker = " driftmarker0 driftmarker1 driftmarker2 driftmarker3" +
-        " driftmarker4 driftmarker5 driftmarker6 driftmarker7"
-      s"""WITH d AS (SELECT doc_id, source,
-         |    text || CASE WHEN CAST(substr(source, 4) AS INT) = 1
-         |      AND (doc_id // 20) % 2 = 1 THEN '$marker' ELSE '' END
-         |      AS text
-         |  FROM documents),
-         |ts AS (SELECT doc_id, source, $toksExpr AS t FROM d),
-         |occ AS (
-         |  SELECT doc_id, source, unnest(t) AS feat FROM ts
-         |  UNION ALL
-         |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS feat
-         |  FROM ts, UNNEST(generate_series(1, len(t) - 1)) AS u(i)),
-         |feats AS (SELECT doc_id, source,
-         |    ${graft.text.TextClassify.bucketSql("feat",
-                Round9bQueries.DsirDim)} AS bucket
-         |  FROM occ),
-         |ha AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS ca
-         |  FROM feats WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
-         |hb AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cb
-         |  FROM feats WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
-         |taa AS (SELECT source, CAST(SUM(ca) AS BIGINT) AS n_a
-         |  FROM ha GROUP BY 1),
-         |tbb AS (SELECT source, CAST(SUM(cb) AS BIGINT) AS n_b
-         |  FROM hb GROUP BY 1),
-         |j AS (SELECT COALESCE(ha.source, hb.source) AS source,
-         |    COALESCE(ha.ca, 0) AS ca, COALESCE(hb.cb, 0) AS cb
-         |  FROM ha FULL OUTER JOIN hb
-         |    ON ha.source = hb.source AND ha.bucket = hb.bucket),
-         |sel AS (SELECT j.source, taa.n_a, tbb.n_b,
-         |    ((j.ca * 1000000) // taa.n_a)
-         |      - ((j.cb * 1000000) // tbb.n_b) AS dev
-         |  FROM j JOIN taa ON taa.source = j.source
-         |  JOIN tbb ON tbb.source = j.source)
-         |SELECT source, n_a, n_b,
-         |  CAST(SUM(dev * dev) AS BIGINT) AS drift
-         |FROM sel GROUP BY source, n_a, n_b
-         |ORDER BY source""".stripMargin
-    },
+    "q163_source_drift" -> drift163Sql,
+
+    // q163's replay VERBATIM: streamed partial-histogram folding must
+    // reproduce the one-shot drift report
+    "q164_stream_drift" -> drift163Sql,
+
+
+    "q165_chunk_manifest" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT)
+         |    AS n_tok FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    1 + (GREATEST(0, n_tok - 64) + 47) // 48 AS nc
+         |  FROM d WHERE n_tok > 0)
+         |SELECT doc_id, n_tok, CAST(u.k AS BIGINT) AS chunk,
+         |  CAST(u.k * 48 AS BIGINT) AS tok_from,
+         |  CAST(LEAST(u.k * 48 + 64, n_tok) AS BIGINT) AS tok_to
+         |FROM c, UNNEST(generate_series(0, nc - 1)) AS u(k)
+         |ORDER BY doc_id, chunk""".stripMargin,
 
     "q162_length_batches" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT)

@@ -208,6 +208,41 @@ class PackingSpec extends SparkSpec {
     out.unpersist(blocking = false)
   }
 
+  test("chunkManifest: chunks tile with overlap, cover every token, " +
+      "clamp at the end, layout-independent") {
+    val (w, s) = (64, 48)
+    val rows = Packing.chunkManifest(docs, "doc_id", "text", w, s)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val n = cs.head._2
+      val sorted = cs.sortBy(_._3)
+      // chunk numbers dense from 0
+      assert(sorted.map(_._3) == (0L until cs.size).toSeq)
+      sorted.foreach { case (_, _, k, f, t) =>
+        assert(f == k * s && t == math.min(f + w, n), s"doc $id chunk $k")
+        assert(t > f)
+      }
+      // full coverage: last chunk reaches the end; consecutive chunks
+      // overlap by w - s (or touch the clamped end)
+      assert(sorted.last._5 == n)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 < a._5, s"gap in doc $id")
+        case _ =>
+      }
+      // no redundant trailing chunk: the previous chunk must NOT
+      // already cover the document
+      if (cs.size > 1) assert(sorted(cs.size - 2)._5 < n)
+    }
+    val again = Packing.chunkManifest(docs.repartition(13), "doc_id",
+        "text", w, s).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(again.toSet == rows.toSet)
+  }
+
   test("lengthBatches: buckets bound lengths, batches dense and full, " +
       "positions dense, layout-independent") {
     val (w, bs) = (32, 16)

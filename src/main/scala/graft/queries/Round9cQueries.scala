@@ -106,6 +106,56 @@ object Round9cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL count fitting for the backoff LM: the reference
+    // corpus (even sources) arrives in three %3 batches; each batch's
+    // trigram/bigram/unigram counts are per-doc quantities, so the
+    // merged store equals the one-shot fit and the scores are
+    // identical. Oracle = q160's SQL VERBATIM — batched fitting must
+    // not change a single score.
+    "q166_incremental_backoff" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val train = docs.filter(srcnum % 2 === 0)
+        .select(col("doc_id"), col("text"))
+      val counts = (0 to 2)
+        .map(b => graft.text.Repetition.fitBackoff(
+          train.filter(col("doc_id") % 3 === b), "doc_id", "text")
+          .checkpointed())
+        .reduce(_ merge _)
+      graft.text.Repetition.backoffScoreWith(counts,
+          docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ...and its STREAMING door: the reference corpus lands as a
+    // 3-file staging directory, each micro-batch's counts fold into
+    // the accumulated store, scoring runs at end of stream. Oracle =
+    // q160's SQL VERBATIM under per-file batching (differing from
+    // q166's %3).
+    "q167_stream_backoff" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val stage = Files.createTempDirectory("graft-q167-landing").toString
+      val cp = Files.createTempDirectory("graft-q167-cp").toString
+      docs.filter(srcnum % 2 === 0).select(col("doc_id"), col("text"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val counts = graft.streaming.StreamingLm.ingest(stream, "doc_id",
+        "text", cp)
+      val out = graft.text.Repetition.backoffScoreWith(counts,
+          docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
+          "doc_id", "text")
+        .orderBy(col("doc_id")).localCheckpoint()
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      out
+    }),
+
     // Tokenizer FERTILITY report: q113's trained merges applied per
     // word occurrence (the q114 replace chain), aggregated per source
     // — tokens/word and chars/token, the numbers a tokenizer choice is
@@ -216,6 +266,49 @@ object Round9cQueries {
         .orderBy(col("bucket"), col("batch"))
     })
   )
+
+  /** q160's full replay — also q166/q167's oracle VERBATIM (the
+    * merged count store over any batching must reproduce every
+    * score).
+    */
+  private val backoff160Sql: String =
+    s"""WITH d AS (SELECT doc_id,
+         |    CAST(substr(source, 4) AS INT) AS srcnum,
+         |    $toksExpr AS t
+         |  FROM documents),
+         |trp AS (SELECT doc_id, t FROM d WHERE srcnum % 2 = 0),
+         |scp AS (SELECT doc_id, t FROM d WHERE srcnum % 2 = 1),
+         |c3 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+         |    CAST(COUNT(*) AS BIGINT) AS ct
+         |  FROM trp, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |  GROUP BY g3),
+         |c2 AS (SELECT t[i] || ' ' || t[i+1] AS g2,
+         |    CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM trp, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  GROUP BY g2),
+         |c1 AS (SELECT t[i] AS g1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM trp, UNNEST(generate_series(1, len(t))) AS u(i)
+         |  GROUP BY g1),
+         |n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_total FROM trp),
+         |pos AS (SELECT doc_id, t[i] AS p2, t[i+1] AS p1, t[i+2] AS w
+         |  FROM scp, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+         |sc AS (SELECT p.doc_id,
+         |    CASE WHEN t3.ct IS NOT NULL THEN t3.ct * 1000000 // cbp.c2
+         |      WHEN bb.c2 IS NOT NULL THEN bb.c2 * 400000 // up.c1
+         |      WHEN uw.c1 IS NOT NULL THEN uw.c1 * 160000 // n.n_total
+         |      ELSE CAST(0 AS BIGINT) END AS score
+         |  FROM pos p
+         |  LEFT JOIN c3 t3 ON t3.g3 = p.p2 || ' ' || p.p1 || ' ' || p.w
+         |  LEFT JOIN c2 cbp ON cbp.g2 = p.p2 || ' ' || p.p1
+         |  LEFT JOIN c2 bb ON bb.g2 = p.p1 || ' ' || p.w
+         |  LEFT JOIN c1 up ON up.g1 = p.p1
+         |  LEFT JOIN c1 uw ON uw.g1 = p.w
+         |  CROSS JOIN n)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ctx,
+         |  CAST(SUM(score) AS BIGINT) AS score_sum,
+         |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS score_mean
+         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q163's full replay — also q164's oracle VERBATIM (streamed
     * partial-histogram folding must reproduce the one-shot report).
@@ -414,44 +507,14 @@ object Round9cQueries {
     // The same joins, counts, and backoff CASE as the engine; integer
     // sums BIGINT-cast (DuckDB SUM(int) -> HUGEINT), final mean = one
     // double division.
-    "q160_backoff_familiarity" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(substr(source, 4) AS INT) AS srcnum,
-         |    $toksExpr AS t
-         |  FROM documents),
-         |trp AS (SELECT doc_id, t FROM d WHERE srcnum % 2 = 0),
-         |scp AS (SELECT doc_id, t FROM d WHERE srcnum % 2 = 1),
-         |c3 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
-         |    CAST(COUNT(*) AS BIGINT) AS ct
-         |  FROM trp, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-         |  GROUP BY g3),
-         |c2 AS (SELECT t[i] || ' ' || t[i+1] AS g2,
-         |    CAST(COUNT(*) AS BIGINT) AS c2
-         |  FROM trp, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-         |  GROUP BY g2),
-         |c1 AS (SELECT t[i] AS g1, CAST(COUNT(*) AS BIGINT) AS c1
-         |  FROM trp, UNNEST(generate_series(1, len(t))) AS u(i)
-         |  GROUP BY g1),
-         |n AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_total FROM trp),
-         |pos AS (SELECT doc_id, t[i] AS p2, t[i+1] AS p1, t[i+2] AS w
-         |  FROM scp, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
-         |sc AS (SELECT p.doc_id,
-         |    CASE WHEN t3.ct IS NOT NULL THEN t3.ct * 1000000 // cbp.c2
-         |      WHEN bb.c2 IS NOT NULL THEN bb.c2 * 400000 // up.c1
-         |      WHEN uw.c1 IS NOT NULL THEN uw.c1 * 160000 // n.n_total
-         |      ELSE CAST(0 AS BIGINT) END AS score
-         |  FROM pos p
-         |  LEFT JOIN c3 t3 ON t3.g3 = p.p2 || ' ' || p.p1 || ' ' || p.w
-         |  LEFT JOIN c2 cbp ON cbp.g2 = p.p2 || ' ' || p.p1
-         |  LEFT JOIN c2 bb ON bb.g2 = p.p1 || ' ' || p.w
-         |  LEFT JOIN c1 up ON up.g1 = p.p1
-         |  LEFT JOIN c1 uw ON uw.g1 = p.w
-         |  CROSS JOIN n)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ctx,
-         |  CAST(SUM(score) AS BIGINT) AS score_sum,
-         |  CAST(CAST(SUM(score) AS BIGINT) AS DOUBLE)
-         |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS score_mean
-         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q160_backoff_familiarity" -> backoff160Sql,
+
+    // q160's replay VERBATIM: batched count fitting must not change
+    // a single score
+    "q166_incremental_backoff" -> backoff160Sql,
+
+    // q160's replay VERBATIM again, under per-file batching
+    "q167_stream_backoff" -> backoff160Sql,
 
     "q161_tokenizer_fertility" ->
       s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},

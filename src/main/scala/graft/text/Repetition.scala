@@ -106,6 +106,56 @@ object Repetition {
           col("n_bigrams").cast("double")).as("familiarity"))
   }
 
+  /** Per-doc token positions with the two lag predecessors. */
+  private def positions(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    df.select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "w")))
+      .withColumn("p1", lag(col("w"), 1).over(w))
+      .withColumn("p2", lag(col("w"), 2).over(w))
+  }
+
+  /** The fitted n-gram count store behind [[backoffScore]]: three
+    * (gram, count) relations. Counts are per-doc quantities, so the
+    * stores of two disjoint corpus batches ADD ([[merge]]) to the
+    * one-shot store — the mergeable-partials contract that lets the
+    * count fitting run incrementally (q166) or behind a streaming door
+    * (q167), and lets a count store persist through the catalog like
+    * any index relation.
+    */
+  final case class LmCounts(c3: DataFrame, c2: DataFrame, c1: DataFrame) {
+    def merge(other: LmCounts): LmCounts = {
+      def add(a: DataFrame, b: DataFrame, g: String, c: String) =
+        a.unionByName(b).groupBy(col(g)).agg(sum(col(c)).as(c))
+      LmCounts(add(c3, other.c3, "g3", "c3"),
+        add(c2, other.c2, "g2", "c2"), add(c1, other.c1, "g1", "c1"))
+    }
+    /** Materialize each relation (batch-fold hygiene: fold chains are
+      * iterative plans, so incremental/streaming callers checkpoint
+      * per fold — the localCheckpoint loop invariant). */
+    def checkpointed(): LmCounts =
+      LmCounts(c3.localCheckpoint(), c2.localCheckpoint(),
+        c1.localCheckpoint())
+  }
+
+  /** Fit the trigram/bigram/unigram count store on a reference corpus
+    * (one explode + two doc-keyed lag windows + three keyed counts).
+    */
+  def fitBackoff(train: DataFrame, idCol: String,
+      textCol: String): LmCounts = {
+    val trPos = positions(train, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LmCounts(
+      trPos.filter(col("p2").isNotNull)
+        .select(concat_ws(" ", col("p2"), col("p1"), col("w")).as("g3"))
+        .groupBy(col("g3")).agg(count(lit(1)).as("c3")),
+      trPos.filter(col("p1").isNotNull)
+        .select(concat_ws(" ", col("p1"), col("w")).as("g2"))
+        .groupBy(col("g2")).agg(count(lit(1)).as("c2")),
+      trPos.groupBy(col("w").as("g1")).agg(count(lit(1)).as("c1")))
+  }
+
   /** Trigram STUPID-BACKOFF familiarity (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the CCNet-style
     * reference-LM quality score, in exact integer arithmetic: n-gram
@@ -143,26 +193,20 @@ object Repetition {
     *   reuse the same cache entry).
     */
   def backoffScore(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    backoffScoreWith(fitBackoff(train, idCol, textCol), docs, idCol,
+      textCol)
+
+  /** Score `docs` against a fitted (possibly incrementally merged)
+    * count store — the apply side of [[backoffScore]].
+    */
+  def backoffScoreWith(counts: LmCounts, docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val id = col(idCol)
-    def positions(df: DataFrame): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("pos"))
-      df.select(id, posexplode(TextAnalysis.tokens(col(textCol)))
-          .as(Seq("pos", "w")))
-        .withColumn("p1", lag(col("w"), 1).over(w))
-        .withColumn("p2", lag(col("w"), 2).over(w))
-    }
-    val trPos = positions(train)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val c3 = trPos.filter(col("p2").isNotNull)
-      .select(concat_ws(" ", col("p2"), col("p1"), col("w")).as("g3"))
-      .groupBy(col("g3")).agg(count(lit(1)).as("c3"))
-    val c2 = trPos.filter(col("p1").isNotNull)
-      .select(concat_ws(" ", col("p1"), col("w")).as("g2"))
-      .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
-    val c1 = trPos.groupBy(col("w").as("g1")).agg(count(lit(1)).as("c1"))
-    val n = trPos.agg(count(lit(1)).as("n_total"))
-    val pos = positions(docs).filter(col("p2").isNotNull)
+    val (c3, c2, c1) = (counts.c3, counts.c2, counts.c1)
+    // N = total reference tokens = the unigram count total
+    val n = c1.agg(sum(col("c1")).as("n_total"))
+    val pos = positions(docs, idCol, textCol).filter(col("p2").isNotNull)
     val scored = pos
       .join(c3.withColumnRenamed("c3", "ct"),
         concat_ws(" ", col("p2"), col("p1"), col("w")) === col("g3"), "left")

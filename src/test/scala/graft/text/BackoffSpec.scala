@@ -69,6 +69,52 @@ class BackoffSpec extends SparkSpec {
     assert(score(train, train) == expect)
   }
 
+  test("incrementally merged count stores == the one-shot fit") {
+    val train = Seq((1L, "a b c a b d"), (2L, "b c a a b c"),
+      (3L, "c a b d d e")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "b a b"), (12L, "c c d"),
+      (13L, "e e e b c a")).toDF("doc_id", "text")
+    val oneShot = score(train, docs)
+    val merged = (0 to 2)
+      .map(b => Repetition.fitBackoff(
+        train.filter(col("doc_id") % 3 === b), "doc_id", "text")
+        .checkpointed())
+      .reduce(_ merge _)
+    val got = Repetition.backoffScoreWith(merged, docs, "doc_id", "text")
+      .select(col("doc_id").cast("long"), col("n_ctx").cast("long"),
+        col("score_sum").cast("long"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == oneShot)
+  }
+
+  test("streamed count folding == the one-shot fit") {
+    import java.nio.file.Files
+    val train = Seq((1L, "a b c a b d"), (2L, "b c a a b c"),
+      (3L, "c a b d d e"), (4L, "d e a b c a")).toDF("doc_id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "c c d"), (12L, "e a b c d"))
+      .toDF("doc_id", "text")
+    val oneShot = score(train, docs)
+    def streamed(nFiles: Int) = {
+      val stage = Files.createTempDirectory("graft-lm-landing").toString
+      val cp = Files.createTempDirectory("graft-lm-cp").toString
+      train.repartition(nFiles, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = spark.readStream
+        .schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val counts = graft.streaming.StreamingLm.ingest(stream, "doc_id",
+        "text", cp)
+      Repetition.backoffScoreWith(counts, docs, "doc_id", "text")
+        .select(col("doc_id").cast("long"), col("n_ctx").cast("long"),
+          col("score_sum").cast("long"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    }
+    assert(streamed(3) == oneShot)
+    assert(streamed(2) == oneShot)
+  }
+
   test("result is layout-independent") {
     val train = Seq((1L, "a b c d e"), (2L, "b c d e f"),
       (3L, "c d e f g")).toDF("doc_id", "text")

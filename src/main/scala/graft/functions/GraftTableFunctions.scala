@@ -21,6 +21,11 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_clean_corpus('docs', 'doc_id', 'text')")
   * spark.sql("SELECT * FROM graft_dsir_resample('raw', 'target', 'doc_id', 'text')")
   * spark.sql("SELECT * FROM graft_diversity_sample('embs', 'vec_id', 'embedding', 5)")
+  * spark.sql("SELECT * FROM graft_source_drift('snapA', 'snapB', 'doc_id', 'source', 'text')")
+  * spark.sql("SELECT * FROM graft_backoff_score('reference', 'docs', 'doc_id', 'text')")
+  * spark.sql("SELECT * FROM graft_cross_matches('train', 'eval', 'doc_id', 'text', 0.5)")
+  * spark.sql("SELECT * FROM graft_chunks('docs', 'doc_id', 'text', 2048, 1536)")
+  * spark.sql("SELECT * FROM graft_length_batches('docs', 'doc_id', 'text', 32, 16)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -148,6 +153,55 @@ object GraftTableFunctions {
       int(args(3), u), c))
   }
 
+  private val sourceDrift: Builder = { args =>
+    val u = "graft_source_drift(tableA, tableB, idCol, srcCol, textCol[, dim])"
+    require(args.length == 5 || args.length == 6, u)
+    val s = SparkSession.active
+    val dim = if (args.length == 6) int(args(5), u) else 256
+    plan(graft.quality.Drift.sourceDrift(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u), str(args(3), u), str(args(4), u), dim))
+  }
+
+  private val backoffScore: Builder = { args =>
+    val u = "graft_backoff_score(trainTable, docsTable, idCol, textCol)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.text.Repetition.backoffScore(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u), str(args(3), u)))
+  }
+
+  private val crossMatches: Builder = { args =>
+    val u = "graft_cross_matches(trainTable, evalTable, idCol, textCol[, threshold])"
+    require(args.length == 4 || args.length == 5, u)
+    val s = SparkSession.active
+    val th = if (args.length == 5) dbl(args(4), u) else 0.5
+    val id = str(args(2), u)
+    val text = str(args(3), u)
+    plan(graft.dedup.Dedup.crossCorpusMatches(
+      s.table(str(args.head, u)), id, text,
+      s.table(str(args(1), u)), id, text, th))
+  }
+
+  private val chunks: Builder = { args =>
+    val u = "graft_chunks(table, idCol, textCol, window, stride)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    plan(graft.pipeline.Packing.chunkManifest(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u), int(args(4), u)))
+  }
+
+  private val lengthBatches: Builder = { args =>
+    val u = "graft_length_batches(table, idCol, textCol, bucketWidth, batchSize)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    plan(graft.pipeline.Packing.lengthBatches(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u), int(args(4), u)))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
@@ -157,5 +211,10 @@ object GraftTableFunctions {
     "graft_clean_corpus" -> cleanCorpus,
     "graft_release" -> release,
     "graft_dsir_resample" -> dsirResample,
-    "graft_diversity_sample" -> diversitySample)
+    "graft_diversity_sample" -> diversitySample,
+    "graft_source_drift" -> sourceDrift,
+    "graft_backoff_score" -> backoffScore,
+    "graft_cross_matches" -> crossMatches,
+    "graft_chunks" -> chunks,
+    "graft_length_batches" -> lengthBatches)
 }

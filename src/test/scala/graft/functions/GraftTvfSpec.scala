@@ -170,6 +170,74 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_source_drift TVF == Drift.sourceDrift") {
+    val srcd = docs.withColumn("source",
+      concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    val a = srcd.filter($"doc_id" % 2 === 0)
+    val b = srcd.filter($"doc_id" % 2 === 1)
+    a.createOrReplaceTempView("tvf_drift_a")
+    b.createOrReplaceTempView("tvf_drift_b")
+    val sql = spark.sql(
+      "SELECT * FROM graft_source_drift('tvf_drift_a', 'tvf_drift_b', " +
+        "'doc_id', 'source', 'text') ORDER BY source")
+    val api = graft.quality.Drift.sourceDrift(a, b, "doc_id", "source",
+        "text")
+      .orderBy(col("source"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_backoff_score TVF == Repetition.backoffScore") {
+    val train = docs.filter($"doc_id" % 2 === 0)
+    val sc = docs.filter($"doc_id" % 2 === 1)
+    train.createOrReplaceTempView("tvf_lm_train")
+    sc.createOrReplaceTempView("tvf_lm_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_backoff_score('tvf_lm_train', 'tvf_lm_docs', " +
+        "'doc_id', 'text') ORDER BY doc_id")
+    val api = graft.text.Repetition.backoffScore(train, sc, "doc_id",
+        "text")
+      .orderBy(col("doc_id"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_cross_matches TVF == Dedup.crossCorpusMatches") {
+    val ev = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000L).as("doc_id"), $"text")
+    docs.createOrReplaceTempView("tvf_cm_train")
+    ev.createOrReplaceTempView("tvf_cm_eval")
+    val sql = spark.sql(
+      "SELECT * FROM graft_cross_matches('tvf_cm_train', 'tvf_cm_eval', " +
+        "'doc_id', 'text', 0.5) ORDER BY a, b")
+    val api = graft.dedup.Dedup.crossCorpusMatches(docs, "doc_id", "text",
+        ev, "doc_id", "text", 0.5)
+      .orderBy(col("a"), col("b"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_chunks and graft_length_batches TVFs == Packing API") {
+    docs.createOrReplaceTempView("tvf_docs")
+    val sqlC = spark.sql(
+      "SELECT * FROM graft_chunks('tvf_docs', 'doc_id', 'text', 8, 6) " +
+        "ORDER BY doc_id, chunk")
+    val apiC = graft.pipeline.Packing.chunkManifest(docs, "doc_id",
+        "text", 8, 6)
+      .orderBy(col("doc_id"), col("chunk"))
+    assert(rows(sqlC).nonEmpty && rows(sqlC) == rows(apiC))
+    val sqlB = spark.sql(
+      "SELECT * FROM graft_length_batches('tvf_docs', 'doc_id', 'text', " +
+        "8, 4) ORDER BY doc_id")
+    val apiB = graft.pipeline.Packing.lengthBatches(docs, "doc_id",
+        "text", 8, 4)
+      .orderBy(col("doc_id"))
+    assert(rows(sqlB).nonEmpty && rows(sqlB) == rows(apiB))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

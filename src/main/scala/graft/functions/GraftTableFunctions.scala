@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_cross_matches('train', 'eval', 'doc_id', 'text', 0.5)")
   * spark.sql("SELECT * FROM graft_chunks('docs', 'doc_id', 'text', 2048, 1536)")
   * spark.sql("SELECT * FROM graft_length_batches('docs', 'doc_id', 'text', 32, 16)")
+  * spark.sql("SELECT * FROM graft_table_at('/cat/root', 'dim_user', 3)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -202,6 +203,17 @@ object GraftTableFunctions {
       int(args(3), u), int(args(4), u)))
   }
 
+  private val tableAt: Builder = { args =>
+    val u = "graft_table_at(catalogRoot, table[, version])"
+    require(args.length == 2 || args.length == 3, u)
+    val s = SparkSession.active
+    val cat = new graft.catalog.ParquetCatalog(s, str(args.head, u))
+    val name = str(args(1), u)
+    plan(
+      if (args.length == 3) cat.tableAsOfVersion(name, int(args(2), u).toLong)
+      else cat.table(name))
+  }
+
   /** All SQL-exposed table functions. */
   private[functions] val builders: Seq[(String, Builder)] = Seq(
     "graft_near_duplicates" -> nearDuplicates,
@@ -216,5 +228,6 @@ object GraftTableFunctions {
     "graft_backoff_score" -> backoffScore,
     "graft_cross_matches" -> crossMatches,
     "graft_chunks" -> chunks,
-    "graft_length_batches" -> lengthBatches)
+    "graft_length_batches" -> lengthBatches,
+    "graft_table_at" -> tableAt)
 }

@@ -238,6 +238,23 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlB).nonEmpty && rows(sqlB) == rows(apiB))
   }
 
+  test("graft_table_at TVF time-travels the versioned catalog") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tvf-cat").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, root)
+    cat.create("t", Seq((1L, "v1")).toDF("id", "v").schema)
+    cat.overwrite("t", Seq((1L, "v1")).toDF("id", "v"))
+    cat.overwrite("t", Seq((1L, "v2"), (2L, "v2")).toDF("id", "v"))
+    val cur = spark.sql(
+      s"SELECT * FROM graft_table_at('$root', 't') ORDER BY id")
+    assert(rows(cur) == rows(cat.table("t").orderBy(col("id"))))
+    assert(cur.count() == 2)
+    val v1 = cat.currentVersion("t").get - 1
+    val old = spark.sql(
+      s"SELECT * FROM graft_table_at('$root', 't', $v1) ORDER BY id")
+    assert(rows(old) == Seq(Seq(1L, "v1")))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -236,6 +236,19 @@ object Round9cQueries {
       out
     }),
 
+    // Curriculum schedule: quality-banded easy-first training order —
+    // epoch 0 admits only the top band, the floor ramps down linearly,
+    // the last epoch trains on everything; within each epoch the
+    // admitted docs order band-by-band with a seeded shuffle inside
+    // each band, ranked globally by the two-phase row number (q103's
+    // machinery — no single-partition sort).
+    "q168_curriculum" -> ((s, dir) => {
+      graft.pipeline.Curriculum.schedule(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", epochs = 3, bands = 5)
+        .orderBy(col("ord"))
+    }),
+
     // Sliding-window chunk manifest: every document split into
     // 64-token windows every 48 tokens (16-token overlap), the long-
     // document complement of q91's concat packing. Pure per-doc
@@ -546,6 +559,26 @@ object Round9cQueries {
     // reproduce the one-shot drift report
     "q164_stream_drift" -> drift163Sql,
 
+
+    "q168_curriculum" -> {
+      import PipelineQueries.qualityExprSql
+      s"""WITH scored AS (SELECT doc_id, $qualityExprSql AS quality
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |    LEAST(4, CAST(floor(quality * 5) AS BIGINT)) AS band
+         |  FROM scored),
+         |e AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+         |adm AS (SELECT e.epoch, b.doc_id, b.band,
+         |    4 - b.band AS bandrev,
+         |    ${PortableHash.hash60BaseSql(
+                "(e.epoch::VARCHAR || ':' || b.doc_id::VARCHAR)")} AS k
+         |  FROM b CROSS JOIN e
+         |  WHERE b.band >= (4 * (2 - e.epoch)) // 2)
+         |SELECT epoch, doc_id, band,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY epoch, bandrev, k, doc_id)
+         |    AS BIGINT) AS ord
+         |FROM adm ORDER BY ord""".stripMargin
+    },
 
     "q165_chunk_manifest" ->
       s"""WITH d AS (SELECT doc_id, CAST(len($toksExpr) AS BIGINT)

@@ -169,6 +169,54 @@ object CorpusPipeline {
     exact.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Per-source CLEANING FUNNEL report — where each source's documents
+    * fall out of the pipeline: `(srcCol, n_in, n_gated, n_exact,
+    * n_final)` counting survivors after the row gates (+ optional
+    * band/classifier/DSIR stages), after exact dedup, and after
+    * near-dup removal. The release-review companion of the q135 health
+    * dashboard: a source losing most of its mass to near-dup removal
+    * is a crawler re-fetching the same pages; one dying at the gates
+    * is a format change.
+    *
+    * Runs the same verified stage chain as [[clean]] and aggregates
+    * each stage's member set per source (three keyed joins against the
+    * (id, source) projection + one count each; stage keys renamed
+    * before joining — the self-lineage dedup hazard).
+    */
+  def funnelReport(docs: DataFrame, idCol: String, srcCol: String,
+      textCol: String, cfg: Config = Config()): DataFrame = {
+    val id = col(idCol)
+    val base = docs.select(id, col(srcCol))
+    val gated = dsirGate(classifierGate(
+      entropyBand(rowGates(docs.select(id, col(textCol)), idCol,
+        textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keep = Dedup.exactGroups(gated, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exact = gated.join(keep, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol,
+      threshold = cfg.jaccardThreshold).select(col("a"), col("b"))
+    val losers = Dedup.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    val fin = exact.join(losers, Seq(idCol), "left_anti")
+    def cnt(ids: DataFrame, as: String): DataFrame =
+      ids.select(id).join(base, Seq(idCol))
+        .groupBy(col(srcCol).as(s"__s_$as"))
+        .agg(count(lit(1)).as(as))
+    val src = col(srcCol)
+    base.groupBy(src).agg(count(lit(1)).as("n_in"))
+      .join(cnt(gated, "n_gated"), src === col("__s_n_gated"), "left")
+      .join(cnt(exact, "n_exact"), src === col("__s_n_exact"), "left")
+      .join(cnt(fin, "n_final"), src === col("__s_n_final"), "left")
+      .select(src, col("n_in"),
+        coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"))
+  }
+
   /** One-call TRAINING-DATA RELEASE MANIFEST — the whole front-to-back
     * decision chain a data release runs, composed from the verified
     * stages: row gates → exact dedup → near-dup removal at

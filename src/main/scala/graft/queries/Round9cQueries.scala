@@ -236,6 +236,27 @@ object Round9cQueries {
       out
     }),
 
+    // Per-source cleaning FUNNEL report: the q46-style planted corpus
+    // (exact copies %7, tail-marker near-dups %11 — plants KEEP their
+    // source) run through the verified clean stages, counting each
+    // source's survivors after gates, exact dedup, and near-dup
+    // removal. The oracle replays the stage chain and aggregates the
+    // same four member sets.
+    "q169_funnel_report" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+      graft.pipeline.CorpusPipeline.funnelReport(corpus, "doc_id",
+          "source", "text")
+        .orderBy(col("source"))
+    }),
+
     // Curriculum schedule: quality-banded easy-first training order —
     // epoch 0 admits only the top band, the floor ramps down linearly,
     // the last epoch trains on everything; within each epoch the
@@ -559,6 +580,71 @@ object Round9cQueries {
     // reproduce the one-shot drift report
     "q164_stream_drift" -> drift163Sql,
 
+
+    "q169_funnel_report" -> {
+      import PipelineQueries.{langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, source, text || ' zz tail marker'
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |scored AS (
+         |  SELECT doc_id, source, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, source, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, source, text, quality, lang_pred
+         |  FROM gated
+         |  WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fp AS (SELECT doc_id, source, text,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp
+         |  WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab)),
+         |fin AS (SELECT e.doc_id, e.source FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l
+         |                    WHERE l.doc_id = e.doc_id)),
+         |n0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in
+         |  FROM corpus GROUP BY 1),
+         |n1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated
+         |  FROM g2 GROUP BY 1),
+         |n2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY 1),
+         |n3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final
+         |  FROM fin GROUP BY 1)
+         |SELECT n0.source, n0.n_in,
+         |  COALESCE(n1.n_gated, 0) AS n_gated,
+         |  COALESCE(n2.n_exact, 0) AS n_exact,
+         |  COALESCE(n3.n_final, 0) AS n_final
+         |FROM n0
+         |LEFT JOIN n1 ON n1.source = n0.source
+         |LEFT JOIN n2 ON n2.source = n0.source
+         |LEFT JOIN n3 ON n3.source = n0.source
+         |ORDER BY n0.source""".stripMargin
+    },
 
     "q168_curriculum" -> {
       import PipelineQueries.qualityExprSql

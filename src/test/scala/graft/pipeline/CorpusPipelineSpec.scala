@@ -110,4 +110,29 @@ class CorpusPipelineSpec extends SparkSpec {
     }
     rel.unpersist(blocking = false)
   }
+
+  test("funnel report: per-source counts are monotone and consistent " +
+      "with clean") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+          col("text")))
+      .unionByName(d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("source"),
+          concat(col("text"), lit(" zz tail marker")).as("text")))
+    val rep = CorpusPipeline.funnelReport(corpus, "doc_id", "source",
+        "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (src, nIn, nGated, nExact, nFinal) =>
+      assert(nIn >= nGated && nGated >= nExact && nExact >= nFinal,
+        s"non-monotone funnel for $src")
+    }
+    assert(rep.map(_._2).sum == corpus.count())
+    val cleaned = CorpusPipeline.clean(
+      corpus.select(col("doc_id"), col("text")), "doc_id", "text")
+    assert(rep.map(_._5).sum == cleaned.count())
+  }
 }

@@ -121,53 +121,77 @@ object CorpusPipeline {
       gated.join(ok, Seq(idCol), "left_semi")
   }
 
+  /** Stage-boundary relations of one run of the verified pipeline
+    * chain — the single implementation [[clean]], [[release]], and
+    * [[funnelReport]] all consume, so a stage added to the pipeline
+    * cannot silently desynchronize its consumers (the round-9 dsirGate
+    * addition had to be wired in three places; never again).
+    * `gated`/`exact` are persisted and `pairs` is localCheckpoint-
+    * materialized — caller-managed eviction, same contract as
+    * minhashNearDuplicates.
+    */
+  case class Stages(gated: DataFrame, banded: DataFrame,
+      exact: DataFrame, pairs: DataFrame, losers: DataFrame) {
+    /** Final pipeline survivors: exact-dedup set minus near-dup losers. */
+    def survivors(idCol: String): DataFrame =
+      exact.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Run the shared stage chain: row-local gates (+ optional entropy
+    * band / classifier / DSIR stages in ascending per-doc cost) →
+    * exact dedup (min id per content fingerprint) → ONE shingle/LSH
+    * pass verified at `pairThreshold` (default: the dedup threshold;
+    * [[release]] passes its looser splitThreshold and reuses the same
+    * pair relation for split keying) → near-dup losers at
+    * `cfg.jaccardThreshold` under the `cfg.keepBest` policy (false:
+    * each CC cluster keeps its minimum id — a~b, b~c drops both b AND
+    * c though (a,c) never met in a bucket; true: keep the
+    * highest-quality member).
+    *
+    * Persist discipline: the gate scan feeds the fingerprint
+    * aggregate, the semi-join probe side, the shingle pipeline and the
+    * final anti join — persisting `gated` once makes every downstream
+    * consumer a cache read instead of a gate recompute; `exact` feeds
+    * both the pair pipeline and the survivor anti join; `pairs` feeds
+    * up to three consumers (dedup subset, CC loop, split restriction).
+    */
+  def stages(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config(),
+      pairThreshold: Option[Double] = None): Stages = {
+    val id = col(idCol)
+    val gated = rowGates(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = dsirGate(classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg)
+    val keep = Dedup.exactGroups(banded, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    val exact = banded.join(keep, Seq(idCol), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsAll = Dedup.minhashNearDuplicates(exact, idCol, textCol,
+        threshold = pairThreshold.getOrElse(cfg.jaccardThreshold))
+      .localCheckpoint()
+    val pairsDedup = pairsAll
+      .filter(col("jaccard") >= cfg.jaccardThreshold)
+      .select(col("a"), col("b"))
+    val losers =
+      if (cfg.keepBest)
+        Dedup.survivorsByScore(exact.select(id, col("quality")), idCol,
+            "quality", pairsDedup)
+          .filter(!col("kept")).select(id)
+      else
+        Dedup.connectedComponents(pairsDedup)
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id").as(idCol))
+    Stages(gated, banded, exact, pairsAll, losers)
+  }
+
   /** Clean `docs`, returning the surviving rows (id, text) plus the
     * quality/language signals that admitted them.
     */
   def clean(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config = Config()): DataFrame = {
-    val id = col(idCol)
-    // 1. row-local gates — persisted HERE, not after the dedup join:
-    // the gate scan (quality + langId over the full corpus) feeds the
-    // fingerprint aggregate, the semi-join probe side, the shingle
-    // pipeline and the final anti join; persisting the survivors once
-    // makes every downstream consumer a cache read instead of a gate
-    // recompute. Caller-managed eviction, same contract as
-    // minhashNearDuplicates.
-    val gated = rowGates(docs, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 1b/1c/1d. optional entropy band, classifier gate, DSIR gate
-    // (per-doc stages in ascending cost, each on the previous
-    // survivors)
-    val banded = dsirGate(classifierGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg)
-    // 2. exact dedup: keep the minimum id per content fingerprint
-    val keep = Dedup.exactGroups(banded, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    // the exact-dedup survivors feed BOTH the shingle pipeline (via the
-    // eager connected-components phase) and the final anti join, so they
-    // persist too — otherwise the fingerprint aggregate + semi join
-    // replay once per consumer
-    val exact = banded.join(keep, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 3. near-dup removal: resolve LSH-verified pairs into connected
-    // components and keep each cluster's minimum id — one survivor per
-    // duplicate group even across untested chains (a~b, b~c drops both
-    // b AND c, though (a,c) never met in a bucket)
-    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol,
-      threshold = cfg.jaccardThreshold).select(col("a"), col("b"))
-    val losers =
-      if (cfg.keepBest)
-        Dedup.survivorsByScore(exact.select(id, col("quality")), idCol,
-            "quality", pairs)
-          .filter(!col("kept")).select(id)
-      else
-        Dedup.connectedComponents(pairs)
-          .filter(col("doc_id") =!= col("cluster"))
-          .select(col("doc_id").as(idCol))
-    exact.join(losers, Seq(idCol), "left_anti")
-  }
+      cfg: Config = Config()): DataFrame =
+    stages(docs, idCol, textCol, cfg).survivors(idCol)
 
   /** Per-source CLEANING FUNNEL report — where each source's documents
     * fall out of the pipeline: `(srcCol, n_in, n_gated, n_exact,
@@ -187,21 +211,9 @@ object CorpusPipeline {
       textCol: String, cfg: Config = Config()): DataFrame = {
     val id = col(idCol)
     val base = docs.select(id, col(srcCol))
-    val gated = dsirGate(classifierGate(
-      entropyBand(rowGates(docs.select(id, col(textCol)), idCol,
-        textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keep = Dedup.exactGroups(gated, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val exact = gated.join(keep, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = Dedup.minhashNearDuplicates(exact, idCol, textCol,
-      threshold = cfg.jaccardThreshold).select(col("a"), col("b"))
-    val losers = Dedup.connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as(idCol))
-    val fin = exact.join(losers, Seq(idCol), "left_anti")
+    val st = stages(docs.select(id, col(textCol)), idCol, textCol, cfg)
+    val (gated, exact) = (st.banded, st.exact)
+    val fin = st.survivors(idCol)
     def cnt(ids: DataFrame, as: String): DataFrame =
       ids.select(id).join(base, Seq(idCol))
         .groupBy(col(srcCol).as(s"__s_$as"))
@@ -249,28 +261,11 @@ object CorpusPipeline {
       "splitThreshold must not exceed the dedup threshold (the loose " +
         "pair set must contain the dedup pair set)")
     val id = col(idCol)
-    val gated = rowGates(docs, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = dsirGate(classifierGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg)
-    val keep = Dedup.exactGroups(banded, idCol, textCol)
-      .select(col("keep_id").as(idCol))
-    val exact = banded.join(keep, Seq(idCol), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairsAll = Dedup.minhashNearDuplicates(exact, idCol, textCol,
-      threshold = splitThreshold).localCheckpoint()
-    val pairsDedup = pairsAll
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
-      .select(col("a"), col("b"))
-    val losers = Dedup.connectedComponents(pairsDedup)
-      .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as(idCol))
-    val survivors = exact.join(losers, Seq(idCol), "left_anti")
-    val released = Dedup.decontaminateNearDup(survivors, idCol, textCol,
-      evalDocs, idCol, textCol, cfg.jaccardThreshold)
+    val st = stages(docs, idCol, textCol, cfg, Some(splitThreshold))
+    val released = Dedup.decontaminateNearDup(st.survivors(idCol), idCol,
+      textCol, evalDocs, idCol, textCol, cfg.jaccardThreshold)
     val ids = released.select(id)
-    val pairsSplit = pairsAll.select(col("a"), col("b"))
+    val pairsSplit = st.pairs.select(col("a"), col("b"))
       .join(ids.select(id.as("a")), Seq("a"), "left_semi")
       .join(ids.select(id.as("b")), Seq("b"), "left_semi")
     Splits.byCluster(released, idCol, pairsSplit, trainPct, valPct)

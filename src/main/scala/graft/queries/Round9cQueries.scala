@@ -119,9 +119,8 @@ object Round9cQueries {
       val train = docs.filter(srcnum % 2 === 0)
         .select(col("doc_id"), col("text"))
       val counts = (0 to 2)
-        .map(b => graft.text.Repetition.fitBackoff(
-          train.filter(col("doc_id") % 3 === b), "doc_id", "text")
-          .checkpointed())
+        .map(b => graft.text.Repetition.fitBackoffMaterialized(
+          train.filter(col("doc_id") % 3 === b), "doc_id", "text"))
         .reduce(_ merge _)
       graft.text.Repetition.backoffScoreWith(counts,
           docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),

@@ -30,8 +30,7 @@ object StreamingLm {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val c = Repetition.fitBackoff(batch, idCol, textCol)
-          .checkpointed()
+        val c = Repetition.fitBackoffMaterialized(batch, idCol, textCol)
         acc = Some(acc.map(_.merge(c).checkpointed()).getOrElse(c))
         ()
       }

@@ -146,6 +146,27 @@ object Repetition {
       textCol: String): LmCounts = {
     val trPos = positions(train, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    countsOf(trPos)
+  }
+
+  /** Fit + eagerly materialize the store — the batch-fold entry point
+    * for incremental/streaming callers. Unlike [[fitBackoff]] (whose
+    * position cache must stay alive for the lazy [[backoffScore]]
+    * result's lifetime), this variant releases the intermediate
+    * position cache once the three count relations are checkpointed —
+    * a per-micro-batch fit would otherwise pin one dead cache entry
+    * per batch in the CacheManager for the stream's lifetime.
+    */
+  def fitBackoffMaterialized(train: DataFrame, idCol: String,
+      textCol: String): LmCounts = {
+    val trPos = positions(train, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = countsOf(trPos).checkpointed()
+    trPos.unpersist()
+    counts
+  }
+
+  private def countsOf(trPos: DataFrame): LmCounts =
     LmCounts(
       trPos.filter(col("p2").isNotNull)
         .select(concat_ws(" ", col("p2"), col("p1"), col("w")).as("g3"))
@@ -154,7 +175,6 @@ object Repetition {
         .select(concat_ws(" ", col("p1"), col("w")).as("g2"))
         .groupBy(col("g2")).agg(count(lit(1)).as("c2")),
       trPos.groupBy(col("w").as("g1")).agg(count(lit(1)).as("c1")))
-  }
 
   /** Trigram STUPID-BACKOFF familiarity (Brants et al. 2007, "Large
     * Language Models in Machine Translation") — the CCNet-style

@@ -76,9 +76,8 @@ class BackoffSpec extends SparkSpec {
       (13L, "e e e b c a")).toDF("doc_id", "text")
     val oneShot = score(train, docs)
     val merged = (0 to 2)
-      .map(b => Repetition.fitBackoff(
-        train.filter(col("doc_id") % 3 === b), "doc_id", "text")
-        .checkpointed())
+      .map(b => Repetition.fitBackoffMaterialized(
+        train.filter(col("doc_id") % 3 === b), "doc_id", "text"))
       .reduce(_ merge _)
     val got = Repetition.backoffScoreWith(merged, docs, "doc_id", "text")
       .select(col("doc_id").cast("long"), col("n_ctx").cast("long"),

@@ -1,12 +1,19 @@
 #!/usr/bin/env python3
 """Local replica of the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--json OUT.json]
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB with every
 testdata table registered as a view over <sfDir>/<table>.parquet, and diffs:
 row count, column names (sorted), and per-cell values with rows sorted.
+
+With --json, also writes a durable per-query artifact:
+  {"queries": {name: {"rows": bool, "schema": bool, "cells": bool,
+                      "secs": float[, "err": str]}},
+   "ok": bool, "n": int, "n_fail": int, "total_secs": float,
+   "max_query_secs": float, "slowest": [[name, secs] x10]}
+so a green gate run is always on record with its oracle-side cost profile.
 
 Exit 0 iff every query matches.
 """
@@ -14,6 +21,7 @@ import decimal
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -75,6 +83,9 @@ def float_close(a, b):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
@@ -94,18 +105,21 @@ def main():
         return [f.name for f in schema
                 if pt.is_nested(f.type) or pt.is_dictionary(f.type)]
 
-    for name in sorted(oracle):
+    report = {}
+    t_all = time.monotonic()
+
+    def check_one(name, rec):
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():
             failures.append((name, "spark output missing"))
-            continue
+            return
         tbl = pq.read_table(spark_dir)
         bad_cols = nested_cols(tbl.schema)
         if bad_cols:
             failures.append((name, "array/struct result columns "
                              f"{bad_cols} — driver compare cannot hash "
                              "these; flatten to scalars or drop oracleSql"))
-            continue
+            return
         s_rows, s_names = rows_of(
             tbl.column_names, [c.to_pylist() for c in tbl.columns])
         try:
@@ -117,18 +131,21 @@ def main():
             if d_bad:
                 failures.append((name, "array/struct ORACLE result columns "
                                  f"{d_bad} — driver compare cannot hash"))
-                continue
+                return
             d_rows, d_names = rows_of(
                 d_tbl.column_names, [c.to_pylist() for c in d_tbl.columns])
         except Exception as e:
+            rec["err"] = str(e)[:300]
             failures.append((name, f"duckdb error: {e}"))
-            continue
+            return
         if s_names != d_names:
             failures.append((name, f"columns differ: spark={s_names} duck={d_names}"))
-            continue
+            return
+        rec["schema"] = True
         if len(s_rows) != len(d_rows):
             failures.append((name, f"row count: spark={len(s_rows)} duck={len(d_rows)}"))
-            continue
+            return
+        rec["rows"] = True
         n_bad = exact_bad = 0
         first = None
         for sr, dr in zip(s_rows, d_rows):
@@ -140,13 +157,41 @@ def main():
                         first = (sr, dr)
         if n_bad:
             failures.append((name, f"{n_bad} rows differ; first: spark={first[0]} duck={first[1]}"))
-        elif exact_bad:
+            return
+        rec["cells"] = True
+        if exact_bad:
             print(f"~  {name}: EXACT-MISMATCH on {exact_bad} rows but within 1e-9 "
                   "(float low bits — driver hash compare may still fail!)")
         else:
             print(f"OK {name}: {len(s_rows)} rows")
+
+    for name in sorted(oracle):
+        rec = {"rows": False, "schema": False, "cells": False, "secs": 0.0}
+        report[name] = rec
+        t0 = time.monotonic()
+        try:
+            check_one(name, rec)
+        finally:
+            rec["secs"] = round(time.monotonic() - t0, 3)
+        sys.stdout.flush()
     for name, why in failures:
         print(f"FAIL {name}: {why}")
+    slowest = sorted(report.items(), key=lambda kv: -kv[1]["secs"])[:10]
+    print("slowest oracle queries: "
+          + ", ".join(f"{n}={r['secs']:.1f}s" for n, r in slowest))
+    if json_out:
+        total = round(time.monotonic() - t_all, 3)
+        Path(json_out).write_text(json.dumps({
+            "queries": report,
+            "ok": not failures,
+            "n": len(report),
+            "n_fail": len(failures),
+            "total_secs": total,
+            "max_query_secs": max((r["secs"] for r in report.values()),
+                                  default=0.0),
+            "slowest": [[n, r["secs"]] for n, r in slowest],
+        }, indent=1, sort_keys=True))
+        print(f"wrote {json_out}")
     sys.exit(1 if failures else 0)
 
 

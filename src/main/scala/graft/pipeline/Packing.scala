@@ -169,6 +169,97 @@ object Packing {
         col("tok_to"))
   }
 
+  /** Portable 31-bit token id: md5-derived ([[graft.functions
+    * .PortableHash.hash60Base]] reduced below 2^31 so it fits an int32
+    * cell of the binary artifact) — the id scheme both engines replay,
+    * which is what lets a read-back of the BINARY export be verified
+    * against a DuckDB oracle that recomputes ids from raw text (q171).
+    * A production export would substitute a real BPE vocabulary (q113's
+    * trained merges feed one); the artifact shape is id-scheme-agnostic.
+    */
+  def tokenId(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (graft.functions.PortableHash.hash60Base(tok) % 2147483648L).cast("int")
+
+  /** DuckDB SQL computing exactly [[tokenId]] of `expr`. */
+  def tokenIdSql(expr: String): String =
+    s"(${graft.functions.PortableHash.hash60BaseSql(expr)} % 2147483648)"
+
+  /** MATERIALIZE the packed layout as a consumable BINARY loader
+    * artifact — the gap between a manifest that DESCRIBES placements
+    * (q91/q106) and an artifact a training loader can map: per
+    * training sequence, one fixed-width little-endian int32 token
+    * buffer (the Megatron-LM `.bin` record shape), plus the span index
+    * (`.idx`) naming which document tokens back each sequence region.
+    *
+    * Two tables publish through [[graft.catalog.ParquetCatalog]]'s
+    * atomic versioned pointer swap (readers never see a partial
+    * export; a crashed export leaves the previous release live):
+    *
+    *   - `<name>_bin`: (grp, seq, n_tok, tokens binary) — hive-
+    *     partitioned BY `grp`, so each of the `numGroups` loader
+    *     streams is its own directory and a rank reading its stream
+    *     prunes all others before any I/O;
+    *   - `<name>_idx`: the [[sequenceManifest]] relation verbatim
+    *     (grp, seq, id, doc_from, doc_to, seq_from) — provenance from
+    *     every sequence region back to its source document.
+    *
+    * Assembly shape: one tokenize scan, one data-sized equi-join of
+    * the token relation with the placement (both keyed by id), one
+    * (grp, seq)-keyed aggregation whose per-group state is bounded by
+    * `seqLen` — collect_list here is a bounded per-SEQUENCE buffer,
+    * never a per-stream one. Within every non-final sequence the blob
+    * is exactly `seqLen × 4` bytes by the tiling invariant.
+    */
+  def exportShards(docs: DataFrame, idCol: String, textCol: String,
+      catalog: graft.catalog.ParquetCatalog, name: String,
+      seqLen: Int = 2048, numGroups: Int = 8): Unit = {
+    val id = col(idCol)
+    val placed = packSequences(docs, idCol, textCol, seqLen, numGroups)
+    val idx = sequenceManifest(placed, idCol, seqLen)
+    val toks = docs
+      .select(id, posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("pos", "tok")))
+      .select(id, col("pos"), tokenId(col("tok")).as("tid"))
+    val bin = placed.select(id, col("grp"), col("start_tok"))
+      .join(toks, Seq(idCol))
+      .withColumn("tape", col("start_tok") + col("pos"))
+      .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
+        (col("tape") % seqLen).cast("int").as("off"), col("tid"))
+      .groupBy(col("grp"), col("seq"))
+      .agg(sort_array(collect_list(struct(col("off"), col("tid"))))
+        .as("ot"))
+      .select(col("grp"), col("seq"),
+        size(col("ot")).cast("long").as("n_tok"),
+        graft.functions.TokenBinary.packCol(
+          transform(col("ot"), s => s.getField("tid"))).as("tokens"))
+    publish(catalog, s"${name}_bin", bin, partitionBy = Seq("grp"))
+    publish(catalog, s"${name}_idx", idx)
+  }
+
+  /** Read back an [[exportShards]] artifact: `(bin, idx)` as published
+    * (bin's `grp` re-cast to long — hive partition discovery infers
+    * int). `binDecoded` additionally surfaces the token ids as an
+    * `array<int>` column for consumers that want rows, not buffers.
+    */
+  def readShards(catalog: graft.catalog.ParquetCatalog, name: String)
+      : (DataFrame, DataFrame) = {
+    val bin = catalog.table(s"${name}_bin")
+      .withColumn("grp", col("grp").cast("long"))
+      .select(col("grp"), col("seq"), col("n_tok"), col("tokens"))
+    (bin, catalog.table(s"${name}_idx"))
+  }
+
+  /** [[readShards]]' bin side with the buffer decoded to token ids. */
+  def binDecoded(bin: DataFrame): DataFrame =
+    bin.withColumn("tids",
+      graft.functions.TokenBinary.unpackCol(col("tokens")))
+
+  private def publish(catalog: graft.catalog.ParquetCatalog,
+      table: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    if (!catalog.exists(table)) catalog.create(table, df.schema)
+    catalog.overwrite(table, df, partitionBy)
+  }
+
   /** The epoch-sharded loader manifest — the one artifact a
     * distributed training loader actually maps: for each epoch, a
     * seeded global permutation of the corpus

@@ -41,9 +41,23 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // DuckDB inlines a CTE at every reference site: a chain where one
+    // relation feeds four consumers replays its whole upstream pipeline
+    // 4x (q144's oracle: 322 s raw, 0.3 s with every CTE MATERIALIZED
+    // at sf0.01 — measured round 10). MATERIALIZED is a semantics-
+    // neutral hint, so it is applied centrally at dump time: every
+    // composed oracle, current and future, ships bounded SQL to the
+    // driver. The pattern only rewrites CTE definitions — WINDOW
+    // clauses ("WINDOW w AS (") have a non-matching line prefix and
+    // recursive members ("reach(node, lab) AS (") carry a column list.
+    def materializeCtes(sql: String): String =
+      """(?m)(^|\bWITH\s+(?:RECURSIVE\s+)?)([A-Za-z_][A-Za-z0-9_]*) AS \(""".r
+        .replaceAllIn(sql, m => java.util.regex.Matcher.quoteReplacement(
+          m.group(1) + m.group(2) + " AS MATERIALIZED ("))
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => selected(k) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(materializeCtes(v))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -274,4 +274,78 @@ object CorpusPipeline {
       .select(id, col("quality"), col("lang_pred"), col("cluster"),
         col("split"), col("n_tok"))
   }
+
+  /** RELEASE-OVER-RELEASE DIFF — the operations question "what changed
+    * between release vN and vN+1?" answered from two [[release]]
+    * manifests: one row per document whose release status changed.
+    *
+    *   - `op = 'added'`: in `next` only (new source data, or a dedup/
+    *     decontamination survivor displaced the other way);
+    *   - `op = 'removed'`: in `prev` only (gated out, deduped away, or
+    *     displaced by a new lower-id duplicate — removal of a doc is
+    *     NOT only caused by deleting it upstream);
+    *   - `op = 'split_moved'`: released in both but the leakage-safe
+    *     split reassigned it (new near-dup edges re-cluster documents,
+    *     and the cluster-keyed split hash moves with the cluster — the
+    *     churn a training run must know about, since a doc moving
+    *     test→train invalidates eval history);
+    *   - `op = 'changed'`: released in both splits unchanged, but
+    *     `n_tok` differs (upstream text edit).
+    *
+    * Cluster LABELS are deliberately not compared: they are internal
+    * min-id names, and membership renumbering without a split move is
+    * not churn a consumer observes. One full-outer join keyed on the
+    * id — the [[graft.scd.SnapshotDiff]] shape with both sides' values
+    * preserved (a diff consumer needs split_a AND split_b, not just
+    * the surviving value).
+    */
+  def releaseDiff(prev: DataFrame, next: DataFrame,
+      idCol: String): DataFrame = {
+    val a = prev.select(col(idCol).as("__ida"), col("split").as("split_a"),
+      col("n_tok").as("n_tok_a"))
+    val b = next.select(col(idCol).as("__idb"), col("split").as("split_b"),
+      col("n_tok").as("n_tok_b"))
+    a.join(b, col("__ida") === col("__idb"), "full_outer")
+      .withColumn("op",
+        when(col("__ida").isNull, lit("added"))
+          .when(col("__idb").isNull, lit("removed"))
+          .when(!(col("split_a") <=> col("split_b")), lit("split_moved"))
+          .when(!(col("n_tok_a") <=> col("n_tok_b")), lit("changed"))
+          .otherwise(lit(null)))
+      .filter(col("op").isNotNull)
+      .select(coalesce(col("__ida"), col("__idb")).as(idCol), col("op"),
+        col("split_a"), col("split_b"), col("n_tok_a"), col("n_tok_b"))
+  }
+
+  /** [[releaseDiff]] between two CATALOG VERSIONS of a published
+    * release-manifest table — the time-travel composition (q62's diff
+    * posture + `graft_table_at`'s snapshot reads): releases publish
+    * through [[graft.catalog.ParquetCatalog]]'s atomic pointer swap,
+    * every historical version stays readable, so "diff vN vs vN+1" is
+    * two snapshot reads and one join, with no recompute of either
+    * release.
+    */
+  def releaseDiffAt(catalog: graft.catalog.ParquetCatalog, table: String,
+      vPrev: Long, vNext: Long, idCol: String): DataFrame =
+    releaseDiff(catalog.tableAsOfVersion(table, vPrev),
+      catalog.tableAsOfVersion(table, vNext), idCol)
+
+  /** Per-source roll-up of a [[releaseDiff]]: `(srcCol, n_added,
+    * n_removed, n_split_moved, tok_delta)` — the release-review
+    * dashboard row ("source X lost 40% of its tokens this release").
+    * `srcOf` maps ids to sources; `tok_delta` is the net token change
+    * across ALL diff rows of the source (added − removed ± edits).
+    */
+  def releaseDiffSummary(diff: DataFrame, srcOf: DataFrame,
+      idCol: String, srcCol: String): DataFrame =
+    diff.join(srcOf, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(
+        sum(when(col("op") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("op") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("op") === "split_moved", 1L).otherwise(0L))
+          .as("n_split_moved"),
+        sum(coalesce(col("n_tok_b"), lit(0L)) -
+          coalesce(col("n_tok_a"), lit(0L))).as("tok_delta"))
 }

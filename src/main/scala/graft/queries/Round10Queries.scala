@@ -14,7 +14,85 @@ object Round10Queries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
+  /** Small planted corpus for the DOUBLE-release-replay oracles
+    * (q172/q173): base = every 4th document, plus the exact-copy and
+    * tail-marker replicas (the q46 plant shape). The oracle must replay
+    * the whole release chain TWICE (release A = corpus minus the
+    * `doc_id % 23 == 5` slice, release B = full corpus), so the corpus
+    * is kept small — the oracle scale is arbitrary; the ENGINE path is
+    * the full machinery either way.
+    */
+  private def smallCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .filter(col("doc_id") % 4 === 0)
+    base
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("source")))
+      .unionByName(base.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz tail marker")).as("text"),
+          col("source")))
+  }
+
+  private def smallEval(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 4 === 0 && col("doc_id") % 13 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+
+  private def twoReleases(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val corpus = smallCorpus(s, dir).select(col("doc_id"), col("text"))
+    val ev = smallEval(s, dir)
+    val relA = graft.pipeline.CorpusPipeline.release(
+      corpus.filter(col("doc_id") % 23 =!= 5), ev, "doc_id", "text")
+    val relB = graft.pipeline.CorpusPipeline.release(
+      corpus, ev, "doc_id", "text")
+    (relA, relB)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // RELEASE-OVER-RELEASE DIFF through catalog time travel: release A
+    // (corpus minus one slice) publishes as one catalog version,
+    // release B (full corpus) as the next; releaseDiffAt diffs the two
+    // SNAPSHOT READS — no recompute of either release. The diff
+    // surfaces knock-on churn, not just the added slice: a new doc can
+    // displace an old dedup survivor ('removed'), and new near-dup
+    // edges re-cluster docs so the cluster-keyed split hash moves them
+    // ('split_moved') — exactly the churn a training run must audit.
+    // Oracle: BOTH release chains replayed + the full-outer diff.
+    "q172_release_diff" -> ((s, dir) => {
+      import java.nio.file.Files
+      val (relA, relB) = twoReleases(s, dir)
+      val root = Files.createTempDirectory("graft-q172").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      cat.create("release", relA.schema)
+      cat.overwrite("release", relA)
+      val vA = cat.currentVersion("release").get
+      cat.overwrite("release", relB)
+      val vB = cat.currentVersion("release").get
+      val out = graft.pipeline.CorpusPipeline
+        .releaseDiffAt(cat, "release", vA, vB, "doc_id")
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // ...and its per-source roll-up: the release-review dashboard row
+    // (adds/removals/split moves/net token delta per source). Source
+    // of a replica id is its base document's source.
+    "q173_release_diff_sources" -> ((s, dir) => {
+      val (relA, relB) = twoReleases(s, dir)
+      val diff = graft.pipeline.CorpusPipeline
+        .releaseDiff(relA, relB, "doc_id")
+      graft.pipeline.CorpusPipeline.releaseDiffSummary(diff,
+          smallCorpus(s, dir).select(col("doc_id"), col("source")),
+          "doc_id", "source")
+        .orderBy(col("source"))
+    }),
 
     // BINARY LOADER EXPORT, index side: export the packed corpus
     // through the catalog's atomic publish (bin + idx tables), then
@@ -65,7 +143,181 @@ object Round10Queries {
     })
   )
 
+  /** One full release-chain replay (gates → exact dedup → LSH pairs →
+    * CC dedup at 0.5 → eval decontamination → CC split clusters at 0.3
+    * → split hash) over `corpus<sfx>`, every CTE suffixed so TWO
+    * chains coexist in one statement — ends in `man<sfx>(doc_id,
+    * split, n_tok)`. The q144 chain, parameterized.
+    */
+  private def releaseChain(x: String): String = {
+    import PipelineQueries.{langCaseSql, langHitColsSql, qualityExprSql,
+      shinglesSql, sigBucketsSql}
+    val nTokSql =
+      """CAST(len(list_filter(string_split_regex(r.text, '\s+'),
+        |    x -> x <> '')) AS BIGINT)""".stripMargin
+    val splitHash = graft.functions.PortableHash
+      .hash60BaseSql("cluster::VARCHAR")
+    s"""scored$x AS (
+       |  SELECT doc_id, text,
+       |  $qualityExprSql AS quality,
+       |$langHitColsSql
+       |  FROM corpus$x),
+       |gated$x AS (
+       |  SELECT doc_id, text, quality,
+       |  $langCaseSql AS lang_pred
+       |  FROM scored$x),
+       |g2$x AS (SELECT doc_id, text, quality, lang_pred FROM gated$x
+       |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+       |fpc$x AS (SELECT doc_id, text, quality, lang_pred,
+       |    md5(trim(regexp_replace(regexp_replace(lower(text),
+       |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+       |  FROM g2$x),
+       |keep$x AS (SELECT min(doc_id) AS doc_id FROM fpc$x GROUP BY f),
+       |ex$x AS (SELECT fpc$x.* FROM fpc$x
+       |  WHERE doc_id IN (SELECT doc_id FROM keep$x)),
+       |${shinglesSql(s"ex$x", x)},
+       |${sigBucketsSql(x)},
+       |cand$x AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM buckets$x l JOIN buckets$x r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |      AND l.doc_id < r.doc_id),
+       |sizes$x AS (SELECT doc_id, count(*) AS n_sh FROM sh$x
+       |  GROUP BY doc_id),
+       |common$x AS (
+       |  SELECT c.a, c.b, count(*) AS n_common
+       |  FROM cand$x c
+       |  JOIN sh$x sx ON sx.doc_id = c.a
+       |  JOIN sh$x sy ON sy.doc_id = c.b AND sy.shh = sx.shh
+       |  GROUP BY c.a, c.b),
+       |jac$x AS (SELECT cm.a, cm.b,
+       |    cm.n_common::DOUBLE / (sa.n_sh + sb.n_sh - cm.n_common) AS j
+       |  FROM common$x cm
+       |  JOIN sizes$x sa ON sa.doc_id = cm.a
+       |  JOIN sizes$x sb ON sb.doc_id = cm.b),
+       |edges5$x AS (
+       |  SELECT a AS src, b AS dst FROM jac$x WHERE j >= 0.5::DOUBLE
+       |  UNION SELECT b, a FROM jac$x WHERE j >= 0.5::DOUBLE),
+       |reach5$x(node, lab) AS (
+       |  SELECT src, src FROM edges5$x
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach5$x r
+       |  JOIN edges5$x e2 ON e2.src = r.node),
+       |losers5$x AS (
+       |  SELECT node AS doc_id FROM reach5$x
+       |  GROUP BY node HAVING node <> min(lab)),
+       |surv$x AS (SELECT e.* FROM ex$x e
+       |  WHERE NOT EXISTS (SELECT 1 FROM losers5$x l
+       |    WHERE l.doc_id = e.doc_id)),
+       |candx$x AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM buckets$x l JOIN bucketse r
+       |    ON l.band = r.band AND l.bucket = r.bucket
+       |  WHERE l.doc_id IN (SELECT doc_id FROM surv$x)),
+       |commonx$x AS (
+       |  SELECT c.a, c.b, count(*) AS n_common
+       |  FROM candx$x c
+       |  JOIN sh$x sx ON sx.doc_id = c.a
+       |  JOIN she sy ON sy.doc_id = c.b AND sy.shh = sx.shh
+       |  GROUP BY c.a, c.b),
+       |hitx$x AS (SELECT DISTINCT cm.a AS doc_id
+       |  FROM commonx$x cm
+       |  JOIN sizes$x sa ON sa.doc_id = cm.a
+       |  JOIN sizese sb ON sb.doc_id = cm.b
+       |  WHERE cm.n_common::DOUBLE / (sa.n_sh + sb.nb - cm.n_common)
+       |    >= 0.5::DOUBLE),
+       |rel$x AS (SELECT s.* FROM surv$x s
+       |  WHERE NOT EXISTS (SELECT 1 FROM hitx$x h
+       |    WHERE h.doc_id = s.doc_id)),
+       |edges3$x AS (
+       |  SELECT a AS src, b AS dst FROM jac$x
+       |  WHERE j >= 0.3::DOUBLE
+       |    AND a IN (SELECT doc_id FROM rel$x)
+       |    AND b IN (SELECT doc_id FROM rel$x)
+       |  UNION SELECT b, a FROM jac$x
+       |  WHERE j >= 0.3::DOUBLE
+       |    AND a IN (SELECT doc_id FROM rel$x)
+       |    AND b IN (SELECT doc_id FROM rel$x)),
+       |reach3$x(node, lab) AS (
+       |  SELECT src, src FROM edges3$x
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach3$x r
+       |  JOIN edges3$x e2 ON e2.src = r.node),
+       |labels3$x AS (SELECT node, min(lab) AS clus FROM reach3$x
+       |  GROUP BY node),
+       |mm$x AS (SELECT r.doc_id, COALESCE(l.clus, r.doc_id) AS cluster,
+       |    $nTokSql AS n_tok
+       |  FROM rel$x r LEFT JOIN labels3$x l ON l.node = r.doc_id),
+       |man$x AS (SELECT doc_id,
+       |  CASE WHEN $splitHash % 100 < 90 THEN 'train'
+       |       WHEN $splitHash % 100 < 95 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  n_tok FROM mm$x)""".stripMargin
+  }
+
+  /** Shared preamble for q172/q173: planted corpus (A = minus the
+    * `% 23 == 5` slice, B = full), shared eval chain, both release
+    * chains, and the full-outer per-doc diff.
+    */
+  private lazy val releaseDiffCtes: String = {
+    import PipelineQueries.{shinglesSql, sigBucketsSql}
+    s"""baseS AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+       |plant AS (
+       |  SELECT doc_id, text FROM baseS
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM baseS WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM baseS
+       |  WHERE doc_id % 11 = 0),
+       |corpusa AS (SELECT doc_id, text FROM plant WHERE doc_id % 23 <> 5),
+       |corpusb AS (SELECT doc_id, text FROM plant),
+       |ev AS (SELECT doc_id + 5000000 AS doc_id, text FROM baseS
+       |  WHERE doc_id % 13 = 0),
+       |${shinglesSql("ev", "e")},
+       |${sigBucketsSql("e")},
+       |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id),
+       |${releaseChain("a")},
+       |${releaseChain("b")},
+       |diff AS (
+       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN a.split <> b.split THEN 'split_moved'
+       |         WHEN a.n_tok <> b.n_tok THEN 'changed' END AS op,
+       |    a.split AS split_a, b.split AS split_b,
+       |    a.n_tok AS n_tok_a, b.n_tok AS n_tok_b
+       |  FROM mana a FULL OUTER JOIN manb b ON a.doc_id = b.doc_id)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "q172_release_diff" ->
+      s"""WITH RECURSIVE $releaseDiffCtes
+         |SELECT doc_id, op, split_a, split_b, n_tok_a, n_tok_b
+         |FROM diff WHERE op IS NOT NULL ORDER BY doc_id""".stripMargin,
+
+    "q173_release_diff_sources" ->
+      s"""WITH RECURSIVE $releaseDiffCtes,
+         |srcmap AS (
+         |  SELECT doc_id, source FROM documents WHERE doc_id % 4 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source FROM documents
+         |  WHERE doc_id % 4 = 0 AND doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, source FROM documents
+         |  WHERE doc_id % 4 = 0 AND doc_id % 11 = 0)
+         |SELECT s.source,
+         |  CAST(SUM(CASE WHEN op = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_added,
+         |  CAST(SUM(CASE WHEN op = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(SUM(CASE WHEN op = 'split_moved' THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_split_moved,
+         |  CAST(SUM(COALESCE(n_tok_b, 0) - COALESCE(n_tok_a, 0))
+         |    AS BIGINT) AS tok_delta
+         |FROM diff d JOIN srcmap s USING (doc_id)
+         |WHERE d.op IS NOT NULL
+         |GROUP BY s.source ORDER BY s.source""".stripMargin,
     // the export/import round trip IS the oracle: q106's manifest SQL
     // verbatim (the artifact's idx must match the manifest it claims
     // to materialize)

@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_chunks('docs', 'doc_id', 'text', 2048, 1536)")
   * spark.sql("SELECT * FROM graft_length_batches('docs', 'doc_id', 'text', 32, 16)")
   * spark.sql("SELECT * FROM graft_table_at('/cat/root', 'dim_user', 3)")
+  * spark.sql("SELECT * FROM graft_curriculum('docs', 'doc_id', 'text', 3, 5)")
+  * spark.sql("SELECT * FROM graft_funnel('docs', 'doc_id', 'source', 'text')")
+  * spark.sql("SELECT * FROM graft_upsample('docs', 'doc_id', 'weight_ppm')")
+  * spark.sql("SELECT * FROM graft_token_shards('docs', 'doc_id', 'text', 8)")
+  * spark.sql("SELECT * FROM graft_release_diff('rel_v1', 'rel_v2', 'doc_id')")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -203,6 +208,64 @@ object GraftTableFunctions {
       int(args(3), u), int(args(4), u)))
   }
 
+  private val curriculum: Builder = { args =>
+    val u = "graft_curriculum(table, idCol, textCol[, epochs[, bands]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val epochs = if (args.length >= 4) int(args(3), u) else 3
+    val bands = if (args.length == 5) int(args(4), u) else 5
+    plan(graft.pipeline.Curriculum.schedule(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      epochs, bands))
+  }
+
+  private val funnel: Builder = { args =>
+    val u = "graft_funnel(table, idCol, srcCol, textCol[, minQuality])"
+    require(args.length == 4 || args.length == 5, u)
+    val s = SparkSession.active
+    val cfg = graft.pipeline.CorpusPipeline.Config(
+      minQuality =
+        if (args.length == 5) dbl(args(4), u)
+        else graft.pipeline.CorpusPipeline.Config().minQuality)
+    plan(graft.pipeline.CorpusPipeline.funnelReport(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      str(args(3), u), cfg))
+  }
+
+  private val upsample: Builder = { args =>
+    val u = "graft_upsample(table, idCol, weightColOrPpm) — 3rd arg: a " +
+      "column name (string literal) holding per-row ppm weights, or a " +
+      "numeric literal ppm weight applied to every row"
+    require(args.length == 3, u)
+    val s = SparkSession.active
+    val w = args(2) match {
+      case Literal(v, StringType) if v != null =>
+        org.apache.spark.sql.functions.col(v.toString)
+      case other =>
+        org.apache.spark.sql.functions.lit(dbl(other, u).toLong)
+    }
+    plan(graft.pipeline.Mixture.upsample(
+      s.table(str(args.head, u)), str(args(1), u), w))
+  }
+
+  private val tokenShards: Builder = { args =>
+    val u = "graft_token_shards(table, idCol, textCol, numShards)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.pipeline.Packing.tokenShards(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u)))
+  }
+
+  private val releaseDiff: Builder = { args =>
+    val u = "graft_release_diff(prevTable, nextTable, idCol)"
+    require(args.length == 3, u)
+    val s = SparkSession.active
+    plan(graft.pipeline.CorpusPipeline.releaseDiff(
+      s.table(str(args.head, u)), s.table(str(args(1), u)),
+      str(args(2), u)))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -229,5 +292,10 @@ object GraftTableFunctions {
     "graft_cross_matches" -> crossMatches,
     "graft_chunks" -> chunks,
     "graft_length_batches" -> lengthBatches,
+    "graft_curriculum" -> curriculum,
+    "graft_funnel" -> funnel,
+    "graft_upsample" -> upsample,
+    "graft_token_shards" -> tokenShards,
+    "graft_release_diff" -> releaseDiff,
     "graft_table_at" -> tableAt)
 }

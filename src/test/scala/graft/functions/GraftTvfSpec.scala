@@ -255,6 +255,81 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(old) == Seq(Seq(1L, "v1")))
   }
 
+  test("graft_curriculum TVF == Curriculum.schedule") {
+    docs.createOrReplaceTempView("tvf_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_curriculum('tvf_docs', 'doc_id', 'text', 3, 5) " +
+        "ORDER BY ord")
+    val api = graft.pipeline.Curriculum
+      .schedule(docs, "doc_id", "text", epochs = 3, bands = 5)
+      .orderBy(col("ord"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_funnel TVF == CorpusPipeline.funnelReport") {
+    docs.withColumn("source", concat(lit("src"), $"doc_id" % 3))
+      .createOrReplaceTempView("tvf_src_docs")
+    val src = docs.withColumn("source", concat(lit("src"), $"doc_id" % 3))
+    val sql = spark.sql(
+      "SELECT * FROM graft_funnel('tvf_src_docs', 'doc_id', 'source', " +
+        "'text', 0.0) ORDER BY source")
+    val api = graft.pipeline.CorpusPipeline.funnelReport(src, "doc_id",
+        "source", "text",
+        graft.pipeline.CorpusPipeline.Config(minQuality = 0.0))
+      .orderBy(col("source"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_upsample TVF: weight column and constant ppm forms") {
+    val w = docs.withColumn("w_ppm", lit(1500000L) + ($"doc_id" % 2) * 700000L)
+    w.createOrReplaceTempView("tvf_w_docs")
+    val sqlCol = spark.sql(
+      "SELECT * FROM graft_upsample('tvf_w_docs', 'doc_id', 'w_ppm') " +
+        "ORDER BY doc_id, rep")
+    val apiCol = graft.pipeline.Mixture.upsample(w, "doc_id", col("w_ppm"))
+      .orderBy(col("doc_id"), col("rep"))
+    val got = rows(sqlCol)
+    assert(got.nonEmpty && got == rows(apiCol))
+    val sqlConst = spark.sql(
+      "SELECT * FROM graft_upsample('tvf_w_docs', 'doc_id', 2000000) " +
+        "ORDER BY doc_id, rep")
+    val apiConst = graft.pipeline.Mixture
+      .upsample(w, "doc_id", lit(2000000L))
+      .orderBy(col("doc_id"), col("rep"))
+    assert(rows(sqlConst) == rows(apiConst))
+    assert(sqlConst.count() == 2 * w.count())
+  }
+
+  test("graft_token_shards TVF == Packing.tokenShards") {
+    docs.createOrReplaceTempView("tvf_docs")
+    val sql = spark.sql(
+      "SELECT * FROM graft_token_shards('tvf_docs', 'doc_id', 'text', 4) " +
+        "ORDER BY doc_id")
+    val api = graft.pipeline.Packing.tokenShards(docs, "doc_id", "text", 4)
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_release_diff TVF == CorpusPipeline.releaseDiff") {
+    val a = Seq((1L, "train", 10L), (2L, "test", 20L))
+      .toDF("doc_id", "split", "n_tok")
+    val b = Seq((2L, "train", 20L), (3L, "val", 5L))
+      .toDF("doc_id", "split", "n_tok")
+    a.createOrReplaceTempView("tvf_rel_a")
+    b.createOrReplaceTempView("tvf_rel_b")
+    val sql = spark.sql(
+      "SELECT * FROM graft_release_diff('tvf_rel_a', 'tvf_rel_b', " +
+        "'doc_id') ORDER BY doc_id")
+    val api = graft.pipeline.CorpusPipeline.releaseDiff(a, b, "doc_id")
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

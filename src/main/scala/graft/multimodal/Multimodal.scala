@@ -69,9 +69,26 @@ object Multimodal {
       })
   }
 
-  /** REAL decoder: parse each BMP payload ([[Bmp.decode]] — header
-    * validation, bottom-up padded BGR rows) and emit the decoded
-    * dimensions plus mean pixel brightness (Σ channel bytes / n / 255).
+  /** Sniff-and-decode an image payload by magic bytes: `BM` → the BMP
+    * codec, the 8-byte PNG signature → the PNG codec. Every image door
+    * (feature decode, resize, dHash) dispatches here, so a corpus
+    * mixing both formats — the realistic case — flows through one
+    * relation with no per-format plumbing. Unknown magic throws (the
+    * loud-codec-boundary contract).
+    */
+  def decodeImage(payload: Array[Byte]): Bmp.Image =
+    if (payload.length >= 2 && payload(0) == 'B' && payload(1) == 'M')
+      Bmp.decode(payload)
+    else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+        payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
+      Png.decode(payload)
+    else throw new IllegalArgumentException(
+      "unknown image format (magic bytes match neither BMP nor PNG)")
+
+  /** REAL decoder: parse each payload ([[Bmp.decode]]/[[Png.decode]]
+    * via [[decodeImage]] magic sniffing — header validation, real
+    * de-filtering/inflate for PNG) and emit the decoded dimensions
+    * plus mean pixel brightness (Σ channel bytes / n / 255).
     * Runs partition-wise so codec setup amortizes per partition, not
     * per row — the `mapInPandas` batching shape.
     */
@@ -79,7 +96,7 @@ object Multimodal {
     import s.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
-        val img = Bmp.decode(m.payload)
+        val img = decodeImage(m.payload)
         var sum = 0L
         var i = 0
         while (i < img.rgb.length) { sum += (img.rgb(i) & 0xff); i += 1 }
@@ -133,14 +150,18 @@ object Multimodal {
     require(maxSide > 0, "maxSide > 0")
     media.mapPartitions { rows =>
       rows.map { m =>
-        val img = Bmp.decode(m.payload)
+        val img = decodeImage(m.payload)
         val side = math.max(img.width, img.height)
         if (side <= maxSide) m
         else {
           val scale = maxSide.toDouble / side
           val w = math.max(1, math.round(img.width * scale).toInt)
           val h = math.max(1, math.round(img.height * scale).toInt)
-          val out = Bmp.encode(Bmp.resample(img, w, h))
+          // re-encode in the payload's own format
+          val resampled = Bmp.resample(img, w, h)
+          val out =
+            if (m.payload(0) == 'B') Bmp.encode(resampled)
+            else Png.encode(resampled)
           BmpMedia(m.doc_id, out, out.length)
         }
       }

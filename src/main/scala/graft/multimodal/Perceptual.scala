@@ -71,12 +71,17 @@ object Perceptual {
 
   /** (id, dhash) per media row — decode + hash in the same
     * partition-wise batch pass as [[Multimodal.decode]] (the codec
-    * boundary; no Expression fits a header-parsing decoder).
+    * boundary; no Expression fits a header-parsing decoder). Payloads
+    * are magic-sniffed ([[Multimodal.decodeImage]]), so BMP and PNG
+    * rows hash through the same door — and a PNG re-encode of a BMP
+    * hashes IDENTICALLY (same decoded pixels, format-independent
+    * perceptual identity).
     */
   def dHashes(media: Dataset[Multimodal.BmpMedia])(
       implicit s: SparkSession): DataFrame = {
     import s.implicits._
-    media.mapPartitions(_.map(m => (m.doc_id, dHash(Bmp.decode(m.payload)))))
+    media.mapPartitions(_.map(m =>
+        (m.doc_id, dHash(Multimodal.decodeImage(m.payload)))))
       .toDF("id", "dhash")
   }
 

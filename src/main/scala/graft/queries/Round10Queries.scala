@@ -52,7 +52,10 @@ object Round10Queries {
     (relA, relB)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++ pngQueries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // RELEASE-OVER-RELEASE DIFF through catalog time travel: release A
     // (corpus minus one slice) publishes as one catalog version,
@@ -289,7 +292,61 @@ object Round10Queries {
        |  FROM mana a FULL OUTER JOIN manb b ON a.doc_id = b.doc_id)""".stripMargin
   }
 
+  /** q174/q175: the q110 corpus/cluster shape under PNG containers —
+    * container format is exactly what must not matter, so both reuse
+    * q110's oracle VERBATIM (it replays decoded pixels).
+    */
+  private def perceptualClusters(media: org.apache.spark.sql
+      .Dataset[graft.multimodal.Multimodal.BmpMedia], s: SparkSession)
+      : DataFrame = {
+    implicit val sp: SparkSession = s
+    graft.multimodal.Perceptual.clusters(
+        graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+        maxHamming = 6)
+      .orderBy(col("id"))
+  }
+
+  private val pngQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PNG perceptual dedup: q110's planted corpus (same ids, dims,
+    // pixel formulas; re-encoded copy / 2x upscale / phase-shifted
+    // variants) carried in REAL PNG containers — zlib-deflated,
+    // CRC-checked, filter-decoded by the pure-JVM Png codec — through
+    // the UNCHANGED dHash/banded-hamming/CC machinery. Oracle = q110's
+    // SQL verbatim: the decoded pixels, and therefore every hash,
+    // pair, and cluster, must be identical under the new container.
+    "q174_png_perceptual" -> ((s, dir) => {
+      perceptualClusters(Round7Queries.mediaCorpus(s, dir,
+        graft.multimodal.Png.encode _, graft.multimodal.Png.decode _), s)
+    }),
+
+    // MIXED-format corpus: every odd-id row of the BMP corpus is
+    // re-encoded as PNG (same pixels, different container), then the
+    // whole relation flows through ONE door — Multimodal.decodeImage
+    // magic-sniffs per payload. A PNG re-encode of a BMP hashes
+    // identically, so clusters (and the oracle) are again q110
+    // verbatim: format-independent perceptual identity, proven.
+    "q175_mixed_format_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.multimodal.{Bmp, Multimodal, Png}
+      val media = Round7Queries.bmpMedia(s, dir).mapPartitions(_.map { m =>
+        if (m.doc_id % 2 == 1) {
+          val p = Png.encode(Bmp.decode(m.payload))
+          Multimodal.BmpMedia(m.doc_id, p, p.length)
+        } else m
+      })
+      perceptualClusters(media, s)
+    })
+  )
+
   val oracleSql: Map[String, String] = Map(
+
+    "q174_png_perceptual" ->
+      Round7Queries.oracleSql("q110_perceptual_dedup"),
+
+    "q175_mixed_format_dedup" ->
+      Round7Queries.oracleSql("q110_perceptual_dedup"),
 
     "q172_release_diff" ->
       s"""WITH RECURSIVE $releaseDiffCtes

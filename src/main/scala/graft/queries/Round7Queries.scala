@@ -122,6 +122,19 @@ object Round7Queries {
     * the verify threshold both ways).
     */
   private[queries] def bmpMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] =
+    mediaCorpus(s, dir, graft.multimodal.Bmp.encode _,
+      graft.multimodal.Bmp.decode _)
+
+  /** [[bmpMedia]] parameterized by codec: the SAME planted corpus
+    * (ids, dims, pixel formulas) under any encode/decode pair — q174
+    * passes the PNG codec and reuses q110's oracle VERBATIM, because
+    * the oracle replays decoded pixels and the container format is
+    * exactly what must not matter.
+    */
+  private[queries] def mediaCorpus(s: SparkSession, dir: String,
+      enc: graft.multimodal.Bmp.Image => Array[Byte],
+      dec: Array[Byte] => graft.multimodal.Bmp.Image)
       : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
     implicit val sp: SparkSession = s
     import s.implicits._
@@ -140,26 +153,26 @@ object Round7Queries {
         .as[(Long, Int, Int)]
         .mapPartitions(_.map { case (id, w, hh) =>
           val rgb = Array.tabulate(w * hh * 3)(i => pix(id, i, 0))
-          val p = Bmp.encode(Bmp.Image(w, hh, rgb))
+          val p = enc(Bmp.Image(w, hh, rgb))
           Multimodal.BmpMedia(id, p, p.length)
         })
       val orig = base.mapPartitions(_.map(m => m.copy(doc_id = m.doc_id * 4)))
       val reenc = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 3 == 0)
         .mapPartitions(_.map { m =>
-          val p = Bmp.encode(Bmp.decode(m.payload))
+          val p = enc(dec(m.payload))
           Multimodal.BmpMedia(m.doc_id * 4 + 1, p, p.length)
         })
       val resized = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 5 == 0)
         .mapPartitions(_.map { m =>
-          val img = Bmp.decode(m.payload)
-          val p = Bmp.encode(Bmp.resample(img, img.width * 2, img.height * 2))
+          val img = dec(m.payload)
+          val p = enc(Bmp.resample(img, img.width * 2, img.height * 2))
           Multimodal.BmpMedia(m.doc_id * 4 + 2, p, p.length)
         })
       val shifted = base.filter((m: Multimodal.BmpMedia) => m.doc_id % 7 == 0)
         .mapPartitions(_.map { m =>
-          val img = Bmp.decode(m.payload)
+          val img = dec(m.payload)
           val rgb = Array.tabulate(img.rgb.length)(i => pix(m.doc_id, i, 8))
-          val p = Bmp.encode(Bmp.Image(img.width, img.height, rgb))
+          val p = enc(Bmp.Image(img.width, img.height, rgb))
           Multimodal.BmpMedia(m.doc_id * 4 + 3, p, p.length)
         })
       orig.union(reenc).union(resized).union(shifted)

@@ -545,6 +545,59 @@ object ScaleProbe {
         .filter(col("n_tok") >= 0 && length(col("split")) > 0).count()
     }
 
+    // Token-balanced shards: one tokenize scan into the GLOBAL
+    // two-phase prefix sum over the salted-hash order + broadcast
+    // total — wall must track the range shuffle + slice windows (no
+    // per-shard funnel; numShards only parameterizes the cut
+    // arithmetic). Output rows exactly Nx.
+    def tokShards(d: DataFrame): Long =
+      graft.pipeline.Packing.tokenShards(d, "doc_id", "text", 8)
+        .filter(col("shard") >= 0 && col("n_tok") > 0).count()
+
+    // Curriculum schedule: quality scan -> band (row-local), epoch
+    // expansion via a broadcast 3-row cross join, admission filter,
+    // then ONE global two-phase order over (epoch, band, hash). Bands
+    // and epochs stay fixed; admitted rows (and output) grow exactly
+    // Nx. The 1x side runs the SUFFIXED replica (docs1r): the
+    // per-token perturbation destroys stopwords and therefore shifts
+    // quality bands, identically in every replica — suffixing both
+    // sides makes admitted rows (and output) exactly Nx.
+    def curriculumRun(d: DataFrame): Long =
+      graft.pipeline.Curriculum.schedule(d, "doc_id", "text",
+          epochs = 3, bands = 5)
+        .filter(col("ord") >= 1 && col("band") >= 0).count()
+
+    // Per-source cleaning funnel: the full stage chain (gates ->
+    // exact dedup -> LSH -> CC) + four source-keyed counts. Sources
+    // stay FIXED at ~20 while rows grow Nx — the funnel-exposing
+    // shape for the report joins; the stage chain itself is the
+    // release_manifest machinery (gate config plant-insensitive for
+    // the same reason as streamCorpus/releaseRun).
+    def funnelRun(d: DataFrame): Long = {
+      val cfg = graft.pipeline.CorpusPipeline.Config(minQuality = 0.0,
+        languages = Seq("en", "de", "fr", "es", "und"))
+      graft.pipeline.CorpusPipeline.funnelReport(d, "doc_id", "source",
+          "text", cfg)
+        .filter(col("n_final") >= 0 && col("n_in") > 0).count()
+    }
+
+    // Binary loader export: packing placement + token join + per-
+    // sequence assembly + TWO catalog publishes (the parquet write IS
+    // the operator — a loader artifact that is never materialized is
+    // not exported). Sequences, and therefore output rows and written
+    // bytes, grow exactly Nx.
+    def exportRun(d: DataFrame): Long = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-export").toString
+      val cat = new graft.catalog.ParquetCatalog(spark, root)
+      graft.pipeline.Packing.exportShards(d, "doc_id", "text", cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val n = bin.filter(col("n_tok") > 0).count()
+      graft.queries.Round7bQueries.rmTree(root)
+      n
+    }
+
     // Exact stratified split: per-source two-phase rank + boundary
     // cuts — wall must track the range shuffle + slice windows, never
     // a per-source funnel (sources stay FIXED at ~20 while rows grow
@@ -701,6 +754,14 @@ object ScaleProbe {
         time(releaseRun(docsN)))),
       "stratified_split" -> (() => (time(stratified(docsSrc1)),
         time(stratified(docsSrcN)))),
+      "token_shards" -> (() => (time(tokShards(docs1)),
+        time(tokShards(docsN)))),
+      "curriculum" -> (() => (time(curriculumRun(docs1r)),
+        time(curriculumRun(docsN)))),
+      "funnel_report" -> (() => (time(funnelRun(docsFull1r)),
+        time(funnelRun(docsFullN)))),
+      "shard_export" -> (() => (time(exportRun(docs1)),
+        time(exportRun(docsN)))),
       "perceptron_train" -> (() => (time(percTrain(docs1)),
         time(percTrain(docsN)))),
       "semantic_cross" -> (() => (time(semCross(sem1)),

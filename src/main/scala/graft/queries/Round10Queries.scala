@@ -14,6 +14,9 @@ object Round10Queries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
+  private val dotSql = (a: String, b: String) =>
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
   /** Small planted corpus for the DOUBLE-release-replay oracles
     * (q172/q173): base = every 4th document, plus the exact-copy and
     * tail-marker replicas (the q46 plant shape). The oracle must replay
@@ -95,6 +98,53 @@ object Round10Queries {
           smallCorpus(s, dir).select(col("doc_id"), col("source")),
           "doc_id", "source")
         .orderBy(col("source"))
+    }),
+
+    // SQL DELETE/UPDATE front door: Spark parses both natively but
+    // executes neither outside DSv2 — DmlSql compiles the parsed
+    // plans onto the catalog's copy-on-write publish (DELETE = one
+    // filter with ANSI NULL-keeps semantics; UPDATE = one projection
+    // with per-column when/otherwise), completing the DML triad with
+    // q101's MERGE. Two statements run against a catalog table seeded
+    // from documents; the oracle replays both as plain relational SQL.
+    "q176_sql_dml" -> ((s, dir) => {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("graft-q176").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      cat.create("docs_t", docs.schema)
+      cat.overwrite("docs_t", docs)
+      graft.scd.DmlSql.execute(s, cat,
+        "DELETE FROM docs_t WHERE doc_id % 5 = 3")
+      graft.scd.DmlSql.execute(s, cat,
+        "UPDATE docs_t SET text = concat(text, ' [redacted]') " +
+          "WHERE source = 'src5'")
+      val out = cat.table("docs_t").orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // HYBRID RETRIEVAL: BM25 top-50 (q99's ranker) fused with exact
+    // cosine top-50 around query vector 0 (q22's ranker) by
+    // Reciprocal Rank Fusion — the calibration-free first-stage
+    // retriever. Both rankings, the fixed-order two-term 1/(60+r)
+    // sums, and the fused top-20 replay bit-identically.
+    "q177_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("table", "join", "fast", "query").toDF("term")
+      val lex = graft.text.Bm25.rank(Tables(s, dir, "documents"),
+          "doc_id", "text", terms, k = 50)
+        .select(col("doc_id"), col("rank"))
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val vec = graft.similarity.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding",
+          k = 50)
+        .select(col("n_id").as("doc_id"), col("rank"))
+      graft.similarity.Hybrid.rrf(lex, vec, "doc_id", topK = 20)
+        .orderBy(col("rank"))
     }),
 
     // BINARY LOADER EXPORT, index side: export the packed corpus
@@ -347,6 +397,69 @@ object Round10Queries {
 
     "q175_mixed_format_dedup" ->
       Round7Queries.oracleSql("q110_perceptual_dedup"),
+
+    "q176_sql_dml" ->
+      """SELECT doc_id,
+        |  CASE WHEN source = 'src5' THEN text || ' [redacted]'
+        |       ELSE text END AS text,
+        |  source
+        |FROM documents
+        |WHERE NOT (doc_id % 5 = 3)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q177_hybrid_rrf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksExpr) AS token
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM toks GROUP BY doc_id),
+         |st AS (SELECT CAST(SUM(dl) AS BIGINT) AS tot, COUNT(*) AS nd
+         |  FROM dl),
+         |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks
+         |  WHERE token IN ('table', 'join', 'fast', 'query')
+         |  GROUP BY doc_id, token),
+         |dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+         |sc AS (SELECT t.doc_id, t.token,
+         |    ((CAST(st.nd AS DOUBLE) - d.df + 0.5::DOUBLE)
+         |      / (d.df + 0.5::DOUBLE))
+         |    * (t.tf * 2.2::DOUBLE)
+         |    / (t.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE
+         |        * (l.dl / (CAST(st.tot AS DOUBLE)
+         |                   / CAST(st.nd AS DOUBLE))))) AS score
+         |  FROM tf t
+         |  JOIN dfreq d USING (token)
+         |  JOIN dl l USING (doc_id)
+         |  CROSS JOIN st),
+         |pd AS (SELECT doc_id,
+         |    list_reduce([0.0::DOUBLE] || list(score ORDER BY token),
+         |      (x, y) -> x + y) AS bm25
+         |  FROM sc GROUP BY doc_id),
+         |lex AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+         |  FROM pd WHERE bm25 > 0) t WHERE rank <= 50),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |qv AS (SELECT e AS qe FROM emb WHERE vec_id = 0),
+         |cosr AS (SELECT c.vec_id AS doc_id,
+         |    ${dotSql("q.qe", "c.e")}
+         |      / sqrt(${dotSql("q.qe", "q.qe")}
+         |           * ${dotSql("c.e", "c.e")}) AS cosine
+         |  FROM qv q, emb c WHERE c.vec_id <> 0),
+         |vtop AS (SELECT doc_id, rank FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank
+         |  FROM cosr) t WHERE rank <= 50),
+         |fus AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    l.rank AS rank_a, v.rank AS rank_b,
+         |    COALESCE(1.0::DOUBLE / (60.0::DOUBLE + l.rank), 0.0::DOUBLE)
+         |      + COALESCE(1.0::DOUBLE / (60.0::DOUBLE + v.rank),
+         |          0.0::DOUBLE) AS rrf
+         |  FROM lex l FULL OUTER JOIN vtop v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, rank_a, rank_b, rrf, rank FROM (
+         |  SELECT doc_id, rank_a, rank_b, rrf,
+         |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
+         |  FROM fus) t
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q172_release_diff" ->
       s"""WITH RECURSIVE $releaseDiffCtes

@@ -212,16 +212,41 @@ object Packing {
     */
   def exportShards(docs: DataFrame, idCol: String, textCol: String,
       catalog: graft.catalog.ParquetCatalog, name: String,
+      seqLen: Int = 2048, numGroups: Int = 8): Unit =
+    exportShardsOf(idCol,
+      docs.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol)))
+          .as(Seq("pos", "tok"))),
+      catalog, name, seqLen, numGroups)
+
+  /** [[exportShards]] under an ARBITRARY tokenizer: `toks` is the
+    * token-stream relation `(idCol, pos, tok)` with `pos` 0-based and
+    * contiguous per document — e.g. the whitespace stream (the
+    * [[exportShards]] default) or the trained-BPE symbol stream
+    * ([[graft.text.Bpe.symbolStream]], the real-tokenizer loader
+    * path). The placement is the q91 arithmetic with `n_tok` counted
+    * FROM the stream, so placement and payload cannot disagree by
+    * construction.
+    */
+  def exportShardsOf(idCol: String, toks: DataFrame,
+      catalog: graft.catalog.ParquetCatalog, name: String,
       seqLen: Int = 2048, numGroups: Int = 8): Unit = {
     val id = col(idCol)
-    val placed = packSequences(docs, idCol, textCol, seqLen, numGroups)
+    val stream = toks.localCheckpoint() // two consumers: counts + payload
+    val counted = stream.groupBy(id)
+      .agg(count(lit(1)).as("n_tok"))
+      .select(id, (id % numGroups).as("grp"), col("n_tok"))
+    val placed = graft.operators.TwoPhase
+      .prefixSum(counted, Seq("grp"), Seq(idCol), col("n_tok"), "cum")
+      .withColumn("start_tok", col("cum") - col("n_tok"))
+      .withColumn("seq_first", expr(s"start_tok div ${seqLen}L"))
+      .withColumn("seq_off", col("start_tok") % lit(seqLen.toLong))
+      .withColumn("n_seqs",
+        expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
     val idx = sequenceManifest(placed, idCol, seqLen)
-    val toks = docs
-      .select(id, posexplode(TextAnalysis.tokens(col(textCol)))
-        .as(Seq("pos", "tok")))
-      .select(id, col("pos"), tokenId(col("tok")).as("tid"))
     val bin = placed.select(id, col("grp"), col("start_tok"))
-      .join(toks, Seq(idCol))
+      .join(stream.select(id, col("pos"),
+        tokenId(col("tok")).as("tid")), Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
       .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
         (col("tape") % seqLen).cast("int").as("off"), col("tid"))

@@ -147,6 +147,37 @@ object Round10Queries {
         .orderBy(col("rank"))
     }),
 
+    // BINARY LOADER EXPORT under the REAL tokenizer: merges trained
+    // on the corpus (q113's machinery), the per-doc BPE symbol stream
+    // (dictionary-side segmentation, q114's argument) exported through
+    // the same exportShardsOf path, read back, and checksummed per
+    // sequence. The oracle replays BPE training (12 unrolled rounds),
+    // per-occurrence dictionary join, document-order symbol positions,
+    // the q91 placement, and the positional weighted sum — training,
+    // tokenization, packing, and binary materialization verified as
+    // ONE chain.
+    "q178_export_bpe" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      val stream = graft.text.Bpe.symbolStream(docs, "doc_id", "text",
+        merges)
+      val root = Files.createTempDirectory("graft-q178").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
     // BINARY LOADER EXPORT, index side: export the packed corpus
     // through the catalog's atomic publish (bin + idx tables), then
     // read the published .idx back and emit it — the round trip
@@ -460,6 +491,37 @@ object Round10Queries {
          |    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rank
          |  FROM fus) t
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
+    "q178_export_bpe" ->
+      s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id, d.wpos,
+         |    list_filter(string_split(w.seg, chr(31)), x -> x <> '')
+         |      AS syms
+         |  FROM dw d JOIN w${Round7Queries.BpeK} w USING (word)),
+         |sy AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM sy),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off,
+         |    ${graft.pipeline.Packing.tokenIdSql("g.sym")} AS tid
+         |  FROM g JOIN p USING (doc_id))
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin,
 
     "q172_release_diff" ->
       s"""WITH RECURSIVE $releaseDiffCtes

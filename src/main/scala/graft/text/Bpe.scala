@@ -125,6 +125,36 @@ object Bpe {
         lit(wrap(m.lhs) + wrap(m.rhs)), lit(wrap(m.lhs + m.rhs)))
     })
 
+  /** Per-document BPE SYMBOL STREAM under the trained merges:
+    * `(idCol, pos, tok)` with `pos` the 0-based document-order symbol
+    * position — the input shape [[graft.pipeline.Packing
+    * .exportShardsOf]] consumes, making the binary loader export run
+    * under the REAL tokenizer instead of the whitespace stand-in.
+    *
+    * Scale shape: segmentation is applied DICTIONARY-side — each
+    * unique word runs the replace chain once, then joins back to word
+    * occurrences by key (the q114 vocabCounts argument); the only
+    * per-occurrence work is one bounded per-DOC window (symbol-count
+    * prefix over word positions) and a row-local explode. No
+    * corpus-scale CodegenFallback lambdas.
+    */
+  def symbolStream(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val id = col(idCol)
+    val occ = docs.select(id,
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "word")))
+    val dict = occ.select(col("word")).distinct()
+      .withColumn("syms", segment(col("word"), merges))
+      .withColumn("nsym", size(col("syms")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("wpos"))
+    occ.join(dict, Seq("word"))
+      .withColumn("base", sum(col("nsym")).over(w) - col("nsym"))
+      .select(id, col("base"),
+        posexplode(col("syms")).as(Seq("spos", "tok")))
+      .select(id, (col("base") + col("spos")).as("pos"), col("tok"))
+  }
+
   /** Corpus token counts under the trained merges: tokenize, segment
     * every word occurrence through the replace chain, count symbols.
     * Equal by construction to weighting the dict's segmentations by

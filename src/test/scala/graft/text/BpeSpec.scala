@@ -105,6 +105,32 @@ class BpeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("symbolStream: contiguous positions, document order, word-exact") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta alpha"), (2L, "gamma"), (3L, ""))
+      .toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(d, "text", 6)
+    val rows = Bpe.symbolStream(d, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(x => (x._2, x._3)).toSeq).toMap
+    // positions contiguous from 0
+    byDoc.values.foreach(seq =>
+      assert(seq.map(_._1) == (0L until seq.length).toSeq))
+    // concatenated symbols reproduce the words in order
+    def rejoin(seq: Seq[(Long, String)], words: Seq[String]): Unit = {
+      var rest = seq.map(_._2)
+      words.foreach { w =>
+        var acc = ""
+        while (acc != w) { acc += rest.head; rest = rest.tail }
+      }
+      assert(rest.isEmpty)
+    }
+    rejoin(byDoc(1L), Seq("alpha", "beta", "alpha"))
+    rejoin(byDoc(2L), Seq("gamma"))
+    assert(!byDoc.contains(3L)) // empty doc emits no stream rows
+  }
+
   test("fertility report matches plain-Scala per-word arithmetic") {
     val merges = Bpe.trainMerges(docs, "text", 6)
     val segCache = scala.collection.mutable.Map.empty[String, Long]

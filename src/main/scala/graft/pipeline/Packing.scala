@@ -261,6 +261,87 @@ object Packing {
     publish(catalog, s"${name}_idx", idx)
   }
 
+  /** INCREMENTAL export: append a new batch's token stream to a
+    * published [[exportShardsOf]] artifact — the log-structured ingest
+    * shape (each crawl drop extends the training tape; nothing already
+    * written moves). New documents place AFTER the stored tape of
+    * their group: every COMPLETE stored sequence is carried verbatim
+    * (never decoded, never rewritten — at 100 TB the append touches
+    * per group only ONE partial sequence plus the new data), each
+    * group's trailing partial sequence is completed by the new tokens,
+    * and the new manifest rows append to the stored `.idx`. Publishes
+    * both tables as new catalog versions (readers keep their
+    * snapshot); a missing table degrades to a fresh
+    * [[exportShardsOf]].
+    *
+    * Contract: appending batches b1, b2, … equals the one-shot export
+    * over their union IFF ids are monotone across batches within each
+    * group (batch order = id order — true for log-structured ids);
+    * within a batch, placement order is by id, as in the one-shot
+    * (q179's oracle is the one-shot replay over the union).
+    */
+  def appendShards(idCol: String, toks: DataFrame,
+      catalog: graft.catalog.ParquetCatalog, name: String,
+      seqLen: Int = 2048, numGroups: Int = 8): Unit = {
+    if (!catalog.exists(s"${name}_bin"))
+      return exportShardsOf(idCol, toks, catalog, name, seqLen, numGroups)
+    val id = col(idCol)
+    val (bin, idx) = readShards(catalog, name)
+    val stream = toks.localCheckpoint()
+    val counted = stream.groupBy(id)
+      .agg(count(lit(1)).as("n_tok"))
+      .select(id, (id % numGroups).as("grp"), col("n_tok"))
+    // stored per-group tape length + the first incomplete seq index
+    val totals = bin.groupBy(col("grp"))
+      .agg(sum(col("n_tok")).as("__gbase"))
+      .withColumn("__bseq", expr(s"__gbase div ${seqLen}L"))
+      .localCheckpoint()
+    val placed = graft.operators.TwoPhase
+      .prefixSum(counted, Seq("grp"), Seq(idCol), col("n_tok"), "cum")
+      .join(broadcast(totals), Seq("grp"), "left")
+      .withColumn("__gbase", coalesce(col("__gbase"), lit(0L)))
+      .withColumn("cum", col("cum") + col("__gbase"))
+      .withColumn("start_tok", col("cum") - col("n_tok"))
+      .withColumn("seq_first", expr(s"start_tok div ${seqLen}L"))
+      .withColumn("seq_off", col("start_tok") % lit(seqLen.toLong))
+      .withColumn("n_seqs",
+        expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
+    val newIdx = sequenceManifest(
+      placed.drop("__gbase", "__bseq"), idCol, seqLen)
+    // complete stored sequences carry verbatim; each group's partial
+    // (seq == __bseq, if any) decodes into (off, tid) rows and is
+    // re-packed together with the new tokens
+    val keepBin = bin.join(broadcast(totals.select(col("grp"),
+        col("__bseq"))), Seq("grp"))
+      .filter(col("seq") < col("__bseq"))
+      .select(col("grp"), col("seq"), col("n_tok"), col("tokens"))
+    val partialRows = bin.join(broadcast(totals.select(col("grp"),
+        col("__bseq"))), Seq("grp"))
+      .filter(col("seq") === col("__bseq"))
+      .select(col("grp"), col("seq"),
+        posexplode(graft.functions.TokenBinary.unpackCol(col("tokens")))
+          .as(Seq("off", "tid")))
+      .select(col("grp"), col("seq"), col("off").cast("int").as("off"),
+        col("tid"))
+    val newRows = placed.select(id, col("grp"), col("start_tok"))
+      .join(stream.select(id, col("pos"),
+        tokenId(col("tok")).as("tid")), Seq(idCol))
+      .withColumn("tape", col("start_tok") + col("pos"))
+      .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
+        (col("tape") % seqLen).cast("int").as("off"), col("tid"))
+    val rebuilt = partialRows.unionByName(newRows)
+      .groupBy(col("grp"), col("seq"))
+      .agg(sort_array(collect_list(struct(col("off"), col("tid"))))
+        .as("ot"))
+      .select(col("grp"), col("seq"),
+        size(col("ot")).cast("long").as("n_tok"),
+        graft.functions.TokenBinary.packCol(
+          transform(col("ot"), s => s.getField("tid"))).as("tokens"))
+    publish(catalog, s"${name}_bin",
+      keepBin.unionByName(rebuilt), partitionBy = Seq("grp"))
+    publish(catalog, s"${name}_idx", idx.unionByName(newIdx))
+  }
+
   /** Read back an [[exportShards]] artifact: `(bin, idx)` as published
     * (bin's `grp` re-cast to long — hive partition discovery infers
     * int). `binDecoded` additionally surfaces the token ids as an

@@ -147,6 +147,97 @@ object Round10Queries {
         .orderBy(col("rank"))
     }),
 
+    // INCREMENTAL export: a second batch (fresh higher ids, the
+    // log-structured ingest shape) appends to the published artifact —
+    // complete stored sequences carry verbatim (never decoded), only
+    // each group's trailing partial sequence is completed by the new
+    // tokens. Oracle = the ONE-SHOT export replay over the union:
+    // "appended == exported from scratch", checksummed per sequence.
+    "q179_incremental_export" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val batch2 = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      val root = Files.createTempDirectory("graft-q179").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShards(docs, "doc_id", "text", cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      graft.pipeline.Packing.appendShards("doc_id",
+        batch2.select(col("doc_id"),
+          posexplode(graft.text.TextAnalysis.tokens(col("text")))
+            .as(Seq("pos", "tok"))),
+        cat, "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // ...and the STREAMING door: slices land as files (mtimes pin the
+    // arrival order — the export tape is order-DEPENDENT, and the
+    // monotone-ids-per-batch contract maps to oldest-first file
+    // processing), each micro-batch folds via appendShards. Oracle =
+    // the one-shot export over the union of slices, verbatim shape.
+    "q180_stream_export" -> ((s, dir) => {
+      import java.nio.file.Files
+      import java.nio.file.attribute.FileTime
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val root = Files.createTempDirectory("graft-q180").toString
+      val land = Files.createTempDirectory("graft-q180-land").toString
+      val cp = Files.createTempDirectory("graft-q180-cp").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      (0 to 2).foreach { k =>
+        val slice = docs.filter(col("doc_id") % 3 === k)
+          .select((col("doc_id") + k * 10000000L).as("doc_id"),
+            col("text"))
+        val tmp = Files.createTempDirectory(s"graft-q180-s$k").toString
+        slice.coalesce(1).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex
+          .foreach { case (f, i) =>
+            val dst = new java.io.File(s"$land/s$k-$i.parquet").toPath
+            Files.copy(f.toPath, dst)
+            Files.setLastModifiedTime(dst,
+              FileTime.fromMillis(1000000000000L + k * 60000L))
+          }
+        Round7bQueries.rmTree(tmp)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.pipeline.Packing.appendShards("doc_id",
+            batch.select(col("doc_id"),
+              posexplode(graft.text.TextAnalysis.tokens(col("text")))
+                .as(Seq("pos", "tok"))),
+            cat, "shards", seqLen = 2048, numGroups = 8)
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root); Round7bQueries.rmTree(land)
+      Round7bQueries.rmTree(cp)
+      out
+    }),
+
     // BINARY LOADER EXPORT under the REAL tokenizer: merges trained
     // on the corpus (q113's machinery), the per-doc BPE symbol stream
     // (dictionary-side segmentation, q114's argument) exported through
@@ -421,6 +512,30 @@ object Round10Queries {
     })
   )
 
+  /** The whitespace-export checksum replay (q171's oracle) over an
+    * arbitrary corpus CTE named `uc` — shared by q171 (documents),
+    * q179 (two-batch union), q180 (three-slice union): the
+    * incremental/streaming doors' oracle IS the one-shot export.
+    */
+  private def exportWsumSql(corpusCte: String): String =
+    s"""WITH $corpusCte,
+       |t AS (SELECT doc_id, doc_id % 8 AS grp, $toksExpr AS ts
+       |  FROM uc),
+       |c AS (SELECT doc_id, grp, CAST(len(ts) AS BIGINT) AS n_tok, ts
+       |  FROM t WHERE len(ts) > 0),
+       |p AS (SELECT doc_id, grp, ts,
+       |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) - n_tok AS start_tok
+       |  FROM c),
+       |tok AS (SELECT grp, (start_tok + i - 1) // 2048 AS seq,
+       |    (start_tok + i - 1) % 2048 AS off,
+       |    ${graft.pipeline.Packing.tokenIdSql("ts[i]")} AS tid
+       |  FROM p, UNNEST(generate_series(1, len(ts))) AS u(i))
+       |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+       |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q174_png_perceptual" ->
@@ -555,22 +670,28 @@ object Round10Queries {
     // to materialize)
     "q170_export_idx" -> Round6Queries.oracleSql("q106_seq_manifest"),
 
-    "q171_export_bin" ->
-      s"""WITH t AS (SELECT doc_id, doc_id % 8 AS grp, $toksExpr AS ts
-         |  FROM documents),
-         |c AS (SELECT doc_id, grp, CAST(len(ts) AS BIGINT) AS n_tok, ts
-         |  FROM t WHERE len(ts) > 0),
-         |p AS (SELECT doc_id, grp, ts,
-         |    CAST(SUM(n_tok) OVER (PARTITION BY grp ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |      AS BIGINT) - n_tok AS start_tok
-         |  FROM c),
-         |tok AS (SELECT grp, (start_tok + i - 1) // 2048 AS seq,
-         |    (start_tok + i - 1) % 2048 AS off,
-         |    ${graft.pipeline.Packing.tokenIdSql("ts[i]")} AS tid
-         |  FROM p, UNNEST(generate_series(1, len(ts))) AS u(i))
-         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
-         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin
+    "q171_export_bin" -> exportWsumSql(
+      "uc AS (SELECT doc_id, text FROM documents)"),
+
+    // one-shot replay over the two-batch union — "appended == exported
+    // from scratch"
+    "q179_incremental_export" -> exportWsumSql(
+      """uc AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 2 = 0)""".stripMargin),
+
+    // one-shot replay over the three-slice union — "streamed ==
+    // exported from scratch" under the pinned arrival order
+    "q180_stream_export" -> exportWsumSql(
+      """uc AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text FROM documents
+        |  WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, text FROM documents
+        |  WHERE doc_id % 3 = 2)""".stripMargin)
   )
 }

@@ -101,6 +101,43 @@ class ShardExportSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(root)
   }
 
+  test("appendShards: batched ingest == one-shot export over the union") {
+    import graft.text.TextAnalysis
+    val b1 = docs.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    def stream(d: org.apache.spark.sql.DataFrame) =
+      d.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+    val rootInc = Files.createTempDirectory("graft-app-inc").toString
+    val catInc = new ParquetCatalog(spark, rootInc)
+    Packing.exportShards(b1, "doc_id", "text", catInc, "t",
+      seqLen = SeqLen, numGroups = Groups)
+    Packing.appendShards("doc_id", stream(b2), catInc, "t",
+      seqLen = SeqLen, numGroups = Groups)
+    val rootOne = Files.createTempDirectory("graft-app-one").toString
+    val catOne = new ParquetCatalog(spark, rootOne)
+    Packing.exportShards(b1.unionByName(b2), "doc_id", "text", catOne,
+      "t", seqLen = SeqLen, numGroups = Groups)
+    def binRows(c: ParquetCatalog) = Packing.binDecoded(
+        Packing.readShards(c, "t")._1)
+      .select(col("grp"), col("seq"), col("n_tok"), col("tids"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getSeq[Int](3)))).toMap
+    def idxRows(c: ParquetCatalog) = Packing.readShards(c, "t")._2
+      .collect().map(_.toSeq).toSet
+    assert(binRows(catInc) == binRows(catOne))
+    assert(binRows(catInc).nonEmpty)
+    assert(idxRows(catInc) == idxRows(catOne))
+    // append into a missing table degrades to a fresh export
+    Packing.appendShards("doc_id", stream(b1), catInc, "fresh",
+      seqLen = SeqLen, numGroups = Groups)
+    assert(catInc.exists("fresh_bin") && catInc.exists("fresh_idx"))
+    graft.queries.Round7bQueries.rmTree(rootInc)
+    graft.queries.Round7bQueries.rmTree(rootOne)
+  }
+
   test("export republish is atomic: a second export advances the version") {
     val root = Files.createTempDirectory("graft-shard-v2").toString
     val cat = new ParquetCatalog(spark, root)

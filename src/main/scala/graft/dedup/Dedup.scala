@@ -294,21 +294,39 @@ object Dedup {
     */
   private def spanRelations(docs: DataFrame, idCol: String,
       textCol: String, k: Int, maxDf: Long): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
-    val toks = docs.select(col(idCol).as("doc"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
-    val grams = toks
-      .withColumn("lastTok", lead(col("tok"), k - 1).over(w))
-      .withColumn("gram", md5(concat_ws(" ", parts: _*)))
-      .filter(col("lastTok").isNotNull)
-      .select(col("doc"), col("pos"), col("gram"))
+    val grams = positionalGrams(docs, idCol, textCol, k)
     val dupGrams = grams.groupBy(col("gram"))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .filter(if (maxDf > 0) col("n") <= maxDf else lit(true))
       .select("gram")
     val starts = grams.join(dupGrams, "gram").select(col("doc"), col("pos"))
-    val spans = starts
+    (grams, mergeStarts(starts, k))
+  }
+
+  /** Positional k-gram relation `(doc, pos, gram)` — the shared front
+    * of every span analysis (positions matter here, unlike
+    * [[hashedShingles]] which dedupes row-locally).
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val toks = docs.select(col(idCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val parts = col("tok") +: (1 until k).map(i => lead(col("tok"), i).over(w))
+    toks
+      .withColumn("lastTok", lead(col("tok"), k - 1).over(w))
+      .withColumn("gram", md5(concat_ws(" ", parts: _*)))
+      .filter(col("lastTok").isNotNull)
+      .select(col("doc"), col("pos"), col("gram"))
+  }
+
+  /** Merge marked start positions into maximal spans (the gap-break
+    * sessionization pattern): `(doc, span, n_starts, len, from_tok,
+    * to_tok)` — a run of starts s..e covers tokens [s, e + k).
+    */
+  private def mergeStarts(starts: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    starts
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(w) === 1, lit(0L))
           .otherwise(lit(1L)))
@@ -319,7 +337,6 @@ object Dedup {
         (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("len"),
         min(col("pos")).cast("long").as("from_tok"),
         (max(col("pos")) + lit(k)).cast("long").as("to_tok"))
-    (grams, spans)
   }
 
   /** Maximal duplicated-span extents: one row per merged span,
@@ -347,9 +364,61 @@ object Dedup {
     * @return (idCol, textCol): the scrubbed corpus
     */
   def scrubDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, maxDf: Long = 0L): DataFrame =
+    scrubByRanges(docs, idCol, textCol,
+      duplicateSpanRanges(docs, idCol, textCol, k, maxDf))
+
+  /** CROSS-corpus SPAN scrub — decontamination at PASSAGE granularity:
+    * rewrite each train document with every token covered by a k-gram
+    * that ALSO occurs in the eval corpus removed. Dropping whole
+    * matched documents (q120's `decontaminateNearDup`) is the
+    * similarity posture; benchmarks leak as PASSAGES quoted inside
+    * otherwise-fine documents, and the passage is what must go — this
+    * is the [[scrubDuplicateSpans]] action keyed on the CROSS gram
+    * set instead of the within-corpus repeat set.
+    *
+    * Shape: positional k-grams on both sides; the contaminated set is
+    * the eval side's DISTINCT gram values (optionally capped by
+    * combined document frequency — boilerplate is boilerplate
+    * whichever corpus it lives in, the [[graft.text.Winnow
+    * .crossMatches]] rule); train starts semi-join it, merge into
+    * maximal spans, and the rebuild is the one-per-doc sorted collect.
+    * Nothing all-pairs anywhere: the only cross-corpus contact is the
+    * gram-keyed semi join.
+    *
+    * @return (idCol, textCol): the scrubbed train corpus
+    */
+  def scrubCrossSpans(train: DataFrame, idCol: String, textCol: String,
+      evalDocs: DataFrame, evalIdCol: String, evalTextCol: String,
       k: Int = 8, maxDf: Long = 0L): DataFrame = {
-    val ranges = duplicateSpanRanges(docs, idCol, textCol, k, maxDf)
-      .withColumnRenamed(idCol, "doc")
+    val tg = positionalGrams(train, idCol, textCol, k)
+    val eg = positionalGrams(evalDocs, evalIdCol, evalTextCol, k)
+    val contaminated = {
+      val base = eg.select(col("gram")).distinct()
+      if (maxDf > 0) {
+        val ok = tg.select(col("gram")).unionAll(eg.select(col("gram")))
+          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+          .filter(col("n") <= maxDf).select("gram")
+        base.join(ok, Seq("gram"), "left_semi")
+      } else base
+    }
+    val starts = tg.join(contaminated, Seq("gram"), "left_semi")
+      .select(col("doc"), col("pos"))
+    scrubByRanges(train, idCol, textCol,
+      mergeStarts(starts, k)
+        .select(col("doc").as(idCol), col("from_tok"), col("to_tok")))
+  }
+
+  /** Rewrite each doc with tokens in `ranges` ((idCol, from_tok,
+    * to_tok) — [from, to) token spans) removed; docs without ranges
+    * pass through whitespace-normalized. Token positions semi-join the
+    * ranges (keyed on the doc id; ranges per doc are few), survivors
+    * anti-join back, rebuild is one per-doc sorted collect — the only
+    * higher-order call runs once per document, never per token pair.
+    */
+  private def scrubByRanges(docs: DataFrame, idCol: String,
+      textCol: String, rangesIn: DataFrame): DataFrame = {
+    val ranges = rangesIn.withColumnRenamed(idCol, "doc")
     val toks = docs.select(col(idCol).as("doc"),
       posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val covered = toks.join(ranges,

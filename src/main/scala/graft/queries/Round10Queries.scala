@@ -147,6 +147,45 @@ object Round10Queries {
         .orderBy(col("rank"))
     }),
 
+    // Per-source CALIBRATED quality gate: keep each source's top 3/4
+    // by quality — the per-source quantile threshold as a rank cut
+    // (exact where interpolated percentiles are engine-dependent);
+    // fixes the absolute-threshold bug where one global cut over-gates
+    // sources whose score distribution sits lower. Rank rides the
+    // two-phase prefix sum, never a source-sized window funnel.
+    "q182_calibrated_gate" -> ((s, dir) => {
+      graft.quality.Calibrate.topFractionBySource(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("text")),
+          "doc_id", "source", "text", keepNum = 3, keepDen = 4)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CROSS-corpus SPAN scrub: benchmarks leak as PASSAGES quoted
+    // inside otherwise-fine documents — dropping whole matched docs
+    // (q120's posture) throws the document away; this removes exactly
+    // the leaked span. Eval plant: whole-doc copies (matched docs
+    // scrub to empty), 12-token prefixes (exactly the prefix run
+    // leaves the doc), fresh docs (no effect). Combined-df cap 64
+    // guards boilerplate grams.
+    "q181_cross_span_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val ev = docs.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 6000000L).as("doc_id"),
+            array_join(slice(graft.text.TextAnalysis.tokens(col("text")),
+              1, 12), " ").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+              lit(" with wholly unique content")).as("text")))
+      graft.dedup.Dedup.scrubCrossSpans(docs, "doc_id", "text",
+          ev, "doc_id", "text", k = 8, maxDf = 64L)
+        .orderBy(col("doc_id"))
+    }),
+
     // INCREMENTAL export: a second batch (fresh higher ids, the
     // log-structured ingest shape) appends to the published artifact —
     // complete stored sequences carry verbatim (never decoded), only
@@ -543,6 +582,70 @@ object Round10Queries {
 
     "q175_mixed_format_dedup" ->
       Round7Queries.oracleSql("q110_perceptual_dedup"),
+
+    "q182_calibrated_gate" -> {
+      import PipelineQueries.qualityExprSql
+      s"""WITH scored AS (SELECT doc_id, source,
+         |  $qualityExprSql AS quality
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS src_rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM scored)
+         |SELECT doc_id, source, quality, src_rank, n_src,
+         |  ((src_rank - 1) * 4 < n_src * 3) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q181_cross_span_scrub" ->
+      s"""WITH ev AS (
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+         |  WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000,
+         |    array_to_string(($toksExpr)[1:12], ' ')
+         |  FROM documents WHERE doc_id % 7 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 7000000, 'fresh eval doc ' || doc_id::VARCHAR
+         |    || ' with wholly unique content'
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |tts AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |tg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+         |  FROM tts, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+         |ets AS (SELECT doc_id, $toksExpr AS ts FROM ev),
+         |eg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+         |  FROM ets, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+         |capok AS (SELECT gram FROM (
+         |    SELECT gram FROM tg UNION ALL SELECT gram FROM eg)
+         |  GROUP BY gram HAVING COUNT(*) <= 64),
+         |cont AS (SELECT DISTINCT gram FROM eg
+         |  WHERE gram IN (SELECT gram FROM capok)),
+         |dp AS (SELECT doc_id, pos FROM tg
+         |  WHERE gram IN (SELECT gram FROM cont)),
+         |ranges AS (SELECT doc_id, span, MIN(pos) AS f,
+         |    MAX(pos) + 8 AS t FROM (
+         |  SELECT doc_id, pos,
+         |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS span
+         |  FROM (SELECT doc_id, pos,
+         |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+         |        ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+         |    FROM dp))
+         |  GROUP BY doc_id, span),
+         |toks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, ts[i] AS tok
+         |  FROM tts, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |kept AS (SELECT k.doc_id, k.p, k.tok FROM toks k
+         |  WHERE NOT EXISTS (SELECT 1 FROM ranges r
+         |    WHERE r.doc_id = k.doc_id AND k.p >= r.f AND k.p < r.t)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT c.doc_id, COALESCE(a.text, '') AS text
+         |FROM documents c LEFT JOIN agg a USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q176_sql_dml" ->
       """SELECT doc_id,

@@ -142,4 +142,34 @@ class DuplicateSpansSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert((1L to 6L).forall(i => out(i) == s"h1 h2 h3 u${i}a u${i}b"))
   }
+
+  test("scrubCrossSpans removes eval passages, keeps within-train dups") {
+    val train = df(
+      1L -> "t1 t2 e1 e2 e3 t3",     // quotes the eval passage
+      2L -> "s1 s2 s3 u1 u2 u3",     // shares s1 s2 s3 with doc 3 only
+      3L -> "s1 s2 s3 v1 v2 v3",     //   (within-train dup: NOT scrubbed)
+      4L -> "w1 w2 w3 w4 w5 w6")     // clean
+    val ev = df(10L -> "e1 e2 e3", 11L -> "x1 x2 x3")
+    val out = Dedup.scrubCrossSpans(train, "doc_id", "text",
+        ev, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "t1 t2 t3")
+    assert(out(2L) == "s1 s2 s3 u1 u2 u3")
+    assert(out(3L) == "s1 s2 s3 v1 v2 v3")
+    assert(out(4L) == "w1 w2 w3 w4 w5 w6")
+  }
+
+  test("scrubCrossSpans: full copy empties; combined-df cap guards boilerplate") {
+    val a = "c1 c2 c3 c4"
+    val out = Dedup.scrubCrossSpans(df(1L -> a), "doc_id", "text",
+        df(10L -> a), "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "")
+    // gram "h1 h2 h3" occurs 5x combined (> maxDf 4) -> kept
+    val train = df((1L to 4L).map(i => i -> s"h1 h2 h3 z${i}a z${i}b"): _*)
+    val out2 = Dedup.scrubCrossSpans(train, "doc_id", "text",
+        df(10L -> "h1 h2 h3"), "doc_id", "text", k = 3, maxDf = 4L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 4L).forall(i => out2(i) == s"h1 h2 h3 z${i}a z${i}b"))
+  }
 }

@@ -32,6 +32,8 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_upsample('docs', 'doc_id', 'weight_ppm')")
   * spark.sql("SELECT * FROM graft_token_shards('docs', 'doc_id', 'text', 8)")
   * spark.sql("SELECT * FROM graft_release_diff('rel_v1', 'rel_v2', 'doc_id')")
+  * spark.sql("SELECT * FROM graft_scrub_cross('train', 'eval', 'doc_id', 'text', 8, 64)")
+  * spark.sql("SELECT * FROM graft_calibrated_gate('docs', 'doc_id', 'source', 'text', 3, 4)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -266,6 +268,30 @@ object GraftTableFunctions {
       str(args(2), u)))
   }
 
+  private val scrubCross: Builder = { args =>
+    val u = "graft_scrub_cross(trainTable, evalTable, idCol, textCol" +
+      "[, k[, maxDf]])"
+    require(args.length >= 4 && args.length <= 6, u)
+    val s = SparkSession.active
+    val k = if (args.length >= 5) int(args(4), u) else 8
+    val maxDf = if (args.length == 6) int(args(5), u).toLong else 0L
+    val id = str(args(2), u)
+    val text = str(args(3), u)
+    plan(graft.dedup.Dedup.scrubCrossSpans(
+      s.table(str(args.head, u)), id, text,
+      s.table(str(args(1), u)), id, text, k, maxDf))
+  }
+
+  private val calibratedGate: Builder = { args =>
+    val u = "graft_calibrated_gate(table, idCol, srcCol, textCol, " +
+      "keepNum, keepDen)"
+    require(args.length == 6, u)
+    val s = SparkSession.active
+    plan(graft.quality.Calibrate.topFractionBySource(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      str(args(3), u), int(args(4), u).toLong, int(args(5), u).toLong))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -297,5 +323,7 @@ object GraftTableFunctions {
     "graft_upsample" -> upsample,
     "graft_token_shards" -> tokenShards,
     "graft_release_diff" -> releaseDiff,
+    "graft_scrub_cross" -> scrubCross,
+    "graft_calibrated_gate" -> calibratedGate,
     "graft_table_at" -> tableAt)
 }

@@ -598,6 +598,27 @@ object ScaleProbe {
       n
     }
 
+    // Cross-corpus span scrub: train grows Nx, the eval gram set stays
+    // FIXED (replica 0's %9 docs) — the decontamination posture. Only
+    // replica 0's grams can match (per-token suffixes make replica
+    // gram spaces disjoint), so scrubbed spans stay constant while the
+    // gram build + semi join + rebuild scale with the corpus.
+    val scrubEval = docs1r.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      .localCheckpoint()
+    def crossScrub(d: DataFrame): Long =
+      graft.dedup.Dedup.scrubCrossSpans(d, "doc_id", "text",
+          scrubEval, "doc_id", "text", k = 8, maxDf = 64L)
+        .filter(length(col("text")) >= 0).count()
+
+    // Per-source calibrated gate: sources stay FIXED at ~20 while rows
+    // grow Nx — the rank must ride the two-phase slicing, never a
+    // source-sized window funnel. Output rows exactly Nx.
+    def calGate(d: DataFrame): Long =
+      graft.quality.Calibrate.topFractionBySource(d, "doc_id", "source",
+          "text", 3L, 4L)
+        .filter(col("src_rank") >= 1 && col("n_src") > 0).count()
+
     // Exact stratified split: per-source two-phase rank + boundary
     // cuts — wall must track the range shuffle + slice windows, never
     // a per-source funnel (sources stay FIXED at ~20 while rows grow
@@ -762,6 +783,10 @@ object ScaleProbe {
         time(funnelRun(docsFullN)))),
       "shard_export" -> (() => (time(exportRun(docs1)),
         time(exportRun(docsN)))),
+      "cross_scrub" -> (() => (time(crossScrub(docs1r)),
+        time(crossScrub(docsN)))),
+      "calibrated_gate" -> (() => (time(calGate(docsFull1r)),
+        time(calGate(docsFullN)))),
       "perceptron_train" -> (() => (time(percTrain(docs1)),
         time(percTrain(docsN)))),
       "semantic_cross" -> (() => (time(semCross(sem1)),

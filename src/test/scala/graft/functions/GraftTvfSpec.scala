@@ -330,6 +330,37 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_scrub_cross TVF == Dedup.scrubCrossSpans") {
+    docs.createOrReplaceTempView("tvf_docs")
+    docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 900L).as("doc_id"), $"text")
+      .createOrReplaceTempView("tvf_eval")
+    val ev = docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 900L).as("doc_id"), $"text")
+    val sql = spark.sql(
+      "SELECT * FROM graft_scrub_cross('tvf_docs', 'tvf_eval', " +
+        "'doc_id', 'text', 3, 0) ORDER BY doc_id")
+    val api = graft.dedup.Dedup.scrubCrossSpans(docs, "doc_id", "text",
+        ev, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_calibrated_gate TVF == Calibrate.topFractionBySource") {
+    docs.withColumn("source", concat(lit("src"), $"doc_id" % 3))
+      .createOrReplaceTempView("tvf_src_docs")
+    val src = docs.withColumn("source", concat(lit("src"), $"doc_id" % 3))
+    val sql = spark.sql(
+      "SELECT * FROM graft_calibrated_gate('tvf_src_docs', 'doc_id', " +
+        "'source', 'text', 1, 2) ORDER BY doc_id")
+    val api = graft.quality.Calibrate.topFractionBySource(src,
+        "doc_id", "source", "text", 1L, 2L)
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -228,9 +228,17 @@ object Packing {
     * FROM the stream, so placement and payload cannot disagree by
     * construction.
     */
+  /** @param vocabIds optional `(token, id)` relation assigning REAL
+    *   vocabulary ids (e.g. [[graft.text.Bpe.vocab]]) instead of the
+    *   portable hash ids — the production id scheme; tokens absent
+    *   from the vocab encode as −1 (the loader's `<unk>` slot), so a
+    *   frozen vocab applied to later batches degrades loudly rather
+    *   than silently renumbering.
+    */
   def exportShardsOf(idCol: String, toks: DataFrame,
       catalog: graft.catalog.ParquetCatalog, name: String,
-      seqLen: Int = 2048, numGroups: Int = 8): Unit = {
+      seqLen: Int = 2048, numGroups: Int = 8,
+      vocabIds: Option[DataFrame] = None): Unit = {
     val id = col(idCol)
     val stream = toks.localCheckpoint() // two consumers: counts + payload
     val counted = stream.groupBy(id)
@@ -244,9 +252,17 @@ object Packing {
       .withColumn("n_seqs",
         expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
     val idx = sequenceManifest(placed, idCol, seqLen)
+    val tids = vocabIds match {
+      case Some(v) => stream
+        .join(v.select(col("token").as("tok"),
+          col("id").cast("int").as("__vid")), Seq("tok"), "left")
+        .select(id, col("pos"),
+          coalesce(col("__vid"), lit(-1)).as("tid"))
+      case None => stream.select(id, col("pos"),
+        tokenId(col("tok")).as("tid"))
+    }
     val bin = placed.select(id, col("grp"), col("start_tok"))
-      .join(stream.select(id, col("pos"),
-        tokenId(col("tok")).as("tid")), Seq(idCol))
+      .join(tids, Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
       .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
         (col("tape") % seqLen).cast("int").as("off"), col("tid"))

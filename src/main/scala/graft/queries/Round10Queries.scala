@@ -186,6 +186,56 @@ object Round10Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // The VOCAB-ID export: the third loader artifact. Real loaders
+    // consume (bin, idx, vocab) — q178's hash ids prove the binary
+    // chain but no loader maps hashes; here the trained tokenizer's
+    // vocabulary (contiguous ids by count DESC, token ASC — the
+    // global row number, never a single-partition sort) assigns the
+    // ids in the buffers, and the vocab table publishes alongside.
+    // Oracle replays training + vocab ranking + tape + checksum.
+    "q183_export_vocab_ids" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      val stream = graft.text.Bpe.symbolStream(docs, "doc_id", "text",
+        merges)
+      val voc = graft.text.Bpe.vocab(docs, "text", merges)
+      val root = Files.createTempDirectory("graft-q183").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8,
+        vocabIds = Some(voc))
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // ...and the published vocab table itself, read back: the
+    // deterministic id assignment IS the artifact contract (two
+    // engines must agree on every (token, id, n) row or the binary
+    // buffers mean different text).
+    "q184_vocab_table" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      val voc = graft.text.Bpe.vocab(docs, "text", merges)
+      val root = Files.createTempDirectory("graft-q184").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      cat.create("vocab", voc.schema)
+      cat.overwrite("vocab", voc)
+      val out = cat.table("vocab").orderBy(col("id")).localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
     // INCREMENTAL export: a second batch (fresh higher ids, the
     // log-structured ingest shape) appends to the published artifact —
     // complete stored sequences carry verbatim (never decoded), only
@@ -582,6 +632,59 @@ object Round10Queries {
 
     "q175_mixed_format_dedup" ->
       Round7Queries.oracleSql("q110_perceptual_dedup"),
+
+    "q183_export_vocab_ids" ->
+      s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id, d.wpos,
+         |    list_filter(string_split(w.seg, chr(31)), x -> x <> '')
+         |      AS syms
+         |  FROM dw d JOIN w${Round7Queries.BpeK} w USING (word)),
+         |sy AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |vc AS (SELECT sym AS token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sy GROUP BY sym),
+         |vid AS (SELECT token,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS vid
+         |  FROM vc),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM sy),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off, v.vid AS tid
+         |  FROM g JOIN p USING (doc_id)
+         |  JOIN vid v ON v.token = g.sym)
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin,
+
+    "q184_vocab_table" ->
+      s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id,
+         |    list_filter(string_split(w.seg, chr(31)), x -> x <> '')
+         |      AS syms
+         |  FROM dw d JOIN w${Round7Queries.BpeK} w USING (word)),
+         |sy AS (SELECT syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |vc AS (SELECT sym AS token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sy GROUP BY sym)
+         |SELECT token,
+         |  ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS id, n
+         |FROM vc ORDER BY id""".stripMargin,
 
     "q182_calibrated_gate" -> {
       import PipelineQueries.qualityExprSql

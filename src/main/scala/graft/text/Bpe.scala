@@ -155,6 +155,24 @@ object Bpe {
       .select(id, (col("base") + col("spos")).as("pos"), col("tok"))
   }
 
+  /** VOCABULARY artifact of the trained tokenizer: `(token, id, n)`
+    * with contiguous ids from 0 assigned by (count DESC, token ASC) —
+    * the vocab file a loader pairs with the binary token export
+    * (q183/q184: bin + idx + vocab is the complete loader artifact
+    * set). The rank rides the two-phase global row number — a real
+    * vocab is hundreds of thousands of entries, never worth a
+    * single-partition sort, and the order is total so ids are
+    * deterministic on any layout.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    graft.operators.Ranking.globalRowNumber(
+        vocabCounts(docs, textCol, merges)
+          .withColumn("__negn", -col("n")),
+        Seq("__negn", "token"), "id")
+      .select(col("token"), (col("id") - 1L).cast("int").as("id"),
+        col("n"))
+
   /** Corpus token counts under the trained merges: tokenize, segment
     * every word occurrence through the replace chain, count symbols.
     * Equal by construction to weighting the dict's segmentations by

@@ -186,6 +186,36 @@ object Round10Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // RELEASE → EXPORT end to end: the whole production path in one
+    // query — clean, dedup, decontaminate, split (q144's verified
+    // chain), then the TRAIN slice materializes as the binary loader
+    // artifact through the catalog. The oracle replays the release
+    // chain AND the tape checksum as one statement: from raw corpus to
+    // the bytes a loader maps, every stage bit-certified.
+    "q185_release_export" -> ((s, dir) => {
+      import java.nio.file.Files
+      val corpus = smallCorpus(s, dir).select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      val rel = graft.pipeline.CorpusPipeline.release(
+        corpus, smallEval(s, dir), "doc_id", "text")
+      val train = rel.filter(col("split") === "train")
+        .select(col("doc_id"))
+      val docs = corpus.join(train, Seq("doc_id"), "left_semi")
+      val root = Files.createTempDirectory("graft-q185").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShards(docs, "doc_id", "text", cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
     // The VOCAB-ID export: the third loader artifact. Real loaders
     // consume (bin, idx, vocab) — q178's hash ids prove the binary
     // chain but no loader maps hashes; here the trained tokenizer's
@@ -519,11 +549,10 @@ object Round10Queries {
        |  n_tok FROM mm$x)""".stripMargin
   }
 
-  /** Shared preamble for q172/q173: planted corpus (A = minus the
-    * `% 23 == 5` slice, B = full), shared eval chain, both release
-    * chains, and the full-outer per-doc diff.
+  /** Planted small corpus + shared eval chain — the preamble every
+    * release-replay oracle opens with (q172/q173/q185).
     */
-  private lazy val releaseDiffCtes: String = {
+  private lazy val releasePreamble: String = {
     import PipelineQueries.{shinglesSql, sigBucketsSql}
     s"""baseS AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
        |plant AS (
@@ -533,13 +562,21 @@ object Round10Queries {
        |  UNION ALL
        |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM baseS
        |  WHERE doc_id % 11 = 0),
-       |corpusa AS (SELECT doc_id, text FROM plant WHERE doc_id % 23 <> 5),
-       |corpusb AS (SELECT doc_id, text FROM plant),
        |ev AS (SELECT doc_id + 5000000 AS doc_id, text FROM baseS
        |  WHERE doc_id % 13 = 0),
        |${shinglesSql("ev", "e")},
        |${sigBucketsSql("e")},
-       |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id),
+       |sizese AS (SELECT doc_id, count(*) AS nb FROM she GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Shared CTEs for q172/q173: the preamble, both corpora (A = minus
+    * the `% 23 == 5` slice, B = full), both release chains, and the
+    * full-outer per-doc diff.
+    */
+  private lazy val releaseDiffCtes: String = {
+    s"""$releasePreamble,
+       |corpusa AS (SELECT doc_id, text FROM plant WHERE doc_id % 23 <> 5),
+       |corpusb AS (SELECT doc_id, text FROM plant),
        |${releaseChain("a")},
        |${releaseChain("b")},
        |diff AS (
@@ -606,9 +643,9 @@ object Round10Queries {
     * q179 (two-batch union), q180 (three-slice union): the
     * incremental/streaming doors' oracle IS the one-shot export.
     */
-  private def exportWsumSql(corpusCte: String): String =
-    s"""WITH $corpusCte,
-       |t AS (SELECT doc_id, doc_id % 8 AS grp, $toksExpr AS ts
+  /** The tape + checksum tail over a corpus CTE named `uc`. */
+  private lazy val exportWsumCoreSql: String =
+    s"""t AS (SELECT doc_id, doc_id % 8 AS grp, $toksExpr AS ts
        |  FROM uc),
        |c AS (SELECT doc_id, grp, CAST(len(ts) AS BIGINT) AS n_tok, ts
        |  FROM t WHERE len(ts) > 0),
@@ -625,6 +662,10 @@ object Round10Queries {
        |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
        |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin
 
+  private def exportWsumSql(corpusCte: String): String =
+    s"""WITH $corpusCte,
+       |$exportWsumCoreSql""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q174_png_perceptual" ->
@@ -632,6 +673,15 @@ object Round10Queries {
 
     "q175_mixed_format_dedup" ->
       Round7Queries.oracleSql("q110_perceptual_dedup"),
+
+    "q185_release_export" ->
+      s"""WITH RECURSIVE $releasePreamble,
+         |corpusb AS (SELECT doc_id, text FROM plant),
+         |${releaseChain("b")},
+         |uc AS (SELECT c.doc_id, c.text FROM corpusb c
+         |  JOIN manb m ON m.doc_id = c.doc_id
+         |  WHERE m.split = 'train'),
+         |$exportWsumCoreSql""".stripMargin,
 
     "q183_export_vocab_ids" ->
       s"""WITH ${Round7Queries.bpeCtes(Round7Queries.BpeK)},

@@ -393,20 +393,77 @@ object Dedup {
       k: Int = 8, maxDf: Long = 0L): DataFrame = {
     val tg = positionalGrams(train, idCol, textCol, k)
     val eg = positionalGrams(evalDocs, evalIdCol, evalTextCol, k)
-    val contaminated = {
-      val base = eg.select(col("gram")).distinct()
-      if (maxDf > 0) {
-        val ok = tg.select(col("gram")).unionAll(eg.select(col("gram")))
-          .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-          .filter(col("n") <= maxDf).select("gram")
-        base.join(ok, Seq("gram"), "left_semi")
-      } else base
-    }
-    val starts = tg.join(contaminated, Seq("gram"), "left_semi")
+    val starts = tg.join(contaminatedGrams(eg, tg, maxDf),
+        Seq("gram"), "left_semi")
       .select(col("doc"), col("pos"))
     scrubByRanges(train, idCol, textCol,
       mergeStarts(starts, k)
         .select(col("doc").as(idCol), col("from_tok"), col("to_tok")))
+  }
+
+  /** The cross-corpus contaminated-gram set: `fromGrams`' DISTINCT gram
+    * values, optionally capped by COMBINED document frequency over both
+    * sides (boilerplate is boilerplate whichever corpus it lives in).
+    */
+  private def contaminatedGrams(fromGrams: DataFrame,
+      otherGrams: DataFrame, maxDf: Long): DataFrame = {
+    val base = fromGrams.select(col("gram")).distinct()
+    if (maxDf > 0) {
+      val ok = fromGrams.select(col("gram"))
+        .unionAll(otherGrams.select(col("gram")))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxDf).select("gram")
+      base.join(ok, Seq("gram"), "left_semi")
+    } else base
+  }
+
+  /** EVAL-side contamination coverage — the benchmark-integrity
+    * REPORT dual of [[scrubCrossSpans]]: for each eval document, what
+    * fraction of its tokens is covered by a k-gram that also occurs in
+    * the training corpus (the overlap statistic a model card reports
+    * per benchmark before trusting its numbers — [[scrubCrossSpans]]
+    * repairs the train side; this MEASURES the eval side, which must
+    * never be edited). Exact integer ppm, so the number replays
+    * bit-identically in the oracle.
+    *
+    * Shape: positional k-grams both sides; the contaminated set is the
+    * TRAIN side's distinct grams under the combined-df cap; eval
+    * starts semi-join it (gram-keyed — never all-pairs), merge into
+    * maximal spans, and coverage counts DISTINCT covered positions
+    * (runs of near-adjacent starts overlap in covered tokens, so span
+    * lengths must not simply add). Every eval doc gets a row — zero
+    * coverage is the healthy answer, and its absence would read as a
+    * missing benchmark, not a clean one.
+    *
+    * @return one row per eval doc: (evalIdCol, n_tok, covered_tok,
+    *   coverage_ppm) with coverage_ppm = covered·10⁶ div n_tok
+    */
+  def crossContaminationReport(train: DataFrame, idCol: String,
+      textCol: String, evalDocs: DataFrame, evalIdCol: String,
+      evalTextCol: String, k: Int = 8, maxDf: Long = 0L): DataFrame = {
+    val tg = positionalGrams(train, idCol, textCol, k)
+    val eg = positionalGrams(evalDocs, evalIdCol, evalTextCol, k)
+    val starts = eg.join(contaminatedGrams(tg, eg, maxDf),
+        Seq("gram"), "left_semi")
+      .select(col("doc"), col("pos"))
+    val ranges = mergeStarts(starts, k)
+    val toks = evalDocs.select(col(evalIdCol).as("doc"),
+      posexplode(TextAnalysis.tokens(col(evalTextCol))).as(Seq("pos", "tok")))
+    val covered = toks.join(ranges,
+      toks("doc") === ranges("doc") &&
+        col("pos") >= col("from_tok") && col("pos") < col("to_tok"),
+      "left_semi")
+    val nt = toks.groupBy(col("doc")).agg(count(lit(1)).as("n_tok"))
+    val cv = covered.groupBy(col("doc"))
+      .agg(count(lit(1)).as("covered_tok"))
+    evalDocs.select(col(evalIdCol))
+      .join(nt.withColumnRenamed("doc", evalIdCol), Seq(evalIdCol), "left")
+      .join(cv.withColumnRenamed("doc", evalIdCol), Seq(evalIdCol), "left")
+      .withColumn("n_tok", coalesce(col("n_tok"), lit(0L)))
+      .withColumn("covered_tok", coalesce(col("covered_tok"), lit(0L)))
+      .withColumn("coverage_ppm",
+        when(col("n_tok") > 0,
+          expr("covered_tok * 1000000 div n_tok")).otherwise(lit(0L)))
   }
 
   /** Rewrite each doc with tokens in `ranges` ((idCol, from_tok,

@@ -50,4 +50,37 @@ object Calibrate {
       .select(id, src, col("quality"), col("src_rank"), col("n_src"),
         col("keep"))
   }
+
+  /** Per-source RANK BUCKETS over an arbitrary pre-scored relation —
+    * the CCNet posture (Wenzek et al. 2020): rather than gate on an
+    * absolute score, each source's documents are split into `nBuckets`
+    * equal rank bands (head / middle / tail for 3) by its OWN score
+    * distribution, and the training mixture later samples the bands at
+    * different rates. Bucket assignment is the exact integer
+    * `(rank−1)·nBuckets div n_src` — 0 = best band — on a rank ordered
+    * by (score DESC, id ASC), so two engines agree on every boundary
+    * (an interpolated per-source quantile would not replay).
+    *
+    * Same scale shape as [[topFractionBySource]]: the per-source rank
+    * rides the two-phase prefix sum, totals are a sources-row
+    * broadcast — never a source-sized window funnel.
+    *
+    * @param scored one row per doc with at least (idCol, srcCol,
+    *   scoreCol); extra columns pass through un-consulted
+    * @return (idCol, srcCol, scoreCol, src_rank, n_src, bucket)
+    */
+  def rankBucketsBySource(scored: DataFrame, idCol: String,
+      srcCol: String, scoreCol: String, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "need nBuckets > 0")
+    val base = scored.select(col(idCol), col(srcCol), col(scoreCol))
+    val ranked = graft.operators.TwoPhase.prefixSum(
+      base.withColumn("__negs", -col(scoreCol)),
+      Seq(srcCol), Seq("__negs", idCol), lit(1L), "src_rank")
+    val totals = base.groupBy(col(srcCol)).agg(count(lit(1)).as("n_src"))
+    ranked.join(broadcast(totals), Seq(srcCol))
+      .withColumn("bucket",
+        expr(s"(src_rank - 1) * $nBuckets div n_src"))
+      .select(col(idCol), col(srcCol), col(scoreCol), col("src_rank"),
+        col("n_src"), col("bucket"))
+  }
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 continuation: the benchmark-integrity REPORT side of
+  * decontamination (q186/q187), CCNet-style per-source LM-familiarity
+  * rank buckets (q188), and the quantized-vector loader artifact
+  * (q189). Every query replays bit-identically in the DuckDB oracle.
+  */
+object Round10bQueries {
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** The q186 eval plant: whole-doc train copies (coverage 10⁶ ppm),
+    * 12-token train prefixes + an unseen suffix (partial coverage —
+    * exactly the prefix run), and fresh docs (coverage 0).
+    */
+  private def evalPlant(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(
+            array_join(slice(graft.text.TextAnalysis.tokens(col("text")),
+              1, 12), " "),
+            lit(" eval suffix "), col("doc_id").cast("string"),
+            lit(" unseen tail marker words")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 7000000L).as("doc_id"),
+          concat(lit("fresh eval doc "), col("doc_id").cast("string"),
+            lit(" with wholly unique content")).as("text")))
+  }
+
+  private def contaminationReport(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.crossContaminationReport(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", evalPlant(s, dir), "doc_id", "text",
+      k = 8, maxDf = 64L)
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // EVAL-side contamination coverage: per benchmark document, the
+    // fraction of its tokens covered by an 8-gram that also occurs in
+    // the training corpus — the overlap statistic a model card reports
+    // before trusting a benchmark number (q181 repairs the TRAIN side;
+    // the eval side must never be edited, only measured). Plant:
+    // whole-copies read 1000000 ppm, prefix+unseen-suffix docs read
+    // exactly the prefix fraction, fresh docs read 0.
+    "q186_contamination_coverage" -> ((s, dir) => {
+      contaminationReport(s, dir).orderBy(col("doc_id"))
+    }),
+
+    // ...rolled up per BENCHMARK (the plant's three families): doc
+    // counts, token totals, aggregate coverage ppm, and how many docs
+    // were hit at all — the per-benchmark row an eval-integrity
+    // dashboard shows.
+    "q187_benchmark_contamination" -> ((s, dir) => {
+      contaminationReport(s, dir)
+        .withColumn("bench", expr("doc_id div 1000000"))
+        .groupBy(col("bench"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tok"),
+          sum(col("covered_tok")).as("covered_tok"),
+          sum(when(col("covered_tok") > 0, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("coverage_ppm",
+          expr("covered_tok * 1000000 div n_tok"))
+        .select(col("bench"), col("n_docs"), col("n_tok"),
+          col("covered_tok"), col("n_hit"), col("coverage_ppm"))
+        .orderBy(col("bench"))
+    }),
+
+    // CCNet-style LM-familiarity BUCKETS: q160's stupid-backoff scores
+    // (counts fit on even sources, odd sources scored — every backoff
+    // branch live), then each source's scored docs split into
+    // head/middle/tail thirds by its OWN score distribution — the
+    // per-source rank banding (Wenzek et al. 2020) that feeds
+    // band-weighted sampling, exact where a per-source quantile value
+    // would be engine-dependent.
+    "q188_familiarity_buckets" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val scored = graft.text.Repetition.backoffScore(
+        docs.filter(srcnum % 2 === 0).select(col("doc_id"), col("text")),
+        docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      graft.quality.Calibrate.rankBucketsBySource(
+          scored.join(docs.select(col("doc_id"), col("source")),
+            Seq("doc_id")),
+          "doc_id", "source", "score_mean", nBuckets = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // QUANTIZED VECTOR artifact: embeddings int8-quantized (the
+    // q42/q66/q92 bit-portable scheme), packed one signed byte per
+    // component, published through the catalog's atomic versioned
+    // swap, read back, and checksummed per vector with the
+    // order-pinning Σ(i+1)·b_i FROM THE BYTES — the embedding-side
+    // loader artifact completing the set (tokens q170/q171, vocab
+    // q183/q184). The oracle replays the quantization formula from the
+    // float originals and never sees a byte of binary.
+    "q189_vector_artifact" -> ((s, dir) => {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("graft-q189").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.similarity.VectorStore.exportVectors(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cat, "vecs")
+      val out = graft.similarity.VectorStore.readVectors(cat, "vecs")
+        .select(col("vec_id"), col("dims"),
+          graft.functions.VectorBinary.weightedSumI8Col(col("buf"))
+            .as("q_wsum"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    })
+  )
+
+  /** Both gram chains + the train-side contaminated set + the per-doc
+    * coverage report as a CTE block ending in
+    * `rep(doc_id, n_tok, covered_tok, coverage_ppm)` — q181's replay
+    * with the roles swapped and counting in place of scrubbing.
+    */
+  private lazy val contaminationCtes: String =
+    s"""ev AS (
+       |  SELECT doc_id + 5000000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 9 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000,
+       |    array_to_string(($toksExpr)[1:12], ' ') ||
+       |      ' eval suffix ' || doc_id::VARCHAR ||
+       |      ' unseen tail marker words'
+       |  FROM documents WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 7000000, 'fresh eval doc ' ||
+       |    doc_id::VARCHAR || ' with wholly unique content'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |tts AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+       |tg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+       |  FROM tts, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+       |ets AS (SELECT doc_id, $toksExpr AS ts FROM ev),
+       |eg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    md5(array_to_string(ts[i:i+7], ' ')) AS gram
+       |  FROM ets, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)),
+       |capok AS (SELECT gram FROM (
+       |    SELECT gram FROM tg UNION ALL SELECT gram FROM eg)
+       |  GROUP BY gram HAVING COUNT(*) <= 64),
+       |cont AS (SELECT DISTINCT gram FROM tg
+       |  WHERE gram IN (SELECT gram FROM capok)),
+       |dp AS (SELECT doc_id, pos FROM eg
+       |  WHERE gram IN (SELECT gram FROM cont)),
+       |ranges AS (SELECT doc_id, span, MIN(pos) AS f,
+       |    MAX(pos) + 8 AS t FROM (
+       |  SELECT doc_id, pos,
+       |    CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS span
+       |  FROM (SELECT doc_id, pos,
+       |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+       |        ORDER BY pos) = 1 THEN 0 ELSE 1 END AS brk
+       |    FROM dp))
+       |  GROUP BY doc_id, span),
+       |etoks AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p
+       |  FROM ets, UNNEST(generate_series(1, len(ts))) AS u(i)),
+       |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS covered_tok
+       |  FROM etoks k
+       |  WHERE EXISTS (SELECT 1 FROM ranges r
+       |    WHERE r.doc_id = k.doc_id AND k.p >= r.f AND k.p < r.t)
+       |  GROUP BY doc_id),
+       |rep AS (SELECT e.doc_id, CAST(len(e.ts) AS BIGINT) AS n_tok,
+       |    COALESCE(c.covered_tok, 0) AS covered_tok,
+       |    CASE WHEN len(e.ts) > 0
+       |      THEN COALESCE(c.covered_tok, 0) * 1000000
+       |        // CAST(len(e.ts) AS BIGINT)
+       |      ELSE CAST(0 AS BIGINT) END AS coverage_ppm
+       |  FROM ets e LEFT JOIN cov c USING (doc_id))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q186_contamination_coverage" ->
+      s"""WITH $contaminationCtes
+         |SELECT doc_id, n_tok, covered_tok, coverage_ppm
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    "q187_benchmark_contamination" ->
+      s"""WITH $contaminationCtes
+         |SELECT doc_id // 1000000 AS bench,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+         |  CAST(SUM(covered_tok) AS BIGINT) AS covered_tok,
+         |  CAST(SUM(CASE WHEN covered_tok > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_hit,
+         |  CAST(SUM(covered_tok) AS BIGINT) * 1000000
+         |    // CAST(SUM(n_tok) AS BIGINT) AS coverage_ppm
+         |FROM rep GROUP BY bench ORDER BY bench""".stripMargin,
+
+    "q188_familiarity_buckets" ->
+      s"""WITH base AS (${Round9cQueries.backoff160Sql}),
+         |j AS (SELECT b.doc_id, d.source, b.score_mean
+         |  FROM base b JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, source, score_mean,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY score_mean DESC, doc_id) AS src_rank,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM j)
+         |SELECT doc_id, source, score_mean, src_rank, n_src,
+         |  (src_rank - 1) * 3 // n_src AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q189_vector_artifact" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |  list_max(list_transform(e, x -> abs(x))) AS mab FROM emb),
+        |qz AS (SELECT vec_id, CAST(len(e) AS BIGINT) AS dims,
+        |    list_transform(e, x -> CAST(round((x * 127.0) / mab)
+        |      AS BIGINT)) AS q
+        |  FROM m WHERE mab > 0)
+        |SELECT vec_id, dims, CAST(SUM(i * q[i]) AS BIGINT) AS q_wsum
+        |FROM qz, UNNEST(generate_series(1, len(q))) AS u(i)
+        |GROUP BY vec_id, dims ORDER BY vec_id""".stripMargin
+  )
+}

@@ -304,7 +304,7 @@ object Round9cQueries {
     * merged count store over any batching must reproduce every
     * score).
     */
-  private val backoff160Sql: String =
+  private[queries] val backoff160Sql: String =
     s"""WITH d AS (SELECT doc_id,
          |    CAST(substr(source, 4) AS INT) AS srcnum,
          |    $toksExpr AS t

@@ -172,4 +172,43 @@ class DuplicateSpansSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert((1L to 4L).forall(i => out2(i) == s"h1 h2 h3 z${i}a z${i}b"))
   }
+
+  private def report(train: Seq[(Long, String)], ev: Seq[(Long, String)],
+      maxDf: Long = 0L) =
+    Dedup.crossContaminationReport(df(train: _*), "doc_id", "text",
+        df(ev: _*), "doc_id", "text", k = 3, maxDf = maxDf)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+
+  test("contamination report: full copy 10^6 ppm, partial exact, fresh 0") {
+    val train = Seq(1L -> "t1 t2 t3 t4 t5 t6")
+    val ev = Seq(
+      10L -> "t1 t2 t3 t4 t5 t6",          // full copy
+      11L -> "t1 t2 t3 x1 x2 x3",          // 3-token prefix leaked
+      12L -> "f1 f2 f3 f4 f5 f6")          // fresh
+    val out = report(train, ev)
+    assert(out(10L) == ((6L, 6L, 1000000L)))
+    assert(out(11L) == ((6L, 3L, 500000L)))
+    assert(out(12L) == ((6L, 0L, 0L)))
+  }
+
+  test("contamination report: overlapping spans count positions once") {
+    // eval grams at starts 0 and 2 both leak (start 1's gram does not):
+    // spans [0,3) and [2,5) overlap at position 2 -> covered 5, not 6
+    val train = Seq(1L -> "a b c q1 q2", 2L -> "c d e q3 q4")
+    val ev = Seq(10L -> "a b c d e z9")
+    val out = report(train, ev)
+    assert(out(10L) == ((6L, 5L, 833333L)))
+  }
+
+  test("contamination report: combined-df cap excludes boilerplate; " +
+      "every eval doc gets a row") {
+    // "h1 h2 h3" occurs 5x combined (> maxDf 4): not counted as leak
+    val train = (1L to 4L).map(i => i -> s"h1 h2 h3 z${i}a z${i}b")
+    val ev = Seq(10L -> "h1 h2 h3", 11L -> "n1 n2")  // 11: < k tokens
+    val out = report(train, ev, maxDf = 4L)
+    assert(out(10L) == ((3L, 0L, 0L)))
+    assert(out(11L) == ((2L, 0L, 0L)))   // too short to gram — still reported
+  }
 }

@@ -46,4 +46,37 @@ class CalibrateSpec extends SparkSpec {
       .filter(col("keep")).count()
     assert(kept == 4) // ceil(5 * 3/4) = 4
   }
+
+  test("rank buckets: per-source thirds on skewed distributions") {
+    // A's scores all sit ABOVE B's — a global cut would put all of A
+    // in the head; per-source banding gives each source its own thirds
+    val rows = (1L to 6L).map(i => (i, "A", 100.0 + i)) ++
+      (11L to 16L).map(i => (i, "B", i.toDouble / 100))
+    val docs = rows.toDF("doc_id", "source", "score")
+    val out = Calibrate.rankBucketsBySource(docs, "doc_id", "source",
+        "score", nBuckets = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5)))).toMap
+    // 6 docs per source -> buckets of 2; rank 1 = highest score
+    Seq("A" -> Seq(6L, 5L, 4L, 3L, 2L, 1L),
+        "B" -> Seq(16L, 15L, 14L, 13L, 12L, 11L)).foreach {
+      case (_, byScoreDesc) =>
+        byScoreDesc.zipWithIndex.foreach { case (id, i) =>
+          assert(out(id) == ((i + 1L, i / 2L)),
+            s"doc $id expected rank ${i + 1} bucket ${i / 2}, got ${out(id)}")
+        }
+    }
+  }
+
+  test("rank buckets: uneven n, ties broken by id, bucket monotone") {
+    // 5 docs, 3 buckets: ranks 1-5 -> (r-1)*3 div 5 = 0,0,1,1,2
+    val docs = Seq((1L, "S", 9.0), (2L, "S", 9.0), (3L, "S", 5.0),
+      (4L, "S", 5.0), (5L, "S", 1.0)).toDF("doc_id", "source", "score")
+    val out = Calibrate.rankBucketsBySource(docs, "doc_id", "source",
+        "score", nBuckets = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(5))))
+      .toMap
+    assert(out == Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L)),
+      3L -> ((3L, 1L)), 4L -> ((4L, 1L)), 5L -> ((5L, 2L))))
+  }
 }

@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_release_diff('rel_v1', 'rel_v2', 'doc_id')")
   * spark.sql("SELECT * FROM graft_scrub_cross('train', 'eval', 'doc_id', 'text', 8, 64)")
   * spark.sql("SELECT * FROM graft_calibrated_gate('docs', 'doc_id', 'source', 'text', 3, 4)")
+  * spark.sql("SELECT * FROM graft_contamination_report('train', 'eval', 'doc_id', 'text', 8, 64)")
+  * spark.sql("SELECT * FROM graft_rank_buckets('scored', 'doc_id', 'source', 'score', 3)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -292,6 +294,29 @@ object GraftTableFunctions {
       str(args(3), u), int(args(4), u).toLong, int(args(5), u).toLong))
   }
 
+  private val contaminationReport: Builder = { args =>
+    val u = "graft_contamination_report(trainTable, evalTable, idCol, " +
+      "textCol[, k[, maxDf]])"
+    require(args.length >= 4 && args.length <= 6, u)
+    val s = SparkSession.active
+    val k = if (args.length >= 5) int(args(4), u) else 8
+    val maxDf = if (args.length == 6) int(args(5), u).toLong else 0L
+    val id = str(args(2), u)
+    val text = str(args(3), u)
+    plan(graft.dedup.Dedup.crossContaminationReport(
+      s.table(str(args.head, u)), id, text,
+      s.table(str(args(1), u)), id, text, k, maxDf))
+  }
+
+  private val rankBuckets: Builder = { args =>
+    val u = "graft_rank_buckets(table, idCol, srcCol, scoreCol, nBuckets)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    plan(graft.quality.Calibrate.rankBucketsBySource(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      str(args(3), u), int(args(4), u)))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -325,5 +350,7 @@ object GraftTableFunctions {
     "graft_release_diff" -> releaseDiff,
     "graft_scrub_cross" -> scrubCross,
     "graft_calibrated_gate" -> calibratedGate,
+    "graft_contamination_report" -> contaminationReport,
+    "graft_rank_buckets" -> rankBuckets,
     "graft_table_at" -> tableAt)
 }

@@ -361,6 +361,38 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_contamination_report TVF == Dedup.crossContaminationReport") {
+    docs.createOrReplaceTempView("tvf_docs")
+    docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 900L).as("doc_id"), $"text")
+      .createOrReplaceTempView("tvf_eval")
+    val ev = docs.filter($"doc_id" % 4 === 0)
+      .select(($"doc_id" + 900L).as("doc_id"), $"text")
+    val sql = spark.sql(
+      "SELECT * FROM graft_contamination_report('tvf_docs', 'tvf_eval', " +
+        "'doc_id', 'text', 3, 0) ORDER BY doc_id")
+    val api = graft.dedup.Dedup.crossContaminationReport(docs, "doc_id",
+        "text", ev, "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
+  test("graft_rank_buckets TVF == Calibrate.rankBucketsBySource") {
+    val scored = docs
+      .withColumn("source", concat(lit("src"), $"doc_id" % 3))
+      .withColumn("score", ($"doc_id" % 7).cast("double"))
+    scored.createOrReplaceTempView("tvf_scored")
+    val sql = spark.sql(
+      "SELECT * FROM graft_rank_buckets('tvf_scored', 'doc_id', " +
+        "'source', 'score', 3) ORDER BY doc_id")
+    val api = graft.quality.Calibrate.rankBucketsBySource(scored,
+        "doc_id", "source", "score", 3)
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

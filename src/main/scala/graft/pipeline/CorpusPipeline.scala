@@ -45,6 +45,18 @@ object CorpusPipeline {
   case class ClassifierGate(weights: DataFrame, dim: Int,
       thresholdNum: Long, thresholdDen: Long)
 
+  /** CCNet-style reference-LM familiarity gate (Wenzek et al. 2020):
+    * FITTED stupid-backoff counts ([[graft.text.Repetition.LmCounts]],
+    * frozen — the fit/apply split) + a minimum MEAN per-context score
+    * in ppm, compared as the exact integer
+    * `score_sum ≥ minScorePpm · n_ctx` (mean ≥ threshold without the
+    * division). Drops out-of-distribution text the heuristic gates
+    * cannot see; per-doc against frozen state, so batch-at-a-time ==
+    * one-shot and the streaming front door applies it unchanged.
+    */
+  case class FamiliarityGate(counts: graft.text.Repetition.LmCounts,
+      minScorePpm: Long)
+
   /** @param dsir optional stage-1d DSIR importance-resampling gate: a
     *   FITTED [[Dsir.Model]] (frozen ratio table + mean normalizer)
     *   applied after the classifier gate — the "make the mixture look
@@ -61,7 +73,8 @@ object CorpusPipeline {
       keepBest: Boolean = false,
       collisionBand: Option[(Long, Long, Long, Long)] = None,
       classifier: Option[ClassifierGate] = None,
-      dsir: Option[Dsir.Model] = None)
+      dsir: Option[Dsir.Model] = None,
+      familiarity: Option[FamiliarityGate] = None)
 
   /** Stage-1 row-local gates (quality score + predicted language): a
     * pure codegen scan emitting `(id, text, quality, lang_pred)` for
@@ -121,6 +134,36 @@ object CorpusPipeline {
       gated.join(ok, Seq(idCol), "left_semi")
   }
 
+  /** Stage-1e optional LM-familiarity gate over the DSIR survivors
+    * (the costliest per-doc stage — five keyed joins against the
+    * frozen count relations — so it runs last and sees the smallest
+    * set). Docs under 3 tokens produce no score row and would drop,
+    * but are unreachable after the quality gate's 5-token minimum.
+    */
+  def familiarityGate(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.familiarity match {
+    case None => gated
+    case Some(f) =>
+      val ok = graft.text.Repetition.backoffScoreWith(f.counts,
+          gated.select(col(idCol), col(textCol)), idCol, textCol)
+        .filter(col("score_sum") >= col("n_ctx") * f.minScorePpm)
+        .select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
+  /** The optional per-doc band stages in ascending per-doc cost —
+    * entropy band → classifier → DSIR → LM familiarity — as ONE
+    * composition shared by [[stages]] and the streaming front door
+    * ([[graft.streaming.StreamingCorpus]]): a stage added here reaches
+    * every consumer (each stage is per-doc against frozen state, so
+    * per-batch application over any partitioning equals the one-shot).
+    */
+  def bandStages(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame =
+    familiarityGate(dsirGate(classifierGate(
+      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg), idCol, textCol, cfg)
+
   /** Stage-boundary relations of one run of the verified pipeline
     * chain — the single implementation [[clean]], [[release]], and
     * [[funnelReport]] all consume, so a stage added to the pipeline
@@ -161,9 +204,7 @@ object CorpusPipeline {
     val id = col(idCol)
     val gated = rowGates(docs, idCol, textCol, cfg)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = dsirGate(classifierGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg)
+    val banded = bandStages(gated, idCol, textCol, cfg)
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))
     val exact = banded.join(keep, Seq(idCol), "left_semi")

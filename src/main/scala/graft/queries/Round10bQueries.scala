@@ -104,6 +104,57 @@ object Round10bQueries {
     // loader artifact completing the set (tokens q170/q171, vocab
     // q183/q184). The oracle replays the quantization formula from the
     // float originals and never sees a byte of binary.
+    // FAMILIARITY-GATED pipeline: CCNet's reference-LM gate as stage
+    // 1e of the verified clean chain — backoff counts FIT on the
+    // even-numbered sources (frozen: the fit/apply split), every gate
+    // survivor scored per trigram context, kept iff its mean score
+    // ≥ 40000 ppm as the exact integer score_sum ≥ 40000·n_ctx.
+    // Threshold measured on this corpus: in-fit (even) sources mean
+    // ~90-106k ppm, held-out (odd) ~33-47k — 40000 keeps all of the
+    // fit distribution and drops the unfamiliar ~45% of the held-out
+    // tail, so the gate is load-bearing. Oracle replays q46
+    // stage-for-stage with the backoff CTEs inserted.
+    "q191_pipeline_familiarity" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val counts = graft.text.Repetition.fitBackoffMaterialized(
+        docs.filter(srcnum % 2 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      CorpusPipeline.clean(PipelineQueries.corpus(s, dir), "doc_id",
+          "text", CorpusPipeline.Config(familiarity = Some(
+            CorpusPipeline.FamiliarityGate(counts, minScorePpm = 40000L))))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ANN SERVED FROM THE ARTIFACT: the published int8 vector store is
+    // not just verifiable, it is CONSUMABLE — read back, decode, and
+    // serve brute-force quantized cosine top-10 (vec_id < 50 as the
+    // query set) straight from the bytes. Integer dots are exact, so
+    // the served ranking must equal q66's direct quantized ranking in
+    // every row: the oracle is q66's SQL VERBATIM, replaying the
+    // quantization from the float originals — export → publish →
+    // decode → serve changes nothing.
+    "q190_artifact_ann" -> ((s, dir) => {
+      import java.nio.file.Files
+      val root = Files.createTempDirectory("graft-q190").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.similarity.VectorStore.exportVectors(
+        Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cat, "vecs")
+      val dec = graft.similarity.VectorStore.vectorsDecoded(
+          graft.similarity.VectorStore.readVectors(cat, "vecs"))
+        .select(col("vec_id"), col("qvec"))
+      val out = graft.similarity.VectorStore.servedTopK(dec,
+          dec.filter(col("vec_id") < 50), "vec_id", "qvec", k = 10)
+        .orderBy(col("q_id"), col("rank"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
     "q189_vector_artifact" -> ((s, dir) => {
       import java.nio.file.Files
       val root = Files.createTempDirectory("graft-q189").toString
@@ -213,6 +264,91 @@ object Round10bQueries {
          |SELECT doc_id, source, score_mean, src_rank, n_src,
          |  (src_rank - 1) * 3 // n_src AS bucket
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q66's SQL verbatim: the artifact round trip must not move a
+    // single ranking
+    "q190_artifact_ann" -> Round3Queries.oracleSql("q66_quantized_ann"),
+
+    // q46's stage-for-stage replay with the backoff-LM gate CTEs
+    // (q160's fit arithmetic, fb-prefixed) inserted before exact dedup
+    "q191_pipeline_familiarity" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE $corpusSql,
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fbd AS (SELECT doc_id,
+         |    CAST(substr(source, 4) AS INT) AS srcnum,
+         |    $toksExpr AS t
+         |  FROM documents),
+         |fbtr AS (SELECT doc_id, t FROM fbd WHERE srcnum % 2 = 0),
+         |fbc3 AS (SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+         |    CAST(COUNT(*) AS BIGINT) AS ct
+         |  FROM fbtr, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |  GROUP BY g3),
+         |fbc2 AS (SELECT t[i] || ' ' || t[i+1] AS g2n,
+         |    CAST(COUNT(*) AS BIGINT) AS c2
+         |  FROM fbtr, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+         |  GROUP BY g2n),
+         |fbc1 AS (SELECT t[i] AS g1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM fbtr, UNNEST(generate_series(1, len(t))) AS u(i)
+         |  GROUP BY g1),
+         |fbn AS (SELECT CAST(SUM(len(t)) AS BIGINT) AS n_total FROM fbtr),
+         |fbts AS (SELECT doc_id, $toksExpr AS t FROM g2),
+         |fbpos AS (SELECT doc_id, t[i] AS p2, t[i+1] AS p1, t[i+2] AS w
+         |  FROM fbts, UNNEST(generate_series(1, len(t) - 2)) AS u(i)),
+         |fbsc AS (SELECT p.doc_id,
+         |    CASE WHEN t3.ct IS NOT NULL THEN t3.ct * 1000000 // cbp.c2
+         |      WHEN bb.c2 IS NOT NULL THEN bb.c2 * 400000 // up.c1
+         |      WHEN uw.c1 IS NOT NULL THEN uw.c1 * 160000 // fbn.n_total
+         |      ELSE CAST(0 AS BIGINT) END AS score
+         |  FROM fbpos p
+         |  LEFT JOIN fbc3 t3 ON t3.g3 = p.p2 || ' ' || p.p1 || ' ' || p.w
+         |  LEFT JOIN fbc2 cbp ON cbp.g2n = p.p2 || ' ' || p.p1
+         |  LEFT JOIN fbc2 bb ON bb.g2n = p.p1 || ' ' || p.w
+         |  LEFT JOIN fbc1 up ON up.g1 = p.p1
+         |  LEFT JOIN fbc1 uw ON uw.g1 = p.w
+         |  CROSS JOIN fbn),
+         |fbpd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ctx,
+         |    CAST(SUM(score) AS BIGINT) AS score_sum
+         |  FROM fbsc GROUP BY doc_id),
+         |g3 AS (SELECT g2.* FROM g2 JOIN fbpd USING (doc_id)
+         |  WHERE score_sum >= 40000 * n_ctx),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp
+         |  WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r
+         |  JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     "q189_vector_artifact" ->
       """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e

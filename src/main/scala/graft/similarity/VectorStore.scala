@@ -49,4 +49,32 @@ object VectorStore {
     */
   def vectorsDecoded(vectors: DataFrame): DataFrame =
     vectors.withColumn("qvec", VectorBinary.unpackI8Col(col("buf")))
+
+  /** SERVE cosine top-k from decoded artifact vectors — the
+    * [[graft.similarity.Similarity.quantizedTopK]] kernel minus the
+    * quantize step (the artifact already IS the int8 relation):
+    * integer dots are exact, so the ranking served from the published
+    * bytes must equal the ranking computed from the float originals'
+    * quantization — q190's contract, sharing q66's oracle verbatim.
+    * Query side broadcast; the corpus scan is the one data-sized pass.
+    */
+  def servedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      qvecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("q_id"), col(qvecCol).as("qq"))
+      .withColumn("nq", VectorFunctions.dotInt(col("qq"), col("qq")))
+    val c = corpus.select(col(idCol).as("n_id"), col(qvecCol).as("cq"))
+      .withColumn("nc", VectorFunctions.dotInt(col("cq"), col("cq")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("n_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("qcos",
+        VectorFunctions.dotInt(col("qq"), col("cq")).cast("double") /
+          sqrt((col("nq") * col("nc")).cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("qcos"), col("rank"))
+  }
 }

@@ -59,12 +59,8 @@ object StreamingCorpus {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val gated = CorpusPipeline.dsirGate(
-          CorpusPipeline.classifierGate(
-            CorpusPipeline.entropyBand(
-              CorpusPipeline.rowGates(batch, idCol, textCol, cfg),
-              idCol, textCol, cfg),
-            idCol, textCol, cfg),
+        val gated = CorpusPipeline.bandStages(
+          CorpusPipeline.rowGates(batch, idCol, textCol, cfg),
           idCol, textCol, cfg).localCheckpoint()
         val (next, newPairs) = idx match {
           case None => IncrementalLsh.build(gated, idCol, textCol,

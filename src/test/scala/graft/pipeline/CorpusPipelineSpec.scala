@@ -135,4 +135,36 @@ class CorpusPipelineSpec extends SparkSpec {
       corpus.select(col("doc_id"), col("text")), "doc_id", "text")
     assert(rep.map(_._5).sum == cleaned.count())
   }
+
+  test("familiarity gate drops unfamiliar docs that pass every " +
+      "heuristic gate; threshold is the exact integer mean") {
+    import spark.implicits._
+    // reference: common-word docs; plant: quality-gate-passing docs of
+    // words the reference never saw (every backoff branch dead -> 0)
+    val ref = (1L to 6L).map(i =>
+      i -> "the table is a fast join of the query and a scan is here")
+      .toDF("doc_id", "text")
+    val corpus = ref.unionByName(Seq(
+      100L -> "the zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9 zq10 zq11 zq12",
+      101L -> "the table is a fast join of the query and a scan is here")
+      .toDF("doc_id", "text"))
+    val counts = graft.text.Repetition.fitBackoffMaterialized(
+      ref, "doc_id", "text")
+    val cfg = CorpusPipeline.Config(familiarity = Some(
+      CorpusPipeline.FamiliarityGate(counts, minScorePpm = 40000L)))
+    val banded = CorpusPipeline.bandStages(
+        CorpusPipeline.rowGates(corpus, "doc_id", "text", cfg),
+        "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!banded.contains(100L), "unfamiliar doc must be gated")
+    assert(banded.contains(101L), "in-distribution doc must survive")
+    // the verdict equals the explicit integer-mean filter
+    val scored = graft.text.Repetition.backoffScoreWith(counts,
+        corpus, "doc_id", "text")
+      .filter(col("score_sum") >= col("n_ctx") * 40000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gatedIn = CorpusPipeline.rowGates(corpus, "doc_id", "text", cfg)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(banded == (scored intersect gatedIn))
+  }
 }

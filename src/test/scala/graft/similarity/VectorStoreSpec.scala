@@ -59,4 +59,24 @@ class VectorStoreSpec extends SparkSpec {
     assert(cat.tableAsOfVersion("vecs", v0 - 1).count() == 2L)
     graft.queries.Round7bQueries.rmTree(root)
   }
+
+  test("servedTopK from the artifact == quantizedTopK from the floats") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vecserve").toString
+    val cat = new graft.catalog.ParquetCatalog(spark, root)
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings").select(col("vec_id"), col("embedding"))
+    VectorStore.exportVectors(emb, "vec_id", "embedding", cat, "vecs")
+    val dec = VectorStore.vectorsDecoded(
+        VectorStore.readVectors(cat, "vecs"))
+      .select(col("vec_id"), col("qvec"))
+    val served = VectorStore.servedTopK(dec,
+        dec.filter(col("vec_id") < 10), "vec_id", "qvec", k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    val direct = Similarity.quantizedTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rank")).collect().toSeq
+    assert(served.nonEmpty && served == direct)
+    graft.queries.Round7bQueries.rmTree(root)
+  }
 }

@@ -136,4 +136,20 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(oneShot.size < base.size, "the gate must drop something")
     assert(streamClean(3, cfg) === oneShot)
   }
+
+  test("familiarity gate streams identically and genuinely filters") {
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val counts = graft.text.Repetition.fitBackoffMaterialized(
+      base.filter(substring(col("source"), 4, 10).cast("int") % 2 === 0)
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text")
+    val cfg = CorpusPipeline.Config(familiarity = Some(
+      CorpusPipeline.FamiliarityGate(counts, minScorePpm = 40000L)))
+    val oneShot = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", cfg))
+    val noGate = collectOut(
+      CorpusPipeline.clean(corpus, "doc_id", "text", CorpusPipeline.Config()))
+    assert(oneShot.size < noGate.size, "the familiarity gate must drop something")
+    assert(streamClean(3, cfg) === oneShot)
+  }
 }

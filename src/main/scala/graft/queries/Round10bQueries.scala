@@ -170,6 +170,76 @@ object Round10bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(root)
       out
+    }),
+
+    // INCREMENTAL vector-artifact append: a second batch (fresh ids)
+    // appends to the published artifact — stored buffers carry
+    // VERBATIM (quantization is per-vector, so appending cannot touch
+    // an existing byte; unlike the token tape there is no placement to
+    // re-derive). Oracle = the one-shot export replay over the union.
+    "q192_incremental_vectors" -> ((s, dir) => {
+      import java.nio.file.Files
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val batch2 = emb.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      val root = Files.createTempDirectory("graft-q192").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.similarity.VectorStore.exportVectors(emb, "vec_id",
+        "embedding", cat, "vecs")
+      graft.similarity.VectorStore.appendVectors(batch2, "vec_id",
+        "embedding", cat, "vecs")
+      val out = graft.similarity.VectorStore.readVectors(cat, "vecs")
+        .select(col("vec_id"), col("dims"),
+          graft.functions.VectorBinary.weightedSumI8Col(col("buf"))
+            .as("q_wsum"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // ...and the STREAMING door: embedding slices land as files, each
+    // micro-batch folds via appendVectors. Per-vector state means NO
+    // arrival-order pin is needed (contrast q180's mtime-pinned token
+    // tape) — any batching replays the one-shot export.
+    "q193_stream_vectors" -> ((s, dir) => {
+      import java.nio.file.Files
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val root = Files.createTempDirectory("graft-q193").toString
+      val land = Files.createTempDirectory("graft-q193-land").toString
+      val cp = Files.createTempDirectory("graft-q193-cp").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      (0 to 2).foreach { k =>
+        emb.filter(col("vec_id") % 3 === k)
+          .select((col("vec_id") + k * 10000000L).as("vec_id"),
+            col("embedding"))
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.similarity.VectorStore.appendVectors(batch, "vec_id",
+            "embedding", cat, "vecs")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val out = graft.similarity.VectorStore.readVectors(cat, "vecs")
+        .select(col("vec_id"), col("dims"),
+          graft.functions.VectorBinary.weightedSumI8Col(col("buf"))
+            .as("q_wsum"))
+        .orderBy(col("vec_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root); Round7bQueries.rmTree(land)
+      Round7bQueries.rmTree(cp)
+      out
     })
   )
 
@@ -350,17 +420,47 @@ object Round10bQueries {
          |ORDER BY e.doc_id""".stripMargin
     },
 
-    "q189_vector_artifact" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
-        |  FROM embeddings),
-        |m AS (SELECT vec_id, e,
-        |  list_max(list_transform(e, x -> abs(x))) AS mab FROM emb),
-        |qz AS (SELECT vec_id, CAST(len(e) AS BIGINT) AS dims,
-        |    list_transform(e, x -> CAST(round((x * 127.0) / mab)
-        |      AS BIGINT)) AS q
-        |  FROM m WHERE mab > 0)
-        |SELECT vec_id, dims, CAST(SUM(i * q[i]) AS BIGINT) AS q_wsum
-        |FROM qz, UNNEST(generate_series(1, len(q))) AS u(i)
-        |GROUP BY vec_id, dims ORDER BY vec_id""".stripMargin
+    "q189_vector_artifact" -> vecWsumSql(
+      "uemb AS (SELECT vec_id, embedding FROM embeddings)"),
+
+    // one-shot replay over the two-batch union — "appended == exported
+    // from scratch" (and unlike the token tape, under ANY batching)
+    "q192_incremental_vectors" -> vecWsumSql(
+      """uemb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id % 2 = 0)""".stripMargin),
+
+    // one-shot replay over the three-slice union — "streamed ==
+    // exported from scratch", with NO arrival-order pin needed
+    "q193_stream_vectors" -> vecWsumSql(
+      """uemb AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding FROM embeddings
+        |  WHERE vec_id % 3 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 20000000, embedding FROM embeddings
+        |  WHERE vec_id % 3 = 2)""".stripMargin)
   )
+
+  /** The quantize + per-vector positional-checksum replay (q189's
+    * oracle) over an arbitrary embedding CTE named `uemb` — shared by
+    * q189 (embeddings), q192 (two-batch union), q193 (three-slice
+    * union): the incremental/streaming doors' oracle IS the one-shot
+    * export.
+    */
+  private def vecWsumSql(embCte: String): String =
+    s"""WITH $embCte,
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM uemb),
+       |m AS (SELECT vec_id, e,
+       |  list_max(list_transform(e, x -> abs(x))) AS mab FROM emb),
+       |qz AS (SELECT vec_id, CAST(len(e) AS BIGINT) AS dims,
+       |    list_transform(e, x -> CAST(round((x * 127.0) / mab)
+       |      AS BIGINT)) AS q
+       |  FROM m WHERE mab > 0)
+       |SELECT vec_id, dims, CAST(SUM(i * q[i]) AS BIGINT) AS q_wsum
+       |FROM qz, UNNEST(generate_series(1, len(q))) AS u(i)
+       |GROUP BY vec_id, dims ORDER BY vec_id""".stripMargin
 }

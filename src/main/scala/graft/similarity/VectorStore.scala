@@ -43,6 +43,34 @@ object VectorStore {
   def readVectors(catalog: graft.catalog.ParquetCatalog,
       name: String): DataFrame = catalog.table(name)
 
+  /** Log-structured APPEND: quantize + pack the new batch and publish
+    * the union with the stored artifact as the next catalog version —
+    * stored buffers carry VERBATIM (never decoded or re-quantized;
+    * quantization is per-vector, so appending cannot change an
+    * existing byte). Contract: appended over any batching of
+    * disjoint-id batches == [[exportVectors]] over the union — and
+    * unlike the token tape (order-dependent placement, q179/q180's
+    * monotone-ids contract) this holds for ANY arrival order. A
+    * missing table degrades to a fresh export.
+    */
+  def appendVectors(emb: DataFrame, idCol: String, vecCol: String,
+      catalog: graft.catalog.ParquetCatalog, name: String): DataFrame = {
+    val rows = emb
+      .withColumn("__q", VectorFunctions.quantInt8Col(col(vecCol)))
+      .filter(col("__q").isNotNull)
+      .select(col(idCol), size(col(vecCol)).cast("long").as("dims"),
+        VectorBinary.packI8Col(col("__q")).as("buf"))
+    if (!catalog.exists(name)) {
+      catalog.create(name, rows.schema)
+      catalog.overwrite(name, rows)
+      rows
+    } else {
+      val all = catalog.table(name).unionByName(rows)
+      catalog.overwrite(name, all)
+      all
+    }
+  }
+
   /** [[readVectors]] with the buffer decoded to an `array<int>` of
     * int8 components — the consumer shape for quantized dot products
     * ([[graft.functions.VectorFunctions.dotInt]]).

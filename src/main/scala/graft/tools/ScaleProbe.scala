@@ -619,6 +619,45 @@ object ScaleProbe {
           "text", 3L, 4L)
         .filter(col("src_rank") >= 1 && col("n_src") > 0).count()
 
+    // Eval-side contamination report: train grows Nx against the FIXED
+    // eval set (the benchmark posture — eval suites do not grow with
+    // the crawl). Output rows stay CONSTANT (one per eval doc); wall
+    // must track the train gram build + the gram-keyed semi join.
+    def contamReport(d: DataFrame): Long =
+      graft.dedup.Dedup.crossContaminationReport(d, "doc_id", "text",
+          scrubEval, "doc_id", "text", k = 8, maxDf = 64L)
+        .filter(col("coverage_ppm") >= 0 && col("n_tok") >= 0).count()
+
+    // Per-source rank buckets: ~20 FIXED sources, rows Nx; the
+    // tokenize-scan score keeps the probe honest and the rank must
+    // ride the two-phase slicing. Output rows exactly Nx.
+    def rankBuckets(d: DataFrame): Long =
+      graft.quality.Calibrate.rankBucketsBySource(
+          d.withColumn("score",
+            size(graft.text.TextAnalysis.tokens(col("text")))
+              .cast("double")),
+          "doc_id", "source", "score", nBuckets = 3)
+        .filter(col("bucket") >= 0 && col("src_rank") >= 1).count()
+
+    // Quantized vector artifact: quantize + pack + publish Nx vectors
+    // through the catalog, then serve a FIXED 16-query top-10 from the
+    // read-back bytes (the ANN fixed-query-batch posture).
+    def vecArtifact(e: DataFrame): Long = {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-probe-vec").toString
+      val cat = new graft.catalog.ParquetCatalog(spark, root)
+      graft.similarity.VectorStore.exportVectors(e, "vec_id",
+        "embedding", cat, "vecs")
+      val dec = graft.similarity.VectorStore.vectorsDecoded(
+          graft.similarity.VectorStore.readVectors(cat, "vecs"))
+        .select(col("vec_id"), col("qvec"))
+      val n = graft.similarity.VectorStore.servedTopK(dec,
+          dec.filter(col("vec_id") < 16), "vec_id", "qvec", k = 10)
+        .filter(col("qcos") >= -2.0).count()
+      graft.queries.Round7bQueries.rmTree(root)
+      n
+    }
+
     // Exact stratified split: per-source two-phase rank + boundary
     // cuts — wall must track the range shuffle + slice windows, never
     // a per-source funnel (sources stay FIXED at ~20 while rows grow
@@ -787,6 +826,12 @@ object ScaleProbe {
         time(crossScrub(docsN)))),
       "calibrated_gate" -> (() => (time(calGate(docsFull1r)),
         time(calGate(docsFullN)))),
+      "contamination_report" -> (() => (time(contamReport(docs1r)),
+        time(contamReport(docsN)))),
+      "rank_buckets" -> (() => (time(rankBuckets(docsFull1r)),
+        time(rankBuckets(docsFullN)))),
+      "vector_artifact" -> (() => (time(vecArtifact(sem1)),
+        time(vecArtifact(semN)))),
       "perceptron_train" -> (() => (time(percTrain(docs1)),
         time(percTrain(docsN)))),
       "semantic_cross" -> (() => (time(semCross(sem1)),

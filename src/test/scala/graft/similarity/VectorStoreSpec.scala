@@ -60,6 +60,34 @@ class VectorStoreSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(root)
   }
 
+  test("appendVectors: appended == one-shot under any batching; " +
+      "missing table degrades to fresh export") {
+    val emb = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "embeddings").select(col("vec_id"), col("embedding"))
+    def collectArt(cat: graft.catalog.ParquetCatalog) =
+      VectorStore.readVectors(cat, "vecs")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getAs[Array[Byte]](2).toSeq)).sortBy(_._1).toSeq
+    val rootA = java.nio.file.Files
+      .createTempDirectory("graft-vecapp-a").toString
+    val catA = new graft.catalog.ParquetCatalog(spark, rootA)
+    VectorStore.exportVectors(emb, "vec_id", "embedding", catA, "vecs")
+    // batching B: three %3 slices, appended in a DIFFERENT order
+    val rootB = java.nio.file.Files
+      .createTempDirectory("graft-vecapp-b").toString
+    val catB = new graft.catalog.ParquetCatalog(spark, rootB)
+    Seq(2, 0, 1).foreach { k =>
+      // first call hits the missing table: fresh-export degrade
+      VectorStore.appendVectors(emb.filter(col("vec_id") % 3 === k),
+        "vec_id", "embedding", catB, "vecs")
+    }
+    assert(collectArt(catA).nonEmpty)
+    assert(collectArt(catA) == collectArt(catB),
+      "appended artifact must be bit-equal to the one-shot export")
+    graft.queries.Round7bQueries.rmTree(rootA)
+    graft.queries.Round7bQueries.rmTree(rootB)
+  }
+
   test("servedTopK from the artifact == quantizedTopK from the floats") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-vecserve").toString

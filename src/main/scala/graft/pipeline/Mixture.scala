@@ -69,6 +69,27 @@ object Mixture {
       .filter(keepExpr(col(idCol), col("threshold")))
   }
 
+  /** CCNet-style BAND-WEIGHTED sampling — the step the per-source rank
+    * buckets ([[graft.quality.Calibrate.rankBucketsBySource]]) exist to
+    * feed: band b survives at `weightsPpm(b)` parts per [[Unit]] (the
+    * classic head 100% / middle 50% / tail 10% posture). Buckets
+    * outside the weight list drop to 0. Same determinism contract as
+    * [[sample]]: membership is a pure integer function of the row id,
+    * reproducible on any layout and in the oracle (q194).
+    */
+  def sampleByBucket(rows: DataFrame, idCol: String, bucketCol: String,
+      weightsPpm: Seq[Long]): DataFrame = {
+    require(weightsPpm.nonEmpty &&
+      weightsPpm.forall(w => w >= 0 && w <= Unit),
+      s"weights in [0, $Unit]")
+    val th = weightsPpm.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (w, b)) =>
+        when(col(bucketCol) === b.toLong, lit(w)).otherwise(acc)
+    }
+    rows.withColumn("threshold", th)
+      .filter(keepExpr(col(idCol), col("threshold")))
+  }
+
   /** UPSAMPLE: the other half of mixture construction — sources whose
     * ablated rate EXCEEDS one epoch (weight > [[Unit]] parts per unit,
     * e.g. 2 500 000 = repeat 2.5x). Every row emits

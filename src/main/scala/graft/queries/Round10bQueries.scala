@@ -96,6 +96,28 @@ object Round10bQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BAND-WEIGHTED mixture sampling — the CCNet sampler the rank
+    // buckets exist to feed: head band survives at 100%, middle 50%,
+    // tail 10%, by the deterministic per-id hash gate (no RNG state —
+    // the same row set on any layout and in the oracle). Composes
+    // q188's bucketed relation with Mixture's gate arithmetic.
+    "q194_bucket_mixture" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val srcnum = substring(col("source"), 4, 10).cast("int")
+      val scored = graft.text.Repetition.backoffScore(
+        docs.filter(srcnum % 2 === 0).select(col("doc_id"), col("text")),
+        docs.filter(srcnum % 2 === 1).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val bucketed = graft.quality.Calibrate.rankBucketsBySource(
+        scored.join(docs.select(col("doc_id"), col("source")),
+          Seq("doc_id")),
+        "doc_id", "source", "score_mean", nBuckets = 3)
+      graft.pipeline.Mixture.sampleByBucket(bucketed, "doc_id",
+          "bucket", Seq(1000000L, 500000L, 100000L))
+        .orderBy(col("doc_id"))
+    }),
+
     // QUANTIZED VECTOR artifact: embeddings int8-quantized (the
     // q42/q66/q92 bit-portable scheme), packed one signed byte per
     // component, published through the catalog's atomic versioned
@@ -322,18 +344,23 @@ object Round10bQueries {
          |    // CAST(SUM(n_tok) AS BIGINT) AS coverage_ppm
          |FROM rep GROUP BY bench ORDER BY bench""".stripMargin,
 
-    "q188_familiarity_buckets" ->
-      s"""WITH base AS (${Round9cQueries.backoff160Sql}),
-         |j AS (SELECT b.doc_id, d.source, b.score_mean
-         |  FROM base b JOIN documents d USING (doc_id)),
-         |r AS (SELECT doc_id, source, score_mean,
-         |    ROW_NUMBER() OVER (PARTITION BY source
-         |      ORDER BY score_mean DESC, doc_id) AS src_rank,
-         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
-         |  FROM j)
-         |SELECT doc_id, source, score_mean, src_rank, n_src,
-         |  (src_rank - 1) * 3 // n_src AS bucket
-         |FROM r ORDER BY doc_id""".stripMargin,
+    "q188_familiarity_buckets" -> bucketsSql,
+
+    "q194_bucket_mixture" ->
+      s"""WITH bk AS ($bucketsSql),
+         |g AS (SELECT doc_id, source, score_mean, src_rank, n_src,
+         |    bucket,
+         |    CASE WHEN bucket = 0 THEN 1000000
+         |         WHEN bucket = 1 THEN 500000
+         |         WHEN bucket = 2 THEN 100000
+         |         ELSE 0 END AS threshold
+         |  FROM bk)
+         |SELECT doc_id, source, score_mean, src_rank, n_src, bucket,
+         |  CAST(threshold AS BIGINT) AS threshold
+         |FROM g
+         |WHERE ${graft.functions.PortableHash
+               .hash60BaseSql("doc_id::VARCHAR")} % 1000000 < threshold
+         |ORDER BY doc_id""".stripMargin,
 
     // q66's SQL verbatim: the artifact round trip must not move a
     // single ranking
@@ -444,6 +471,23 @@ object Round10bQueries {
         |  SELECT vec_id + 20000000, embedding FROM embeddings
         |  WHERE vec_id % 3 = 2)""".stripMargin)
   )
+
+  /** q188's replay: q160's backoff chain + per-source ROW_NUMBER +
+    * the exact integer bucket division — also the front of q194's
+    * oracle (the sampler consumes the bucketed relation verbatim).
+    */
+  private lazy val bucketsSql: String =
+    s"""WITH base AS (${Round9cQueries.backoff160Sql}),
+       |j AS (SELECT b.doc_id, d.source, b.score_mean
+       |  FROM base b JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, source, score_mean,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY score_mean DESC, doc_id) AS src_rank,
+       |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+       |  FROM j)
+       |SELECT doc_id, source, score_mean, src_rank, n_src,
+       |  (src_rank - 1) * 3 // n_src AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
 
   /** The quantize + per-vector positional-checksum replay (q189's
     * oracle) over an arbitrary embedding CTE named `uemb` — shared by

@@ -79,4 +79,28 @@ class MixtureSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows(docs) == rows(docs.repartition(13)))
   }
+
+  test("sampleByBucket: per-band rates, unlisted buckets drop, " +
+      "gate matches the per-id keepExpr") {
+    val bucketed = docs.select(col("doc_id"))
+      .withColumn("bucket", col("doc_id") % 4)  // bucket 3 unlisted
+    val kept = Mixture.sampleByBucket(bucketed, "doc_id", "bucket",
+        Seq(Mixture.Unit, Mixture.Unit / 2, 0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // bucket 0 keeps everything; buckets 2 (zero weight) and 3
+    // (unlisted) keep nothing
+    val n0 = bucketed.filter(col("bucket") === 0).count()
+    assert(kept.count(_._2 == 0L) == n0)
+    assert(!kept.exists(r => r._2 == 2L || r._2 == 3L))
+    // bucket 1 survivors are exactly the keepExpr set at 500000
+    val b1 = bucketed.filter(col("bucket") === 1)
+    val expect1 = b1.filter(Mixture.keepExpr(col("doc_id"),
+        lit(Mixture.Unit / 2))).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.filter(_._2 == 1L).map(_._1).toSet == expect1)
+    assert(expect1.nonEmpty && expect1.size < b1.count())
+    // survivors carry the band's threshold
+    assert(kept.forall(r => r._3 ==
+      (if (r._2 == 0L) Mixture.Unit else Mixture.Unit / 2)))
+  }
 }

@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.StructType
 final class ParquetCatalog(spark: SparkSession, root: String) {
 
   private val MetaFile = "_graft_meta.properties"
+  private val BaseFile = "_graft_base.properties"
 
   private def tableDir(name: String): Path = Paths.get(root, name)
   private def versionDir(name: String, v: Long): Path =
@@ -70,12 +71,56 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   def table(name: String): DataFrame = {
     val v = currentVersion(name)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
-    spark.read.parquet(versionDir(name, v).toString)
+    readVersion(name, v)
   }
 
   /** Snapshot read of a historical version (time travel). */
   def tableAsOfVersion(name: String, v: Long): DataFrame =
-    spark.read.parquet(versionDir(name, v).toString)
+    readVersion(name, v)
+
+  /** Resolve a version to its content: a FULL version is a plain read;
+    * a DELTA version ([[publishDelta]]) applies its deletion vector to
+    * the base version's content (anti-join at scan time — the
+    * merge-on-read path) and unions any rows the delta carries.
+    */
+  private def readVersion(name: String, v: Long): DataFrame = {
+    val dir = versionDir(name, v)
+    require(Files.exists(dir), s"no version v_$v of $name")
+    deltaBase(name, v) match {
+      case None => spark.read.parquet(dir.toString)
+      case Some((baseV, key)) =>
+        val base = readVersion(name, baseV)
+        val dvDir = dir.resolve("_dv")
+        val afterDel =
+          if (Files.exists(dvDir))
+            base.join(spark.read.parquet(dvDir.toString), Seq(key),
+              "left_anti")
+          else base
+        if (hasDataFiles(dir))
+          afterDel.unionByName(spark.read.parquet(dir.toString))
+        else afterDel
+    }
+  }
+
+  /** (base version, key column) if `v` is a delta version. */
+  private def deltaBase(name: String, v: Long): Option[(Long, String)] = {
+    val p = versionDir(name, v).resolve(BaseFile)
+    if (!Files.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = Files.newInputStream(p)
+      try props.load(in) finally in.close()
+      Some((props.getProperty("base").toLong, props.getProperty("key")))
+    }
+  }
+
+  private def hasDataFiles(dir: Path): Boolean = {
+    val listing = Files.list(dir)
+    try listing.anyMatch { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".")
+    } finally listing.close()
+  }
 
   /** O22: INSERT INTO (append) — copy-on-write into a new version, so
     * concurrent readers keep their snapshot.
@@ -96,6 +141,74 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
       meta: Map[String, String] = Map.empty): Unit = {
     require(exists(name), s"no table $name")
     publishVersion(name, df, partitionBy, meta)
+  }
+
+  /** [[overwrite]] with OPTIMISTIC concurrency: publishes only if the
+    * table is still at `expectedVersion` (the version the caller read
+    * its inputs from). A concurrent publish in between raises
+    * `ConcurrentModificationException` — loud conflict detection
+    * instead of the default last-pointer-swap-wins, for writers whose
+    * new content derives from the old (read-modify-write merges).
+    */
+  def overwriteIf(name: String, df: DataFrame, expectedVersion: Long,
+      partitionBy: Seq[String] = Nil,
+      meta: Map[String, String] = Map.empty): Unit = {
+    require(exists(name), s"no table $name")
+    publishVersion(name, df, partitionBy, meta, Some(expectedVersion))
+  }
+
+  /** Publish a MERGE-ON-READ delta version: the table's content
+    * becomes (current content MINUS rows whose `keyCol` is in
+    * `delKeys`) UNION `addRows`. Only the delta is written — the
+    * deletion-vector sidecar (`_dv/`) and any new rows — so a point
+    * DELETE at 100 TB costs O(deleted keys), not a full-table rewrite
+    * (the copy-on-write cost [[overwrite]] pays). Reads apply the
+    * vector at scan time ([[readVersion]]: one anti-join per delta
+    * version in the chain); [[compact]] materializes the resolved
+    * content back into a FULL version when the chain grows —
+    * the VACUUM-style compaction step of every MoR table format.
+    *
+    * Readers keep their snapshot: the delta is a NEW version whose
+    * base pointer rides the same atomic claim as any publish. Time
+    * travel resolves through the chain, and [[vacuum]] keeps every
+    * version a live delta chain references.
+    */
+  def publishDelta(name: String, keyCol: String, delKeys: DataFrame,
+      addRows: Option[DataFrame] = None): Unit = {
+    val base = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    require(delKeys.columns.toSeq == Seq(keyCol),
+      s"delKeys must be exactly ($keyCol); got " +
+        delKeys.columns.mkString(","))
+    claimNextVersion(name, Some(base), tmpDir => {
+      addRows match {
+        case Some(rows) =>
+          rows.write.mode("overwrite").parquet(tmpDir.toString)
+        case None => Files.createDirectories(tmpDir)
+      }
+      delKeys.write.mode("overwrite")
+        .parquet(tmpDir.resolve("_dv").toString)
+      val props = new java.util.Properties()
+      props.setProperty("base", base.toString)
+      props.setProperty("key", keyCol)
+      val out = Files.newOutputStream(tmpDir.resolve(BaseFile))
+      try props.store(out, null) finally out.close()
+    })
+  }
+
+  /** Number of delta versions the current version resolves through —
+    * the compaction signal for MoR chains (each delta adds one
+    * anti-join to every scan).
+    */
+  def deltaChainLength(name: String): Int = {
+    var v = currentVersion(name)
+      .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    var n = 0
+    var base = deltaBase(name, v)
+    while (base.isDefined) {
+      n += 1; v = base.get._1; base = deltaBase(name, v)
+    }
+    n
   }
 
   /** Metadata committed with the current version (empty if none). */
@@ -127,14 +240,9 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     */
   private def publishVersion(name: String, df: DataFrame,
       partitionBy: Seq[String] = Nil,
-      meta: Map[String, String] = Map.empty): Unit = {
-    Files.createDirectories(tableDir(name))
-    val nonce = java.util.UUID.randomUUID().toString.take(8)
-    var attempts = 0
-    var claimed = false
-    while (!claimed) {
-      val next = currentVersion(name).map(_ + 1).getOrElse(0L)
-      val tmpDir = tableDir(name).resolve(f"_tmp_v_$next%06d.$nonce")
+      meta: Map[String, String] = Map.empty,
+      expected: Option[Long] = None): Unit =
+    claimNextVersion(name, expected, tmpDir => {
       val writer = df.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .parquet(tmpDir.toString)
@@ -146,6 +254,35 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
         val out = Files.newOutputStream(tmpDir.resolve(MetaFile))
         try props.store(out, null) finally out.close()
       }
+    })
+
+  /** Stage-then-claim loop shared by every publish shape: `stage`
+    * fills a private `_tmp_v_N.<nonce>` directory, the atomic directory
+    * rename claims `v_N` (failing if a concurrent writer already
+    * published that number), and the pointer swap commits. With
+    * `expected = Some(e)` this is OPTIMISTIC compare-and-publish: the
+    * publish succeeds only as version `e + 1` — any concurrent publish
+    * in between (detected before staging or at claim time) raises a
+    * loud ConcurrentModificationException instead of silently basing
+    * the new content on a stale snapshot.
+    */
+  private def claimNextVersion(name: String, expected: Option[Long],
+      stage: Path => Unit): Unit = {
+    Files.createDirectories(tableDir(name))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    var attempts = 0
+    var claimed = false
+    while (!claimed) {
+      val cur = currentVersion(name)
+      expected.foreach { e =>
+        if (!cur.contains(e)) throw new java.util
+          .ConcurrentModificationException(
+            s"publish of $name expected version $e but found " +
+              cur.map(_.toString).getOrElse("<none>"))
+      }
+      val next = cur.map(_ + 1).getOrElse(0L)
+      val tmpDir = tableDir(name).resolve(f"_tmp_v_$next%06d.$nonce")
+      stage(tmpDir)
       try {
         // Atomic claim: fails (FileAlreadyExistsException under ATOMIC_MOVE)
         // if a concurrent writer already published this version number.
@@ -155,6 +292,11 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
       } catch {
         case e: java.nio.file.FileSystemException if !claimed =>
           deleteRecursively(tmpDir)
+          expected.foreach { exp =>
+            throw new java.util.ConcurrentModificationException(
+              s"publish of $name expected version $exp but a concurrent " +
+                s"writer claimed v_$next first")
+          }
           attempts += 1
           if (attempts >= 5) throw new IllegalStateException(
             s"publish of $name lost the version race $attempts times", e)
@@ -230,14 +372,22 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     overwrite(name, sized, meta = currentMeta(name))
   }
 
-  /** Drop all versions older than the current one (vacuum). */
+  /** Drop all versions the current one does not resolve through —
+    * a delta chain keeps its base versions alive (deleting a base
+    * would corrupt the live merge-on-read view, not just history).
+    */
   def vacuum(name: String): Unit = {
-    val keep = currentVersion(name)
+    var v = currentVersion(name)
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
+    var keep = Set(v)
+    var base = deltaBase(name, v)
+    while (base.isDefined) {
+      v = base.get._1; keep += v; base = deltaBase(name, v)
+    }
     val listing = Files.list(tableDir(name))
     try listing.forEach { p =>
       val n = p.getFileName.toString
-      if (n.startsWith("v_") && n.stripPrefix("v_").toLong != keep)
+      if (n.startsWith("v_") && !keep.contains(n.stripPrefix("v_").toLong))
         deleteRecursively(p)
     } finally listing.close()
   }

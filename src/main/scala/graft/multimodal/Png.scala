@@ -206,6 +206,15 @@ object Png {
       }
       require(got == expected,
         s"pixel data: got $got bytes, expected $expected")
+      // the stream must TERMINATE at exactly `expected` bytes: an IDAT
+      // holding more scanlines than IHDR's height would otherwise
+      // decode to a plausible truncated image instead of throwing
+      // (loud-codec-boundary contract). One more inflate drains the
+      // final-block end + adler32 and must produce nothing.
+      val probe = new Array[Byte](1)
+      val surplus = inflater.inflate(probe, 0, 1)
+      require(surplus == 0 && inflater.finished(),
+        "zlib stream continues past the IHDR-derived pixel size")
     } finally inflater.end()
     out
   }

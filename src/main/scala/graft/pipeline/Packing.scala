@@ -252,15 +252,7 @@ object Packing {
       .withColumn("n_seqs",
         expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
     val idx = sequenceManifest(placed, idCol, seqLen)
-    val tids = vocabIds match {
-      case Some(v) => stream
-        .join(v.select(col("token").as("tok"),
-          col("id").cast("int").as("__vid")), Seq("tok"), "left")
-        .select(id, col("pos"),
-          coalesce(col("__vid"), lit(-1)).as("tid"))
-      case None => stream.select(id, col("pos"),
-        tokenId(col("tok")).as("tid"))
-    }
+    val tids = tokenIdsOf(stream, idCol, vocabIds)
     val bin = placed.select(id, col("grp"), col("start_tok"))
       .join(tids, Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
@@ -275,7 +267,40 @@ object Packing {
           transform(col("ot"), s => s.getField("tid"))).as("tokens"))
     publish(catalog, s"${name}_bin", bin, partitionBy = Seq("grp"))
     publish(catalog, s"${name}_idx", idx)
+    publishScheme(catalog, name, toks.sparkSession, vocabIds)
   }
+
+  /** Token-id column for a stream under the artifact's id scheme:
+    * the portable hash (default) or a frozen `(token, id)` vocabulary
+    * with −1 for out-of-vocab tokens. ONE implementation shared by
+    * [[exportShardsOf]] and [[appendShards]] — the two paths cannot
+    * diverge on the id scheme.
+    */
+  private def tokenIdsOf(stream: DataFrame, idCol: String,
+      vocabIds: Option[DataFrame]): DataFrame = vocabIds match {
+    case Some(v) => stream
+      .join(v.select(col("token").as("tok"),
+        col("id").cast("int").as("__vid")), Seq("tok"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__vid"), lit(-1)).as("tid"))
+    case None => stream.select(col(idCol), col("pos"),
+      tokenId(col("tok")).as("tid"))
+  }
+
+  private def schemeName(vocabIds: Option[DataFrame]): String =
+    if (vocabIds.isDefined) "vocab" else "hash"
+
+  /** Publish the artifact's id-scheme MARKER (`<name>_scheme`, one
+    * row): [[appendShards]] asserts against it, so appending with the
+    * wrong scheme to a published tape fails loudly instead of silently
+    * writing mixed hash/vocab ids.
+    */
+  private def publishScheme(catalog: graft.catalog.ParquetCatalog,
+      name: String, spark: org.apache.spark.sql.SparkSession,
+      vocabIds: Option[DataFrame]): Unit =
+    publish(catalog, s"${name}_scheme",
+      spark.createDataFrame(Seq(Tuple1(schemeName(vocabIds))))
+        .toDF("scheme"))
 
   /** INCREMENTAL export: append a new batch's token stream to a
     * published [[exportShardsOf]] artifact — the log-structured ingest
@@ -298,9 +323,21 @@ object Packing {
     */
   def appendShards(idCol: String, toks: DataFrame,
       catalog: graft.catalog.ParquetCatalog, name: String,
-      seqLen: Int = 2048, numGroups: Int = 8): Unit = {
+      seqLen: Int = 2048, numGroups: Int = 8,
+      vocabIds: Option[DataFrame] = None): Unit = {
     if (!catalog.exists(s"${name}_bin"))
-      return exportShardsOf(idCol, toks, catalog, name, seqLen, numGroups)
+      return exportShardsOf(idCol, toks, catalog, name, seqLen,
+        numGroups, vocabIds)
+    // the stored tape's id scheme must match the append's: vocab ids
+    // appended to a hash-id tape (or vice versa) would be silent
+    // corruption. Artifacts published before the marker existed carry
+    // no `_scheme` table and skip the check.
+    if (catalog.exists(s"${name}_scheme")) {
+      val stored = catalog.table(s"${name}_scheme").head().getString(0)
+      require(stored == schemeName(vocabIds),
+        s"appendShards id scheme '${schemeName(vocabIds)}' does not " +
+          s"match artifact '$name' (exported as '$stored')")
+    }
     val id = col(idCol)
     val (bin, idx) = readShards(catalog, name)
     val stream = toks.localCheckpoint()
@@ -340,8 +377,7 @@ object Packing {
       .select(col("grp"), col("seq"), col("off").cast("int").as("off"),
         col("tid"))
     val newRows = placed.select(id, col("grp"), col("start_tok"))
-      .join(stream.select(id, col("pos"),
-        tokenId(col("tok")).as("tid")), Seq(idCol))
+      .join(tokenIdsOf(stream, idCol, vocabIds), Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
       .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
         (col("tape") % seqLen).cast("int").as("off"), col("tid"))
@@ -356,6 +392,9 @@ object Packing {
     publish(catalog, s"${name}_bin",
       keepBin.unionByName(rebuilt), partitionBy = Seq("grp"))
     publish(catalog, s"${name}_idx", idx.unionByName(newIdx))
+    // (re)publish the marker: a pre-marker artifact becomes checked
+    // from its first append on
+    publishScheme(catalog, name, toks.sparkSession, vocabIds)
   }
 
   /** Read back an [[exportShards]] artifact: `(bin, idx)` as published

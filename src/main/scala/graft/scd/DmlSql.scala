@@ -72,6 +72,83 @@ object DmlSql {
 
   private def toCol(e: Expression): Column = expr(e.sql)
 
+  /** Assigned columns of an UPDATE, keyed by lowercase column name.
+    * Keys resolve from the parsed attribute's nameParts (NOT by
+    * splitting rendered SQL on '.': a backtick-quoted column containing
+    * a dot would mis-split), and a qualifier must name the target —
+    * `SET other.c = e` when the alias is `t` is a user error, not an
+    * assignment to c.
+    */
+  private def assignedMap(t: DataFrame, assignments: Seq[Assignment],
+      name: String, alias: Option[String]): Map[String, Column] =
+    assignments.map {
+      case Assignment(key, value) =>
+        val parts = key match {
+          case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts
+          case other => throw new IllegalArgumentException(
+            s"unsupported UPDATE assignment key: ${other.sql}")
+        }
+        val colName = parts.last
+        if (parts.length > 1) {
+          val qual = parts.init.mkString(".")
+          val target = alias.getOrElse(name)
+          require(qual.equalsIgnoreCase(target) ||
+              qual.equalsIgnoreCase(name),
+            s"UPDATE assignment qualifier '$qual' does not match " +
+              s"target '$target'")
+        }
+        require(t.columns.exists(_.equalsIgnoreCase(colName)),
+          s"UPDATE assigns unknown column $colName of $name")
+        colName.toLowerCase -> toCol(value)
+    }.toMap
+
+  /** [[execute]] through the MERGE-ON-READ path: instead of rewriting
+    * the whole table version (copy-on-write — O(table) for a one-row
+    * DELETE), publish a DELTA version carrying only the deletion
+    * vector of `keyCol` values the predicate matched (DELETE), plus
+    * the reassigned rows (UPDATE = delete matched + append updated —
+    * the classic MoR upsert shape). The write cost is O(matched rows);
+    * scans pay one anti-join per outstanding delta until
+    * [[ParquetCatalog.compact]] folds the chain back into a FULL
+    * version. Same ANSI semantics as [[execute]] — q197's oracle is
+    * q176's verbatim.
+    *
+    * @param keyCol row-identity column the deletion vector stores —
+    *   must be unique per row (the table's primary key)
+    */
+  def executeMor(spark: SparkSession, catalog: ParquetCatalog,
+      sql: String, keyCol: String): DataFrame = parse(spark, sql) match {
+
+    case DeleteFromTable(table, condition) =>
+      val (name, alias) = relName(table)
+      require(catalog.exists(name), s"DML target not in catalog: $name")
+      val t = alias.foldLeft(catalog.table(name))(_.alias(_))
+      // ANSI: a row deletes iff the predicate is TRUE — the deletion
+      // vector holds exactly those keys
+      catalog.publishDelta(name, keyCol,
+        t.filter(coalesce(toCol(condition), lit(false)))
+          .select(col(keyCol)))
+      catalog.table(name)
+
+    case UpdateTable(table, assignments, condition) =>
+      val (name, alias) = relName(table)
+      require(catalog.exists(name), s"DML target not in catalog: $name")
+      val t = alias.foldLeft(catalog.table(name))(_.alias(_))
+      val cond = condition.map(c => coalesce(toCol(c), lit(false)))
+        .getOrElse(lit(true))
+      val assigned = assignedMap(t, assignments, name, alias)
+      val matched = t.filter(cond)
+      val updated = matched.select(t.columns.map(c =>
+        assigned.getOrElse(c.toLowerCase, col(c)).as(c)).toSeq: _*)
+      catalog.publishDelta(name, keyCol,
+        matched.select(col(keyCol)), Some(updated))
+      catalog.table(name)
+
+    case other => throw new IllegalArgumentException(
+      s"unsupported DML statement: ${other.nodeName}")
+  }
+
   /** @return (target table name, post-statement content plan) */
   private def compile(spark: SparkSession, parsed: LogicalPlan,
       resolve: String => DataFrame): (String, DataFrame) = parsed match {
@@ -88,15 +165,7 @@ object DmlSql {
       val (name, alias) = relName(table)
       val t = alias.foldLeft(resolve(name))(_.alias(_))
       val cond = condition.map(toCol).getOrElse(lit(true))
-      val assigned: Map[String, Column] = assignments.map {
-        case Assignment(key, value) =>
-          // strip a qualifier matching the alias/table: `SET x.c = e`
-          val parts = key.sql.split("\\.")
-          val colName = parts.last
-          require(t.columns.exists(_.equalsIgnoreCase(colName)),
-            s"UPDATE assigns unknown column $colName of $name")
-          colName.toLowerCase -> toCol(value)
-      }.toMap
+      val assigned = assignedMap(t, assignments, name, alias)
       val out = t.columns.map { c =>
         assigned.get(c.toLowerCase) match {
           case Some(v) =>

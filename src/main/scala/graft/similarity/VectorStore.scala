@@ -65,7 +65,19 @@ object VectorStore {
       catalog.overwrite(name, rows)
       rows
     } else {
-      val all = catalog.table(name).unionByName(rows)
+      val stored = catalog.table(name)
+      // the disjoint-id contract is ENFORCED, not assumed: re-appending
+      // an existing vec_id would silently duplicate the row in the
+      // published artifact (and double q192/q193's checksum readback) —
+      // loud beats plausible, same posture as the codecs. The overlap
+      // probe is a semi-join against the batch's ids: batch-sized, not
+      // artifact-sized, on the build side.
+      val dup = stored.select(col(idCol))
+        .join(rows.select(col(idCol)), Seq(idCol), "left_semi").count()
+      require(dup == 0L,
+        s"appendVectors: $dup id(s) of the new batch already exist in " +
+          s"artifact '$name' — appends must carry disjoint ids")
+      val all = stored.unionByName(rows)
       catalog.overwrite(name, all)
       all
     }

@@ -174,4 +174,75 @@ class CatalogSpec extends SparkSpec {
       assert(cat.tableAsOfVersion("t", v).count() === 1)
     }
   }
+
+  test("overwriteIf: optimistic compare-and-publish, loud on conflict") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.create("t", df.schema)
+    cat.overwrite("t", df) // v1
+    val seen = cat.currentVersion("t").get
+    cat.overwriteIf("t", Seq((3L, "c")).toDF("id", "v"), seen) // v2
+    assert(cat.currentVersion("t") === Some(seen + 1))
+    // a second writer still holding the OLD version must fail loudly,
+    // not silently base its publish on a stale snapshot
+    intercept[java.util.ConcurrentModificationException] {
+      cat.overwriteIf("t", Seq((4L, "d")).toDF("id", "v"), seen)
+    }
+    // the conflict left no partial state: content is the winner's
+    assert(cat.table("t").as[(Long, String)].collect().toSet ===
+      Set((3L, "c")))
+  }
+
+  test("merge-on-read delta: delete vector applies at scan time") {
+    val cat = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v")
+    cat.create("t", df.schema)
+    cat.overwrite("t", df) // v1 (full)
+    cat.publishDelta("t", "id", Seq(2L).toDF("id")) // v2 = delta
+    assert(cat.deltaChainLength("t") === 1)
+    assert(cat.table("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // time travel still sees the pre-delete content
+    assert(cat.tableAsOfVersion("t", 1L).count() === 4)
+    // chained delta with replacement rows (the MoR upsert shape)
+    cat.publishDelta("t", "id", Seq(3L).toDF("id"),
+      Some(Seq((3L, "c2")).toDF("id", "v")))
+    assert(cat.deltaChainLength("t") === 2)
+    assert(cat.table("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c2"), (4L, "d")))
+    // vacuum keeps the live chain's base versions
+    cat.vacuum("t")
+    assert(cat.table("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c2"), (4L, "d")))
+    // compaction folds the chain into a FULL version; content unchanged
+    cat.compact("t")
+    assert(cat.deltaChainLength("t") === 0)
+    assert(cat.table("t").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (3L, "c2"), (4L, "d")))
+    // now vacuum may drop everything the full version replaced
+    cat.vacuum("t")
+    assert(cat.table("t").count() === 3)
+  }
+
+  test("merge-on-read DML: executeMor == execute (CoW) content") {
+    val catMor = freshCatalog()
+    val catCow = freshCatalog()
+    val df = Seq((1L, "keep", 10L), (2L, "drop", 20L), (3L, "keep", 30L),
+      (4L, "bump", 40L)).toDF("id", "tag", "n")
+    Seq(catMor, catCow).foreach { c =>
+      c.create("t", df.schema); c.overwrite("t", df)
+    }
+    val del = "DELETE FROM t WHERE tag = 'drop'"
+    val upd = "UPDATE t SET n = n + 1 WHERE tag = 'bump'"
+    graft.scd.DmlSql.executeMor(spark, catMor, del, "id")
+    graft.scd.DmlSql.executeMor(spark, catMor, upd, "id")
+    graft.scd.DmlSql.execute(spark, catCow, del)
+    graft.scd.DmlSql.execute(spark, catCow, upd)
+    val mor = catMor.table("t").as[(Long, String, Long)].collect().toSet
+    val cow = catCow.table("t").as[(Long, String, Long)].collect().toSet
+    assert(mor === cow)
+    assert(catMor.deltaChainLength("t") === 2)
+    assert(catCow.deltaChainLength("t") === 0)
+  }
 }

@@ -65,6 +65,15 @@ object CorpusPipeline {
     *   front door applies it unchanged (the q133 classifier argument).
     *   None (default) preserves the historical pipeline exactly.
     */
+  /** @param htmlInput stage-0 markup extraction: the text column holds
+    *   raw HTML and [[graft.text.Html.extractText]] runs first (tag
+    *   strip + link-density boilerplate gate). Per-document, so the
+    *   streaming front door applies it batch-at-a-time unchanged; it
+    *   lives inside [[rowGates]] — the one shared per-row entry — so
+    *   every consumer (clean/release/funnelReport/StreamingCorpus)
+    *   gets it from the single wiring point. Default off: the
+    *   historical pipeline takes clean text.
+    */
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
@@ -74,7 +83,8 @@ object CorpusPipeline {
       collisionBand: Option[(Long, Long, Long, Long)] = None,
       classifier: Option[ClassifierGate] = None,
       dsir: Option[Dsir.Model] = None,
-      familiarity: Option[FamiliarityGate] = None)
+      familiarity: Option[FamiliarityGate] = None,
+      htmlInput: Boolean = false)
 
   /** Stage-1 row-local gates (quality score + predicted language): a
     * pure codegen scan emitting `(id, text, quality, lang_pred)` for
@@ -84,12 +94,16 @@ object CorpusPipeline {
     * produces exactly the one-shot result.
     */
   def rowGates(docs: DataFrame, idCol: String, textCol: String,
-      cfg: Config): DataFrame =
-    docs.select(col(idCol), col(textCol),
+      cfg: Config): DataFrame = {
+    // stage 0: markup → article text (per-doc; see Config.htmlInput)
+    val src = if (cfg.htmlInput)
+      graft.text.Html.extractText(docs, idCol, textCol) else docs
+    src.select(col(idCol), col(textCol),
         TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
         TextAnalysis.langId(col(textCol)).as("lang_pred"))
       .filter(col("quality") >= cfg.minQuality &&
         col("lang_pred").isin(cfg.languages: _*))
+  }
 
   /** Stage-1b optional entropy band over gate survivors (per-document
     * aggregation — independent of corpus batching, like [[rowGates]]).

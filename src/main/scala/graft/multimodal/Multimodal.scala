@@ -70,7 +70,8 @@ object Multimodal {
   }
 
   /** Sniff-and-decode an image payload by magic bytes: `BM` → the BMP
-    * codec, the 8-byte PNG signature → the PNG codec. Every image door
+    * codec, the 8-byte PNG signature → the PNG codec, SOI (FFD8) → the
+    * baseline-grayscale JPEG codec. Every image door
     * (feature decode, resize, dHash) dispatches here, so a corpus
     * mixing both formats — the realistic case — flows through one
     * relation with no per-format plumbing. Unknown magic throws (the
@@ -82,8 +83,11 @@ object Multimodal {
     else if (payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
         payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G')
       Png.decode(payload)
+    else if (payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+        (payload(1) & 0xff) == 0xd8)
+      Jpeg.decode(payload)
     else throw new IllegalArgumentException(
-      "unknown image format (magic bytes match neither BMP nor PNG)")
+      "unknown image format (magic bytes match neither BMP, PNG nor JPEG)")
 
   /** REAL decoder: parse each payload ([[Bmp.decode]]/[[Png.decode]]
     * via [[decodeImage]] magic sniffing — header validation, real

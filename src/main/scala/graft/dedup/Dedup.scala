@@ -502,9 +502,16 @@ object Dedup {
     * instead of keep-min-id. Docs not in any pair survive trivially.
     *
     * Scale: CC is the bounded-rounds label propagation below; the
-    * survivor pick is one window keyed on the cluster id, so its
-    * partitions are cluster-sized (near-dup clusters are shallow and
-    * small), never corpus-sized.
+    * survivor pick is a per-cluster max-struct AGGREGATION
+    * (`max(struct(score, -id))` — map-side combinable), not a window:
+    * a window partitioned by cluster funnels each cluster through one
+    * task, and a planted boilerplate MEGA-CLIQUE (one cluster ≫
+    * partition size — the adversarial shape SkewProbe measures) would
+    * sort corpus-scale rows on a single core. The aggregation's
+    * partial combine keeps the hot cluster's traffic at
+    * one-row-per-map-partition; semantics are identical to
+    * `row_number() over (partition by cluster order by score desc,
+    * id asc) = 1` including the tie-break (max of -id == min id).
     *
     * @return one row per doc: (idCol, scoreCol, cluster, kept)
     */
@@ -515,9 +522,13 @@ object Dedup {
     val labeled = docs.select(id, col(scoreCol))
       .join(cc, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), id))
-    val w = Window.partitionBy(col("cluster"))
-      .orderBy(col(scoreCol).desc, id.asc)
-    labeled.withColumn("kept", row_number().over(w) === 1)
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(struct(col(scoreCol).as("__s"),
+        (lit(0L) - id).as("__negid"))).as("__b"))
+      .select(col("cluster"), (lit(0L) - col("__b.__negid")).as("__best"))
+    labeled.join(best, Seq("cluster"))
+      .withColumn("kept", id === col("__best"))
+      .select(id, col(scoreCol), col("cluster"), col("kept"))
   }
 
   /** Connected components over near-duplicate pairs: resolves pairwise
@@ -538,7 +549,8 @@ object Dedup {
     *   the minimum reachable id as its cluster representative
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b", maxRounds: Int = 20): DataFrame = {
+      bCol: String = "b", maxRounds: Int = 20,
+      onConverged: Int => Unit = _ => ()): DataFrame = {
     val a = col(aCol); val b = col(bCol)
     // localCheckpoint (eager), not persist: iterative algorithms grow the
     // logical plan every round — each `next` embeds the previous round's
@@ -604,6 +616,7 @@ object Dedup {
     // fail loudly rather than return silently-wrong clusters
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge within $maxRounds rounds")
+    onConverged(round) // probe hook: rounds-to-convergence on record
     labels.select(col("node").as("doc_id"), col("lab").as("cluster"))
   }
 

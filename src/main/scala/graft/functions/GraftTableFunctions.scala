@@ -317,6 +317,18 @@ object GraftTableFunctions {
       str(args(3), u), int(args(4), u)))
   }
 
+  private val htmlExtract: Builder = { args =>
+    val u = "graft_html_extract(table, idCol, htmlCol[, minTextLen[, " +
+      "linkNum, linkDen]])"
+    require(args.length == 3 || args.length == 4 || args.length == 6, u)
+    val s = SparkSession.active
+    val minLen = if (args.length >= 4) int(args(3), u) else 20
+    val (num, den) =
+      if (args.length == 6) (int(args(4), u), int(args(5), u)) else (1, 3)
+    plan(graft.text.Html.extract(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), minLen, num, den))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -352,5 +364,6 @@ object GraftTableFunctions {
     "graft_calibrated_gate" -> calibratedGate,
     "graft_contamination_report" -> contaminationReport,
     "graft_rank_buckets" -> rankBuckets,
+    "graft_html_extract" -> htmlExtract,
     "graft_table_at" -> tableAt)
 }

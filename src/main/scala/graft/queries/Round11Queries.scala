@@ -337,6 +337,97 @@ object Round11Queries {
         .orderBy(col("source"))
     }),
 
+    // Streaming door for the HTML front: the WRAPPED (markup) corpus
+    // lands as files, each micro-batch runs stage 0 + the gates inside
+    // foreachBatch (htmlInput lives in rowGates, so the streaming door
+    // gets it for free), survivors fold into the incremental LSH
+    // index, end-of-stream resolve = q196's one-shot clean. Oracle =
+    // q196's SQL verbatim under a different batching — the q126
+    // contract extended to markup input.
+    "q202_html_stream_clean" -> ((s, dir) => {
+      import java.nio.file.Files
+      val stage = Files.createTempDirectory("graft-q202-landing").toString
+      val cp = Files.createTempDirectory("graft-q202-cp").toString
+      val cfg = graft.pipeline.CorpusPipeline.Config(htmlInput = true)
+      PipelineQueries.corpus(s, dir)
+        .select(col("doc_id"),
+          wrapCol(col("doc_id"), col("text")).as("text"))
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp, cfg)
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      graft.streaming.StreamingCorpus
+        .resolveSurvivors(gated, pairs, "doc_id", "text", cfg)
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Binary loader export under the UNIGRAM tokenizer (q178's BPE
+    // shape under the second trained family): symbol stream ->
+    // exportShardsOf -> read the published buffers back, positional
+    // checksum per sequence. The oracle re-derives the symbols from
+    // the recursive Viterbi DP and replays the tape arithmetic.
+    "q203_export_unigram" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = graft.text.Unigram.train(docs, "text")
+      val stream = graft.text.Unigram.symbolStream(docs, "doc_id",
+        "text", model)
+      val root = Files.createTempDirectory("graft-q203").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // Tokenizer SELECTION report: BPE (q113's merges) and unigram
+    // (q198's inventory) fertility side by side per source — the
+    // comparison a tokenizer choice is actually made from. One
+    // tokenize scan; both segmentations run dictionary-side.
+    "q204_tokenizer_compare" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val merges = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      val model = graft.text.Unigram.train(docs, "text")
+      val src = col("source")
+      val occ = docs.select(src,
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+      val dict = occ.select(col("word")).distinct()
+        .withColumn("b_sym",
+          size(graft.text.Bpe.segment(col("word"), merges)).cast("long"))
+        .withColumn("u_sym", size(model.segmentCol(col("word")))
+          .cast("long"))
+        .withColumn("n_chr", length(col("word")).cast("long"))
+      val per = occ.join(dict, Seq("word"))
+        .groupBy(src).agg(
+          count(lit(1)).as("n_words"),
+          sum(col("n_chr")).as("n_chars"),
+          sum(col("b_sym")).as("bpe_tokens"),
+          sum(col("u_sym")).as("uni_tokens"))
+      docs.groupBy(src).agg(count(lit(1)).as("n_docs"))
+        .join(per, Seq("source"))
+        .select(src, col("n_docs"), col("n_words"), col("n_chars"),
+          col("bpe_tokens"), col("uni_tokens"),
+          (col("bpe_tokens").cast("double") /
+            col("n_words").cast("double")).as("bpe_fertility"),
+          (col("uni_tokens").cast("double") /
+            col("n_words").cast("double")).as("uni_fertility"))
+        .orderBy(src)
+    }),
+
     // JPEG perceptual dedup: REAL baseline-grayscale JPEG payloads
     // (markers, huffman, DCT — graft.multimodal.Jpeg) flow through the
     // SAME magic-sniffed dHash/banded-hamming/CC machinery as BMP/PNG
@@ -353,6 +444,39 @@ object Round11Queries {
     })
   )
 
+  /** The markup-corpus cleaning replay (extraction + q46's chain) —
+    * shared by q196 (batch) and q202 (streaming door): streamed ==
+    * one-shot under a different batching, the q126 contract.
+    */
+  private lazy val htmlPipelineOracle: String =
+    s"""WITH RECURSIVE hbase AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM documents WHERE doc_id % 11 = 0),
+       |hdocs AS (SELECT doc_id, ${wrapSqlOf("doc_id", "text")} AS html FROM hbase),
+       |${htmlExtractCtes("hdocs")},
+       |corpus AS (SELECT doc_id, text FROM hx),
+       |${PipelineQueries.gateExactCtesSql},
+       |${PipelineQueries.shinglesSql("ex")},
+       |${PipelineQueries.minhashCtesSql},
+       |${PipelineQueries.pairsCteSql("0.5")},
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM pairs
+       |  UNION SELECT b, a FROM pairs),
+       |reach(node, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+       |losers AS (
+       |  SELECT node AS doc_id FROM reach
+       |  GROUP BY node HAVING node <> min(lab))
+       |SELECT e.doc_id, e.quality, e.lang_pred
+       |FROM ex e
+       |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+       |ORDER BY e.doc_id""".stripMargin
+
   lazy val oracleSql: Map[String, String] = Map(
     "q195_html_extract" ->
       s"""WITH hdocs AS (SELECT doc_id, text, ${wrapSqlOf("doc_id", "text")} AS html FROM documents),
@@ -361,34 +485,7 @@ object Round11Queries {
          |  CASE WHEN h.text = trim(regexp_replace(d.text, '\\s+', ' ', 'g')) THEN 1 ELSE 0 END AS clean_match
          |FROM hx h JOIN hdocs d ON d.doc_id = h.doc_id
          |ORDER BY h.doc_id""".stripMargin,
-    "q196_html_pipeline" ->
-      s"""WITH RECURSIVE hbase AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM documents WHERE doc_id % 11 = 0),
-         |hdocs AS (SELECT doc_id, ${wrapSqlOf("doc_id", "text")} AS html FROM hbase),
-         |${htmlExtractCtes("hdocs")},
-         |corpus AS (SELECT doc_id, text FROM hx),
-         |${PipelineQueries.gateExactCtesSql},
-         |${PipelineQueries.shinglesSql("ex")},
-         |${PipelineQueries.minhashCtesSql},
-         |${PipelineQueries.pairsCteSql("0.5")},
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b, a FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
-         |losers AS (
-         |  SELECT node AS doc_id FROM reach
-         |  GROUP BY node HAVING node <> min(lab))
-         |SELECT e.doc_id, e.quality, e.lang_pred
-         |FROM ex e
-         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
-         |ORDER BY e.doc_id""".stripMargin,
+    "q196_html_pipeline" -> htmlPipelineOracle,
     // MoR and CoW must agree exactly: q176's oracle verbatim.
     "q197_mor_dml" -> Round10Queries.oracleSql("q176_sql_dml"),
     "q198_unigram_train" ->
@@ -415,6 +512,54 @@ object Round11Queries {
          |SELECT n.source, n.n_docs, p.n_words, p.n_tokens, p.n_chars,
          |  CAST(p.n_tokens AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS fertility,
          |  CAST(p.n_chars AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS chars_per_token
+         |FROM nd n JOIN per p USING (source) ORDER BY n.source""".stripMargin,
+    // streamed html cleaning == one-shot: q196's replay verbatim
+    "q202_html_stream_clean" -> htmlPipelineOracle,
+    "q203_export_unigram" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes("documents")},
+         |uws AS (SELECT word, list_filter(string_split(s1, chr(31)), x -> x <> '') AS syms FROM dp2 WHERE pos = len),
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id, d.wpos, w.syms
+         |  FROM dw d JOIN uws w USING (word)),
+         |sy AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM sy),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off,
+         |    ${graft.pipeline.Packing.tokenIdSql("g.sym")} AS tid
+         |  FROM g JOIN p USING (doc_id))
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin,
+    "q204_tokenizer_compare" ->
+      s"""WITH RECURSIVE ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |${unigramTrainCtes("documents")},
+         |bstat AS (SELECT word, CAST(len(list_filter(string_split(seg, chr(31)), x -> x <> '')) AS BIGINT) AS b_sym FROM w${Round7Queries.BpeK}),
+         |ustat AS (SELECT word, CAST(len(list_filter(string_split(s1, chr(31)), x -> x <> '')) AS BIGINT) AS u_sym FROM dp2 WHERE pos = len),
+         |docw AS (SELECT doc_id, source, unnest($toksExpr) AS word FROM documents),
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(b.b_sym) AS BIGINT) AS bpe_tokens,
+         |    CAST(SUM(u.u_sym) AS BIGINT) AS uni_tokens
+         |  FROM docw d JOIN bstat b USING (word) JOIN ustat u USING (word)
+         |  GROUP BY d.source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+         |SELECT n.source, n.n_docs, p.n_words, p.n_chars, p.bpe_tokens, p.uni_tokens,
+         |  CAST(p.bpe_tokens AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS bpe_fertility,
+         |  CAST(p.uni_tokens AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS uni_fertility
          |FROM nd n JOIN per p USING (source) ORDER BY n.source""".stripMargin,
     "q201_jpeg_perceptual" ->
       s"""WITH RECURSIVE jdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),

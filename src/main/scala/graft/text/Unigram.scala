@@ -152,6 +152,30 @@ object Unigram {
         sum(col("w_cost")).as("enc_cost"))
   }
 
+  /** Per-document unigram SYMBOL STREAM under the model: `(idCol,
+    * pos, tok)` with `pos` the 0-based document-order symbol position
+    * — the [[graft.pipeline.Packing.exportShardsOf]] input shape, so
+    * the binary loader export runs under the unigram tokenizer exactly
+    * as it does under BPE ([[Bpe.symbolStream]], whose dict-side
+    * segmentation + per-doc window shape this mirrors).
+    */
+  def symbolStream(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val id = col(idCol)
+    val occ = docs.select(id,
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("wpos", "word")))
+    val dict = occ.select(col("word")).distinct()
+      .withColumn("syms", model.segmentCol(col("word")))
+      .withColumn("nsym", size(col("syms")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("wpos"))
+    occ.join(dict, Seq("word"))
+      .withColumn("base", sum(col("nsym")).over(w) - col("nsym"))
+      .select(id, col("base"),
+        posexplode(col("syms")).as(Seq("spos", "tok")))
+      .select(id, (col("base") + col("spos")).as("pos"), col("tok"))
+  }
+
   /** Tokenizer fertility per source under the model — [[Bpe
     * .fertilityReport]]'s twin, so the two trained tokenizer families
     * compare on the same metric.

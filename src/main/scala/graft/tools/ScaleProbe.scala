@@ -720,6 +720,42 @@ object ScaleProbe {
         .count()
     }
 
+    // HTML stage 0: wrap + extract — regex-dominated codegen scan plus
+    // the per-doc reassembly aggregation; cost must track pages.
+    def htmlEx(d: DataFrame): Long =
+      graft.text.Html.extract(
+          d.select(col("doc_id"), graft.queries.Round11Queries
+            .wrapCol(col("doc_id"), col("text")).as("html")),
+          "doc_id", "html")
+        .filter(col("n_kept") >= 0 && length(col("text")) >= 0)
+        .count()
+
+    // Unigram-LM training: the per-token perturbation grows the
+    // unique-word dict exactly Nx (like bpe_train), so the substring
+    // seed counts and both EM rounds' Viterbi passes scale in dict
+    // size; the collected model stays top-K-bounded.
+    def uniTrain(d: DataFrame): Long =
+      graft.text.Unigram.train(d, "text").pieces.size.toLong
+
+    // JPEG decode + perceptual dedup: md5-derived cell constants per
+    // id (replica ids offset -> genuinely new images, the r9 image
+    // lesson), real encode+decode per row, large-corpus band setting.
+    def jpegRun(d: DataFrame): Long = {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val media = d.select(col("doc_id")).as[Long].mapPartitions(_.map {
+        id =>
+          val img = graft.queries.Round11Queries
+            .jpegPlantImage(id, altCell = false)
+          val p = graft.multimodal.Jpeg.encode(img)
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+      })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -843,7 +879,11 @@ object ScaleProbe {
       "tokenizer_fertility" -> (() => {
         fertMerges // train OUTSIDE the timed region (frozen tokenizer)
         (time(fert(docsFull1r)), time(fert(docsFullN)))
-      }))
+      }),
+      "html_extract" -> (() => (time(htmlEx(docs1)), time(htmlEx(docsN)))),
+      "unigram_train" -> (() => (time(uniTrain(docs1)),
+        time(uniTrain(docsN)))),
+      "jpeg_dedup" -> (() => (time(jpegRun(docs1)), time(jpegRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

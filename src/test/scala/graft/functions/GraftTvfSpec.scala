@@ -393,6 +393,19 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_html_extract TVF == Html.extract") {
+    val pages = docs.select($"doc_id",
+      graft.queries.Round11Queries.wrapCol($"doc_id", $"text").as("html"))
+    pages.createOrReplaceTempView("tvf_pages")
+    val sql = spark.sql(
+      "SELECT * FROM graft_html_extract('tvf_pages', 'doc_id', 'html') " +
+        "ORDER BY doc_id")
+    val api = graft.text.Html.extract(pages, "doc_id", "html")
+      .orderBy(col("doc_id"))
+    val got = rows(sql)
+    assert(got.nonEmpty && got == rows(api))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

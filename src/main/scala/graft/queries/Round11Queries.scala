@@ -164,20 +164,24 @@ object Round11Queries {
   // ---- JPEG perceptual dedup (q201) ----------------------------------
   // JPEG is LOSSY, so the q110/q174 trick (oracle replays pixels
   // verbatim) needs a MARGIN argument instead of bit-exact pixels: the
-  // plant is a 64x64 grid of 8x8 CONSTANT cells (md5-derived, adjacent
-  // cells alternate 24..104 / 136..216 checkerboard ranges — every
-  // dHash comparison has >= 32 gray levels of margin) plus a +-2
-  // high-frequency texture that is zero at the dHash sample points
-  // (corners x=8gx, y=8gy have (x+y)%2=0). Baseline-JPEG roundtrip
-  // error at quant 1 is <~ 2 gray levels (JpegSpec asserts <= 3), so
-  // every dHash BIT — and therefore every pair and cluster — is exact
-  // even though pixels are not. The oracle replays the hashes from the
-  // cell formula.
+  // plant is a 64x64 grid of 8x8 CONSTANT cells,
+  //   cell = 24 + 32·(md5 % 6) + 8·((gx+gy) % 2),
+  // plus a ±2 high-frequency texture that is zero at the dHash sample
+  // points (corners x=8gx, y=8gy have (x+y)%2=0). Adjacent cells
+  // differ by >= 8 gray levels (equal md5 digits leave the 8-step
+  // parity offset; different digits dominate it), and baseline-JPEG
+  // roundtrip error at quant 1 is <= 3 (JpegSpec asserts) — so every
+  // dHash BIT, and therefore every pair and cluster, is exact even
+  // though pixels are not, while comparison SIGNS stay md5-random.
+  // (A first cut used low/high checkerboard RANGES: alternation made
+  // every comparison's sign a function of position alone — all 1167
+  // images hashed IDENTICALLY and the "dedup" was one 680k-pair
+  // clique. The r8/r9 generative-formula lesson: margins must not
+  // destroy the entropy the hash is supposed to measure.)
 
   private[graft] def jpegCell(id0: Long, gx: Int, gy: Int): Int = {
     val h = graft.functions.TextHash.md5Low60(s"jp:$id0:$gx:$gy")
-    if ((gx + gy) % 2 == 0) (24 + (h % 6) * 16).toInt
-    else (136 + (h % 6) * 16).toInt
+    (24 + (h % 6) * 32 + ((gx + gy) % 2) * 8).toInt
   }
 
   private[graft] def jpegPlantImage(id0: Long,
@@ -569,8 +573,7 @@ object Round11Queries {
          |  UNION ALL SELECT doc_id*4+2, doc_id, 1 FROM jdims WHERE doc_id % 5 = 0),
          |jcells AS (
          |  SELECT rid, gy, gx,
-         |    CASE WHEN (gx + gy) % 2 = 0 THEN 24 + (hh % 6) * 16
-         |         ELSE 136 + (hh % 6) * 16 END AS gray
+         |    24 + (hh % 6) * 32 + ((gx + gy) % 2) * 8 AS gray
          |  FROM (
          |    SELECT rid, gy.g AS gy, gx.g AS gx,
          |      ('0x'||substr(md5('jp:' || (CASE WHEN alt = 1 AND gx.g = 3 AND gy.g = 3 THEN id0 + 999983 ELSE id0 END) || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh

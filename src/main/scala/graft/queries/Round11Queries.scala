@@ -432,6 +432,58 @@ object Round11Queries {
         .orderBy(src)
     }),
 
+    // Per-source cleaning FUNNEL over a MARKUP corpus: q169's report
+    // with stage 0 in front — where each source's pages fall out of
+    // the pipeline when the input is raw HTML. n_in counts landed
+    // PAGES; the gates see extracted article text (htmlInput composes
+    // into funnelReport through the shared stage chain with zero new
+    // wiring — the round-10 one-wiring-point refactor paying off).
+    "q205_html_funnel" -> ((s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+            col("text")))
+        .unionByName(base.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("source"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+      val pages = corpus.select(col("doc_id"), col("source"),
+        wrapCol(col("doc_id"), col("text")).as("text"))
+      graft.pipeline.CorpusPipeline.funnelReport(pages, "doc_id",
+          "source", "text",
+          graft.pipeline.CorpusPipeline.Config(htmlInput = true))
+        .orderBy(col("source"))
+    }),
+
+    // Unigram VOCAB-ID export (q183's production id scheme under the
+    // second tokenizer family): contiguous ids by (count DESC, token),
+    // real ids written into the buffers via exportShardsOf(vocabIds),
+    // read back and checksummed. Completes the unigram artifact set:
+    // bin + idx + vocab.
+    "q206_unigram_vocab_export" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val model = graft.text.Unigram.train(docs, "text")
+      val stream = graft.text.Unigram.symbolStream(docs, "doc_id",
+        "text", model)
+      val voc = graft.text.Unigram.vocab(docs, "text", model)
+      val root = Files.createTempDirectory("graft-q206").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8, vocabIds = Some(voc))
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
     // JPEG perceptual dedup: REAL baseline-grayscale JPEG payloads
     // (markers, huffman, DCT — graft.multimodal.Jpeg) flow through the
     // SAME magic-sniffed dHash/banded-hamming/CC machinery as BMP/PNG
@@ -565,6 +617,107 @@ object Round11Queries {
          |  CAST(p.bpe_tokens AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS bpe_fertility,
          |  CAST(p.uni_tokens AS DOUBLE) / CAST(p.n_words AS DOUBLE) AS uni_fertility
          |FROM nd n JOIN per p USING (source) ORDER BY n.source""".stripMargin,
+    "q205_html_funnel" -> {
+      import PipelineQueries.{langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, source, text FROM documents
+         |  WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, source, text || ' zz tail marker'
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |hdocs AS (SELECT doc_id, ${wrapSqlOf("doc_id", "text")} AS html FROM corpus),
+         |${htmlExtractCtes("hdocs")},
+         |hxsrc AS (SELECT h.doc_id, c.source, h.text FROM hx h JOIN corpus c USING (doc_id)),
+         |scored AS (
+         |  SELECT doc_id, source, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM hxsrc),
+         |gated AS (
+         |  SELECT doc_id, source, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, source, text, quality, lang_pred
+         |  FROM gated
+         |  WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |fp AS (SELECT doc_id, source, text,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp
+         |  WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab)),
+         |fin AS (SELECT e.doc_id, e.source FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l
+         |                    WHERE l.doc_id = e.doc_id)),
+         |n0 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_in
+         |  FROM corpus GROUP BY 1),
+         |n1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated
+         |  FROM g2 GROUP BY 1),
+         |n2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |  FROM ex GROUP BY 1),
+         |n3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final
+         |  FROM fin GROUP BY 1)
+         |SELECT n0.source, n0.n_in,
+         |  COALESCE(n1.n_gated, 0) AS n_gated,
+         |  COALESCE(n2.n_exact, 0) AS n_exact,
+         |  COALESCE(n3.n_final, 0) AS n_final
+         |FROM n0
+         |LEFT JOIN n1 ON n1.source = n0.source
+         |LEFT JOIN n2 ON n2.source = n0.source
+         |LEFT JOIN n3 ON n3.source = n0.source
+         |ORDER BY n0.source""".stripMargin
+    },
+    "q206_unigram_vocab_export" ->
+      s"""WITH RECURSIVE ${unigramTrainCtes("documents")},
+         |uws AS (SELECT word, list_filter(string_split(s1, chr(31)), x -> x <> '') AS syms FROM dp2 WHERE pos = len),
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id, d.wpos, w.syms
+         |  FROM dw d JOIN uws w USING (word)),
+         |sy AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |vc AS (SELECT sym AS token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM sy GROUP BY sym),
+         |vid AS (SELECT token,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, token) - 1 AS vid
+         |  FROM vc),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM sy),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off, v.vid AS tid
+         |  FROM g JOIN p USING (doc_id)
+         |  JOIN vid v ON v.token = g.sym)
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin,
     "q201_jpeg_perceptual" ->
       s"""WITH RECURSIVE jdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
          |jimgs AS (

@@ -176,6 +176,31 @@ object Unigram {
       .select(id, (col("base") + col("spos")).as("pos"), col("tok"))
   }
 
+  /** Corpus token counts under the model (per occurrence — weighting
+    * the dict's segmentations by word frequency gives the same relation
+    * by determinism of the DP).
+    */
+  def vocabCounts(docs: DataFrame, textCol: String,
+      model: Model): DataFrame =
+    docs
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .select(explode(model.segmentCol(col("word"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+
+  /** VOCABULARY artifact of the trained tokenizer: `(token, id, n)`
+    * with contiguous ids from 0 by (count DESC, token ASC) — the
+    * [[Bpe.vocab]] contract under the second family, riding the
+    * two-phase global row number (no single-partition sort at real
+    * vocab sizes; total order → layout-deterministic ids).
+    */
+  def vocab(docs: DataFrame, textCol: String, model: Model): DataFrame =
+    graft.operators.Ranking.globalRowNumber(
+        vocabCounts(docs, textCol, model)
+          .withColumn("__negn", -col("n")),
+        Seq("__negn", "token"), "id")
+      .select(col("token"), (col("id") - 1L).cast("int").as("id"),
+        col("n"))
+
   /** Tokenizer fertility per source under the model — [[Bpe
     * .fertilityReport]]'s twin, so the two trained tokenizer families
     * compare on the same metric.

@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Round9cQueries.queries ++
       graft.queries.Round10Queries.queries ++
       graft.queries.Round10bQueries.queries ++
-      graft.queries.Round11Queries.queries
+      graft.queries.Round11Queries.queries ++
+      graft.queries.Round11bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Round9cQueries.oracleSql ++
       graft.queries.Round10Queries.oracleSql ++
       graft.queries.Round10bQueries.oracleSql ++
-      graft.queries.Round11Queries.oracleSql
+      graft.queries.Round11Queries.oracleSql ++
+      graft.queries.Round11bQueries.oracleSql
 }

@@ -1,0 +1,125 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Web-graph analytics over a crawled markup corpus: link extraction,
+  * domain-level adjacency, and an exact-integer PageRank — the quality
+  * signal real crawl pipelines (CC-style) attach to every document via
+  * its host. The reference's staging-feed role (SCD_script.txt:83-116)
+  * generalized to the graph a crawl actually ships with.
+  *
+  * Everything is DuckDB-replayable: link extraction is one
+  * `regexp_extract_all` in the shared RE2 subset; PageRank mass is a
+  * scaled nonnegative integer and EVERY division is SQL `div` (==
+  * DuckDB `//` on nonnegative operands), so k rounds replay
+  * bit-identically as k unrolled CTEs.
+  *
+  * Scale: extraction is per-document (one scan, no shuffle); each
+  * PageRank round is one edge-keyed join + one target-keyed
+  * aggregation — the canonical distributed formulation. The loop
+  * `localCheckpoint`s every round (growing-lineage invariant), and
+  * rank state is 16 bytes/node — 1000-executor-sized at billions of
+  * nodes. Nothing driver-side except the node count.
+  */
+object WebGraph {
+
+  /** Absolute http(s) hrefs of each page: `(src, url)` — one row per
+    * anchor occurrence (duplicates preserved; callers dedup when their
+    * semantics need it). Relative links (nav/footer boilerplate) carry
+    * no cross-host signal and are excluded by the pattern itself.
+    */
+  def links(pages: DataFrame, idCol: String, htmlCol: String): DataFrame =
+    pages.select(col(idCol).as("src"),
+      explode(expr(
+        s"""regexp_extract_all($htmlCol, 'href="(https?://[^"]+)"', 1)"""))
+        .as("url"))
+
+  /** DuckDB body for [[links]] over `rel(idCol, htmlCol)`. */
+  def linksSql(rel: String, idCol: String, htmlCol: String): String =
+    s"""SELECT $idCol AS src, unnest(regexp_extract_all($htmlCol, 'href="(https?://[^"]+)"', 1)) AS url FROM $rel"""
+
+  /** Host component of an URL column (empty string when unparseable —
+    * loud enough to count, never NULL).
+    */
+  def host(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  def hostSql(expr: String): String =
+    s"regexp_extract($expr, '^https?://([^/]+)', 1)"
+
+  /** Distinct doc→doc edges from a `(src, url)` link relation whose
+    * URLs carry the target id as a `/p/<id>` path tail (the corpus URL
+    * scheme). Unresolvable URLs drop; self-links are kept so every
+    * linking page keeps out-degree ≥ 1 (no dangling mass).
+    */
+  def docEdges(linkRel: DataFrame): DataFrame =
+    linkRel
+      .select(col("src"),
+        regexp_extract(col("url"), "/p/([0-9]+)$", 1).as("__t"))
+      .filter(col("__t") =!= "")
+      .select(col("src"), col("__t").cast("long").as("dst"))
+      .distinct()
+
+  def docEdgesSql(linkRel: String): String =
+    s"""SELECT DISTINCT src, CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS dst FROM $linkRel WHERE regexp_extract(url, '/p/([0-9]+)$$', 1) <> ''"""
+
+  /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
+  val Scale = 1000000000000L
+
+  /** Exact-integer PageRank over distinct `edges(src, dst)` and
+    * `nodes(node)`: `rounds` synchronous iterations of
+    *
+    *   r₀(v)    = Scale div n
+    *   rₖ₊₁(v) = (15·Scale) div (100·n)
+    *             + (85 · Σ_{(u,v)∈E} (rₖ(u) div outdeg(u))) div 100
+    *
+    * Truncating-div mass loss (standard in integer PageRank) stays in
+    * the fixed point instead of being redistributed — both engines
+    * lose identical ulps, so the replay is bit-exact. Nodes without
+    * in-links hold the teleport base. Returns `(node, rank)`.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRank over an empty node set")
+    val base = 15L * Scale / (100L * n)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    var ranks = nodes.select(col("node"),
+      lit(Scale / n).as("rank")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = edges.join(
+          ranks.join(outdeg, col("node") === col("src"))
+            .select(col("src").as("__u"),
+              expr("rank div outdeg").as("__c")),
+          col("src") === col("__u"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(__in, 0)) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The k-round unrolled-CTE oracle for [[pageRank]]: relations
+    * `wgodeg`, `wgnn`, `wgr0` … `wgr<rounds>` over `edges(src, dst)`
+    * and `nodes(<nodeIdExpr> AS node)`. CAST(SUM AS BIGINT) guards the
+    * HUGEINT promotion; concat stays at line end (stripMargin hazard).
+    */
+  def pageRankCtes(nodesRel: String, nodeId: String, edgesRel: String,
+      rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""wgr$k AS (SELECT d.node, (SELECT (15 * $Scale) // (100 * n) FROM wgnn) + (85 * coalesce(i.s, 0)) // 100 AS rank FROM wgnodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s FROM $edgesRel e JOIN wgr${k - 1} r ON r.node = e.src JOIN wgodeg o ON o.src = e.src GROUP BY e.dst) i ON i.node = d.node)"""
+    }
+    (Seq(
+      s"wgnodes AS (SELECT $nodeId AS node FROM $nodesRel)",
+      s"wgodeg AS (SELECT src, count(*) AS outdeg FROM $edgesRel GROUP BY src)",
+      s"wgnn AS (SELECT count(*) AS n FROM wgnodes)",
+      s"wgr0 AS (SELECT node, (SELECT $Scale // n FROM wgnn) AS rank FROM wgnodes)") ++ rs)
+      .mkString(",\n")
+  }
+}

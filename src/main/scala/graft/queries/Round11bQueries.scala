@@ -1,0 +1,178 @@
+package graft.queries
+
+import graft.functions.PortableHash
+import graft.graph.WebGraph
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-11 continuation: the WEB-GRAPH side of a crawl corpus — link
+  * extraction, domain adjacency, exact-integer PageRank as a document
+  * quality signal, and graph-aware per-domain selection caps. Every
+  * query replays bit-identically in the DuckDB oracle.
+  */
+object Round11bQueries {
+
+  // ---- the linked synthetic crawl -----------------------------------
+  // documents.parquet is flat text, so the LINKED corpus wraps each
+  // document in a compact page whose references box holds absolute
+  // URLs of three md5-derived target documents (id-linear targets
+  // would alias — the generative-formula lesson; md5 keeps the graph
+  // genuinely random). URL scheme: http://d<dom>.example.com/p/<id>
+  // with dom = id % 20 (the corpus' own doc↔source correlation).
+  // The nav link is relative on purpose: extraction must skip it.
+
+  private val refSeeds = Seq(71, 72, 73)
+
+  private def urlOf(t: Column): Column =
+    concat(lit("http://d"), (t % 20).cast("string"),
+      lit(".example.com/p/"), t.cast("string"))
+
+  private def urlSqlOf(t: String): String =
+    s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
+
+  /** `(doc_id, html)` — the linked page corpus. `n` is the corpus size
+    * (targets are mod-n; the oracle computes it as a subquery).
+    */
+  private[queries] def linkedPages(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = docs.count()
+    val refs = refSeeds.zipWithIndex.map { case (seed, i) =>
+      val t = PortableHash.hash60(col("doc_id").cast("string"), seed) % n
+      concat(lit(s"""<a href=""""), urlOf(t), lit(s"""">ref $i</a>"""))
+    }
+    docs.select(col("doc_id"),
+      concat(
+        lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a></div><p>"),
+        col("text"), lit("</p><div class=\"refs\">"),
+        concat_ws(" ", refs: _*),
+        lit("</div></body></html>")).as("html"))
+  }
+
+  /** Oracle CTE: `lpages(doc_id, html)` — the [[linkedPages]] replay.
+    * Concat operators at line END only (stripMargin re-strip hazard).
+    */
+  private val lpagesCte: String = {
+    val refs = refSeeds.zipWithIndex.map { case (seed, i) =>
+      val t = s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM lpn))"
+      s"""'<a href="' || ${urlSqlOf(t)} || '">ref $i</a>'"""
+    }
+    s"""lpn AS (SELECT count(*) AS n FROM documents),
+       |lpages AS (SELECT doc_id, '<html><body><div class="nav"><a href="/">Home</a></div><p>' ||
+       |    text || '</p><div class="refs">' ||
+       |    ${refs.mkString(" || ' ' ||\n       |    ")} ||
+       |    '</div></body></html>' AS html
+       |  FROM documents)""".stripMargin
+  }
+
+  /** `llinks(src, url)` + `ledges(src, dst)` over `lpages`. */
+  private val linkCtes: String =
+    s"""llinks AS (${WebGraph.linksSql("lpages", "doc_id", "html")}),
+       |ledges AS (${WebGraph.docEdgesSql("llinks")})""".stripMargin
+
+  private def docEdges(s: SparkSession, dir: String): DataFrame =
+    WebGraph.docEdges(
+      WebGraph.links(linkedPages(s, dir), "doc_id", "html"))
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // LINK EXTRACTION + domain adjacency: absolute hrefs pulled from
+    // the raw markup (relative nav boilerplate skipped by the pattern),
+    // target host parsed, and the domain-level graph rolled up — the
+    // first thing a crawl pipeline builds after fetching. One scan, one
+    // (src_dom, dst_host)-keyed aggregation; no per-page state.
+    "q207_link_graph" -> ((s, dir) => {
+      val links = WebGraph.links(linkedPages(s, dir), "doc_id", "html")
+      links
+        .select((col("src") % 20).as("src_dom"),
+          WebGraph.host(col("url")).as("dst_host"))
+        .groupBy(col("src_dom"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy(col("src_dom"), col("dst_host"))
+    }),
+
+    // Exact-integer PAGERANK over the extracted doc graph (5 rounds,
+    // ppt mass, truncating-div both engines): the host-quality signal
+    // CC-style pipelines attach to every document. Per-round one
+    // edge-keyed join + one aggregation, localCheckpoint'd — the
+    // canonical distributed formulation; report = top 100 + per-doc
+    // domain, a deterministic total order.
+    "q208_pagerank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val ranks = WebGraph.pageRank(docs, docEdges(s, dir), rounds = 5)
+      ranks.select(col("node"), (col("node") % 20).as("dom"),
+          col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
+
+    // GRAPH-AWEIGHED per-domain selection caps (C4-style "max docs per
+    // host", weighted by host centrality): domains ranked by their
+    // total PageRank mass, top half keep 15 docs each, bottom half 8;
+    // within a domain docs survive by (n_chars, doc_id). The domain
+    // table is 20 rows (model-sized — the single-partition window is
+    // bounded); the doc-side window partitions BY DOMAIN, so the
+    // per-partition work is capped at corpus/20 ≫ parallelism holds.
+    "q209_domain_cap" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id") % 20).as("dom"))
+      val nodes = docs.select(col("doc_id").as("node"))
+      val ranks = WebGraph.pageRank(nodes, docEdges(s, dir), rounds = 5)
+      val dmass = ranks.groupBy((col("node") % 20).as("dom"))
+        .agg(sum(col("rank")).as("mass"))
+      val drank = dmass.withColumn("drk",
+        row_number().over(
+          Window.orderBy(col("mass").desc, col("dom"))))
+        .withColumn("cap", when(col("drk") <= 10, 15).otherwise(8))
+      val kept = docs.join(broadcast(drank), Seq("dom"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("dom"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= col("cap"))
+      kept.select(col("doc_id"), col("dom"), col("mass"),
+          col("cap").cast("int").as("cap"), col("rk"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q207_link_graph" ->
+      s"""WITH $lpagesCte,
+         |llinks AS (${WebGraph.linksSql("lpages", "doc_id", "html")})
+         |SELECT src % 20 AS src_dom, ${WebGraph.hostSql("url")} AS dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links
+         |FROM llinks
+         |GROUP BY 1, 2
+         |ORDER BY src_dom, dst_host""".stripMargin,
+
+    "q208_pagerank" ->
+      s"""WITH $lpagesCte,
+         |$linkCtes,
+         |${WebGraph.pageRankCtes("documents", "doc_id", "ledges", 5)}
+         |SELECT node, node % 20 AS dom, rank
+         |FROM wgr5
+         |ORDER BY rank DESC, node
+         |LIMIT 100""".stripMargin,
+
+    "q209_domain_cap" ->
+      s"""WITH $lpagesCte,
+         |$linkCtes,
+         |${WebGraph.pageRankCtes("documents", "doc_id", "ledges", 5)},
+         |dmass AS (SELECT node % 20 AS dom, CAST(SUM(rank) AS BIGINT) AS mass FROM wgr5 GROUP BY 1),
+         |drank AS (SELECT dom, mass, row_number() OVER (ORDER BY mass DESC, dom) AS drk FROM dmass),
+         |dcap AS (SELECT dom, mass, CASE WHEN drk <= 10 THEN 15 ELSE 8 END AS cap FROM drank),
+         |dranked AS (SELECT d.doc_id, d.doc_id % 20 AS dom, d.n_chars,
+         |    row_number() OVER (PARTITION BY d.doc_id % 20 ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM documents d)
+         |SELECT r.doc_id, r.dom, c.mass, c.cap, r.rk
+         |FROM dranked r JOIN dcap c ON c.dom = r.dom
+         |WHERE r.rk <= c.cap
+         |ORDER BY r.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,86 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class WebGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("links pulls absolute hrefs only, in page order, with repeats") {
+    val pages = Seq(
+      (1L, """<a href="/">Home</a><a href="http://a.com/p/2">x</a> """ +
+        """<a href="https://b.com/p/3">y</a><a href="http://a.com/p/2">x</a>"""),
+      (2L, "<p>no links</p>")).toDF("doc_id", "html")
+    val got = WebGraph.links(pages, "doc_id", "html")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "http://a.com/p/2"), (1L, "https://b.com/p/3"),
+      (1L, "http://a.com/p/2")))
+  }
+
+  test("host parses the authority; unparseable is empty not NULL") {
+    val got = Seq("http://d7.example.com/p/9", "https://x.org/", "junk")
+      .toDF("url").select(WebGraph.host(col("url")))
+      .as[String].collect().toSeq
+    assert(got == Seq("d7.example.com", "x.org", ""))
+  }
+
+  test("docEdges parses /p/<id> tails, dedups, keeps self-links") {
+    val links = Seq(
+      (1L, "http://a.com/p/2"), (1L, "http://a.com/p/2"),
+      (1L, "http://a.com/p/1"), (2L, "http://a.com/other"),
+      (2L, "http://a.com/p/7")).toDF("src", "url")
+    val got = WebGraph.docEdges(links).as[(Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L), (1L, 1L), (2L, 7L)))
+  }
+
+  test("pageRank one round on a hand-computed 3-node graph") {
+    // edges: 1->2, 1->3, 2->3; node 3 dangles (no out-edges, fine:
+    // only OUT-degree of linking nodes enters the formula).
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val s = WebGraph.Scale
+    val r0 = s / 3
+    val base = 15L * s / (100L * 3)
+    val exp = Map(
+      1L -> base,
+      2L -> (base + 85L * (r0 / 2) / 100L),
+      3L -> (base + 85L * (r0 / 2 + r0 / 1) / 100L))
+    val got = WebGraph.pageRank(nodes, edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == exp)
+  }
+
+  test("pageRank: in-link hub dominates; every node holds >= base") {
+    // star: 1..9 all link to 10; 10 links to 1.
+    val nodes = (1L to 10L).toDF("node")
+    val edges = ((1L to 9L).map(i => (i, 10L)) :+ ((10L, 1L)))
+      .toDF("src", "dst")
+    val ranks = WebGraph.pageRank(nodes, edges, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    val base = 15L * WebGraph.Scale / (100L * 10)
+    assert(ranks(10L) > ranks(1L) && ranks(1L) > ranks(2L))
+    assert(ranks.values.forall(_ >= base))
+    // mass never exceeds the scale (truncating div only loses)
+    assert(ranks.values.sum <= WebGraph.Scale)
+  }
+
+  test("pageRankCtes replays pageRank bit-identically (spark.sql)") {
+    val nodes = (1L to 6L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (6L, 6L)).toDF("src", "dst")
+    nodes.createOrReplaceTempView("wg_nodes_v")
+    edges.createOrReplaceTempView("wg_edges_v")
+    // Spark accepts the same CTE text modulo `//` -> `div`
+    val sql = "WITH " +
+      WebGraph.pageRankCtes("wg_nodes_v", "node", "wg_edges_v", 3)
+        .replace("//", "div") +
+      " SELECT node, rank FROM wgr3 ORDER BY node"
+    val viaSql = spark.sql(sql).as[(Long, Long)].collect().toSeq
+    val viaApi = WebGraph.pageRank(nodes, edges, rounds = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(viaSql == viaApi)
+  }
+}

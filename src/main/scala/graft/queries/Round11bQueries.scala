@@ -76,6 +76,35 @@ object Round11bQueries {
     WebGraph.docEdges(
       WebGraph.links(linkedPages(s, dir), "doc_id", "html"))
 
+  // ---- sketch-family shared stream ----------------------------------
+  // Items = doc-distinct 3-gram shingles (strings): CMS estimates each
+  // gram's DOCUMENT FREQUENCY (the maxDf signal), HLL the distinct-gram
+  // cardinality. The oracle mirrors Dedup.shingles' gram construction
+  // (validated since q18).
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** CTEs ending in `citems(doc_id, item)` (doc-distinct grams) over
+    * `documents`.
+    */
+  private val itemsCtes: String =
+    s"""ctoks AS (SELECT doc_id, $toksExpr AS toks FROM documents),
+       |cgrams AS (SELECT doc_id,
+       |    unnest(CASE WHEN len(toks) >= 3
+       |      THEN list_transform(generate_series(1, len(toks)-2),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+       |      ELSE []::VARCHAR[] END) AS item
+       |  FROM ctoks),
+       |citems AS (SELECT DISTINCT doc_id, item FROM cgrams)""".stripMargin
+
+  /** `(doc_id, item)` — doc-distinct shingle strings. */
+  private def shingleItems(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.shingles(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 3)
+      .select(col("doc_id"), col("shingle").as("item"))
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // LINK EXTRACTION + domain adjacency: absolute hrefs pulled from
@@ -137,6 +166,52 @@ object Round11bQueries {
       kept.select(col("doc_id"), col("dom"), col("mass"),
           col("cap").cast("int").as("cap"), col("rk"))
         .orderBy(col("doc_id"))
+    }),
+
+    // COUNT-MIN heavy-hitter estimates: a 4x1024 mergeable counter grid
+    // built from two shard partials (merged == direct — the sketch
+    // contract), probed for every gram of the first five docs. est is
+    // NEVER below the exact document frequency (collisions only
+    // inflate) — the scale path to maxDf candidates without an exact
+    // corpus-wide groupBy; the sketch is model-sized, so probing is a
+    // broadcast join.
+    "q210_cms_heavy" -> ((s, dir) => {
+      import graft.quality.CmsSketch
+      val sh = shingleItems(s, dir)
+      val sketch = CmsSketch.merge(
+        CmsSketch.partials(sh.filter(col("doc_id") % 2 === 0),
+          "item", depth = 4, width = 1024),
+        CmsSketch.partials(sh.filter(col("doc_id") % 2 === 1),
+          "item", depth = 4, width = 1024))
+      val probes = sh.filter(col("doc_id") < 5)
+        .select(col("item")).distinct()
+      val exact = sh.groupBy(col("item"))
+        .agg(count(lit(1)).as("exact_df"))
+      CmsSketch.estimate(sketch, probes, "item", depth = 4, width = 1024)
+        .join(exact, Seq("item"))
+        .select(col("item"), col("exact_df"), col("est"),
+          (col("est") - col("exact_df")).as("over"))
+        .orderBy(col("item"))
+    }),
+
+    // HYPERLOGLOG registers: 256-register distinct-gram sketch, merge =
+    // per-register MAX over two shard partials (== direct build), with
+    // the exact-integer harmonic estimate and the true cardinality side
+    // by side — constant-size distinct counting for dashboard rollups
+    // where q36's KMV (k values per group) is still too big.
+    "q211_hll_registers" -> ((s, dir) => {
+      import graft.quality.HllSketch
+      val sh = shingleItems(s, dir)
+      val regs = HllSketch.merge(
+        HllSketch.registers(sh.filter(col("doc_id") % 2 === 0), "item"),
+        HllSketch.registers(sh.filter(col("doc_id") % 2 === 1), "item"))
+      val exact = sh.select(col("item")).distinct()
+        .agg(count(lit(1)).as("n_exact"))
+      HllSketch.complete(regs)
+        .crossJoin(broadcast(exact))
+        .select(col("reg"), col("max_rho"), col("s_sum"), col("est"),
+          col("n_exact"))
+        .orderBy(col("reg"))
     })
   )
 
@@ -173,6 +248,25 @@ object Round11bQueries {
          |SELECT r.doc_id, r.dom, c.mass, c.cap, r.rk
          |FROM dranked r JOIN dcap c ON c.dom = r.dom
          |WHERE r.rk <= c.cap
-         |ORDER BY r.doc_id""".stripMargin
+         |ORDER BY r.doc_id""".stripMargin,
+
+    "q210_cms_heavy" ->
+      s"""WITH $itemsCtes,
+         |cstream AS (SELECT item FROM citems),
+         |cprobes AS (SELECT DISTINCT item FROM citems WHERE doc_id < 5),
+         |${graft.quality.CmsSketch.ctes("cstream", "cprobes", 4, 1024)},
+         |cexact AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_df FROM citems GROUP BY item)
+         |SELECT e.item, x.exact_df, e.est, e.est - x.exact_df AS over
+         |FROM cmsest e JOIN cexact x ON x.item = e.item
+         |ORDER BY e.item""".stripMargin,
+
+    "q211_hll_registers" ->
+      s"""WITH $itemsCtes,
+         |cstream AS (SELECT item FROM citems),
+         |${graft.quality.HllSketch.ctes("cstream")},
+         |cexact AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_exact FROM cstream)
+         |SELECT f.reg, f.max_rho, s.s_sum, s.est, x.n_exact
+         |FROM hllfull f, hllsum s, cexact x
+         |ORDER BY f.reg""".stripMargin
   )
 }

@@ -368,6 +368,50 @@ object Dedup {
     scrubByRanges(docs, idCol, textCol,
       duplicateSpanRanges(docs, idCol, textCol, k, maxDf))
 
+  /** PARAGRAPH-frequency scrub (RefinedWeb-style line dedup): drop
+    * every newline-delimited paragraph whose corpus-wide DOCUMENT
+    * frequency exceeds `maxDf` — newsletter prompts, cookie banners,
+    * per-site disclaimers — and rebuild each document from its
+    * surviving paragraphs in order. The granularity between whole-doc
+    * dedup (q18) and token-span scrub ([[scrubDuplicateSpans]]):
+    * boilerplate repeats as whole lines across MANY documents, and the
+    * line is the unit that must go.
+    *
+    * Shape: one posexplode, df counted on 60-bit paragraph hashes
+    * (8-byte shuffle keys, never strings; doc-distinct so in-doc
+    * repetition cannot promote a paragraph to "frequent"), survivors
+    * tagged by one hash-keyed join, and the per-doc sorted-collect
+    * rebuild. Hot paragraphs are at most `total/maxDf` distinct
+    * values — no skew funnel.
+    *
+    * @return one row per input doc: (idCol, clean_text, n_paras,
+    *   n_dropped) — clean_text empty (never NULL) when everything was
+    *   boilerplate
+    */
+  def scrubFrequentParagraphs(docs: DataFrame, idCol: String,
+      textCol: String, maxDf: Long): DataFrame = {
+    val id = col(idCol)
+    val paras = docs
+      .select(id, posexplode(split(col(textCol), "\n"))
+        .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+      .withColumn("ph",
+        graft.functions.PortableHash.hash60Base(col("para")))
+    val pdf = paras.select(id, col("ph")).distinct()
+      .groupBy(col("ph")).agg(count(lit(1)).as("pdf"))
+    val perDoc = paras.join(pdf, Seq("ph"))
+      .groupBy(id).agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("pdf") > maxDf, 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(sort_array(collect_list(
+            when(col("pdf") <= maxDf, struct(col("pos"), col("para"))))),
+          s => s.getField("para")), "\n").as("clean_text"))
+    docs.select(id).join(perDoc, Seq(idCol), "left")
+      .select(id, coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** CROSS-corpus SPAN scrub — decontamination at PASSAGE granularity:
     * rewrite each train document with every token covered by a k-gram
     * that ALSO occurs in the eval corpus removed. Dropping whole

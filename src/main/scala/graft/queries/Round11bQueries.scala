@@ -212,8 +212,34 @@ object Round11bQueries {
         .select(col("reg"), col("max_rho"), col("s_sum"), col("est"),
           col("n_exact"))
         .orderBy(col("reg"))
+    }),
+
+    // PARAGRAPH-frequency scrub (RefinedWeb-style line dedup): the
+    // plant injects a corpus-wide newsletter prompt before ~1/3 of the
+    // docs and a per-source disclaimer line after ~1/2 — the newsletter
+    // (df≈n/3) always falls, the per-source disclaimers (df≈n/40)
+    // straddle maxDf=8 so both branches stay live at sf0.01; each
+    // document's own text survives.
+    "q212_paragraph_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"),
+        concat_ws("\n",
+          when(PortableHash.hash60(col("doc_id").cast("string"), 81)
+            % 3 === 0, lit(NewsletterPara)),
+          col("text"),
+          when(PortableHash.hash60(col("doc_id").cast("string"), 82)
+            % 2 === 0, concat(lit(DisclaimerPrefix),
+              (col("doc_id") % 20).cast("string")))).as("ptext"))
+      graft.dedup.Dedup.scrubFrequentParagraphs(
+          planted, "doc_id", "ptext", maxDf = 8L)
+        .orderBy(col("doc_id"))
     })
   )
+
+  private val NewsletterPara =
+    "subscribe to our newsletter today for updates"
+  private val DisclaimerPrefix = "all rights reserved by source "
 
   val oracleSql: Map[String, String] = Map(
 
@@ -267,6 +293,27 @@ object Round11bQueries {
          |cexact AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_exact FROM cstream)
          |SELECT f.reg, f.max_rho, s.s_sum, s.est, x.n_exact
          |FROM hllfull f, hllsum s, cexact x
-         |ORDER BY f.reg""".stripMargin
+         |ORDER BY f.reg""".stripMargin,
+
+    "q212_paragraph_scrub" ->
+      s"""WITH pdocs AS (SELECT doc_id, concat_ws(chr(10),
+         |    CASE WHEN (${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 81)}) % 3 = 0 THEN '$NewsletterPara' END,
+         |    text,
+         |    CASE WHEN (${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 82)}) % 2 = 0 THEN '$DisclaimerPrefix' || CAST(doc_id % 20 AS VARCHAR) END) AS ptext
+         |  FROM documents),
+         |ppr0 AS (SELECT doc_id, string_split(ptext, chr(10)) AS ps FROM pdocs),
+         |ppr AS (SELECT doc_id, unnest(generate_series(1, len(ps))) AS pos, unnest(ps) AS para FROM ppr0),
+         |ppn AS (SELECT doc_id, pos, para, ${PortableHash.hash60BaseSql("para")} AS ph FROM ppr WHERE length(trim(para)) > 0),
+         |ppdf AS (SELECT ph, CAST(count(*) AS BIGINT) AS pdf FROM (SELECT DISTINCT doc_id, ph FROM ppn) t GROUP BY ph),
+         |ppd AS (SELECT n.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(coalesce(count(*) FILTER (WHERE f.pdf > 8), 0) AS BIGINT) AS n_dropped,
+         |    string_agg(n.para, chr(10) ORDER BY n.pos) FILTER (WHERE f.pdf <= 8) AS clean_text
+         |  FROM ppn n JOIN ppdf f ON f.ph = n.ph GROUP BY n.doc_id)
+         |SELECT d.doc_id, coalesce(p.clean_text, '') AS clean_text,
+         |  coalesce(p.n_paras, CAST(0 AS BIGINT)) AS n_paras,
+         |  coalesce(p.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
+         |FROM documents d LEFT JOIN ppd p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

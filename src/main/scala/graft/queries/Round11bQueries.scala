@@ -234,6 +234,80 @@ object Round11bQueries {
       graft.dedup.Dedup.scrubFrequentParagraphs(
           planted, "doc_id", "ptext", maxDf = 8L)
         .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL link-graph ingest: pages fold in three batches, the
+    // edge set is published + rehydrated through the catalog, and
+    // PageRank over the accumulated graph replays the one-shot q208
+    // ranks verbatim (a page's out-links are per-page — no batching
+    // can change the distinct edge set). Oracle = q208's SQL.
+    "q213_incremental_links" -> ((s, dir) => {
+      import graft.graph.IncrementalGraph
+      import java.nio.file.Files
+      val pages = linkedPages(s, dir)
+      var idx = IncrementalGraph.build(
+        pages.filter(col("doc_id") % 3 === 0), "doc_id", "html")
+      (1 to 2).foreach { k =>
+        idx = IncrementalGraph.addBatch(idx,
+          pages.filter(col("doc_id") % 3 === k), "doc_id", "html")
+      }
+      val root = Files.createTempDirectory("graft-q213").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      IncrementalGraph.save(idx, cat, "crawl")
+      val loaded = IncrementalGraph.load(cat, "crawl")
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val out = IncrementalGraph.rank(loaded, nodes, rounds = 5)
+        .select(col("node"), (col("node") % 20).as("dom"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // ...and the STREAMING door: page slices land as files, each
+    // micro-batch folds via addBatch — same per-page argument, so any
+    // file batching replays the one-shot ranks. Oracle = q208's SQL.
+    "q214_stream_links" -> ((s, dir) => {
+      import graft.graph.IncrementalGraph
+      import java.nio.file.Files
+      val pages = linkedPages(s, dir)
+      val land = Files.createTempDirectory("graft-q214-land").toString
+      val cp = Files.createTempDirectory("graft-q214-cp").toString
+      (0 to 2).foreach { k =>
+        pages.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var idx = IncrementalGraph.GraphIndex(
+        s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("dst",
+              org.apache.spark.sql.types.LongType)))))
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          idx = IncrementalGraph.addBatch(idx, batch, "doc_id", "html")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val out = IncrementalGraph.rank(idx, nodes, rounds = 5)
+        .select(col("node"), (col("node") % 20).as("dom"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
     })
   )
 
@@ -252,14 +326,7 @@ object Round11bQueries {
          |GROUP BY 1, 2
          |ORDER BY src_dom, dst_host""".stripMargin,
 
-    "q208_pagerank" ->
-      s"""WITH $lpagesCte,
-         |$linkCtes,
-         |${WebGraph.pageRankCtes("documents", "doc_id", "ledges", 5)}
-         |SELECT node, node % 20 AS dom, rank
-         |FROM wgr5
-         |ORDER BY rank DESC, node
-         |LIMIT 100""".stripMargin,
+    "q208_pagerank" -> pagerankSql,
 
     "q209_domain_cap" ->
       s"""WITH $lpagesCte,
@@ -314,6 +381,19 @@ object Round11bQueries {
          |  coalesce(p.n_paras, CAST(0 AS BIGINT)) AS n_paras,
          |  coalesce(p.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
          |FROM documents d LEFT JOIN ppd p ON p.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // batched == one-shot: the doors replay q208's graph verbatim
+    "q213_incremental_links" -> pagerankSql,
+    "q214_stream_links" -> pagerankSql
   )
+
+  private lazy val pagerankSql: String =
+    s"""WITH $lpagesCte,
+       |$linkCtes,
+       |${WebGraph.pageRankCtes("documents", "doc_id", "ledges", 5)}
+       |SELECT node, node % 20 AS dom, rank
+       |FROM wgr5
+       |ORDER BY rank DESC, node
+       |LIMIT 100""".stripMargin
 }

@@ -39,6 +39,42 @@ object WebGraph {
   def linksSql(rel: String, idCol: String, htmlCol: String): String =
     s"""SELECT $idCol AS src, unnest(regexp_extract_all($htmlCol, 'href="(https?://[^"]+)"', 1)) AS url FROM $rel"""
 
+  /** Absolute-href anchor ELEMENTS with their text: `(src, url,
+    * anchor)` — the in-link description of the TARGET page, the IR
+    * signal link-based document representations aggregate (anchor text
+    * describes the page it points AT, often better than the page
+    * itself does). Same per-page shape as [[links]].
+    */
+  def anchors(pages: DataFrame, idCol: String, htmlCol: String)
+      : DataFrame =
+    pages.select(col(idCol).as("src"),
+      explode(expr(
+        s"""regexp_extract_all($htmlCol, '<a href="https?://[^"]*"[^>]*>[^<]*</a>', 0)"""))
+        .as("__e"))
+      .select(col("src"),
+        regexp_extract(col("__e"), "href=\"([^\"]+)\"", 1).as("url"),
+        regexp_extract(col("__e"), ">([^<]*)<", 1).as("anchor"))
+
+  /** DuckDB body for [[anchors]] over `rel(idCol, htmlCol)`. */
+  def anchorsSql(rel: String, idCol: String, htmlCol: String): String =
+    s"""SELECT src, regexp_extract(e, 'href="([^"]+)"', 1) AS url, regexp_extract(e, '>([^<]*)<', 1) AS anchor FROM (SELECT $idCol AS src, unnest(regexp_extract_all($htmlCol, '<a href="https?://[^"]*"[^>]*>[^<]*</a>', 0)) AS e FROM $rel) t"""
+
+  /** Canonical URL identity: scheme collapsed to http, host
+    * lowercased, query/fragment (tracking params) dropped, trailing
+    * slash stripped — the normalization a crawl dedups fetch targets
+    * under. Pure regex in the shared RE2 subset.
+    */
+  def canonicalUrl(url: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("http://"),
+      lower(regexp_extract(url, "^https?://([^/?#]+)", 1)),
+      regexp_replace(
+        regexp_extract(url, "^https?://[^/?#]+([^?#]*)", 1), "/$", ""))
+
+  /** DuckDB SQL text computing exactly [[canonicalUrl]]. */
+  def canonicalUrlSql(expr: String): String =
+    s"""('http://' || lower(regexp_extract($expr, '^https?://([^/?#]+)', 1)) || regexp_replace(regexp_extract($expr, '^https?://[^/?#]+([^?#]*)', 1), '/$$', ''))"""
+
   /** Host component of an URL column (empty string when unparseable —
     * loud enough to count, never NULL).
     */

@@ -39,9 +39,10 @@ object Round11bQueries {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
     val n = docs.count()
-    val refs = refSeeds.zipWithIndex.map { case (seed, i) =>
+    val refs = refSeeds.map { seed =>
       val t = PortableHash.hash60(col("doc_id").cast("string"), seed) % n
-      concat(lit(s"""<a href=""""), urlOf(t), lit(s"""">ref $i</a>"""))
+      concat(lit(s"""<a href=""""), urlOf(t), lit(s"""">about doc """),
+        t.cast("string"), lit("</a>"))
     }
     docs.select(col("doc_id"),
       concat(
@@ -55,9 +56,9 @@ object Round11bQueries {
     * Concat operators at line END only (stripMargin re-strip hazard).
     */
   private val lpagesCte: String = {
-    val refs = refSeeds.zipWithIndex.map { case (seed, i) =>
+    val refs = refSeeds.map { seed =>
       val t = s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM lpn))"
-      s"""'<a href="' || ${urlSqlOf(t)} || '">ref $i</a>'"""
+      s"""'<a href="' || ${urlSqlOf(t)} || '">about doc ' || CAST($t AS VARCHAR) || '</a>'"""
     }
     s"""lpn AS (SELECT count(*) AS n FROM documents),
        |lpages AS (SELECT doc_id, '<html><body><div class="nav"><a href="/">Home</a></div><p>' ||
@@ -308,8 +309,116 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
       out
+    }),
+
+    // ANCHOR-TEXT aggregation: the in-link description of each TARGET
+    // page (anchor text describes the page it points at — the IR
+    // signal link-based document representations use). Element
+    // extraction is per-page; the rollup is one dst-keyed aggregation;
+    // report = top 100 by in-link count.
+    "q215_anchor_text" -> ((s, dir) => {
+      val an = WebGraph.anchors(linkedPages(s, dir), "doc_id", "html")
+        .filter(regexp_extract(col("url"), "/p/([0-9]+)$", 1) =!= "")
+        .select(col("src"),
+          regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+            .cast("long").as("dst"),
+          col("anchor"))
+      an.groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("src")).as("n_srcs"),
+          min(col("anchor")).as("anchor_text"))
+        .orderBy(col("n_anchors").desc, col("dst"))
+        .limit(100)
+    }),
+
+    // URL CANONICALIZATION: the messy corpus carries the same targets
+    // behind three forms — plain, HTTPS+uppercase-host, and a
+    // ?utm tracking tail — and the canonical identity (scheme
+    // collapsed, host lowercased, query dropped, trailing slash
+    // stripped) collapses them back to the clean fetch set. Per-domain
+    // report: raw link volume vs distinct raw vs distinct canonical.
+    "q216_url_canonical" -> ((s, dir) => {
+      val links = WebGraph.links(messyPages(s, dir), "doc_id", "html")
+      links
+        .select((col("src") % 20).as("src_dom"), col("url"),
+          WebGraph.canonicalUrl(col("url")).as("canon"))
+        .groupBy(col("src_dom"))
+        .agg(count(lit(1)).as("n_links"),
+          countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"))
+        .orderBy(col("src_dom"))
+    }),
+
+    // STREAMING sketch door: item slices land as files, each
+    // micro-batch folds its CMS partials into the accumulated grid
+    // (counter addition — any batching == the one-shot build), and the
+    // end-of-stream estimates replay q210 verbatim. The sketch is the
+    // streaming-native aggregate: per-batch work is batch-sized, state
+    // is the constant 4x1024 grid.
+    "q217_stream_cms" -> ((s, dir) => {
+      import graft.quality.CmsSketch
+      import java.nio.file.Files
+      val sh = shingleItems(s, dir)
+      val land = Files.createTempDirectory("graft-q217-land").toString
+      val cp = Files.createTempDirectory("graft-q217-cp").toString
+      (0 to 2).foreach { k =>
+        sh.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var sketch: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = CmsSketch.partials(batch, "item",
+            depth = 4, width = 1024)
+          sketch =
+            (if (sketch == null) part else CmsSketch.merge(sketch, part))
+              .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val probes = sh.filter(col("doc_id") < 5)
+        .select(col("item")).distinct()
+      val exact = sh.groupBy(col("item"))
+        .agg(count(lit(1)).as("exact_df"))
+      val out = CmsSketch.estimate(sketch, probes, "item",
+          depth = 4, width = 1024)
+        .join(exact, Seq("item"))
+        .select(col("item"), col("exact_df"), col("est"),
+          (col("est") - col("exact_df")).as("over"))
+        .orderBy(col("item"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
     })
   )
+
+  /** The messy-URL corpus for q216: same md5-derived targets as
+    * [[linkedPages]], three forms per page — plain, HTTPS +
+    * uppercase host, ?utm tracking tail.
+    */
+  private[queries] def messyPages(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = Tables(s, dir, "documents").count()
+    def t(seed: Int) =
+      PortableHash.hash60(col("doc_id").cast("string"), seed) % n
+    val r0 = concat(lit("<a href=\""), urlOf(t(71)), lit("\">a</a>"))
+    val r1 = concat(lit("<a href=\"https://D"),
+      (t(72) % 20).cast("string"), lit(".EXAMPLE.COM/p/"),
+      t(72).cast("string"), lit("\">b</a>"))
+    val r2 = concat(lit("<a href=\""), urlOf(t(73)),
+      lit("?utm_source=feed\">c</a>"))
+    docs.select(col("doc_id"),
+      concat(lit("<html><body>"), r0, r1, r2,
+        lit("</body></html>")).as("html"))
+  }
 
   private val NewsletterPara =
     "subscribe to our newsletter today for updates"
@@ -343,15 +452,7 @@ object Round11bQueries {
          |WHERE r.rk <= c.cap
          |ORDER BY r.doc_id""".stripMargin,
 
-    "q210_cms_heavy" ->
-      s"""WITH $itemsCtes,
-         |cstream AS (SELECT item FROM citems),
-         |cprobes AS (SELECT DISTINCT item FROM citems WHERE doc_id < 5),
-         |${graft.quality.CmsSketch.ctes("cstream", "cprobes", 4, 1024)},
-         |cexact AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_df FROM citems GROUP BY item)
-         |SELECT e.item, x.exact_df, e.est, e.est - x.exact_df AS over
-         |FROM cmsest e JOIN cexact x ON x.item = e.item
-         |ORDER BY e.item""".stripMargin,
+    "q210_cms_heavy" -> cmsSql,
 
     "q211_hll_registers" ->
       s"""WITH $itemsCtes,
@@ -385,8 +486,50 @@ object Round11bQueries {
 
     // batched == one-shot: the doors replay q208's graph verbatim
     "q213_incremental_links" -> pagerankSql,
-    "q214_stream_links" -> pagerankSql
+    "q214_stream_links" -> pagerankSql,
+
+    "q215_anchor_text" ->
+      s"""WITH $lpagesCte,
+         |lanch AS (${WebGraph.anchorsSql("lpages", "doc_id", "html")}),
+         |lae AS (SELECT src, CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS dst, anchor
+         |  FROM lanch WHERE regexp_extract(url, '/p/([0-9]+)$$', 1) <> '')
+         |SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+         |  CAST(count(DISTINCT src) AS BIGINT) AS n_srcs,
+         |  MIN(anchor) AS anchor_text
+         |FROM lae GROUP BY dst
+         |ORDER BY n_anchors DESC, dst
+         |LIMIT 100""".stripMargin,
+
+    "q216_url_canonical" -> {
+      def t(seed: Int) =
+        s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM mpn))"
+      s"""WITH mpn AS (SELECT count(*) AS n FROM documents),
+         |mp AS (SELECT doc_id, '<html><body><a href="' || ${urlSqlOf(t(71))} || '">a</a>' ||
+         |    '<a href="https://D' || CAST(${t(72)} % 20 AS VARCHAR) || '.EXAMPLE.COM/p/' || CAST(${t(72)} AS VARCHAR) || '">b</a>' ||
+         |    '<a href="' || ${urlSqlOf(t(73))} || '?utm_source=feed">c</a></body></html>' AS html
+         |  FROM documents),
+         |mlinks AS (${WebGraph.linksSql("mp", "doc_id", "html")})
+         |SELECT src % 20 AS src_dom, CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_raw,
+         |  CAST(count(DISTINCT ${WebGraph.canonicalUrlSql("url")}) AS BIGINT) AS n_canon
+         |FROM mlinks
+         |GROUP BY 1
+         |ORDER BY src_dom""".stripMargin
+    },
+
+    // batched == one-shot: the door replays q210's sketch verbatim
+    "q217_stream_cms" -> cmsSql
   )
+
+  private lazy val cmsSql: String =
+    s"""WITH $itemsCtes,
+       |cstream AS (SELECT item FROM citems),
+       |cprobes AS (SELECT DISTINCT item FROM citems WHERE doc_id < 5),
+       |${graft.quality.CmsSketch.ctes("cstream", "cprobes", 4, 1024)},
+       |cexact AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_df FROM citems GROUP BY item)
+       |SELECT e.item, x.exact_df, e.est, e.est - x.exact_df AS over
+       |FROM cmsest e JOIN cexact x ON x.item = e.item
+       |ORDER BY e.item""".stripMargin
 
   private lazy val pagerankSql: String =
     s"""WITH $lpagesCte,

@@ -67,6 +67,46 @@ class WebGraphSpec extends SparkSpec {
     assert(ranks.values.sum <= WebGraph.Scale)
   }
 
+  test("anchors pairs each absolute href with its text") {
+    val pages = Seq(
+      (1L, """<a href="/">Home</a><a href="http://a.com/p/2">two words</a>""" +
+        """<a href="https://b.com/x" class="z">empty ok</a>"""))
+      .toDF("doc_id", "html")
+    val got = WebGraph.anchors(pages, "doc_id", "html")
+      .as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "http://a.com/p/2", "two words"),
+      (1L, "https://b.com/x", "empty ok")))
+  }
+
+  test("canonicalUrl collapses scheme/host case, query, trailing slash") {
+    val urls = Seq(
+      "https://D7.EXAMPLE.COM/p/9",
+      "http://d7.example.com/p/9?utm_source=feed",
+      "http://d7.example.com/p/9",
+      "http://d7.example.com/p/9#frag",
+      "http://other.com/",
+      "http://other.com")
+    val got = urls.toDF("url")
+      .select(WebGraph.canonicalUrl(col("url")))
+      .as[String].collect().toSeq
+    assert(got.take(4).toSet == Set("http://d7.example.com/p/9"))
+    assert(got(4) == "http://other.com" && got(5) == "http://other.com")
+  }
+
+  test("canonical edges over messy forms equal the clean edge set") {
+    val messy = Seq(
+      (1L, """<a href="https://D0.EXAMPLE.COM/p/2">b</a>""" +
+        """<a href="http://d0.example.com/p/2?utm_source=x">c</a>""" +
+        """<a href="http://d0.example.com/p/3">a</a>"""))
+      .toDF("doc_id", "html")
+    val canonEdges = WebGraph.docEdges(
+      WebGraph.links(messy, "doc_id", "html")
+        .select(col("src"), WebGraph.canonicalUrl(col("url")).as("url")))
+    assert(canonEdges.as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L), (1L, 3L)))
+  }
+
   test("pageRankCtes replays pageRank bit-identically (spark.sql)") {
     val nodes = (1L to 6L).toDF("node")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),

@@ -36,6 +36,9 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_calibrated_gate('docs', 'doc_id', 'source', 'text', 3, 4)")
   * spark.sql("SELECT * FROM graft_contamination_report('train', 'eval', 'doc_id', 'text', 8, 64)")
   * spark.sql("SELECT * FROM graft_rank_buckets('scored', 'doc_id', 'source', 'score', 3)")
+  * spark.sql("SELECT * FROM graft_links('pages', 'doc_id', 'html')")
+  * spark.sql("SELECT * FROM graft_pagerank('pages', 'doc_id', 'html', 5)")
+  * spark.sql("SELECT * FROM graft_paragraph_scrub('docs', 'doc_id', 'text', 8)")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -329,6 +332,36 @@ object GraftTableFunctions {
       str(args(1), u), str(args(2), u), minLen, num, den))
   }
 
+  private val linkGraph: Builder = { args =>
+    val u = "graft_links(pagesTable, idCol, htmlCol)"
+    require(args.length == 3, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.links(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u)))
+  }
+
+  private val pagerank: Builder = { args =>
+    val u = "graft_pagerank(pagesTable, idCol, htmlCol[, rounds])"
+    require(args.length == 3 || args.length == 4, u)
+    val s = SparkSession.active
+    val rounds = if (args.length == 4) int(args(3), u) else 5
+    val pages = s.table(str(args.head, u))
+    val nodes = pages.select(
+      org.apache.spark.sql.functions.col(str(args(1), u)).as("node"))
+    val edges = graft.graph.WebGraph.docEdges(
+      graft.graph.WebGraph.links(pages, str(args(1), u), str(args(2), u)))
+    plan(graft.graph.WebGraph.pageRank(nodes, edges, rounds))
+  }
+
+  private val paragraphScrub: Builder = { args =>
+    val u = "graft_paragraph_scrub(table, idCol, textCol, maxDf)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.dedup.Dedup.scrubFrequentParagraphs(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      int(args(3), u).toLong))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -365,5 +398,8 @@ object GraftTableFunctions {
     "graft_contamination_report" -> contaminationReport,
     "graft_rank_buckets" -> rankBuckets,
     "graft_html_extract" -> htmlExtract,
+    "graft_links" -> linkGraph,
+    "graft_pagerank" -> pagerank,
+    "graft_paragraph_scrub" -> paragraphScrub,
     "graft_table_at" -> tableAt)
 }

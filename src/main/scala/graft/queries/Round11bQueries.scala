@@ -34,7 +34,7 @@ object Round11bQueries {
   /** `(doc_id, html)` — the linked page corpus. `n` is the corpus size
     * (targets are mod-n; the oracle computes it as a subquery).
     */
-  private[queries] def linkedPages(s: SparkSession, dir: String)
+  private[graft] def linkedPages(s: SparkSession, dir: String)
       : DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))

@@ -406,6 +406,35 @@ class GraftTvfSpec extends SparkSpec {
     assert(got.nonEmpty && got == rows(api))
   }
 
+  test("graft_links / graft_pagerank / graft_paragraph_scrub TVFs == API") {
+    val pages = graft.queries.Round11bQueries
+      .linkedPages(spark, "/root/testdata/sf0.001")
+    pages.createOrReplaceTempView("tvf_lpages")
+    val sqlLinks = spark.sql(
+      "SELECT * FROM graft_links('tvf_lpages', 'doc_id', 'html') " +
+        "ORDER BY src, url")
+    val apiLinks = graft.graph.WebGraph.links(pages, "doc_id", "html")
+      .orderBy(col("src"), col("url"))
+    assert(rows(sqlLinks).nonEmpty && rows(sqlLinks) == rows(apiLinks))
+
+    val sqlPr = spark.sql(
+      "SELECT * FROM graft_pagerank('tvf_lpages', 'doc_id', 'html', 3) " +
+        "ORDER BY node")
+    val nodes = pages.select(col("doc_id").as("node"))
+    val edges = graft.graph.WebGraph.docEdges(apiLinks)
+    val apiPr = graft.graph.WebGraph.pageRank(nodes, edges, 3)
+      .orderBy(col("node"))
+    assert(rows(sqlPr).nonEmpty && rows(sqlPr) == rows(apiPr))
+
+    docs.createOrReplaceTempView("tvf_pdocs")
+    val sqlScrub = spark.sql(
+      "SELECT * FROM graft_paragraph_scrub('tvf_pdocs', 'doc_id', 'text', 4) " +
+        "ORDER BY doc_id")
+    val apiScrub = graft.dedup.Dedup.scrubFrequentParagraphs(
+        docs, "doc_id", "text", 4L).orderBy(col("doc_id"))
+    assert(rows(sqlScrub).nonEmpty && rows(sqlScrub) == rows(apiScrub))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

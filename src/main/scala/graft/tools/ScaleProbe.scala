@@ -756,6 +756,73 @@ object ScaleProbe {
         .filter(col("cluster") >= 0).count()
     }
 
+    // Link graph + PageRank: pages carry replica-LOCAL md5-derived
+    // targets (the hash of the FULL offset id — each replica is a
+    // genuinely different random graph, not a copy); 5 rank rounds of
+    // edge-keyed join + aggregation scale in |E| = 3·docs.
+    val nDocs1 = docs1.count()
+    def probePages(d: DataFrame): DataFrame = {
+      val refs = Seq(71, 72, 73).map { seed =>
+        val t = (graft.functions.PortableHash
+          .hash60(col("doc_id").cast("string"), seed) % nDocs1) +
+          expr("doc_id div 10000000") * 10000000L
+        concat(lit("<a href=\"http://d"), (t % 20).cast("string"),
+          lit(".example.com/p/"), t.cast("string"), lit("\">r</a>"))
+      }
+      d.select(col("doc_id"),
+        concat(lit("<html><body>"), concat_ws(" ", refs: _*),
+          lit("</body></html>")).as("html"))
+    }
+    def pagerankRun(d: DataFrame): Long = {
+      val pages = probePages(d)
+      val edges = graft.graph.WebGraph.docEdges(
+        graft.graph.WebGraph.links(pages, "doc_id", "html"))
+      val nodes = d.select(col("doc_id").as("node"))
+      graft.graph.WebGraph.pageRank(nodes, edges, rounds = 5)
+        .filter(col("rank") > 0).count()
+    }
+
+    // Paragraph scrub: boilerplate planted BEFORE replication, so the
+    // per-token perturbation makes each replica's boilerplate its own
+    // (per-replica df = n/3 — linear structure, no cross-replica
+    // mega-paragraph).
+    def paraPlant(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat_ws("\n",
+        when(graft.functions.PortableHash
+          .hash60(col("doc_id").cast("string"), 81) % 3 === 0,
+          lit("subscribe to our newsletter today for updates")),
+        col("text"),
+        when(graft.functions.PortableHash
+          .hash60(col("doc_id").cast("string"), 82) % 2 === 0,
+          concat(lit("all rights reserved by source "),
+            (col("doc_id") % 20).cast("string")))).as("ptext"))
+    val para1 = paraPlant(docs1)
+    val paraN = replicate(para1, Seq("doc_id"), 10000000L,
+      textCols = Seq("ptext"))
+    def paraScrub(d: DataFrame): Long =
+      graft.dedup.Dedup
+        .scrubFrequentParagraphs(d, "doc_id", "ptext", maxDf = 8L)
+        .filter(col("n_dropped") >= 0 && length(col("clean_text")) >= 0)
+        .count()
+
+    // Sketches: the item stream grows Nx (per-token perturbation —
+    // every replica's grams are new), the sketch stays its constant
+    // shape and the probe batch is FIXED (replica-0 grams), so output
+    // is constant and the honest number is build-scan wall time.
+    def shItems(d: DataFrame): DataFrame =
+      graft.dedup.Dedup.shingles(d, "doc_id", "text", n = 3)
+        .select(col("shingle").as("item"))
+    val cmsProbes = shItems(docs1.filter(col("doc_id") < 5)).distinct()
+    def cmsRun(d: DataFrame): Long =
+      graft.quality.CmsSketch.estimate(
+          graft.quality.CmsSketch.partials(shItems(d), "item", 4, 1024),
+          cmsProbes, "item", 4, 1024)
+        .filter(col("est") >= 0).count()
+    def hllRun(d: DataFrame): Long =
+      graft.quality.HllSketch.complete(
+          graft.quality.HllSketch.registers(shItems(d), "item"))
+        .filter(col("est") >= 0 && col("max_rho") >= 0).count()
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -883,7 +950,13 @@ object ScaleProbe {
       "html_extract" -> (() => (time(htmlEx(docs1)), time(htmlEx(docsN)))),
       "unigram_train" -> (() => (time(uniTrain(docs1)),
         time(uniTrain(docsN)))),
-      "jpeg_dedup" -> (() => (time(jpegRun(docs1)), time(jpegRun(docsN)))))
+      "jpeg_dedup" -> (() => (time(jpegRun(docs1)), time(jpegRun(docsN)))),
+      "link_pagerank" -> (() => (time(pagerankRun(docs1)),
+        time(pagerankRun(docsN)))),
+      "paragraph_scrub" -> (() => (time(paraScrub(para1)),
+        time(paraScrub(paraN)))),
+      "cms_sketch" -> (() => (time(cmsRun(docs1)), time(cmsRun(docsN)))),
+      "hll_sketch" -> (() => (time(hllRun(docs1)), time(hllRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

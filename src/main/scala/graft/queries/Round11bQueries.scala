@@ -396,8 +396,83 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
       out
+    }),
+
+    // WORDPIECE training (likelihood-scored merges — the BERT family,
+    // completing the trio: BPE = frequency, unigram = EM-pruned
+    // inventory, WordPiece = count(ab)/(count(a)count(b))): 8 rounds,
+    // argmax by the exact fixed-point key — the corpus is touched
+    // once, every round is dict-sized, one collected row per round.
+    "q218_wordpiece_train" -> ((s, dir) => {
+      graft.text.WordPiece.train(
+        Tables(s, dir, "documents"), "text", WpK)
+    }),
+
+    // ...and the apply side: per-source FERTILITY under the trained
+    // merges (pieces per word — the tokenizer-quality number a
+    // selection report compares). Segmentation is dictionary-side
+    // (distinct words), occurrences join by word key.
+    "q219_wordpiece_fertility" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val merges = graft.text.WordPiece.trainMerges(docs, "text", WpK)
+      val occ = docs.select(col("source"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+      val dictSeg = occ.select(col("word")).distinct()
+        .withColumn("np",
+          size(graft.text.WordPiece.segment(col("word"), merges))
+            .cast("long"))
+      occ.join(dictSeg, Seq("word"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+        .withColumn("fert_ppm",
+          expr("n_pieces * 1000000 div n_words"))
+        .orderBy(col("source"))
     })
   )
+
+  private[queries] val WpK = 8
+
+  /** The WordPiece oracle chain: `ww0` (word dict + char wrap) then per
+    * round symbol counts `wsc<i>`, pairs `wp<i>`, fixed-point-scored
+    * argmax `wb<i>`, merged dict `ww<i>`. MATERIALIZED is load-bearing
+    * (the q113 2^k-inlining lesson).
+    */
+  private def wpCtes(k: Int): String = {
+    val sep = "chr(31)"
+    val S = graft.text.WordPiece.Scale
+    val init =
+      s"""ww0 AS MATERIALIZED (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         |    list_reduce(list_transform(generate_series(1, length(word)),
+         |      i -> $sep || word[i] || $sep), (a, b) -> a || b) AS seg
+         |  FROM (SELECT unnest($toksExpr) AS word FROM documents)
+         |  GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      s"""wsc$i AS (SELECT sym, CAST(SUM(freq) AS BIGINT) AS scnt
+         |  FROM (SELECT freq, unnest(list_filter(string_split(seg, $sep),
+         |      x -> x <> '')) AS sym FROM ww${i - 1})
+         |  GROUP BY sym),
+         |wp$i AS (
+         |  SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq,
+         |      list_filter(string_split(seg, $sep), x -> x <> '') AS syms
+         |    FROM ww${i - 1}),
+         |    UNNEST(generate_series(1, len(syms) - 1)) AS u(j)
+         |  GROUP BY 1, 2),
+         |wb$i AS MATERIALIZED (SELECT p.lhs, p.rhs, p.cnt,
+         |    (((p.cnt * $S) // a.scnt) * $S) // b.scnt AS key
+         |  FROM wp$i p
+         |  JOIN wsc$i a ON a.sym = p.lhs
+         |  JOIN wsc$i b ON b.sym = p.rhs
+         |  ORDER BY key DESC, p.lhs ASC, p.rhs ASC LIMIT 1),
+         |ww$i AS MATERIALIZED (SELECT word, freq, replace(seg,
+         |    (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM wb$i),
+         |    (SELECT $sep || lhs || rhs || $sep FROM wb$i)) AS seg
+         |  FROM ww${i - 1})""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
 
   /** The messy-URL corpus for q216: same md5-derived targets as
     * [[linkedPages]], three forms per page — plain, HTTPS +
@@ -518,7 +593,30 @@ object Round11bQueries {
     },
 
     // batched == one-shot: the door replays q210's sketch verbatim
-    "q217_stream_cms" -> cmsSql
+    "q217_stream_cms" -> cmsSql,
+
+    "q218_wordpiece_train" -> {
+      val merges = (1 to WpK).map(i =>
+        s"SELECT $i AS rank, lhs, rhs, lhs || rhs AS merged, " +
+          s"cnt AS pair_count, key AS score_key FROM wb$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${wpCtes(WpK)}
+         |$merges
+         |ORDER BY rank""".stripMargin
+    },
+
+    "q219_wordpiece_fertility" ->
+      s"""WITH ${wpCtes(WpK)},
+         |wfin AS (SELECT word,
+         |    CAST(len(list_filter(string_split(seg, chr(31)), x -> x <> '')) AS BIGINT) AS np
+         |  FROM ww$WpK),
+         |wocc AS (SELECT source, unnest($toksExpr) AS word FROM documents)
+         |SELECT o.source, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(f.np) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(f.np) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS fert_ppm
+         |FROM wocc o JOIN wfin f ON f.word = o.word
+         |GROUP BY o.source
+         |ORDER BY o.source""".stripMargin
   )
 
   private lazy val cmsSql: String =

@@ -150,7 +150,7 @@ object Round11Queries {
   /** The full 2-round training chain (seed -> EM -> EM), ending in
     * `inv2(piece, cnt, cost)` + `dp2` ready for apply-side CTEs.
     */
-  private def unigramTrainCtes(src: String): String =
+  private[queries] def unigramTrainCtes(src: String): String =
     s"""${unigramBaseCtes(src)},
        |${unigramRoundCtes("0", "subs", 256)},
        |${unigramDpCte("0", "0")},

@@ -427,6 +427,74 @@ object Round11bQueries {
         .withColumn("fert_ppm",
           expr("n_pieces * 1000000 div n_words"))
         .orderBy(col("source"))
+    }),
+
+    // THREE-WAY tokenizer selection report: q204's BPE-vs-unigram
+    // comparison with WordPiece as the third column — all three
+    // families trained on the same corpus, per-source fertility side
+    // by side (the report that decides which tokenizer a release
+    // ships). Segmentation stays dictionary-side for all three.
+    "q220_tokenizer_trio" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val bpe = graft.text.Bpe.trainMerges(docs, "text",
+        Round7Queries.BpeK)
+      val uni = graft.text.Unigram.train(docs, "text")
+      val wp = graft.text.WordPiece.trainMerges(docs, "text", WpK)
+      val src = col("source")
+      val occ = docs.select(src,
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("word"))
+      val dict = occ.select(col("word")).distinct()
+        .withColumn("b_sym",
+          size(graft.text.Bpe.segment(col("word"), bpe)).cast("long"))
+        .withColumn("u_sym",
+          size(uni.segmentCol(col("word"))).cast("long"))
+        .withColumn("w_sym",
+          size(graft.text.WordPiece.segment(col("word"), wp))
+            .cast("long"))
+      val per = occ.join(dict, Seq("word"))
+        .groupBy(src).agg(
+          count(lit(1)).as("n_words"),
+          sum(col("b_sym")).as("bpe_tokens"),
+          sum(col("u_sym")).as("uni_tokens"),
+          sum(col("w_sym")).as("wp_tokens"))
+      docs.groupBy(src).agg(count(lit(1)).as("n_docs"))
+        .join(per, Seq("source"))
+        .select(src, col("n_docs"), col("n_words"),
+          col("bpe_tokens"), col("uni_tokens"), col("wp_tokens"),
+          expr("bpe_tokens * 1000000 div n_words").as("bpe_fert_ppm"),
+          expr("uni_tokens * 1000000 div n_words").as("uni_fert_ppm"),
+          expr("wp_tokens * 1000000 div n_words").as("wp_fert_ppm"))
+        .orderBy(src)
+    }),
+
+    // GRAPH-family purge (the takedown door q139/q153 opened, for the
+    // sixth family): purged pages leave the stored edge index through
+    // real storage (delete → publish → rehydrate), their OUT-links die
+    // with them, in-links from surviving pages persist as dangling
+    // targets (the crawl reality — other sites still link there), and
+    // ranks recompute over the surviving node set.
+    "q221_graph_purge" -> ((s, dir) => {
+      import graft.graph.IncrementalGraph
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      var idx = IncrementalGraph.build(
+        linkedPages(s, dir), "doc_id", "html")
+      idx = IncrementalGraph.delete(idx,
+        docs.filter(col("doc_id") % 13 === 5), "doc_id")
+      val root = Files.createTempDirectory("graft-q221").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      IncrementalGraph.save(idx, cat, "crawl")
+      val survivors = docs.filter(col("doc_id") % 13 =!= 5)
+        .select(col("doc_id").as("node"))
+      val out = IncrementalGraph.rank(
+          IncrementalGraph.load(cat, "crawl"), survivors, rounds = 5)
+        .select(col("node"), (col("node") % 20).as("dom"), col("rank"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
     })
   )
 
@@ -616,7 +684,39 @@ object Round11bQueries {
          |  CAST(SUM(f.np) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT) AS fert_ppm
          |FROM wocc o JOIN wfin f ON f.word = o.word
          |GROUP BY o.source
-         |ORDER BY o.source""".stripMargin
+         |ORDER BY o.source""".stripMargin,
+
+    "q220_tokenizer_trio" ->
+      s"""WITH RECURSIVE ${Round7Queries.bpeCtes(Round7Queries.BpeK)},
+         |${Round11Queries.unigramTrainCtes("documents")},
+         |${wpCtes(WpK)},
+         |bstat AS (SELECT word, CAST(len(list_filter(string_split(seg, chr(31)), x -> x <> '')) AS BIGINT) AS b_sym FROM w${Round7Queries.BpeK}),
+         |ustat AS (SELECT word, CAST(len(list_filter(string_split(s1, chr(31)), x -> x <> '')) AS BIGINT) AS u_sym FROM dp2 WHERE pos = len),
+         |wstat AS (SELECT word, CAST(len(list_filter(string_split(seg, chr(31)), x -> x <> '')) AS BIGINT) AS w_sym FROM ww$WpK),
+         |docw AS (SELECT doc_id, source, unnest($toksExpr) AS word FROM documents),
+         |per AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(b.b_sym) AS BIGINT) AS bpe_tokens,
+         |    CAST(SUM(u.u_sym) AS BIGINT) AS uni_tokens,
+         |    CAST(SUM(w.w_sym) AS BIGINT) AS wp_tokens
+         |  FROM docw d JOIN bstat b USING (word) JOIN ustat u USING (word) JOIN wstat w USING (word)
+         |  GROUP BY d.source),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+         |SELECT n.source, n.n_docs, p.n_words, p.bpe_tokens, p.uni_tokens, p.wp_tokens,
+         |  p.bpe_tokens * 1000000 // p.n_words AS bpe_fert_ppm,
+         |  p.uni_tokens * 1000000 // p.n_words AS uni_fert_ppm,
+         |  p.wp_tokens * 1000000 // p.n_words AS wp_fert_ppm
+         |FROM nd n JOIN per p USING (source) ORDER BY n.source""".stripMargin,
+
+    "q221_graph_purge" ->
+      s"""WITH $lpagesCte,
+         |$linkCtes,
+         |pedges AS (SELECT src, dst FROM ledges WHERE src % 13 <> 5),
+         |pnodes AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 5),
+         |${WebGraph.pageRankCtes("pnodes", "doc_id", "pedges", 5)}
+         |SELECT node, node % 20 AS dom, rank
+         |FROM wgr5
+         |ORDER BY rank DESC, node
+         |LIMIT 100""".stripMargin
   )
 
   private lazy val cmsSql: String =

@@ -495,6 +495,60 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(root)
       out
+    }),
+
+    // CRAWL FRONTIER: 80% of the corpus is fetched (an md5-derived
+    // coin — doc_id%5 would confound with the id↔domain correlation
+    // and collapse the frontier to 4 domains); fetched pages link
+    // across the WHOLE id space, so unfetched targets accumulate
+    // in-links — the frontier. Next fetch batch = per domain, top 5
+    // by (in-link count, id): in-degree prioritization under a
+    // politeness cap, the scheduler a crawler actually runs.
+    "q222_crawl_frontier" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def coin(c: Column) =
+        PortableHash.hash60(c.cast("string"), 55) % 5
+      val fetched = linkedPages(s, dir)
+        .filter(coin(col("doc_id")) =!= 0)
+      val edges = WebGraph.docEdges(
+        WebGraph.links(fetched, "doc_id", "html"))
+      val frontier = edges.filter(coin(col("dst")) === 0)
+        .groupBy(col("dst"))
+        .agg(count(lit(1)).as("n_in"))
+        .withColumn("dom", col("dst") % 20)
+      frontier
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("dom"))
+            .orderBy(col("n_in").desc, col("dst"))))
+        .filter(col("rk") <= 5)
+        .select(col("dst"), col("dom"), col("n_in"), col("rk"))
+        .orderBy(col("dom"), col("rk"))
+    }),
+
+    // HOST-MIRROR detection: the same normalized content fingerprint
+    // served from MULTIPLE hosts (the plant republishes %9 docs under
+    // a +3-shifted host and %11 docs under the SAME host — the report
+    // must separate true mirrors from same-host dups). Exact-dedup
+    // fingerprints keyed per host; one groupBy, no pairs.
+    "q223_mirror_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 7000003L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text")))
+      corpus
+        .select(col("doc_id"), (col("doc_id") % 20).as("dom"),
+          graft.text.TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("dom")).as("n_hosts"),
+          min(col("doc_id")).as("lead_doc"))
+        .filter(col("n_docs") >= 2)
+        .select(col("fp"), col("n_docs"), col("n_hosts"),
+          col("lead_doc"))
+        .orderBy(col("fp"))
     })
   )
 
@@ -716,7 +770,40 @@ object Round11bQueries {
          |SELECT node, node % 20 AS dom, rank
          |FROM wgr5
          |ORDER BY rank DESC, node
-         |LIMIT 100""".stripMargin
+         |LIMIT 100""".stripMargin,
+
+    "q222_crawl_frontier" ->
+      s"""WITH $lpagesCte,
+         |fpages AS (SELECT doc_id, html FROM lpages WHERE ${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 55)} % 5 <> 0),
+         |flinks AS (${WebGraph.linksSql("fpages", "doc_id", "html")}),
+         |fedges AS (${WebGraph.docEdgesSql("flinks")}),
+         |frontier AS (SELECT dst, dst % 20 AS dom, CAST(count(*) AS BIGINT) AS n_in
+         |  FROM fedges WHERE ${PortableHash.hash60Sql("CAST(dst AS VARCHAR)", 55)} % 5 = 0 GROUP BY dst),
+         |ranked AS (SELECT dst, dom, n_in,
+         |    row_number() OVER (PARTITION BY dom ORDER BY n_in DESC, dst) AS rk
+         |  FROM frontier)
+         |SELECT dst, dom, n_in, rk FROM ranked
+         |WHERE rk <= 5
+         |ORDER BY dom, rk""".stripMargin,
+
+    "q223_mirror_report" ->
+      s"""WITH mcorpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 7000003, text FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 11 = 0),
+         |mfp AS (SELECT doc_id, doc_id % 20 AS dom,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+         |  FROM mcorpus)
+         |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT dom) AS BIGINT) AS n_hosts,
+         |  min(doc_id) AS lead_doc
+         |FROM mfp
+         |GROUP BY fp
+         |HAVING count(*) >= 2
+         |ORDER BY fp""".stripMargin
   )
 
   private lazy val cmsSql: String =

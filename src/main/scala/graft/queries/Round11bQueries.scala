@@ -549,6 +549,44 @@ object Round11bQueries {
         .select(col("fp"), col("n_docs"), col("n_hosts"),
           col("lead_doc"))
         .orderBy(col("fp"))
+    }),
+
+    // CLUSTER LABELING (the data-map op): every embedding assigned to
+    // its portable-IVF coarse bucket, each bucket named by its top-3
+    // salient terms — per-cluster tf × corpus idf-ratio (q57's scoring
+    // at cluster granularity). The embedding space gets human-readable
+    // names; the report a corpus atlas shows.
+    "q224_cluster_labels" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val assign = graft.similarity.Similarity.ivfAssignments(
+        emb, "vec_id", "embedding", c = ExtendedQueries.IvfC,
+        iters = ExtendedQueries.IvfIters)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
+      val df_ = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs.count()
+      val ctf = toks
+        .join(assign, toks("doc_id") === assign("vec_id"))
+        .groupBy(col("bucket"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val sizes = assign.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("score").desc, col("token"))
+      ctf.join(df_, Seq("token"))
+        .withColumn("score",
+          col("tf").cast("double") * (lit(n.toDouble) / col("df")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .join(sizes, Seq("bucket"))
+        .select(col("bucket"), col("n_vecs"), col("rnk"), col("token"),
+          col("score"))
+        .orderBy(col("bucket"), col("rnk"))
     })
   )
 
@@ -803,8 +841,52 @@ object Round11bQueries {
          |FROM mfp
          |GROUP BY fp
          |HAVING count(*) >= 2
-         |ORDER BY fp""".stripMargin
+         |ORDER BY fp""".stripMargin,
+
+    "q224_cluster_labels" ->
+      s"""WITH qz AS (SELECT vec_id, list_transform(e, x -> round(x * 127.0 / mab)) AS qd
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+         |      list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mab
+         |    FROM embeddings)
+         |  WHERE mab > 0),
+         |c0 AS (SELECT cluster, cent FROM (
+         |  SELECT qd AS cent,
+         |    ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cluster
+         |  FROM (SELECT vec_id, qd,
+         |          ${PortableHash.hash60BaseSql("vec_id::VARCHAR")} AS h
+         |        FROM qz))
+         |  WHERE cluster < ${ExtendedQueries.IvfC}),
+         |${(1 to ExtendedQueries.IvfIters)
+             .map(ExtendedQueries.ivfStepSql).mkString(",\n")},
+         |cb AS (SELECT vec_id, cluster AS bucket FROM (
+         |  SELECT z.vec_id, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY z.vec_id
+         |      ORDER BY ${lDistSql("z.qd", "c.cent")} ASC, c.cluster ASC) AS rn
+         |  FROM qz z CROSS JOIN c${ExtendedQueries.IvfIters} c)
+         |  WHERE rn = 1),
+         |ltoks AS (SELECT doc_id, unnest($toksExpr) AS token FROM documents),
+         |ldf AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM (SELECT DISTINCT doc_id, token FROM ltoks) t GROUP BY token),
+         |lnd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+         |lctf AS (SELECT b.bucket, t.token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM ltoks t JOIN cb b ON b.vec_id = t.doc_id
+         |  GROUP BY b.bucket, t.token),
+         |lsz AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM cb GROUP BY bucket),
+         |lsc AS (SELECT bucket, token, CAST(tf AS DOUBLE) * ((SELECT nd FROM lnd) / df) AS score FROM lctf JOIN ldf USING (token)),
+         |lrk AS (SELECT bucket, token, score,
+         |    row_number() OVER (PARTITION BY bucket ORDER BY score DESC, token) AS rnk
+         |  FROM lsc)
+         |SELECT r.bucket, s.n_vecs, r.rnk, r.token, r.score
+         |FROM lrk r JOIN lsz s USING (bucket)
+         |WHERE r.rnk <= 3
+         |ORDER BY r.bucket, r.rnk""".stripMargin
   )
+
+  private def lDotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+
+  /** L2 rank key (row-constant |v|² dropped) — q42's formulation. */
+  private def lDistSql(v: String, cent: String): String =
+    s"-2.0 * ${lDotSql(v, cent)} + ${lDotSql(cent, cent)}"
 
   private lazy val cmsSql: String =
     s"""WITH $itemsCtes,

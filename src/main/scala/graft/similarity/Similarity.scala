@@ -244,6 +244,23 @@ object Similarity {
     finally ds.unpersist(blocking = false)
   }
 
+  /** Per-vector coarse bucket under the PORTABLE quantizer:
+    * `(idCol, bucket)` for every non-zero vector — the assignment
+    * relation cluster-level reporting (labeling, per-cluster stats)
+    * consumes. Same training + argmin as [[ivfTopKPortable]]'s index;
+    * exact argmin, no probes.
+    */
+  def ivfAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+      c: Int = 16, iters: Int = 2): DataFrame = {
+    val ds = withQuantizedDouble(corpus, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = trainPortable(ds, idCol, c, iters)
+      ds.select(col(idCol), nearestCentroid(col("qd"), cents).as("bucket"))
+        .localCheckpoint()
+    } finally ds.unpersist(blocking = false)
+  }
+
   /** Deterministic driver-side grouping of a centroid matrix into ~√c
     * super-clusters: 3 local Lloyd rounds over the c centroid points
     * themselves (spread init by index — no RNG), empty groups dropped.

@@ -587,6 +587,33 @@ object Round11bQueries {
         .select(col("bucket"), col("n_vecs"), col("rnk"), col("token"),
           col("score"))
         .orderBy(col("bucket"), col("rnk"))
+    }),
+
+    // WordPiece BINARY export: the .bin/.idx loader artifact under the
+    // THIRD trained tokenizer — every tokenizer family now drives the
+    // same export machinery (whitespace q170, BPE q178, unigram q203,
+    // WordPiece here). Segmentation dictionary-side; tape checksum
+    // order-pinned.
+    "q225_export_wordpiece" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val merges = graft.text.WordPiece.trainMerges(docs, "text", WpK)
+      val stream = graft.text.WordPiece.symbolStream(docs, "doc_id",
+        "text", merges)
+      val root = Files.createTempDirectory("graft-q225").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8)
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
     })
   )
 
@@ -878,7 +905,37 @@ object Round11bQueries {
          |SELECT r.bucket, s.n_vecs, r.rnk, r.token, r.score
          |FROM lrk r JOIN lsz s USING (bucket)
          |WHERE r.rnk <= 3
-         |ORDER BY r.bucket, r.rnk""".stripMargin
+         |ORDER BY r.bucket, r.rnk""".stripMargin,
+
+    "q225_export_wordpiece" ->
+      s"""WITH ${wpCtes(WpK)},
+         |uws AS (SELECT word, list_filter(string_split(seg, chr(31)), x -> x <> '') AS syms FROM ww$WpK),
+         |dt AS (SELECT doc_id, $toksExpr AS ts FROM documents),
+         |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |ws AS (SELECT d.doc_id, d.wpos, w.syms
+         |  FROM dw d JOIN uws w USING (word)),
+         |sy AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM ws, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM sy),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off,
+         |    ${graft.pipeline.Packing.tokenIdSql("g.sym")} AS tid
+         |  FROM g JOIN p USING (doc_id))
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin
   )
 
   private def lDotSql(a: String, b: String): String =

@@ -115,6 +115,17 @@ object WordPiece {
     */
   def segment(word: org.apache.spark.sql.Column, merges: Seq[Merge])
       : org.apache.spark.sql.Column =
-    Bpe.segment(word,
-      merges.map(m => Bpe.Merge(m.rank, m.lhs, m.rhs, m.count)))
+    Bpe.segment(word, merges.map(toBpe))
+
+  /** Per-document WordPiece symbol stream `(idCol, pos, tok)` — the
+    * [[graft.pipeline.Packing.exportShardsOf]] input shape
+    * ([[Bpe.symbolStream]]'s dictionary-side segmentation under these
+    * merges).
+    */
+  def symbolStream(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame =
+    Bpe.symbolStream(docs, idCol, textCol, merges.map(toBpe))
+
+  private def toBpe(m: Merge): Bpe.Merge =
+    Bpe.Merge(m.rank, m.lhs, m.rhs, m.count)
 }

@@ -953,6 +953,14 @@ object ScaleProbe {
       "jpeg_dedup" -> (() => (time(jpegRun(docs1)), time(jpegRun(docsN)))),
       "link_pagerank" -> (() => (time(pagerankRun(docs1)),
         time(pagerankRun(docsN)))),
+      // WordPiece: like bpe_train, the per-token perturbation grows
+      // the unique-word dict exactly Nx; each likelihood round adds a
+      // symbol-count groupBy + two joins over the dict.
+      "wordpiece_train" -> (() => (
+        time(graft.text.WordPiece.trainMerges(docs1, "text", 8)
+          .length.toLong),
+        time(graft.text.WordPiece.trainMerges(docsN, "text", 8)
+          .length.toLong))),
       "paragraph_scrub" -> (() => (time(paraScrub(para1)),
         time(paraScrub(paraN)))),
       "cms_sketch" -> (() => (time(cmsRun(docs1)), time(cmsRun(docsN)))),

@@ -390,15 +390,38 @@ object Dedup {
     */
   def scrubFrequentParagraphs(docs: DataFrame, idCol: String,
       textCol: String, maxDf: Long): DataFrame = {
-    val id = col(idCol)
-    val paras = docs
-      .select(id, posexplode(split(col(textCol), "\n"))
+    val paras = paragraphs(docs, idCol, textCol)
+    scrubParagraphsWith(docs, idCol, paras, paragraphDf(paras, idCol),
+      maxDf)
+  }
+
+  /** Non-blank newline paragraphs of a corpus:
+    * `(idCol, pos, para, ph)` with `ph` the 60-bit line hash.
+    */
+  private[graft] def paragraphs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
         .as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
       .withColumn("ph",
         graft.functions.PortableHash.hash60Base(col("para")))
-    val pdf = paras.select(id, col("ph")).distinct()
+
+  /** Doc-distinct line document frequencies `(ph, pdf)` — partials over
+    * doc-disjoint batches ADD (the sketch-merge contract the streaming
+    * door relies on).
+    */
+  private[graft] def paragraphDf(paras: DataFrame, idCol: String)
+      : DataFrame =
+    paras.select(col(idCol), col("ph")).distinct()
       .groupBy(col("ph")).agg(count(lit(1)).as("pdf"))
+
+  /** The scrub/rebuild tail of [[scrubFrequentParagraphs]] over
+    * precomputed paragraph and df relations.
+    */
+  private[graft] def scrubParagraphsWith(docs: DataFrame, idCol: String,
+      paras: DataFrame, pdf: DataFrame, maxDf: Long): DataFrame = {
+    val id = col(idCol)
     val perDoc = paras.join(pdf, Seq("ph"))
       .groupBy(id).agg(
         count(lit(1)).as("n_paras"),

@@ -100,6 +100,28 @@ object WebGraph {
   def docEdgesSql(linkRel: String): String =
     s"""SELECT DISTINCT src, CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS dst FROM $linkRel WHERE regexp_extract(url, '/p/([0-9]+)$$', 1) <> ''"""
 
+  /** Robots-style URL rule decisions: each DISTINCT URL takes the
+    * action of its LONGEST matching prefix rule (the robots.txt
+    * precedence; ties break by pattern text), default allow when
+    * nothing matches. `rules(pattern, action)` is model-sized and
+    * broadcast; a URL's action is a function of the URL alone, so the
+    * decision relation is distinct-URL-sized and joins back to any
+    * link relation by key. Returns `(url, action)`,
+    * action ∈ {'allow','deny'}.
+    */
+  def urlDecisions(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url"))
+      .orderBy(length(col("pattern")).desc, col("pattern"))
+    urls.select(col("url")).distinct()
+      .join(broadcast(rules),
+        col("url").startsWith(col("pattern")), "left")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("url"),
+        coalesce(col("action"), lit("allow")).as("action"))
+  }
+
   /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
   val Scale = 1000000000000L
 

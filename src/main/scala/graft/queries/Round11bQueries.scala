@@ -222,18 +222,8 @@ object Round11bQueries {
     // straddle maxDf=8 so both branches stay live at sf0.01; each
     // document's own text survives.
     "q212_paragraph_scrub" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val planted = docs.select(col("doc_id"),
-        concat_ws("\n",
-          when(PortableHash.hash60(col("doc_id").cast("string"), 81)
-            % 3 === 0, lit(NewsletterPara)),
-          col("text"),
-          when(PortableHash.hash60(col("doc_id").cast("string"), 82)
-            % 2 === 0, concat(lit(DisclaimerPrefix),
-              (col("doc_id") % 20).cast("string")))).as("ptext"))
       graft.dedup.Dedup.scrubFrequentParagraphs(
-          planted, "doc_id", "ptext", maxDf = 8L)
+          paraPlanted(s, dir), "doc_id", "ptext", maxDf = 8L)
         .orderBy(col("doc_id"))
     }),
 
@@ -614,6 +604,75 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(root)
       out
+    }),
+
+    // ROBOTS-style URL rules: each URL takes its LONGEST matching
+    // prefix rule (robots.txt precedence; the d3 host is denied except
+    // its /p/1* pages — the override only the longest-match rule order
+    // gets right), default allow. Per-host crawl-permission report.
+    "q226_url_rules" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        ("http://d3.example.com/", "deny"),
+        ("http://d3.example.com/p/1", "allow"),
+        ("http://d7.example.com/", "deny"),
+        ("http://d12.example.com/p/", "deny"),
+        ("http://d", "allow")).toDF("pattern", "action")
+      val links = WebGraph.links(linkedPages(s, dir), "doc_id", "html")
+      val dec = WebGraph.urlDecisions(links.select(col("url")), rules)
+      links.join(dec, Seq("url"))
+        .select(WebGraph.host(col("url")).as("dst_host"), col("action"))
+        .groupBy(col("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("action") === "allow", 1L).otherwise(0L))
+            .as("n_allowed"),
+          sum(when(col("action") === "deny", 1L).otherwise(0L))
+            .as("n_denied"))
+        .orderBy(col("dst_host"))
+    }),
+
+    // STREAMING paragraph-scrub door: planted docs land as files, each
+    // micro-batch folds its doc-distinct line-df partials (counts ADD
+    // across doc-disjoint batches — the sketch-merge contract), and the
+    // end-of-stream scrub over the landed corpus replays q212 verbatim.
+    "q227_stream_paragraph_scrub" -> ((s, dir) => {
+      import java.nio.file.Files
+      val planted = paraPlanted(s, dir)
+      val land = Files.createTempDirectory("graft-q227-land").toString
+      val cp = Files.createTempDirectory("graft-q227-cp").toString
+      (0 to 2).foreach { k =>
+        planted.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var pdf: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = graft.dedup.Dedup.paragraphDf(
+            graft.dedup.Dedup.paragraphs(batch, "doc_id", "ptext"),
+            "doc_id")
+          pdf = (if (pdf == null) part
+                 else pdf.unionByName(part).groupBy(col("ph"))
+                   .agg(sum(col("pdf")).as("pdf")))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val landed = s.read.parquet(land)
+      val out = graft.dedup.Dedup.scrubParagraphsWith(
+          landed, "doc_id",
+          graft.dedup.Dedup.paragraphs(landed, "doc_id", "ptext"),
+          pdf, maxDf = 8L)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
     })
   )
 
@@ -686,7 +745,18 @@ object Round11bQueries {
     "subscribe to our newsletter today for updates"
   private val DisclaimerPrefix = "all rights reserved by source "
 
-  val oracleSql: Map[String, String] = Map(
+  /** The q212/q227 boilerplate-paragraph plant: `(doc_id, ptext)`. */
+  private def paraPlanted(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents").select(col("doc_id"),
+      concat_ws("\n",
+        when(PortableHash.hash60(col("doc_id").cast("string"), 81)
+          % 3 === 0, lit(NewsletterPara)),
+        col("text"),
+        when(PortableHash.hash60(col("doc_id").cast("string"), 82)
+          % 2 === 0, concat(lit(DisclaimerPrefix),
+            (col("doc_id") % 20).cast("string")))).as("ptext"))
+
+  lazy val oracleSql: Map[String, String] = Map(
 
     "q207_link_graph" ->
       s"""WITH $lpagesCte,
@@ -725,8 +795,37 @@ object Round11bQueries {
          |FROM hllfull f, hllsum s, cexact x
          |ORDER BY f.reg""".stripMargin,
 
-    "q212_paragraph_scrub" ->
-      s"""WITH pdocs AS (SELECT doc_id, concat_ws(chr(10),
+    "q212_paragraph_scrub" -> paraScrubSql,
+    // fold == one-shot: the streaming door replays q212 verbatim
+    "q227_stream_paragraph_scrub" -> paraScrubSql,
+
+    "q226_url_rules" ->
+      s"""WITH $lpagesCte,
+         |llinks AS (${WebGraph.linksSql("lpages", "doc_id", "html")}),
+         |rrules AS (SELECT * FROM (VALUES
+         |    ('http://d3.example.com/', 'deny'),
+         |    ('http://d3.example.com/p/1', 'allow'),
+         |    ('http://d7.example.com/', 'deny'),
+         |    ('http://d12.example.com/p/', 'deny'),
+         |    ('http://d', 'allow')) AS t(pattern, action)),
+         |udist AS (SELECT DISTINCT url FROM llinks),
+         |udec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
+         |  SELECT u.url, r.action,
+         |    row_number() OVER (PARTITION BY u.url
+         |      ORDER BY length(r.pattern) DESC, r.pattern) AS rn
+         |  FROM udist u LEFT JOIN rrules r ON starts_with(u.url, r.pattern)) t
+         |  WHERE rn = 1)
+         |SELECT ${WebGraph.hostSql("l.url")} AS dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |  CAST(SUM(CASE WHEN d.action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+         |FROM llinks l JOIN udec d USING (url)
+         |GROUP BY 1
+         |ORDER BY dst_host""".stripMargin
+  ) ++ oracleSqlTail
+
+  private lazy val paraScrubSql: String =
+    s"""WITH pdocs AS (SELECT doc_id, concat_ws(chr(10),
          |    CASE WHEN (${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 81)}) % 3 = 0 THEN '$NewsletterPara' END,
          |    text,
          |    CASE WHEN (${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 82)}) % 2 = 0 THEN '$DisclaimerPrefix' || CAST(doc_id % 20 AS VARCHAR) END) AS ptext
@@ -744,8 +843,9 @@ object Round11bQueries {
          |  coalesce(p.n_paras, CAST(0 AS BIGINT)) AS n_paras,
          |  coalesce(p.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
          |FROM documents d LEFT JOIN ppd p ON p.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |ORDER BY d.doc_id""".stripMargin
 
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     // batched == one-shot: the doors replay q208's graph verbatim
     "q213_incremental_links" -> pagerankSql,
     "q214_stream_links" -> pagerankSql,

@@ -107,6 +107,26 @@ class WebGraphSpec extends SparkSpec {
       Set((1L, 2L), (1L, 3L)))
   }
 
+  test("urlDecisions: longest prefix wins, default allow, one row per url") {
+    val rules = Seq(
+      ("http://a.com/", "deny"),
+      ("http://a.com/p/", "allow"),
+      ("http://a.com/p/private", "deny")).toDF("pattern", "action")
+    val urls = Seq(
+      "http://a.com/x", "http://a.com/p/1",
+      "http://a.com/p/private/2", "http://b.com/",
+      "http://a.com/p/1" // duplicate input url
+    ).toDF("url")
+    val got = WebGraph.urlDecisions(urls, rules)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "http://a.com/x" -> "deny",
+      "http://a.com/p/1" -> "allow",
+      "http://a.com/p/private/2" -> "deny",
+      "http://b.com/" -> "allow"))
+    assert(WebGraph.urlDecisions(urls, rules).count() == 4) // distinct
+  }
+
   test("pageRankCtes replays pageRank bit-identically (spark.sql)") {
     val nodes = (1L to 6L).toDF("node")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (5L, 1L),

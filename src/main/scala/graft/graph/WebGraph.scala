@@ -163,6 +163,67 @@ object WebGraph {
     ranks
   }
 
+  /** TrustRank (topic-sensitive PageRank): teleport mass lands ONLY on
+    * `seeds(node)` — a hand-vetted trusted set — so rank measures
+    * proximity to trust through links; spam farms that inflate plain
+    * PageRank via link volume get no teleport and only as much trust
+    * as real pages link to them. Same exact-integer contract as
+    * [[pageRank]]:
+    *
+    *   r₀(v)    = [v ∈ S] · (Scale div |S|)
+    *   rₖ₊₁(v) = [v ∈ S] · ((15·Scale) div (100·|S|))
+    *             + (85 · Σ contrib) div 100
+    *
+    * Returns `(node, trust)`.
+    */
+  def trustRank(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val nS = seeds.count()
+    require(nS > 0, "trustRank needs a non-empty seed set")
+    val base = 15L * Scale / (100L * nS)
+    val seeded = nodes.join(
+        seeds.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint()
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg"))
+    var ranks = seeded.select(col("node"),
+      (col("__s") * lit(Scale / nS)).as("rank")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val contrib = edges.join(
+          ranks.join(outdeg, col("node") === col("src"))
+            .select(col("src").as("__u"),
+              expr("rank div outdeg").as("__c")),
+          col("src") === col("__u"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      ranks = seeded.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (col("__s") * lit(base) +
+            expr("(85 * coalesce(__in, 0)) div 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("rank").as("trust"))
+  }
+
+  /** The k-round unrolled-CTE oracle for [[trustRank]]: relations
+    * `wtnodes` (node + seed flag), `wtodeg`, `wtns`, `wtr0` …
+    * `wtr<rounds>` over `edges(src, dst)`, `nodes`, and
+    * `seedsRel(node)`.
+    */
+  def trustRankCtes(nodesRel: String, nodeId: String, seedsRel: String,
+      edgesRel: String, rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""wtr$k AS (SELECT d.node, d.s * (SELECT (15 * $Scale) // (100 * ns) FROM wtns) + (85 * coalesce(i.sm, 0)) // 100 AS rank FROM wtnodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS sm FROM $edgesRel e JOIN wtr${k - 1} r ON r.node = e.src JOIN wtodeg o ON o.src = e.src GROUP BY e.dst) i ON i.node = d.node)"""
+    }
+    (Seq(
+      s"wtnodes AS (SELECT n.node, CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS s FROM (SELECT $nodeId AS node FROM $nodesRel) n LEFT JOIN $seedsRel s ON s.node = n.node)",
+      s"wtodeg AS (SELECT src, count(*) AS outdeg FROM $edgesRel GROUP BY src)",
+      s"wtns AS (SELECT count(*) AS ns FROM $seedsRel)",
+      s"wtr0 AS (SELECT node, s * (SELECT $Scale // ns FROM wtns) AS rank FROM wtnodes)") ++ rs)
+      .mkString(",\n")
+  }
+
   /** The k-round unrolled-CTE oracle for [[pageRank]]: relations
     * `wgodeg`, `wgnn`, `wgr0` … `wgr<rounds>` over `edges(src, dst)`
     * and `nodes(<nodeIdExpr> AS node)`. CAST(SUM AS BIGINT) guards the

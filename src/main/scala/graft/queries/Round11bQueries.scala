@@ -673,6 +673,44 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
       out
+    }),
+
+    // TRUSTRANK: teleport mass lands only on the hand-vetted seed set
+    // (domains 0-4), so rank measures proximity to TRUST through
+    // links — the spam-demotion signal plain PageRank (q208) cannot
+    // give, because link volume alone earns teleport there. Same
+    // exact-integer round contract.
+    "q228_trustrank" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val seeds = docs.filter(col("node") % 20 < 5)
+      val trust = WebGraph.trustRank(docs, seeds, docEdges(s, dir),
+        rounds = 5)
+      trust.select(col("node"), (col("node") % 20).as("dom"),
+          col("trust"))
+        .orderBy(col("trust").desc, col("node"))
+        .limit(100)
+    }),
+
+    // ...and the per-domain SPAM report: PageRank mass vs TrustRank
+    // mass side by side — a domain whose popularity mass far exceeds
+    // its trust mass earns rank from link volume, not from anything a
+    // trusted page endorses (the demotion candidate list).
+    "q229_spam_report" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val edges = docEdges(s, dir).localCheckpoint()
+      val seeds = docs.filter(col("node") % 20 < 5)
+      val pr = WebGraph.pageRank(docs, edges, rounds = 5)
+        .groupBy((col("node") % 20).as("dom"))
+        .agg(sum(col("rank")).as("pr_mass"))
+      val tr = WebGraph.trustRank(docs, seeds, edges, rounds = 5)
+        .groupBy((col("node") % 20).as("dom"))
+        .agg(sum(col("trust")).as("trust_mass"))
+      pr.join(tr, Seq("dom"))
+        .select(col("dom"), col("pr_mass"), col("trust_mass"),
+          expr("trust_mass * 1000000 div pr_mass").as("trust_ppm"))
+        .orderBy(col("dom"))
     })
   )
 
@@ -821,7 +859,30 @@ object Round11bQueries {
          |  CAST(SUM(CASE WHEN d.action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
          |FROM llinks l JOIN udec d USING (url)
          |GROUP BY 1
-         |ORDER BY dst_host""".stripMargin
+         |ORDER BY dst_host""".stripMargin,
+
+    "q228_trustrank" ->
+      s"""WITH $lpagesCte,
+         |$linkCtes,
+         |tseeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 20 < 5),
+         |${WebGraph.trustRankCtes("documents", "doc_id", "tseeds", "ledges", 5)}
+         |SELECT node, node % 20 AS dom, rank AS trust
+         |FROM wtr5
+         |ORDER BY trust DESC, node
+         |LIMIT 100""".stripMargin,
+
+    "q229_spam_report" ->
+      s"""WITH $lpagesCte,
+         |$linkCtes,
+         |tseeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 20 < 5),
+         |${WebGraph.pageRankCtes("documents", "doc_id", "ledges", 5)},
+         |${WebGraph.trustRankCtes("documents", "doc_id", "tseeds", "ledges", 5)},
+         |prm AS (SELECT node % 20 AS dom, CAST(SUM(rank) AS BIGINT) AS pr_mass FROM wgr5 GROUP BY 1),
+         |trm AS (SELECT node % 20 AS dom, CAST(SUM(rank) AS BIGINT) AS trust_mass FROM wtr5 GROUP BY 1)
+         |SELECT p.dom, p.pr_mass, t.trust_mass,
+         |  t.trust_mass * 1000000 // p.pr_mass AS trust_ppm
+         |FROM prm p JOIN trm t USING (dom)
+         |ORDER BY p.dom""".stripMargin
   ) ++ oracleSqlTail
 
   private lazy val paraScrubSql: String =

@@ -107,6 +107,25 @@ class WebGraphSpec extends SparkSpec {
       Set((1L, 2L), (1L, 3L)))
   }
 
+  test("trustRank: non-seeds earn trust only through in-links from trust") {
+    // 1 (seed) -> 2 -> 3; 4 is isolated spam with no in-links
+    val nodes = (1L to 4L).toDF("node")
+    val seeds = Seq(1L).toDF("node")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 4L)).toDF("src", "dst")
+    val t = WebGraph.trustRank(nodes, seeds, edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(t(1L) > t(2L) && t(2L) > t(3L) && t(3L) > 0)
+    // the self-linking spam node gets residual self-mass from r0=0:
+    // zero forever (no teleport, no trusted in-link)
+    assert(t(4L) == 0L)
+    // hand-check round 1 for node 2: 85% of seed r0 through 1 out-edge
+    val s = WebGraph.Scale
+    val r1of2 = 85L * (s / 1L) / 100L
+    val t1 = WebGraph.trustRank(nodes, seeds, edges, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(t1(2L) == r1of2)
+  }
+
   test("urlDecisions: longest prefix wins, default allow, one row per url") {
     val rules = Seq(
       ("http://a.com/", "deny"),

@@ -711,6 +711,40 @@ object Round11bQueries {
         .select(col("dom"), col("pr_mass"), col("trust_mass"),
           expr("trust_mass * 1000000 div pr_mass").as("trust_ppm"))
         .orderBy(col("dom"))
+    }),
+
+    // WARC-container ingestion: the crawl pages land as REAL WARC
+    // segment files (one per partition, the distributed-crawler
+    // shape), are read back through the strict segment parser, and
+    // the recovered markup replays q195's extraction report verbatim
+    // — the container roundtrip must not move a byte. Oracle = q195.
+    "q230_warc_ingest" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("http://d"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+          .as("uri"),
+        Round11Queries.wrapCol(col("doc_id"), col("text")).as("html"))
+      val land = Files.createTempDirectory("graft-q230-warc").toString
+      graft.sources.Warc.writeSegments(
+        pages.repartition(4, col("doc_id")), "uri", "html", land)
+      val back = graft.sources.Warc.readRecords(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("html"))
+      val out = graft.text.Html.extract(back, "doc_id", "html")
+        .withColumnRenamed("text", "__ex")
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("n_blocks"), col("n_kept"),
+          length(col("__ex")).as("text_len"),
+          when(col("__ex") ===
+            trim(regexp_replace(col("text"), "\\s+", " ")), 1)
+            .otherwise(0).as("clean_match"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      out
     })
   )
 
@@ -882,7 +916,10 @@ object Round11bQueries {
          |SELECT p.dom, p.pr_mass, t.trust_mass,
          |  t.trust_mass * 1000000 // p.pr_mass AS trust_ppm
          |FROM prm p JOIN trm t USING (dom)
-         |ORDER BY p.dom""".stripMargin
+         |ORDER BY p.dom""".stripMargin,
+
+    // container roundtrip == identity: replay q195's report verbatim
+    "q230_warc_ingest" -> Round11Queries.oracleSql("q195_html_extract")
   ) ++ oracleSqlTail
 
   private lazy val paraScrubSql: String =

@@ -33,8 +33,8 @@ object ExtendedQueries {
   private val BpeAll = s"$BpeWord|$BpeDigit|$BpeOther"
 
   /** ±1 hyperplanes shared by the q41 engine plan and its oracle SQL. */
-  private val AnnBits = 8
-  private val annPlanes = Similarity.hyperplanes(AnnBits, 64, signsOnly = true)
+  private[queries] val AnnBits = 8
+  private[queries] val annPlanes = Similarity.hyperplanes(AnnBits, 64, signsOnly = true)
 
   /** q42 IVF parameters shared by the engine call and the oracle SQL
     * (and by q95's semantic-dedup replay in [[Round5Queries]]).
@@ -350,10 +350,10 @@ object ExtendedQueries {
 
   // ---- oracle SQL ----------------------------------------------------
 
-  private val dotSql = (a: String, b: String) =>
+  private[queries] val dotSql = (a: String, b: String) =>
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
 
-  private def planeListSql(p: Array[Double]): String =
+  private[queries] def planeListSql(p: Array[Double]): String =
     p.map(v => if (v > 0) "1.0" else "-1.0").mkString("([", ",", "]::DOUBLE[])")
 
   /** L2 ranking key `-2·(v·cent) + |cent|²` — the same op sequence as

@@ -745,6 +745,45 @@ object Round11bQueries {
         .localCheckpoint()
       Round7bQueries.rmTree(land)
       out
+    }),
+
+    // ANN QUALITY report: recall@10 and reciprocal rank of the
+    // portable LSH index (q41's path) against the exact brute-force
+    // answer (q22's path), per query and as exact integer ppm — the
+    // index-quality dashboard an ANN deployment watches (the repo's
+    // recall curves in BASELINE.md, promoted to a verified query).
+    // Measured: ~2% recall@10 on this near-uniform synthetic corpus —
+    // the single-probe 8-bit sign-LSH index is honestly weak here,
+    // which is precisely the measurement that motivates q136's
+    // IVF-PQ + exact re-rank (recall 0.62/0.84). The report exists to
+    // SAY that, with both engines agreeing on every per-query number.
+    "q231_ann_recall" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") < 50)
+      val exact = graft.similarity.Similarity.bruteForceTopK(
+        qs, emb, "vec_id", "embedding", 10)
+      val approx = graft.similarity.Similarity.portableAnnTopK(
+        qs, emb, "vec_id", "embedding", k = 10,
+        bits = ExtendedQueries.AnnBits)
+      val ov = exact.select(col("q_id"), col("n_id"))
+        .join(approx.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      val rr = exact.filter(col("rank") === 1)
+        .select(col("q_id"), col("n_id"))
+        .join(approx.select(col("q_id"), col("n_id"),
+          col("rank").as("arank")), Seq("q_id", "n_id"), "left")
+        .select(col("q_id"),
+          coalesce(expr("1000000 div arank"), lit(0L)).as("rr_ppm"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .join(rr, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 1000000 div 10")
+            .as("recall_ppm"),
+          coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
+        .orderBy(col("q_id"))
     })
   )
 
@@ -919,7 +958,48 @@ object Round11bQueries {
          |ORDER BY p.dom""".stripMargin,
 
     // container roundtrip == identity: replay q195's report verbatim
-    "q230_warc_ingest" -> Round11Queries.oracleSql("q195_html_extract")
+    "q230_warc_ingest" -> Round11Queries.oracleSql("q195_html_extract"),
+
+    "q231_ann_recall" -> {
+      import ExtendedQueries.{annPlanes, dotSql, planeListSql}
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |b AS (SELECT vec_id, e,
+         |  ${annPlanes.zipWithIndex.map { case (pl, p) =>
+               s"(CASE WHEN ${dotSql("e", planeListSql(pl))} > 0 THEN ${1L << p} ELSE 0 END)"
+             }.mkString("\n  + ")} AS bucket,
+         |  ${dotSql("e", "e")} AS nrm
+         |  FROM emb),
+         |q AS (SELECT vec_id AS q_id, e AS qe, bucket, nrm AS nq FROM b WHERE vec_id < 50),
+         |acos AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(q.nq * c.nrm) AS cosine
+         |  FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         |approx AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM acos) t WHERE rank <= 10),
+         |ecos AS (
+         |  SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(q.nq * c.nrm) AS cosine
+         |  FROM q JOIN b c ON c.vec_id <> q.q_id),
+         |exact AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM ecos) t WHERE rank <= 10),
+         |ov AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM exact e JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id
+         |  GROUP BY e.q_id),
+         |rr AS (SELECT e.q_id,
+         |    coalesce(CAST(1000000 AS BIGINT) // a.rank, CAST(0 AS BIGINT)) AS rr_ppm
+         |  FROM (SELECT q_id, n_id FROM exact WHERE rank = 1) e
+         |  LEFT JOIN approx a ON a.q_id = e.q_id AND a.n_id = e.n_id)
+         |SELECT q.q_id, coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  coalesce(o.n_overlap, CAST(0 AS BIGINT)) * 1000000 // 10 AS recall_ppm,
+         |  coalesce(r.rr_ppm, CAST(0 AS BIGINT)) AS rr_ppm
+         |FROM q LEFT JOIN ov o ON o.q_id = q.q_id
+         |LEFT JOIN rr r ON r.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin
+    }
   ) ++ oracleSqlTail
 
   private lazy val paraScrubSql: String =

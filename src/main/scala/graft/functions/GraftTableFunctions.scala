@@ -39,6 +39,8 @@ import org.apache.spark.sql.types.{NumericType, StringType}
   * spark.sql("SELECT * FROM graft_links('pages', 'doc_id', 'html')")
   * spark.sql("SELECT * FROM graft_pagerank('pages', 'doc_id', 'html', 5)")
   * spark.sql("SELECT * FROM graft_paragraph_scrub('docs', 'doc_id', 'text', 8)")
+  * spark.sql("SELECT * FROM graft_trustrank('pages', 'seeds', 'doc_id', 'html', 5)")
+  * spark.sql("SELECT * FROM graft_url_decisions('urls', 'rules')")
   * }}}
   *
   * Arguments must be literals (they configure the plan, they are not
@@ -362,6 +364,30 @@ object GraftTableFunctions {
       int(args(3), u).toLong))
   }
 
+  private val trustrank: Builder = { args =>
+    val u = "graft_trustrank(pagesTable, seedsTable, idCol, htmlCol[, rounds])"
+    require(args.length == 4 || args.length == 5, u)
+    val s = SparkSession.active
+    val rounds = if (args.length == 5) int(args(4), u) else 5
+    val pages = s.table(str(args.head, u))
+    val idc = str(args(2), u)
+    val nodes = pages.select(
+      org.apache.spark.sql.functions.col(idc).as("node"))
+    val seeds = s.table(str(args(1), u)).select(
+      org.apache.spark.sql.functions.col(idc).as("node"))
+    val edges = graft.graph.WebGraph.docEdges(
+      graft.graph.WebGraph.links(pages, idc, str(args(3), u)))
+    plan(graft.graph.WebGraph.trustRank(nodes, seeds, edges, rounds))
+  }
+
+  private val urlDecisions: Builder = { args =>
+    val u = "graft_url_decisions(urlsTable, rulesTable)"
+    require(args.length == 2, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.urlDecisions(
+      s.table(str(args.head, u)), s.table(str(args(1), u))))
+  }
+
   private val tableAt: Builder = { args =>
     val u = "graft_table_at(catalogRoot, table[, version])"
     require(args.length == 2 || args.length == 3, u)
@@ -401,5 +427,7 @@ object GraftTableFunctions {
     "graft_links" -> linkGraph,
     "graft_pagerank" -> pagerank,
     "graft_paragraph_scrub" -> paragraphScrub,
+    "graft_trustrank" -> trustrank,
+    "graft_url_decisions" -> urlDecisions,
     "graft_table_at" -> tableAt)
 }

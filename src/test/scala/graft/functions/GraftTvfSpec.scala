@@ -435,6 +435,39 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlScrub).nonEmpty && rows(sqlScrub) == rows(apiScrub))
   }
 
+  test("graft_trustrank / graft_url_decisions TVFs == API") {
+    val pages = graft.queries.Round11bQueries
+      .linkedPages(spark, "/root/testdata/sf0.001")
+    pages.createOrReplaceTempView("tvf_tpages")
+    pages.filter(col("doc_id") % 20 < 5)
+      .createOrReplaceTempView("tvf_tseeds")
+    val sqlTr = spark.sql(
+      "SELECT * FROM graft_trustrank('tvf_tpages', 'tvf_tseeds', " +
+        "'doc_id', 'html', 3) ORDER BY node")
+    val nodes = pages.select(col("doc_id").as("node"))
+    val seeds = pages.filter(col("doc_id") % 20 < 5)
+      .select(col("doc_id").as("node"))
+    val edges = graft.graph.WebGraph.docEdges(
+      graft.graph.WebGraph.links(pages, "doc_id", "html"))
+    val apiTr = graft.graph.WebGraph.trustRank(nodes, seeds, edges, 3)
+      .orderBy(col("node"))
+    assert(rows(sqlTr).nonEmpty && rows(sqlTr) == rows(apiTr))
+
+    import spark.implicits._
+    Seq("http://a.com/x", "http://a.com/p/1").toDF("url")
+      .createOrReplaceTempView("tvf_urls")
+    val rules = Seq(("http://a.com/", "deny"), ("http://a.com/p/", "allow"))
+      .toDF("pattern", "action")
+    rules.createOrReplaceTempView("tvf_rules")
+    val sqlDec = spark.sql(
+      "SELECT * FROM graft_url_decisions('tvf_urls', 'tvf_rules') " +
+        "ORDER BY url")
+    val apiDec = graft.graph.WebGraph.urlDecisions(
+        Seq("http://a.com/x", "http://a.com/p/1").toDF("url"), rules)
+      .orderBy(col("url"))
+    assert(rows(sqlDec).nonEmpty && rows(sqlDec) == rows(apiDec))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

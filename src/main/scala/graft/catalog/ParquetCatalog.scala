@@ -172,10 +172,17 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
     * base pointer rides the same atomic claim as any publish. Time
     * travel resolves through the chain, and [[vacuum]] keeps every
     * version a live delta chain references.
+    *
+    * `expectedBase` pins the delta to the version the CALLER computed
+    * its keys/rows against (the [[overwriteIf]] CAS for deltas): if a
+    * concurrent publish advanced the table past it, the publish raises
+    * `ConcurrentModificationException` instead of silently chaining a
+    * delta derived from a stale snapshot onto the new content.
     */
   def publishDelta(name: String, keyCol: String, delKeys: DataFrame,
-      addRows: Option[DataFrame] = None): Unit = {
-    val base = currentVersion(name)
+      addRows: Option[DataFrame] = None,
+      expectedBase: Option[Long] = None): Unit = {
+    val base = expectedBase.orElse(currentVersion(name))
       .getOrElse(throw new IllegalArgumentException(s"no table $name"))
     require(delKeys.columns.toSeq == Seq(keyCol),
       s"delKeys must be exactly ($keyCol); got " +

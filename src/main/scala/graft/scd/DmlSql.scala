@@ -123,18 +123,25 @@ object DmlSql {
     case DeleteFromTable(table, condition) =>
       val (name, alias) = relName(table)
       require(catalog.exists(name), s"DML target not in catalog: $name")
-      val t = alias.foldLeft(catalog.table(name))(_.alias(_))
+      // Version is read ONCE and pinned: the predicate evaluates
+      // against exactly the snapshot the delta chains onto — a
+      // concurrent publish between read and publish is a loud
+      // ConcurrentModificationException, never a silently clobbered
+      // delta against content the predicate never saw.
+      val v = catalog.currentVersion(name).get
+      val t = alias.foldLeft(catalog.tableAsOfVersion(name, v))(_.alias(_))
       // ANSI: a row deletes iff the predicate is TRUE — the deletion
       // vector holds exactly those keys
       catalog.publishDelta(name, keyCol,
         t.filter(coalesce(toCol(condition), lit(false)))
-          .select(col(keyCol)))
+          .select(col(keyCol)), expectedBase = Some(v))
       catalog.table(name)
 
     case UpdateTable(table, assignments, condition) =>
       val (name, alias) = relName(table)
       require(catalog.exists(name), s"DML target not in catalog: $name")
-      val t = alias.foldLeft(catalog.table(name))(_.alias(_))
+      val v = catalog.currentVersion(name).get
+      val t = alias.foldLeft(catalog.tableAsOfVersion(name, v))(_.alias(_))
       val cond = condition.map(c => coalesce(toCol(c), lit(false)))
         .getOrElse(lit(true))
       val assigned = assignedMap(t, assignments, name, alias)
@@ -142,7 +149,8 @@ object DmlSql {
       val updated = matched.select(t.columns.map(c =>
         assigned.getOrElse(c.toLowerCase, col(c)).as(c)).toSeq: _*)
       catalog.publishDelta(name, keyCol,
-        matched.select(col(keyCol)), Some(updated))
+        matched.select(col(keyCol)), Some(updated),
+        expectedBase = Some(v))
       catalog.table(name)
 
     case other => throw new IllegalArgumentException(

@@ -92,6 +92,13 @@ object Warc {
   /** Write a relation `(uriCol, payloadCol: string)` as WARC segment
     * files under `dir` — one segment per partition, written by the
     * task that owns it (how a distributed crawler lands segments).
+    *
+    * Segment names are the PARTITION ID (`segment-00042.warc`), and
+    * each attempt stages to a hidden attempt-unique temp file before an
+    * atomic REPLACE_EXISTING rename — so a retried or speculative task
+    * attempt lands the SAME final name (last attempt wins) instead of a
+    * second UUID-named copy of its partition, and readers never observe
+    * a half-written segment (`binaryFile` ignores dotfiles).
     */
   def writeSegments(df: DataFrame, uriCol: String, payloadCol: String,
       dir: String): Unit = {
@@ -103,9 +110,16 @@ object Warc {
           (r.getString(0), r.getString(1).getBytes(UTF_8)))
         if (recs.hasNext) {
           val bytes = writeSegment(recs)
-          val name = f"segment-${java.util.UUID.randomUUID()}.warc"
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, name), bytes)
+          val ctx = org.apache.spark.TaskContext.get()
+          val pid = if (ctx == null) 0 else ctx.partitionId()
+          val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+          val tmp = java.nio.file.Paths.get(dir,
+            f".segment-$pid%05d.warc.$attempt.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(dir, f"segment-$pid%05d.warc"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
         ()
     }

@@ -68,4 +68,25 @@ class DmlSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       DmlSql.plan(spark, "UPDATE dml_t SET nope = 1"))
   }
+
+  test("executeMor pins its base: a stale-base delta publish is loud") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dml-cas").toString
+    val cat = new ParquetCatalog(spark, root)
+    cat.create("t", seed.schema)
+    cat.overwrite("t", seed)
+    val v = cat.currentVersion("t").get
+    // a concurrent writer advances the table past the version the
+    // MoR statement computed its deletion vector against
+    cat.overwrite("t", seed.filter($"id" =!= 4L))
+    intercept[java.util.ConcurrentModificationException](
+      cat.publishDelta("t", "id", Seq(2L).toDF("id"),
+        expectedBase = Some(v)))
+    // unraced, the pinned path publishes and resolves normally
+    val got = DmlSql.executeMor(spark, cat,
+      "DELETE FROM t WHERE id = 1", "id")
+    assert(got.orderBy($"id").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L, 3L))
+    graft.queries.Round7bQueries.rmTree(root)
+  }
 }

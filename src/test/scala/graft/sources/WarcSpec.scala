@@ -50,4 +50,24 @@ class WarcSpec extends SparkSpec {
       .toSet)
     graft.queries.Round7bQueries.rmTree(dir)
   }
+
+  test("segment names are deterministic; re-landing never duplicates") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-retry").toString
+    val df = (1L to 20L).map(i => (s"http://h/p/$i", s"b$i"))
+      .toDF("uri", "html").repartition(3)
+    // a retried/speculative attempt re-lands its partition: same
+    // partition-id name, atomic replace — never a second copy
+    Warc.writeSegments(df, "uri", "html", dir)
+    Warc.writeSegments(df, "uri", "html", dir)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      files.iterator().asScala.map(_.getFileName.toString).toList.sorted
+    } finally files.close()
+    assert(names.forall(_.matches("segment-\\d{5}\\.warc")))
+    assert(names.size <= 3) // one per non-empty partition, no UUID dups
+    assert(Warc.readRecords(spark, dir).count() == 20L)
+    graft.queries.Round7bQueries.rmTree(dir)
+  }
 }

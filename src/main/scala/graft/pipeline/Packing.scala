@@ -234,11 +234,20 @@ object Packing {
     *   from the vocab encode as −1 (the loader's `<unk>` slot), so a
     *   frozen vocab applied to later batches degrades loudly rather
     *   than silently renumbering.
+    * @param unkId when set (with `vocabIds`), out-of-vocab tokens
+    *   encode as this NON-NEGATIVE reserved id instead of −1 — the
+    *   unk-free artifact contract a loader can actually embed (id −1
+    *   has no embedding row; real tokenizers guarantee coverage via a
+    *   reserved `<unk>` or byte fallback). Pair with [[reserveUnk]],
+    *   which builds the id space with slot 0 held for `<unk>`. The
+    *   scheme marker records the unk id, so appends cannot mix
+    *   unk-free and −1 tapes.
     */
   def exportShardsOf(idCol: String, toks: DataFrame,
       catalog: graft.catalog.ParquetCatalog, name: String,
       seqLen: Int = 2048, numGroups: Int = 8,
-      vocabIds: Option[DataFrame] = None): Unit = {
+      vocabIds: Option[DataFrame] = None,
+      unkId: Option[Int] = None): Unit = {
     val id = col(idCol)
     val stream = toks.localCheckpoint() // two consumers: counts + payload
     val counted = stream.groupBy(id)
@@ -252,7 +261,7 @@ object Packing {
       .withColumn("n_seqs",
         expr(s"(cum - 1) div ${seqLen}L") - col("seq_first") + lit(1L))
     val idx = sequenceManifest(placed, idCol, seqLen)
-    val tids = tokenIdsOf(stream, idCol, vocabIds)
+    val tids = tokenIdsOf(stream, idCol, vocabIds, unkId)
     val bin = placed.select(id, col("grp"), col("start_tok"))
       .join(tids, Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
@@ -267,28 +276,54 @@ object Packing {
           transform(col("ot"), s => s.getField("tid"))).as("tokens"))
     publish(catalog, s"${name}_bin", bin, partitionBy = Seq("grp"))
     publish(catalog, s"${name}_idx", idx)
-    publishScheme(catalog, name, toks.sparkSession, vocabIds)
+    publishScheme(catalog, name, toks.sparkSession, vocabIds, unkId)
+  }
+
+  /** A frozen vocabulary re-based for UNK-FREE encoding: every id
+    * shifts up by one and slot 0 becomes the reserved `<unk>` row —
+    * pass the result as `vocabIds` with `unkId = Some(0)` and no
+    * token (in or out of vocab) can encode below 0. The published
+    * vocab artifact then carries the `<unk>` row a loader needs to
+    * size its embedding table. Input/output shape: `(token, id, n)`.
+    */
+  def reserveUnk(vocab: DataFrame,
+      unkToken: String = "<unk>"): DataFrame = {
+    val shifted = vocab.select(col("token"),
+      (col("id").cast("int") + 1).as("id"), col("n"))
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    Seq((unkToken, 0, 0L)).toDF("token", "id", "n")
+      .unionByName(shifted)
   }
 
   /** Token-id column for a stream under the artifact's id scheme:
     * the portable hash (default) or a frozen `(token, id)` vocabulary
-    * with −1 for out-of-vocab tokens. ONE implementation shared by
-    * [[exportShardsOf]] and [[appendShards]] — the two paths cannot
-    * diverge on the id scheme.
+    * with −1 — or the reserved `unkId` — for out-of-vocab tokens. ONE
+    * implementation shared by [[exportShardsOf]] and [[appendShards]]
+    * — the two paths cannot diverge on the id scheme.
     */
   private def tokenIdsOf(stream: DataFrame, idCol: String,
-      vocabIds: Option[DataFrame]): DataFrame = vocabIds match {
-    case Some(v) => stream
-      .join(v.select(col("token").as("tok"),
-        col("id").cast("int").as("__vid")), Seq("tok"), "left")
-      .select(col(idCol), col("pos"),
-        coalesce(col("__vid"), lit(-1)).as("tid"))
+      vocabIds: Option[DataFrame],
+      unkId: Option[Int] = None): DataFrame = vocabIds match {
+    case Some(v) =>
+      unkId.foreach(u => require(u >= 0,
+        s"unkId must be a non-negative reserved id; got $u"))
+      stream
+        .join(v.select(col("token").as("tok"),
+          col("id").cast("int").as("__vid")), Seq("tok"), "left")
+        .select(col(idCol), col("pos"),
+          coalesce(col("__vid"), lit(unkId.getOrElse(-1))).as("tid"))
     case None => stream.select(col(idCol), col("pos"),
       tokenId(col("tok")).as("tid"))
   }
 
-  private def schemeName(vocabIds: Option[DataFrame]): String =
-    if (vocabIds.isDefined) "vocab" else "hash"
+  private def schemeName(vocabIds: Option[DataFrame],
+      unkId: Option[Int]): String =
+    (vocabIds, unkId) match {
+      case (Some(_), Some(u)) => s"vocab_unk$u"
+      case (Some(_), None) => "vocab"
+      case _ => "hash"
+    }
 
   /** Publish the artifact's id-scheme MARKER (`<name>_scheme`, one
     * row): [[appendShards]] asserts against it, so appending with the
@@ -297,9 +332,9 @@ object Packing {
     */
   private def publishScheme(catalog: graft.catalog.ParquetCatalog,
       name: String, spark: org.apache.spark.sql.SparkSession,
-      vocabIds: Option[DataFrame]): Unit =
+      vocabIds: Option[DataFrame], unkId: Option[Int]): Unit =
     publish(catalog, s"${name}_scheme",
-      spark.createDataFrame(Seq(Tuple1(schemeName(vocabIds))))
+      spark.createDataFrame(Seq(Tuple1(schemeName(vocabIds, unkId))))
         .toDF("scheme"))
 
   /** INCREMENTAL export: append a new batch's token stream to a
@@ -324,19 +359,20 @@ object Packing {
   def appendShards(idCol: String, toks: DataFrame,
       catalog: graft.catalog.ParquetCatalog, name: String,
       seqLen: Int = 2048, numGroups: Int = 8,
-      vocabIds: Option[DataFrame] = None): Unit = {
+      vocabIds: Option[DataFrame] = None,
+      unkId: Option[Int] = None): Unit = {
     if (!catalog.exists(s"${name}_bin"))
       return exportShardsOf(idCol, toks, catalog, name, seqLen,
-        numGroups, vocabIds)
+        numGroups, vocabIds, unkId)
     // the stored tape's id scheme must match the append's: vocab ids
     // appended to a hash-id tape (or vice versa) would be silent
     // corruption. Artifacts published before the marker existed carry
     // no `_scheme` table and skip the check.
     if (catalog.exists(s"${name}_scheme")) {
       val stored = catalog.table(s"${name}_scheme").head().getString(0)
-      require(stored == schemeName(vocabIds),
-        s"appendShards id scheme '${schemeName(vocabIds)}' does not " +
-          s"match artifact '$name' (exported as '$stored')")
+      require(stored == schemeName(vocabIds, unkId),
+        s"appendShards id scheme '${schemeName(vocabIds, unkId)}' " +
+          s"does not match artifact '$name' (exported as '$stored')")
     }
     val id = col(idCol)
     val (bin, idx) = readShards(catalog, name)
@@ -377,7 +413,7 @@ object Packing {
       .select(col("grp"), col("seq"), col("off").cast("int").as("off"),
         col("tid"))
     val newRows = placed.select(id, col("grp"), col("start_tok"))
-      .join(tokenIdsOf(stream, idCol, vocabIds), Seq(idCol))
+      .join(tokenIdsOf(stream, idCol, vocabIds, unkId), Seq(idCol))
       .withColumn("tape", col("start_tok") + col("pos"))
       .select(col("grp"), expr(s"tape div ${seqLen}L").as("seq"),
         (col("tape") % seqLen).cast("int").as("off"), col("tid"))
@@ -394,7 +430,7 @@ object Packing {
     publish(catalog, s"${name}_idx", idx.unionByName(newIdx))
     // (re)publish the marker: a pre-marker artifact becomes checked
     // from its first append on
-    publishScheme(catalog, name, toks.sparkSession, vocabIds)
+    publishScheme(catalog, name, toks.sparkSession, vocabIds, unkId)
   }
 
   /** Read back an [[exportShards]] artifact: `(bin, idx)` as published

@@ -44,7 +44,8 @@ object Round7Queries {
     * ASC), and w(i) = literal replace of the wrapped pair — the same
     * greedy-BPE-as-string-replace semantics as the Spark side.
     */
-  private[queries] def bpeCtes(k: Int): String = {
+  private[queries] def bpeCtes(k: Int,
+      src: String = "documents"): String = {
     // MATERIALIZED is load-bearing: w(i) and b(i) are each referenced
     // twice, so DuckDB's default CTE inlining would expand the chain
     // to 2^k copies of the documents scan (observed: "Too many open
@@ -55,7 +56,7 @@ object Round7Queries {
          |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
          |    list_reduce(list_transform(generate_series(1, length(word)),
          |      i -> $sep || word[i] || $sep), (a, b) -> a || b) AS seg
-         |  FROM (SELECT unnest($toksExpr) AS word FROM documents)
+         |  FROM (SELECT unnest($toksExpr) AS word FROM $src)
          |  GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { i =>
       s"""p$i AS (

@@ -138,6 +138,45 @@ class ShardExportSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(rootOne)
   }
 
+  test("reserveUnk + unkId: OOV encodes as the reserved id, never -1; " +
+      "mixed-scheme appends are loud") {
+    val vocab = Seq(("alpha", 0, 5L), ("beta", 1, 3L), ("gamma", 2, 1L))
+      .toDF("token", "id", "n")
+    val reserved = Packing.reserveUnk(vocab)
+    // rebase: <unk> takes slot 0, every trained id shifts up by one
+    assert(reserved.orderBy(col("id")).collect().map(r =>
+        (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("<unk>", 0), ("alpha", 1), ("beta", 2), ("gamma", 3)))
+    val stream = Seq(
+      (1L, 0, "alpha"), (1L, 1, "zzz"), (1L, 2, "beta"),
+      (2L, 0, "gamma"), (2L, 1, "unseen")).toDF("doc_id", "pos", "tok")
+    val root = Files.createTempDirectory("graft-unk").toString
+    val cat = new ParquetCatalog(spark, root)
+    Packing.exportShardsOf("doc_id", stream, cat, "t",
+      seqLen = SeqLen, numGroups = 1,
+      vocabIds = Some(reserved), unkId = Some(0))
+    val tids = Packing.binDecoded(Packing.readShards(cat, "t")._1)
+      .select(explode(col("tids")).as("tid"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(tids.sorted == Seq(0, 0, 1, 2, 3)) // two unks, zero -1s
+    assert(cat.table("t_scheme").head().getString(0) == "vocab_unk0")
+    // appending under a DIFFERENT id scheme (plain vocab, -1 OOV) must
+    // refuse: the stored tape's ids would silently mean other tokens
+    val e = intercept[IllegalArgumentException] {
+      Packing.appendShards("doc_id",
+        Seq((3L, 0, "alpha")).toDF("doc_id", "pos", "tok"), cat, "t",
+        seqLen = SeqLen, numGroups = 1, vocabIds = Some(reserved))
+    }
+    assert(e.getMessage.contains("scheme"))
+    // negative reserved ids are rejected up front
+    intercept[IllegalArgumentException] {
+      Packing.exportShardsOf("doc_id", stream, cat, "t2",
+        seqLen = SeqLen, numGroups = 1,
+        vocabIds = Some(reserved), unkId = Some(-1))
+    }
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
   test("export republish is atomic: a second export advances the version") {
     val root = Files.createTempDirectory("graft-shard-v2").toString
     val cat = new ParquetCatalog(spark, root)

@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Round10Queries.queries ++
       graft.queries.Round10bQueries.queries ++
       graft.queries.Round11Queries.queries ++
-      graft.queries.Round11bQueries.queries
+      graft.queries.Round11bQueries.queries ++
+      graft.queries.Round13Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -62,5 +63,6 @@ object SparkEntry {
       graft.queries.Round10Queries.oracleSql ++
       graft.queries.Round10bQueries.oracleSql ++
       graft.queries.Round11Queries.oracleSql ++
-      graft.queries.Round11bQueries.oracleSql
+      graft.queries.Round11bQueries.oracleSql ++
+      graft.queries.Round13Queries.oracleSql
 }

@@ -100,10 +100,108 @@ object WebGraph {
   def docEdgesSql(linkRel: String): String =
     s"""SELECT DISTINCT src, CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS dst FROM $linkRel WHERE regexp_extract(url, '/p/([0-9]+)$$', 1) <> ''"""
 
+  /** RESOLVED links — the realistic extraction [[links]]' absolute-
+    * double-quoted pattern under-covers: href values in all three
+    * attribute quote forms (double, single, unquoted), resolved
+    * against the PAGE's own URL the way a browser does —
+    *
+    *   - absolute `http(s)://…`      → kept as-is
+    *   - protocol-relative `//host…` → page scheme prepended
+    *   - root-relative `/path`       → page origin prepended
+    *   - other relative `path`       → page base directory prepended,
+    *     then `./` and up to four levels of `seg/../` collapsed
+    *   - fragments stripped; other schemes (`mailto:` …) and
+    *     fragment-only values drop as NULL
+    *
+    * Returns `(src, url)` rows with NULLs dropped — the majority of
+    * real crawl edges are relative, and excluding them (as [[links]]
+    * does for its boilerplate-skip semantics) under-counts every
+    * host-local graph. Per-page work only: one extract + a chain of
+    * codegen'd string ops, no shuffle.
+    *
+    * Cross-engine note: Spark's `regexp_replace` replaces every
+    * non-overlapping occurrence per pass while DuckDB's replaces one,
+    * so each collapse step is written as ONE bounded rewrite per
+    * nesting level on both sides — after four passes both engines sit
+    * at the same fixed point for any sane nesting depth.
+    */
+  def resolvedLinks(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val raw = pages.select(col(idCol).as("src"),
+      col(urlCol).as("__page"),
+      explode(expr(s"""regexp_extract_all($htmlCol, 'href=("[^"]*"|\\'[^\\']*\\'|[^ >"\\']+)', 1)"""))
+        .as("__href"))
+    raw.select(col("src"),
+        resolveUrl(col("__page"), col("__href")).as("url"))
+      .filter(col("url").isNotNull)
+  }
+
+  /** One href value resolved against its page URL (see
+    * [[resolvedLinks]]). `href` may still carry its surrounding
+    * quotes.
+    */
+  def resolveUrl(page: org.apache.spark.sql.Column,
+      href: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    // two single-match strips (NOT one alternation: DuckDB's
+    // single-replace twin would drop only the leading quote)
+    val unq = regexp_replace(regexp_replace(href, "^[\"']", ""),
+      "[\"']$", "")
+    val v = regexp_replace(unq, "#.*$", "")
+    val origin = regexp_extract(page, "^(https?://[^/?#]+)", 1)
+    val scheme = regexp_extract(page, "^(https?:)", 1)
+    val p0 = regexp_extract(page, "^[^?#]*", 0)
+    val base = when(p0.rlike("^https?://[^/]+$"), concat(p0, lit("/")))
+      .otherwise(regexp_replace(p0, "[^/]*$", ""))
+    val abs = when(v.rlike("^https?://"), v)
+      .when(v.startsWith("//"), concat(scheme, v))
+      .when(v.startsWith("/"), concat(origin, v))
+      .when(v === "" || v.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .otherwise(concat(base, v))
+    (1 to 4).foldLeft(abs)((c, _) =>
+      regexp_replace(regexp_replace(c, "/\\./", "/"),
+        "/[^/]+/\\.\\./", "/"))
+  }
+
+  /** DuckDB CTE chain for [[resolvedLinks]] over
+    * `rel(idCol, urlCol, htmlCol)`, ending in `rlinks<sfx>(src, url)`.
+    */
+  def resolvedLinksCtes(rel: String, idCol: String, urlCol: String,
+      htmlCol: String, sfx: String = ""): String = {
+    val collapse = (1 to 4).foldLeft("abs_url") { (x, _) =>
+      s"regexp_replace(regexp_replace($x, '/\\./', '/'), '/[^/]+/\\.\\./', '/')"
+    }
+    s"""rraw$sfx AS (SELECT $idCol AS src, $urlCol AS page,
+       |    regexp_replace(regexp_replace(unnest(
+       |      regexp_extract_all($htmlCol, 'href=("[^"]*"|''[^'']*''|[^ >"'']+)', 1)),
+       |      '^["'']', ''), '["'']$$', '') AS unq
+       |  FROM $rel),
+       |rval$sfx AS (SELECT src, page,
+       |    regexp_replace(unq, '#.*$$', '') AS v,
+       |    regexp_extract(page, '^(https?://[^/?#]+)', 1) AS origin,
+       |    regexp_extract(page, '^(https?:)', 1) AS scheme,
+       |    regexp_extract(page, '^[^?#]*', 0) AS p0
+       |  FROM rraw$sfx),
+       |rabs$sfx AS (SELECT src,
+       |    CASE WHEN regexp_matches(v, '^https?://') THEN v
+       |         WHEN v LIKE '//%' THEN scheme || v
+       |         WHEN v LIKE '/%' THEN origin || v
+       |         WHEN v = '' OR regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |         ELSE (CASE WHEN regexp_matches(p0, '^https?://[^/]+$$')
+       |                 THEN p0 || '/'
+       |                 ELSE regexp_replace(p0, '[^/]*$$', '') END) || v
+       |    END AS abs_url
+       |  FROM rval$sfx),
+       |rlinks$sfx AS (SELECT src, $collapse AS url FROM rabs$sfx
+       |  WHERE abs_url IS NOT NULL)""".stripMargin
+  }
+
   /** Robots-style URL rule decisions: each DISTINCT URL takes the
     * action of its LONGEST matching prefix rule (the robots.txt
-    * precedence; ties break by pattern text), default allow when
-    * nothing matches. `rules(pattern, action)` is model-sized and
+    * precedence; ties break by pattern text, then action — so a
+    * DUPLICATED pattern with conflicting actions resolves 'allow'
+    * deterministically, the Google-robots tie rule, instead of by
+    * partition order), default allow when nothing matches.
+    * `rules(pattern, action)` is model-sized and
     * broadcast; a URL's action is a function of the URL alone, so the
     * decision relation is distinct-URL-sized and joins back to any
     * link relation by key. Returns `(url, action)`,
@@ -112,7 +210,7 @@ object WebGraph {
   def urlDecisions(urls: DataFrame, rules: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url"))
-      .orderBy(length(col("pattern")).desc, col("pattern"))
+      .orderBy(length(col("pattern")).desc, col("pattern"), col("action"))
     urls.select(col("url")).distinct()
       .join(broadcast(rules),
         col("url").startsWith(col("pattern")), "left")

@@ -923,7 +923,7 @@ object Round11bQueries {
          |udec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
          |  SELECT u.url, r.action,
          |    row_number() OVER (PARTITION BY u.url
-         |      ORDER BY length(r.pattern) DESC, r.pattern) AS rn
+         |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
          |  FROM udist u LEFT JOIN rrules r ON starts_with(u.url, r.pattern)) t
          |  WHERE rn = 1)
          |SELECT ${WebGraph.hostSql("l.url")} AS dst_host,

@@ -1,0 +1,270 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 queries: the unk-free tokenizer-artifact contract
+  * (reserved `<unk>` id 0 — a loader can embed EVERY id in the tape),
+  * plus this round's graph/catalog front-door additions.
+  *
+  * Reference scope: the tokenizer-artifact chain extends the loader
+  * export family (q170/q183/q225); nothing here maps to
+  * /root/reference/SCD_script.txt — these are the
+  * training-data-pipeline operators the north star adds on top.
+  */
+object Round13Queries {
+
+  private val toksExpr =
+    """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
+
+  /** q232's OOV plant, shared verbatim with its oracle. */
+  private val PlantedHeldOut = "zeta vortex quiz oxbow the of and zax"
+
+  // ---- the REALISTIC linked crawl (q233) ----------------------------
+  // q207's corpus holds only absolute double-quoted hrefs — the form
+  // WebGraph.links was built for. This one plants the forms a real
+  // crawl is mostly made of: the SAME md5-derived target behind
+  // double-quoted / single-quoted+utm / unquoted+fragment hrefs, a
+  // second target behind root-relative AND ../-relative paths, a
+  // protocol-relative third, plus mailto:/fragment-only noise — so
+  // resolution + canonicalization must collapse 8 href values per page
+  // to 3 doc targets (or the count is wrong).
+
+  private def rUrlOf(t: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    concat(lit("http://d"), (t % 20).cast("string"),
+      lit(".example.com/p/"), t.cast("string"))
+
+  private def rUrlSqlOf(t: String): String =
+    s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
+
+  private[queries] def realisticPages(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    def t(seed: Int) =
+      PortableHash.hash60(col("doc_id").cast("string"), seed) % n
+    val (t1, t2, t3) = (t(74), t(75), t(76))
+    val html = concat(
+      lit("<html><body><a href=\"/\">Home</a>"),
+      lit("<a href=\""), rUrlOf(t1), lit("\">a</a>"),
+      lit("<a href='"), rUrlOf(t1), lit("?utm_source=feed'>b</a>"),
+      lit("<a href="), rUrlOf(t1), lit("#top>c</a>"),
+      lit("<a href=\"/p/"), t2.cast("string"), lit("\">d</a>"),
+      lit("<a href=\"../p/"), t2.cast("string"), lit("\">e</a>"),
+      lit("<a href=\"//d"), (t3 % 20).cast("string"),
+      lit(".example.com/p/"), t3.cast("string"), lit("\">f</a>"),
+      lit("<a href=\"mailto:ops@example.com\">g</a>"),
+      lit("<a href=\"#top\">h</a></body></html>"))
+    docs.select(col("doc_id"), rUrlOf(col("doc_id")).as("url"),
+      html.as("html"))
+  }
+
+  /** Oracle CTE `rlpages(doc_id, url, html)` — the [[realisticPages]]
+    * replay. Concat operators stay at line END (stripMargin hazard).
+    */
+  private val rlpagesCte: String = {
+    import graft.functions.PortableHash
+    def t(seed: Int) =
+      s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM rlpn))"
+    val (t1, t2, t3) = (t(74), t(75), t(76))
+    s"""rlpn AS (SELECT count(*) AS n FROM documents),
+       |rlpages AS (SELECT doc_id, ${rUrlSqlOf("doc_id")} AS url,
+       |    '<html><body><a href="/">Home</a><a href="' ||
+       |    ${rUrlSqlOf(t1)} || '">a</a><a href=' || chr(39) ||
+       |    ${rUrlSqlOf(t1)} || '?utm_source=feed' || chr(39) ||
+       |    '>b</a><a href=' ||
+       |    ${rUrlSqlOf(t1)} || '#top>c</a><a href="/p/' ||
+       |    CAST($t2 AS VARCHAR) || '">d</a><a href="../p/' ||
+       |    CAST($t2 AS VARCHAR) || '">e</a><a href="//d' ||
+       |    CAST($t3 % 20 AS VARCHAR) || '.example.com/p/' ||
+       |    CAST($t3 AS VARCHAR) ||
+       |    '">f</a><a href="mailto:ops@example.com">g</a><a href="#top">h</a></body></html>' AS html
+       |  FROM documents)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // UNK-FREE vocab-id export: the artifact contract q183 could not
+    // honor — its tape writes −1 for OOV tokens, an id no loader can
+    // embed. Here the vocabulary is FROZEN on a train slice
+    // (doc_id % 3 <> 0), re-based with slot 0 reserved for `<unk>`
+    // (reserveUnk: every trained id shifts up by one), and a HELD-OUT
+    // slice (doc_id % 3 = 0) encodes through it — genuinely-unseen
+    // symbols land on id 0, so the tape is non-negative by
+    // construction. Output: per-sequence checksum + the unk count and
+    // the tape-wide min id (the zero-minus-one proof, read back from
+    // the published artifact, not the plan that wrote it).
+    "q232_unk_free_export" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val train = docs.filter(col("doc_id") % 3 =!= 0)
+      // the corpus alphabet is a–y minus x/z (all SFs) — the planted
+      // doc's x/z words force genuinely-OOV symbols through the unk
+      // slot, mixed with in-vocab words in the same doc (both sides of
+      // the coalesce execute, not just the happy path)
+      import s.implicits._
+      val held = docs.filter(col("doc_id") % 3 === 0)
+        .unionByName(Seq((9999991L, PlantedHeldOut)).toDF("doc_id", "text"))
+      val merges = graft.text.Bpe.trainMerges(train, "text",
+        Round7Queries.BpeK)
+      val voc = graft.text.Bpe.vocab(train, "text", merges)
+      val reserved = graft.pipeline.Packing.reserveUnk(voc)
+      val stream = graft.text.Bpe.symbolStream(held, "doc_id", "text",
+        merges)
+      val root = Files.createTempDirectory("graft-q232").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.pipeline.Packing.exportShardsOf("doc_id", stream, cat,
+        "shards", seqLen = 2048, numGroups = 8,
+        vocabIds = Some(reserved), unkId = Some(0))
+      val (bin, _) = graft.pipeline.Packing.readShards(cat, "shards")
+      // per-sequence HOF lambdas are bounded (<= 2048 elements) and
+      // sequence-count-sized — the Bm25 per-doc exemption, not a
+      // corpus-sized CodegenFallback path
+      val out = bin
+        .select(col("grp"), col("seq"), col("n_tok"),
+          graft.functions.TokenBinary.weightedSumCol(col("tokens"))
+            .as("tok_wsum"),
+          size(filter(
+            graft.functions.TokenBinary.unpackCol(col("tokens")),
+            t => t === 0)).cast("long").as("n_unk"),
+          array_min(
+            graft.functions.TokenBinary.unpackCol(col("tokens")))
+            .cast("long").as("min_tid"))
+        .orderBy(col("grp"), col("seq"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
+
+    // LINK RESOLUTION + canonical edge collapse: realistic extraction
+    // (all three quote forms), browser-style resolution against the
+    // page URL, canonical identity, and the doc-edge build composed on
+    // top. Per src domain: resolved link volume (7 of 9 hrefs survive
+    // — mailto:/#top drop), distinct resolved URLs, distinct canonical
+    // URLs (utm/fragment/relative variants collapse), and the distinct
+    // canonical doc-edge count. Extraction + resolution are per-page
+    // codegen string ops; the report is two keyed aggregations.
+    "q233_link_resolution" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val links = WebGraph.resolvedLinks(realisticPages(s, dir),
+        "doc_id", "url", "html")
+      val canon = links.select(col("src"), col("url"),
+        WebGraph.canonicalUrl(col("url")).as("canon"))
+      val linkAgg = canon.groupBy((col("src") % 20).as("src_dom"))
+        .agg(count(lit(1)).as("n_resolved"),
+          countDistinct(col("url")).as("n_raw"),
+          countDistinct(col("canon")).as("n_canon"))
+      val edges = canon.select(col("src"),
+          regexp_extract(col("canon"), "/p/([0-9]+)$", 1).as("__t"))
+        .filter(col("__t") =!= "")
+        .select(col("src"), col("__t").cast("long").as("dst"))
+        .distinct()
+      val edgeAgg = edges.groupBy((col("src") % 20).as("src_dom"))
+        .agg(count(lit(1)).as("n_edges"))
+      linkAgg.join(edgeAgg, Seq("src_dom"), "left")
+        .select(col("src_dom"), col("n_resolved"), col("n_raw"),
+          col("n_canon"), coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+        .orderBy(col("src_dom"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // bpeCtes trains on the train slice; the held-out dictionary runs
+    // the SAME 12 merge replaces (hw chain — apply is replay of the
+    // frozen b(i) rows, exactly Bpe.segment's literal-replace
+    // semantics on words the trainer never saw); the vocab id is
+    // ROW_NUMBER() (1-based = the reserveUnk shift), OOV coalesces
+    // to 0.
+    "q232_unk_free_export" -> {
+      val sep = "chr(31)"
+      val applyRounds = (1 to Round7Queries.BpeK).map { i =>
+        s"""hw$i AS MATERIALIZED (SELECT word, replace(seg,
+           |    (SELECT $sep || lhs || $sep || $sep || rhs || $sep FROM b$i),
+           |    (SELECT $sep || lhs || rhs || $sep FROM b$i)) AS seg
+           |  FROM hw${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH trainc AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+         |heldc AS MATERIALIZED (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT 9999991, '$PlantedHeldOut'),
+         |${Round7Queries.bpeCtes(Round7Queries.BpeK, "trainc")},
+         |dtt AS (SELECT doc_id, $toksExpr AS ts FROM trainc),
+         |dwt AS (SELECT doc_id, ts[i] AS word
+         |  FROM dtt, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |syt AS (SELECT unnest(list_filter(
+         |    string_split(w.seg, $sep), x -> x <> '')) AS sym
+         |  FROM dwt d JOIN w${Round7Queries.BpeK} w USING (word)),
+         |vc AS (SELECT sym AS token, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM syt GROUP BY sym),
+         |vid AS (SELECT token,
+         |    ROW_NUMBER() OVER (ORDER BY n DESC, token) AS vid
+         |  FROM vc),
+         |hw0 AS MATERIALIZED (
+         |  SELECT word,
+         |    list_reduce(list_transform(generate_series(1, length(word)),
+         |      i -> $sep || word[i] || $sep), (a, b) -> a || b) AS seg
+         |  FROM (SELECT DISTINCT unnest($toksExpr) AS word FROM heldc)),
+         |$applyRounds,
+         |dth AS (SELECT doc_id, $toksExpr AS ts FROM heldc),
+         |dwh AS (SELECT doc_id, i AS wpos, ts[i] AS word
+         |  FROM dth, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |wsh AS (SELECT d.doc_id, d.wpos,
+         |    list_filter(string_split(h.seg, $sep), x -> x <> '') AS syms
+         |  FROM dwh d JOIN hw${Round7Queries.BpeK} h USING (word)),
+         |syh AS (SELECT doc_id, wpos, j AS spos, syms[j] AS sym
+         |  FROM wsh, UNNEST(generate_series(1, len(syms))) AS u(j)),
+         |g AS (SELECT doc_id, sym,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY wpos, spos) - 1 AS gpos
+         |  FROM syh),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+         |  FROM g GROUP BY doc_id),
+         |p AS (SELECT doc_id, doc_id % 8 AS grp, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM cnt),
+         |tok AS (SELECT p.grp, (p.start_tok + g.gpos) // 2048 AS seq,
+         |    (p.start_tok + g.gpos) % 2048 AS off,
+         |    COALESCE(v.vid, 0) AS tid
+         |  FROM g JOIN p USING (doc_id)
+         |  LEFT JOIN vid v ON v.token = g.sym)
+         |SELECT grp, seq, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |  CAST(SUM((off + 1) * tid) AS BIGINT) AS tok_wsum,
+         |  CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unk,
+         |  CAST(MIN(tid) AS BIGINT) AS min_tid
+         |FROM tok GROUP BY grp, seq ORDER BY grp, seq""".stripMargin
+    },
+
+    "q233_link_resolution" ->
+      s"""WITH $rlpagesCte,
+         |${graft.graph.WebGraph.resolvedLinksCtes(
+             "rlpages", "doc_id", "url", "html")},
+         |rcanon AS (SELECT src, url,
+         |    ${graft.graph.WebGraph.canonicalUrlSql("url")} AS canon
+         |  FROM rlinks),
+         |rlagg AS (SELECT src % 20 AS src_dom,
+         |    CAST(COUNT(*) AS BIGINT) AS n_resolved,
+         |    CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw,
+         |    CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon
+         |  FROM rcanon GROUP BY 1),
+         |redges AS (SELECT DISTINCT src,
+         |    CAST(regexp_extract(canon, '/p/([0-9]+)$$', 1) AS BIGINT) AS dst
+         |  FROM rcanon WHERE regexp_extract(canon, '/p/([0-9]+)$$', 1) <> ''),
+         |reagg AS (SELECT src % 20 AS src_dom,
+         |    CAST(COUNT(*) AS BIGINT) AS n_edges
+         |  FROM redges GROUP BY 1)
+         |SELECT l.src_dom, l.n_resolved, l.n_raw, l.n_canon,
+         |  COALESCE(e.n_edges, 0) AS n_edges
+         |FROM rlagg l LEFT JOIN reagg e USING (src_dom)
+         |ORDER BY l.src_dom""".stripMargin,
+  )
+}

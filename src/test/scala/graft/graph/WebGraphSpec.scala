@@ -126,6 +126,40 @@ class WebGraphSpec extends SparkSpec {
     assert(t1(2L) == r1of2)
   }
 
+  test("resolvedLinks: three quote forms, relative resolution, " +
+      "fragment/other-scheme drops") {
+    val page = "http://d3.example.com/p/30"
+    val html =
+      """<a href="http://a.com/p/2">dq</a>""" +
+        """<a href='http://a.com/p/2?utm_source=x'>sq</a>""" +
+        """<a href=http://a.com/p/2#frag>uq</a>""" +
+        """<a href="/p/31">root</a>""" +
+        """<a href="../p/31">up</a>""" +
+        """<a href="./sub/page">dot</a>""" +
+        """<a href="//b.org/p/5">proto</a>""" +
+        """<a href="mailto:x@y.com">mail</a>""" +
+        """<a href="#top">frag</a>"""
+    val got = WebGraph.resolvedLinks(
+        Seq((30L, page, html)).toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (30L, "http://a.com/p/2"),
+      (30L, "http://a.com/p/2?utm_source=x"),
+      (30L, "http://a.com/p/2"), // fragment stripped
+      (30L, "http://d3.example.com/p/31"), // root-relative
+      (30L, "http://d3.example.com/p/31"), // ../ collapsed
+      (30L, "http://d3.example.com/p/sub/page"), // ./ collapsed
+      (30L, "http://b.org/p/5"))) // page scheme prepended
+    // host-only page: base directory is the root
+    val got2 = WebGraph.resolvedLinks(
+        Seq((1L, "http://h.com", """<a href="x/y">r</a>"""))
+          .toDF("doc_id", "url", "html"),
+        "doc_id", "url", "html")
+      .as[(Long, String)].collect().toSeq
+    assert(got2 == Seq((1L, "http://h.com/x/y")))
+  }
+
   test("urlDecisions: longest prefix wins, default allow, one row per url") {
     val rules = Seq(
       ("http://a.com/", "deny"),
@@ -144,6 +178,20 @@ class WebGraphSpec extends SparkSpec {
       "http://a.com/p/private/2" -> "deny",
       "http://b.com/" -> "allow"))
     assert(WebGraph.urlDecisions(urls, rules).count() == 4) // distinct
+  }
+
+  test("urlDecisions: conflicting duplicate patterns resolve to allow") {
+    // identical pattern, opposite actions — the tie must not depend on
+    // rule partition order; 'allow' < 'deny' wins deterministically
+    val rules = Seq(
+      ("http://a.com/", "deny"),
+      ("http://a.com/", "allow")).toDF("pattern", "action")
+    val urls = Seq("http://a.com/x").toDF("url")
+    (1 to 3).foreach { _ =>
+      val got = WebGraph.urlDecisions(urls, rules.repartition(4))
+        .as[(String, String)].collect().toSeq
+      assert(got == Seq(("http://a.com/x", "allow")))
+    }
   }
 
   test("pageRankCtes replays pageRank bit-identically (spark.sql)") {

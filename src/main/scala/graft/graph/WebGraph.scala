@@ -261,6 +261,100 @@ object WebGraph {
     ranks
   }
 
+  /** CONVERGED PageRank: [[pageRank]]'s exact-integer contract plus
+    * the two things a real crawl-scale run needs —
+    *
+    *   1. DANGLING mass: nodes with no out-edges (common once edges
+    *      are filtered by robots rules / domain caps) no longer leak
+    *      their mass out of the system; each round their total rank D
+    *      redistributes uniformly through the same damping term:
+    *
+    *        rₖ₊₁(v) = (15·Scale) div (100·n)
+    *                  + (85 · (Σ in(v) + D div n)) div 100
+    *
+    *   2. CONVERGENCE stop: iteration ends at the FIRST round k where
+    *      the exact-integer total movement Σ_v |rₖ(v) − rₖ₋₁(v)| ≤
+    *      `Scale div epsDiv`, else at `maxRounds`. Movement contracts
+    *      at the damping rate (0.85/round, graph-independent), so the
+    *      stop round is bounded a priori — and because both the delta
+    *      and the threshold are integers, an unrolled-CTE oracle
+    *      replays the stop decision bit-exactly (min round whose delta
+    *      passes, no float tolerance anywhere).
+    *
+    * The dangling sum rides IN-PLAN as a broadcast 1-row aggregate
+    * (no driver collect); only the per-round delta scalar comes back
+    * to the driver, for loop control. Returns `(node, rank, rounds)`
+    * with `rounds` = the stop round.
+    */
+  def pageRankConverged(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int, epsDiv: Long = 20L): DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "pageRankConverged over an empty node set")
+    val eps = Scale / epsDiv
+    val base = 15L * Scale / (100L * n)
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var ranks = nodes.select(col("node"),
+      lit(Scale / n).as("rank")).localCheckpoint()
+    var k = 0
+    var done = false
+    while (k < maxRounds && !done) {
+      val dang = ranks.join(outdeg, col("node") === col("src"),
+          "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
+      val contrib = edges.join(
+          ranks.join(outdeg, col("node") === col("src"))
+            .select(col("src").as("__u"),
+              expr("rank div outdeg").as("__c")),
+          col("src") === col("__u"))
+        .groupBy(col("dst"))
+        .agg(sum(col("__c")).as("__in"))
+      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + expr(
+            s"(85 * (coalesce(__in, 0) + (__dang div ${n}L))) div 100"))
+            .as("rank"))
+        .localCheckpoint()
+      val delta = next.join(
+          ranks.select(col("node"), col("rank").as("__prev")),
+          Seq("node"))
+        .agg(sum(abs(col("rank") - col("__prev"))))
+        .head().getLong(0)
+      done = delta <= eps
+      ranks = next
+      k += 1
+    }
+    ranks.withColumn("rounds", lit(k))
+  }
+
+  /** The unrolled-CTE oracle for [[pageRankConverged]]: `maxRounds`
+    * rounds materialize, per-round deltas compute, and the selected
+    * round is the first whose delta passes the threshold — relations
+    * `wcnodes/wcodeg/wcnn/wcr0…wcr<K>/wcall/wcdelta/wcstop`, final
+    * shape `(node, rank, rounds)` via `SELECT … FROM wcall WHERE k =
+    * (SELECT k FROM wcstop)`.
+    */
+  def pageRankConvergedCtes(nodesRel: String, nodeId: String,
+      edgesRel: String, maxRounds: Int, epsDiv: Long = 20L): String = {
+    val eps = Scale / epsDiv
+    val rs = (1 to maxRounds).map { k =>
+      s"""wcd${k - 1} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang FROM wcr${k - 1} r LEFT JOIN wcodeg o ON o.src = r.node WHERE o.src IS NULL),
+         |wcr$k AS (SELECT d.node, (SELECT (15 * $Scale) // (100 * n) FROM wcnn) + (85 * (coalesce(i.s, 0) + (SELECT dang FROM wcd${k - 1}) // (SELECT n FROM wcnn))) // 100 AS rank FROM wcnodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s FROM $edgesRel e JOIN wcr${k - 1} r ON r.node = e.src JOIN wcodeg o ON o.src = e.src GROUP BY e.dst) i ON i.node = d.node)""".stripMargin
+    }
+    val union = (0 to maxRounds).map(k =>
+      s"SELECT $k AS k, node, rank FROM wcr$k").mkString(" UNION ALL ")
+    (Seq(
+      s"wcnodes AS (SELECT $nodeId AS node FROM $nodesRel)",
+      s"wcodeg AS (SELECT src, count(*) AS outdeg FROM $edgesRel GROUP BY src)",
+      s"wcnn AS (SELECT count(*) AS n FROM wcnodes)",
+      s"wcr0 AS (SELECT node, (SELECT $Scale // n FROM wcnn) AS rank FROM wcnodes)") ++ rs ++ Seq(
+      s"wcall AS ($union)",
+      s"wcdelta AS (SELECT a.k, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS delta FROM wcall a JOIN wcall b ON b.node = a.node AND b.k = a.k - 1 GROUP BY a.k)",
+      s"wcstop AS (SELECT COALESCE(MIN(k), $maxRounds) AS k FROM wcdelta WHERE delta <= $eps)"))
+      .mkString(",\n")
+  }
+
   /** TrustRank (topic-sensitive PageRank): teleport mass lands ONLY on
     * `seeds(node)` — a hand-vetted trusted set — so rank measures
     * proximity to trust through links; spam farms that inflate plain

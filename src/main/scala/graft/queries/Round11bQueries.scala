@@ -55,7 +55,7 @@ object Round11bQueries {
   /** Oracle CTE: `lpages(doc_id, html)` — the [[linkedPages]] replay.
     * Concat operators at line END only (stripMargin re-strip hazard).
     */
-  private val lpagesCte: String = {
+  private[queries] val lpagesCte: String = {
     val refs = refSeeds.map { seed =>
       val t = s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM lpn))"
       s"""'<a href="' || ${urlSqlOf(t)} || '">about doc ' || CAST($t AS VARCHAR) || '</a>'"""
@@ -69,7 +69,7 @@ object Round11bQueries {
   }
 
   /** `llinks(src, url)` + `ledges(src, dst)` over `lpages`. */
-  private val linkCtes: String =
+  private[queries] val linkCtes: String =
     s"""llinks AS (${WebGraph.linksSql("lpages", "doc_id", "html")}),
        |ledges AS (${WebGraph.docEdgesSql("llinks")})""".stripMargin
 

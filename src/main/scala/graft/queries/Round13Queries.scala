@@ -170,6 +170,31 @@ object Round13Queries {
           col("n_canon"), coalesce(col("n_edges"), lit(0L)).as("n_edges"))
         .orderBy(col("src_dom"))
     }),
+
+    // CONVERGED PageRank with dangling-mass redistribution: a quarter
+    // of the sources drop their out-edges (the robots/cap filtering a
+    // real crawl applies), so real dangling nodes exist — their mass
+    // redistributes through the damping term instead of leaking, and
+    // iteration stops at the FIRST round whose exact-integer total
+    // movement falls under Scale/100000 (not a fixed count). The stop
+    // round rides along as a column; the oracle replays all rounds and
+    // selects the same first-passing one — integer delta, integer
+    // threshold, no float tolerance.
+    "q234_pagerank_converged" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val edges = WebGraph.docEdges(
+          WebGraph.links(Round11bQueries.linkedPages(s, dir),
+            "doc_id", "html"))
+        .filter(col("src") % 4 =!= 0)
+      val ranks = WebGraph.pageRankConverged(docs, edges,
+        maxRounds = 25, epsDiv = 100000L)
+      ranks.select(col("node"), (col("node") % 20).as("dom"),
+          col("rank"), col("rounds"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -266,5 +291,16 @@ object Round13Queries {
          |  COALESCE(e.n_edges, 0) AS n_edges
          |FROM rlagg l LEFT JOIN reagg e USING (src_dom)
          |ORDER BY l.src_dom""".stripMargin,
+
+    "q234_pagerank_converged" ->
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |${Round11bQueries.linkCtes},
+         |cedges AS (SELECT src, dst FROM ledges WHERE src % 4 <> 0),
+         |${graft.graph.WebGraph.pageRankConvergedCtes(
+             "documents", "doc_id", "cedges", 25, 100000L)}
+         |SELECT node, node % 20 AS dom, rank,
+         |  (SELECT k FROM wcstop) AS rounds
+         |FROM wcall WHERE k = (SELECT k FROM wcstop)
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
   )
 }

@@ -57,6 +57,57 @@ class PageRankFuzzSpec extends SparkSpec {
     }
   }
 
+  private def refConverged(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      maxRounds: Int, epsDiv: Long): (Map[Long, Long], Int) = {
+    val distinct = edges.distinct
+    val out = distinct.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val n = nodes.size.toLong
+    val eps = S / epsDiv
+    var r = nodes.map(v => v -> S / n).toMap
+    var k = 0
+    var done = false
+    while (k < maxRounds && !done) {
+      val dang = nodes.filter(v => !out.contains(v)).map(r).sum
+      val in = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((u, v) <- distinct) in(v) += r(u) / out(u)
+      val next = nodes.map(v =>
+        v -> (15L * S / (100L * n) +
+          85L * (in(v) + dang / n) / 100L)).toMap
+      val delta = nodes.map(v => (next(v) - r(v)).abs).sum
+      done = delta <= eps
+      r = next
+      k += 1
+    }
+    (r, k)
+  }
+
+  test("pageRankConverged matches the reference and conserves mass " +
+      "on 25 random graphs") {
+    val rng = new scala.util.Random(413)
+    for (i <- 1 to 25) {
+      val (nodes, edges) = randomGraph(rng)
+      val epsDiv = Seq(5L, 10L, 20L)(rng.nextInt(3))
+      val got = WebGraph.pageRankConverged(nodes.toDF("node"),
+          edges.distinct.toDF("src", "dst"), maxRounds = 15, epsDiv)
+        .as[(Long, Long, Int)].collect()
+      val gotRanks = got.map(t => t._1 -> t._2).toMap
+      val gotRounds = got.map(_._3).distinct.toSeq
+      val (exp, expRounds) = refConverged(nodes, edges, 15, epsDiv)
+      assert(gotRanks == exp && gotRounds == Seq(expRounds),
+        s"graph $i (n=${nodes.size}, epsDiv=$epsDiv)")
+      // mass conservation: truncation only ever LOSES ulps, and the
+      // dangling redistribution keeps the loss bounded by the per-round
+      // division count amplified by the 1/0.15 equilibrium factor —
+      // mass never leaks wholesale the way plain pageRank drops
+      // dangling rank
+      val total = gotRanks.values.sum
+      val bound = 7L * (edges.distinct.size + 4L * nodes.size + 100L)
+      assert(total <= S && S - total <= bound,
+        s"graph $i mass $total vs $S (bound $bound)")
+    }
+  }
+
   test("trustRank matches the plain-Scala reference on 25 random graphs") {
     val rng = new scala.util.Random(412)
     for (i <- 1 to 25) {

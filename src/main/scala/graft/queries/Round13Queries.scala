@@ -195,6 +195,46 @@ object Round13Queries {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     }),
+
+    // ANN QUALITY through the SQL FRONT DOOR: q231's recall@10/MRR
+    // report re-run with the approximate side produced by the
+    // graft_ann_topk TVF — the surface a SQL user actually calls —
+    // which routes to ivfPqTopKRefined (IVF-PQ + exact re-rank, the
+    // honest index; its defaults ARE q136's measured configuration).
+    // The recall a TVF user gets is the 0.62-at-nProbe=4 curve, not
+    // q231's ~2% single-probe LSH; both engines agree on every
+    // per-query ppm.
+    "q235_ann_tvf_recall" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      val emb = Tables(s, dir, "embeddings")
+      emb.filter(col("vec_id") < 50)
+        .createOrReplaceTempView("q235_queries")
+      emb.createOrReplaceTempView("q235_corpus")
+      val approx = s.sql("SELECT * FROM graft_ann_topk(" +
+        "'q235_queries', 'q235_corpus', 'vec_id', 'embedding', 10)")
+      val qs = emb.filter(col("vec_id") < 50)
+      val exact = graft.similarity.Similarity.bruteForceTopK(
+        qs, emb, "vec_id", "embedding", 10)
+      val ov = exact.select(col("q_id"), col("n_id"))
+        .join(approx.select(col("q_id"), col("n_id")),
+          Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_overlap"))
+      val rr = exact.filter(col("rank") === 1)
+        .select(col("q_id"), col("n_id"))
+        .join(approx.select(col("q_id"), col("n_id"),
+          col("rank").as("arank")), Seq("q_id", "n_id"), "left")
+        .select(col("q_id"),
+          coalesce(expr("1000000 div arank"), lit(0L)).as("rr_ppm"))
+      qs.select(col("vec_id").as("q_id"))
+        .join(ov, Seq("q_id"), "left")
+        .join(rr, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          expr("coalesce(n_overlap, 0) * 1000000 div 10")
+            .as("recall_ppm"),
+          coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
+        .orderBy(col("q_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -302,5 +342,59 @@ object Round13Queries {
          |  (SELECT k FROM wcstop) AS rounds
          |FROM wcall WHERE k = (SELECT k FROM wcstop)
          |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+
+    // q136's ADC chain + exact re-rank (the TVF's one logical plan)
+    // as the approx side, brute-force exact as the truth side, q231's
+    // report tail. refineR = 100 is ivfPqTopKRefined's default — the
+    // TVF's served configuration.
+    "q235_ann_tvf_recall" -> {
+      val dotSql = (a: String, b: String) =>
+        s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (x,y) -> x+y)"
+      s"""WITH ${Round5Queries.pqAdcCtesSql},
+         |cand_r AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY s / sqrt(nq * nc) DESC, n_id ASC) AS rr
+         |  FROM adc) t WHERE rr <= 100),
+         |rs AS (SELECT c.q_id, c.n_id,
+         |    ${dotSql("qe.e", "ne.e")}
+         |      / sqrt(${dotSql("qe.e", "qe.e")} * ${dotSql("ne.e", "ne.e")})
+         |      AS cosine
+         |  FROM cand_r c
+         |  JOIN emb qe ON qe.vec_id = c.q_id
+         |  JOIN emb ne ON ne.vec_id = c.n_id),
+         |tapprox AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM rs) t WHERE rank <= 10),
+         |en AS (SELECT vec_id, e, ${dotSql("e", "e")} AS nrm FROM emb),
+         |qn AS (SELECT vec_id AS q_id, e AS qe, nrm AS nq FROM en
+         |  WHERE vec_id < 50),
+         |ecos AS (SELECT q.q_id, c.vec_id AS n_id,
+         |    ${dotSql("q.qe", "c.e")} / sqrt(q.nq * c.nrm) AS cosine
+         |  FROM qn q JOIN en c ON c.vec_id <> q.q_id),
+         |texact AS (SELECT q_id, n_id, rank FROM (
+         |  SELECT q_id, n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cosine DESC, n_id ASC) AS rank
+         |  FROM ecos) t WHERE rank <= 10),
+         |ov AS (SELECT e.q_id, CAST(count(*) AS BIGINT) AS n_overlap
+         |  FROM texact e JOIN tapprox a
+         |    ON a.q_id = e.q_id AND a.n_id = e.n_id
+         |  GROUP BY e.q_id),
+         |rr AS (SELECT e.q_id,
+         |    coalesce(CAST(1000000 AS BIGINT) // a.rank,
+         |      CAST(0 AS BIGINT)) AS rr_ppm
+         |  FROM (SELECT q_id, n_id FROM texact WHERE rank = 1) e
+         |  LEFT JOIN tapprox a ON a.q_id = e.q_id AND a.n_id = e.n_id)
+         |SELECT q.q_id,
+         |  coalesce(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap,
+         |  coalesce(o.n_overlap, CAST(0 AS BIGINT)) * 1000000 // 10 AS recall_ppm,
+         |  coalesce(r.rr_ppm, CAST(0 AS BIGINT)) AS rr_ppm
+         |FROM qn q LEFT JOIN ov o ON o.q_id = q.q_id
+         |LEFT JOIN rr r ON r.q_id = q.q_id
+         |ORDER BY q.q_id""".stripMargin
+    },
   )
 }

@@ -287,15 +287,31 @@ object WebGraph {
     * with `rounds` = the stop round.
     */
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
-      maxRounds: Int, epsDiv: Long = 20L): DataFrame = {
+      maxRounds: Int, epsDiv: Long = 20L,
+      init: Option[DataFrame] = None): DataFrame = {
     val n = nodes.count()
     require(n > 0, "pageRankConverged over an empty node set")
     val eps = Scale / epsDiv
     val base = 15L * Scale / (100L * n)
     val outdeg = edges.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
-    var ranks = nodes.select(col("node"),
-      lit(Scale / n).as("rank")).localCheckpoint()
+    // WARM START: seed from a previous fixed point (`init(node, rank)`)
+    // instead of uniform — nodes the previous run never saw fall back
+    // to the uniform share, stale nodes drop via the join. The
+    // iteration map is the same 0.85-contraction from any start, so a
+    // seed already near the fixed point converges in the few rounds it
+    // takes the graph DELTA to propagate, not the ~log(Scale·epsDiv)
+    // rounds a cold start pays — the incremental-crawl economics
+    // (IncrementalGraph.rankWarm).
+    var ranks = (init match {
+      case Some(p) => nodes.join(
+          p.select(col("node"), col("rank").as("__warm")),
+          Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__warm"), lit(Scale / n)).as("rank"))
+      case None => nodes.select(col("node"),
+        lit(Scale / n).as("rank"))
+    }).localCheckpoint()
     var k = 0
     var done = false
     while (k < maxRounds && !done) {

@@ -235,6 +235,39 @@ object Round13Queries {
           coalesce(col("rr_ppm"), lit(0L)).as("rr_ppm"))
         .orderBy(col("q_id"))
     }),
+
+    // ALTER TABLE ADD COLUMN across the version chain: seed → widen
+    // (one NULL column, one DEFAULT-filled) → UPDATE fills half the
+    // rows — three atomic versions. The report joins the CURRENT
+    // widened content against the PRE-ALTER version read by time
+    // travel (old_len comes from a snapshot whose schema has no lang/
+    // score), so the query only works if every version reads under
+    // its own schema.
+    "q236_alter_table" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("text_len"))
+      val root = Files.createTempDirectory("graft-q236").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      cat.create("dd", docs.schema)
+      cat.overwrite("dd", docs)
+      val v0 = cat.currentVersion("dd").get
+      graft.scd.DdlSql.execute(s, cat,
+        "ALTER TABLE dd ADD COLUMNS (lang STRING, score BIGINT DEFAULT 0)")
+      graft.scd.DmlSql.execute(s, cat,
+        "UPDATE dd SET lang = 'en', score = text_len * 2 " +
+          "WHERE doc_id % 2 = 0")
+      val old = cat.tableAsOfVersion("dd", v0)
+        .select(col("doc_id"), col("text_len").as("old_len"))
+      val out = cat.table("dd").join(old, Seq("doc_id"))
+        .select(col("doc_id"), col("text_len"), col("old_len"),
+          col("lang"), col("score"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      out
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -396,5 +429,14 @@ object Round13Queries {
          |LEFT JOIN rr r ON r.q_id = q.q_id
          |ORDER BY q.q_id""".stripMargin
     },
+
+    "q236_alter_table" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS text_len,
+         |  CAST(length(text) AS BIGINT) AS old_len,
+         |  CASE WHEN doc_id % 2 = 0 THEN 'en' END AS lang,
+         |  CASE WHEN doc_id % 2 = 0 THEN CAST(length(text) * 2 AS BIGINT)
+         |       ELSE CAST(0 AS BIGINT) END AS score
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

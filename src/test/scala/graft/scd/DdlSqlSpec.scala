@@ -1,0 +1,82 @@
+package graft.scd
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.catalog.ParquetCatalog
+import org.apache.spark.sql.functions._
+
+/** ALTER TABLE ADD COLUMN through the catalog version chain: widened
+  * schema = next version, old versions keep their original schema,
+  * defaults fill existing rows, malformed statements are loud.
+  */
+class DdlSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCat(): (ParquetCatalog, String) = {
+    val root = Files.createTempDirectory("graft-ddl").toString
+    (new ParquetCatalog(spark, root), root)
+  }
+
+  private def seed(cat: ParquetCatalog): Unit = {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    cat.create("t", df.schema)
+    cat.overwrite("t", df)
+  }
+
+  test("ADD COLUMNS widens as the next version; time travel keeps " +
+      "the original schema") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    val v0 = cat.currentVersion("t").get
+    DdlSql.execute(spark, cat,
+      "ALTER TABLE t ADD COLUMNS (lang STRING, score BIGINT)")
+    assert(cat.currentVersion("t").get == v0 + 1)
+    assert(cat.table("t").columns.toSeq ==
+      Seq("id", "v", "lang", "score"))
+    // new columns are NULL for every pre-existing row
+    assert(cat.table("t").filter(col("lang").isNull &&
+      col("score").isNull).count() == 3)
+    // the pre-alter version still reads under its ORIGINAL schema
+    assert(cat.tableAsOfVersion("t", v0).columns.toSeq == Seq("id", "v"))
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
+  test("DEFAULT literal fills existing rows; UPDATE can then reassign") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    DdlSql.execute(spark, cat,
+      "ALTER TABLE t ADD COLUMN score BIGINT DEFAULT 7")
+    assert(cat.table("t").select(sum(col("score"))).head().getLong(0)
+      == 21L)
+    DmlSql.execute(spark, cat,
+      "UPDATE t SET score = id * 10 WHERE id >= 2")
+    assert(cat.table("t").orderBy(col("id"))
+      .select(col("score")).as[Long].collect().toSeq ==
+      Seq(7L, 20L, 30L))
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
+  test("duplicate, nested, positioned, and non-ALTER statements are " +
+      "loud; unknown table is loud") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE t ADD COLUMN v STRING")
+    }
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE t ADD COLUMN s.f STRING")
+    }
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat,
+        "ALTER TABLE t ADD COLUMN w STRING FIRST")
+    }
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "SELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE missing ADD COLUMN x INT")
+    }
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+}

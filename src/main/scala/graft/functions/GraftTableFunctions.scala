@@ -355,6 +355,30 @@ object GraftTableFunctions {
     plan(graft.graph.WebGraph.pageRank(nodes, edges, rounds))
   }
 
+  private val resolvedLinks: Builder = { args =>
+    val u = "graft_resolved_links(pagesTable, idCol, urlCol, htmlCol)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.resolvedLinks(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), str(args(3), u)))
+  }
+
+  private val pagerankConverged: Builder = { args =>
+    val u = "graft_pagerank_converged(pagesTable, idCol, htmlCol" +
+      "[, maxRounds[, epsDiv]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val maxRounds = if (args.length >= 4) int(args(3), u) else 25
+    val epsDiv = if (args.length == 5) int(args(4), u).toLong else 100000L
+    val pages = s.table(str(args.head, u))
+    val nodes = pages.select(
+      org.apache.spark.sql.functions.col(str(args(1), u)).as("node"))
+    val edges = graft.graph.WebGraph.docEdges(
+      graft.graph.WebGraph.links(pages, str(args(1), u), str(args(2), u)))
+    plan(graft.graph.WebGraph.pageRankConverged(nodes, edges,
+      maxRounds, epsDiv))
+  }
+
   private val paragraphScrub: Builder = { args =>
     val u = "graft_paragraph_scrub(table, idCol, textCol, maxDf)"
     require(args.length == 4, u)
@@ -425,7 +449,9 @@ object GraftTableFunctions {
     "graft_rank_buckets" -> rankBuckets,
     "graft_html_extract" -> htmlExtract,
     "graft_links" -> linkGraph,
+    "graft_resolved_links" -> resolvedLinks,
     "graft_pagerank" -> pagerank,
+    "graft_pagerank_converged" -> pagerankConverged,
     "graft_paragraph_scrub" -> paragraphScrub,
     "graft_trustrank" -> trustrank,
     "graft_url_decisions" -> urlDecisions,

@@ -352,22 +352,31 @@ object WebGraph {
     * (SELECT k FROM wcstop)`.
     */
   def pageRankConvergedCtes(nodesRel: String, nodeId: String,
-      edgesRel: String, maxRounds: Int, epsDiv: Long = 20L): String = {
+      edgesRel: String, maxRounds: Int, epsDiv: Long = 20L,
+      pfx: String = "wc", initRel: Option[String] = None): String = {
     val eps = Scale / epsDiv
     val rs = (1 to maxRounds).map { k =>
-      s"""wcd${k - 1} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang FROM wcr${k - 1} r LEFT JOIN wcodeg o ON o.src = r.node WHERE o.src IS NULL),
-         |wcr$k AS (SELECT d.node, (SELECT (15 * $Scale) // (100 * n) FROM wcnn) + (85 * (coalesce(i.s, 0) + (SELECT dang FROM wcd${k - 1}) // (SELECT n FROM wcnn))) // 100 AS rank FROM wcnodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s FROM $edgesRel e JOIN wcr${k - 1} r ON r.node = e.src JOIN wcodeg o ON o.src = e.src GROUP BY e.dst) i ON i.node = d.node)""".stripMargin
+      s"""${pfx}d${k - 1} AS (SELECT CAST(COALESCE(SUM(r.rank), 0) AS BIGINT) AS dang FROM ${pfx}r${k - 1} r LEFT JOIN ${pfx}odeg o ON o.src = r.node WHERE o.src IS NULL),
+         |${pfx}r$k AS (SELECT d.node, (SELECT (15 * $Scale) // (100 * n) FROM ${pfx}nn) + (85 * (coalesce(i.s, 0) + (SELECT dang FROM ${pfx}d${k - 1}) // (SELECT n FROM ${pfx}nn))) // 100 AS rank FROM ${pfx}nodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(r.rank // o.outdeg) AS BIGINT) AS s FROM $edgesRel e JOIN ${pfx}r${k - 1} r ON r.node = e.src JOIN ${pfx}odeg o ON o.src = e.src GROUP BY e.dst) i ON i.node = d.node)""".stripMargin
     }
     val union = (0 to maxRounds).map(k =>
-      s"SELECT $k AS k, node, rank FROM wcr$k").mkString(" UNION ALL ")
+      s"SELECT $k AS k, node, rank FROM ${pfx}r$k").mkString(" UNION ALL ")
+    // warm start: seed from initRel(node, rank), uniform fallback for
+    // nodes the seed never saw — exactly pageRankConverged's init path
+    val r0 = initRel match {
+      case Some(ir) =>
+        s"${pfx}r0 AS (SELECT d.node, COALESCE(i.rank, (SELECT $Scale // n FROM ${pfx}nn)) AS rank FROM ${pfx}nodes d LEFT JOIN $ir i ON i.node = d.node)"
+      case None =>
+        s"${pfx}r0 AS (SELECT node, (SELECT $Scale // n FROM ${pfx}nn) AS rank FROM ${pfx}nodes)"
+    }
     (Seq(
-      s"wcnodes AS (SELECT $nodeId AS node FROM $nodesRel)",
-      s"wcodeg AS (SELECT src, count(*) AS outdeg FROM $edgesRel GROUP BY src)",
-      s"wcnn AS (SELECT count(*) AS n FROM wcnodes)",
-      s"wcr0 AS (SELECT node, (SELECT $Scale // n FROM wcnn) AS rank FROM wcnodes)") ++ rs ++ Seq(
-      s"wcall AS ($union)",
-      s"wcdelta AS (SELECT a.k, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS delta FROM wcall a JOIN wcall b ON b.node = a.node AND b.k = a.k - 1 GROUP BY a.k)",
-      s"wcstop AS (SELECT COALESCE(MIN(k), $maxRounds) AS k FROM wcdelta WHERE delta <= $eps)"))
+      s"${pfx}nodes AS (SELECT $nodeId AS node FROM $nodesRel)",
+      s"${pfx}odeg AS (SELECT src, count(*) AS outdeg FROM $edgesRel GROUP BY src)",
+      s"${pfx}nn AS (SELECT count(*) AS n FROM ${pfx}nodes)",
+      r0) ++ rs ++ Seq(
+      s"${pfx}all AS ($union)",
+      s"${pfx}delta AS (SELECT a.k, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS delta FROM ${pfx}all a JOIN ${pfx}all b ON b.node = a.node AND b.k = a.k - 1 GROUP BY a.k)",
+      s"${pfx}stop AS (SELECT COALESCE(MIN(k), $maxRounds) AS k FROM ${pfx}delta WHERE delta <= $eps)"))
       .mkString(",\n")
   }
 

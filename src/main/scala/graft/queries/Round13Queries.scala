@@ -39,7 +39,7 @@ object Round13Queries {
   private def rUrlSqlOf(t: String): String =
     s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
 
-  private[queries] def realisticPages(s: SparkSession, dir: String)
+  private[graft] def realisticPages(s: SparkSession, dir: String)
       : DataFrame = {
     import graft.functions.PortableHash
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
@@ -268,6 +268,33 @@ object Round13Queries {
       Round7bQueries.rmTree(root)
       out
     }),
+
+    // WARM-START rank maintenance, end-to-end oracle-checked: phase 1
+    // converges cold on the two-thirds graph (src % 3 <> 2 — the last
+    // third's sources are dangling, exercising redistribution), the
+    // last third folds in via IncrementalGraph, and phase 2 re-ranks
+    // WARM from phase 1's fixed point. The oracle replays BOTH
+    // converged chains (the second seeded from the first's selected
+    // round) — every round, both stop decisions, and the warm seed
+    // join are exact integers, so the maintained ranks hash-check.
+    "q237_warm_rank" -> ((s, dir) => {
+      import graft.graph.IncrementalGraph
+      val pages = Round11bQueries.linkedPages(s, dir)
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      var idx = IncrementalGraph.build(
+        pages.filter(col("doc_id") % 3 =!= 2), "doc_id", "html")
+      val prev = IncrementalGraph.rankConverged(idx, nodes,
+        maxRounds = 20, epsDiv = 100000L).localCheckpoint()
+      idx = IncrementalGraph.addBatch(idx,
+        pages.filter(col("doc_id") % 3 === 2), "doc_id", "html")
+      val warm = IncrementalGraph.rankWarm(idx, nodes, prev,
+        maxRounds = 20, epsDiv = 100000L)
+      warm.select(col("node"), (col("node") % 20).as("dom"),
+          col("rank"), col("rounds"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -438,5 +465,21 @@ object Round13Queries {
          |  CASE WHEN doc_id % 2 = 0 THEN CAST(length(text) * 2 AS BIGINT)
          |       ELSE CAST(0 AS BIGINT) END AS score
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q237_warm_rank" ->
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |${Round11bQueries.linkCtes},
+         |e1 AS (SELECT src, dst FROM ledges WHERE src % 3 <> 2),
+         |${graft.graph.WebGraph.pageRankConvergedCtes(
+             "documents", "doc_id", "e1", 20, 100000L, pfx = "wa")},
+         |wprev AS (SELECT node, rank FROM waall
+         |  WHERE k = (SELECT k FROM wastop)),
+         |${graft.graph.WebGraph.pageRankConvergedCtes(
+             "documents", "doc_id", "ledges", 20, 100000L, pfx = "wb",
+             initRel = Some("wprev"))}
+         |SELECT node, node % 20 AS dom, rank,
+         |  (SELECT k FROM wbstop) AS rounds
+         |FROM wball WHERE k = (SELECT k FROM wbstop)
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
   )
 }

@@ -435,6 +435,31 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlScrub).nonEmpty && rows(sqlScrub) == rows(apiScrub))
   }
 
+  test("graft_resolved_links / graft_pagerank_converged TVFs == API") {
+    val pages = graft.queries.Round13Queries
+      .realisticPages(spark, "/root/testdata/sf0.001")
+    pages.createOrReplaceTempView("tvf_rpages")
+    val sqlRl = spark.sql(
+      "SELECT * FROM graft_resolved_links('tvf_rpages', 'doc_id', " +
+        "'url', 'html') ORDER BY src, url")
+    val apiRl = graft.graph.WebGraph.resolvedLinks(pages, "doc_id",
+        "url", "html").orderBy(col("src"), col("url"))
+    assert(rows(sqlRl).nonEmpty && rows(sqlRl) == rows(apiRl))
+
+    val lpages = graft.queries.Round11bQueries
+      .linkedPages(spark, "/root/testdata/sf0.001")
+    lpages.createOrReplaceTempView("tvf_cpages")
+    val sqlPc = spark.sql(
+      "SELECT * FROM graft_pagerank_converged('tvf_cpages', 'doc_id', " +
+        "'html', 20, 100000) ORDER BY node")
+    val nodes = lpages.select(col("doc_id").as("node"))
+    val edges = graft.graph.WebGraph.docEdges(
+      graft.graph.WebGraph.links(lpages, "doc_id", "html"))
+    val apiPc = graft.graph.WebGraph.pageRankConverged(nodes, edges,
+        20, 100000L).orderBy(col("node"))
+    assert(rows(sqlPc).nonEmpty && rows(sqlPc) == rows(apiPc))
+  }
+
   test("graft_trustrank / graft_url_decisions TVFs == API") {
     val pages = graft.queries.Round11bQueries
       .linkedPages(spark, "/root/testdata/sf0.001")

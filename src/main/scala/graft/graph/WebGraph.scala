@@ -220,6 +220,48 @@ object WebGraph {
         coalesce(col("action"), lit("allow")).as("action"))
   }
 
+  /** robots.txt PARSER: `(host, txt)` → the `(pattern, action)` rule
+    * relation [[urlDecisions]] consumes. Each `Allow:`/`Disallow:`
+    * directive line becomes one host-anchored prefix rule
+    * (`http://<host><path>` → allow/deny); everything else —
+    * User-agent groups, comments, sitemaps, blank lines — is ignored
+    * (the flat single-agent reading; per-agent grouping is policy the
+    * caller applies by pre-filtering the text). An empty-path
+    * `Disallow:` (the "allow everything" idiom) drops rather than
+    * denying the whole host. Model-sized in, model-sized out —
+    * robots relations are per-host, never corpus-scale.
+    */
+  def parseRobots(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(hostCol).as("__h"),
+        explode(split(col(txtCol), "\n")).as("__l"))
+      .select(col("__h"),
+        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 1)
+          .as("__d"),
+        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 2)
+          .as("__p"))
+      .filter(col("__d") =!= "" && col("__p") =!= "")
+      .select(concat(lit("http://"), col("__h"), col("__p"))
+          .as("pattern"),
+        when(col("__d") === "Allow", lit("allow"))
+          .otherwise(lit("deny")).as("action"))
+
+  /** DuckDB CTE for [[parseRobots]] over `rel(hostCol, txtCol)`,
+    * ending in `probots(pattern, action)`.
+    */
+  def parseRobotsCtes(rel: String, hostCol: String,
+      txtCol: String): String =
+    s"""prlines AS (SELECT $hostCol AS h,
+       |    unnest(string_split($txtCol, chr(10))) AS l
+       |  FROM $rel),
+       |prdir AS (SELECT h,
+       |    regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) AS d,
+       |    regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) AS p
+       |  FROM prlines),
+       |probots AS (SELECT 'http://' || h || p AS pattern,
+       |    CASE WHEN d = 'Allow' THEN 'allow' ELSE 'deny' END AS action
+       |  FROM prdir WHERE d <> '' AND p <> '')""".stripMargin
+
   /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
   val Scale = 1000000000000L
 
@@ -377,6 +419,82 @@ object WebGraph {
       s"${pfx}all AS ($union)",
       s"${pfx}delta AS (SELECT a.k, CAST(SUM(ABS(a.rank - b.rank)) AS BIGINT) AS delta FROM ${pfx}all a JOIN ${pfx}all b ON b.node = a.node AND b.k = a.k - 1 GROUP BY a.k)",
       s"${pfx}stop AS (SELECT COALESCE(MIN(k), $maxRounds) AS k FROM ${pfx}delta WHERE delta <= $eps)"))
+      .mkString(",\n")
+  }
+
+  /** Exact-integer HITS (hubs & authorities): `rounds` synchronous
+    * iterations of the Kleinberg recurrence over distinct
+    * `edges(src, dst)` —
+    *
+    *   a₀(v) = h₀(v) = Scale div n
+    *   aₖ(v) = norm( Σ_{(u,v)∈E} hₖ₋₁(u) )
+    *   hₖ(v) = norm( Σ_{(v,w)∈E} aₖ(w) )
+    *
+    * where norm(x) rescales the vector to ~Scale total mass by the
+    * TRUNCATING divisor `x div max(total div Scale, 1)` — all-integer,
+    * so both engines lose identical ulps and the k-round unrolled CTE
+    * replay is bit-exact (the [[pageRank]] contract; L2 normalization
+    * would put a sqrt in the loop and portability dies there).
+    * PageRank measures endorsement flow; HITS separates DIRECTORY
+    * pages (hubs: link to many good authorities) from DESTINATION
+    * pages (authorities: linked by many good hubs) — the complementary
+    * crawl-quality axis. Each half-round is one edge-keyed join + one
+    * aggregation + a broadcast 1-row total; per-round localCheckpoint.
+    * Returns `(node, hub, auth)`.
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, rounds: Int)
+      : DataFrame = {
+    val n = nodes.count()
+    require(n > 0, "hits over an empty node set")
+    def normed(raw: DataFrame, out: String): DataFrame = {
+      val tot = raw.agg(
+        coalesce(sum(col("__raw")), lit(0L)).as("__t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"__raw div greatest(__t div ${Scale}L, 1)").as(out))
+        .localCheckpoint()
+    }
+    def pulled(state: DataFrame, stateCol: String, from: String,
+        to: String): DataFrame =
+      nodes.join(
+          edges.join(state, col(from) === col("node"))
+            .select(col(to).as("__k"), col(stateCol).as("__v"))
+            .groupBy(col("__k")).agg(sum(col("__v")).as("__raw")),
+          col("node") === col("__k"), "left")
+        .select(col("node"),
+          coalesce(col("__raw"), lit(0L)).as("__raw"))
+    var hubs = nodes.select(col("node"),
+      lit(Scale / n).as("hub")).localCheckpoint()
+    var auths = nodes.select(col("node"),
+      lit(Scale / n).as("auth")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      auths = normed(pulled(hubs, "hub", "src", "dst"), "auth")
+      hubs = normed(pulled(auths, "auth", "dst", "src"), "hub")
+    }
+    hubs.join(auths, Seq("node"))
+  }
+
+  /** The k-round unrolled-CTE oracle for [[hits]]: per round the raw
+    * pulls `whra<k>`/`whrh<k>`, their totals, and the normalized
+    * `wha<k>`/`whh<k>`; prefix-parameterized like
+    * [[pageRankConvergedCtes]]. Final relations `whh<rounds>(node,
+    * hub)` and `wha<rounds>(node, auth)`.
+    */
+  def hitsCtes(nodesRel: String, nodeId: String, edgesRel: String,
+      rounds: Int): String = {
+    val rs = (1 to rounds).map { k =>
+      s"""whra$k AS (SELECT d.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS raw FROM whnodes d LEFT JOIN (SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS v FROM $edgesRel e JOIN whh${k - 1} h ON h.node = e.src GROUP BY e.dst) s ON s.node = d.node),
+         |whta$k AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM whra$k),
+         |wha$k AS (SELECT node, raw // greatest((SELECT t FROM whta$k) // $Scale, 1) AS auth FROM whra$k),
+         |whrh$k AS (SELECT d.node, CAST(COALESCE(s.v, 0) AS BIGINT) AS raw FROM whnodes d LEFT JOIN (SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS v FROM $edgesRel e JOIN wha$k a ON a.node = e.dst GROUP BY e.src) s ON s.node = d.node),
+         |whth$k AS (SELECT CAST(COALESCE(SUM(raw), 0) AS BIGINT) AS t FROM whrh$k),
+         |whh$k AS (SELECT node, raw // greatest((SELECT t FROM whth$k) // $Scale, 1) AS hub FROM whrh$k)""".stripMargin
+    }
+    (Seq(
+      s"whnodes AS (SELECT $nodeId AS node FROM $nodesRel)",
+      s"whnn AS (SELECT count(*) AS n FROM whnodes)",
+      s"whh0 AS (SELECT node, (SELECT $Scale // n FROM whnn) AS hub FROM whnodes)",
+      s"wha0 AS (SELECT node, (SELECT $Scale // n FROM whnn) AS auth FROM whnodes)") ++ rs)
       .mkString(",\n")
   }
 

@@ -295,6 +295,57 @@ object Round13Queries {
         .orderBy(col("rank").desc, col("node"))
         .limit(100)
     }),
+
+    // robots.txt PARSE → DECIDE composition: each domain publishes a
+    // robots body (user-agent line, a sitemap, a digit-prefix
+    // Disallow, a longer Allow carve-out that must WIN by prefix
+    // length, the empty-Disallow idiom, a comment), parseRobots
+    // lifts the directives into host-anchored prefix rules, and
+    // q226's decision machinery scores every crawled URL. Per target
+    // host: link volume, allowed, denied — q226's report over rules
+    // that came from TEXT instead of a hand-built table.
+    "q238_robots_parse" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      import s.implicits._
+      val robots = (0 until 20).map { k =>
+        val d = k % 10
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /p/$d\nAllow: /p/$d$d\n" +
+            "Disallow:\n# note")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobots(robots, "host", "txt")
+      val links = WebGraph.links(Round11bQueries.linkedPages(s, dir),
+        "doc_id", "html")
+      val dec = WebGraph.urlDecisions(links.select(col("url")), rules)
+      links.join(dec, Seq("url"))
+        .groupBy(WebGraph.host(col("url")).as("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("action") === "allow", 1).otherwise(0))
+            .cast("long").as("n_allowed"),
+          sum(when(col("action") === "deny", 1).otherwise(0))
+            .cast("long").as("n_denied"))
+        .orderBy(col("dst_host"))
+    }),
+
+    // HITS hubs & authorities over the crawled doc graph (5 rounds,
+    // exact-integer normalization): the complementary axis to q208's
+    // PageRank — directory pages score as hubs, destination pages as
+    // authorities. Report = top 100 by authority with both scores and
+    // the domain; the unrolled-CTE oracle replays every pull and
+    // every truncating rescale bit-exactly.
+    "q239_hits" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val edges = WebGraph.docEdges(
+        WebGraph.links(Round11bQueries.linkedPages(s, dir),
+          "doc_id", "html"))
+      WebGraph.hits(nodes, edges, rounds = 5)
+        .select(col("node"), (col("node") % 20).as("dom"),
+          col("hub"), col("auth"))
+        .orderBy(col("auth").desc, col("node"))
+        .limit(100)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -481,5 +532,43 @@ object Round13Queries {
          |  (SELECT k FROM wbstop) AS rounds
          |FROM wball WHERE k = (SELECT k FROM wbstop)
          |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
+
+    "q238_robots_parse" ->
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |llinks AS (${graft.graph.WebGraph.linksSql(
+             "lpages", "doc_id", "html")}),
+         |probotsrc AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) ||
+         |    'Disallow: /p/' || CAST(k % 10 AS VARCHAR) || chr(10) ||
+         |    'Allow: /p/' || CAST(k % 10 AS VARCHAR) || CAST(k % 10 AS VARCHAR) || chr(10) ||
+         |    'Disallow:' || chr(10) ||
+         |    '# note' AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${graft.graph.WebGraph.parseRobotsCtes(
+             "probotsrc", "host", "txt")},
+         |udist AS (SELECT DISTINCT url FROM llinks),
+         |udec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
+         |  SELECT u.url, r.action,
+         |    row_number() OVER (PARTITION BY u.url
+         |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
+         |  FROM udist u LEFT JOIN probots r ON starts_with(u.url, r.pattern)) t
+         |  WHERE rn = 1)
+         |SELECT ${graft.graph.WebGraph.hostSql("l.url")} AS dst_host,
+         |  CAST(count(*) AS BIGINT) AS n_links,
+         |  CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |  CAST(SUM(CASE WHEN d.action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_denied
+         |FROM llinks l JOIN udec d USING (url)
+         |GROUP BY 1
+         |ORDER BY dst_host""".stripMargin,
+
+    "q239_hits" ->
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |${Round11bQueries.linkCtes},
+         |${graft.graph.WebGraph.hitsCtes(
+             "documents", "doc_id", "ledges", 5)}
+         |SELECT h.node, h.node % 20 AS dom, h.hub, a.auth
+         |FROM whh5 h JOIN wha5 a ON a.node = h.node
+         |ORDER BY a.auth DESC, h.node LIMIT 100""".stripMargin,
   )
 }

@@ -108,6 +108,43 @@ class PageRankFuzzSpec extends SparkSpec {
     }
   }
 
+  private def refHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      rounds: Int): Map[Long, (Long, Long)] = {
+    val distinct = edges.distinct
+    val n = nodes.size.toLong
+    def norm(m: Map[Long, Long]): Map[Long, Long] = {
+      val d = math.max(m.values.sum / S, 1L)
+      m.map { case (k, v) => k -> v / d }
+    }
+    var hub = nodes.map(v => v -> S / n).toMap
+    var auth = hub
+    for (_ <- 1 to rounds) {
+      val ra = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((u, v) <- distinct) ra(v) += hub(u)
+      auth = norm(nodes.map(v => v -> ra(v)).toMap)
+      val rh = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for ((u, v) <- distinct) rh(u) += auth(v)
+      hub = norm(nodes.map(v => v -> rh(v)).toMap)
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits matches the plain-Scala reference on 25 random graphs") {
+    val rng = new scala.util.Random(414)
+    for (i <- 1 to 25) {
+      val (nodes, edges) = randomGraph(rng)
+      val rounds = 1 + rng.nextInt(4)
+      val got = WebGraph.hits(nodes.toDF("node"),
+          edges.distinct.toDF("src", "dst"), rounds)
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val exp = refHits(nodes, edges, rounds)
+      assert(got == exp, s"graph $i (n=${nodes.size}, rounds=$rounds)")
+    }
+  }
+
   test("trustRank matches the plain-Scala reference on 25 random graphs") {
     val rng = new scala.util.Random(412)
     for (i <- 1 to 25) {

@@ -160,6 +160,31 @@ class WebGraphSpec extends SparkSpec {
     assert(got2 == Seq((1L, "http://h.com/x/y")))
   }
 
+  test("parseRobots: directives become host-anchored rules; " +
+      "comments, groups, sitemaps, empty Disallow all skip") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p\nAllow: /p/ok\n" +
+        "Sitemap: http://a.com/map.xml\n# note\nDisallow:\n"),
+      ("b.com", "Disallow: /secret"),
+      ("c.com", "just prose, no directives")).toDF("host", "txt")
+    val got = WebGraph.parseRobots(robots, "host", "txt")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("http://a.com/p", "deny"),
+      ("http://a.com/p/ok", "allow"),
+      ("http://b.com/secret", "deny")))
+    // parsed rules drive urlDecisions: the longer Allow carves out
+    val dec = WebGraph.urlDecisions(
+        Seq("http://a.com/p/1", "http://a.com/p/ok/2",
+          "http://a.com/other").toDF("url"),
+        WebGraph.parseRobots(robots, "host", "txt"))
+      .as[(String, String)].collect().toMap
+    assert(dec == Map(
+      "http://a.com/p/1" -> "deny",
+      "http://a.com/p/ok/2" -> "allow",
+      "http://a.com/other" -> "allow"))
+  }
+
   test("urlDecisions: longest prefix wins, default allow, one row per url") {
     val rules = Seq(
       ("http://a.com/", "deny"),

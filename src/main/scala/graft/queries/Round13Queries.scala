@@ -346,6 +346,29 @@ object Round13Queries {
         .orderBy(col("auth").desc, col("node"))
         .limit(100)
     }),
+
+    // The round-13 graph chain COMPOSED: messy pages → realistic
+    // extraction (all quote forms + relatives) → canonical URL
+    // identity → doc edges → converged PageRank with dangling
+    // redistribution. This is the pipeline a real crawl runs; every
+    // stage is one the reference-scale tests already verify alone,
+    // and the oracle replays the whole composition in one statement.
+    "q240_resolved_graph" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val links = WebGraph.resolvedLinks(realisticPages(s, dir),
+        "doc_id", "url", "html")
+      val edges = WebGraph.docEdges(
+        links.select(col("src"),
+          WebGraph.canonicalUrl(col("url")).as("url")))
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      WebGraph.pageRankConverged(nodes, edges,
+          maxRounds = 25, epsDiv = 100000L)
+        .select(col("node"), (col("node") % 20).as("dom"),
+          col("rank"), col("rounds"))
+        .orderBy(col("rank").desc, col("node"))
+        .limit(100)
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -570,5 +593,23 @@ object Round13Queries {
          |SELECT h.node, h.node % 20 AS dom, h.hub, a.auth
          |FROM whh5 h JOIN wha5 a ON a.node = h.node
          |ORDER BY a.auth DESC, h.node LIMIT 100""".stripMargin,
+
+    "q240_resolved_graph" ->
+      s"""WITH $rlpagesCte,
+         |${graft.graph.WebGraph.resolvedLinksCtes(
+             "rlpages", "doc_id", "url", "html")},
+         |rced AS (SELECT DISTINCT src,
+         |    CAST(regexp_extract(${graft.graph.WebGraph
+               .canonicalUrlSql("url")}, '/p/([0-9]+)$$', 1) AS BIGINT)
+         |      AS dst
+         |  FROM rlinks
+         |  WHERE regexp_extract(${graft.graph.WebGraph
+               .canonicalUrlSql("url")}, '/p/([0-9]+)$$', 1) <> ''),
+         |${graft.graph.WebGraph.pageRankConvergedCtes(
+             "documents", "doc_id", "rced", 25, 100000L)}
+         |SELECT node, node % 20 AS dom, rank,
+         |  (SELECT k FROM wcstop) AS rounds
+         |FROM wcall WHERE k = (SELECT k FROM wcstop)
+         |ORDER BY rank DESC, node LIMIT 100""".stripMargin,
   )
 }

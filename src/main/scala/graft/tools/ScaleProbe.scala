@@ -782,6 +782,50 @@ object ScaleProbe {
         .filter(col("rank") > 0).count()
     }
 
+    // HITS: same probe graph, 5 Kleinberg rounds — two edge-keyed
+    // join+agg passes per round instead of PageRank's one.
+    def hitsRun(d: DataFrame): Long = {
+      val pages = probePages(d)
+      val edges = graft.graph.WebGraph.docEdges(
+        graft.graph.WebGraph.links(pages, "doc_id", "html"))
+      val nodes = d.select(col("doc_id").as("node"))
+      graft.graph.WebGraph.hits(nodes, edges, rounds = 5)
+        .filter(col("auth") >= 0).count()
+    }
+
+    // Link RESOLUTION: q233's messy forms (three quote styles,
+    // root/../ relatives, protocol-relative) with replica-offset
+    // targets; extraction + resolution + canonicalization are
+    // per-page codegen string ops — the probe must read scan-bound
+    // linear.
+    def resolvePages(d: DataFrame): DataFrame = {
+      def t(seed: Int) = (graft.functions.PortableHash
+        .hash60(col("doc_id").cast("string"), seed) % nDocs1) +
+        expr("doc_id div 10000000") * 10000000L
+      val (t1, t2, t3) = (t(74), t(75), t(76))
+      val u1 = concat(lit("http://d"), (t1 % 20).cast("string"),
+        lit(".example.com/p/"), t1.cast("string"))
+      d.select(col("doc_id"),
+        concat(lit("http://d"), (col("doc_id") % 20).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"))
+          .as("url"),
+        concat(lit("<html><body><a href=\""), u1, lit("\">a</a>"),
+          lit("<a href='"), u1, lit("?utm_source=feed'>b</a>"),
+          lit("<a href="), u1, lit("#top>c</a>"),
+          lit("<a href=\"/p/"), t2.cast("string"), lit("\">d</a>"),
+          lit("<a href=\"../p/"), t2.cast("string"), lit("\">e</a>"),
+          lit("<a href=\"//d"), (t3 % 20).cast("string"),
+          lit(".example.com/p/"), t3.cast("string"),
+          lit("\">f</a></body></html>")).as("html"))
+    }
+    def resolveRun(d: DataFrame): Long = {
+      val links = graft.graph.WebGraph.resolvedLinks(
+        resolvePages(d), "doc_id", "url", "html")
+      links.select(col("src"),
+          graft.graph.WebGraph.canonicalUrl(col("url")).as("c"))
+        .filter(length(col("c")) > 0).count()
+    }
+
     // Paragraph scrub: boilerplate planted BEFORE replication, so the
     // per-token perturbation makes each replica's boilerplate its own
     // (per-replica df = n/3 — linear structure, no cross-replica
@@ -953,6 +997,10 @@ object ScaleProbe {
       "jpeg_dedup" -> (() => (time(jpegRun(docs1)), time(jpegRun(docsN)))),
       "link_pagerank" -> (() => (time(pagerankRun(docs1)),
         time(pagerankRun(docsN)))),
+      "link_resolution" -> (() => (time(resolveRun(docs1)),
+        time(resolveRun(docsN)))),
+      "hits_rank" -> (() => (time(hitsRun(docs1)),
+        time(hitsRun(docsN)))),
       // WordPiece: like bpe_train, the per-token perturbation grows
       // the unique-word dict exactly Nx; each likelihood round adds a
       // symbol-count groupBy + two joins over the dict.

@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Round10bQueries.queries ++
       graft.queries.Round11Queries.queries ++
       graft.queries.Round11bQueries.queries ++
-      graft.queries.Round13Queries.queries
+      graft.queries.Round13Queries.queries ++
+      graft.queries.Round13bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Round10bQueries.oracleSql ++
       graft.queries.Round11Queries.oracleSql ++
       graft.queries.Round11bQueries.oracleSql ++
-      graft.queries.Round13Queries.oracleSql
+      graft.queries.Round13Queries.oracleSql ++
+      graft.queries.Round13bQueries.oracleSql
 }

@@ -435,6 +435,55 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** HOST-scoped boilerplate line removal — the per-SITE form of
+    * [[scrubFrequentParagraphs]] (CCNet/RefinedWeb's "drop lines
+    * duplicated across a domain's pages"): a line is boilerplate for a
+    * host iff its doc-distinct frequency WITHIN that host reaches a
+    * FRACTION of the host's documents (`pdf·10^6 ≥ minPpm·hostDocs`,
+    * with an absolute floor `pdf ≥ minDf` so two-page hosts don't
+    * self-scrub). Global-df scrubbing misses this both ways: a nav
+    * footer on 60% of one site's pages can sit under any global
+    * absolute cap, while a phrase mildly common corpus-wide would be
+    * collateral damage — the threshold must be host-relative, and a
+    * line is only ever removed from the host it is boilerplate FOR.
+    *
+    * Scale shape: line hashing is per-doc; the df is one
+    * `(host, ph)`-keyed aggregation (doc-distinct partials add, the
+    * streaming contract); host sizes are a host-keyed count joined
+    * back broadcast-small; the rebuild is [[scrubParagraphsWith]]'s
+    * one-per-doc sorted collect. Returns
+    * `(idCol, hostCol, clean_text, n_paras, n_dropped)`.
+    */
+  def scrubHostBoilerplate(docs: DataFrame, idCol: String,
+      hostCol: String, textCol: String, minPpm: Long,
+      minDf: Long = 2L): DataFrame = {
+    val id = col(idCol)
+    val hosts = docs.select(id, col(hostCol))
+    val paras = paragraphs(docs, idCol, textCol).join(hosts, Seq(idCol))
+    val hostDocs = docs.groupBy(col(hostCol))
+      .agg(count(lit(1)).as("__hn"))
+    val pdf = paras.select(id, col(hostCol), col("ph")).distinct()
+      .groupBy(col(hostCol), col("ph")).agg(count(lit(1)).as("pdf"))
+    val boiler = pdf.join(hostDocs, Seq(hostCol))
+      .filter(col("pdf") >= minDf &&
+        col("pdf") * lit(1000000L) >= lit(minPpm) * col("__hn"))
+      .select(col(hostCol), col("ph"), lit(true).as("__boiler"))
+    val perDoc = paras
+      .join(boiler, Seq(hostCol, "ph"), "left")
+      .groupBy(id).agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("__boiler"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(sort_array(collect_list(
+            when(col("__boiler").isNull,
+              struct(col("pos"), col("para"))))),
+          s => s.getField("para")), "\n").as("clean_text"))
+    hosts.join(perDoc, Seq(idCol), "left")
+      .select(id, col(hostCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** CROSS-corpus SPAN scrub — decontamination at PASSAGE granularity:
     * rewrite each train document with every token covered by a k-gram
     * that ALSO occurs in the eval corpus removed. Dropping whole

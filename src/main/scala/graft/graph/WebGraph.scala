@@ -559,6 +559,106 @@ object WebGraph {
       .mkString(",\n")
   }
 
+  /** sitemap.xml PARSER: `(host, xml)` → one row per `<url>` entry,
+    * `(host, url, lastmod)` — the crawl-seeding companion to
+    * [[parseRobots]] (robots says what NOT to fetch; sitemaps say what
+    * the site WANTS fetched, with freshness hints). `<loc>` is
+    * required per the protocol — entries without one drop; `<lastmod>`
+    * is optional and surfaces as `''` when absent (countable, never
+    * NULL). Entry blocks are matched non-greedily on a single line —
+    * feed normalized (newline-stripped) XML, the form sitemap
+    * generators emit anyway. Sitemap relations are per-host
+    * directory listings — model-sized next to the corpus; parsing is
+    * one extract-all + two per-entry extracts, no shuffle.
+    */
+  def parseSitemaps(maps: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame =
+    maps.select(col(hostCol).as("host"),
+        explode(expr(
+          s"regexp_extract_all($xmlCol, '<url>(.*?)</url>', 1)"))
+          .as("__e"))
+      .select(col("host"),
+        regexp_extract(col("__e"), "<loc>([^<]+)</loc>", 1).as("url"),
+        regexp_extract(col("__e"), "<lastmod>([^<]+)</lastmod>", 1)
+          .as("lastmod"))
+      .filter(col("url") =!= "")
+
+  /** DuckDB CTE for [[parseSitemaps]] over `rel(hostCol, xmlCol)`,
+    * ending in `psmaps(host, url, lastmod)`.
+    */
+  def parseSitemapsCtes(rel: String, hostCol: String,
+      xmlCol: String): String =
+    s"""psent AS (SELECT $hostCol AS host,
+       |    unnest(regexp_extract_all($xmlCol, '<url>(.*?)</url>', 1)) AS e
+       |  FROM $rel),
+       |psmaps AS (SELECT host,
+       |    regexp_extract(e, '<loc>([^<]+)</loc>', 1) AS url,
+       |    regexp_extract(e, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
+       |  FROM psent
+       |  WHERE regexp_extract(e, '<loc>([^<]+)</loc>', 1) <> '')""".stripMargin
+
+  /** Exact BFS hop distance from a seed set: `(node, dist)` with
+    * `dist` the minimum edge count from ANY seed (0 for seeds, −1 for
+    * nodes unreached within `maxHops`) — the crawl-DEPTH feature
+    * quality pipelines weight by (pages far from any trusted seed are
+    * disproportionately spam, the TrustRank intuition as a hop count
+    * instead of a mass).
+    *
+    * FRONTIER-only expansion: round k joins edges against just the
+    * nodes first reached at round k−1 (an anti-join peels the already
+    * settled), so total work is O(Σ frontier-adjacent edges) — each
+    * edge is expanded exactly once over the whole run, not once per
+    * round. A newly reached node's depth is exactly the round that
+    * found it, which is also the min-fold the unrolled oracle
+    * computes, so the two formulations agree bit-exactly. Settled
+    * state `localCheckpoint`s per round (growing-lineage invariant);
+    * the loop short-circuits on an empty frontier — the one
+    * driver-side scalar per round.
+    */
+  def hopDistance(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      maxHops: Int): DataFrame = {
+    var dist = seeds.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    var k = 1
+    var exhausted = false
+    while (k <= maxHops && !exhausted) {
+      val next = edges.join(
+          frontier.select(col("node").as("__u")),
+          col("src") === col("__u"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(k.toLong).as("dist"))
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next
+      k += 1
+    }
+    nodes.join(dist, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("dist"), lit(-1L)).as("dist"))
+  }
+
+  /** The unrolled min-fold oracle for [[hopDistance]]: relations
+    * `<pfx>0…<pfx><maxHops>` (each round folds one edge expansion into
+    * a per-node MIN — UNION ALL + GROUP BY, never bare UNION, per the
+    * RECURSIVE-WITH dedup hazard) and the final
+    * `<pfx>dist(node, dist)` with −1 for unreached. `seedsRel` must
+    * expose a `node` column.
+    */
+  def hopDistanceCtes(nodesRel: String, nodeId: String,
+      edgesRel: String, seedsRel: String, maxHops: Int,
+      pfx: String = "hd"): String = {
+    val rs = (1 to maxHops).map { k =>
+      s"""$pfx$k AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (SELECT node, dist FROM $pfx${k - 1} UNION ALL SELECT e.dst AS node, d.dist + 1 AS dist FROM $pfx${k - 1} d JOIN $edgesRel e ON e.src = d.node) u GROUP BY node)"""
+    }
+    (Seq(
+      s"${pfx}0 AS (SELECT DISTINCT node, CAST(0 AS BIGINT) AS dist FROM $seedsRel)") ++ rs ++ Seq(
+      s"${pfx}dist AS (SELECT n.node, COALESCE(d.dist, -1) AS dist FROM (SELECT $nodeId AS node FROM $nodesRel) n LEFT JOIN $pfx$maxHops d ON d.node = n.node)"))
+      .mkString(",\n")
+  }
+
   /** The k-round unrolled-CTE oracle for [[pageRank]]: relations
     * `wgodeg`, `wgnn`, `wgr0` … `wgr<rounds>` over `edges(src, dst)`
     * and `nodes(<nodeIdExpr> AS node)`. CAST(SUM AS BIGINT) guards the

@@ -296,6 +296,71 @@ object Packing {
       .unionByName(shifted)
   }
 
+  /** BYTE-FALLBACK re-basing of a frozen vocabulary — the OTHER
+    * unk-free artifact contract (SentencePiece's `byte_fallback` id
+    * layout, vs [[reserveUnk]]'s single `<unk>` slot): ids 0–255 are
+    * the 256 reserved byte pieces `<0x00>`…`<0xFF>` and every trained
+    * id shifts up by 256. An OOV token then DECOMPOSES into byte
+    * pieces instead of collapsing onto one lossy unk id — the tape
+    * stays non-negative AND information-preserving (a loader can
+    * reconstruct the exact text). Pair with [[byteFallbackStream]],
+    * which rewrites the token stream so every emitted token is in
+    * this vocabulary by construction. Input/output shape:
+    * `(token, id, n)`.
+    */
+  def reserveBytes(vocab: DataFrame): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    (0 until 256).map(b => (f"<0x$b%02X>", b, 0L))
+      .toDF("token", "id", "n")
+      .unionByName(vocab.select(col("token"),
+        (col("id").cast("int") + 256).as("id"), col("n")))
+  }
+
+  /** The stream rewrite that makes byte fallback REAL: tokens present
+    * in the FROZEN (pre-[[reserveBytes]]) vocabulary pass through
+    * unchanged; an out-of-vocab token explodes into one `<0xNN>` byte
+    * piece per character, and per-doc positions recompute densely over
+    * the mixed stream — so the result feeds [[exportShardsOf]] with
+    * `vocabIds = Some(reserveBytes(vocab))` and NO unk id, yet can
+    * never emit −1. ASCII corpora only (char == byte; a non-ASCII
+    * char would fall back to a `<0x…>` name outside the reserved 256
+    * and encode −1 LOUDLY rather than silently truncating — real
+    * byte fallback UTF-8-encodes first). The char split is a plain
+    * regex split + per-row string ops (codegen'd — no higher-order
+    * functions on the corpus-sized path); the position renumber is a
+    * per-doc window, doc-bounded like the segmenter's own.
+    *
+    * @param stream `(idCol, pos, tok)` as [[graft.text.Bpe
+    *   .symbolStream]] emits
+    * @return `(idCol, pos, tok)` with dense positions
+    */
+  def byteFallbackStream(stream: DataFrame, idCol: String,
+      vocab: DataFrame): DataFrame = {
+    val id = col(idCol)
+    val inv = vocab.select(col("token").as("tok")).distinct()
+      .withColumn("__inv", lit(true))
+    val pieces = stream.join(inv, Seq("tok"), "left")
+      .select(id, col("pos"), col("__inv"),
+        posexplode(when(col("__inv"), array(col("tok")))
+          .otherwise(split(col("tok"), "(?!^)")))
+          .as(Seq("__cpos", "__p")))
+      // Spark split's default limit -1 keeps the zero-width match at
+      // end-of-string → one trailing "" piece per OOV symbol (ascii('')
+      // = 0 would forge a spurious <0x00>); a plain row filter drops
+      // it — codegen'd, not a lambda HOF
+      .filter(col("__p") =!= "")
+      .select(id, col("pos"), col("__cpos"),
+        when(col("__inv"), col("__p"))
+          .otherwise(concat(lit("<0x"),
+            lpad(hex(ascii(col("__p"))), 2, "0"), lit(">")))
+          .as("tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(id).orderBy(col("pos"), col("__cpos"))
+    pieces.select(id,
+      (row_number().over(w) - 1).cast("long").as("pos"), col("tok"))
+  }
+
   /** Token-id column for a stream under the artifact's id scheme:
     * the portable hash (default) or a frozen `(token, id)` vocabulary
     * with −1 — or the reserved `unkId` — for out-of-vocab tokens. ONE

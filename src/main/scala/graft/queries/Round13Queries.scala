@@ -18,8 +18,10 @@ object Round13Queries {
   private val toksExpr =
     """list_filter(string_split_regex(text, '\s+'), x -> x <> '')"""
 
-  /** q232's OOV plant, shared verbatim with its oracle. */
-  private val PlantedHeldOut = "zeta vortex quiz oxbow the of and zax"
+  /** q232's OOV plant, shared verbatim with its oracle (and q243's —
+    * the byte-fallback twin encodes the same held-out corpus).
+    */
+  private[queries] val PlantedHeldOut = "zeta vortex quiz oxbow the of and zax"
 
   // ---- the REALISTIC linked crawl (q233) ----------------------------
   // q207's corpus holds only absolute double-quoted hrefs — the form

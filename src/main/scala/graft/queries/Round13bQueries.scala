@@ -63,6 +63,46 @@ object Round13bQueries {
       |      CASE WHEN (doc_id // 20) % 11 = 0 THEN 'Subscribe to our newsletter' END) AS ptext
       |  FROM documents)""".stripMargin
 
+  // ---- q245's repetition plants --------------------------------------
+  // The corpus is single-line ~300-char docs, so the fine Gopher
+  // signals are near-zero naturally; two exclusive plants (keyed on
+  // doc_id div 20 — % 20 IS the source, the decorrelation rule) make
+  // each gate observable:
+  //   j%5==2 → 40-char prefix + a 6-token phrase repeated 4x (one
+  //            line): top-{2,3,4}-gram and dup-5-gram fire, dup-line
+  //            stays 0 (single line);
+  //   j%3==0 → text + THREE identical ~59-char lines: dup_line_frac
+  //            = 0.5 everywhere, dup_line_char_frac straddles 0.20
+  //            with text length (118/(len+177)) — and the tripled
+  //            line's own 5-grams legitimately fire dup5.
+  private val RepPromo = "win a prize now click here "
+  private val RepNav =
+    "Breaking update from our network partners around the world"
+
+  private[queries] def repPages(s: SparkSession, dir: String)
+      : DataFrame = {
+    val j = expr("doc_id div 20")
+    Tables(s, dir, "documents").select(col("doc_id"),
+      when(j % 5 === 2,
+        concat(substring(col("text"), 1, 40), lit(" "),
+          lit(RepPromo * 4)))
+        .when(j % 3 === 0,
+          concat_ws("\n", col("text"), lit(RepNav), lit(RepNav),
+            lit(RepNav)))
+        .otherwise(col("text")).as("ptext"))
+  }
+
+  private val repPagesCte: String =
+    s"""rpdocs AS (SELECT doc_id,
+       |    CASE WHEN (doc_id // 20) % 5 = 2
+       |      THEN substr(text, 1, 40) || ' ' ||
+       |        repeat('$RepPromo', 4)
+       |    WHEN (doc_id // 20) % 3 = 0
+       |      THEN text || chr(10) || '$RepNav' || chr(10) ||
+       |        '$RepNav' || chr(10) || '$RepNav'
+       |    ELSE text END AS ptext
+       |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SITEMAP parse → coverage report: each host publishes a
@@ -200,6 +240,18 @@ object Round13bQueries {
     "q244_host_boilerplate" -> ((s, dir) => {
       graft.dedup.Dedup.scrubHostBoilerplate(boilPages(s, dir),
           "doc_id", "host", "ptext", minPpm = 500000L, minDf = 2L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // FINE-GRAINED Gopher repetition report (Rae et al. Table A1):
+    // duplicate-line fraction + char fraction, heaviest-duplicated
+    // {2,3,4}-gram char mass, duplicate-5-gram char COVERAGE (each
+    // position counted once), and the six-way OR gate — the per-doc
+    // repetition family q90's coarse pair (top bigram + unique frac)
+    // doesn't cover. Exact integer counts, one double division each.
+    "q245_fine_repetition" -> ((s, dir) => {
+      graft.text.Repetition.fineSignals(repPages(s, dir),
+          "doc_id", "ptext")
         .orderBy(col("doc_id"))
     }),
   )
@@ -372,5 +424,113 @@ object Round13bQueries {
          |  coalesce(p.n_dropped, CAST(0 AS BIGINT)) AS n_dropped
          |FROM bdocs d LEFT JOIN bpd p ON p.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // Gram keys join tokens with chr(31) (concatenation without a
+    // separator would alias "ab c" with "a bc"); char masses count
+    // token characters only. Every fraction is one BIGINT/BIGINT
+    // double division behind a den>0 guard — bit-identical on both
+    // engines.
+    "q245_fine_repetition" ->
+      s"""WITH $repPagesCte,
+         |rl AS (SELECT doc_id, line, CAST(length(line) AS BIGINT) AS len
+         |  FROM (SELECT doc_id,
+         |      unnest(string_split(ptext, chr(10))) AS line FROM rpdocs) t
+         |  WHERE length(trim(line)) > 0),
+         |rlg AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
+         |    MAX(len) AS len
+         |  FROM rl GROUP BY doc_id, line),
+         |rld AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+         |    CAST(count(*) AS BIGINT) AS n_dl,
+         |    CAST(SUM(c * len) AS BIGINT) AS line_chars,
+         |    CAST(SUM((c - 1) * len) AS BIGINT) AS dup_line_chars
+         |  FROM rlg GROUP BY doc_id),
+         |rts AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(string_split_regex(ptext, '\\s+'),
+         |      x -> x <> '') AS ts
+         |  FROM rpdocs),
+         |rtk AS MATERIALIZED (SELECT doc_id, i AS pos, ts[i] AS tok,
+         |    CAST(length(ts[i]) AS BIGINT) AS len
+         |  FROM rts, UNNEST(generate_series(1, len(ts))) AS u(i)),
+         |rtd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(SUM(len) AS BIGINT) AS n_chars
+         |  FROM rtk GROUP BY doc_id),
+         |rg234 AS (
+         |  SELECT doc_id, 2 AS n, ts[i] || chr(31) || ts[i+1] AS gram,
+         |      CAST(length(ts[i]) + length(ts[i+1]) AS BIGINT) AS glen
+         |    FROM rts, UNNEST(generate_series(1, len(ts) - 1)) AS u(i)
+         |  UNION ALL
+         |  SELECT doc_id, 3, ts[i] || chr(31) || ts[i+1] || chr(31) ||
+         |      ts[i+2],
+         |      CAST(length(ts[i]) + length(ts[i+1]) + length(ts[i+2])
+         |        AS BIGINT)
+         |    FROM rts, UNNEST(generate_series(1, len(ts) - 2)) AS u(i)
+         |  UNION ALL
+         |  SELECT doc_id, 4, ts[i] || chr(31) || ts[i+1] || chr(31) ||
+         |      ts[i+2] || chr(31) || ts[i+3],
+         |      CAST(length(ts[i]) + length(ts[i+1]) + length(ts[i+2]) +
+         |        length(ts[i+3]) AS BIGINT)
+         |    FROM rts, UNNEST(generate_series(1, len(ts) - 3)) AS u(i)),
+         |rtm AS (SELECT doc_id,
+         |    MAX(CASE WHEN n = 2 THEN mass END) AS m2,
+         |    MAX(CASE WHEN n = 3 THEN mass END) AS m3,
+         |    MAX(CASE WHEN n = 4 THEN mass END) AS m4
+         |  FROM (SELECT doc_id, n, gram,
+         |      CAST(count(*) AS BIGINT) * MAX(glen) AS mass
+         |    FROM rg234 GROUP BY doc_id, n, gram
+         |    HAVING count(*) >= 2) g
+         |  GROUP BY doc_id),
+         |rg5 AS MATERIALIZED (SELECT doc_id, i AS pos,
+         |    ts[i] || chr(31) || ts[i+1] || chr(31) || ts[i+2] ||
+         |    chr(31) || ts[i+3] || chr(31) || ts[i+4] AS g5
+         |  FROM rts, UNNEST(generate_series(1, len(ts) - 4)) AS u(i)),
+         |rg5d AS (SELECT doc_id, g5 FROM rg5
+         |  GROUP BY doc_id, g5 HAVING count(*) >= 2),
+         |rg5c AS (SELECT DISTINCT r.doc_id, r.pos + o AS cpos
+         |  FROM rg5 r JOIN rg5d d ON d.doc_id = r.doc_id AND d.g5 = r.g5,
+         |  UNNEST(generate_series(0, 4)) AS v(o)),
+         |rg5s AS (SELECT c.doc_id, CAST(SUM(t.len) AS BIGINT) AS dup5_chars
+         |  FROM rg5c c JOIN rtk t
+         |    ON t.doc_id = c.doc_id AND t.pos = c.cpos
+         |  GROUP BY c.doc_id),
+         |rfr AS (SELECT d.doc_id,
+         |    coalesce(l.n_lines, CAST(0 AS BIGINT)) AS n_lines,
+         |    coalesce(k.n_tok, CAST(0 AS BIGINT)) AS n_tok,
+         |    CASE WHEN coalesce(l.n_lines, 0) > 0 THEN
+         |      CAST(coalesce(l.n_lines, 0) - coalesce(l.n_dl, 0) AS DOUBLE)
+         |        / CAST(coalesce(l.n_lines, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_line_frac,
+         |    CASE WHEN coalesce(l.line_chars, 0) > 0 THEN
+         |      CAST(coalesce(l.dup_line_chars, 0) AS DOUBLE)
+         |        / CAST(coalesce(l.line_chars, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS dup_line_char_frac,
+         |    CASE WHEN coalesce(k.n_chars, 0) > 0 THEN
+         |      CAST(coalesce(m.m2, 0) AS DOUBLE)
+         |        / CAST(coalesce(k.n_chars, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS top2_char_frac,
+         |    CASE WHEN coalesce(k.n_chars, 0) > 0 THEN
+         |      CAST(coalesce(m.m3, 0) AS DOUBLE)
+         |        / CAST(coalesce(k.n_chars, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS top3_char_frac,
+         |    CASE WHEN coalesce(k.n_chars, 0) > 0 THEN
+         |      CAST(coalesce(m.m4, 0) AS DOUBLE)
+         |        / CAST(coalesce(k.n_chars, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS top4_char_frac,
+         |    CASE WHEN coalesce(k.n_chars, 0) > 0 THEN
+         |      CAST(coalesce(s.dup5_chars, 0) AS DOUBLE)
+         |        / CAST(coalesce(k.n_chars, 0) AS DOUBLE)
+         |    ELSE 0.0 END AS dup5_char_frac
+         |  FROM rpdocs d
+         |  LEFT JOIN rld l ON l.doc_id = d.doc_id
+         |  LEFT JOIN rtd k ON k.doc_id = d.doc_id
+         |  LEFT JOIN rtm m ON m.doc_id = d.doc_id
+         |  LEFT JOIN rg5s s ON s.doc_id = d.doc_id)
+         |SELECT doc_id, n_lines, n_tok, dup_line_frac,
+         |  dup_line_char_frac, top2_char_frac, top3_char_frac,
+         |  top4_char_frac, dup5_char_frac,
+         |  (dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 OR
+         |   top2_char_frac > 0.20 OR top3_char_frac > 0.18 OR
+         |   top4_char_frac > 0.16 OR dup5_char_frac > 0.15)
+         |    AS repetitive_fine
+         |FROM rfr ORDER BY doc_id""".stripMargin,
   )
 }

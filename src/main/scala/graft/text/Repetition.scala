@@ -250,4 +250,133 @@ object Repetition {
         (col("score_sum").cast("double") / col("n_ctx").cast("double"))
           .as("score_mean"))
   }
+
+  /** The FINE-GRAINED Gopher repetition family (Rae et al., Table A1)
+    * — the six per-document signals [[signals]]' coarse pair doesn't
+    * cover, with their published thresholds:
+    *
+    *   - `dup_line_frac` (> 0.30): line occurrences beyond the first /
+    *     total non-blank lines;
+    *   - `dup_line_char_frac` (> 0.20): characters in those repeated
+    *     occurrences / total line characters;
+    *   - `top{2,3,4}_char_frac` (> 0.20/0.18/0.16): character mass
+    *     (count × gram char length) of the heaviest DUPLICATED n-gram
+    *     over total token characters — zero when no gram repeats
+    *     (Gopher takes the most frequent gram outright; anchoring on
+    *     mass keeps the max deterministic under count ties and reads
+    *     0 for repetition-free docs, the gate's intent);
+    *   - `dup5_char_frac` (> 0.15): characters of token positions
+    *     covered by ANY 5-gram occurring twice or more — positions
+    *     counted ONCE (coverage, not occurrence-sum, per the paper's
+    *     "not double counting overlapping chars");
+    *   - `repetitive_fine`: the OR of the six gates.
+    *
+    * Char masses are token characters (whitespace normalized away) —
+    * the token-level adaptation [[signals]] already establishes. All
+    * counts are exact BIGINTs; each fraction is ONE final double
+    * division, so values replay bit-identically cross-engine.
+    *
+    * Scale shape: one line explode + (doc, line) / doc aggregates; one
+    * token explode + ONE doc-keyed lead window feeding all four gram
+    * sizes (2/3/4 stack through an inline 3-struct explode; 5 keeps
+    * its positions for coverage); every shuffle keys on the doc id or
+    * (doc, gram) — no cross-doc state anywhere.
+    */
+  def fineSignals(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val id = col(idCol)
+    def frac(num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =
+      when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(lit(0.0))
+
+    val lineDoc = docs
+      .select(id, explode(split(col(textCol), "\n")).as("line"))
+      .filter(length(trim(col("line"))) > 0)
+      .groupBy(id, col("line")).agg(count(lit(1)).as("c"))
+      .select(id, col("c"), length(col("line")).cast("long").as("len"))
+      .groupBy(id).agg(
+        sum(col("c")).as("n_lines"),
+        count(lit(1)).as("n_dl"),
+        sum(col("c") * col("len")).as("line_chars"),
+        sum((col("c") - 1) * col("len")).as("dup_line_chars"))
+
+    val toks = docs.select(id,
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+      .withColumn("len", length(col("tok")).cast("long"))
+    val tokDoc = toks.groupBy(id).agg(
+      count(lit(1)).as("n_tok"), sum(col("len")).as("n_chars"))
+
+    val w = Window.partitionBy(id).orderBy(col("pos"))
+    val leads = toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("t3", lead(col("tok"), 3).over(w))
+      .withColumn("t4", lead(col("tok"), 4).over(w))
+
+    def gramStruct(n: Int) = {
+      val parts = Seq(col("tok")) ++ (1 until n).map(i => col(s"t$i"))
+      struct(lit(n).as("n"),
+        when(parts.last.isNotNull,
+          concat_ws("\u001f", parts: _*)).as("gram"),
+        parts.map(length(_).cast("long")).reduce(_ + _).as("glen"))
+    }
+    val topMass = leads
+      .select(id, explode(array(
+        gramStruct(2), gramStruct(3), gramStruct(4))).as("g"))
+      .select(id, col("g.n").as("n"), col("g.gram").as("gram"),
+        col("g.glen").as("glen"))
+      .filter(col("gram").isNotNull)
+      .groupBy(id, col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
+      .filter(col("c") >= 2)
+      .groupBy(id).agg(
+        max(when(col("n") === 2, col("c") * col("glen"))).as("m2"),
+        max(when(col("n") === 3, col("c") * col("glen"))).as("m3"),
+        max(when(col("n") === 4, col("c") * col("glen"))).as("m4"))
+
+    val g5 = leads.filter(col("t4").isNotNull)
+      .select(id, col("pos"), concat_ws("\u001f", col("tok"), col("t1"),
+        col("t2"), col("t3"), col("t4")).as("g5"))
+    val dup5 = g5
+      .join(g5.groupBy(id, col("g5")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(id, col("g5")), Seq(idCol, "g5"))
+      .select(id, explode(sequence(col("pos"), col("pos") + 4)).as("cpos"))
+      .distinct()
+      .join(toks.select(id, col("pos").as("cpos"), col("len")),
+        Seq(idCol, "cpos"))
+      .groupBy(id).agg(sum(col("len")).as("dup5_chars"))
+
+    val z = lit(0L)
+    docs.select(id)
+      .join(lineDoc, Seq(idCol), "left")
+      .join(tokDoc, Seq(idCol), "left")
+      .join(topMass, Seq(idCol), "left")
+      .join(dup5, Seq(idCol), "left")
+      .select(id,
+        coalesce(col("n_lines"), z).as("n_lines"),
+        coalesce(col("n_tok"), z).as("n_tok"),
+        frac(coalesce(col("n_lines"), z) - coalesce(col("n_dl"), z),
+          coalesce(col("n_lines"), z)).as("dup_line_frac"),
+        frac(coalesce(col("dup_line_chars"), z),
+          coalesce(col("line_chars"), z)).as("dup_line_char_frac"),
+        frac(coalesce(col("m2"), z), coalesce(col("n_chars"), z))
+          .as("top2_char_frac"),
+        frac(coalesce(col("m3"), z), coalesce(col("n_chars"), z))
+          .as("top3_char_frac"),
+        frac(coalesce(col("m4"), z), coalesce(col("n_chars"), z))
+          .as("top4_char_frac"),
+        frac(coalesce(col("dup5_chars"), z), coalesce(col("n_chars"), z))
+          .as("dup5_char_frac"))
+      .select(col(idCol), col("n_lines"), col("n_tok"),
+        col("dup_line_frac"), col("dup_line_char_frac"),
+        col("top2_char_frac"), col("top3_char_frac"),
+        col("top4_char_frac"), col("dup5_char_frac"),
+        (col("dup_line_frac") > 0.30 ||
+          col("dup_line_char_frac") > 0.20 ||
+          col("top2_char_frac") > 0.20 ||
+          col("top3_char_frac") > 0.18 ||
+          col("top4_char_frac") > 0.16 ||
+          col("dup5_char_frac") > 0.15).as("repetitive_fine"))
+  }
 }

@@ -204,8 +204,13 @@ object WebGraph {
     * `rules(pattern, action)` is model-sized and
     * broadcast; a URL's action is a function of the URL alone, so the
     * decision relation is distinct-URL-sized and joins back to any
-    * link relation by key. Returns `(url, action)`,
-    * action ∈ {'allow','deny'}.
+    * link relation by key. Matching is SCHEME-AGNOSTIC (robots rules
+    * govern the host, not the scheme): both the URL and the pattern
+    * drop a leading `http(s)://` before the prefix test, so an
+    * `https://` link cannot silently bypass an `http://`-anchored
+    * Disallow, and scheme-less `host/path` patterns (the
+    * [[parseRobotsFor]] form) match directly. Returns
+    * `(url, action)`, action ∈ {'allow','deny'}.
     */
   def urlDecisions(urls: DataFrame, rules: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -213,7 +218,9 @@ object WebGraph {
       .orderBy(length(col("pattern")).desc, col("pattern"), col("action"))
     urls.select(col("url")).distinct()
       .join(broadcast(rules),
-        col("url").startsWith(col("pattern")), "left")
+        regexp_replace(col("url"), "^https?://", "")
+          .startsWith(regexp_replace(col("pattern"), "^https?://", "")),
+        "left")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("url"),
@@ -279,22 +286,28 @@ object WebGraph {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, rounds: Int)
       : DataFrame = {
-    val n = nodes.count()
+    // materialize loop INPUTS once — a caller-supplied derived chain
+    // (regex link extraction → canonicalize → distinct) would otherwise
+    // re-execute in EVERY round's contrib join (the growing-lineage
+    // invariant applies to loop-invariant inputs, not just state)
+    val nds = nodes.localCheckpoint()
+    val e = edges.localCheckpoint()
+    val n = nds.count()
     require(n > 0, "pageRank over an empty node set")
     val base = 15L * Scale / (100L * n)
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.select(col("node"),
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    var ranks = nds.select(col("node"),
       lit(Scale / n).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val contrib = edges.join(
+      val contrib = e.join(
           ranks.join(outdeg, col("node") === col("src"))
             .select(col("src").as("__u"),
               expr("rank div outdeg").as("__c")),
           col("src") === col("__u"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+      ranks = nds.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(__in, 0)) div 100"))
             .as("rank"))
@@ -331,11 +344,15 @@ object WebGraph {
   def pageRankConverged(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int, epsDiv: Long = 20L,
       init: Option[DataFrame] = None): DataFrame = {
-    val n = nodes.count()
+    // loop-invariant inputs materialize ONCE (see pageRank) — without
+    // this a derived edge chain re-ran its extraction every round
+    val nds = nodes.localCheckpoint()
+    val e = edges.localCheckpoint()
+    val n = nds.count()
     require(n > 0, "pageRankConverged over an empty node set")
     val eps = Scale / epsDiv
     val base = 15L * Scale / (100L * n)
-    val outdeg = edges.groupBy(col("src"))
+    val outdeg = e.groupBy(col("src"))
       .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     // WARM START: seed from a previous fixed point (`init(node, rank)`)
     // instead of uniform — nodes the previous run never saw fall back
@@ -346,12 +363,12 @@ object WebGraph {
     // rounds a cold start pays — the incremental-crawl economics
     // (IncrementalGraph.rankWarm).
     var ranks = (init match {
-      case Some(p) => nodes.join(
+      case Some(p) => nds.join(
           p.select(col("node"), col("rank").as("__warm")),
           Seq("node"), "left")
         .select(col("node"),
           coalesce(col("__warm"), lit(Scale / n)).as("rank"))
-      case None => nodes.select(col("node"),
+      case None => nds.select(col("node"),
         lit(Scale / n).as("rank"))
     }).localCheckpoint()
     var k = 0
@@ -360,14 +377,14 @@ object WebGraph {
       val dang = ranks.join(outdeg, col("node") === col("src"),
           "left_anti")
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-      val contrib = edges.join(
+      val contrib = e.join(
           ranks.join(outdeg, col("node") === col("src"))
             .select(col("src").as("__u"),
               expr("rank div outdeg").as("__c")),
           col("src") === col("__u"))
         .groupBy(col("dst"))
         .agg(sum(col("__c")).as("__in"))
-      val next = nodes.join(contrib, col("node") === col("dst"), "left")
+      val next = nds.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + expr(
@@ -444,7 +461,11 @@ object WebGraph {
     */
   def hits(nodes: DataFrame, edges: DataFrame, rounds: Int)
       : DataFrame = {
-    val n = nodes.count()
+    // loop-invariant inputs materialize ONCE (see pageRank); hits pulls
+    // through the edge relation TWICE per round, doubling the waste
+    val nds = nodes.localCheckpoint()
+    val e = edges.localCheckpoint()
+    val n = nds.count()
     require(n > 0, "hits over an empty node set")
     def normed(raw: DataFrame, out: String): DataFrame = {
       val tot = raw.agg(
@@ -456,16 +477,16 @@ object WebGraph {
     }
     def pulled(state: DataFrame, stateCol: String, from: String,
         to: String): DataFrame =
-      nodes.join(
-          edges.join(state, col(from) === col("node"))
+      nds.join(
+          e.join(state, col(from) === col("node"))
             .select(col(to).as("__k"), col(stateCol).as("__v"))
             .groupBy(col("__k")).agg(sum(col("__v")).as("__raw")),
           col("node") === col("__k"), "left")
         .select(col("node"),
           coalesce(col("__raw"), lit(0L)).as("__raw"))
-    var hubs = nodes.select(col("node"),
+    var hubs = nds.select(col("node"),
       lit(Scale / n).as("hub")).localCheckpoint()
-    var auths = nodes.select(col("node"),
+    var auths = nds.select(col("node"),
       lit(Scale / n).as("auth")).localCheckpoint()
     for (_ <- 1 to rounds) {
       auths = normed(pulled(hubs, "hub", "src", "dst"), "auth")
@@ -516,16 +537,19 @@ object WebGraph {
     val nS = seeds.count()
     require(nS > 0, "trustRank needs a non-empty seed set")
     val base = 15L * Scale / (100L * nS)
+    // loop-invariant edges materialize ONCE (see pageRank); `seeded`
+    // already checkpoints, covering the nodes side
+    val e = edges.localCheckpoint()
     val seeded = nodes.join(
         seeds.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .localCheckpoint()
-    val outdeg = edges.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg"))
+    val outdeg = e.groupBy(col("src"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
     var ranks = seeded.select(col("node"),
       (col("__s") * lit(Scale / nS)).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val contrib = edges.join(
+      val contrib = e.join(
           ranks.join(outdeg, col("node") === col("src"))
             .select(col("src").as("__u"),
               expr("rank div outdeg").as("__c")),
@@ -617,13 +641,15 @@ object WebGraph {
     */
   def hopDistance(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
       maxHops: Int): DataFrame = {
+    // loop-invariant edges materialize ONCE (see pageRank)
+    val e = edges.localCheckpoint()
     var dist = seeds.select(col("node"), lit(0L).as("dist"))
       .distinct().localCheckpoint()
     var frontier = dist
     var k = 1
     var exhausted = false
     while (k <= maxHops && !exhausted) {
-      val next = edges.join(
+      val next = e.join(
           frontier.select(col("node").as("__u")),
           col("src") === col("__u"))
         .select(col("dst").as("node")).distinct()

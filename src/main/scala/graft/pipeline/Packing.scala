@@ -324,9 +324,9 @@ object Packing {
     * the mixed stream — so the result feeds [[exportShardsOf]] with
     * `vocabIds = Some(reserveBytes(vocab))` and NO unk id, yet can
     * never emit −1. ASCII corpora only (char == byte; a non-ASCII
-    * char would fall back to a `<0x…>` name outside the reserved 256
-    * and encode −1 LOUDLY rather than silently truncating — real
-    * byte fallback UTF-8-encodes first). The char split is a plain
+    * char takes a `<U+…>` name outside the reserved 256 and encodes
+    * −1 LOUDLY rather than silently truncating or latin-1-aliasing —
+    * real byte fallback UTF-8-encodes first). The char split is a plain
     * regex split + per-row string ops (codegen'd — no higher-order
     * functions on the corpus-sized path); the position renumber is a
     * per-doc window, doc-bounded like the segmenter's own.
@@ -352,8 +352,14 @@ object Packing {
       .filter(col("__p") =!= "")
       .select(id, col("pos"), col("__cpos"),
         when(col("__inv"), col("__p"))
-          .otherwise(concat(lit("<0x"),
+          // codepoints > 127 take a <U+…> name that can NEVER hit the
+          // reserved <0xNN> vocab, so they encode −1 loudly — lpad
+          // alone TRUNCATED 3+-digit hex (U+0100 → '10') and silently
+          // aliased onto a valid byte piece
+          .when(ascii(col("__p")) <= 127, concat(lit("<0x"),
             lpad(hex(ascii(col("__p"))), 2, "0"), lit(">")))
+          .otherwise(concat(lit("<U+"),
+            hex(ascii(col("__p"))), lit(">")))
           .as("tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(col("pos"), col("__cpos"))

@@ -924,7 +924,7 @@ object Round11bQueries {
          |  SELECT u.url, r.action,
          |    row_number() OVER (PARTITION BY u.url
          |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
-         |  FROM udist u LEFT JOIN rrules r ON starts_with(u.url, r.pattern)) t
+         |  FROM udist u LEFT JOIN rrules r ON starts_with(regexp_replace(u.url, '^https?://', ''), regexp_replace(r.pattern, '^https?://', ''))) t
          |  WHERE rn = 1)
          |SELECT ${WebGraph.hostSql("l.url")} AS dst_host,
          |  CAST(count(*) AS BIGINT) AS n_links,

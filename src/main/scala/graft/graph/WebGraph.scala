@@ -195,6 +195,72 @@ object WebGraph {
        |  WHERE abs_url IS NOT NULL)""".stripMargin
   }
 
+  /** [[resolvedLinks]] under `<base href>` — the document-level
+    * resolution override [[resolvedLinks]] ignores: when a page sets a
+    * base element, RELATIVE hrefs resolve against the BASE URL (itself
+    * first resolved against the page URL, since a base may be
+    * relative), not against the page — root-relative links then take
+    * the base's ORIGIN (a cross-host `<base>` redirects them off-site,
+    * the behavior a browser shows and scheme-blind extraction gets
+    * wrong). Absolute and protocol-relative hrefs are unaffected, as
+    * in a browser. The first base element wins (HTML's rule); all
+    * three attribute quote forms are accepted; an unresolvable base
+    * (`mailto:`…) falls back to the page URL. Same per-page,
+    * shuffle-free shape as [[resolvedLinks]].
+    */
+  def resolvedLinksBase(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val b = regexp_extract(col(htmlCol),
+      "<base href=(\"[^\"]*\"|'[^']*'|[^ >\"']+)", 1)
+    val eff = when(b === "", col(urlCol))
+      .otherwise(coalesce(resolveUrl(col(urlCol), b), col(urlCol)))
+    // the href extraction is attribute-blind — strip base ELEMENTS so
+    // the base's own href is not emitted as a link
+    val nb = regexp_replace(col(htmlCol),
+      "<base href=(\"[^\"]*\"|'[^']*'|[^ >\"']+)[^>]*>", "")
+    resolvedLinks(pages.withColumn("__effpage", eff)
+      .withColumn("__htmlnb", nb), idCol, "__effpage", "__htmlnb")
+  }
+
+  /** DuckDB CTE chain for [[resolvedLinksBase]] over
+    * `rel(idCol, urlCol, htmlCol)`, ending in `rlinks<sfx>(src, url)`
+    * (the [[resolvedLinksCtes]] contract — the base stages are
+    * prefixed `rb*<sfx>`).
+    */
+  def resolvedLinksBaseCtes(rel: String, idCol: String, urlCol: String,
+      htmlCol: String, sfx: String = ""): String = {
+    val collapse = (1 to 4).foldLeft("rb_abs") { (x, _) =>
+      s"regexp_replace(regexp_replace($x, '/\\./', '/'), '/[^/]+/\\.\\./', '/')"
+    }
+    s"""rb0$sfx AS (SELECT $idCol AS rb_id, $urlCol AS rb_page,
+       |    $htmlCol AS rb_html,
+       |    regexp_replace(regexp_replace(
+       |      regexp_extract($htmlCol, '<base href=("[^"]*"|''[^'']*''|[^ >"'']+)', 1),
+       |      '^["'']', ''), '["'']$$', '') AS rb_bq
+       |  FROM $rel),
+       |rb1$sfx AS (SELECT rb_id, rb_page, rb_html,
+       |    regexp_replace(rb_bq, '#.*$$', '') AS v,
+       |    regexp_extract(rb_page, '^(https?://[^/?#]+)', 1) AS origin,
+       |    regexp_extract(rb_page, '^(https?:)', 1) AS scheme,
+       |    regexp_extract(rb_page, '^[^?#]*', 0) AS p0
+       |  FROM rb0$sfx),
+       |rb2$sfx AS (SELECT rb_id, rb_page, rb_html,
+       |    CASE WHEN regexp_matches(v, '^https?://') THEN v
+       |         WHEN v LIKE '//%' THEN scheme || v
+       |         WHEN v LIKE '/%' THEN origin || v
+       |         WHEN v = '' OR regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |         ELSE (CASE WHEN regexp_matches(p0, '^https?://[^/]+$$')
+       |                 THEN p0 || '/'
+       |                 ELSE regexp_replace(p0, '[^/]*$$', '') END) || v
+       |    END AS rb_abs
+       |  FROM rb1$sfx),
+       |rbeff$sfx AS (SELECT rb_id,
+       |    COALESCE($collapse, rb_page) AS effpage,
+       |    regexp_replace(rb_html, '<base href=("[^"]*"|''[^'']*''|[^ >"'']+)[^>]*>', '', 'g') AS html
+       |  FROM rb2$sfx),
+       |${resolvedLinksCtes(s"rbeff$sfx", "rb_id", "effpage", "html", sfx)}""".stripMargin
+  }
+
   /** Robots-style URL rule decisions: each DISTINCT URL takes the
     * action of its LONGEST matching prefix rule (the robots.txt
     * precedence; ties break by pattern text, then action — so a
@@ -268,6 +334,125 @@ object WebGraph {
        |probots AS (SELECT 'http://' || h || p AS pattern,
        |    CASE WHEN d = 'Allow' THEN 'allow' ELSE 'deny' END AS action
        |  FROM prdir WHERE d <> '' AND p <> '')""".stripMargin
+
+  /** The GROUP-aware robots lines for one crawler identity: lines are
+    * assigned to their User-agent group (a group = one or more
+    * consecutive `User-agent:` lines plus everything until the next
+    * group starts — the robots.txt grammar), and a host's selected
+    * groups are the ones naming `agent` (case-insensitive exact token)
+    * when any group does, else the ones naming `*` — the RFC 9309
+    * precedence [[parseRobots]]'s flat reading ignores. Returns the
+    * non-User-agent lines of the selected groups as `(__h, __l)`.
+    * Lines before any group header belong to no group and drop.
+    * Model-sized: robots bodies are per-host; the window partitions
+    * on host.
+    */
+  private def selectedRobotsLines(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame = {
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__h")).orderBy(col("__pos"))
+    val lines = robots.select(col(hostCol).as("__h"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__l")))
+      .withColumn("__ua",
+        regexp_extract(col("__l"), "^[Uu]ser-agent:\\s*(\\S+)", 1))
+      .withColumn("__isua", (col("__ua") =!= "").cast("int"))
+      .withColumn("__gid", sum(when(col("__isua") === 1 &&
+          coalesce(lag(col("__isua"), 1).over(byPos), lit(0)) === 0,
+          1).otherwise(0)).over(byPos))
+    val groups = lines.filter(col("__isua") === 1)
+      .groupBy(col("__h"), col("__gid"))
+      .agg(max(when(lower(col("__ua")) === agent.toLowerCase, 1)
+          .otherwise(0)).as("__exact"),
+        max(when(col("__ua") === "*", 1).otherwise(0)).as("__star"))
+    val hostAgg = groups.groupBy(col("__h"))
+      .agg(max(col("__exact")).as("__he"))
+    val sel = groups.join(hostAgg, Seq("__h"))
+      .filter((col("__he") === 1 && col("__exact") === 1) ||
+        (col("__he") === 0 && col("__star") === 1))
+      .select(col("__h"), col("__gid"))
+    lines.join(sel, Seq("__h", "__gid")).filter(col("__isua") === 0)
+  }
+
+  /** [[parseRobots]] with USER-AGENT GROUP selection: only the rules
+    * addressed to `agent` apply (falling back to the `*` group when no
+    * group names the agent — RFC 9309 §2.2.1). Patterns are emitted
+    * SCHEME-LESS (`<host><path>`), the form [[urlDecisions]]'
+    * scheme-agnostic matching consumes directly, so one rule governs
+    * both http and https fetches of the host. Returns
+    * `(pattern, action)`.
+    */
+  def parseRobotsFor(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame =
+    selectedRobotsLines(robots, hostCol, txtCol, agent)
+      .select(col("__h"),
+        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 1)
+          .as("__d"),
+        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 2)
+          .as("__p"))
+      .filter(col("__d") =!= "" && col("__p") =!= "")
+      .select(concat(col("__h"), col("__p")).as("pattern"),
+        when(col("__d") === "Allow", lit("allow"))
+          .otherwise(lit("deny")).as("action"))
+
+  /** `Crawl-delay:` of the selected group per host, for one crawler
+    * identity (same group selection as [[parseRobotsFor]]); when
+    * several selected groups carry one, the MINIMUM (most
+    * conservative) wins. Hosts without a delay are absent — the
+    * crawler's default applies. Returns `(host, delay)` in whole
+    * seconds.
+    */
+  def crawlDelays(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame =
+    selectedRobotsLines(robots, hostCol, txtCol, agent)
+      .select(col("__h"),
+        regexp_extract(col("__l"), "^[Cc]rawl-delay:\\s*([0-9]+)", 1)
+          .as("__cd"))
+      .filter(col("__cd") =!= "")
+      .groupBy(col("__h"))
+      .agg(min(col("__cd").cast("long")).as("delay"))
+      .select(col("__h").as("host"), col("delay"))
+
+  /** DuckDB CTE chain for [[parseRobotsFor]] + [[crawlDelays]] over
+    * `rel(hostCol, txtCol)` for the literal `agent`, ending in
+    * `<pfx>rules(host, pattern, action)` — pattern scheme-less — and
+    * `<pfx>delay(host, delay)`.
+    */
+  def parseRobotsForCtes(rel: String, hostCol: String, txtCol: String,
+      agent: String, pfx: String = "pf"): String =
+    s"""${pfx}l AS (SELECT host, i AS pos, ls[i] AS l FROM
+       |    (SELECT $hostCol AS host, string_split($txtCol, chr(10)) AS ls FROM $rel) t,
+       |    UNNEST(generate_series(1, len(ls))) AS u(i)),
+       |${pfx}u AS (SELECT host, pos, l,
+       |    regexp_extract(l, '^[Uu]ser-agent:\\s*(\\S+)', 1) AS ua,
+       |    CASE WHEN regexp_extract(l, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> '' THEN 1 ELSE 0 END AS isua
+       |  FROM ${pfx}l),
+       |${pfx}st AS (SELECT host, pos, l, ua, isua,
+       |    CASE WHEN isua = 1 AND COALESCE(LAG(isua) OVER (PARTITION BY host ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS isstart
+       |  FROM ${pfx}u),
+       |${pfx}g AS (SELECT host, pos, l, ua, isua,
+       |    SUM(isstart) OVER (PARTITION BY host ORDER BY pos) AS gid
+       |  FROM ${pfx}st),
+       |${pfx}sel AS (SELECT host, gid FROM (
+       |    SELECT host, gid, ex, st, MAX(ex) OVER (PARTITION BY host) AS he
+       |    FROM (SELECT host, gid,
+       |        MAX(CASE WHEN lower(ua) = '${agent.toLowerCase}' THEN 1 ELSE 0 END) AS ex,
+       |        MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS st
+       |      FROM ${pfx}g WHERE isua = 1 GROUP BY host, gid) g) t
+       |  WHERE (he = 1 AND ex = 1) OR (he = 0 AND st = 1)),
+       |${pfx}ls AS (SELECT p.host, p.l FROM ${pfx}g p
+       |  JOIN ${pfx}sel s ON s.host = p.host AND s.gid = p.gid
+       |  WHERE p.isua = 0),
+       |${pfx}rules AS (SELECT host,
+       |    host || regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) AS pattern,
+       |    CASE WHEN regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) = 'Allow' THEN 'allow' ELSE 'deny' END AS action
+       |  FROM ${pfx}ls
+       |  WHERE regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) <> ''
+       |    AND regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) <> ''),
+       |${pfx}delay AS (SELECT host,
+       |    CAST(MIN(CAST(regexp_extract(l, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS delay
+       |  FROM ${pfx}ls
+       |  WHERE regexp_extract(l, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) <> ''
+       |  GROUP BY host)""".stripMargin
 
   /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
   val Scale = 1000000000000L
@@ -608,18 +793,80 @@ object WebGraph {
       .filter(col("url") =!= "")
 
   /** DuckDB CTE for [[parseSitemaps]] over `rel(hostCol, xmlCol)`,
-    * ending in `psmaps(host, url, lastmod)`.
+    * ending in `<pfx>maps(host, url, lastmod)`.
     */
   def parseSitemapsCtes(rel: String, hostCol: String,
-      xmlCol: String): String =
-    s"""psent AS (SELECT $hostCol AS host,
+      xmlCol: String, pfx: String = "ps"): String =
+    s"""${pfx}ent AS (SELECT $hostCol AS host,
        |    unnest(regexp_extract_all($xmlCol, '<url>(.*?)</url>', 1)) AS e
        |  FROM $rel),
-       |psmaps AS (SELECT host,
+       |${pfx}maps AS (SELECT host,
        |    regexp_extract(e, '<loc>([^<]+)</loc>', 1) AS url,
        |    regexp_extract(e, '<lastmod>([^<]+)</lastmod>', 1) AS lastmod
-       |  FROM psent
+       |  FROM ${pfx}ent
        |  WHERE regexp_extract(e, '<loc>([^<]+)</loc>', 1) <> '')""".stripMargin
+
+  /** `<sitemapindex>` entries of a sitemap relation: `(host, child)` —
+    * one row per `<sitemap><loc>` child reference (the nesting form
+    * large sites shard their URL inventory into; [[parseSitemaps]]
+    * reads `<url>` entries only and sees an index file as empty).
+    * Blocks without a `<loc>` drop, like the protocol requires.
+    */
+  def parseSitemapIndex(maps: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame =
+    maps.select(col(hostCol).as("host"),
+        explode(expr(
+          s"regexp_extract_all($xmlCol, '<sitemap>(.*?)</sitemap>', 1)"))
+          .as("__e"))
+      .select(col("host"),
+        regexp_extract(col("__e"), "<loc>([^<]+)</loc>", 1).as("child"))
+      .filter(col("child") =!= "")
+
+  /** ONE level of sitemap nesting resolved: direct `<url>` entries of
+    * the root files, plus the `<url>` entries of every child sitemap a
+    * root `<sitemapindex>` references — child CONTENT is looked up in
+    * `fetched(urlCol, fxmlCol)` (the crawl's fetch results; an index
+    * names files, it does not inline them), and child entries are
+    * attributed to the ROOT's host (the site whose inventory they
+    * shard). Children an index declares but the crawl never fetched
+    * contribute nothing — countable by anti-joining
+    * [[parseSitemapIndex]] against `fetched`. Returns
+    * `(host, url, lastmod)`, duplicates preserved like
+    * [[parseSitemaps]].
+    */
+  def parseSitemapsNested(roots: DataFrame, hostCol: String,
+      xmlCol: String, fetched: DataFrame, urlCol: String,
+      fxmlCol: String): DataFrame = {
+    val direct = parseSitemaps(roots, hostCol, xmlCol)
+    val children = parseSitemapIndex(roots, hostCol, xmlCol)
+      .join(fetched.select(col(urlCol).as("child"),
+        col(fxmlCol).as("__cxml")), Seq("child"))
+    val childEntries = parseSitemaps(
+      children.select(col("host"), col("__cxml").as("__x")),
+      "host", "__x")
+    direct.unionByName(childEntries)
+  }
+
+  /** DuckDB CTE chain for [[parseSitemapsNested]] over roots
+    * `rootsRel(hostCol, xmlCol)` and fetched child files
+    * `fetchedRel(urlCol, fxmlCol)`, ending in
+    * `<pfx>maps(host, url, lastmod)`.
+    */
+  def parseSitemapsNestedCtes(rootsRel: String, hostCol: String,
+      xmlCol: String, fetchedRel: String, urlCol: String,
+      fxmlCol: String, pfx: String = "pn"): String =
+    Seq(
+      parseSitemapsCtes(rootsRel, hostCol, xmlCol, s"${pfx}d"),
+      s"""${pfx}i AS (SELECT host,
+         |    regexp_extract(e, '<loc>([^<]+)</loc>', 1) AS child
+         |  FROM (SELECT $hostCol AS host,
+         |      unnest(regexp_extract_all($xmlCol, '<sitemap>(.*?)</sitemap>', 1)) AS e
+         |    FROM $rootsRel) t
+         |  WHERE regexp_extract(e, '<loc>([^<]+)</loc>', 1) <> '')""".stripMargin,
+      s"${pfx}c AS (SELECT i.host, f.$fxmlCol AS xml FROM ${pfx}i i JOIN $fetchedRel f ON f.$urlCol = i.child)",
+      parseSitemapsCtes(s"${pfx}c", "host", "xml", s"${pfx}c2"),
+      s"${pfx}maps AS (SELECT * FROM ${pfx}dmaps UNION ALL SELECT * FROM ${pfx}c2maps)")
+      .mkString(",\n")
 
   /** Exact BFS hop distance from a seed set: `(node, dist)` with
     * `dist` the minimum edge count from ANY seed (0 for seeds, −1 for

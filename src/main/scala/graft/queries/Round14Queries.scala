@@ -1,0 +1,397 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-14: the crawl-realism second pass round-13's verdict listed —
+  * `<base href>` document-level resolution (q246), per-user-agent
+  * robots group selection with Crawl-delay (q247), and
+  * `<sitemapindex>` nesting (q248).
+  *
+  * Reference scope: nothing here maps to
+  * /root/reference/SCD_script.txt — these extend the web-graph family
+  * the north star adds on top.
+  */
+object Round14Queries {
+
+  private def urlOf(t: Column): Column =
+    concat(lit("http://d"), (t % 20).cast("string"),
+      lit(".example.com/p/"), t.cast("string"))
+
+  private def urlSqlOf(t: String): String =
+    s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
+
+  // ---- q246's base-href plant ---------------------------------------
+  // Page URLs carry a directory (/s<j>/p/<id>) so relative resolution
+  // is observable; the base class rides doc_id div 20 (% 20 IS the
+  // host — the decorrelation rule):
+  //   j%4==0 → no base (control)
+  //   j%4==1 → <base href="../">            relative base
+  //   j%4==2 → <base href="http://cdn...">  cross-host base: relative
+  //            AND root-relative links leave the site
+  //   j%4==3 → <base href='/b/'>            root-relative base
+  // Each page links one relative, one root-relative, one absolute
+  // target — only the absolute one is base-immune.
+  private[graft] def basePages(s: SparkSession, dir: String)
+      : DataFrame = {
+    import graft.functions.PortableHash
+    val docs = Tables(s, dir, "documents").select(col("doc_id"))
+    val n = docs.count()
+    def t(seed: Int) =
+      PortableHash.hash60(col("doc_id").cast("string"), seed) % n
+    val (t1, t2) = (t(81), t(82))
+    val j = expr("doc_id div 20") % 4
+    val base = when(j === 1, lit("<base href=\"../\">"))
+      .when(j === 2, lit("<base href=\"http://cdn.example.com/lib/\">"))
+      .when(j === 3, lit("<base href='/b/'>"))
+      .otherwise(lit(""))
+    val html = concat(lit("<html><head>"), base, lit("</head><body>"),
+      lit("<a href=\"q/p/"), t1.cast("string"), lit("\">r</a>"),
+      lit("<a href=\"/p/"), t2.cast("string"), lit("\">a</a>"),
+      lit("<a href=\""), urlOf(t2), lit("\">x</a>"),
+      lit("</body></html>"))
+    docs.select(col("doc_id"),
+      concat(lit("http://d"), (col("doc_id") % 20).cast("string"),
+        lit(".example.com/s"), (col("doc_id") % 7).cast("string"),
+        lit("/p/"), col("doc_id").cast("string")).as("url"),
+      html.as("html"))
+  }
+
+  /** Oracle CTE `bppages(doc_id, url, html)` — the [[basePages]]
+    * replay. Concat operators at line END (stripMargin hazard).
+    */
+  private val bppagesCte: String = {
+    import graft.functions.PortableHash
+    def t(seed: Int) =
+      s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM bppn))"
+    val (t1, t2) = (t(81), t(82))
+    s"""bppn AS (SELECT count(*) AS n FROM documents),
+       |bppages AS (SELECT doc_id,
+       |    'http://d' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/s' ||
+       |    CAST(doc_id % 7 AS VARCHAR) || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+       |    '<html><head>' ||
+       |    (CASE WHEN (doc_id // 20) % 4 = 1 THEN '<base href="../">'
+       |          WHEN (doc_id // 20) % 4 = 2 THEN '<base href="http://cdn.example.com/lib/">'
+       |          WHEN (doc_id // 20) % 4 = 3 THEN '<base href=' || chr(39) || '/b/' || chr(39) || '>'
+       |          ELSE '' END) ||
+       |    '</head><body><a href="q/p/' || CAST($t1 AS VARCHAR) ||
+       |    '">r</a><a href="/p/' || CAST($t2 AS VARCHAR) || '">a</a><a href="' ||
+       |    ${urlSqlOf(t2)} || '">x</a></body></html>' AS html
+       |  FROM documents)""".stripMargin
+  }
+
+  // ---- q247's robots plant --------------------------------------------
+  // Hosts k%3==0 publish a GraftBot-specific group (deny /p/1, delay 2)
+  // ABOVE the shared */otherbot group (deny /p/2, delay 10) — so the
+  // two agents' decisions and delays differ exactly on those hosts.
+  private def robotsTxt(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (0 until 20).map { k =>
+      val bot =
+        if (k % 3 == 0)
+          "User-agent: GraftBot\nDisallow: /p/1\nCrawl-delay: 2\n\n"
+        else ""
+      (s"d$k.example.com",
+        bot + "User-agent: *\nUser-agent: otherbot\n" +
+          "Disallow: /p/2\nCrawl-delay: 10\n# end")
+    }.toDF("host", "txt")
+  }
+
+  private val robotsTxtCte: String =
+    s"""rasrc AS (SELECT
+       |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+       |    (CASE WHEN k % 3 = 0 THEN 'User-agent: GraftBot' || chr(10) ||
+       |      'Disallow: /p/1' || chr(10) || 'Crawl-delay: 2' || chr(10) || chr(10)
+       |      ELSE '' END) ||
+       |    'User-agent: *' || chr(10) || 'User-agent: otherbot' || chr(10) ||
+       |    'Disallow: /p/2' || chr(10) || 'Crawl-delay: 10' || chr(10) ||
+       |    '# end' AS txt
+       |  FROM (SELECT unnest(generate_series(0, 19)) AS k))""".stripMargin
+
+  /** Scheme-agnostic longest-prefix decision CTE over `urlsRel(url)`
+    * and `rulesRel(pattern, action)` — `<pfx>dec(url, action)`, the
+    * [[graft.graph.WebGraph.urlDecisions]] replay.
+    */
+  private def decisionCte(urlsRel: String, rulesRel: String,
+      pfx: String): String =
+    s"""${pfx}dec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
+       |  SELECT u.url, r.action,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
+       |  FROM $urlsRel u LEFT JOIN $rulesRel r
+       |    ON starts_with(regexp_replace(u.url, '^https?://', ''), regexp_replace(r.pattern, '^https?://', ''))) t
+       |  WHERE rn = 1)""".stripMargin
+
+  // ---- q248's sitemap-index plant -------------------------------------
+  // Declared set = doc_id % 5 < 2 (q241's). Hosts k%4==3 publish a
+  // plain urlset root (the direct path); every other host shards its
+  // inventory into TWO child files by (doc_id div 20) parity behind a
+  // <sitemapindex> root; hosts k%4==1 additionally reference a ghost
+  // child the crawl never fetched (contributes nothing, countable).
+  private def smEntry: Column =
+    concat(lit("<url><loc>"), urlOf(col("doc_id")),
+      lit("</loc><lastmod>2026-01-"),
+      lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+      lit("</lastmod></url>"))
+
+  private val smEntrySql: String =
+    s"'<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') || '</lastmod></url>'"
+
+  private def xmlAgg: Column =
+    concat(lit("<urlset>"),
+      array_join(transform(
+        sort_array(collect_list(struct(col("doc_id"), col("e")))),
+        x => x.getField("e")), ""),
+      lit("</urlset>"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BASE-HREF resolution report: the same pages resolved base-aware
+    // vs base-blind, aggregated per base class — the control class
+    // changes nothing, '../' moves only the relative link, the
+    // cross-host base pulls relative AND root-relative links onto the
+    // cdn host, '/b/' re-roots only the relative link. n_unchanged
+    // counts distinct (src, url) pairs both resolutions agree on —
+    // the direct measure of what ignoring <base> gets wrong.
+    "q246_base_href" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val pages = basePages(s, dir)
+      val withBase = WebGraph.resolvedLinksBase(pages,
+        "doc_id", "url", "html")
+      val noBase = WebGraph.resolvedLinks(pages, "doc_id", "url", "html")
+      def cls = (expr("src div 20") % 4).as("base_cls")
+      val agg = withBase.groupBy(cls)
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(WebGraph.host(col("url")) === "cdn.example.com", 1)
+            .otherwise(0)).cast("long").as("n_offsite"),
+          sum(when(col("url").like("%.example.com/b/%"), 1)
+            .otherwise(0)).cast("long").as("n_rootb"))
+      val unchanged = withBase.distinct()
+        .join(noBase.distinct(), Seq("src", "url"), "left_semi")
+        .groupBy(cls).agg(count(lit(1)).as("n_unchanged"))
+      agg.join(unchanged, Seq("base_cls"), "left")
+        .select(col("base_cls"), col("n_links"), col("n_offsite"),
+          col("n_rootb"),
+          coalesce(col("n_unchanged"), lit(0L)).as("n_unchanged"))
+        .orderBy(col("base_cls"))
+    }),
+
+    // PER-AGENT robots decisions: the same link corpus scored for two
+    // crawler identities — GraftBot (own group on k%3==0 hosts: deny
+    // /p/1*, delay 2) and an unknown agent (the * group everywhere:
+    // deny /p/2*, delay 10). Per target host: link volume, each
+    // agent's deny count, each agent's crawl delay — observably
+    // different exactly on the GraftBot-group hosts.
+    "q247_robots_agents" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val robots = robotsTxt(s)
+      val links = WebGraph.links(Round11bQueries.linkedPages(s, dir),
+        "doc_id", "html")
+      val urls = links.select(col("url"))
+      val decBot = WebGraph.urlDecisions(urls,
+          WebGraph.parseRobotsFor(robots, "host", "txt", "graftbot"))
+        .withColumnRenamed("action", "a_bot")
+      val decOth = WebGraph.urlDecisions(urls,
+          WebGraph.parseRobotsFor(robots, "host", "txt", "crawlzilla"))
+        .withColumnRenamed("action", "a_oth")
+      val delBot = WebGraph.crawlDelays(robots, "host", "txt",
+          "graftbot")
+        .select(col("host").as("dst_host"), col("delay").as("delay_bot"))
+      val delOth = WebGraph.crawlDelays(robots, "host", "txt",
+          "crawlzilla")
+        .select(col("host").as("dst_host"), col("delay").as("delay_oth"))
+      links.join(decBot, Seq("url")).join(decOth, Seq("url"))
+        .groupBy(WebGraph.host(col("url")).as("dst_host"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("a_bot") === "deny", 1).otherwise(0))
+            .cast("long").as("n_deny_bot"),
+          sum(when(col("a_oth") === "deny", 1).otherwise(0))
+            .cast("long").as("n_deny_other"))
+        .join(delBot, Seq("dst_host"), "left")
+        .join(delOth, Seq("dst_host"), "left")
+        .select(col("dst_host"), col("n_links"), col("n_deny_bot"),
+          col("n_deny_other"),
+          coalesce(col("delay_bot"), lit(-1L)).as("delay_bot"),
+          coalesce(col("delay_oth"), lit(-1L)).as("delay_oth"))
+        .orderBy(col("dst_host"))
+    }),
+
+    // SITEMAP-INDEX nesting report: per host, the nested URL
+    // inventory (direct urlset entries + entries of fetched child
+    // sitemaps), the direct-only count (non-zero exactly on the
+    // plain-urlset hosts), child references vs fetched children (the
+    // ghost child shows up as the difference), and the newest
+    // lastmod. The nested total must equal the host's declared set
+    // regardless of which publishing shape it chose.
+    "q248_sitemap_index" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val decl = docs.filter(col("doc_id") % 5 < 2)
+        .select((col("doc_id") % 20).as("k"),
+          (expr("doc_id div 20") % 2).as("b"), col("doc_id"),
+          smEntry.as("e"))
+      val ks = col("k").cast("string")
+      val children = decl.filter(col("k") % 4 =!= 3)
+        .groupBy(col("k"), col("b")).agg(xmlAgg.as("cxml"))
+        .select(concat(lit("http://d"), ks, lit(".example.com/sm/"),
+          col("b").cast("string"), lit(".xml")).as("url"), col("cxml"))
+      val urlsetAll = decl.groupBy(col("k")).agg(xmlAgg.as("uxml"))
+      val spine = docs.select((col("doc_id") % 20).as("k")).distinct()
+      val roots = spine.join(urlsetAll, Seq("k"), "left")
+        .select(concat(lit("d"), ks, lit(".example.com")).as("host"),
+          when(col("k") % 4 === 3,
+            coalesce(col("uxml"), lit("<urlset></urlset>")))
+          .otherwise(concat(
+            lit("<sitemapindex><sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/0.xml</loc></sitemap>"),
+            lit("<sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/1.xml</loc></sitemap>"),
+            when(col("k") % 4 === 1,
+              concat(lit("<sitemap><loc>http://d"), ks,
+                lit(".example.com/sm/ghost.xml</loc></sitemap>")))
+              .otherwise(lit("")),
+            lit("</sitemapindex>"))).as("xml"))
+      val nested = WebGraph.parseSitemapsNested(roots, "host", "xml",
+        children, "url", "cxml")
+      val direct = WebGraph.parseSitemaps(roots, "host", "xml")
+      val idx = WebGraph.parseSitemapIndex(roots, "host", "xml")
+      val nstAgg = nested.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          max(col("lastmod")).as("max_lastmod"))
+      val dirAgg = direct.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_direct"))
+      val idxAgg = idx.groupBy(col("host"))
+        .agg(count(lit(1)).as("n_children"))
+      val fetAgg = idx.join(children.select(col("url").as("child")),
+          Seq("child"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_fetched"))
+      val hspine = spine.select(
+        concat(lit("d"), ks, lit(".example.com")).as("host"))
+      hspine.join(nstAgg, Seq("host"), "left")
+        .join(dirAgg, Seq("host"), "left")
+        .join(idxAgg, Seq("host"), "left")
+        .join(fetAgg, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+          coalesce(col("n_direct"), lit(0L)).as("n_direct"),
+          coalesce(col("n_children"), lit(0L)).as("n_children"),
+          coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
+          coalesce(col("max_lastmod"), lit("")).as("max_lastmod"))
+        .orderBy(col("host"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q246_base_href" -> {
+      import graft.graph.WebGraph
+      s"""WITH $bppagesCte,
+         |${WebGraph.resolvedLinksBaseCtes(
+             "bppages", "doc_id", "url", "html", "b1")},
+         |${WebGraph.resolvedLinksCtes(
+             "bppages", "doc_id", "url", "html", "b2")},
+         |bagg AS (SELECT (src // 20) % 4 AS base_cls,
+         |    CAST(count(*) AS BIGINT) AS n_links,
+         |    CAST(SUM(CASE WHEN ${WebGraph.hostSql("url")} = 'cdn.example.com' THEN 1 ELSE 0 END) AS BIGINT) AS n_offsite,
+         |    CAST(SUM(CASE WHEN url LIKE '%.example.com/b/%' THEN 1 ELSE 0 END) AS BIGINT) AS n_rootb
+         |  FROM rlinksb1 GROUP BY 1),
+         |bunch AS (SELECT (src // 20) % 4 AS base_cls,
+         |    CAST(count(*) AS BIGINT) AS n_unchanged
+         |  FROM (SELECT DISTINCT src, url FROM rlinksb1) w
+         |  WHERE EXISTS (SELECT 1 FROM rlinksb2 nb
+         |    WHERE nb.src = w.src AND nb.url = w.url)
+         |  GROUP BY 1)
+         |SELECT a.base_cls, a.n_links, a.n_offsite, a.n_rootb,
+         |  coalesce(u.n_unchanged, CAST(0 AS BIGINT)) AS n_unchanged
+         |FROM bagg a LEFT JOIN bunch u ON u.base_cls = a.base_cls
+         |ORDER BY a.base_cls""".stripMargin
+    },
+
+    "q247_robots_agents" -> {
+      import graft.graph.WebGraph
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |llinks AS (${WebGraph.linksSql("lpages", "doc_id", "html")}),
+         |$robotsTxtCte,
+         |${WebGraph.parseRobotsForCtes("rasrc", "host", "txt",
+             "graftbot", "pa")},
+         |${WebGraph.parseRobotsForCtes("rasrc", "host", "txt",
+             "crawlzilla", "pb")},
+         |udist AS (SELECT DISTINCT url FROM llinks),
+         |${decisionCte("udist", "parules", "da")},
+         |${decisionCte("udist", "pbrules", "db")},
+         |lagg AS (SELECT ${WebGraph.hostSql("l.url")} AS dst_host,
+         |    CAST(count(*) AS BIGINT) AS n_links,
+         |    CAST(SUM(CASE WHEN a.action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_deny_bot,
+         |    CAST(SUM(CASE WHEN b.action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_deny_other
+         |  FROM llinks l JOIN dadec a USING (url) JOIN dbdec b USING (url)
+         |  GROUP BY 1)
+         |SELECT g.dst_host, g.n_links, g.n_deny_bot, g.n_deny_other,
+         |  coalesce(x.delay, CAST(-1 AS BIGINT)) AS delay_bot,
+         |  coalesce(y.delay, CAST(-1 AS BIGINT)) AS delay_oth
+         |FROM lagg g
+         |LEFT JOIN padelay x ON x.host = g.dst_host
+         |LEFT JOIN pbdelay y ON y.host = g.dst_host
+         |ORDER BY g.dst_host""".stripMargin
+    },
+
+    "q248_sitemap_index" -> {
+      import graft.graph.WebGraph
+      s"""WITH sidecl AS (SELECT doc_id % 20 AS k,
+         |    (doc_id // 20) % 2 AS b, doc_id,
+         |    $smEntrySql AS e
+         |  FROM documents WHERE doc_id % 5 < 2),
+         |sichild AS (SELECT
+         |    'http://d' || CAST(k AS VARCHAR) || '.example.com/sm/' ||
+         |    CAST(b AS VARCHAR) || '.xml' AS url,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) ||
+         |    '</urlset>' AS cxml
+         |  FROM sidecl WHERE k % 4 <> 3 GROUP BY k, b),
+         |siall AS (SELECT k,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) ||
+         |    '</urlset>' AS uxml
+         |  FROM sidecl GROUP BY k),
+         |sispine AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+         |siroots AS (SELECT
+         |    'd' || CAST(s.k AS VARCHAR) || '.example.com' AS host,
+         |    CASE WHEN s.k % 4 = 3
+         |      THEN coalesce(a.uxml, '<urlset></urlset>')
+         |      ELSE '<sitemapindex><sitemap><loc>http://d' ||
+         |        CAST(s.k AS VARCHAR) || '.example.com/sm/0.xml</loc></sitemap>' ||
+         |        '<sitemap><loc>http://d' || CAST(s.k AS VARCHAR) ||
+         |        '.example.com/sm/1.xml</loc></sitemap>' ||
+         |        (CASE WHEN s.k % 4 = 1 THEN '<sitemap><loc>http://d' ||
+         |          CAST(s.k AS VARCHAR) || '.example.com/sm/ghost.xml</loc></sitemap>'
+         |          ELSE '' END) ||
+         |        '</sitemapindex>' END AS xml
+         |  FROM sispine s LEFT JOIN siall a ON a.k = s.k),
+         |${WebGraph.parseSitemapsNestedCtes("siroots", "host", "xml",
+             "sichild", "url", "cxml", "sn")},
+         |sinst AS (SELECT host, CAST(count(*) AS BIGINT) AS n_urls,
+         |    MAX(lastmod) AS max_lastmod
+         |  FROM snmaps GROUP BY host),
+         |sidir AS (SELECT host, CAST(count(*) AS BIGINT) AS n_direct
+         |  FROM sndmaps GROUP BY host),
+         |siidx AS (SELECT host, CAST(count(*) AS BIGINT) AS n_children
+         |  FROM sni GROUP BY host),
+         |sifet AS (SELECT i.host, CAST(count(*) AS BIGINT) AS n_fetched
+         |  FROM sni i JOIN sichild c ON c.url = i.child
+         |  GROUP BY i.host),
+         |sihs AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host
+         |  FROM sispine)
+         |SELECT h.host,
+         |  coalesce(n.n_urls, CAST(0 AS BIGINT)) AS n_urls,
+         |  coalesce(d.n_direct, CAST(0 AS BIGINT)) AS n_direct,
+         |  coalesce(i.n_children, CAST(0 AS BIGINT)) AS n_children,
+         |  coalesce(f.n_fetched, CAST(0 AS BIGINT)) AS n_fetched,
+         |  coalesce(n.max_lastmod, '') AS max_lastmod
+         |FROM sihs h
+         |LEFT JOIN sinst n ON n.host = h.host
+         |LEFT JOIN sidir d ON d.host = h.host
+         |LEFT JOIN siidx i ON i.host = h.host
+         |LEFT JOIN sifet f ON f.host = h.host
+         |ORDER BY h.host""".stripMargin
+    },
+  )
+}

@@ -235,4 +235,120 @@ class WebGraphSpec extends SparkSpec {
       .orderBy("node").as[(Long, Long)].collect().toSeq
     assert(viaSql == viaApi)
   }
+
+  test("urlDecisions is scheme-agnostic: https cannot bypass a deny") {
+    val rules = Seq(("http://a.com/secret", "deny"),
+      ("a.com/p/", "allow")).toDF("pattern", "action")
+    val got = WebGraph.urlDecisions(Seq(
+        "https://a.com/secret/1", // https vs http rule: still denied
+        "http://a.com/secret/2",
+        "https://a.com/p/3" // scheme-less rule form matches too
+      ).toDF("url"), rules)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "https://a.com/secret/1" -> "deny",
+      "http://a.com/secret/2" -> "deny",
+      "https://a.com/p/3" -> "allow"))
+  }
+
+  test("resolvedLinksBase: base overrides relative resolution only " +
+      "where it differs from the page") {
+    val page = "http://h.com/s/p/1"
+    def pages(html: String) =
+      Seq((1L, page, html)).toDF("doc_id", "url", "html")
+    def got(html: String) =
+      WebGraph.resolvedLinksBase(pages(html), "doc_id", "url", "html")
+        .as[(Long, String)].collect().toSeq.map(_._2)
+    val hrefs = """<a href="q/p/2">r</a><a href="/p/3">root</a>""" +
+      """<a href="http://x.org/p/4">abs</a>"""
+    // no base: identical to resolvedLinks
+    assert(got(hrefs) ==
+      Seq("http://h.com/s/p/q/p/2", "http://h.com/p/3",
+        "http://x.org/p/4"))
+    // relative base ../ : resolved against the page, then links
+    // against it — the relative href moves one directory up
+    assert(got(s"""<base href="../">$hrefs""") ==
+      Seq("http://h.com/s/q/p/2", "http://h.com/p/3",
+        "http://x.org/p/4"))
+    // absolute cross-host base: relative AND root-relative hrefs
+    // leave the page's host; absolute hrefs don't
+    assert(got(s"""<base href="http://cdn.net/lib/">$hrefs""") ==
+      Seq("http://cdn.net/lib/q/p/2", "http://cdn.net/p/3",
+        "http://x.org/p/4"))
+    // root-relative single-quoted base
+    assert(got(s"<base href='/b/'>" + hrefs) ==
+      Seq("http://h.com/b/q/p/2", "http://h.com/p/3",
+        "http://x.org/p/4"))
+    // unresolvable base falls back to the page URL
+    assert(got(s"""<base href="mailto:x@y.z">$hrefs""") ==
+      Seq("http://h.com/s/p/q/p/2", "http://h.com/p/3",
+        "http://x.org/p/4"))
+    // first base wins
+    assert(got(s"""<base href="/b/"><base href="/c/">""" +
+        """<a href="q">r</a>""") ==
+      Seq("http://h.com/b/q"))
+  }
+
+  test("parseRobotsFor selects the agent's group, falls back to *, " +
+      "and crawlDelays follows the same selection") {
+    val robots = Seq(
+      // two groups: a graftbot-specific one and a shared */otherbot
+      // one (two UA lines in one group)
+      ("a.com", "User-agent: GraftBot\nDisallow: /p/1\nCrawl-delay: 2\n" +
+        "\nUser-agent: *\nUser-agent: otherbot\nDisallow: /p/2\n" +
+        "Crawl-delay: 10\n# note"),
+      // star group only
+      ("b.com", "User-agent: *\nDisallow: /q\nCrawl-delay: 7"),
+      // rules before any group header: no group, dropped
+      ("c.com", "Disallow: /loose\nUser-agent: *\nAllow: /ok\n" +
+        "Disallow: /no")).toDF("host", "txt")
+    def rules(agent: String) =
+      WebGraph.parseRobotsFor(robots, "host", "txt", agent)
+        .as[(String, String)].collect().toSet
+    // exact group wins on a.com (case-insensitive); * elsewhere
+    assert(rules("graftbot") == Set(
+      ("a.com/p/1", "deny"), ("b.com/q", "deny"),
+      ("c.com/ok", "allow"), ("c.com/no", "deny")))
+    // unknown agent: * group everywhere
+    assert(rules("crawlzilla") == Set(
+      ("a.com/p/2", "deny"), ("b.com/q", "deny"),
+      ("c.com/ok", "allow"), ("c.com/no", "deny")))
+    val d1 = WebGraph.crawlDelays(robots, "host", "txt", "graftbot")
+      .as[(String, Long)].collect().toMap
+    assert(d1 == Map("a.com" -> 2L, "b.com" -> 7L)) // c.com: none
+    val d2 = WebGraph.crawlDelays(robots, "host", "txt", "crawlzilla")
+      .as[(String, Long)].collect().toMap
+    assert(d2 == Map("a.com" -> 10L, "b.com" -> 7L))
+  }
+
+  test("parseSitemapIndex + parseSitemapsNested: one nesting level, " +
+      "unfetched children contribute nothing") {
+    val roots = Seq(
+      ("a.com", "<sitemapindex>" +
+        "<sitemap><loc>http://a.com/sm/0.xml</loc></sitemap>" +
+        "<sitemap><loc>http://a.com/sm/1.xml</loc></sitemap>" +
+        "<sitemap><loc>http://a.com/sm/missing.xml</loc></sitemap>" +
+        "</sitemapindex>"),
+      ("b.com", "<urlset><url><loc>http://b.com/p/9</loc>" +
+        "<lastmod>2026-02-02</lastmod></url></urlset>"))
+      .toDF("host", "xml")
+    val fetched = Seq(
+      ("http://a.com/sm/0.xml", "<urlset><url><loc>http://a.com/p/1" +
+        "</loc><lastmod>2026-01-01</lastmod></url></urlset>"),
+      ("http://a.com/sm/1.xml", "<urlset><url><loc>http://a.com/p/2" +
+        "</loc></url></urlset>")).toDF("url", "xml")
+    val idx = WebGraph.parseSitemapIndex(roots, "host", "xml")
+      .as[(String, String)].collect().toSet
+    assert(idx == Set(
+      ("a.com", "http://a.com/sm/0.xml"),
+      ("a.com", "http://a.com/sm/1.xml"),
+      ("a.com", "http://a.com/sm/missing.xml")))
+    val got = WebGraph.parseSitemapsNested(roots, "host", "xml",
+        fetched, "url", "xml")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("b.com", "http://b.com/p/9", "2026-02-02"), // direct urlset
+      ("a.com", "http://a.com/p/1", "2026-01-01"), // via child 0
+      ("a.com", "http://a.com/p/2", ""))) // via child 1, no lastmod
+  }
 }

@@ -48,7 +48,7 @@ object Round11Queries {
     * CTE bodies where they hold `||` (the stripMargin re-strip hazard:
     * concat operators never at line start).
     */
-  private def htmlExtractCtes(src: String): String =
+  private[queries] def htmlExtractCtes(src: String): String =
     s"""hsplit AS (SELECT doc_id, string_split_regex(regexp_replace(regexp_replace(regexp_replace(html, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'), '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'), '(?s)<!--.*?-->', ' ', 'g'), '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|table|thead|tbody|tr|td|th|header|footer|nav|section|article|blockquote|pre|html|head|body|title|main|aside|form|hr)\\b[^>]*>') AS blocks FROM $src),
        |hblk0 AS (SELECT doc_id, unnest(generate_series(1, len(blocks))) AS pos, unnest(blocks) AS block FROM hsplit),
        |hblk AS (SELECT doc_id, pos,

@@ -145,6 +145,58 @@ object Round14Queries {
         x => x.getField("e")), ""),
       lit("</urlset>"))
 
+  // ---- q249's crawl corpus --------------------------------------------
+  // The capstone fixture: the planted-duplicate corpus (q46's +1M exact
+  // and +2M tail-marker replicas — both ≡ 0 mod 20, so replicas stay on
+  // their host), HTML-wrapped with (a) a link-dense nav div carrying
+  // two md5-derived absolute refs (the GRAPH rides the raw markup; the
+  // extractor drops the block as boilerplate), (b) a per-host promo
+  // paragraph on 2/3 of docs (the HOST-SCRUB plant), (c) the document
+  // text as the article block.
+  private def capHtml(n: Long): Column = {
+    import graft.functions.PortableHash
+    def t(seed: Int) =
+      PortableHash.hash60(col("doc_id").cast("string"), seed) % n
+    val k = (col("doc_id") % 20).cast("string")
+    val promo = when(expr("doc_id div 20") % 3 =!= 1,
+      concat(lit("<p>Special offers for d"), k,
+        lit(" readers appear every single week</p>")))
+      .otherwise(lit(""))
+    concat(
+      lit("<html><body><div class=\"nav\"><a href=\"/\">Home</a> <a href=\""),
+      urlOf(t(83)), lit("\">r1</a> <a href=\""), urlOf(t(84)),
+      lit("\">r2</a></div>"),
+      promo,
+      lit("<p>"), col("text"), lit("</p></body></html>"))
+  }
+
+  /** Oracle CTEs `cbase(doc_id, text)` + `hdocs(doc_id, uri, html)` —
+    * the [[capHtml]] replay over the planted-duplicate corpus.
+    */
+  private val capPagesCte: String = {
+    import graft.functions.PortableHash
+    def t(seed: Int) =
+      s"(${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", seed)} % (SELECT n FROM cappn))"
+    s"""cappn AS (SELECT count(*) AS n FROM documents),
+       |cbase AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, text || ' zz tail marker' FROM documents
+       |  WHERE doc_id % 11 = 0),
+       |hdocs AS (SELECT doc_id,
+       |    '<html><body><div class="nav"><a href="/">Home</a> <a href="' ||
+       |    ${urlSqlOf(t(83))} || '">r1</a> <a href="' ||
+       |    ${urlSqlOf(t(84))} || '">r2</a></div>' ||
+       |    (CASE WHEN (doc_id // 20) % 3 <> 1
+       |      THEN '<p>Special offers for d' || CAST(doc_id % 20 AS VARCHAR) ||
+       |        ' readers appear every single week</p>'
+       |      ELSE '' END) ||
+       |    '<p>' || text || '</p></body></html>' AS html
+       |  FROM cbase)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // BASE-HREF resolution report: the same pages resolved base-aware
@@ -280,6 +332,88 @@ object Round14Queries {
           coalesce(col("max_lastmod"), lit("")).as("max_lastmod"))
         .orderBy(col("host"))
     }),
+
+    // CAPSTONE: the end-to-end crawl-to-release chain, one statement —
+    // WARC land (q230's storage path) → HTML extraction (q195) →
+    // host-boilerplate scrub (q244) → quality/lang gates + exact dedup
+    // + LSH near-dup removal (q46) → converged-PageRank domain caps
+    // (q209 over q234's ranks, graph read from the RAW landed markup —
+    // the nav links the extractor correctly drops as text ARE the
+    // graph) → two-phase global rank + token-offset packing (q103's
+    // machinery). More cross-family plumbing than any single existing
+    // query; the oracle replays every stage in one WITH RECURSIVE.
+    "q249_crawl_release" -> ((s, dir) => {
+      import java.nio.file.Files
+      import org.apache.spark.sql.expressions.Window
+      import graft.graph.WebGraph
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val n = docs.count()
+      val cbase = docs
+        .unionByName(docs.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            concat(col("text"), lit(" zz tail marker")).as("text")))
+      val k = (col("doc_id") % 20).cast("string")
+      val pages = cbase.select(col("doc_id"),
+        concat(lit("http://d"), k, lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("uri"),
+        capHtml(n).as("html"))
+      val land = Files.createTempDirectory("graft-q249-warc").toString
+      graft.sources.Warc.writeSegments(
+        pages.repartition(4, col("doc_id")), "uri", "html", land)
+      val back = graft.sources.Warc.readRecords(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("html"))
+      val ex = graft.text.Html.extract(back, "doc_id", "html")
+        .select(col("doc_id"), col("text"),
+          concat(lit("d"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com")).as("host"))
+      val scrub = graft.dedup.Dedup.scrubHostBoilerplate(ex,
+          "doc_id", "host", "text", minPpm = 500000L, minDf = 2L)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val cleaned = graft.pipeline.CorpusPipeline.clean(scrub,
+        "doc_id", "text")
+      val edges = WebGraph.docEdges(
+        WebGraph.links(back, "doc_id", "html"))
+      val nodes = Tables(s, dir, "documents")
+        .select(col("doc_id").as("node"))
+      val ranks = WebGraph.pageRankConverged(nodes, edges,
+        maxRounds = 15, epsDiv = 100000L)
+      val dmass = ranks.groupBy((col("node") % 20).as("dom"))
+        .agg(sum(col("rank")).as("mass"))
+      // 20-row domain table: the single-partition window is model-sized
+      val drank = dmass.withColumn("drk", row_number().over(
+          Window.orderBy(col("mass").desc, col("dom"))))
+        .withColumn("cap", when(col("drk") <= 10, 15).otherwise(8))
+      val sdoc = cleaned.select(col("doc_id"),
+        (col("doc_id") % 20).as("dom"), col("quality"), col("lang_pred"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+      val kept = sdoc
+        .join(broadcast(drank.select(col("dom"), col("cap"))), Seq("dom"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("dom"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= col("cap"))
+        .select(col("doc_id"), col("dom"), col("quality"),
+          col("lang_pred"), col("n_tok"))
+      val ranked = graft.operators.Ranking.globalRowNumber(kept,
+        Seq("dom", "doc_id"), "grank")
+      val packed = graft.operators.TwoPhase.prefixSum(ranked, Nil,
+          Seq("dom", "doc_id"), col("n_tok"), "cum_tok")
+        .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+      val out = packed.select(col("doc_id"), col("dom"), col("quality"),
+          col("lang_pred"), col("n_tok"), col("grank"),
+          expr("start_tok div 2048").as("seq"),
+          expr("start_tok % 2048").as("off"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      out
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -392,6 +526,91 @@ object Round14Queries {
          |LEFT JOIN siidx i ON i.host = h.host
          |LEFT JOIN sifet f ON f.host = h.host
          |ORDER BY h.host""".stripMargin
+    },
+
+    "q249_crawl_release" -> {
+      import graft.graph.WebGraph
+      import graft.functions.PortableHash
+      s"""WITH RECURSIVE $capPagesCte,
+         |${Round11Queries.htmlExtractCtes("hdocs")},
+         |cshost AS (SELECT doc_id,
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    text FROM hx),
+         |csp0 AS (SELECT doc_id, host,
+         |    string_split(text, chr(10)) AS ps FROM cshost),
+         |csp AS (SELECT doc_id, host,
+         |    unnest(generate_series(1, len(ps))) AS pos,
+         |    unnest(ps) AS para FROM csp0),
+         |cspn AS (SELECT doc_id, host, pos, para,
+         |    ${PortableHash.hash60BaseSql("para")} AS ph
+         |  FROM csp WHERE length(trim(para)) > 0),
+         |cshn AS (SELECT host, CAST(count(*) AS BIGINT) AS hn
+         |  FROM cshost GROUP BY host),
+         |csdf AS (SELECT host, ph, CAST(count(*) AS BIGINT) AS pdf
+         |  FROM (SELECT DISTINCT doc_id, host, ph FROM cspn) t
+         |  GROUP BY host, ph),
+         |csb AS (SELECT d.host, d.ph
+         |  FROM csdf d JOIN cshn h USING (host)
+         |  WHERE d.pdf >= 2 AND d.pdf * 1000000 >= 500000 * h.hn),
+         |cscl AS (SELECT n.doc_id,
+         |    string_agg(n.para, chr(10) ORDER BY n.pos)
+         |      FILTER (WHERE b.ph IS NULL) AS clean_text
+         |  FROM cspn n LEFT JOIN csb b
+         |    ON b.host = n.host AND b.ph = n.ph
+         |  GROUP BY n.doc_id),
+         |corpus AS (SELECT h.doc_id, coalesce(c.clean_text, '') AS text
+         |  FROM cshost h LEFT JOIN cscl c ON c.doc_id = h.doc_id),
+         |${PipelineQueries.gateExactCtesSql},
+         |${PipelineQueries.shinglesSql("ex")},
+         |${PipelineQueries.minhashCtesSql},
+         |${PipelineQueries.pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab)),
+         |clnk AS (${WebGraph.linksSql("hdocs", "doc_id", "html")}),
+         |cedges AS (${WebGraph.docEdgesSql("clnk")}),
+         |${WebGraph.pageRankConvergedCtes("documents", "doc_id",
+             "cedges", 15, 100000L, "cp")},
+         |cprank AS (SELECT node, rank FROM cpall
+         |  WHERE k = (SELECT k FROM cpstop)),
+         |cdm AS (SELECT node % 20 AS dom,
+         |    CAST(SUM(rank) AS BIGINT) AS mass
+         |  FROM cprank GROUP BY 1),
+         |cdr AS (SELECT dom, mass,
+         |    row_number() OVER (ORDER BY mass DESC, dom) AS drk
+         |  FROM cdm),
+         |cdc AS (SELECT dom,
+         |    CASE WHEN drk <= 10 THEN 15 ELSE 8 END AS cap FROM cdr),
+         |surv AS (SELECT e.doc_id, e.text, e.quality, e.lang_pred
+         |  FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+         |sdoc AS (SELECT doc_id, doc_id % 20 AS dom, quality, lang_pred,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+         |  FROM surv),
+         |skept AS (SELECT doc_id, dom, quality, lang_pred, n_tok
+         |  FROM (SELECT s.doc_id, s.dom, s.quality, s.lang_pred,
+         |      s.n_chars, s.n_tok, c.cap,
+         |      row_number() OVER (PARTITION BY s.dom
+         |        ORDER BY s.n_chars DESC, s.doc_id) AS rk
+         |    FROM sdoc s JOIN cdc c ON c.dom = s.dom) t
+         |  WHERE rk <= cap),
+         |spack AS (SELECT doc_id, dom, quality, lang_pred, n_tok,
+         |    CAST(row_number() OVER (ORDER BY dom, doc_id) AS BIGINT) AS grank,
+         |    CAST(SUM(n_tok) OVER (ORDER BY dom, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) - n_tok AS start_tok
+         |  FROM skept)
+         |SELECT doc_id, dom, quality, lang_pred, n_tok, grank,
+         |  start_tok // 2048 AS seq, start_tok % 2048 AS off
+         |FROM spack ORDER BY doc_id""".stripMargin
     },
   )
 }

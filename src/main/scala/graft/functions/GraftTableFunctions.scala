@@ -379,6 +379,41 @@ object GraftTableFunctions {
       maxRounds, epsDiv))
   }
 
+  private val resolvedLinksBase: Builder = { args =>
+    val u = "graft_resolved_links_base(pagesTable, idCol, urlCol, htmlCol)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.resolvedLinksBase(
+      s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), str(args(3), u)))
+  }
+
+  private val robotsRules: Builder = { args =>
+    val u = "graft_robots_rules(robotsTable, hostCol, txtCol, agent)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.parseRobotsFor(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), str(args(3), u)))
+  }
+
+  private val crawlDelays: Builder = { args =>
+    val u = "graft_crawl_delays(robotsTable, hostCol, txtCol, agent)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.crawlDelays(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), str(args(3), u)))
+  }
+
+  private val sitemapsNested: Builder = { args =>
+    val u = "graft_sitemaps_nested(rootsTable, hostCol, xmlCol, " +
+      "fetchedTable, urlCol, fetchedXmlCol)"
+    require(args.length == 6, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.parseSitemapsNested(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      s.table(str(args(3), u)), str(args(4), u), str(args(5), u)))
+  }
+
   private val paragraphScrub: Builder = { args =>
     val u = "graft_paragraph_scrub(table, idCol, textCol, maxDf)"
     require(args.length == 4, u)
@@ -450,6 +485,10 @@ object GraftTableFunctions {
     "graft_html_extract" -> htmlExtract,
     "graft_links" -> linkGraph,
     "graft_resolved_links" -> resolvedLinks,
+    "graft_resolved_links_base" -> resolvedLinksBase,
+    "graft_robots_rules" -> robotsRules,
+    "graft_crawl_delays" -> crawlDelays,
+    "graft_sitemaps_nested" -> sitemapsNested,
     "graft_pagerank" -> pagerank,
     "graft_pagerank_converged" -> pagerankConverged,
     "graft_paragraph_scrub" -> paragraphScrub,

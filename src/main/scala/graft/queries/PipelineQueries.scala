@@ -163,7 +163,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("tf"))
       val df_ = tf.groupBy(col("token"))
         .agg(count(lit(1)).as("df"))
-      val n = docs.count()
+      val n = graft.sources.Tables.docCount(s, dir)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
       tf.join(df_, "token")

@@ -38,7 +38,7 @@ object Round11bQueries {
       : DataFrame = {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val n = docs.count()
+    val n = Tables.docCount(s, dir)
     val refs = refSeeds.map { seed =>
       val t = PortableHash.hash60(col("doc_id").cast("string"), seed) % n
       concat(lit(s"""<a href=""""), urlOf(t), lit(s"""">about doc """),
@@ -559,7 +559,7 @@ object Round11bQueries {
         explode(graft.text.TextAnalysis.tokens(col("text"))).as("token"))
       val df_ = toks.select(col("doc_id"), col("token")).distinct()
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      val n = docs.count()
+      val n = Tables.docCount(s, dir)
       val ctf = toks
         .join(assign, toks("doc_id") === assign("vec_id"))
         .groupBy(col("bucket"), col("token"))
@@ -838,7 +838,7 @@ object Round11bQueries {
   private[queries] def messyPages(s: SparkSession, dir: String)
       : DataFrame = {
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
-    val n = Tables(s, dir, "documents").count()
+    val n = Tables.docCount(s, dir)
     def t(seed: Int) =
       PortableHash.hash60(col("doc_id").cast("string"), seed) % n
     val r0 = concat(lit("<a href=\""), urlOf(t(71)), lit("\">a</a>"))

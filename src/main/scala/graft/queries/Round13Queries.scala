@@ -45,7 +45,7 @@ object Round13Queries {
       : DataFrame = {
     import graft.functions.PortableHash
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
-    val n = docs.count()
+    val n = Tables.docCount(s, dir)
     def t(seed: Int) =
       PortableHash.hash60(col("doc_id").cast("string"), seed) % n
     val (t1, t2, t3) = (t(74), t(75), t(76))

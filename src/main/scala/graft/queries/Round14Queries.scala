@@ -37,7 +37,7 @@ object Round14Queries {
       : DataFrame = {
     import graft.functions.PortableHash
     val docs = Tables(s, dir, "documents").select(col("doc_id"))
-    val n = docs.count()
+    val n = Tables.docCount(s, dir)
     def t(seed: Int) =
       PortableHash.hash60(col("doc_id").cast("string"), seed) % n
     val (t1, t2) = (t(81), t(82))
@@ -348,7 +348,7 @@ object Round14Queries {
       import graft.graph.WebGraph
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val n = docs.count()
+      val n = Tables.docCount(s, dir)
       val cbase = docs
         .unionByName(docs.filter(col("doc_id") % 7 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))

@@ -75,7 +75,7 @@ object Round7cQueries {
     "q125_exact_quantiles" -> ((s, dir) => {
       import graft.operators.Selection
       val d = Tables(s, dir, "documents")
-      val n = d.count()
+      val n = graft.sources.Tables.docCount(s, dir)
       val rows = Quantiles.map { case (lbl, num, den) =>
         val k = (n * num + den - 1) / den
         (lbl, k, Selection.kthSmallest(d, col("n_chars"), k))

@@ -13,6 +13,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir) else read(spark, dir, name)
 
+  /** Row count of `documents`, cached per data directory: several
+    * fixture generators need the corpus size at PLAN-BUILD time (hash
+    * targets modulo n) — without the cache each invocation ran a
+    * hidden count job before its query even started. The testdata is
+    * immutable per dir, so a process-lifetime cache is sound.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  def docCount(spark: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(dir,
+      d => apply(spark, d, "documents").count()).longValue()
+
   private def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

@@ -493,6 +493,61 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlDec).nonEmpty && rows(sqlDec) == rows(apiDec))
   }
 
+  test("round-14 crawl TVFs == API (base links, robots groups, " +
+      "crawl delays, nested sitemaps)") {
+    import spark.implicits._
+    val bpages = Seq(
+      (1L, "http://h.com/s/p/1",
+        """<base href="/b/"><a href="q/p/2">r</a><a href="/p/3">a</a>"""),
+      (2L, "http://h.com/s/p/2",
+        """<a href="q/p/4">r</a>""")).toDF("doc_id", "url", "html")
+    bpages.createOrReplaceTempView("tvf_bpages")
+    val sqlB = spark.sql(
+      "SELECT * FROM graft_resolved_links_base('tvf_bpages', 'doc_id', " +
+        "'url', 'html') ORDER BY src, url")
+    val apiB = graft.graph.WebGraph.resolvedLinksBase(bpages,
+        "doc_id", "url", "html")
+      .orderBy(col("src"), col("url"))
+    assert(rows(sqlB).nonEmpty && rows(sqlB) == rows(apiB))
+
+    val robots = Seq(
+      ("a.com", "User-agent: bot\nDisallow: /p/1\nCrawl-delay: 2\n" +
+        "\nUser-agent: *\nDisallow: /p/2\nCrawl-delay: 9"),
+      ("b.com", "User-agent: *\nAllow: /ok\nDisallow: /no"))
+      .toDF("host", "txt")
+    robots.createOrReplaceTempView("tvf_robots")
+    val sqlR = spark.sql(
+      "SELECT * FROM graft_robots_rules('tvf_robots', 'host', 'txt', " +
+        "'bot') ORDER BY pattern")
+    val apiR = graft.graph.WebGraph.parseRobotsFor(robots,
+        "host", "txt", "bot").orderBy(col("pattern"))
+    assert(rows(sqlR).nonEmpty && rows(sqlR) == rows(apiR))
+    val sqlD = spark.sql(
+      "SELECT * FROM graft_crawl_delays('tvf_robots', 'host', 'txt', " +
+        "'bot') ORDER BY host")
+    val apiD = graft.graph.WebGraph.crawlDelays(robots,
+        "host", "txt", "bot").orderBy(col("host"))
+    assert(rows(sqlD).nonEmpty && rows(sqlD) == rows(apiD))
+
+    val roots = Seq(
+      ("a.com", "<sitemapindex><sitemap><loc>http://a.com/sm/0.xml" +
+        "</loc></sitemap></sitemapindex>"),
+      ("b.com", "<urlset><url><loc>http://b.com/p/9</loc></url>" +
+        "</urlset>")).toDF("host", "xml")
+    val fetched = Seq(("http://a.com/sm/0.xml",
+      "<urlset><url><loc>http://a.com/p/1</loc></url></urlset>"))
+      .toDF("url", "xml")
+    roots.createOrReplaceTempView("tvf_smroots")
+    fetched.createOrReplaceTempView("tvf_smfetched")
+    val sqlS = spark.sql(
+      "SELECT * FROM graft_sitemaps_nested('tvf_smroots', 'host', " +
+        "'xml', 'tvf_smfetched', 'url', 'xml') ORDER BY host, url")
+    val apiS = graft.graph.WebGraph.parseSitemapsNested(roots,
+        "host", "xml", fetched, "url", "xml")
+      .orderBy(col("host"), col("url"))
+    assert(rows(sqlS).nonEmpty && rows(sqlS) == rows(apiS))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -457,13 +457,36 @@ object Dedup {
   def scrubHostBoilerplate(docs: DataFrame, idCol: String,
       hostCol: String, textCol: String, minPpm: Long,
       minDf: Long = 2L): DataFrame = {
+    val hosts = docs.select(col(idCol), col(hostCol))
+    val paras = paragraphs(docs, idCol, textCol).join(hosts, Seq(idCol))
+    scrubHostBoilerplateWith(docs, idCol, hostCol, textCol,
+      hostParagraphDf(paras, idCol, hostCol),
+      hostDocCounts(docs, hostCol), minPpm, minDf)
+  }
+
+  /** Doc-distinct per-host line frequencies `(hostCol, ph, pdf)` —
+    * partials over doc-disjoint batches ADD (the same merge contract
+    * as [[paragraphDf]], keyed per host; the streaming door's fold).
+    */
+  private[graft] def hostParagraphDf(paras: DataFrame, idCol: String,
+      hostCol: String): DataFrame =
+    paras.select(col(idCol), col(hostCol), col("ph")).distinct()
+      .groupBy(col(hostCol), col("ph")).agg(count(lit(1)).as("pdf"))
+
+  /** Host document counts `(hostCol, __hn)` — partials ADD. */
+  private[graft] def hostDocCounts(docs: DataFrame, hostCol: String)
+      : DataFrame =
+    docs.groupBy(col(hostCol)).agg(count(lit(1)).as("__hn"))
+
+  /** The threshold/scrub/rebuild tail of [[scrubHostBoilerplate]] over
+    * precomputed `(host, ph, pdf)` and `(host, __hn)` relations.
+    */
+  private[graft] def scrubHostBoilerplateWith(docs: DataFrame,
+      idCol: String, hostCol: String, textCol: String, pdf: DataFrame,
+      hostDocs: DataFrame, minPpm: Long, minDf: Long): DataFrame = {
     val id = col(idCol)
     val hosts = docs.select(id, col(hostCol))
     val paras = paragraphs(docs, idCol, textCol).join(hosts, Seq(idCol))
-    val hostDocs = docs.groupBy(col(hostCol))
-      .agg(count(lit(1)).as("__hn"))
-    val pdf = paras.select(id, col(hostCol), col("ph")).distinct()
-      .groupBy(col(hostCol), col("ph")).agg(count(lit(1)).as("pdf"))
     val boiler = pdf.join(hostDocs, Seq(hostCol))
       .filter(col("pdf") >= minDf &&
         col("pdf") * lit(1000000L) >= lit(minPpm) * col("__hn"))

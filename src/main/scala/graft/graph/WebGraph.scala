@@ -454,6 +454,36 @@ object WebGraph {
        |  WHERE regexp_extract(l, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) <> ''
        |  GROUP BY host)""".stripMargin
 
+  /** `Sitemap:` directives of a robots relation: `(host, url)` — the
+    * crawl-DISCOVERY pointer robots.txt carries alongside its access
+    * rules (RFC 9309 §2.3 allows any number, outside any user-agent
+    * group, absolute URLs). [[parseRobots]]/[[parseRobotsFor]] ignore
+    * these lines by design; this lifts them so the sitemap chain
+    * ([[parseSitemapsNested]]) can seed from what sites DECLARE
+    * instead of a hardcoded /sitemap.xml convention.
+    */
+  def sitemapDirectives(robots: DataFrame, hostCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(split(col(txtCol), "\n")).as("__l"))
+      .select(col("host"),
+        regexp_extract(col("__l"), "^[Ss]itemap:\\s*(https?://\\S+)", 1)
+          .as("url"))
+      .filter(col("url") =!= "")
+
+  /** DuckDB CTE for [[sitemapDirectives]] over `rel(hostCol, txtCol)`,
+    * ending in `<pfx>sm(host, url)`.
+    */
+  def sitemapDirectivesCtes(rel: String, hostCol: String,
+      txtCol: String, pfx: String = "sd"): String =
+    s"""${pfx}l AS (SELECT $hostCol AS host,
+       |    unnest(string_split($txtCol, chr(10))) AS l
+       |  FROM $rel),
+       |${pfx}sm AS (SELECT host,
+       |    regexp_extract(l, '^[Ss]itemap:\\s*(https?://\\S+)', 1) AS url
+       |  FROM ${pfx}l
+       |  WHERE regexp_extract(l, '^[Ss]itemap:\\s*(https?://\\S+)', 1) <> '')""".stripMargin
+
   /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
   val Scale = 1000000000000L
 

@@ -197,7 +197,61 @@ object Round14Queries {
        |  FROM cbase)""".stripMargin
   }
 
+  // ---- q250's Gopher-rule plants --------------------------------------
+  // One plant per rule keyed on doc_id div 20 (% 20 IS the source):
+  //   j%7==1 → all-bullet lines (bullet_frac 1.0 > 0.9)
+  //   j%7==2 → every line ellipsis-terminated (> 0.3)
+  //   j%7==3 → hash-symbol flood (symbol ratio > 0.1; alpha also dips)
+  //   j%7==4 → numeric flood (alpha_frac < 0.8)
+  //   j%7==5 → 3 words (< minTok)
+  //   j%7==6 → text + guaranteed stop words (stop rule passes for sure)
+  //   j%7==0 → untouched corpus text
+  private val GpBullet =
+    (1 to 8).map(i => s"- the item of number $i alpha beta gamma delta")
+      .mkString("\n")
+  private val GpEllip =
+    (1 to 3).map(i => s"the story of part $i continues soon...")
+      .mkString("\n")
+  private val GpHash = "the tally of # marks " + Seq.fill(10)("#").mkString(" ")
+  private val GpNum = "the count of " + (1 to 20).map(i => i * 111).mkString(" ")
+
+  private[graft] def gopherPages(s: SparkSession, dir: String)
+      : DataFrame = {
+    val j = expr("doc_id div 20") % 7
+    Tables(s, dir, "documents").select(col("doc_id"),
+      when(j === 1, lit(GpBullet))
+        .when(j === 2, lit(GpEllip))
+        .when(j === 3, lit(GpHash))
+        .when(j === 4, lit(GpNum))
+        .when(j === 5, lit("tiny the of"))
+        .when(j === 6, concat(col("text"), lit(" the of")))
+        .otherwise(col("text")).as("ptext"))
+  }
+
+  private val gopherPagesCte: String =
+    s"""gpdocs AS (SELECT doc_id,
+       |    CASE (doc_id // 20) % 7
+       |      WHEN 1 THEN '${GpBullet.replace("\n", "' || chr(10) || '")}'
+       |      WHEN 2 THEN '${GpEllip.replace("\n", "' || chr(10) || '")}'
+       |      WHEN 3 THEN '$GpHash'
+       |      WHEN 4 THEN '$GpNum'
+       |      WHEN 5 THEN 'tiny the of'
+       |      WHEN 6 THEN text || ' the of'
+       |      ELSE text END AS ptext
+       |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GOPHER quality rules (Rae et al. Table A1, the quality half —
+    // q245 covered the repetition half): per-doc word-count / mean
+    // word length / symbol ratio / bullet and ellipsis line fractions
+    // / alphabetic-word fraction / stop-word presence, every GATE
+    // comparison exact-integer so the keep bit replays bit-identically.
+    "q250_gopher_rules" -> ((s, dir) => {
+      graft.text.GopherQuality.signals(gopherPages(s, dir),
+          "doc_id", "ptext", minTok = 20L)
+        .orderBy(col("doc_id"))
+    }),
 
     // BASE-HREF resolution report: the same pages resolved base-aware
     // vs base-blind, aggregated per base class — the control class
@@ -333,6 +387,128 @@ object Round14Queries {
         .orderBy(col("host"))
     }),
 
+    // CRAWL-DISCOVERY chain: robots.txt is BOTH the access policy and
+    // the discovery seed — Sitemap: directives name each host's root
+    // sitemap (an index for most hosts, a plain urlset for k%4==3,
+    // q248's shapes), the nested parse resolves the declared URL
+    // inventory, and the same robots' rules decide which of those
+    // URLs the crawler may fetch (deny /p/2*). Per host: directive
+    // count, declared inventory, allowed subset, newest lastmod.
+    "q252_discovery_chain" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          "User-agent: *\nDisallow: /p/2\n" +
+            s"Sitemap: http://d$k.example.com/sm/root.xml\n# end")
+      }.toDF("host", "txt")
+      val decl = docs.filter(col("doc_id") % 5 < 2)
+        .select((col("doc_id") % 20).as("k"),
+          (expr("doc_id div 20") % 2).as("b"), col("doc_id"),
+          smEntry.as("e"))
+      val ks = col("k").cast("string")
+      val children = decl.filter(col("k") % 4 =!= 3)
+        .groupBy(col("k"), col("b")).agg(xmlAgg.as("cxml"))
+        .select(concat(lit("http://d"), ks, lit(".example.com/sm/"),
+          col("b").cast("string"), lit(".xml")).as("url"), col("cxml"))
+      val urlsetAll = decl.groupBy(col("k")).agg(xmlAgg.as("uxml"))
+      val spine = docs.select((col("doc_id") % 20).as("k")).distinct()
+      val rootFiles = spine.join(urlsetAll, Seq("k"), "left")
+        .select(concat(lit("http://d"), ks,
+          lit(".example.com/sm/root.xml")).as("url"),
+          when(col("k") % 4 === 3,
+            coalesce(col("uxml"), lit("<urlset></urlset>")))
+          .otherwise(concat(
+            lit("<sitemapindex><sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/0.xml</loc></sitemap>"),
+            lit("<sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/1.xml</loc></sitemap></sitemapindex>")))
+            .as("cxml"))
+      val fetched = children.unionByName(rootFiles)
+      val roots = WebGraph.sitemapDirectives(robots, "host", "txt")
+        .join(fetched, Seq("url"))
+        .select(col("host"), col("cxml").as("xml"))
+      val inv = WebGraph.parseSitemapsNested(roots, "host", "xml",
+        fetched, "url", "cxml")
+      val dec = WebGraph.urlDecisions(inv.select(col("url")),
+        WebGraph.parseRobotsFor(robots, "host", "txt", "graftbot"))
+      val invAgg = inv.join(dec, Seq("url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("action") === "allow", 1).otherwise(0))
+            .cast("long").as("n_allowed"),
+          max(col("lastmod")).as("max_lastmod"))
+      val dirAgg = WebGraph.sitemapDirectives(robots, "host", "txt")
+        .groupBy(col("host")).agg(count(lit(1)).as("n_directives"))
+      val hspine = spine.select(
+        concat(lit("d"), ks, lit(".example.com")).as("host"))
+      hspine.join(dirAgg, Seq("host"), "left")
+        .join(invAgg, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("n_directives"), lit(0L)).as("n_directives"),
+          coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+          coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+          coalesce(col("max_lastmod"), lit("")).as("max_lastmod"))
+        .orderBy(col("host"))
+    }),
+
+    // STREAMING host-boilerplate door: q244's per-site scrub with the
+    // df built INCREMENTALLY — per-host line frequencies and host doc
+    // counts are doc-distinct partials that ADD across doc-disjoint
+    // batches (the paragraphDf merge contract, keyed per host), so a
+    // crawl drop folds into the stored state and the end-of-stream
+    // scrub equals the one-shot run. Oracle = q244's SQL VERBATIM
+    // while the stream's per-file batching differs from any one-shot
+    // layout.
+    "q251_stream_host_scrub" -> ((s, dir) => {
+      import java.nio.file.Files
+      val planted = Round13bQueries.boilPages(s, dir)
+      val land = Files.createTempDirectory("graft-q251-land").toString
+      val cp = Files.createTempDirectory("graft-q251-cp").toString
+      (0 to 2).foreach { k =>
+        planted.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var pdf: DataFrame = null
+      var hn: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val paras = graft.dedup.Dedup
+            .paragraphs(batch, "doc_id", "ptext")
+            .join(batch.select(col("doc_id"), col("host")), Seq("doc_id"))
+          val pPart = graft.dedup.Dedup.hostParagraphDf(paras,
+            "doc_id", "host")
+          val hPart = graft.dedup.Dedup.hostDocCounts(batch, "host")
+          pdf = (if (pdf == null) pPart
+                 else pdf.unionByName(pPart)
+                   .groupBy(col("host"), col("ph"))
+                   .agg(sum(col("pdf")).as("pdf")))
+            .localCheckpoint()
+          hn = (if (hn == null) hPart
+                else hn.unionByName(hPart).groupBy(col("host"))
+                  .agg(sum(col("__hn")).as("__hn")))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val landed = s.read.parquet(land)
+      val out = graft.dedup.Dedup.scrubHostBoilerplateWith(
+          landed, "doc_id", "host", "ptext", pdf, hn,
+          minPpm = 500000L, minDf = 2L)
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
+    }),
+
     // CAPSTONE: the end-to-end crawl-to-release chain, one statement —
     // WARC land (q230's storage path) → HTML extraction (q195) →
     // host-boilerplate scrub (q244) → quality/lang gates + exact dedup
@@ -417,6 +593,82 @@ object Round14Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q250_gopher_rules" ->
+      s"""WITH $gopherPagesCte,
+         |${graft.text.GopherQuality.signalsCtes(
+             "gpdocs", "doc_id", "ptext", minTok = 20L)}
+         |SELECT doc_id, n_tok, mean_word_len, symbol_ratio,
+         |  bullet_frac, ellipsis_frac, alpha_frac, n_stop, gopher_keep
+         |FROM gqsig ORDER BY doc_id""".stripMargin,
+
+    // streamed fold == one-shot: the door replays q244 verbatim
+    "q251_stream_host_scrub" ->
+      Round13bQueries.oracleSql("q244_host_boilerplate"),
+
+    "q252_discovery_chain" -> {
+      import graft.graph.WebGraph
+      s"""WITH dcrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /p/2' || chr(10) ||
+         |    'Sitemap: http://d' || CAST(k AS VARCHAR) ||
+         |    '.example.com/sm/root.xml' || chr(10) || '# end' AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |dcdecl AS (SELECT doc_id % 20 AS k,
+         |    (doc_id // 20) % 2 AS b, doc_id,
+         |    $smEntrySql AS e
+         |  FROM documents WHERE doc_id % 5 < 2),
+         |dcchild AS (SELECT
+         |    'http://d' || CAST(k AS VARCHAR) || '.example.com/sm/' ||
+         |    CAST(b AS VARCHAR) || '.xml' AS url,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) ||
+         |    '</urlset>' AS cxml
+         |  FROM dcdecl WHERE k % 4 <> 3 GROUP BY k, b),
+         |dcall AS (SELECT k,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) ||
+         |    '</urlset>' AS uxml
+         |  FROM dcdecl GROUP BY k),
+         |dcspine AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+         |dcroot AS (SELECT
+         |    'http://d' || CAST(s.k AS VARCHAR) || '.example.com/sm/root.xml' AS url,
+         |    CASE WHEN s.k % 4 = 3
+         |      THEN coalesce(a.uxml, '<urlset></urlset>')
+         |      ELSE '<sitemapindex><sitemap><loc>http://d' ||
+         |        CAST(s.k AS VARCHAR) || '.example.com/sm/0.xml</loc></sitemap>' ||
+         |        '<sitemap><loc>http://d' || CAST(s.k AS VARCHAR) ||
+         |        '.example.com/sm/1.xml</loc></sitemap></sitemapindex>' END AS cxml
+         |  FROM dcspine s LEFT JOIN dcall a ON a.k = s.k),
+         |dcfet AS (SELECT url, cxml FROM dcchild
+         |  UNION ALL SELECT url, cxml FROM dcroot),
+         |${WebGraph.sitemapDirectivesCtes("dcrob", "host", "txt", "dc")},
+         |dcroots AS (SELECT d.host, f.cxml AS xml
+         |  FROM dcsm d JOIN dcfet f ON f.url = d.url),
+         |${WebGraph.parseSitemapsNestedCtes("dcroots", "host", "xml",
+             "dcfet", "url", "cxml", "dn")},
+         |${WebGraph.parseRobotsForCtes("dcrob", "host", "txt",
+             "graftbot", "dp")},
+         |dcudist AS (SELECT DISTINCT url FROM dnmaps),
+         |${decisionCte("dcudist", "dprules", "dd")},
+         |dcinv AS (SELECT m.host, CAST(count(*) AS BIGINT) AS n_urls,
+         |    CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |    MAX(m.lastmod) AS max_lastmod
+         |  FROM dnmaps m JOIN dddec d USING (url)
+         |  GROUP BY m.host),
+         |dcdir AS (SELECT host, CAST(count(*) AS BIGINT) AS n_directives
+         |  FROM dcsm GROUP BY host),
+         |dchs AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host
+         |  FROM dcspine)
+         |SELECT h.host,
+         |  coalesce(dr.n_directives, CAST(0 AS BIGINT)) AS n_directives,
+         |  coalesce(i.n_urls, CAST(0 AS BIGINT)) AS n_urls,
+         |  coalesce(i.n_allowed, CAST(0 AS BIGINT)) AS n_allowed,
+         |  coalesce(i.max_lastmod, '') AS max_lastmod
+         |FROM dchs h
+         |LEFT JOIN dcdir dr ON dr.host = h.host
+         |LEFT JOIN dcinv i ON i.host = h.host
+         |ORDER BY h.host""".stripMargin
+    },
 
     "q246_base_href" -> {
       import graft.graph.WebGraph

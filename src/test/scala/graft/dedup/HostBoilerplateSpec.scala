@@ -48,4 +48,33 @@ class HostBoilerplateSpec extends SparkSpec {
       (1L, "d.com", "", 1L, 1L), (2L, "d.com", "", 1L, 1L),
       (3L, "d.com", "", 0L, 0L)))
   }
+
+  test("folded (host, ph) df + host-count partials == one-shot scrub") {
+    // the streaming-door contract: doc-disjoint batch partials ADD
+    val docs = Seq(
+      (1L, "a.com", "nav\nalpha"), (2L, "a.com", "nav\nbeta"),
+      (3L, "a.com", "nav\ngamma"), (4L, "a.com", "delta"),
+      (5L, "b.com", "nav\nepsilon"), (6L, "b.com", "zeta"))
+      .toDF("doc_id", "host", "text")
+    val oneShot = Dedup.scrubHostBoilerplate(docs, "doc_id", "host",
+        "text", minPpm = 500000L, minDf = 2L)
+      .orderBy(col("doc_id")).collect().toSeq
+    // fold two doc-disjoint batches
+    val batches = Seq(docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val pdf = batches.map { b =>
+      Dedup.hostParagraphDf(
+        Dedup.paragraphs(b, "doc_id", "text")
+          .join(b.select(col("doc_id"), col("host")), Seq("doc_id")),
+        "doc_id", "host")
+    }.reduce(_ unionByName _)
+      .groupBy(col("host"), col("ph")).agg(sum(col("pdf")).as("pdf"))
+    val hn = batches.map(b => Dedup.hostDocCounts(b, "host"))
+      .reduce(_ unionByName _)
+      .groupBy(col("host")).agg(sum(col("__hn")).as("__hn"))
+    val folded = Dedup.scrubHostBoilerplateWith(docs, "doc_id", "host",
+        "text", pdf, hn, minPpm = 500000L, minDf = 2L)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(folded == oneShot && oneShot.nonEmpty)
+  }
 }

@@ -321,6 +321,20 @@ class WebGraphSpec extends SparkSpec {
     assert(d2 == Map("a.com" -> 10L, "b.com" -> 7L))
   }
 
+  test("sitemapDirectives lifts Sitemap: lines; rules/comments skip") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /p\n" +
+        "Sitemap: http://a.com/sm/root.xml\n" +
+        "sitemap: https://a.com/sm/extra.xml\n# note"),
+      ("b.com", "User-agent: *\nAllow: /ok"),
+      ("c.com", "Sitemap: not-a-url")).toDF("host", "txt")
+    val got = WebGraph.sitemapDirectives(robots, "host", "txt")
+      .as[(String, String)].collect().toSet
+    assert(got == Set(
+      ("a.com", "http://a.com/sm/root.xml"),
+      ("a.com", "https://a.com/sm/extra.xml")))
+  }
+
   test("parseSitemapIndex + parseSitemapsNested: one nesting level, " +
       "unfetched children contribute nothing") {
     val roots = Seq(

@@ -81,6 +81,7 @@ object CorpusPipeline {
       jaccardThreshold: Double = 0.5,
       keepBest: Boolean = false,
       collisionBand: Option[(Long, Long, Long, Long)] = None,
+      gopher: Option[(Long, Long)] = None,
       classifier: Option[ClassifierGate] = None,
       dsir: Option[Dsir.Model] = None,
       familiarity: Option[FamiliarityGate] = None,
@@ -124,6 +125,25 @@ object CorpusPipeline {
     * Documents with zero tokens produce no score row and are dropped —
     * unreachable after the quality gate's 5-token minimum.
     */
+  /** Stage-1b2 optional GOPHER-rule gate (Rae et al. Table A1 quality
+    * half — [[graft.text.GopherQuality.signals]]' exact-integer keep
+    * bit as a `(minTok, maxTok)`-parameterized band; per-document
+    * aggregation, so batch-at-a-time == one-shot like every band
+    * stage).
+    */
+  def gopherGate(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.gopher match {
+    case None => gated
+    case Some((minTok, maxTok)) =>
+      // the stop-word rule reads the pipeline's own marker list
+      // (cfg.stopwords), not Gopher's English eight — the list is a
+      // corpus property, the published thresholds are not
+      val ok = graft.text.GopherQuality.signals(gated, idCol, textCol,
+          minTok, maxTok, cfg.stopwords)
+        .filter(col("gopher_keep")).select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
   def classifierGate(gated: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = cfg.classifier match {
     case None => gated
@@ -174,9 +194,9 @@ object CorpusPipeline {
     */
   def bandStages(gated: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame =
-    familiarityGate(dsirGate(classifierGate(
+    familiarityGate(dsirGate(classifierGate(gopherGate(
       entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg), idCol, textCol, cfg)
+      idCol, textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg)
 
   /** Stage-boundary relations of one run of the verified pipeline
     * chain — the single implementation [[clean]], [[release]], and

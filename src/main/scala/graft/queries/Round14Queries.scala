@@ -248,8 +248,12 @@ object Round14Queries {
     // / alphabetic-word fraction / stop-word presence, every GATE
     // comparison exact-integer so the keep bit replays bit-identically.
     "q250_gopher_rules" -> ((s, dir) => {
+      // stop list = the corpus's own marker words (the synthetic
+      // corpus rarely carries 2 of Gopher's English eight; the rule's
+      // SHAPE is what's under test, the list is a corpus property)
       graft.text.GopherQuality.signals(gopherPages(s, dir),
-          "doc_id", "ptext", minTok = 20L)
+          "doc_id", "ptext", minTok = 20L,
+          stopwords = Seq("the", "a", "of", "and", "is"))
         .orderBy(col("doc_id"))
     }),
 
@@ -385,6 +389,37 @@ object Round14Queries {
           coalesce(col("n_fetched"), lit(0L)).as("n_fetched"),
           coalesce(col("max_lastmod"), lit("")).as("max_lastmod"))
         .orderBy(col("host"))
+    }),
+
+    // The corpus pipeline WITH the Gopher band wired in (stage 1b2;
+    // q46 = band off). The two plants are crafted to PASS the quality
+    // and language gates — English words, stop-word ratio over 1%,
+    // punctuation under 20% — so only the Gopher rules can remove
+    // them: the bullet plant (10/10 lines bullet-led, alpha still
+    // 60/70) and the ellipsis plant (4/10 lines ellipsis-terminated,
+    // symbol ratio 4/70 under the 0.1 cap). The oracle replays q46
+    // stage-for-stage with the gqsig gate inserted between the row
+    // gates and exact dedup.
+    "q253_pipeline_gopher" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bullets = d.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          lit(Seq.fill(10)("- the item of alpha beta chart")
+            .mkString("\n")).as("text"))
+      val ellipses = d.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          lit((Seq.fill(6)("the plain story of words here still") ++
+            Seq.fill(4)("the next story of words goes on..."))
+            .mkString("\n")).as("text"))
+      val corpus = PipelineQueries.corpus(s, dir)
+        .unionByName(bullets).unionByName(ellipses)
+      CorpusPipeline.clean(corpus, "doc_id", "text",
+          CorpusPipeline.Config(gopher = Some((20L, 100000L))))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
     }),
 
     // CRAWL-DISCOVERY chain: robots.txt is BOTH the access policy and
@@ -597,7 +632,8 @@ object Round14Queries {
     "q250_gopher_rules" ->
       s"""WITH $gopherPagesCte,
          |${graft.text.GopherQuality.signalsCtes(
-             "gpdocs", "doc_id", "ptext", minTok = 20L)}
+             "gpdocs", "doc_id", "ptext", minTok = 20L,
+             stopwords = Seq("the", "a", "of", "and", "is"))}
          |SELECT doc_id, n_tok, mean_word_len, symbol_ratio,
          |  bullet_frac, ellipsis_frac, alpha_frac, n_stop, gopher_keep
          |FROM gqsig ORDER BY doc_id""".stripMargin,
@@ -605,6 +641,64 @@ object Round14Queries {
     // streamed fold == one-shot: the door replays q244 verbatim
     "q251_stream_host_scrub" ->
       Round13bQueries.oracleSql("q244_host_boilerplate"),
+
+    "q253_pipeline_gopher" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      val bulletSql = Seq.fill(10)("- the item of alpha beta chart")
+        .mkString("\\n").replace("\\n", "' || chr(10) || '")
+      val ellipSql = (Seq.fill(6)("the plain story of words here still") ++
+        Seq.fill(4)("the next story of words goes on..."))
+        .mkString("\\n").replace("\\n", "' || chr(10) || '")
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, '$bulletSql'
+         |  FROM documents WHERE doc_id % 23 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000, '$ellipSql'
+         |  FROM documents WHERE doc_id % 29 = 0),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |${graft.text.GopherQuality.signalsCtes(
+             "g2", "doc_id", "text", minTok = 20L,
+             stopwords = Seq("the", "a", "of", "and", "is"))},
+         |g3 AS (SELECT g2.* FROM g2 JOIN gqsig USING (doc_id)
+         |       WHERE gopher_keep),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     "q252_discovery_chain" -> {
       import graft.graph.WebGraph

@@ -38,7 +38,8 @@ object GopherQuality {
     * (empty docs report zeros and fail the word-count rule).
     */
   def signals(docs: DataFrame, idCol: String, textCol: String,
-      minTok: Long = 50L, maxTok: Long = 100000L): DataFrame = {
+      minTok: Long = 50L, maxTok: Long = 100000L,
+      stopwords: Seq[String] = StopWords): DataFrame = {
     val id = col(idCol)
     def frac(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den.cast("double"))
@@ -51,7 +52,7 @@ object GopherQuality {
       sum(length(col("tok")).cast("long")).as("sum_len"),
       sum(when(col("tok").rlike("[A-Za-z]"), 1L).otherwise(0L))
         .as("n_alpha"),
-      countDistinct(when(lower(col("tok")).isin(StopWords: _*),
+      countDistinct(when(lower(col("tok")).isin(stopwords: _*),
         lower(col("tok")))).as("n_stop"))
 
     val lines = docs
@@ -113,8 +114,9 @@ object GopherQuality {
     */
   def signalsCtes(rel: String, idCol: String, textCol: String,
       minTok: Long = 50L, maxTok: Long = 100000L,
-      pfx: String = "gq"): String = {
-    val stops = StopWords.map(s => s"'$s'").mkString(", ")
+      pfx: String = "gq",
+      stopwords: Seq[String] = StopWords): String = {
+    val stops = stopwords.map(s => s"'$s'").mkString(", ")
     s"""${pfx}tk AS (SELECT $idCol AS id, unnest(list_filter(
        |    string_split_regex($textCol, '\\s+'), x -> x <> '')) AS tok
        |  FROM $rel),

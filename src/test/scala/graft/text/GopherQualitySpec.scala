@@ -126,6 +126,25 @@ class GopherQualitySpec extends SparkSpec {
     }
   }
 
+  test("pipeline gopherGate: band off = identity; band removes only " +
+      "rule-failing docs and reads cfg.stopwords") {
+    val s = spark
+    import s.implicits._
+    import graft.pipeline.CorpusPipeline
+    val docs = Seq(
+      (1L, "the quick brown foxes of meadow run fast every day"),
+      // bullet flood: passes the row gates' shape, fails gopher
+      (2L, Seq.fill(10)("- the item of alpha beta chart").mkString("\n")))
+      .toDF("doc_id", "text")
+    val off = CorpusPipeline.gopherGate(docs, "doc_id", "text",
+      CorpusPipeline.Config())
+    assert(off.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    val on = CorpusPipeline.gopherGate(docs, "doc_id", "text",
+      CorpusPipeline.Config(gopher = Some((5L, 100000L))))
+    assert(on.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("deterministic under repartitioning") {
     val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
       "documents").select(col("doc_id"), col("text"))

@@ -826,6 +826,35 @@ object ScaleProbe {
         .filter(length(col("c")) > 0).count()
     }
 
+    // BASE-aware resolution (round 14): resolvePages with a rotating
+    // <base> plant (relative / cross-host / root-relative / none) —
+    // the extra per-page work is one extract + one resolve chain, so
+    // the probe must stay scan-bound like link_resolution.
+    def baseResolveRun(d: DataFrame): Long = {
+      val j = expr("doc_id div 20") % 4
+      val base = when(j === 1, lit("<base href=\"../\">"))
+        .when(j === 2, lit("<base href=\"http://cdn.example.com/l/\">"))
+        .when(j === 3, lit("<base href='/b/'>"))
+        .otherwise(lit(""))
+      val pages = resolvePages(d).select(col("doc_id"), col("url"),
+        concat(base, col("html")).as("html"))
+      graft.graph.WebGraph.resolvedLinksBase(pages,
+          "doc_id", "url", "html")
+        .select(col("src"),
+          graft.graph.WebGraph.canonicalUrl(col("url")).as("c"))
+        .filter(length(col("c")) > 0).count()
+    }
+
+    // Gopher quality rules (round 14): token + line explodes, both
+    // doc-keyed aggregates — must read scan-bound linear, no spill.
+    def gopherRun(d: DataFrame): Long =
+      graft.text.GopherQuality.signals(d, "doc_id", "text",
+          minTok = 20L,
+          stopwords = Seq("the", "a", "of", "and", "is"))
+        .filter(col("n_tok") >= 0 && col("alpha_frac") >= 0.0 &&
+          col("n_stop") >= 0)
+        .count()
+
     // Paragraph scrub: boilerplate planted BEFORE replication, so the
     // per-token perturbation makes each replica's boilerplate its own
     // (per-replica df = n/3 — linear structure, no cross-replica
@@ -999,6 +1028,10 @@ object ScaleProbe {
         time(pagerankRun(docsN)))),
       "link_resolution" -> (() => (time(resolveRun(docs1)),
         time(resolveRun(docsN)))),
+      "base_resolution" -> (() => (time(baseResolveRun(docs1)),
+        time(baseResolveRun(docsN)))),
+      "gopher_rules" -> (() => (time(gopherRun(docs1)),
+        time(gopherRun(docsN)))),
       "hits_rank" -> (() => (time(hitsRun(docs1)),
         time(hitsRun(docsN)))),
       // WordPiece: like bpe_train, the per-token perturbation grows

@@ -391,6 +391,54 @@ object Round14Queries {
         .orderBy(col("host"))
     }),
 
+    // POLITENESS-budgeted frontier: q222's crawl frontier under the
+    // robots policy — candidates must be ALLOWED (Disallow: /p/3
+    // removes every id-starts-with-3 target) and each host's next
+    // batch is capped by its Crawl-delay budget: slots = W div delay
+    // for a W=60s window (delays 5/10/15/20 by k%4 → 12/6/4/3 slots),
+    // minimum 1. The scheduler a real crawler runs between fetch
+    // rounds, composed entirely from verified parts (frontier +
+    // parseRobotsFor + crawlDelays + urlDecisions).
+    "q254_polite_frontier" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      import graft.functions.PortableHash
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      def coin(c: Column) =
+        PortableHash.hash60(c.cast("string"), 55) % 5
+      val fetched = Round11bQueries.linkedPages(s, dir)
+        .filter(coin(col("doc_id")) =!= 0)
+      val edges = WebGraph.docEdges(
+        WebGraph.links(fetched, "doc_id", "html"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /p/3\nCrawl-delay: ${(k % 4) * 5 + 5}")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val cand = edges.filter(coin(col("dst")) === 0)
+        .groupBy(col("dst")).agg(count(lit(1)).as("n_in"))
+        .withColumn("dom", col("dst") % 20)
+        .withColumn("url", urlOf(col("dst")))
+      val dec = WebGraph.urlDecisions(cand.select(col("url")), rules)
+      val allowed = cand.join(dec, Seq("url"))
+        .filter(col("action") === "allow")
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+      allowed.withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("n_in").desc, col("dst"))))
+        .filter(col("rk") <= col("slots"))
+        .select(col("dst"), col("dom"), col("n_in"), col("delay"),
+          col("slots"), col("rk"))
+        .orderBy(col("dom"), col("rk"))
+    }),
+
     // The corpus pipeline WITH the Gopher band wired in (stage 1b2;
     // q46 = band off). The two plants are crafted to PASS the quality
     // and language gates — English words, stop-word ratio over 1%,
@@ -641,6 +689,43 @@ object Round14Queries {
     // streamed fold == one-shot: the door replays q244 verbatim
     "q251_stream_host_scrub" ->
       Round13bQueries.oracleSql("q244_host_boilerplate"),
+
+    "q254_polite_frontier" -> {
+      import graft.graph.WebGraph
+      import graft.functions.PortableHash
+      s"""WITH ${Round11bQueries.lpagesCte},
+         |pfpag AS (SELECT doc_id, html FROM lpages
+         |  WHERE ${PortableHash.hash60Sql("CAST(doc_id AS VARCHAR)", 55)} % 5 <> 0),
+         |pflnk AS (${WebGraph.linksSql("pfpag", "doc_id", "html")}),
+         |pfedg AS (${WebGraph.docEdgesSql("pflnk")}),
+         |pfrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /p/3' || chr(10) ||
+         |    'Crawl-delay: ' || CAST((k % 4) * 5 + 5 AS VARCHAR) AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${WebGraph.parseRobotsForCtes("pfrob", "host", "txt",
+             "graftbot", "pq")},
+         |pfcand AS (SELECT dst, dst % 20 AS dom,
+         |    CAST(count(*) AS BIGINT) AS n_in,
+         |    ${urlSqlOf("dst")} AS url
+         |  FROM pfedg
+         |  WHERE ${PortableHash.hash60Sql("CAST(dst AS VARCHAR)", 55)} % 5 = 0
+         |  GROUP BY dst),
+         |pfudist AS (SELECT DISTINCT url FROM pfcand),
+         |${decisionCte("pfudist", "pqrules", "pd")},
+         |pfall AS (SELECT c.dst, c.dom, c.n_in,
+         |    'd' || CAST(c.dom AS VARCHAR) || '.example.com' AS host
+         |  FROM pfcand c JOIN pddec d ON d.url = c.url
+         |  WHERE d.action = 'allow'),
+         |pfslot AS (SELECT a.dst, a.dom, a.n_in, y.delay,
+         |    greatest(CAST(1 AS BIGINT), 60 // coalesce(y.delay, 60)) AS slots,
+         |    row_number() OVER (PARTITION BY a.host
+         |      ORDER BY a.n_in DESC, a.dst) AS rk
+         |  FROM pfall a LEFT JOIN pqdelay y ON y.host = a.host)
+         |SELECT dst, dom, n_in, delay, slots, rk
+         |FROM pfslot WHERE rk <= slots
+         |ORDER BY dom, rk""".stripMargin
+    },
 
     "q253_pipeline_gopher" -> {
       import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,

@@ -414,6 +414,16 @@ object GraftTableFunctions {
       s.table(str(args(3), u)), str(args(4), u), str(args(5), u)))
   }
 
+  private val gopherRules: Builder = { args =>
+    val u = "graft_gopher_rules(table, idCol, textCol[, minTok[, maxTok]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val minTok = if (args.length >= 4) int(args(3), u).toLong else 50L
+    val maxTok = if (args.length == 5) int(args(4), u).toLong else 100000L
+    plan(graft.text.GopherQuality.signals(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), minTok, maxTok))
+  }
+
   private val paragraphScrub: Builder = { args =>
     val u = "graft_paragraph_scrub(table, idCol, textCol, maxDf)"
     require(args.length == 4, u)
@@ -489,6 +499,7 @@ object GraftTableFunctions {
     "graft_robots_rules" -> robotsRules,
     "graft_crawl_delays" -> crawlDelays,
     "graft_sitemaps_nested" -> sitemapsNested,
+    "graft_gopher_rules" -> gopherRules,
     "graft_pagerank" -> pagerank,
     "graft_pagerank_converged" -> pagerankConverged,
     "graft_paragraph_scrub" -> paragraphScrub,

@@ -40,7 +40,7 @@ object Round11Queries {
     concat(lit(wrapHead), id.cast("string"), lit(wrapMid1),
       id.cast("string"), lit(wrapMid2), text, lit(wrapTail))
 
-  private def wrapSqlOf(id: String, t: String): String =
+  private[queries] def wrapSqlOf(id: String, t: String): String =
     s"'$wrapHead' || $id || '$wrapMid1' || $id || '$wrapMid2' || $t || '$wrapTail'"
 
   /** Oracle mirror of [[graft.text.Html.extract]] over `src(doc_id,

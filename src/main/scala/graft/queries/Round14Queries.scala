@@ -391,6 +391,73 @@ object Round14Queries {
         .orderBy(col("host"))
     }),
 
+    // HTTP-aware WARC ingest: real WARC response records carry the
+    // full HTTP message — status line, headers, entity body — and the
+    // crawl's first relational step is separating transport metadata
+    // from content. Per-host fixture plants 404s (j%11==5) and
+    // image/png responses (j%13==6) among the text/html 200s; the
+    // landed segments round-trip through real storage, the HTTP parse
+    // recovers (status, content-type, body), only the OK html subset
+    // flows to extraction, and clean_match proves the article text
+    // survived status line + headers + container framing byte-exactly.
+    "q255_http_ingest" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val j11 = expr("doc_id div 20") % 11
+      val j13 = expr("doc_id div 20") % 13
+      val status = when(j11 === 5, lit(404)).otherwise(lit(200))
+      val ctype = when(j13 === 6, lit("image/png"))
+        .otherwise(lit("text/html"))
+      val body = when(j13 === 6,
+        concat(lit("PNGDATA for doc "), col("doc_id").cast("string")))
+        .otherwise(Round11Queries.wrapCol(col("doc_id"), col("text")))
+      val pages = docs.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        Warc.httpResponse(status, ctype, body).as("payload"))
+      val land = Files.createTempDirectory("graft-q255-warc").toString
+      Warc.writeSegments(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land)
+      val back = Warc.readRecords(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("payload"))
+      val parsed = back.select(col("doc_id"),
+        Warc.httpStatus(col("payload")).as("status"),
+        Warc.httpContentType(col("payload")).as("ctype"),
+        Warc.httpBody(col("payload")).as("hbody"))
+      val ok = parsed
+        .filter(col("status") === 200 && col("ctype") === "text/html")
+      val ex = graft.text.Html.extract(
+          ok.select(col("doc_id"), col("hbody").as("html")),
+          "doc_id", "html")
+        .withColumnRenamed("text", "__ex")
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"),
+          when(col("__ex") ===
+            trim(regexp_replace(col("text"), "\\s+", " ")), 1L)
+            .otherwise(0L).as("cm"))
+      val counts = parsed.groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("status") === 200 &&
+            col("ctype") === "text/html", 1).otherwise(0))
+            .cast("long").as("n_ok"),
+          sum(when(col("status") === 404, 1).otherwise(0))
+            .cast("long").as("n_404"),
+          sum(when(col("ctype") =!= "text/html", 1).otherwise(0))
+            .cast("long").as("n_nonhtml"))
+      val clean = ex.groupBy((col("doc_id") % 20).as("dom"))
+        .agg(sum(col("cm")).as("n_clean"))
+      val out = counts.join(clean, Seq("dom"), "left")
+        .select(col("dom"), col("n_records"), col("n_ok"),
+          col("n_404"), col("n_nonhtml"),
+          coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      out
+    }),
+
     // POLITENESS-budgeted frontier: q222's crawl frontier under the
     // robots policy — candidates must be ALLOWED (Disallow: /p/3
     // removes every id-starts-with-3 target) and each host's next
@@ -689,6 +756,31 @@ object Round14Queries {
     // streamed fold == one-shot: the door replays q244 verbatim
     "q251_stream_host_scrub" ->
       Round13bQueries.oracleSql("q244_host_boilerplate"),
+
+    // identity through storage: statuses/ctypes recompute from the
+    // fixture formulas; the html-OK subset replays q195's extraction
+    "q255_http_ingest" ->
+      s"""WITH hdocs AS (SELECT doc_id, text,
+         |    ${Round11Queries.wrapSqlOf("doc_id", "text")} AS html
+         |  FROM documents
+         |  WHERE (doc_id // 20) % 11 <> 5 AND (doc_id // 20) % 13 <> 6),
+         |${Round11Queries.htmlExtractCtes("hdocs")},
+         |hclean AS (SELECT h.doc_id,
+         |    CASE WHEN h.text = trim(regexp_replace(d.text, '\\s+', ' ', 'g')) THEN 1 ELSE 0 END AS cm
+         |  FROM hx h JOIN hdocs d ON d.doc_id = h.doc_id),
+         |hcnt AS (SELECT doc_id % 20 AS dom,
+         |    CAST(count(*) AS BIGINT) AS n_records,
+         |    CAST(SUM(CASE WHEN (doc_id // 20) % 11 <> 5 AND (doc_id // 20) % 13 <> 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |    CAST(SUM(CASE WHEN (doc_id // 20) % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_404,
+         |    CAST(SUM(CASE WHEN (doc_id // 20) % 13 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonhtml
+         |  FROM documents GROUP BY 1),
+         |hcl AS (SELECT doc_id % 20 AS dom,
+         |    CAST(SUM(cm) AS BIGINT) AS n_clean
+         |  FROM hclean GROUP BY 1)
+         |SELECT c.dom, c.n_records, c.n_ok, c.n_404, c.n_nonhtml,
+         |  coalesce(l.n_clean, CAST(0 AS BIGINT)) AS n_clean
+         |FROM hcnt c LEFT JOIN hcl l ON l.dom = c.dom
+         |ORDER BY c.dom""".stripMargin,
 
     "q254_polite_frontier" -> {
       import graft.graph.WebGraph

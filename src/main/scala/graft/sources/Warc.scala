@@ -137,4 +137,49 @@ object Warc {
         parseSegment(seg).map { case (u, p) => (u, new String(p, UTF_8)) }))
       .toDF("uri", "body")
   }
+
+  import org.apache.spark.sql.Column
+
+  /** An HTTP/1.1 response payload column — real WARC `response`
+    * records carry the full HTTP message (status line + headers +
+    * entity body), and every crawl pipeline's first relational step is
+    * separating the transport metadata from the content. Pure column
+    * work, so [[writeSegments]] lands it unchanged.
+    */
+  def httpResponse(status: Column, contentType: Column,
+      body: Column): Column =
+    concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
+      when(status === 200, lit("OK"))
+        .when(status === 404, lit("Not Found"))
+        .otherwise(lit("Status")),
+      lit(Crlf), lit("Content-Type: "), contentType,
+      lit(Crlf), lit(Crlf), body)
+
+  /** Status code of an HTTP payload (NULL when the payload is not an
+    * HTTP message — resource records pass through countable).
+    */
+  def httpStatus(payload: Column): Column = {
+    val s = regexp_extract(payload, "^HTTP/1\\.[01] ([0-9]{3})", 1)
+    when(s =!= "", s.cast("int"))
+  }
+
+  /** `Content-Type` header of an HTTP payload, '' when absent. The
+    * extract is anchored to the HEADER section (everything before the
+    * first blank line) so a body that happens to contain the header
+    * name cannot forge it.
+    */
+  def httpContentType(payload: Column): Column =
+    // trim: an empty header value makes `\s*` backtrack and the
+    // capture swallow the separator space
+    trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Content-Type:\\s*([^\\r\\n]+)", 1))
+
+  /** Entity body of an HTTP payload (everything after the first blank
+    * line; the `^` anchor makes the replace single-shot on BOTH
+    * engines — Spark replaces all matches per pass, DuckDB one, and an
+    * anchored pattern can only match once).
+    */
+  def httpBody(payload: Column): Column =
+    regexp_replace(payload, "(?s)^.*?\\r\\n\\r\\n", "")
 }

@@ -546,6 +546,15 @@ class GraftTvfSpec extends SparkSpec {
         "host", "xml", fetched, "url", "xml")
       .orderBy(col("host"), col("url"))
     assert(rows(sqlS).nonEmpty && rows(sqlS) == rows(apiS))
+
+    docs.createOrReplaceTempView("tvf_gq_docs")
+    val sqlG = spark.sql(
+      "SELECT * FROM graft_gopher_rules('tvf_gq_docs', 'doc_id', " +
+        "'text', 5) ORDER BY doc_id")
+    val apiG = graft.text.GopherQuality.signals(docs,
+        "doc_id", "text", minTok = 5L)
+      .orderBy(col("doc_id"))
+    assert(rows(sqlG).nonEmpty && rows(sqlG) == rows(apiG))
   }
 
   test("non-literal and malformed TVF arguments fail with a clear error") {

@@ -70,4 +70,41 @@ class WarcSpec extends SparkSpec {
     assert(Warc.readRecords(spark, dir).count() == 20L)
     graft.queries.Round7bQueries.rmTree(dir)
   }
+
+  test("HTTP response payloads: build, then parse status/type/body; " +
+      "a body cannot forge a header; non-HTTP payloads read NULL") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, 200, "text/html", "<p>hello world</p>"),
+      (2L, 404, "text/html", "not found page"),
+      // body CONTAINS a header-shaped line — must not leak into ctype
+      (3L, 200, "image/png", "fake\r\nContent-Type: text/evil\r\nbytes"),
+      (4L, 301, "", "")).toDF("id", "st", "ct", "bd")
+    val built = rows.select(col("id"),
+      Warc.httpResponse(col("st"), col("ct"), col("bd")).as("p"))
+    val parsed = built.select(col("id"),
+        Warc.httpStatus(col("p")).as("status"),
+        Warc.httpContentType(col("p")).as("ctype"),
+        Warc.httpBody(col("p")).as("body"))
+      .orderBy("id")
+      .as[(Long, Option[Int], String, String)].collect().toSeq
+    assert(parsed == Seq(
+      (1L, Some(200), "text/html", "<p>hello world</p>"),
+      (2L, Some(404), "text/html", "not found page"),
+      (3L, Some(200), "image/png",
+        "fake\r\nContent-Type: text/evil\r\nbytes"),
+      (4L, Some(301), "", "")))
+    // a non-HTTP payload (a plain html record) reads NULL status
+    val plain = Seq((9L, "<html>no transport</html>")).toDF("id", "p")
+    assert(plain.select(Warc.httpStatus(col("p")))
+      .collect()(0).isNullAt(0))
+    // and the whole thing survives the container roundtrip
+    val rec = built.as[(Long, String)].collect()
+      .map { case (i, p) => (s"http://h/p/$i", p.getBytes("UTF-8")) }
+    val back = Warc.parseSegment(Warc.writeSegment(rec.iterator))
+    assert(back.map { case (u, p) => (u, new String(p, "UTF-8")) } ==
+      rec.map { case (u, p) => (u, new String(p, "UTF-8")) }.toSeq)
+  }
 }

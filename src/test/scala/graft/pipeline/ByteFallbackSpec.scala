@@ -52,4 +52,27 @@ class ByteFallbackSpec extends SparkSpec {
       (1L, 0L, 256), (1L, 1L, 0x7A), (1L, 2L, 0x61), (1L, 3L, 0x70),
       (2L, 0L, 257)).sorted)
   }
+
+  test("non-ASCII codepoints take <U+...> names that MISS the " +
+      "reserved 256 and encode -1 loudly, never alias") {
+    // U+00E9 (é, 0xE9 > 127) must NOT become the valid piece <0xE9>;
+    // U+0100 (Ā) once lpad-TRUNCATED its 3-digit hex onto <0x10>
+    val stream = Seq(
+      (1L, 0L, "the"), (1L, 1L, "zé"), (1L, 2L, "Āb"))
+      .toDF("doc_id", "pos", "tok")
+    val bf = Packing.byteFallbackStream(stream, "doc_id", vocab)
+      .orderBy(col("pos")).as[(Long, Long, String)].collect().toSeq
+    assert(bf == Seq(
+      (1L, 0L, "the"), (1L, 1L, "<0x7A>"), (1L, 2L, "<U+E9>"),
+      (1L, 3L, "<U+100>"), (1L, 4L, "<0x62>")))
+    val ids = Seq((1L, 0L, "the"), (1L, 1L, "zé"))
+      .toDF("doc_id", "pos", "tok")
+    val tids = Packing.byteFallbackStream(ids, "doc_id", vocab)
+      .join(Packing.reserveBytes(vocab)
+        .select(col("token").as("tok"), col("id")), Seq("tok"), "left")
+      .select(coalesce(col("id"), lit(-1)).as("tid"))
+      .as[Int].collect().toSeq.sorted
+    // the é piece reads -1 (loud) instead of silently aliasing 0xE9
+    assert(tids == Seq(-1, 0x7A, 256).sorted)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Web-graph analytics over a crawled markup corpus: link extraction,
@@ -261,36 +261,160 @@ object WebGraph {
        |${resolvedLinksCtes(s"rbeff$sfx", "rb_id", "effpage", "html", sfx)}""".stripMargin
   }
 
+  /** The regex-metachar escape chain shared by [[urlDecisions]] and
+    * [[urlDecisionsCtes]] — applied identically on both engines so a
+    * translated robots pattern compiles to the SAME regex text.
+    * Backslash first (so later escapes aren't double-escaped), then
+    * each metachar, then `*` → `.*` LAST (its regex dot must survive).
+    */
+  private val RegexMetas: Seq[(String, String)] = Seq(
+    "\\" -> "\\\\", "." -> "\\.", "^" -> "\\^", "$" -> "\\$",
+    "+" -> "\\+", "?" -> "\\?", "(" -> "\\(", ")" -> "\\)",
+    "[" -> "\\[", "]" -> "\\]", "{" -> "\\{", "}" -> "\\}",
+    "|" -> "\\|", "*" -> ".*")
+
+  private def regexEscCol(c: Column): Column =
+    RegexMetas.foldLeft(c) { case (acc, (m, r)) =>
+      org.apache.spark.sql.functions.replace(acc, lit(m), lit(r))
+    }
+
+  private def regexEscSql(e: String): String =
+    RegexMetas.foldLeft(e) { case (acc, (m, r)) =>
+      s"replace($acc, '$m', '$r')"
+    }
+
   /** Robots-style URL rule decisions: each DISTINCT URL takes the
-    * action of its LONGEST matching prefix rule (the robots.txt
-    * precedence; ties break by pattern text, then action — so a
-    * DUPLICATED pattern with conflicting actions resolves 'allow'
-    * deterministically, the Google-robots tie rule, instead of by
-    * partition order), default allow when nothing matches.
-    * `rules(pattern, action)` is model-sized and
-    * broadcast; a URL's action is a function of the URL alone, so the
-    * decision relation is distinct-URL-sized and joins back to any
-    * link relation by key. Matching is SCHEME-AGNOSTIC (robots rules
-    * govern the host, not the scheme): both the URL and the pattern
-    * drop a leading `http(s)://` before the prefix test, so an
+    * action of its MOST SPECIFIC matching rule — longest pattern text
+    * per RFC 9309 §2.2.2, measured on the SCHEME-STRIPPED pattern so a
+    * rule set mixing `http://host/x` and `host/x/deep` forms ranks by
+    * effective prefix, not by a 7-char scheme bonus; ties break by
+    * pattern text, then action — so a DUPLICATED pattern with
+    * conflicting actions resolves 'allow' deterministically (the
+    * Google-robots tie rule), default allow when nothing matches.
+    * Patterns support RFC 9309 §2.2.3 WILDCARDS: `*` matches any run
+    * of characters and a trailing `$` anchors at end-of-URL (a
+    * `Disallow: &#47;*.php$` rule); such patterns translate to
+    * anchored regexes (every
+    * other regex metachar escaped), while wildcard-free patterns keep
+    * the cheap prefix test. `rules(pattern, action)` is model-sized
+    * and broadcast; a URL's action is a function of the URL alone, so
+    * the decision relation is distinct-URL-sized and joins back to
+    * any link relation by key. Matching is SCHEME-AGNOSTIC (robots
+    * rules govern the host, not the scheme): both the URL and the
+    * pattern drop a leading `http(s)://` before the test, so an
     * `https://` link cannot silently bypass an `http://`-anchored
     * Disallow, and scheme-less `host/path` patterns (the
     * [[parseRobotsFor]] form) match directly. Returns
     * `(url, action)`, action ∈ {'allow','deny'}.
     */
   def urlDecisions(urls: DataFrame, rules: DataFrame): DataFrame = {
+    val rx = rules
+      .select(col("pattern"), col("action"),
+        regexp_replace(col("pattern"), "^https?://", "").as("__s"))
+      .withColumn("__anch", col("__s").endsWith("$"))
+      .withColumn("__b", when(col("__anch"),
+          col("__s").substr(lit(1), length(col("__s")) - 1))
+        .otherwise(col("__s")))
+      .withColumn("__wild", col("__b").contains("*") || col("__anch"))
+      .withColumn("__re", concat(lit("^"), regexEscCol(col("__b")),
+        when(col("__anch"), lit("$")).otherwise(lit(""))))
+    val u = regexp_replace(col("url"), "^https?://", "")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url"))
-      .orderBy(length(col("pattern")).desc, col("pattern"), col("action"))
+      .orderBy(length(col("__s")).desc, col("pattern"), col("action"))
     urls.select(col("url")).distinct()
-      .join(broadcast(rules),
-        regexp_replace(col("url"), "^https?://", "")
-          .startsWith(regexp_replace(col("pattern"), "^https?://", "")),
+      .join(broadcast(rx),
+        (!col("__wild") && u.startsWith(col("__b"))) ||
+          (col("__wild") && regexp_like(u, col("__re"))),
         "left")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("url"),
         coalesce(col("action"), lit("allow")).as("action"))
+  }
+
+  /** DuckDB CTE chain for [[urlDecisions]] over `urlsRel(url)` and
+    * `rulesRel(pattern, action)`, ending in `<pfx>dec(url, action)` —
+    * the canonical oracle replay (same scheme-strip, same stripped
+    * precedence length, same wildcard→regex translation chain).
+    */
+  def urlDecisionsCtes(urlsRel: String, rulesRel: String,
+      pfx: String = "ud"): String = {
+    val uStr = "regexp_replace(u.url, '^https?://', '')"
+    s"""${pfx}r0 AS (SELECT pattern, action,
+       |    regexp_replace(pattern, '^https?://', '') AS s FROM $rulesRel),
+       |${pfx}r1 AS (SELECT pattern, action, s,
+       |    (s LIKE '%$$') AS anch FROM ${pfx}r0),
+       |${pfx}r2 AS (SELECT pattern, action, s, anch,
+       |    CASE WHEN anch THEN substr(s, 1, length(s) - 1) ELSE s END AS b
+       |  FROM ${pfx}r1),
+       |${pfx}rx AS (SELECT pattern, action, length(s) AS plen,
+       |    (contains(b, '*') OR anch) AS wild, b,
+       |    '^' || ${regexEscSql("b")} ||
+       |      (CASE WHEN anch THEN '$$' ELSE '' END) AS re
+       |  FROM ${pfx}r2),
+       |${pfx}dec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
+       |  SELECT u.url, r.action,
+       |    row_number() OVER (PARTITION BY u.url
+       |      ORDER BY r.plen DESC, r.pattern, r.action) AS rn
+       |  FROM $urlsRel u LEFT JOIN ${pfx}rx r
+       |    ON ((NOT r.wild AND starts_with($uStr, r.b)) OR
+       |        (r.wild AND regexp_matches($uStr, r.re)))) t
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** Collapse 3xx redirect CHAINS onto their final targets:
+    * `redirects(url, location)` — one observed hop per fetched 3xx —
+    * resolves to `(url, final_url)` for every source whose chain
+    * reaches a NON-redirect URL within `maxHops` follow steps; chains
+    * still pointing at a redirect source after the budget (cycles,
+    * over-deep chains) DROP rather than resolve — a cycle never
+    * reaches a non-source, so the same filter removes it on both
+    * engines deterministically, never by iteration-order luck. The
+    * relation is fetched-3xx-sized (a crawl-frontier fraction, not
+    * corpus-scale); each round is one equi-join on the bounded set,
+    * and the loop-invariant input materializes ONCE at entry (the
+    * iterative-operator contract — rounds must not re-execute the
+    * caller's parse lineage).
+    */
+  def resolveRedirects(redirects: DataFrame, maxHops: Int = 4)
+      : DataFrame = {
+    val r = redirects
+      .select(col("url"), col("location").as("final_url"))
+      .localCheckpoint()
+    var cur = r
+    (2 to maxHops).foreach { _ =>
+      cur = cur
+        .join(r.select(col("url").as("__u"),
+          col("final_url").as("__t")),
+          col("final_url") === col("__u"), "left")
+        .select(col("url"),
+          coalesce(col("__t"), col("final_url")).as("final_url"))
+    }
+    cur.join(r.select(col("url").as("__src")),
+      col("final_url") === col("__src"), "left_anti")
+  }
+
+  /** DuckDB CTE chain for [[resolveRedirects]] over
+    * `rel(urlCol, locCol)`, ending in `<pfx>res(url, final_url)` —
+    * the follow rounds unrolled, the same drop-unresolved filter.
+    */
+  def resolveRedirectsCtes(rel: String, urlCol: String, locCol: String,
+      maxHops: Int = 4, pfx: String = "rr"): String = {
+    val base =
+      s"${pfx}0 AS (SELECT $urlCol AS url, $locCol AS final_url FROM $rel)"
+    val rounds = (1 until maxHops).map { i =>
+      s"""${pfx}$i AS (SELECT c.url,
+         |    coalesce(n.final_url, c.final_url) AS final_url
+         |  FROM ${pfx}${i - 1} c
+         |  LEFT JOIN ${pfx}0 n ON n.url = c.final_url)""".stripMargin
+    }
+    val last = s"${pfx}${maxHops - 1}"
+    (Seq(base) ++ rounds :+
+      s"""${pfx}res AS (SELECT c.url, c.final_url FROM $last c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM ${pfx}0 s WHERE s.url = c.final_url))""".stripMargin
+      ).mkString(",\n")
   }
 
   /** robots.txt PARSER: `(host, txt)` → the `(pattern, action)` rule
@@ -309,14 +433,15 @@ object WebGraph {
     robots.select(col(hostCol).as("__h"),
         explode(split(col(txtCol), "\n")).as("__l"))
       .select(col("__h"),
-        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 1)
+        regexp_extract(col("__l"), "(?i)^(Allow|Disallow):\\s*(/\\S*)", 1)
           .as("__d"),
-        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 2)
+        regexp_extract(col("__l"), "(?i)^(Allow|Disallow):\\s*(/\\S*)", 2)
           .as("__p"))
       .filter(col("__d") =!= "" && col("__p") =!= "")
       .select(concat(lit("http://"), col("__h"), col("__p"))
           .as("pattern"),
-        when(col("__d") === "Allow", lit("allow"))
+        // RFC 9309 field names are case-insensitive — compare folded
+        when(lower(col("__d")) === "allow", lit("allow"))
           .otherwise(lit("deny")).as("action"))
 
   /** DuckDB CTE for [[parseRobots]] over `rel(hostCol, txtCol)`,
@@ -328,11 +453,11 @@ object WebGraph {
        |    unnest(string_split($txtCol, chr(10))) AS l
        |  FROM $rel),
        |prdir AS (SELECT h,
-       |    regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) AS d,
-       |    regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) AS p
+       |    regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 1) AS d,
+       |    regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 2) AS p
        |  FROM prlines),
        |probots AS (SELECT 'http://' || h || p AS pattern,
-       |    CASE WHEN d = 'Allow' THEN 'allow' ELSE 'deny' END AS action
+       |    CASE WHEN lower(d) = 'allow' THEN 'allow' ELSE 'deny' END AS action
        |  FROM prdir WHERE d <> '' AND p <> '')""".stripMargin
 
   /** The GROUP-aware robots lines for one crawler identity: lines are
@@ -354,7 +479,7 @@ object WebGraph {
     val lines = robots.select(col(hostCol).as("__h"),
         posexplode(split(col(txtCol), "\n")).as(Seq("__pos", "__l")))
       .withColumn("__ua",
-        regexp_extract(col("__l"), "^[Uu]ser-agent:\\s*(\\S+)", 1))
+        regexp_extract(col("__l"), "(?i)^User-agent:\\s*(\\S+)", 1))
       .withColumn("__isua", (col("__ua") =!= "").cast("int"))
       .withColumn("__gid", sum(when(col("__isua") === 1 &&
           coalesce(lag(col("__isua"), 1).over(byPos), lit(0)) === 0,
@@ -385,13 +510,13 @@ object WebGraph {
       txtCol: String, agent: String): DataFrame =
     selectedRobotsLines(robots, hostCol, txtCol, agent)
       .select(col("__h"),
-        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 1)
+        regexp_extract(col("__l"), "(?i)^(Allow|Disallow):\\s*(/\\S*)", 1)
           .as("__d"),
-        regexp_extract(col("__l"), "^(Allow|Disallow):\\s*(/\\S*)", 2)
+        regexp_extract(col("__l"), "(?i)^(Allow|Disallow):\\s*(/\\S*)", 2)
           .as("__p"))
       .filter(col("__d") =!= "" && col("__p") =!= "")
       .select(concat(col("__h"), col("__p")).as("pattern"),
-        when(col("__d") === "Allow", lit("allow"))
+        when(lower(col("__d")) === "allow", lit("allow"))
           .otherwise(lit("deny")).as("action"))
 
   /** `Crawl-delay:` of the selected group per host, for one crawler
@@ -405,7 +530,7 @@ object WebGraph {
       txtCol: String, agent: String): DataFrame =
     selectedRobotsLines(robots, hostCol, txtCol, agent)
       .select(col("__h"),
-        regexp_extract(col("__l"), "^[Cc]rawl-delay:\\s*([0-9]+)", 1)
+        regexp_extract(col("__l"), "(?i)^Crawl-delay:\\s*([0-9]+)", 1)
           .as("__cd"))
       .filter(col("__cd") =!= "")
       .groupBy(col("__h"))
@@ -423,8 +548,8 @@ object WebGraph {
        |    (SELECT $hostCol AS host, string_split($txtCol, chr(10)) AS ls FROM $rel) t,
        |    UNNEST(generate_series(1, len(ls))) AS u(i)),
        |${pfx}u AS (SELECT host, pos, l,
-       |    regexp_extract(l, '^[Uu]ser-agent:\\s*(\\S+)', 1) AS ua,
-       |    CASE WHEN regexp_extract(l, '^[Uu]ser-agent:\\s*(\\S+)', 1) <> '' THEN 1 ELSE 0 END AS isua
+       |    regexp_extract(l, '(?i)^User-agent:\\s*(\\S+)', 1) AS ua,
+       |    CASE WHEN regexp_extract(l, '(?i)^User-agent:\\s*(\\S+)', 1) <> '' THEN 1 ELSE 0 END AS isua
        |  FROM ${pfx}l),
        |${pfx}st AS (SELECT host, pos, l, ua, isua,
        |    CASE WHEN isua = 1 AND COALESCE(LAG(isua) OVER (PARTITION BY host ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS isstart
@@ -435,7 +560,7 @@ object WebGraph {
        |${pfx}sel AS (SELECT host, gid FROM (
        |    SELECT host, gid, ex, st, MAX(ex) OVER (PARTITION BY host) AS he
        |    FROM (SELECT host, gid,
-       |        MAX(CASE WHEN lower(ua) = '${agent.toLowerCase}' THEN 1 ELSE 0 END) AS ex,
+       |        MAX(CASE WHEN lower(ua) = '${sqlLit(agent.toLowerCase)}' THEN 1 ELSE 0 END) AS ex,
        |        MAX(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS st
        |      FROM ${pfx}g WHERE isua = 1 GROUP BY host, gid) g) t
        |  WHERE (he = 1 AND ex = 1) OR (he = 0 AND st = 1)),
@@ -443,16 +568,23 @@ object WebGraph {
        |  JOIN ${pfx}sel s ON s.host = p.host AND s.gid = p.gid
        |  WHERE p.isua = 0),
        |${pfx}rules AS (SELECT host,
-       |    host || regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) AS pattern,
-       |    CASE WHEN regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) = 'Allow' THEN 'allow' ELSE 'deny' END AS action
+       |    host || regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 2) AS pattern,
+       |    CASE WHEN lower(regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 1)) = 'allow' THEN 'allow' ELSE 'deny' END AS action
        |  FROM ${pfx}ls
-       |  WHERE regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 1) <> ''
-       |    AND regexp_extract(l, '^(Allow|Disallow):\\s*(/\\S*)', 2) <> ''),
+       |  WHERE regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 1) <> ''
+       |    AND regexp_extract(l, '(?i)^(Allow|Disallow):\\s*(/\\S*)', 2) <> ''),
        |${pfx}delay AS (SELECT host,
-       |    CAST(MIN(CAST(regexp_extract(l, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS delay
+       |    CAST(MIN(CAST(regexp_extract(l, '(?i)^Crawl-delay:\\s*([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS delay
        |  FROM ${pfx}ls
-       |  WHERE regexp_extract(l, '^[Cc]rawl-delay:\\s*([0-9]+)', 1) <> ''
+       |  WHERE regexp_extract(l, '(?i)^Crawl-delay:\\s*([0-9]+)', 1) <> ''
        |  GROUP BY host)""".stripMargin
+
+  /** Escape a string for interpolation into a single-quoted SQL
+    * literal (the oracle-authoring-hazard posture: an agent name or
+    * stop word carrying an apostrophe must not break the generated
+    * SQL at a distance).
+    */
+  def sqlLit(s: String): String = s.replace("'", "''")
 
   /** `Sitemap:` directives of a robots relation: `(host, url)` — the
     * crawl-DISCOVERY pointer robots.txt carries alongside its access
@@ -467,7 +599,7 @@ object WebGraph {
     robots.select(col(hostCol).as("host"),
         explode(split(col(txtCol), "\n")).as("__l"))
       .select(col("host"),
-        regexp_extract(col("__l"), "^[Ss]itemap:\\s*(https?://\\S+)", 1)
+        regexp_extract(col("__l"), "(?i)^Sitemap:\\s*(https?://\\S+)", 1)
           .as("url"))
       .filter(col("url") =!= "")
 
@@ -480,9 +612,9 @@ object WebGraph {
        |    unnest(string_split($txtCol, chr(10))) AS l
        |  FROM $rel),
        |${pfx}sm AS (SELECT host,
-       |    regexp_extract(l, '^[Ss]itemap:\\s*(https?://\\S+)', 1) AS url
+       |    regexp_extract(l, '(?i)^Sitemap:\\s*(https?://\\S+)', 1) AS url
        |  FROM ${pfx}l
-       |  WHERE regexp_extract(l, '^[Ss]itemap:\\s*(https?://\\S+)', 1) <> '')""".stripMargin
+       |  WHERE regexp_extract(l, '(?i)^Sitemap:\\s*(https?://\\S+)', 1) <> '')""".stripMargin
 
   /** Mass scale: ranks are ppt (parts per 10^12) of total mass. */
   val Scale = 1000000000000L

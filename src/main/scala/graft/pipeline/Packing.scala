@@ -319,17 +319,23 @@ object Packing {
 
   /** The stream rewrite that makes byte fallback REAL: tokens present
     * in the FROZEN (pre-[[reserveBytes]]) vocabulary pass through
-    * unchanged; an out-of-vocab token explodes into one `<0xNN>` byte
-    * piece per character, and per-doc positions recompute densely over
-    * the mixed stream — so the result feeds [[exportShardsOf]] with
+    * unchanged; an out-of-vocab token explodes into the `<0xNN>` byte
+    * pieces of its UTF-8 ENCODING — the actual SentencePiece
+    * byte-fallback contract, so a multilingual token decomposes into
+    * 1–4 reserved bytes per codepoint (é → `<0xC3><0xA9>`) instead of
+    * either collapsing onto one lossy unk or failing — and per-doc
+    * positions recompute densely over the mixed stream, so the result
+    * feeds [[exportShardsOf]] with
     * `vocabIds = Some(reserveBytes(vocab))` and NO unk id, yet can
-    * never emit −1. ASCII corpora only (char == byte; a non-ASCII
-    * char takes a `<U+…>` name outside the reserved 256 and encodes
-    * −1 LOUDLY rather than silently truncating or latin-1-aliasing —
-    * real byte fallback UTF-8-encodes first). The char split is a plain
-    * regex split + per-row string ops (codegen'd — no higher-order
-    * functions on the corpus-sized path); the position renumber is a
-    * per-doc window, doc-bounded like the segmenter's own.
+    * never emit −1 and a loader can reconstruct the exact text.
+    * The byte expansion is `hex(encode(tok))` split into 2-char
+    * chunks (plain regex split + per-row string ops, codegen'd — no
+    * higher-order functions on the corpus-sized path; round-14's
+    * hex-truncation hazard is structurally gone because the hex is
+    * computed per BYTE, never per codepoint); the position renumber
+    * is a per-doc window, doc-bounded like the segmenter's own.
+    * Input strings are valid UTF-8 by construction (parquet's string
+    * contract), so every token byte-encodes.
     *
     * @param stream `(idCol, pos, tok)` as [[graft.text.Bpe
     *   .symbolStream]] emits
@@ -343,23 +349,18 @@ object Packing {
     val pieces = stream.join(inv, Seq("tok"), "left")
       .select(id, col("pos"), col("__inv"),
         posexplode(when(col("__inv"), array(col("tok")))
-          .otherwise(split(col("tok"), "(?!^)")))
+          // \G-anchored lookbehind splits the hex string after every
+          // 2nd char — one piece per UTF-8 byte, in byte order
+          .otherwise(split(hex(encode(col("tok"), "UTF-8")),
+            "(?<=\\G..)")))
           .as(Seq("__cpos", "__p")))
       // Spark split's default limit -1 keeps the zero-width match at
-      // end-of-string → one trailing "" piece per OOV symbol (ascii('')
-      // = 0 would forge a spurious <0x00>); a plain row filter drops
-      // it — codegen'd, not a lambda HOF
+      // end-of-string → one trailing "" piece per OOV symbol; a plain
+      // row filter drops it — codegen'd, not a lambda HOF
       .filter(col("__p") =!= "")
       .select(id, col("pos"), col("__cpos"),
         when(col("__inv"), col("__p"))
-          // codepoints > 127 take a <U+…> name that can NEVER hit the
-          // reserved <0xNN> vocab, so they encode −1 loudly — lpad
-          // alone TRUNCATED 3+-digit hex (U+0100 → '10') and silently
-          // aliased onto a valid byte piece
-          .when(ascii(col("__p")) <= 127, concat(lit("<0x"),
-            lpad(hex(ascii(col("__p"))), 2, "0"), lit(">")))
-          .otherwise(concat(lit("<U+"),
-            hex(ascii(col("__p"))), lit(">")))
+          .otherwise(concat(lit("<0x"), col("__p"), lit(">")))
           .as("tok"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(id).orderBy(col("pos"), col("__cpos"))

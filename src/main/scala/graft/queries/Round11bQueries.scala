@@ -715,7 +715,9 @@ object Round11bQueries {
 
     // WARC-container ingestion: the crawl pages land as REAL WARC
     // segment files (one per partition, the distributed-crawler
-    // shape), are read back through the strict segment parser, and
+    // shape) with PER-RECORD GZIP MEMBERS — the framing crawl dumps
+    // actually use — are read back through the strict segment parser
+    // (magic-byte self-identified, inflated across members), and
     // the recovered markup replays q195's extraction report verbatim
     // — the container roundtrip must not move a byte. Oracle = q195.
     "q230_warc_ingest" -> ((s, dir) => {
@@ -729,7 +731,8 @@ object Round11bQueries {
         Round11Queries.wrapCol(col("doc_id"), col("text")).as("html"))
       val land = Files.createTempDirectory("graft-q230-warc").toString
       graft.sources.Warc.writeSegments(
-        pages.repartition(4, col("doc_id")), "uri", "html", land)
+        pages.repartition(4, col("doc_id")), "uri", "html", land,
+        gzip = true)
       val back = graft.sources.Warc.readRecords(s, land)
         .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
           .cast("long").as("doc_id"), col("body").as("html"))
@@ -920,12 +923,7 @@ object Round11bQueries {
          |    ('http://d12.example.com/p/', 'deny'),
          |    ('http://d', 'allow')) AS t(pattern, action)),
          |udist AS (SELECT DISTINCT url FROM llinks),
-         |udec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
-         |  SELECT u.url, r.action,
-         |    row_number() OVER (PARTITION BY u.url
-         |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
-         |  FROM udist u LEFT JOIN rrules r ON starts_with(regexp_replace(u.url, '^https?://', ''), regexp_replace(r.pattern, '^https?://', ''))) t
-         |  WHERE rn = 1)
+         |${WebGraph.urlDecisionsCtes("udist", "rrules", "u")}
          |SELECT ${WebGraph.hostSql("l.url")} AS dst_host,
          |  CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,

@@ -573,12 +573,7 @@ object Round13Queries {
          |${graft.graph.WebGraph.parseRobotsCtes(
              "probotsrc", "host", "txt")},
          |udist AS (SELECT DISTINCT url FROM llinks),
-         |udec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
-         |  SELECT u.url, r.action,
-         |    row_number() OVER (PARTITION BY u.url
-         |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
-         |  FROM udist u LEFT JOIN probots r ON starts_with(regexp_replace(u.url, '^https?://', ''), regexp_replace(r.pattern, '^https?://', ''))) t
-         |  WHERE rn = 1)
+         |${graft.graph.WebGraph.urlDecisionsCtes("udist", "probots", "u")}
          |SELECT ${graft.graph.WebGraph.hostSql("l.url")} AS dst_host,
          |  CAST(count(*) AS BIGINT) AS n_links,
          |  CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,

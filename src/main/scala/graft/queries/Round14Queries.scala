@@ -109,19 +109,13 @@ object Round14Queries {
        |    '# end' AS txt
        |  FROM (SELECT unnest(generate_series(0, 19)) AS k))""".stripMargin
 
-  /** Scheme-agnostic longest-prefix decision CTE over `urlsRel(url)`
-    * and `rulesRel(pattern, action)` — `<pfx>dec(url, action)`, the
-    * [[graft.graph.WebGraph.urlDecisions]] replay.
+  /** The [[graft.graph.WebGraph.urlDecisions]] replay —
+    * `<pfx>dec(url, action)`, delegated to the canonical shared CTE
+    * (scheme-stripped precedence length + RFC 9309 wildcard regexes).
     */
   private def decisionCte(urlsRel: String, rulesRel: String,
       pfx: String): String =
-    s"""${pfx}dec AS (SELECT url, coalesce(action, 'allow') AS action FROM (
-       |  SELECT u.url, r.action,
-       |    row_number() OVER (PARTITION BY u.url
-       |      ORDER BY length(r.pattern) DESC, r.pattern, r.action) AS rn
-       |  FROM $urlsRel u LEFT JOIN $rulesRel r
-       |    ON starts_with(regexp_replace(u.url, '^https?://', ''), regexp_replace(r.pattern, '^https?://', ''))) t
-       |  WHERE rn = 1)""".stripMargin
+    graft.graph.WebGraph.urlDecisionsCtes(urlsRel, rulesRel, pfx)
 
   // ---- q248's sitemap-index plant -------------------------------------
   // Declared set = doc_id % 5 < 2 (q241's). Hosts k%4==3 publish a
@@ -408,7 +402,10 @@ object Round14Queries {
       val j11 = expr("doc_id div 20") % 11
       val j13 = expr("doc_id div 20") % 13
       val status = when(j11 === 5, lit(404)).otherwise(lit(200))
+      // the j13==2 class carries a charset PARAMETER — the stripped
+      // media type must still read text/html and flow to extraction
       val ctype = when(j13 === 6, lit("image/png"))
+        .when(j13 === 2, lit("text/html; charset=utf-8"))
         .otherwise(lit("text/html"))
       val body = when(j13 === 6,
         concat(lit("PNGDATA for doc "), col("doc_id").cast("string")))
@@ -417,8 +414,9 @@ object Round14Queries {
         urlOf(col("doc_id")).as("uri"),
         Warc.httpResponse(status, ctype, body).as("payload"))
       val land = Files.createTempDirectory("graft-q255-warc").toString
+      // per-record gzip members — the real crawl-dump framing
       Warc.writeSegments(pages.repartition(4, col("doc_id")),
-        "uri", "payload", land)
+        "uri", "payload", land, gzip = true)
       val back = Warc.readRecords(s, land)
         .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
           .cast("long").as("doc_id"), col("body").as("payload"))

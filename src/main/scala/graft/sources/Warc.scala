@@ -26,26 +26,58 @@ object Warc {
 
   private val Crlf = "\r\n"
 
-  /** Serialize records into one WARC segment. */
-  def writeSegment(records: Iterator[(String, Array[Byte])])
+  private def recordBytes(uri: String, payload: Array[Byte])
       : Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
+    val header = new StringBuilder()
+      .append("WARC/1.0").append(Crlf)
+      .append("WARC-Type: response").append(Crlf)
+      .append("WARC-Target-URI: ").append(uri).append(Crlf)
+      .append("Content-Length: ").append(payload.length).append(Crlf)
+      .append(Crlf)
+    out.write(header.toString.getBytes(UTF_8))
+    out.write(payload)
+    out.write((Crlf + Crlf).getBytes(UTF_8))
+    out.toByteArray
+  }
+
+  /** Serialize records into one WARC segment. With `gzip = true` each
+    * record becomes its OWN gzip member and the members concatenate —
+    * the framing real crawl dumps use (per-record members keep records
+    * independently decompressible; a multi-member-aware inflater reads
+    * the whole segment as one stream).
+    */
+  def writeSegment(records: Iterator[(String, Array[Byte])],
+      gzip: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
     records.foreach { case (uri, payload) =>
-      val header = new StringBuilder()
-        .append("WARC/1.0").append(Crlf)
-        .append("WARC-Type: response").append(Crlf)
-        .append("WARC-Target-URI: ").append(uri).append(Crlf)
-        .append("Content-Length: ").append(payload.length).append(Crlf)
-        .append(Crlf)
-      out.write(header.toString.getBytes(UTF_8))
-      out.write(payload)
-      out.write((Crlf + Crlf).getBytes(UTF_8))
+      val rb = recordBytes(uri, payload)
+      if (gzip) {
+        val g = new java.util.zip.GZIPOutputStream(out)
+        g.write(rb)
+        g.finish()
+      } else out.write(rb)
     }
     out.toByteArray
   }
 
-  /** Strict parse of one segment: `(uri, payload)` per record. */
-  def parseSegment(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+  /** Inflate a gzipped segment across ALL its members (JDK
+    * GZIPInputStream concatenates members transparently; corrupt
+    * bytes throw — loud, never guessed).
+    */
+  private def gunzipAll(b: Array[Byte]): Array[Byte] =
+    new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)).readAllBytes()
+
+  /** Strict parse of one segment: `(uri, payload)` per record.
+    * Gzipped segments self-identify by the 0x1F8B magic and inflate
+    * first — readers need no out-of-band flag.
+    */
+  def parseSegment(bytes0: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val bytes =
+      if (bytes0.length >= 2 && (bytes0(0) & 0xFF) == 0x1F &&
+          (bytes0(1) & 0xFF) == 0x8B) gunzipAll(bytes0)
+      else bytes0
     val out = Seq.newBuilder[(String, Array[Byte])]
     var i = 0
     def fail(msg: String): Nothing =
@@ -101,7 +133,7 @@ object Warc {
     * a half-written segment (`binaryFile` ignores dotfiles).
     */
   def writeSegments(df: DataFrame, uriCol: String, payloadCol: String,
-      dir: String): Unit = {
+      dir: String, gzip: Boolean = false): Unit = {
     val plan = df.select(col(uriCol).cast("string"),
       col(payloadCol).cast("string"))
     plan.foreachPartition {
@@ -109,7 +141,7 @@ object Warc {
         val recs = rows.map(r =>
           (r.getString(0), r.getString(1).getBytes(UTF_8)))
         if (recs.hasNext) {
-          val bytes = writeSegment(recs)
+          val bytes = writeSegment(recs, gzip)
           val ctx = org.apache.spark.TaskContext.get()
           val pid = if (ctx == null) 0 else ctx.partitionId()
           val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
@@ -163,17 +195,37 @@ object Warc {
     when(s =!= "", s.cast("int"))
   }
 
-  /** `Content-Type` header of an HTTP payload, '' when absent. The
-    * extract is anchored to the HEADER section (everything before the
-    * first blank line) so a body that happens to contain the header
-    * name cannot forge it.
+  /** `Content-Type` header of an HTTP payload, '' when absent,
+    * PARAMETERS STRIPPED — `text/html; charset=utf-8` returns the bare
+    * media type `text/html`, so equality filters see what they expect.
+    * The extract is anchored to the HEADER section (everything before
+    * the first blank line) so a body that happens to contain the
+    * header name cannot forge it.
     */
   def httpContentType(payload: Column): Column =
     // trim: an empty header value makes `\s*` backtrack and the
-    // capture swallow the separator space
+    // capture swallow the separator space; split on ';' drops the
+    // parameter section (split('') = [''] keeps the absent case '')
+    trim(element_at(split(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Content-Type:\\s*([^\\r\\n]+)", 1), ";"), 1))
+
+  /** `Location` header of an HTTP payload, '' when absent — the 3xx
+    * redirect target; header-anchored like [[httpContentType]].
+    */
+  def httpLocation(payload: Column): Column =
     trim(regexp_extract(
       regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
-      "(?i)Content-Type:\\s*([^\\r\\n]+)", 1))
+      "(?i)Location:\\s*([^\\r\\n]+)", 1))
+
+  /** A 3xx redirect response payload: status line + `Location`
+    * header, empty entity body (how crawlers actually see moved
+    * pages; the content-type filter naturally drops these from the
+    * extraction path while [[httpLocation]] recovers the target).
+    */
+  def httpRedirect(status: Column, location: Column): Column =
+    concat(lit("HTTP/1.1 "), status.cast("string"), lit(" Moved"),
+      lit(Crlf), lit("Location: "), location, lit(Crlf), lit(Crlf))
 
   /** Entity body of an HTTP payload (everything after the first blank
     * line; the `^` anchor makes the replace single-shot on BOTH

@@ -45,16 +45,32 @@ object GopherQuality {
       when(den > 0, num.cast("double") / den.cast("double"))
         .otherwise(lit(0.0))
 
-    val toks = docs.select(id,
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val tokAgg = toks.groupBy(id).agg(
-      count(lit(1)).as("n_tok"),
-      sum(length(col("tok")).cast("long")).as("sum_len"),
-      sum(when(col("tok").rlike("[A-Za-z]"), 1L).otherwise(0L))
-        .as("n_alpha"),
-      countDistinct(when(lower(col("tok")).isin(stopwords: _*),
-        lower(col("tok")))).as("n_stop"))
+    // scan 1: the symbol counts (per-row length arithmetic —
+    // replace-all both engines; each `...` removal is exactly 3 chars
+    // so diff div 3 is exact) RIDE the token explode's input, and
+    // `explode_outer` keeps token-less docs as one null-token row —
+    // the id spine, the token aggregate, and the symbol counts in ONE
+    // pass over the docs relation instead of three
+    val tokAgg = docs.select(id,
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "#", "")))
+          .cast("long").as("n_hash"),
+        expr(s"CAST((length($textCol) - length(regexp_replace(" +
+          s"$textCol, '\\\\.\\\\.\\\\.', ''))) div 3 AS BIGINT)")
+          .as("n_edots"),
+        explode_outer(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(id).agg(
+        count(col("tok")).as("n_tok"),
+        coalesce(sum(length(col("tok")).cast("long")), lit(0L))
+          .as("sum_len"),
+        coalesce(sum(when(col("tok").rlike("[A-Za-z]"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_alpha"),
+        countDistinct(when(lower(col("tok")).isin(stopwords: _*),
+          lower(col("tok")))).as("n_stop"),
+        max(col("n_hash")).as("n_hash"),
+        max(col("n_edots")).as("n_edots"))
 
+    // scan 2: the line explode (a different grain — can't ride scan 1)
     val lines = docs
       .select(id, explode(split(col(textCol), "\n")).as("line"))
       .filter(length(trim(col("line"))) > 0)
@@ -65,31 +81,15 @@ object GopherQuality {
       sum(when(col("line").rlike("\\.\\.\\.\\s*$"), 1L).otherwise(0L))
         .as("n_ellip"))
 
-    // symbol counts by length arithmetic (replace-all both engines;
-    // each `...` removal is exactly 3 chars so diff div 3 is exact)
-    val sym = docs.select(id,
-      (length(col(textCol)) -
-        length(regexp_replace(col(textCol), "#", "")))
-        .cast("long").as("n_hash"),
-      expr(s"CAST((length($textCol) - length(regexp_replace(" +
-        s"$textCol, '\\\\.\\\\.\\\\.', ''))) div 3 AS BIGINT)")
-        .as("n_edots"))
-
     val z = lit(0L)
-    docs.select(id)
-      .join(tokAgg, Seq(idCol), "left")
+    tokAgg
       .join(lineAgg, Seq(idCol), "left")
-      .join(sym, Seq(idCol), "left")
       .select(id,
-        coalesce(col("n_tok"), z).as("n_tok"),
-        coalesce(col("sum_len"), z).as("sum_len"),
-        coalesce(col("n_alpha"), z).as("n_alpha"),
-        coalesce(col("n_stop"), z).as("n_stop"),
+        col("n_tok"), col("sum_len"), col("n_alpha"), col("n_stop"),
         coalesce(col("n_lines"), z).as("n_lines"),
         coalesce(col("n_bullet"), z).as("n_bullet"),
         coalesce(col("n_ellip"), z).as("n_ellip"),
-        coalesce(col("n_hash"), z).as("n_hash"),
-        coalesce(col("n_edots"), z).as("n_edots"))
+        col("n_hash"), col("n_edots"))
       .select(id, col("n_tok"),
         frac(col("sum_len"), col("n_tok")).as("mean_word_len"),
         frac(col("n_hash") + col("n_edots"), col("n_tok"))
@@ -116,7 +116,8 @@ object GopherQuality {
       minTok: Long = 50L, maxTok: Long = 100000L,
       pfx: String = "gq",
       stopwords: Seq[String] = StopWords): String = {
-    val stops = stopwords.map(s => s"'$s'").mkString(", ")
+    val stops = stopwords
+      .map(s => s"'${graft.graph.WebGraph.sqlLit(s)}'").mkString(", ")
     s"""${pfx}tk AS (SELECT $idCol AS id, unnest(list_filter(
        |    string_split_regex($textCol, '\\s+'), x -> x <> '')) AS tok
        |  FROM $rel),

@@ -365,4 +365,93 @@ class WebGraphSpec extends SparkSpec {
       ("a.com", "http://a.com/p/1", "2026-01-01"), // via child 0
       ("a.com", "http://a.com/p/2", ""))) // via child 1, no lastmod
   }
+
+  test("urlDecisions wildcards: * runs, trailing $ anchors, literal " +
+      "metachars stay literal, precedence by stripped pattern length") {
+    val rules = Seq(
+      ("a.com/p/", "deny"), // len 9
+      ("a.com/p/*.html", "allow"), // len 14: carve-out inside the deny
+      ("a.com/*.php$", "deny"), // len 12: anchored extension rule
+      ("a.com/p/1", "allow") // len 9 prefix — loses to the $ rule
+    ).toDF("pattern", "action")
+    val urls = Seq(
+      "http://a.com/p/7.html", // *.html allow (14) beats /p/ deny (9)
+      "http://a.com/p/1.php", // *.php$ deny (12) beats /p/1 allow (9)
+      "http://a.com/p/5.php.txt", // $ anchor: .php NOT at end -> /p/ deny
+      "https://a.com/x.php", // scheme-agnostic wildcard match
+      "http://a.com/q/2" // nothing matches -> default allow
+    ).toDF("url")
+    val got = WebGraph.urlDecisions(urls, rules)
+      .as[(String, String)].collect().toMap
+    assert(got == Map(
+      "http://a.com/p/7.html" -> "allow",
+      "http://a.com/p/1.php" -> "deny",
+      "http://a.com/p/5.php.txt" -> "deny",
+      "https://a.com/x.php" -> "deny",
+      "http://a.com/q/2" -> "allow"))
+    // the '.' in a pattern is literal, never a regex dot: 'a.com' must
+    // not match 'aXcom' even through the wildcard-regex path
+    val lit = WebGraph.urlDecisions(
+        Seq("http://aXcom/p/1.php").toDF("url"),
+        Seq(("a.com/*.php$", "deny")).toDF("pattern", "action"))
+      .as[(String, String)].collect().toMap
+    assert(lit == Map("http://aXcom/p/1.php" -> "allow"))
+  }
+
+  test("urlDecisions precedence strips the scheme bonus: a scheme-full " +
+      "short rule cannot beat a scheme-less deeper rule") {
+    // raw lengths: 'http://a.com/x' (14) > 'a.com/x/deep' (12) — but
+    // effective prefixes are 'a.com/x' (7) < 'a.com/x/deep' (12)
+    val rules = Seq(
+      ("http://a.com/x", "deny"),
+      ("a.com/x/deep", "allow")).toDF("pattern", "action")
+    val got = WebGraph.urlDecisions(
+        Seq("http://a.com/x/deep/1").toDF("url"), rules)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("http://a.com/x/deep/1" -> "allow"))
+  }
+
+  test("robots field names are case-insensitive (RFC 9309): DISALLOW, " +
+      "Crawl-Delay, SITEMAP all parse") {
+    val robots = Seq(("a.com",
+      "User-Agent: *\nDISALLOW: /p/\nallow: /p/ok\n" +
+        "Crawl-Delay: 7\nSITEMAP: http://a.com/sm.xml"))
+      .toDF("host", "txt")
+    val rules = WebGraph.parseRobotsFor(robots, "host", "txt", "anybot")
+      .as[(String, String)].collect().toSet
+    assert(rules == Set(("a.com/p/", "deny"), ("a.com/p/ok", "allow")))
+    val delays = WebGraph.crawlDelays(robots, "host", "txt", "anybot")
+      .as[(String, Long)].collect().toSeq
+    assert(delays == Seq(("a.com", 7L)))
+    val sm = WebGraph.sitemapDirectives(robots, "host", "txt")
+      .as[(String, String)].collect().toSeq
+    assert(sm == Seq(("a.com", "http://a.com/sm.xml")))
+    // the flat parser folds case too
+    val flat = WebGraph.parseRobots(robots, "host", "txt")
+      .as[(String, String)].collect().toSet
+    assert(flat == Set(("http://a.com/p/", "deny"),
+      ("http://a.com/p/ok", "allow")))
+  }
+
+  test("resolveRedirects collapses chains, drops cycles and " +
+      "over-budget chains — never resolves to a redirect source") {
+    val redirects = Seq(
+      ("a", "b"), // a -> b (b not a source: depth-1 resolve)
+      ("c", "a"), // c -> a -> b (depth 2)
+      ("d", "c"), // d -> c -> a -> b (depth 3)
+      ("e", "d"), // e -> ... -> b (depth 4, at the budget)
+      ("f", "e"), // f needs 5 hops -> DROPS at maxHops=4
+      ("x", "y"), ("y", "x") // 2-cycle -> both DROP
+    ).toDF("url", "location")
+    val got = WebGraph.resolveRedirects(redirects, maxHops = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "b", "c" -> "b", "d" -> "b", "e" -> "b"))
+    // CTE replay agrees bit-for-bit (spark.sql accepts the same text)
+    redirects.createOrReplaceTempView("wg_redir_v")
+    val viaSql = spark.sql("WITH " +
+        WebGraph.resolveRedirectsCtes("wg_redir_v", "url", "location", 4) +
+        " SELECT url, final_url FROM rrres")
+      .as[(String, String)].collect().toMap
+    assert(viaSql == got)
+  }
 }

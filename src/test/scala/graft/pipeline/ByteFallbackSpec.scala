@@ -53,26 +53,52 @@ class ByteFallbackSpec extends SparkSpec {
       (2L, 0L, 257)).sorted)
   }
 
-  test("non-ASCII codepoints take <U+...> names that MISS the " +
-      "reserved 256 and encode -1 loudly, never alias") {
-    // U+00E9 (é, 0xE9 > 127) must NOT become the valid piece <0xE9>;
-    // U+0100 (Ā) once lpad-TRUNCATED its 3-digit hex onto <0x10>
+  test("non-ASCII codepoints decompose into their UTF-8 bytes — the " +
+      "SentencePiece contract, 2/3/4-byte sequences all in range") {
+    // é U+00E9 → C3 A9; Ā U+0100 (the old lpad-truncation hazard)
+    // → C4 80; € U+20AC → E2 82 AC; 𝄞 U+1D11E (supplementary,
+    // surrogate pair in UTF-16) → F0 9D 84 9E
     val stream = Seq(
-      (1L, 0L, "the"), (1L, 1L, "zé"), (1L, 2L, "Āb"))
+      (1L, 0L, "the"), (1L, 1L, "zé"), (1L, 2L, "Āb"),
+      (2L, 0L, "€"), (3L, 0L, "𝄞"))
       .toDF("doc_id", "pos", "tok")
     val bf = Packing.byteFallbackStream(stream, "doc_id", vocab)
-      .orderBy(col("pos")).as[(Long, Long, String)].collect().toSeq
+      .orderBy(col("doc_id"), col("pos"))
+      .as[(Long, Long, String)].collect().toSeq
     assert(bf == Seq(
-      (1L, 0L, "the"), (1L, 1L, "<0x7A>"), (1L, 2L, "<U+E9>"),
-      (1L, 3L, "<U+100>"), (1L, 4L, "<0x62>")))
-    val ids = Seq((1L, 0L, "the"), (1L, 1L, "zé"))
-      .toDF("doc_id", "pos", "tok")
-    val tids = Packing.byteFallbackStream(ids, "doc_id", vocab)
+      (1L, 0L, "the"), (1L, 1L, "<0x7A>"), (1L, 2L, "<0xC3>"),
+      (1L, 3L, "<0xA9>"), (1L, 4L, "<0xC4>"), (1L, 5L, "<0x80>"),
+      (1L, 6L, "<0x62>"),
+      (2L, 0L, "<0xE2>"), (2L, 1L, "<0x82>"), (2L, 2L, "<0xAC>"),
+      (3L, 0L, "<0xF0>"), (3L, 1L, "<0x9D>"), (3L, 2L, "<0x84>"),
+      (3L, 3L, "<0x9E>")))
+    // every piece hits the reserved 256 — the tape can never read -1
+    val tids = Packing.byteFallbackStream(stream, "doc_id", vocab)
       .join(Packing.reserveBytes(vocab)
         .select(col("token").as("tok"), col("id")), Seq("tok"), "left")
       .select(coalesce(col("id"), lit(-1)).as("tid"))
-      .as[Int].collect().toSeq.sorted
-    // the é piece reads -1 (loud) instead of silently aliasing 0xE9
-    assert(tids == Seq(-1, 0x7A, 256).sorted)
+      .as[Int].collect().toSeq
+    assert(tids.forall(_ >= 0))
+  }
+
+  test("the tape decodes back BYTE-EXACT: byte pieces reassemble the " +
+      "original token stream's UTF-8 text") {
+    val toks = Seq("the", "café", "€42", "cat",
+      "𝄞-clef")
+    val stream = toks.zipWithIndex
+      .map { case (t, i) => (1L, i.toLong, t) }
+      .toDF("doc_id", "pos", "tok")
+    val pieces = Packing.byteFallbackStream(stream, "doc_id", vocab)
+      .orderBy(col("pos")).as[(Long, Long, String)].collect().toSeq
+    // decode: in-vocab pieces contribute their UTF-8 bytes, <0xNN>
+    // pieces contribute the raw byte — the loader's contract
+    val bytes = pieces.flatMap { case (_, _, p) =>
+      if (p.startsWith("<0x"))
+        Seq(Integer.parseInt(p.substring(3, 5), 16).toByte)
+      else p.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+    }.toArray
+    val decoded = new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(decoded == toks.mkString(""))
   }
 }

@@ -71,6 +71,75 @@ class WarcSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(dir)
   }
 
+  test("gzip segments roundtrip: per-record members, magic-byte " +
+      "self-identification, corrupt bytes loud") {
+    val recs = Seq(
+      rec("http://a.com/1", "hello <b>world</b>"),
+      rec("http://a.com/2", ""),
+      rec("http://b.com/x", "line1\r\nline2"))
+    val gz = Warc.writeSegment(recs.iterator, gzip = true)
+    // magic present, and the segment is genuinely multi-member (one
+    // 0x1F8B header per record)
+    assert((gz(0) & 0xFF) == 0x1F && (gz(1) & 0xFF) == 0x8B)
+    val magics = gz.sliding(2).count(p =>
+      (p(0) & 0xFF) == 0x1F && (p(1) & 0xFF) == 0x8B)
+    assert(magics >= 3)
+    val back = Warc.parseSegment(gz)
+    assert(back.map(_._1) == recs.map(_._1))
+    assert(back.map(r => new String(r._2, UTF_8)) ==
+      recs.map(r => new String(r._2, UTF_8)))
+    // plain segments still parse (self-identified, no flag)
+    val plain = Warc.writeSegment(recs.iterator)
+    assert(Warc.parseSegment(plain).map(_._1) == recs.map(_._1))
+    // corrupt gzip bytes are loud
+    val corrupt = gz.clone(); corrupt(10) = (corrupt(10) ^ 0x55).toByte
+    intercept[Exception](Warc.parseSegment(corrupt))
+  }
+
+  test("gzipped write/read through files recovers the full relation") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-warc-gz").toString
+    val df = (1L to 37L)
+      .map(i => (s"http://d${i % 3}.example.com/p/$i", s"body $i <p>x</p>"))
+      .toDF("uri", "html")
+    Warc.writeSegments(df.repartition(4), "uri", "html", dir,
+      gzip = true)
+    val back = Warc.readRecords(spark, dir)
+      .as[(String, String)].collect().toSet
+    assert(back == (1L to 37L)
+      .map(i => (s"http://d${i % 3}.example.com/p/$i", s"body $i <p>x</p>"))
+      .toSet)
+    graft.queries.Round7bQueries.rmTree(dir)
+  }
+
+  test("httpContentType strips parameters; httpLocation reads the " +
+      "redirect target header-anchored") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\nbody"),
+      (2L, "HTTP/1.1 301 Moved\r\nLocation: http://t.example.com/p/9\r\n\r\n"),
+      // a body cannot forge Location
+      (3L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nLocation: http://evil/")).toDF("id", "p")
+    val got = rows.select(col("id"),
+        Warc.httpContentType(col("p")).as("ct"),
+        Warc.httpLocation(col("p")).as("loc"))
+      .orderBy("id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "text/html", ""),
+      (2L, "", "http://t.example.com/p/9"),
+      (3L, "text/html", "")))
+    // the builder roundtrips through the parsers
+    val built = Seq((301, "http://t/p/1")).toDF("st", "loc")
+      .select(Warc.httpRedirect(col("st"), col("loc")).as("p"))
+      .select(Warc.httpStatus(col("p")).as("s"),
+        Warc.httpLocation(col("p")).as("l"),
+        Warc.httpBody(col("p")).as("b"))
+      .as[(Int, String, String)].collect()(0)
+    assert(built == ((301, "http://t/p/1", "")))
+  }
+
   test("HTTP response payloads: build, then parse status/type/body; " +
       "a body cannot forge a header; non-HTTP payloads read NULL") {
     val s = spark

@@ -668,22 +668,8 @@ object Round14Queries {
     // query; the oracle replays every stage in one WITH RECURSIVE.
     "q249_crawl_release" -> ((s, dir) => {
       import java.nio.file.Files
-      import org.apache.spark.sql.expressions.Window
       import graft.graph.WebGraph
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val n = Tables.docCount(s, dir)
-      val cbase = docs
-        .unionByName(docs.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-        .unionByName(docs.filter(col("doc_id") % 11 === 0)
-          .select((col("doc_id") + 2000000L).as("doc_id"),
-            concat(col("text"), lit(" zz tail marker")).as("text")))
-      val k = (col("doc_id") % 20).cast("string")
-      val pages = cbase.select(col("doc_id"),
-        concat(lit("http://d"), k, lit(".example.com/p/"),
-          col("doc_id").cast("string")).as("uri"),
-        capHtml(n).as("html"))
+      val pages = capstonePages(s, dir)
       val land = Files.createTempDirectory("graft-q249-warc").toString
       graft.sources.Warc.writeSegments(
         pages.repartition(4, col("doc_id")), "uri", "html", land)
@@ -701,44 +687,79 @@ object Round14Queries {
         "doc_id", "text")
       val edges = WebGraph.docEdges(
         WebGraph.links(back, "doc_id", "html"))
-      val nodes = Tables(s, dir, "documents")
-        .select(col("doc_id").as("node"))
-      val ranks = WebGraph.pageRankConverged(nodes, edges,
-        maxRounds = 15, epsDiv = 100000L)
-      val dmass = ranks.groupBy((col("node") % 20).as("dom"))
-        .agg(sum(col("rank")).as("mass"))
-      // 20-row domain table: the single-partition window is model-sized
-      val drank = dmass.withColumn("drk", row_number().over(
-          Window.orderBy(col("mass").desc, col("dom"))))
-        .withColumn("cap", when(col("drk") <= 10, 15).otherwise(8))
-      val sdoc = cleaned.select(col("doc_id"),
-        (col("doc_id") % 20).as("dom"), col("quality"), col("lang_pred"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
-          .as("n_tok"))
-      val kept = sdoc
-        .join(broadcast(drank.select(col("dom"), col("cap"))), Seq("dom"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("dom"))
-            .orderBy(col("n_chars").desc, col("doc_id"))))
-        .filter(col("rk") <= col("cap"))
-        .select(col("doc_id"), col("dom"), col("quality"),
-          col("lang_pred"), col("n_tok"))
-      val ranked = graft.operators.Ranking.globalRowNumber(kept,
-        Seq("dom", "doc_id"), "grank")
-      val packed = graft.operators.TwoPhase.prefixSum(ranked, Nil,
-          Seq("dom", "doc_id"), col("n_tok"), "cum_tok")
-        .withColumn("start_tok", col("cum_tok") - col("n_tok"))
-      val out = packed.select(col("doc_id"), col("dom"), col("quality"),
-          col("lang_pred"), col("n_tok"), col("grank"),
-          expr("start_tok div 2048").as("seq"),
-          expr("start_tok % 2048").as("off"))
-        .orderBy(col("doc_id"))
+      val out = capstoneResolve(s, dir, cleaned, edges)
         .localCheckpoint()
       Round7bQueries.rmTree(land)
       out
     }),
   )
+
+  /** The capstone's page fixture — the planted-duplicate corpus,
+    * HTML-wrapped by [[capHtml]] — shared by the batch chain (q249)
+    * and the streaming door (q259). `(doc_id, uri, html)`.
+    */
+  private[queries] def capstonePages(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val n = Tables.docCount(s, dir)
+    val cbase = docs
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" zz tail marker")).as("text")))
+    val k = (col("doc_id") % 20).cast("string")
+    cbase.select(col("doc_id"),
+      concat(lit("http://d"), k, lit(".example.com/p/"),
+        col("doc_id").cast("string")).as("uri"),
+      capHtml(n).as("html"))
+  }
+
+  /** The capstone's END-OF-CHAIN resolve — converged-PageRank domain
+    * caps over `edges`, two-phase global rank + token-offset packing
+    * over `cleaned` — ONE implementation shared by the batch chain
+    * (q249) and the streaming door (q259), so the two fronts cannot
+    * diverge on the tail.
+    */
+  private[queries] def capstoneResolve(s: SparkSession, dir: String,
+      cleaned: DataFrame, edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.graph.WebGraph
+    val nodes = Tables(s, dir, "documents")
+      .select(col("doc_id").as("node"))
+    val ranks = WebGraph.pageRankConverged(nodes, edges,
+      maxRounds = 15, epsDiv = 100000L)
+    val dmass = ranks.groupBy((col("node") % 20).as("dom"))
+      .agg(sum(col("rank")).as("mass"))
+    // 20-row domain table: the single-partition window is model-sized
+    val drank = dmass.withColumn("drk", row_number().over(
+        Window.orderBy(col("mass").desc, col("dom"))))
+      .withColumn("cap", when(col("drk") <= 10, 15).otherwise(8))
+    val sdoc = cleaned.select(col("doc_id"),
+      (col("doc_id") % 20).as("dom"), col("quality"), col("lang_pred"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(graft.text.TextAnalysis.tokens(col("text"))).cast("long")
+        .as("n_tok"))
+    val kept = sdoc
+      .join(broadcast(drank.select(col("dom"), col("cap"))), Seq("dom"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("dom"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") <= col("cap"))
+      .select(col("doc_id"), col("dom"), col("quality"),
+        col("lang_pred"), col("n_tok"))
+    val ranked = graft.operators.Ranking.globalRowNumber(kept,
+      Seq("dom", "doc_id"), "grank")
+    val packed = graft.operators.TwoPhase.prefixSum(ranked, Nil,
+        Seq("dom", "doc_id"), col("n_tok"), "cum_tok")
+      .withColumn("start_tok", col("cum_tok") - col("n_tok"))
+    packed.select(col("doc_id"), col("dom"), col("quality"),
+        col("lang_pred"), col("n_tok"), col("grank"),
+        expr("start_tok div 2048").as("seq"),
+        expr("start_tok % 2048").as("off"))
+      .orderBy(col("doc_id"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

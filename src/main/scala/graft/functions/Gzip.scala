@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Gzip member codec as native codegen expressions — the
+  * `Content-Encoding: gzip` entity-body layer of HTTP-aware crawl
+  * ingest (reference scope: the staging feed `SCD_script.txt:83-116`,
+  * generalized to compressed transport). Same static-helper idiom as
+  * [[TokenBinary]]: bodies are KiB-sized, and a compressed body is
+  * decompressed exactly once per record on the scan path, so the work
+  * is per-row bounded and stays inside whole-stage codegen.
+  *
+  * Determinism note: [[Gzip.deflate]] output bytes are stable for a
+  * given JDK (fixed header, MTIME=0, default level), but NOTHING
+  * cross-engine ever compares compressed bytes — oracles always
+  * replay from the pre-compression truth; only the inflate round-trip
+  * is verified.
+  */
+case class GzipDeflate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip_deflate"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    Gzip.deflate(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.deflate($c);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GzipDeflate = copy(child = newChild)
+}
+
+/** Inverse of [[GzipDeflate]]: NULL unless the buffer starts with the
+  * gzip magic (a torn or identity-encoded body must surface as NULL,
+  * not decode garbage); corrupt members past the magic THROW — loud,
+  * never guessed (the Warc parse posture).
+  */
+case class GzipInflate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "gzip_inflate"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Gzip.inflate(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.inflate($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): GzipInflate = copy(child = newChild)
+}
+
+/** Lenient UTF-8 decode: malformed sequences become U+FFFD instead of
+  * throwing — Spark 4's built-in `decode` REPORTS coding errors, which
+  * would let ONE mislabeled-charset response kill a whole crawl-ingest
+  * job. Replacement characters flow on and fail their clean-match
+  * downstream: visible per-record, fatal never.
+  */
+case class Utf8DecodeLenient(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "utf8_decode_lenient"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    Gzip.utf8Lenient(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.utf8Lenient($c);
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Utf8DecodeLenient = copy(child = newChild)
+}
+
+object Gzip {
+
+  /** One gzip member over the whole buffer (JDK GZIPOutputStream:
+    * fixed header, zero MTIME — byte-stable per JDK).
+    */
+  def deflate(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(out)
+    g.write(b)
+    g.finish()
+    out.toByteArray
+  }
+
+  /** All members inflated and concatenated; null when the magic is
+    * absent, IllegalArgumentException on corrupt bytes past it.
+    */
+  def inflate(b: Array[Byte]): Array[Byte] = {
+    if (b.length < 2 || (b(0) & 0xFF) != 0x1F || (b(1) & 0xFF) != 0x8B)
+      return null
+    try new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b)).readAllBytes()
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"corrupt gzip member (${b.length} bytes): ${e.getMessage}")
+    }
+  }
+
+  /** UTF-8 with CodingErrorAction.REPLACE (the JDK decoder's U+FFFD
+    * substitution — deterministic, standard).
+    */
+  def utf8Lenient(b: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+  }
+
+  def deflateCol(bytes: Column): Column =
+    ColumnBridge.column(GzipDeflate(ColumnBridge.expression(bytes)))
+
+  def inflateCol(bytes: Column): Column =
+    ColumnBridge.column(GzipInflate(ColumnBridge.expression(bytes)))
+
+  def utf8LenientCol(bytes: Column): Column =
+    ColumnBridge.column(Utf8DecodeLenient(ColumnBridge.expression(bytes)))
+}

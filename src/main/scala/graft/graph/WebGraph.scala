@@ -261,6 +261,74 @@ object WebGraph {
        |${resolvedLinksCtes(s"rbeff$sfx", "rb_id", "effpage", "html", sfx)}""".stripMargin
   }
 
+  /** `rel=canonical` declarations: `(src, canonical)` — one row per
+    * page that declares a canonical URL, the href resolved against
+    * the page URL like any link. Both attribute orders are accepted
+    * (`rel` first or `href` first, all three quote forms); the FIRST
+    * canonical element wins (the `<base>` rule — regexp_extract takes
+    * the first match on both engines). Duplicate-content mirrors
+    * (`?ref=` tracking copies, host aliases) declare the same target,
+    * so grouping on `canonical` is a publisher-declared dedup key —
+    * the relation feeds exact-dup folding the way [[resolveRedirects]]
+    * feeds the frontier. Per-page codegen string work, no shuffle.
+    */
+  def canonicalLinks(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val relFirst = regexp_extract(col(htmlCol),
+      "<link[^>]*rel=[\"']?canonical[\"']?[^>]*href=(\"[^\"]*\"|'[^']*'|[^ >\"']+)",
+      1)
+    val hrefFirst = regexp_extract(col(htmlCol),
+      "<link[^>]*href=(\"[^\"]*\"|'[^']*'|[^ >\"']+)[^>]*rel=[\"']?canonical[\"']?",
+      1)
+    val cq = when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+    pages.select(col(idCol).as("src"), col(urlCol).as("__page"),
+        cq.as("__href"))
+      .filter(col("__href") =!= "")
+      .select(col("src"),
+        resolveUrl(col("__page"), col("__href")).as("canonical"))
+      .filter(col("canonical").isNotNull)
+  }
+
+  /** DuckDB CTE chain for [[canonicalLinks]] over
+    * `rel(idCol, urlCol, htmlCol)`, ending in
+    * `cn<sfx>(src, canonical)`.
+    */
+  def canonicalLinksCtes(rel: String, idCol: String, urlCol: String,
+      htmlCol: String, sfx: String = ""): String = {
+    val collapse = (1 to 4).foldLeft("abs_url") { (x, _) =>
+      s"regexp_replace(regexp_replace($x, '/\\./', '/'), '/[^/]+/\\.\\./', '/')"
+    }
+    s"""cn0$sfx AS (SELECT $idCol AS src, $urlCol AS page,
+       |    regexp_extract($htmlCol,
+       |      '<link[^>]*rel=["'']?canonical["'']?[^>]*href=("[^"]*"|''[^'']*''|[^ >"'']+)', 1) AS c1,
+       |    regexp_extract($htmlCol,
+       |      '<link[^>]*href=("[^"]*"|''[^'']*''|[^ >"'']+)[^>]*rel=["'']?canonical["'']?', 1) AS c2
+       |  FROM $rel),
+       |cn1$sfx AS (SELECT src, page,
+       |    regexp_replace(regexp_replace(
+       |      CASE WHEN c1 <> '' THEN c1 ELSE c2 END,
+       |      '^["'']', ''), '["'']$$', '') AS unq
+       |  FROM cn0$sfx WHERE c1 <> '' OR c2 <> ''),
+       |cn2$sfx AS (SELECT src,
+       |    regexp_replace(unq, '#.*$$', '') AS v,
+       |    regexp_extract(page, '^(https?://[^/?#]+)', 1) AS origin,
+       |    regexp_extract(page, '^(https?:)', 1) AS scheme,
+       |    regexp_extract(page, '^[^?#]*', 0) AS p0
+       |  FROM cn1$sfx),
+       |cn3$sfx AS (SELECT src,
+       |    CASE WHEN regexp_matches(v, '^https?://') THEN v
+       |         WHEN v LIKE '//%' THEN scheme || v
+       |         WHEN v LIKE '/%' THEN origin || v
+       |         WHEN v = '' OR regexp_matches(v, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN NULL
+       |         ELSE (CASE WHEN regexp_matches(p0, '^https?://[^/]+$$')
+       |                 THEN p0 || '/'
+       |                 ELSE regexp_replace(p0, '[^/]*$$', '') END) || v
+       |    END AS abs_url
+       |  FROM cn2$sfx),
+       |cn$sfx AS (SELECT src, $collapse AS canonical FROM cn3$sfx
+       |  WHERE abs_url IS NOT NULL)""".stripMargin
+  }
+
   /** The regex-metachar escape chain shared by [[urlDecisions]] and
     * [[urlDecisionsCtes]] — applied identically on both engines so a
     * translated robots pattern compiles to the SAME regex text.

@@ -170,6 +170,50 @@ object Warc {
       .toDF("uri", "body")
   }
 
+  /** [[writeSegments]] for BINARY payload columns — real HTTP bodies
+    * are bytes (gzip members, non-UTF-8 charsets), and a text cast
+    * would corrupt them. Same per-partition landing, same atomic
+    * rename discipline.
+    */
+  def writeSegmentsBinary(df: DataFrame, uriCol: String,
+      payloadCol: String, dir: String, gzip: Boolean = false): Unit = {
+    val plan = df.select(col(uriCol).cast("string"),
+      col(payloadCol).cast("binary"))
+    plan.foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val recs = rows.map(r =>
+          (r.getString(0), r.getAs[Array[Byte]](1)))
+        if (recs.hasNext) {
+          val bytes = writeSegment(recs, gzip)
+          val ctx = org.apache.spark.TaskContext.get()
+          val pid = if (ctx == null) 0 else ctx.partitionId()
+          val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
+          val tmp = java.nio.file.Paths.get(dir,
+            f".segment-$pid%05d.warc.$attempt.tmp")
+          java.nio.file.Files.write(tmp, bytes)
+          java.nio.file.Files.move(tmp,
+            java.nio.file.Paths.get(dir, f"segment-$pid%05d.warc"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+    }
+  }
+
+  /** [[readRecords]] with the payload kept as BYTES — the reader for
+    * records whose entity body is not UTF-8 text (declared charsets,
+    * `Content-Encoding: gzip`). Header work downstream goes through
+    * [[payloadText]]'s lossless latin-1 view.
+    */
+  def readRecordsBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions(_.flatMap(seg => parseSegment(seg)))
+      .toDF("uri", "body")
+  }
+
   import org.apache.spark.sql.Column
 
   /** An HTTP/1.1 response payload column — real WARC `response`
@@ -234,4 +278,76 @@ object Warc {
     */
   def httpBody(payload: Column): Column =
     regexp_replace(payload, "(?s)^.*?\\r\\n\\r\\n", "")
+
+  /** Lossless string view of a BINARY payload: ISO-8859-1 maps every
+    * byte to the same-numbered codepoint, bijectively — so the header
+    * extracts ([[httpStatus]]/[[httpContentType]]/[[httpCharset]]/
+    * [[httpContentEncoding]]/[[httpLocation]]/[[httpBody]]) all work
+    * unchanged on byte payloads, and [[bodyBytes]] recovers the exact
+    * entity bytes by re-encoding. Pure codegen'd column work, no
+    * custom splitter.
+    */
+  def payloadText(payload: Column): Column =
+    decode(payload, "ISO-8859-1")
+
+  /** Exact entity-body BYTES of a binary payload (via the latin-1
+    * bijection — see [[payloadText]]).
+    */
+  def bodyBytes(payload: Column): Column =
+    encode(httpBody(payloadText(payload)), "ISO-8859-1")
+
+  /** `charset` parameter of the Content-Type header, lowercased, ''
+    * when absent — the decode selector for non-UTF-8 bodies;
+    * header-anchored like [[httpContentType]].
+    */
+  def httpCharset(payload: Column): Column =
+    lower(trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Content-Type:[^\\r\\n]*;\\s*charset=\"?([A-Za-z0-9_.:-]+)", 1)))
+
+  /** `Content-Encoding` header value, lowercased, '' when absent
+    * (identity) — the transport-compression selector.
+    */
+  def httpContentEncoding(payload: Column): Column =
+    lower(trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Content-Encoding:\\s*([^\\r\\n]+)", 1)))
+
+  /** Entity bytes → text under the response's declared charset:
+    * ISO-8859-1 and US-ASCII decode through the byte↔codepoint
+    * identity; everything else (incl. '' — HTML5's default for the
+    * synthetic corpus) decodes as LENIENT UTF-8
+    * ([[graft.functions.Gzip.utf8LenientCol]] — Spark 4's built-in
+    * `decode` REPORTS malformed bytes, and one mislabeled-charset
+    * response must not kill a crawl job). A body whose bytes disagree
+    * with the declared charset surfaces as replacement characters and
+    * fails its clean-match downstream — visible per record, fatal
+    * never.
+    */
+  def decodeBody(bytes: Column, charset: Column): Column =
+    when(charset === "iso-8859-1" || charset === "latin-1" ||
+      charset === "us-ascii", decode(bytes, "ISO-8859-1"))
+      .otherwise(graft.functions.Gzip.utf8LenientCol(bytes))
+
+  /** An HTTP/1.1 response as BYTES: ASCII status line + headers
+    * (optional charset parameter, optional Content-Encoding), then the
+    * entity BYTES verbatim — the binary sibling of [[httpResponse]]
+    * for bodies that are not UTF-8 text. `charset`/`encoding` are ''
+    * to omit the parameter/header.
+    */
+  def httpResponseBytes(status: Column, mediaType: Column,
+      charset: Column, encoding: Column, body: Column): Column = {
+    val header = concat(lit("HTTP/1.1 "), status.cast("string"),
+      lit(" "),
+      when(status === 200, lit("OK")).otherwise(lit("Status")),
+      lit(Crlf), lit("Content-Type: "), mediaType,
+      when(charset === "", lit(""))
+        .otherwise(concat(lit("; charset="), charset)),
+      lit(Crlf),
+      when(encoding === "", lit(""))
+        .otherwise(concat(lit("Content-Encoding: "), encoding,
+          lit(Crlf))),
+      lit(Crlf))
+    concat(encode(header, "ISO-8859-1"), body)
+  }
 }

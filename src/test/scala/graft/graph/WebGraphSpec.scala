@@ -454,4 +454,34 @@ class WebGraphSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(viaSql == got)
   }
+
+  test("canonicalLinks: both attribute orders, quote forms, relative " +
+      "resolution, first-wins, and non-declaring pages absent") {
+    val pages = Seq(
+      // rel-first, absolute
+      (1L, "http://a.com/p/1?ref=x",
+        """<html><link rel="canonical" href="http://a.com/p/1"><p>x</p>"""),
+      // href-first, root-relative resolves against the page origin
+      (2L, "http://b.com/dir/page",
+        """<link href='/p/2' rel='canonical'><a href="/q">q</a>"""),
+      // unquoted + relative resolves against the page directory
+      (3L, "http://c.com/dir/page",
+        "<link rel=canonical href=other>"),
+      // two declarations: the FIRST wins (the <base> rule)
+      (4L, "http://d.com/x",
+        """<link rel="canonical" href="http://d.com/first">""" +
+          """<link rel="canonical" href="http://d.com/second">"""),
+      // no canonical at all -> no row
+      (5L, "http://e.com/x", "<html><a href='/y'>y</a></html>")
+    ).toDF("doc_id", "url", "html")
+    val got = WebGraph.canonicalLinks(pages, "doc_id", "url", "html")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "http://a.com/p/1",
+      2L -> "http://b.com/p/2",
+      3L -> "http://c.com/dir/other",
+      4L -> "http://d.com/first"))
+    // cross-engine equivalence of canonicalLinksCtes is the q263
+    // oracle gate (regexp_matches is DuckDB-only — not replayable here)
+  }
 }

@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Round13Queries.queries ++
       graft.queries.Round13bQueries.queries ++
       graft.queries.Round14Queries.queries ++
-      graft.queries.Round15Queries.queries
+      graft.queries.Round15Queries.queries ++
+      graft.queries.Round15bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -70,5 +71,6 @@ object SparkEntry {
       graft.queries.Round13Queries.oracleSql ++
       graft.queries.Round13bQueries.oracleSql ++
       graft.queries.Round14Queries.oracleSql ++
-      graft.queries.Round15Queries.oracleSql
+      graft.queries.Round15Queries.oracleSql ++
+      graft.queries.Round15bQueries.oracleSql
 }

@@ -424,6 +424,26 @@ object GraftTableFunctions {
       str(args(1), u), str(args(2), u), minTok, maxTok))
   }
 
+  private val c4Clean: Builder = { args =>
+    val u = "graft_c4_clean(table, idCol, textCol[, minWordsPerLine[, " +
+      "minSentences]])"
+    require(args.length >= 3 && args.length <= 5, u)
+    val s = SparkSession.active
+    val minW = if (args.length >= 4) int(args(3), u) else 3
+    val minS = if (args.length == 5) int(args(4), u).toLong else 5L
+    plan(graft.text.C4Quality.clean(s.table(str(args.head, u)),
+      str(args(1), u), str(args(2), u), Nil, minW, minS))
+  }
+
+  private val canonicalLinks: Builder = { args =>
+    val u = "graft_canonical_links(pagesTable, idCol, urlCol, htmlCol)"
+    require(args.length == 4, u)
+    val s = SparkSession.active
+    plan(graft.graph.WebGraph.canonicalLinks(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      str(args(3), u)))
+  }
+
   private val paragraphScrub: Builder = { args =>
     val u = "graft_paragraph_scrub(table, idCol, textCol, maxDf)"
     require(args.length == 4, u)
@@ -500,6 +520,8 @@ object GraftTableFunctions {
     "graft_crawl_delays" -> crawlDelays,
     "graft_sitemaps_nested" -> sitemapsNested,
     "graft_gopher_rules" -> gopherRules,
+    "graft_c4_clean" -> c4Clean,
+    "graft_canonical_links" -> canonicalLinks,
     "graft_pagerank" -> pagerank,
     "graft_pagerank_converged" -> pagerankConverged,
     "graft_paragraph_scrub" -> paragraphScrub,

@@ -74,6 +74,18 @@ object CorpusPipeline {
     *   gets it from the single wiring point. Default off: the
     *   historical pipeline takes clean text.
     */
+  /** Stage-1b3 C4-rule gate parameters ([[graft.text.C4Quality]]):
+    * the published line rules + page gates as a band stage. Like the
+    * Gopher stage, the THRESHOLDS are the paper's and the bad-word
+    * list is a corpus property. The stage GATES on `c4_keep` (the
+    * retained-line rewrite stays a standalone operator — rewriting
+    * text mid-pipeline would silently change the dedup fingerprints
+    * downstream; the host-boilerplate scrub is the sanctioned
+    * pre-pipeline rewrite point).
+    */
+  case class C4Gate(minWordsPerLine: Int = 3, minSentences: Long = 5L,
+      badWords: Seq[String] = Nil)
+
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
@@ -82,6 +94,7 @@ object CorpusPipeline {
       keepBest: Boolean = false,
       collisionBand: Option[(Long, Long, Long, Long)] = None,
       gopher: Option[(Long, Long)] = None,
+      c4: Option[C4Gate] = None,
       classifier: Option[ClassifierGate] = None,
       dsir: Option[Dsir.Model] = None,
       familiarity: Option[FamiliarityGate] = None,
@@ -144,6 +157,20 @@ object CorpusPipeline {
       gated.join(ok, Seq(idCol), "left_semi")
   }
 
+  /** Stage-1b3 optional C4-rule gate over the Gopher survivors
+    * (per-document: line explode + doc-keyed re-aggregation, so
+    * batch-at-a-time == one-shot like every band stage).
+    */
+  def c4Gate(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.c4 match {
+    case None => gated
+    case Some(g) =>
+      val ok = graft.text.C4Quality.clean(gated, idCol, textCol,
+          g.badWords, g.minWordsPerLine, g.minSentences)
+        .filter(col("c4_keep")).select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
+  }
+
   def classifierGate(gated: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame = cfg.classifier match {
     case None => gated
@@ -194,9 +221,10 @@ object CorpusPipeline {
     */
   def bandStages(gated: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame =
-    familiarityGate(dsirGate(classifierGate(gopherGate(
+    familiarityGate(dsirGate(classifierGate(c4Gate(gopherGate(
       entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg)
+      idCol, textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg),
+      idCol, textCol, cfg)
 
   /** Stage-boundary relations of one run of the verified pipeline
     * chain — the single implementation [[clean]], [[release]], and

@@ -322,6 +322,40 @@ object Round15bQueries {
       Round7bQueries.rmTree(land)
       res
     }),
+    // C4 band as pipeline stage 1b3 (Config.c4 inside bandStages —
+    // the ONE wiring point, so the streaming front door applies it
+    // batch-at-a-time unchanged). The corpus is period-folded into
+    // 8-word sentences first (C4 on a punctuation-less word stream
+    // zeroes everything — the Gopher stop-list lesson again: rules
+    // are published, the corpus must carry the features they read);
+    // plants pass quality+lang and exact/near dedup, so ONLY the c4
+    // band removes them: +5e6 docs have newlines but NO terminal
+    // punctuation (zero retained lines), +6e6 docs carry a planted
+    // curly-brace line.
+    "q265_pipeline_c4" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      def punct(t: Column) =
+        regexp_replace(t, "(\\S+( \\S+){7}) ", "$1.\n")
+      def nl(t: Column) =
+        regexp_replace(t, "(\\S+( \\S+){7}) ", "$1\n")
+      val base = PipelineQueries.corpus(s, dir)
+        .select(col("doc_id"), punct(col("text")).as("text"))
+      val noPunct = d.filter(col("doc_id") % 31 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(nl(col("text")),
+            lit("\nthe extra words trail on here still")).as("text"))
+      val braced = d.filter(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(punct(col("text")),
+            lit("\nthe code { block } of it.")).as("text"))
+      val corpus = base.unionByName(noPunct).unionByName(braced)
+      CorpusPipeline.clean(corpus, "doc_id", "text",
+          CorpusPipeline.Config(c4 = Some(CorpusPipeline.C4Gate())))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -421,6 +455,64 @@ object Round15bQueries {
          |SELECT d.dom, d.n_pages, d.n_declaring, d.n_self, d.n_moved,
          |  c.n_clusters, c.max_cluster
          |FROM cfdecl d JOIN cfcls c USING (dom) ORDER BY dom""".stripMargin
+    },
+
+    "q265_pipeline_c4" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      import graft.text.C4Quality
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id,
+         |    regexp_replace(text, '(\\S+( \\S+){7}) ', '\\1.' || chr(10), 'g') AS text
+         |  FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 5000000,
+         |    regexp_replace(text, '(\\S+( \\S+){7}) ', '\\1' || chr(10), 'g') ||
+         |    chr(10) || 'the extra words trail on here still'
+         |  FROM documents WHERE doc_id % 31 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 6000000,
+         |    regexp_replace(text, '(\\S+( \\S+){7}) ', '\\1.' || chr(10), 'g') ||
+         |    chr(10) || 'the code { block } of it.'
+         |  FROM documents WHERE doc_id % 37 = 0),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g2 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE AND lang_pred = 'en'),
+         |${C4Quality.cleanCtes("g2", "doc_id", "text")},
+         |g3 AS (SELECT g2.* FROM g2 JOIN c4out USING (doc_id)
+         |       WHERE c4_keep),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
     },
 
     // the sniffer's verdicts and the liar count are pure id

@@ -557,6 +557,34 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlG).nonEmpty && rows(sqlG) == rows(apiG))
   }
 
+  test("graft_c4_clean / graft_canonical_links TVFs == API") {
+    import spark.implicits._
+    val c4docs = Seq(
+      (1L, "a good long sentence here.\nno punct line\nshort one."),
+      (2L, "brace line { breaks } the page.\nsecond full sentence."))
+      .toDF("doc_id", "text")
+    c4docs.createOrReplaceTempView("tvf_c4_docs")
+    val sqlC = spark.sql(
+      "SELECT * FROM graft_c4_clean('tvf_c4_docs', 'doc_id', 'text', " +
+        "3, 1) ORDER BY doc_id")
+    val apiC = graft.text.C4Quality.clean(c4docs, "doc_id", "text",
+        Nil, 3, 1L).orderBy(col("doc_id"))
+    assert(rows(sqlC).nonEmpty && rows(sqlC) == rows(apiC))
+
+    val pages = Seq(
+      (1L, "http://a.com/p/1?ref=x",
+        """<link rel="canonical" href="/p/1">"""),
+      (2L, "http://b.com/x", "<html>no canonical</html>"))
+      .toDF("doc_id", "url", "html")
+    pages.createOrReplaceTempView("tvf_canon_pages")
+    val sqlK = spark.sql(
+      "SELECT * FROM graft_canonical_links('tvf_canon_pages', " +
+        "'doc_id', 'url', 'html') ORDER BY src")
+    val apiK = graft.graph.WebGraph.canonicalLinks(pages, "doc_id",
+        "url", "html").orderBy(col("src"))
+    assert(rows(sqlK).nonEmpty && rows(sqlK) == rows(apiK))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -896,6 +896,82 @@ object ScaleProbe {
           graft.quality.HllSketch.registers(shItems(d), "item"))
         .filter(col("est") >= 0 && col("max_rho") >= 0).count()
 
+    // C4 rules over the period-folded corpus (q262's prep — per-line
+    // explode + doc-keyed re-agg, expect scan-bound linear).
+    def c4Run(d: DataFrame): Long =
+      graft.text.C4Quality.clean(
+          d.select(col("doc_id"), regexp_replace(col("text"),
+            "(\\S+( \\S+){7}) ", "$1.\n").as("text")),
+          "doc_id", "text")
+        .filter(col("n_sent") >= 0 && col("n_lines_kept") >= 0)
+        .count()
+
+    // Charset transport: encode → binary payload → header parse →
+    // per-charset decode, all in-plan (the q260 column path without
+    // the storage round-trip — per-row codegen string/byte work).
+    def charsetRun(d: DataFrame): Long = {
+      import graft.sources.Warc
+      val tr = translate(col("text"), "ae", "éä")
+      val latin = col("doc_id") % 2 === 1
+      val body = when(latin, encode(tr, "ISO-8859-1"))
+        .otherwise(encode(tr, "UTF-8"))
+      val p = d.select(col("doc_id"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"),
+          when(latin, lit("iso-8859-1")).otherwise(lit("utf-8")),
+          lit(""), body).as("payload"))
+      p.select(col("doc_id"),
+          Warc.decodeBody(Warc.bodyBytes(col("payload")),
+            Warc.httpCharset(Warc.payloadText(col("payload"))))
+            .as("dec"))
+        .filter(length(col("dec")) >= 0).count()
+    }
+
+    // Mime sniff over q264's planted containers (in-plan; the gzip
+    // class exercises real deflate per row).
+    def mimeRun(d: DataFrame): Long = {
+      val m = col("doc_id") % 6
+      val text8 = encode(col("text"), "UTF-8")
+      val body = when(m === 0,
+          concat(unhex(lit("89504E470D0A1A0A")), text8))
+        .when(m === 1, concat(unhex(lit("FFD8FFE0")), text8))
+        .when(m === 2, graft.functions.Gzip.deflateCol(text8))
+        .when(m === 3,
+          concat(encode(lit("RIFF0000WAVEfmt "), "ISO-8859-1"), text8))
+        .when(m === 4, concat(encode(lit("BM"), "ISO-8859-1"), text8))
+        .otherwise(encode(concat(lit("<html><body>"), col("text"),
+          lit("</body></html>")), "UTF-8"))
+      d.select(graft.sources.MimeSniff.sniff(body).as("sn"))
+        .filter(length(col("sn")) > 0).count()
+    }
+
+    // rel=canonical extraction + fold (q263's construction; per-page
+    // string work + one ckey groupBy).
+    def canonicalRun(d: DataFrame): Long = {
+      import graft.graph.WebGraph
+      val t = col("doc_id")
+      def u(c: org.apache.spark.sql.Column) =
+        concat(lit("http://d"), (c % 20).cast("string"),
+          lit(".example.com/p/"), c.cast("string"))
+      val m = t % 4
+      val pages = d.select(t.as("doc_id"),
+        when(m === 1, concat(u(t), lit("?ref=camp")))
+          .otherwise(u(t)).as("url"),
+        when(m === 2, concat(lit("<html><head></head><body>"),
+          col("text"), lit("</body></html>")))
+          .otherwise(concat(
+            lit("<html><head><link rel=\"canonical\" href=\""),
+            when(m === 1, concat(lit("/p/"), t.cast("string")))
+              .when(m === 3, u(t - t % 10)).otherwise(u(t)),
+            lit("\"></head><body>"), col("text"),
+            lit("</body></html>"))).as("html"))
+      val can = WebGraph.canonicalLinks(pages, "doc_id", "url",
+        "html").withColumnRenamed("src", "doc_id")
+      pages.join(can, Seq("doc_id"), "left")
+        .select(coalesce(col("canonical"), col("url")).as("ckey"))
+        .groupBy(col("ckey")).agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 1).count()
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -1045,7 +1121,13 @@ object ScaleProbe {
       "paragraph_scrub" -> (() => (time(paraScrub(para1)),
         time(paraScrub(paraN)))),
       "cms_sketch" -> (() => (time(cmsRun(docs1)), time(cmsRun(docsN)))),
-      "hll_sketch" -> (() => (time(hllRun(docs1)), time(hllRun(docsN)))))
+      "hll_sketch" -> (() => (time(hllRun(docs1)), time(hllRun(docsN)))),
+      "c4_rules" -> (() => (time(c4Run(docs1)), time(c4Run(docsN)))),
+      "charset_transport" -> (() => (time(charsetRun(docs1)),
+        time(charsetRun(docsN)))),
+      "mime_sniff" -> (() => (time(mimeRun(docs1)), time(mimeRun(docsN)))),
+      "canonical_fold" -> (() => (time(canonicalRun(docs1)),
+        time(canonicalRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

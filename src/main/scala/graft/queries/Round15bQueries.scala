@@ -356,6 +356,63 @@ object Round15bQueries {
         .select(col("doc_id"), col("quality"), col("lang_pred"))
         .orderBy(col("doc_id"))
     }),
+    // CONDITIONAL-RECRAWL scheduling: the previous crawl's stored
+    // lastmod state vs the site's CURRENT sitemap inventory — the
+    // freshness delta a polite crawler computes before spending any
+    // fetch budget. Sitemap membership and state membership ride
+    // div-20 coins (j-coins — %5/%6 of doc_id itself would confound
+    // with the domain, the q222 lesson); changed pages bump their
+    // lastmod one day. Classes: new (in sitemap, no state), changed
+    // (lastmod advanced), unchanged, gone (stored but no longer
+    // declared — the purge candidates). ISO dates compare lexically,
+    // so the freshness test is a portable string compare.
+    "q266_recrawl_delta" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val j6 = expr("doc_id div 20") % 6
+      val day0 = (t * 7) % 28 + 1
+      val dayN = day0 + when(t % 3 === 0, 1).otherwise(0)
+      def dstr(d: Column) =
+        concat(lit("2025-01-"), lpad(d.cast("string"), 2, "0"))
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val entries = docs.filter(j6 =!= 5)
+        .select(host.as("host"),
+          concat(lit("<url><loc>"), urlOf(t), lit("</loc><lastmod>"),
+            dstr(dayN), lit("</lastmod></url>")).as("e"))
+      val maps = entries.groupBy(col("host"))
+        .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+      val inv = WebGraph.parseSitemaps(maps, "host", "xml")
+        .select(col("url"), col("lastmod"))
+      val state = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), dstr(day0).as("stored_lastmod"))
+      val full = inv.join(state, Seq("url"), "full_outer")
+        .select(col("url"), col("lastmod"), col("stored_lastmod"),
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 20).as("dom"))
+      full.groupBy(col("dom"))
+        .agg(sum(when(col("lastmod").isNotNull, 1).otherwise(0))
+          .cast("long").as("n_inventory"),
+          sum(when(col("stored_lastmod").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_known"),
+          sum(when(col("lastmod").isNotNull &&
+            col("stored_lastmod").isNull, 1).otherwise(0))
+            .cast("long").as("n_new"),
+          sum(when(col("lastmod").isNotNull &&
+            col("stored_lastmod").isNotNull &&
+            col("lastmod") > col("stored_lastmod"), 1).otherwise(0))
+            .cast("long").as("n_changed"),
+          sum(when(col("lastmod").isNotNull &&
+            col("stored_lastmod").isNotNull &&
+            col("lastmod") === col("stored_lastmod"), 1).otherwise(0))
+            .cast("long").as("n_unchanged"),
+          sum(when(col("lastmod").isNull &&
+            col("stored_lastmod").isNotNull, 1).otherwise(0))
+            .cast("long").as("n_gone"))
+        .orderBy(col("dom"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -513,6 +570,39 @@ object Round15bQueries {
          |FROM ex e
          |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
          |ORDER BY e.doc_id""".stripMargin
+    },
+
+    "q266_recrawl_delta" -> {
+      import graft.graph.WebGraph
+      s"""WITH rce AS (SELECT
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>' ||
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 +
+         |      (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+         |      2, '0') ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents WHERE (doc_id // 20) % 6 <> 5),
+         |rcm AS (SELECT host, string_agg(e, '') AS xml
+         |  FROM rce GROUP BY host),
+         |${WebGraph.parseSitemapsCtes("rcm", "host", "xml", "rc")},
+         |rcstate AS (SELECT ${urlSqlOf("doc_id")} AS url,
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR),
+         |      2, '0') AS stored_lastmod
+         |  FROM documents WHERE (doc_id // 20) % 5 <> 4),
+         |rcj AS (SELECT coalesce(i.url, s.url) AS url,
+         |    i.lastmod, s.stored_lastmod
+         |  FROM rcmaps i FULL OUTER JOIN rcstate s ON s.url = i.url)
+         |SELECT
+         |  CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS dom,
+         |  CAST(SUM(CASE WHEN lastmod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inventory,
+         |  CAST(SUM(CASE WHEN stored_lastmod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+         |  CAST(SUM(CASE WHEN lastmod IS NOT NULL AND stored_lastmod IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+         |  CAST(SUM(CASE WHEN lastmod IS NOT NULL AND stored_lastmod IS NOT NULL
+         |    AND lastmod > stored_lastmod THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(SUM(CASE WHEN lastmod IS NOT NULL AND stored_lastmod IS NOT NULL
+         |    AND lastmod = stored_lastmod THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+         |  CAST(SUM(CASE WHEN lastmod IS NULL AND stored_lastmod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gone
+         |FROM rcj GROUP BY 1 ORDER BY dom""".stripMargin
     },
 
     // the sniffer's verdicts and the liar count are pure id

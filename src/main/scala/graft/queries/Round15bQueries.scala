@@ -413,6 +413,82 @@ object Round15bQueries {
             .cast("long").as("n_gone"))
         .orderBy(col("dom"))
     }),
+    // RECRAWL SCHEDULER: the round's crawl-family pieces composed —
+    // q266's freshness delta (new ∪ changed = the fetch candidates),
+    // robots access policy INCLUDING a wildcard rule (`/*9$` denies
+    // every url ending in 9 — q256's anchors binding inside a
+    // composed chain) plus a `/p/2` prefix rule, and q254's
+    // politeness budget (slots = 60 div Crawl-delay), freshest-first
+    // per host (lastmod DESC). The between-rounds plan a real
+    // incremental crawler executes, every stage a verified part.
+    "q267_recrawl_scheduler" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val j6 = expr("doc_id div 20") % 6
+      val day0 = (t * 7) % 28 + 1
+      val dayN = day0 + when(t % 3 === 0, 1).otherwise(0)
+      def dstr(d: Column) =
+        concat(lit("2025-01-"), lpad(d.cast("string"), 2, "0"))
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val entries = docs.filter(j6 =!= 5)
+        .select(host.as("host"),
+          concat(lit("<url><loc>"), urlOf(t), lit("</loc><lastmod>"),
+            dstr(dayN), lit("</lastmod></url>")).as("e"))
+      val maps = entries.groupBy(col("host"))
+        .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+      val inv = WebGraph.parseSitemaps(maps, "host", "xml")
+        .select(col("url"), col("lastmod"))
+      val state = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), dstr(day0).as("stored_lastmod"))
+      val cand = inv.join(state, Seq("url"), "left")
+        .filter(col("stored_lastmod").isNull ||
+          col("lastmod") > col("stored_lastmod"))
+        .select(col("url"), col("lastmod"),
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 20).as("dom"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /*9$$\nDisallow: /p/2\n" +
+            s"Crawl-delay: ${(k % 4) * 5 + 5}")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val dec = WebGraph.urlDecisions(cand.select(col("url")), rules)
+      val allowed = cand.join(dec, Seq("url"))
+        .filter(col("action") === "allow")
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+      val sched = allowed.withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("lastmod").desc, col("url"))))
+        .filter(col("rk") <= col("slots"))
+      val candAgg = cand.groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_candidates"))
+      val allowAgg = allowed.groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_allowed"),
+          max(col("slots")).cast("long").as("slots"))
+      val schedAgg = sched.groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_scheduled"),
+          max(when(col("rk") === 1, col("url"))).as("first_url"))
+      candAgg.join(allowAgg, Seq("dom"), "left")
+        .join(schedAgg, Seq("dom"), "left")
+        .select(col("dom"), col("n_candidates"),
+          coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+          coalesce(col("slots"), lit(0L)).as("slots"),
+          coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"),
+          coalesce(col("first_url"), lit("")).as("first_url"))
+        .orderBy(col("dom"))
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -603,6 +679,67 @@ object Round15bQueries {
          |    AND lastmod = stored_lastmod THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
          |  CAST(SUM(CASE WHEN lastmod IS NULL AND stored_lastmod IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gone
          |FROM rcj GROUP BY 1 ORDER BY dom""".stripMargin
+    },
+
+    "q267_recrawl_scheduler" -> {
+      import graft.graph.WebGraph
+      s"""WITH rse AS (SELECT
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>' ||
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 +
+         |      (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+         |      2, '0') ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents WHERE (doc_id // 20) % 6 <> 5),
+         |rsm AS (SELECT host, string_agg(e, '') AS xml
+         |  FROM rse GROUP BY host),
+         |${WebGraph.parseSitemapsCtes("rsm", "host", "xml", "rs2")},
+         |rsstate AS (SELECT ${urlSqlOf("doc_id")} AS url,
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR),
+         |      2, '0') AS stored_lastmod
+         |  FROM documents WHERE (doc_id // 20) % 5 <> 4),
+         |rscand AS (SELECT i.url, i.lastmod,
+         |    CAST(regexp_extract(i.url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS dom
+         |  FROM rs2maps i LEFT JOIN rsstate s ON s.url = i.url
+         |  WHERE s.stored_lastmod IS NULL OR i.lastmod > s.stored_lastmod),
+         |rsrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /*9$$' || chr(10) ||
+         |    'Disallow: /p/2' || chr(10) ||
+         |    'Crawl-delay: ' || CAST((k % 4) * 5 + 5 AS VARCHAR) AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${WebGraph.parseRobotsForCtes("rsrob", "host", "txt",
+             "graftbot", "rp")},
+         |rsdist AS (SELECT DISTINCT url FROM rscand),
+         |${WebGraph.urlDecisionsCtes("rsdist", "rprules", "rd")},
+         |rsallow AS (SELECT c.url, c.lastmod, c.dom,
+         |    'd' || CAST(c.dom AS VARCHAR) || '.example.com' AS host
+         |  FROM rscand c JOIN rddec d ON d.url = c.url
+         |  WHERE d.action = 'allow'),
+         |rsslot AS (SELECT a.url, a.lastmod, a.dom, a.host,
+         |    GREATEST(1, 60 // coalesce(dl.delay, 60)) AS slots
+         |  FROM rsallow a LEFT JOIN rpdelay dl ON dl.host = a.host),
+         |rsrk AS (SELECT url, lastmod, dom, host, slots,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY lastmod DESC, url) AS rk
+         |  FROM rsslot),
+         |rssched AS (SELECT * FROM rsrk WHERE rk <= slots),
+         |rsca AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM rscand GROUP BY dom),
+         |rsaa AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_allowed,
+         |    CAST(MAX(slots) AS BIGINT) AS slots
+         |  FROM rsslot GROUP BY dom),
+         |rssa AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_scheduled,
+         |    MAX(CASE WHEN rk = 1 THEN url END) AS first_url
+         |  FROM rssched GROUP BY dom)
+         |SELECT c.dom, c.n_candidates,
+         |  coalesce(a.n_allowed, 0) AS n_allowed,
+         |  coalesce(a.slots, 0) AS slots,
+         |  coalesce(s.n_scheduled, 0) AS n_scheduled,
+         |  coalesce(s.first_url, '') AS first_url
+         |FROM rsca c LEFT JOIN rsaa a ON a.dom = c.dom
+         |LEFT JOIN rssa s ON s.dom = c.dom
+         |ORDER BY c.dom""".stripMargin
     },
 
     // the sniffer's verdicts and the liar count are pure id

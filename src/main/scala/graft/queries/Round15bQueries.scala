@@ -489,6 +489,84 @@ object Round15bQueries {
           coalesce(col("first_url"), lit("")).as("first_url"))
         .orderBy(col("dom"))
     }),
+    // STREAMING binary-transport door: q260's charset ingest with the
+    // payload relation arriving as a file stream — per batch the door
+    // parses transport (header charset → per-charset decode) and
+    // folds the per-dom count partials, which ADD across doc-disjoint
+    // batches because every verdict is per-record against its own
+    // payload. Oracle = q260's SQL VERBATIM while the stream's
+    // per-file batching differs from any one-shot layout.
+    "q268_stream_charset_ingest" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val tr = accented(col("text"))
+      val cs = when(col("doc_id") % 2 === 1, lit("iso-8859-1"))
+        .otherwise(lit("utf-8"))
+      val body = when(col("doc_id") % 2 === 1,
+        encode(tr, "ISO-8859-1")).otherwise(encode(tr, "UTF-8"))
+      val pages = docs.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"), cs,
+          lit(""), body).as("payload"))
+      val land = Files.createTempDirectory("graft-q268-land").toString
+      val cp = Files.createTempDirectory("graft-q268-cp").toString
+      (0 to 2).foreach { k =>
+        pages.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var agg: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val parsed = batch.select(col("doc_id"),
+              Warc.payloadText(col("payload")).as("pt"),
+              Warc.bodyBytes(col("payload")).as("bb"))
+            .select(col("doc_id"),
+              Warc.httpCharset(col("pt")).as("cs"),
+              Warc.decodeBody(col("bb"), Warc.httpCharset(col("pt")))
+                .as("decoded"))
+          val part = parsed.join(docs, Seq("doc_id"))
+            .select(col("doc_id"), col("cs"),
+              (col("decoded") === accented(col("text"))).as("cm"),
+              (length(col("decoded")) -
+                length(regexp_replace(regexp_replace(col("decoded"),
+                  "é", ""), "ä", ""))).cast("long").as("hi"),
+              length(col("decoded")).cast("long").as("nch"))
+            .groupBy((col("doc_id") % 20).as("dom"))
+            .agg(count(lit(1)).as("n_records"),
+              sum(when(col("cs") === "iso-8859-1", 1).otherwise(0))
+                .cast("long").as("n_latin1"),
+              sum(when(col("cm"), 1).otherwise(0)).cast("long")
+                .as("n_clean"),
+              sum(col("hi")).as("sum_hi"),
+              sum(col("nch")).as("sum_chars"))
+          agg = (if (agg == null) part
+                 else agg.unionByName(part).groupBy(col("dom"))
+                   .agg(sum(col("n_records")).as("n_records"),
+                     sum(col("n_latin1")).as("n_latin1"),
+                     sum(col("n_clean")).as("n_clean"),
+                     sum(col("sum_hi")).as("sum_hi"),
+                     sum(col("sum_chars")).as("sum_chars")))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val out = agg
+        .select(col("dom"), col("n_records"), col("n_latin1"),
+          col("n_clean"), col("sum_hi"), col("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -498,6 +576,16 @@ object Round15bQueries {
     // the source; any engine-side transport/decode fault breaks the
     // hash.
     "q260_charset_ingest" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(doc_id % 2) AS BIGINT) AS n_latin1,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(length(text) - length(replace(replace(text, 'a', ''), 'e', ''))) AS BIGINT) AS sum_hi,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // streamed fold == one-shot: the door replays q260 verbatim
+    "q268_stream_charset_ingest" ->
       s"""SELECT doc_id % 20 AS dom,
          |  CAST(count(*) AS BIGINT) AS n_records,
          |  CAST(SUM(doc_id % 2) AS BIGINT) AS n_latin1,

@@ -65,4 +65,22 @@ class C4QualitySpec extends SparkSpec {
     val m = cleanOf(Seq((1L, doc)))
     assert(m(1L).getAs[Long]("n_sent") == 3L)
   }
+
+  test("pipeline c4Gate: None is the identity, Some removes only c4 failures") {
+    import graft.pipeline.CorpusPipeline
+    val five = (1 to 5).map(i => s"sentence number $i is here.")
+      .mkString("\n")
+    val gated = Seq(
+      (1L, five),
+      (2L, five + "\nvar x = { a: 1 };"),
+      (3L, "no punctuation lines at all\nstill none here"))
+      .toDF("doc_id", "text")
+    val idOff = CorpusPipeline.c4Gate(gated, "doc_id", "text",
+      CorpusPipeline.Config())
+    assert(idOff.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    val on = CorpusPipeline.c4Gate(gated, "doc_id", "text",
+      CorpusPipeline.Config(c4 = Some(CorpusPipeline.C4Gate())))
+    assert(on.collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }

@@ -567,6 +567,70 @@ object Round15bQueries {
       Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
       out
     }),
+    // META-charset fallback (the HTML5 prescan): a third of the
+    // corpus declares its charset ONLY in a <meta charset> element
+    // (header bare), a third in the header parameter (body bare), a
+    // third nowhere (UTF-8 default). The effective charset is
+    // coalesce(header, meta, utf-8) — drop any leg and one class's
+    // clean match dies. Classes ride div-20 coins; latin-1 halves by
+    // doc parity inside the declaring classes.
+    "q269_meta_charset" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val tr = accented(col("text"))
+      val j3 = expr("doc_id div 20") % 3
+      val latin = col("doc_id") % 2 === 1 && j3 =!= 2
+      val cs = when(latin, lit("iso-8859-1")).otherwise(lit("utf-8"))
+      val truthText = when(j3 === 1,
+        concat(lit("<html><head><meta charset=\""), cs,
+          lit("\"></head><body>"), tr, lit("</body></html>")))
+        .otherwise(tr)
+      val body = when(latin, encode(truthText, "ISO-8859-1"))
+        .otherwise(encode(truthText, "UTF-8"))
+      val pages = docs.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"),
+          when(j3 === 0, cs).otherwise(lit("")), lit(""), body)
+          .as("payload"))
+      val land = Files.createTempDirectory("graft-q269-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      val hdr = Warc.httpCharset(col("pt"))
+      val meta = Warc.metaCharset(Warc.httpBody(col("pt")))
+      val eff = when(hdr =!= "", hdr)
+        .when(meta =!= "", meta)
+        .otherwise(lit("utf-8"))
+      val parsed = back.select(col("doc_id"),
+        hdr.as("hdr_cs"), meta.as("meta_cs"),
+        Warc.decodeBody(col("bb"), eff).as("decoded"))
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("hdr_cs"), col("meta_cs"),
+          (col("decoded") === truthText).as("cm"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("hdr_cs") =!= "", 1).otherwise(0))
+            .cast("long").as("n_hdr"),
+          sum(when(col("hdr_cs") === "" && col("meta_cs") =!= "", 1)
+            .otherwise(0)).cast("long").as("n_meta"),
+          sum(when(col("hdr_cs") === "iso-8859-1" ||
+            col("meta_cs") === "iso-8859-1", 1).otherwise(0))
+            .cast("long").as("n_latin1"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -582,6 +646,24 @@ object Round15bQueries {
          |  CAST(count(*) AS BIGINT) AS n_clean,
          |  CAST(SUM(length(text) - length(replace(replace(text, 'a', ''), 'e', ''))) AS BIGINT) AS sum_hi,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // every leg of coalesce(header, meta, utf-8) is the identity on
+    // its class — the oracle predicts a clean sweep and the exact
+    // decoded lengths (wrapper lengths computed FROM the literals, so
+    // nothing is hand-counted twice)
+    "q269_meta_charset" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hdr,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_meta,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 3 <> 2 AND doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin1,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(length(text) + CASE WHEN (doc_id // 20) % 3 = 1
+         |    THEN length('<html><head><meta charset="') +
+         |      (CASE WHEN doc_id % 2 = 1 THEN length('iso-8859-1') ELSE length('utf-8') END) +
+         |      length('"></head><body>') + length('</body></html>')
+         |    ELSE 0 END) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // streamed fold == one-shot: the door replays q260 verbatim

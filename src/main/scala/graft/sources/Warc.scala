@@ -329,6 +329,22 @@ object Warc {
       charset === "us-ascii", decode(bytes, "ISO-8859-1"))
       .otherwise(graft.functions.Gzip.utf8LenientCol(bytes))
 
+  /** Charset declared INSIDE the document — HTML5's fallback when the
+    * transport header carries no parameter: `<meta charset=...>` wins
+    * over the legacy `<meta http-equiv content="...charset=...">`
+    * form; '' when neither appears. Read on the latin-1 view
+    * ([[payloadText]]/[[httpBody]]), which is ASCII-transparent, so
+    * the sniff is safe BEFORE the real charset is known — exactly the
+    * bootstrap the HTML5 prescan does.
+    */
+  def metaCharset(body: Column): Column = {
+    val c1 = regexp_extract(body,
+      "(?i)<meta\\s+charset=[\"']?([A-Za-z0-9_.:-]+)", 1)
+    val c2 = regexp_extract(body,
+      "(?i)<meta[^>]+charset=([A-Za-z0-9_.:-]+)", 1)
+    lower(trim(when(c1 =!= "", c1).otherwise(c2)))
+  }
+
   /** An HTTP/1.1 response as BYTES: ASCII status line + headers
     * (optional charset parameter, optional Content-Encoding), then the
     * entity BYTES verbatim — the binary sibling of [[httpResponse]]

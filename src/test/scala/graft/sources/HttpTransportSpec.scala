@@ -116,6 +116,22 @@ class HttpTransportSpec extends SparkSpec {
       "gz" -> "application/gzip"))
   }
 
+  test("metaCharset: modern form wins over http-equiv, '' when neither") {
+    val rows = Seq(
+      ("modern", """<html><head><meta charset="ISO-8859-1"></head>"""),
+      ("unquoted", "<meta charset=utf-8>"),
+      ("legacy", """<meta http-equiv="Content-Type" """ +
+        """content="text/html; charset=windows-1252">"""),
+      ("both", """<meta charset='utf-8'>""" +
+        """<meta http-equiv="Content-Type" content="charset=latin-9">"""),
+      ("none", "<html><body>plain</body></html>"))
+    val got = rows.toDF("k", "b")
+      .select(col("k"), Warc.metaCharset(col("b")).as("cs"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("modern" -> "iso-8859-1", "unquoted" -> "utf-8",
+      "legacy" -> "windows-1252", "both" -> "utf-8", "none" -> ""))
+  }
+
   test("binary segment write/read roundtrips non-UTF-8 payload bytes") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-warcbin").toString

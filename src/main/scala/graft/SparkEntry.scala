@@ -42,7 +42,8 @@ object SparkEntry {
       graft.queries.Round13bQueries.queries ++
       graft.queries.Round14Queries.queries ++
       graft.queries.Round15Queries.queries ++
-      graft.queries.Round15bQueries.queries
+      graft.queries.Round15bQueries.queries ++
+      graft.queries.Round16Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -72,5 +73,6 @@ object SparkEntry {
       graft.queries.Round13bQueries.oracleSql ++
       graft.queries.Round14Queries.oracleSql ++
       graft.queries.Round15Queries.oracleSql ++
-      graft.queries.Round15bQueries.oracleSql
+      graft.queries.Round15bQueries.oracleSql ++
+      graft.queries.Round16Queries.oracleSql
 }

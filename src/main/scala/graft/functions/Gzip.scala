@@ -94,8 +94,9 @@ object Gzip {
   def deflate(b: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(out)
-    g.write(b)
-    g.finish()
+    // close() ends the native Deflater eagerly — per-row deflates must
+    // not leave native memory to the GC/cleaner at corpus scale
+    try { g.write(b); g.finish() } finally g.close()
     out.toByteArray
   }
 

@@ -264,9 +264,12 @@ object WebGraph {
   /** `rel=canonical` declarations: `(src, canonical)` — one row per
     * page that declares a canonical URL, the href resolved against
     * the page URL like any link. Both attribute orders are accepted
-    * (`rel` first or `href` first, all three quote forms); the FIRST
-    * canonical element wins (the `<base>` rule — regexp_extract takes
-    * the first match on both engines). Duplicate-content mirrors
+    * (`rel` first or `href` first, all three quote forms). Precedence:
+    * the rel-first FORM wins over the href-first form regardless of
+    * document position, then first match within each form
+    * (regexp_extract takes the first match on both engines) — NOT a
+    * pure document-order rule; a later rel-first declaration beats an
+    * earlier href-first one. Duplicate-content mirrors
     * (`?ref=` tracking copies, host aliases) declare the same target,
     * so grouping on `canonical` is a publisher-declared dedup key —
     * the relation feeds exact-dup folding the way [[resolveRedirects]]

@@ -28,6 +28,9 @@ object MimeSniff {
       .when(hex(substring(b, 1, 4)) === "52494646" &&
         hex(substring(b, 9, 4)) === "57415645", "audio/wav")
       .when(hex(substring(b, 1, 2)) === "424D", "image/bmp")
-      .when(decode(b, "ISO-8859-1").rlike("^\\s*<"), "text/html")
+      // bounded prefix only — decoding the whole body to test a
+      // leading '<' would materialize O(body) string per record
+      .when(decode(substring(b, 1, 64), "ISO-8859-1").rlike("^\\s*<"),
+        "text/html")
       .otherwise("application/octet-stream")
 }

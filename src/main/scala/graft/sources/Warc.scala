@@ -54,8 +54,9 @@ object Warc {
       val rb = recordBytes(uri, payload)
       if (gzip) {
         val g = new java.util.zip.GZIPOutputStream(out)
-        g.write(rb)
-        g.finish()
+        // close() ends the native Deflater eagerly (per-record members
+        // would otherwise stack Deflaters until GC)
+        try { g.write(rb); g.finish() } finally g.close()
       } else out.write(rb)
     }
     out.toByteArray
@@ -133,13 +134,28 @@ object Warc {
     * a half-written segment (`binaryFile` ignores dotfiles).
     */
   def writeSegments(df: DataFrame, uriCol: String, payloadCol: String,
-      dir: String, gzip: Boolean = false): Unit = {
-    val plan = df.select(col(uriCol).cast("string"),
-      col(payloadCol).cast("string"))
+      dir: String, gzip: Boolean = false): Unit =
+    landSegments(df.select(col(uriCol).cast("string"),
+        col(payloadCol).cast("string")), dir, gzip,
+      r => (r.getString(0), r.getString(1).getBytes(UTF_8)))
+
+  /** Shared per-partition landing core of [[writeSegments]] /
+    * [[writeSegmentsBinary]]: one segment per partition, staged to an
+    * attempt-unique hidden temp file, atomic REPLACE_EXISTING rename.
+    * NULL uris/payloads fail loudly WITH the offending record's
+    * position — a silent NPE inside recordBytes names nothing.
+    */
+  private def landSegments(plan: DataFrame, dir: String, gzip: Boolean,
+      rec: org.apache.spark.sql.Row => (String, Array[Byte])): Unit = {
     plan.foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val recs = rows.map(r =>
-          (r.getString(0), r.getString(1).getBytes(UTF_8)))
+        val recs = rows.zipWithIndex.map { case (r, k) =>
+          if (r.isNullAt(0) || r.isNullAt(1))
+            throw new IllegalArgumentException(
+              s"WARC landing: NULL uri or payload at partition row $k" +
+                s" (uri=${if (r.isNullAt(0)) "NULL" else r.getString(0)})")
+          rec(r)
+        }
         if (recs.hasNext) {
           val bytes = writeSegment(recs, gzip)
           val ctx = org.apache.spark.TaskContext.get()
@@ -176,29 +192,10 @@ object Warc {
     * rename discipline.
     */
   def writeSegmentsBinary(df: DataFrame, uriCol: String,
-      payloadCol: String, dir: String, gzip: Boolean = false): Unit = {
-    val plan = df.select(col(uriCol).cast("string"),
-      col(payloadCol).cast("binary"))
-    plan.foreachPartition {
-      (rows: Iterator[org.apache.spark.sql.Row]) =>
-        val recs = rows.map(r =>
-          (r.getString(0), r.getAs[Array[Byte]](1)))
-        if (recs.hasNext) {
-          val bytes = writeSegment(recs, gzip)
-          val ctx = org.apache.spark.TaskContext.get()
-          val pid = if (ctx == null) 0 else ctx.partitionId()
-          val attempt = if (ctx == null) 0L else ctx.taskAttemptId()
-          val tmp = java.nio.file.Paths.get(dir,
-            f".segment-$pid%05d.warc.$attempt.tmp")
-          java.nio.file.Files.write(tmp, bytes)
-          java.nio.file.Files.move(tmp,
-            java.nio.file.Paths.get(dir, f"segment-$pid%05d.warc"),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-        ()
-    }
-  }
+      payloadCol: String, dir: String, gzip: Boolean = false): Unit =
+    landSegments(df.select(col(uriCol).cast("string"),
+        col(payloadCol).cast("binary")), dir, gzip,
+      r => (r.getString(0), r.getAs[Array[Byte]](1)))
 
   /** [[readRecords]] with the payload kept as BYTES — the reader for
     * records whose entity body is not UTF-8 text (declared charsets,
@@ -313,20 +310,66 @@ object Warc {
       regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
       "(?i)Content-Encoding:\\s*([^\\r\\n]+)", 1)))
 
+  /** WHATWG label → canonical encoding name: every browser treats
+    * `iso-8859-1` (and its aliases `latin1`/`l1`/`cp819`/…) and
+    * `us-ascii`/`ascii` as WINDOWS-1252 — real latin-1-labeled pages
+    * use 0x80–0x9F for curly quotes and dashes, and a C1-identity
+    * decode silently corrupts them. UTF-8 aliases fold to `utf-8`;
+    * unknown labels pass through (they take the lenient-UTF-8 default
+    * in [[decodeBody]]). Labels are DATA ([[httpCharset]] /
+    * [[metaCharset]] return them raw); normalization is a decode-time
+    * concern, applied here and inside [[decodeBody]].
+    */
+  def normalizeCharset(charset: Column): Column = {
+    val cs = lower(trim(charset))
+    when(cs.isin("windows-1252", "x-cp1252", "cp1252", "cp819",
+      "ibm819", "iso-8859-1", "iso8859-1", "iso_8859-1", "iso88591",
+      "iso-ir-100", "latin-1", "latin1", "l1", "us-ascii", "ascii",
+      "ansi_x3.4-1968"), lit("windows-1252"))
+      .when(cs.isin("utf-8", "utf8", "unicode-1-1-utf-8",
+        "unicode11utf8", "x-unicode20utf8"), lit("utf-8"))
+      .otherwise(cs)
+  }
+
+  /** The 27 bytes windows-1252 maps off the latin-1 identity (WHATWG
+    * index; 0x81/0x8D/0x8F/0x90/0x9D stay C1-identity there too) — as
+    * codepoint strings, so the decode is ONE `translate` over the
+    * latin-1 view: pure codegen'd column work, and exactly invertible
+    * for fixture building.
+    */
+  private[sources] val Cp1252From: String =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089" +
+      "\u008A\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095" +
+      "\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+  private[sources] val Cp1252To: String =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030" +
+      "\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022" +
+      "\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+
+  /** Encode text to windows-1252 BYTES for codepoints in the cp1252
+    * repertoire's latin-1-plus-remap subset — the inverse translate
+    * composed with the latin-1 bijection (fixture builder; codepoints
+    * outside the repertoire would need a real charset encoder).
+    */
+  def encodeCp1252(text: Column): Column =
+    encode(translate(text, Cp1252To, Cp1252From), "ISO-8859-1")
+
   /** Entity bytes → text under the response's declared charset:
-    * ISO-8859-1 and US-ASCII decode through the byte↔codepoint
-    * identity; everything else (incl. '' — HTML5's default for the
-    * synthetic corpus) decodes as LENIENT UTF-8
-    * ([[graft.functions.Gzip.utf8LenientCol]] — Spark 4's built-in
-    * `decode` REPORTS malformed bytes, and one mislabeled-charset
-    * response must not kill a crawl job). A body whose bytes disagree
-    * with the declared charset surfaces as replacement characters and
-    * fails its clean-match downstream — visible per record, fatal
-    * never.
+    * labels normalizing to windows-1252 ([[normalizeCharset]] — incl.
+    * `iso-8859-1`/`latin1`/`us-ascii`, per WHATWG) decode through the
+    * latin-1 byte↔codepoint identity plus the 0x80–0x9F cp1252 remap
+    * (ONE `translate` — see [[Cp1252From]]); everything else (incl.
+    * '' — HTML5's default for the synthetic corpus) decodes as
+    * LENIENT UTF-8 ([[graft.functions.Gzip.utf8LenientCol]] —
+    * Spark 4's built-in `decode` REPORTS malformed bytes, and one
+    * mislabeled-charset response must not kill a crawl job). A body
+    * whose bytes disagree with the declared charset surfaces as
+    * replacement characters and fails its clean-match downstream —
+    * visible per record, fatal never.
     */
   def decodeBody(bytes: Column, charset: Column): Column =
-    when(charset === "iso-8859-1" || charset === "latin-1" ||
-      charset === "us-ascii", decode(bytes, "ISO-8859-1"))
+    when(normalizeCharset(charset) === "windows-1252",
+      translate(decode(bytes, "ISO-8859-1"), Cp1252From, Cp1252To))
       .otherwise(graft.functions.Gzip.utf8LenientCol(bytes))
 
   /** Charset declared INSIDE the document — HTML5's fallback when the
@@ -343,6 +386,41 @@ object Warc {
     val c2 = regexp_extract(body,
       "(?i)<meta[^>]+charset=([A-Za-z0-9_.:-]+)", 1)
     lower(trim(when(c1 =!= "", c1).otherwise(c2)))
+  }
+
+  /** `Transfer-Encoding` header value, lowercased, '' when absent —
+    * the transfer-coding selector ([[graft.functions.Chunked]]
+    * dechunks `chunked` bodies BEFORE the Content-Encoding inflate,
+    * which runs before the charset decode: the real HTTP onion).
+    */
+  def httpTransferEncoding(payload: Column): Column =
+    lower(trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Transfer-Encoding:\\s*([^\\r\\n]+)", 1)))
+
+  /** [[httpResponseBytes]] with the entity CHUNK-FRAMED
+    * (`Transfer-Encoding: chunked`, RFC 9112 §7.1) — no
+    * Content-Length, hex-size chunk framing via
+    * [[graft.functions.Chunked.encodeCol]]. `chunkSize` may vary per
+    * row (coverage of multi-chunk bodies at every body length).
+    */
+  def httpResponseChunked(status: Column, mediaType: Column,
+      charset: Column, encoding: Column, body: Column,
+      chunkSize: Column): Column = {
+    val header = concat(lit("HTTP/1.1 "), status.cast("string"),
+      lit(" "),
+      when(status === 200, lit("OK")).otherwise(lit("Status")),
+      lit(Crlf), lit("Content-Type: "), mediaType,
+      when(charset === "", lit(""))
+        .otherwise(concat(lit("; charset="), charset)),
+      lit(Crlf),
+      when(encoding === "", lit(""))
+        .otherwise(concat(lit("Content-Encoding: "), encoding,
+          lit(Crlf))),
+      lit("Transfer-Encoding: chunked"), lit(Crlf),
+      lit(Crlf))
+    concat(encode(header, "ISO-8859-1"),
+      graft.functions.Chunked.encodeCol(body, chunkSize))
   }
 
   /** An HTTP/1.1 response as BYTES: ASCII status line + headers

@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.{Chunked, Gzip}
+import org.apache.spark.sql.functions._
+
+/** Round-16 transport layers: WHATWG windows-1252 decode + charset
+  * alias normalization, and `Transfer-Encoding: chunked` framing.
+  */
+class TransportCodingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windows-1252: 0x80-0x9F bytes decode per the WHATWG index") {
+    // € ‚ ’ “ ” – — ™ plus an undefined-identity byte (0x81) and a
+    // shared latin-1 byte (0xE9 é)
+    val bytes = Array(0x80, 0x82, 0x91, 0x92, 0x93, 0x94, 0x96, 0x97,
+      0x99, 0x81, 0xE9).map(_.toByte)
+    val out = Seq(bytes).toDF("b")
+      .select(Warc.decodeBody(col("b"), lit("iso-8859-1")).as("t"))
+      .head().getString(0)
+    assert(out == "€‚‘’“”–—" +
+      "™é")
+  }
+
+  test("charset aliases all normalize; unknown labels pass through") {
+    val labels = Seq("latin1", "l1", "ISO-8859-1", "cp1252",
+      "Windows-1252", "us-ascii", "ASCII", "cp819")
+    val n = labels.toDF("cs")
+      .select(Warc.normalizeCharset(col("cs")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(n == Set("windows-1252"))
+    val u = Seq("utf8", "UTF-8", "unicode-1-1-utf-8").toDF("cs")
+      .select(Warc.normalizeCharset(col("cs")).as("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(u == Set("utf-8"))
+    val other = Seq("shift_jis").toDF("cs")
+      .select(Warc.normalizeCharset(col("cs")).as("n"))
+      .head().getString(0)
+    assert(other == "shift_jis")
+  }
+
+  test("encodeCp1252 ∘ decodeBody roundtrips the cp1252 repertoire") {
+    val txt = "curly ‘quotes’ and “double” — with € and … œŸž"
+    val back = Seq(txt).toDF("t")
+      .select(Warc.decodeBody(Warc.encodeCp1252(col("t")),
+        lit("latin1")).as("r"))
+      .head().getString(0)
+    assert(back == txt)
+  }
+
+  test("utf-8-labeled bodies are untouched by the cp1252 branch") {
+    val txt = "plain — “mixed” €"
+    val back = Seq(txt).toDF("t")
+      .select(Warc.decodeBody(encode(col("t"), "UTF-8"),
+        lit("utf-8")).as("r"))
+      .head().getString(0)
+    assert(back == txt)
+  }
+
+  test("chunk encode/dechunk roundtrip at several sizes incl. binary") {
+    val data = (0 until 300).map(_.toByte).toArray
+    for (sz <- Seq(1, 7, 299, 300, 1000)) {
+      val out = Chunked.dechunk(Chunked.encode(data, sz))
+      assert(java.util.Arrays.equals(out, data), s"size $sz")
+    }
+    assert(Chunked.dechunk(Chunked.encode(Array.empty[Byte], 8)).isEmpty)
+  }
+
+  test("dechunk skips chunk extensions and trailer fields") {
+    val framed = ("4;name=value\r\nwxyz\r\n" +
+      "3\r\nabc\r\n" +
+      "0\r\nX-Trailer: 1\r\nX-Other: 2\r\n\r\n").getBytes("US-ASCII")
+    assert(new String(Chunked.dechunk(framed), "US-ASCII") == "wxyzabc")
+  }
+
+  test("dechunk is loud on malformed framing") {
+    intercept[IllegalArgumentException] {
+      Chunked.dechunk("G\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated chunk
+      Chunked.dechunk("10\r\nshort\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // trailing garbage
+      Chunked.dechunk("1\r\na\r\n0\r\n\r\nextra".getBytes("US-ASCII"))
+    }
+  }
+
+  test("the full onion: chunked + gzip + cp1252 through a payload") {
+    val txt = "the caf’s — menu" * 10
+    val raw = Seq(txt).toDF("t")
+      .select(Warc.encodeCp1252(col("t")).as("b"))
+      .select(Gzip.deflateCol(col("b")).as("b"))
+      .select(Warc.httpResponseChunked(lit(200), lit("text/html"),
+        lit("latin1"), lit("gzip"), col("b"), lit(11)).as("p"))
+    val pt = Warc.payloadText(col("p"))
+    val back = raw.select(
+        Warc.httpTransferEncoding(pt).as("te"),
+        Warc.httpContentEncoding(pt).as("ce"),
+        Warc.decodeBody(
+          Gzip.inflateCol(Chunked.dechunkCol(Warc.bodyBytes(col("p")))),
+          Warc.httpCharset(pt)).as("r"))
+      .head()
+    assert(back.getString(0) == "chunked")
+    assert(back.getString(1) == "gzip")
+    assert(back.getString(2) == txt)
+  }
+}

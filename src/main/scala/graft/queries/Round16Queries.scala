@@ -18,6 +18,9 @@ object Round16Queries {
     concat(lit("http://d"), (t % 20).cast("string"),
       lit(".example.com/p/"), t.cast("string"))
 
+  private def urlSqlOf(t: String): String =
+    s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
+
   /** Curly-quote/em-dash plant: every 'a' becomes U+2019 (cp1252
     * 0x92) and every 'e' U+2014 (0x97) — both codepoints live in the
     * 0x80–0x9F hole where windows-1252 and ISO-8859-1 DISAGREE, so a
@@ -171,6 +174,164 @@ object Round16Queries {
       Round7bQueries.rmTree(land)
       res
     }),
+    // CRAWL-SOURCED robots.txt: the access policy is read FROM the
+    // crawl itself — per-host /robots.txt responses land in the same
+    // WARC as the pages (a fifth of the hosts 404 their robots — no
+    // rules, default allow), and the chain runs land → status-gated
+    // robots parse (graftbot group selection: the evilbot Disallow:/
+    // and the * group's /p/3 rule must NOT apply) → urlDecisions →
+    // politeness frontier. Until now rules arrived as a pre-built
+    // relation; a real crawler reads them from the crawl.
+    "q272_crawl_robots" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.graph.WebGraph
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val pagesDf = docs.select(urlOf(t).as("uri"),
+        graft.sources.Warc.httpResponse(lit(200), lit("text/html"),
+          col("text")).as("payload"))
+      val robotsDf = (0 until 20).map { k =>
+        val txt =
+          if (k % 5 == 4) "not found"
+          else "User-agent: evilbot\nDisallow: /\n\n" +
+            "User-agent: graftbot\nDisallow: /p/1\nAllow: /p/12\n" +
+            s"Crawl-delay: ${(k % 3) * 10 + 5}\n\n" +
+            "User-agent: *\nDisallow: /p/3"
+        (s"http://d$k.example.com/robots.txt",
+          if (k % 5 == 4) 404 else 200, txt)
+      }.toDF("uri", "st", "txt")
+        .select(col("uri"),
+          graft.sources.Warc.httpResponse(col("st"), lit("text/plain"),
+            col("txt")).as("payload"))
+      val land = Files.createTempDirectory("graft-q272-warc").toString
+      graft.sources.Warc.writeSegments(
+        pagesDf.unionByName(robotsDf).repartition(4, col("uri")),
+        "uri", "payload", land, gzip = true)
+      val recs = graft.sources.Warc.readRecords(s, land)
+      val robots = recs.filter(col("uri").endsWith("/robots.txt"))
+        .select(regexp_extract(col("uri"), "^http://([^/]+)/", 1)
+          .as("host"),
+          graft.sources.Warc.httpStatus(col("body")).as("st"),
+          graft.sources.Warc.httpBody(col("body")).as("txt"))
+        .filter(col("st") === 200)
+      val pages = recs.filter(!col("uri").endsWith("/robots.txt"))
+        .select(col("uri").as("url"))
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val dec = WebGraph.urlDecisions(pages, rules)
+        .withColumn("dom", regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+          .cast("long") % 20)
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+      val decAgg = dec.groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(when(col("action") === "deny", 1).otherwise(0))
+            .cast("long").as("n_denied"),
+          sum(when(col("action") === "allow", 1).otherwise(0))
+            .cast("long").as("n_allowed"))
+      val robotsAgg = robots.select(col("host"), lit(1L).as("robots_ok"))
+      val rulesAgg = rules
+        .select(regexp_extract(col("pattern"), "^([^/]+)", 1).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n_rules"))
+      val allowed = dec.filter(col("action") === "allow")
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+      val sched = allowed.withColumn("rk", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("url"))))
+        .filter(col("rk") <= col("slots"))
+      val schedAgg = sched.groupBy(col("dom"))
+        .agg(count(lit(1)).as("n_scheduled"),
+          max(col("slots")).cast("long").as("slots"),
+          min(col("url")).as("first_url"))
+      val res = decAgg
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(robotsAgg), Seq("host"), "left")
+        .join(broadcast(rulesAgg), Seq("host"), "left")
+        .join(schedAgg, Seq("dom"), "left")
+        .select(col("dom"),
+          coalesce(col("robots_ok"), lit(0L)).as("robots_ok"),
+          coalesce(col("n_rules"), lit(0L)).as("n_rules"),
+          col("n_pages"), col("n_denied"), col("n_allowed"),
+          coalesce(col("slots"), lit(0L)).as("slots"),
+          coalesce(col("n_scheduled"), lit(0L)).as("n_scheduled"),
+          coalesce(col("first_url"), lit("")).as("first_url"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
+
+    // CONDITIONAL fetch (If-Modified-Since / 304): stored URLs whose
+    // content did not change answer 304 with NO body — the stored
+    // copy survives and the transfer is a header, not a fetch. The
+    // effective corpus composes coalesce(fetched-if-200, stored);
+    // bytes_saved counts exactly the bodies never re-transferred.
+    // Changed docs (id%3==0) and never-stored docs (div-20 j-coin)
+    // fetch fresh; clean match proves the composition equals the
+    // server's current truth for EVERY url.
+    "q273_conditional_fetch" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val stored = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), col("text").as("stored"))
+      val cur = when(t % 3 === 0, concat(col("text"), lit(" updated")))
+        .otherwise(col("text"))
+      val is304 = j5 =!= 4 && t % 3 =!= 0
+      val pages = docs.select(t.as("doc_id"), urlOf(t).as("uri"),
+        when(is304, Warc.httpResponse(lit(304), lit("text/html"),
+          lit(""))).otherwise(Warc.httpResponse(lit(200),
+          lit("text/html"), cur)).as("payload"))
+      val land = Files.createTempDirectory("graft-q273-warc").toString
+      Warc.writeSegments(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecords(s, land)
+        .select(col("uri").as("url"),
+          regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          Warc.httpStatus(col("body")).as("st"),
+          Warc.httpBody(col("body")).as("fetched"))
+      val eff = back.join(stored, Seq("url"), "left")
+        .select(col("doc_id"), col("st"),
+          when(col("st") === 200, col("fetched"))
+            .otherwise(col("stored")).as("effective"),
+          length(col("fetched")).cast("long").as("len_f"),
+          length(coalesce(col("stored"), lit(""))).cast("long")
+            .as("len_s"))
+      val res = eff.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("st"),
+          (col("effective") ===
+            when(col("doc_id") % 3 === 0,
+              concat(col("text"), lit(" updated")))
+              .otherwise(col("text"))).as("cm"),
+          col("len_f"), col("len_s"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("st") === 200, 1).otherwise(0)).cast("long")
+            .as("n_200"),
+          sum(when(col("st") === 304, 1).otherwise(0)).cast("long")
+            .as("n_304"),
+          sum(when(col("st") === 200, col("len_f")).otherwise(0L))
+            .cast("long").as("bytes_fetched"),
+          sum(when(col("st") === 304, col("len_s")).otherwise(0L))
+            .cast("long").as("bytes_saved"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -188,6 +349,73 @@ object Round16Queries {
          |  CAST(SUM(CASE WHEN length(replace(replace(text, 'a', ''), 'e', '')) = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_c1_clean,
          |  CAST(SUM(length(text) - length(replace(replace(text, 'a', ''), 'e', ''))) AS BIGINT) AS sum_hi,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // the robots relation, group selection, decisions, and politeness
+    // window all replay from the same literals — the WARC transport
+    // is the engine-side realism the oracle's truth never touches
+    "q272_crawl_robots" -> {
+      import graft.graph.WebGraph
+      s"""WITH crrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: evilbot' || chr(10) || 'Disallow: /' || chr(10) || chr(10) ||
+         |    'User-agent: graftbot' || chr(10) || 'Disallow: /p/1' || chr(10) || 'Allow: /p/12' || chr(10) ||
+         |    'Crawl-delay: ' || CAST((k % 3) * 10 + 5 AS VARCHAR) || chr(10) || chr(10) ||
+         |    'User-agent: *' || chr(10) || 'Disallow: /p/3' AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)
+         |  WHERE k % 5 <> 4),
+         |${WebGraph.parseRobotsForCtes("crrob", "host", "txt",
+             "graftbot", "cr")},
+         |crdist AS (SELECT DISTINCT ${urlSqlOf("doc_id")} AS url
+         |  FROM documents),
+         |${WebGraph.urlDecisionsCtes("crdist", "crrules", "cd")},
+         |crdec AS (SELECT d.url, d.action,
+         |    CAST(regexp_extract(d.url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS dom,
+         |    'd' || CAST(CAST(regexp_extract(d.url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS VARCHAR) || '.example.com' AS host
+         |  FROM cddec d),
+         |crda AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_pages,
+         |    CAST(SUM(CASE WHEN action = 'deny' THEN 1 ELSE 0 END) AS BIGINT) AS n_denied,
+         |    CAST(SUM(CASE WHEN action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+         |  FROM crdec GROUP BY dom),
+         |crro AS (SELECT host, CAST(1 AS BIGINT) AS robots_ok FROM crrob),
+         |crnr AS (SELECT regexp_extract(pattern, '^([^/]+)', 1) AS host,
+         |    CAST(count(*) AS BIGINT) AS n_rules
+         |  FROM crrules GROUP BY 1),
+         |crallow AS (SELECT c.url, c.dom, c.host,
+         |    GREATEST(1, 60 // coalesce(dl.delay, 60)) AS slots
+         |  FROM crdec c LEFT JOIN crdelay dl ON dl.host = c.host
+         |  WHERE c.action = 'allow'),
+         |crrk AS (SELECT url, dom, slots,
+         |    row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+         |  FROM crallow),
+         |crsch AS (SELECT dom, CAST(count(*) AS BIGINT) AS n_scheduled,
+         |    CAST(MAX(slots) AS BIGINT) AS slots, MIN(url) AS first_url
+         |  FROM crrk WHERE rk <= slots GROUP BY dom)
+         |SELECT a.dom, coalesce(r.robots_ok, 0) AS robots_ok,
+         |  coalesce(n.n_rules, 0) AS n_rules,
+         |  a.n_pages, a.n_denied, a.n_allowed,
+         |  coalesce(s.slots, 0) AS slots,
+         |  coalesce(s.n_scheduled, 0) AS n_scheduled,
+         |  coalesce(s.first_url, '') AS first_url
+         |FROM crda a
+         |LEFT JOIN crro r ON r.host = 'd' || CAST(a.dom AS VARCHAR) || '.example.com'
+         |LEFT JOIN crnr n ON n.host = 'd' || CAST(a.dom AS VARCHAR) || '.example.com'
+         |LEFT JOIN crsch s ON s.dom = a.dom
+         |ORDER BY a.dom""".stripMargin
+    },
+
+    // every 304 survives from storage, every 200 replaces — both
+    // legs are the identity on their class, so the oracle predicts
+    // the byte ledger and a clean sweep from id arithmetic (8 =
+    // length(' updated'))
+    "q273_conditional_fetch" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 = 4 OR doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 <> 4 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 = 4 OR doc_id % 3 = 0 THEN length(text) + (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END) ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 <> 4 AND doc_id % 3 <> 0 THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+         |  CAST(count(*) AS BIGINT) AS n_clean
          |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // dechunk ∘ chunk, inflate ∘ deflate, decode ∘ encode — each

@@ -1,22 +1,28 @@
 package graft.multimodal
 
-/** Minimal REAL codec for BASELINE GRAYSCALE JPEG (ITU-T.81 sequential
-  * DCT, single 8-bit component, 1×1 sampling): pure JVM, no external
-  * library. The dominant real-corpus image format joins the BMP/PNG
-  * codec set behind [[Multimodal.decodeImage]] magic sniffing.
+/** Minimal REAL codec for BASELINE JPEG (ITU-T.81 sequential DCT,
+  * 8-bit): grayscale AND 3-component YCbCr color with 4:4:4 or 4:2:0
+  * chroma subsampling — pure JVM, no external library. The dominant
+  * real-corpus image class (color baseline) joins the BMP/PNG codec
+  * set behind [[Multimodal.decodeImage]] magic sniffing; color images
+  * feed the SAME dHash chain through their decoded pixels
+  * (format-independent perceptual identity, the q174/q175 posture).
   *
   * What is REAL here: full marker structure (SOI/DQT/SOF0/DHT/SOS/EOI,
-  * APPn/COM skipped), spec Annex-K standard huffman tables built by the
-  * spec's code-assignment algorithm, zigzag, DC prediction + EXTEND
-  * coding, run-length AC with ZRL/EOB, 0xFF byte stuffing, 2-D DCT.
-  * [[encode]] writes quant-table-all-ones (maximum-quality) streams;
-  * [[decode]] reads ANY 8-bit quant table a conformant baseline
-  * grayscale writer emits.
+  * APPn/COM skipped), spec Annex-K standard huffman tables (luminance
+  * K.3/K.5 AND chrominance K.4/K.6) built by the spec's
+  * code-assignment algorithm, per-component quant/huffman table
+  * selection, MCU interleaving with 2×2 luma sampling for 4:2:0,
+  * zigzag, DC prediction + EXTEND coding, run-length AC with ZRL/EOB,
+  * 0xFF byte stuffing, 2-D DCT, JFIF integer YCbCr↔RGB. [[encode]] /
+  * [[encodeColor]] write quant-table-all-ones (maximum-quality)
+  * streams; [[decode]] reads ANY 8-bit quant tables a conformant
+  * baseline writer emits.
   *
-  * Scope boundary (loud, never silent): progressive (SOF2),
-  * multi-component color, 16-bit quant tables, and restart intervals
-  * throw `IllegalArgumentException` — decoding those as garbage pixels
-  * would poison dedup silently.
+  * Scope boundary (loud, never silent): progressive (SOF2), 16-bit
+  * quant tables, restart intervals, and sampling factors other than
+  * 4:4:4 / 4:2:0 throw `IllegalArgumentException` — decoding those as
+  * garbage pixels would poison dedup silently.
   *
   * JPEG is LOSSY: decode(encode(img)) is NOT bit-exact (DCT roundtrip
   * error ≲ 2 gray levels at quant 1). Consumers that need exactness
@@ -51,6 +57,27 @@ object Jpeg {
     0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
     0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
     0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  // Annex K.4 / K.6: standard chrominance DC and AC huffman tables
+  private val DcBitsC = Array(0, 0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcValsC = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  private val AcBitsC = Array(0, 0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcValsC: Array[Int] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
     0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
 
   /** Spec C.2: (bits, huffvals) → symbol → (code, length). */
@@ -97,6 +124,8 @@ object Jpeg {
 
   private lazy val dcEnc = buildEncodeTable(DcBits, DcVals)
   private lazy val acEnc = buildEncodeTable(AcBits, AcVals)
+  private lazy val dcEncC = buildEncodeTable(DcBitsC, DcValsC)
+  private lazy val acEncC = buildEncodeTable(AcBitsC, AcValsC)
 
   private val CosTable: Array[Double] = {
     val t = new Array[Double](8 * 8) // t(u*8+x) = cos((2x+1)uπ/16)
@@ -142,6 +171,81 @@ object Jpeg {
     var s = 0
     while (a != 0) { a >>= 1; s += 1 }
     s
+  }
+
+  /** Level-shifted 8×8 block from `plane` (pw×ph) at (x0, y0), edge
+    * replicated.
+    */
+  private def loadBlock(plane: Array[Int], pw: Int, ph: Int,
+      x0: Int, y0: Int, blk: Array[Double]): Unit = {
+    var y = 0
+    while (y < 8) {
+      val sy = math.min(y0 + y, ph - 1)
+      var x = 0
+      while (x < 8) {
+        val sx = math.min(x0 + x, pw - 1)
+        blk(y * 8 + x) = plane(sy * pw + sx) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Forward DCT + quantize (q = 1 → plain round). */
+  private def fdctQuant(blk: Array[Double], coef: Array[Int]): Unit = {
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var acc = 0.0
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            acc += blk(yy * 8 + xx) * CosTable(u * 8 + xx) * CosTable(v * 8 + yy)
+            xx += 1
+          }
+          yy += 1
+        }
+        coef(v * 8 + u) = math.round(0.25 * cScale(u) * cScale(v) * acc).toInt
+        u += 1
+      }
+      v += 1
+    }
+  }
+
+  /** Entropy-code one quantized block in zigzag order; returns the new
+    * DC predictor.
+    */
+  private def writeBlock(coef: Array[Int], dcPred: Int,
+      dcT: Array[(Int, Int)], acT: Array[(Int, Int)],
+      bw: BitWriter): Int = {
+    val dc = coef(0)
+    val diff = dc - dcPred
+    val s = category(diff)
+    val (dcode, dlen) = dcT(s)
+    bw.put(dcode, dlen)
+    if (s > 0)
+      bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val ac = coef(ZigZag(k))
+      if (ac == 0) run += 1
+      else {
+        while (run >= 16) {
+          val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+        }
+        val ss = category(ac)
+        val (c, l) = acT((run << 4) | ss)
+        bw.put(c, l)
+        bw.put(if (ac >= 0) ac else ac + (1 << ss) - 1, ss)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) { val (c, l) = acT(0x00); bw.put(c, l) } // EOB
+    dc
   }
 
   /** Encode the image's LUMA as a baseline grayscale JPEG with an
@@ -192,68 +296,133 @@ object Jpeg {
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        // level-shifted block, edge-replicated padding
-        var y = 0
-        while (y < 8) {
-          val sy = math.min(by * 8 + y, h - 1)
-          var x = 0
-          while (x < 8) {
-            val sx = math.min(bx * 8 + x, w - 1)
-            blk(y * 8 + x) = gray(sy * w + sx) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        // forward DCT + quantize (q = 1 → plain round)
-        var v = 0
-        while (v < 8) {
-          var u = 0
-          while (u < 8) {
-            var acc = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                acc += blk(yy * 8 + xx) * CosTable(u * 8 + xx) * CosTable(v * 8 + yy)
-                xx += 1
-              }
-              yy += 1
-            }
-            coef(v * 8 + u) = math.round(0.25 * cScale(u) * cScale(v) * acc).toInt
-            u += 1
-          }
-          v += 1
-        }
-        // entropy-code in zigzag order
-        val dc = coef(0)
-        val diff = dc - dcPred
-        dcPred = dc
-        val s = category(diff)
-        val (dcode, dlen) = dcEnc(s)
-        bw.put(dcode, dlen)
-        if (s > 0)
-          bw.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          val ac = coef(ZigZag(k))
-          if (ac == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
-            }
-            val ss = category(ac)
-            val (c, l) = acEnc((run << 4) | ss)
-            bw.put(c, l)
-            bw.put(if (ac >= 0) ac else ac + (1 << ss) - 1, ss)
-            run = 0
-          }
-          k += 1
-        }
-        if (run > 0) { val (c, l) = acEnc(0x00); bw.put(c, l) } // EOB
+        loadBlock(gray, w, h, bx * 8, by * 8, blk)
+        fdctQuant(blk, coef)
+        dcPred = writeBlock(coef, dcPred, dcEnc, acEnc, bw)
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode as a baseline 3-component YCbCr JPEG (JFIF integer color
+    * transform), all-ones quant tables, Annex-K luma tables for Y and
+    * chroma tables for Cb/Cr. `subsample = false` → 4:4:4 (every
+    * component 1×1); `subsample = true` → 4:2:0 (Y 2×2, chroma
+    * box-averaged over 2×2 pixel groups) — the two sampling layouts
+    * that dominate real corpora.
+    */
+  def encodeColor(img: Bmp.Image, subsample: Boolean): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0, "positive dimensions")
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    var i = 0
+    while (i < w * h) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val b = img.rgb(3 * i + 2) & 0xff
+      yP(i) = (77 * r + 150 * g + 29 * b + 128) >> 8
+      cbP(i) = math.max(0, math.min(255,
+        ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128))
+      crP(i) = math.max(0, math.min(255,
+        ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128))
+      i += 1
+    }
+    // chroma planes at their sampled resolution
+    val (cw, ch) =
+      if (subsample) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+    val (cb2, cr2) =
+      if (!subsample) (cbP, crP)
+      else {
+        val b2 = new Array[Int](cw * ch)
+        val r2 = new Array[Int](cw * ch)
+        var cy = 0
+        while (cy < ch) {
+          var cx = 0
+          while (cx < cw) {
+            // 2×2 box average, edge replicated, round half up
+            val x0 = cx * 2; val y0 = cy * 2
+            val x1 = math.min(x0 + 1, w - 1)
+            val y1 = math.min(y0 + 1, h - 1)
+            def at(p: Array[Int], x: Int, y: Int) = p(y * w + x)
+            b2(cy * cw + cx) = (at(cbP, x0, y0) + at(cbP, x1, y0) +
+              at(cbP, x0, y1) + at(cbP, x1, y1) + 2) >> 2
+            r2(cy * cw + cx) = (at(crP, x0, y0) + at(crP, x1, y0) +
+              at(crP, x0, y1) + at(crP, x1, y1) + 2) >> 2
+            cx += 1
+          }
+          cy += 1
+        }
+        (b2, r2)
+      }
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    // DQT: 8-bit tables 0 (luma) and 1 (chroma), both all-ones
+    marker(0xdb); u16(2 + 2 * 65)
+    for (tq <- 0 to 1) {
+      out.write(tq)
+      var z = 0
+      while (z < 64) { out.write(1); z += 1 }
+    }
+    marker(0xc0); u16(8 + 3 * 3) // SOF0, 3 components
+    out.write(8); u16(h); u16(w); out.write(3)
+    out.write(1); out.write(if (subsample) 0x22 else 0x11); out.write(0)
+    out.write(2); out.write(0x11); out.write(1)
+    out.write(3); out.write(0x11); out.write(1)
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
+    dht(0, 1, DcBitsC, DcValsC); dht(1, 1, AcBitsC, AcValsC)
+    marker(0xda); u16(6 + 2 * 3); out.write(3) // SOS, 3 comps
+    out.write(1); out.write(0x00) // Y uses DC0/AC0
+    out.write(2); out.write(0x11) // Cb uses DC1/AC1
+    out.write(3); out.write(0x11)
+    out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
+    val bw = new BitWriter(out)
+    val coef = new Array[Int](64)
+    val blk = new Array[Double](64)
+    val hFac = if (subsample) 2 else 1
+    val mcusX = (w + 8 * hFac - 1) / (8 * hFac)
+    val mcusY = (h + 8 * hFac - 1) / (8 * hFac)
+    var dcY = 0; var dcCb = 0; var dcCr = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        // Y blocks: hFac×hFac, left-to-right then top-to-bottom
+        var byy = 0
+        while (byy < hFac) {
+          var bxx = 0
+          while (bxx < hFac) {
+            loadBlock(yP, w, h, (mx * hFac + bxx) * 8,
+              (my * hFac + byy) * 8, blk)
+            fdctQuant(blk, coef)
+            dcY = writeBlock(coef, dcY, dcEnc, acEnc, bw)
+            bxx += 1
+          }
+          byy += 1
+        }
+        loadBlock(cb2, cw, ch, mx * 8, my * 8, blk)
+        fdctQuant(blk, coef)
+        dcCb = writeBlock(coef, dcCb, dcEncC, acEncC, bw)
+        loadBlock(cr2, cw, ch, mx * 8, my * 8, blk)
+        fdctQuant(blk, coef)
+        dcCr = writeBlock(coef, dcCr, dcEncC, acEncC, bw)
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     marker(0xd9) // EOI
@@ -303,8 +472,68 @@ object Jpeg {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Decode a baseline grayscale JPEG to a gray [[Bmp.Image]]
-    * (r=g=b). Loud on anything outside the supported scope.
+  /** One entropy-coded block: huffman-decode, dequantize into `coef`;
+    * returns the new DC predictor.
+    */
+  private def readBlock(br: BitReader, dcT: DecodeTable,
+      acT: DecodeTable, quant: Array[Int], dcPred0: Int,
+      coef: Array[Int]): Int = {
+    java.util.Arrays.fill(coef, 0)
+    val s = br.decodeSym(dcT)
+    val dcPred = dcPred0 + extend(br.bits(s), s)
+    coef(0) = dcPred * quant(0)
+    var k = 1
+    var eob = false
+    while (k < 64 && !eob) {
+      val rs = br.decodeSym(acT)
+      val run = rs >> 4
+      val size = rs & 0x0f
+      if (size == 0) {
+        if (run == 15) k += 16 // ZRL
+        else eob = true
+      } else {
+        k += run
+        require(k < 64, "AC run overflows block")
+        coef(ZigZag(k)) = extend(br.bits(size), size) * quant(k)
+        k += 1
+      }
+    }
+    dcPred
+  }
+
+  /** Inverse DCT of one dequantized block into `plane` (pw×ph) at
+    * (x0, y0) — planes are whole-block sized, no bounds clipping.
+    */
+  private def idctToPlane(coef: Array[Int], plane: Array[Int],
+      pw: Int, x0: Int, y0: Int): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            val c = coef(v * 8 + u)
+            if (c != 0)
+              acc += cScale(u) * cScale(v) * c *
+                CosTable(u * 8 + x) * CosTable(v * 8 + y)
+            u += 1
+          }
+          v += 1
+        }
+        plane((y0 + y) * pw + (x0 + x)) = math.max(0, math.min(255,
+          math.round(0.25 * acc + 128.0).toInt))
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Decode a baseline JPEG — grayscale (1 component) or YCbCr color
+    * (3 components, 4:4:4 or 4:2:0) — to a [[Bmp.Image]] (gray input
+    * → r=g=b). Loud on anything outside the supported scope.
     */
   def decode(payload: Array[Byte]): Bmp.Image = {
     require(payload.length >= 4 && (payload(0) & 0xff) == 0xff &&
@@ -312,10 +541,17 @@ object Jpeg {
     var pos = 2
     def u16(at: Int): Int =
       ((payload(at) & 0xff) << 8) | (payload(at + 1) & 0xff)
-    var quant: Array[Int] = null
-    var dcTab: DecodeTable = null
-    var acTab: DecodeTable = null
+    val qtab = new Array[Array[Int]](4)
+    val dcTabs = new Array[DecodeTable](4)
+    val acTabs = new Array[DecodeTable](4)
     var w = 0; var h = 0
+    var nComp = 0
+    val compId = new Array[Int](3)
+    val compH = new Array[Int](3)
+    val compV = new Array[Int](3)
+    val compTq = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
     var sosAt = -1
     while (sosAt < 0) {
       require(pos + 4 <= payload.length, "truncated marker stream")
@@ -333,22 +569,42 @@ object Jpeg {
             val t = new Array[Int](64)
             var k = 0
             while (k < 64) { t(k) = payload(at + 1 + k) & 0xff; k += 1 }
-            if (tq == 0) quant = t
+            qtab(tq) = t
             at += 65
           }
         case 0xc0 =>
           require((payload(body) & 0xff) == 8, "only 8-bit precision")
           h = u16(body + 1); w = u16(body + 3)
-          val nComp = payload(body + 5) & 0xff
-          require(nComp == 1,
-            s"only grayscale (1 component) in codec scope; got $nComp")
-          require((payload(body + 7) & 0xff) == 0x11, "only 1x1 sampling")
+          nComp = payload(body + 5) & 0xff
+          require(nComp == 1 || nComp == 3,
+            s"only grayscale or 3-component YCbCr in codec scope; got $nComp")
+          var c = 0
+          while (c < nComp) {
+            compId(c) = payload(body + 6 + 3 * c) & 0xff
+            val hv = payload(body + 7 + 3 * c) & 0xff
+            compH(c) = hv >> 4; compV(c) = hv & 0x0f
+            compTq(c) = payload(body + 8 + 3 * c) & 0xff
+            require(compTq(c) < 4, s"quant table id ${compTq(c)} out of range")
+            c += 1
+          }
+          if (nComp == 1)
+            require(compH(0) == 1 && compV(0) == 1, "only 1x1 sampling")
+          else {
+            require((compH(0) == 1 && compV(0) == 1) ||
+              (compH(0) == 2 && compV(0) == 2),
+              s"only 4:4:4 or 4:2:0 sampling in codec scope; " +
+                s"luma ${compH(0)}x${compV(0)}")
+            require(compH(1) == 1 && compV(1) == 1 &&
+              compH(2) == 1 && compV(2) == 1,
+              "chroma components must be 1x1")
+          }
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) out of codec scope")
         case 0xc4 =>
           var at = body
           while (at < pos + 2 + len) {
             val cls = (payload(at) & 0xff) >> 4
+            val th = payload(at) & 0x0f
             val bits = new Array[Int](17)
             var total = 0
             var l = 1
@@ -359,89 +615,119 @@ object Jpeg {
             var k = 0
             while (k < total) { vals(k) = payload(at + 17 + k) & 0xff; k += 1 }
             val t = new DecodeTable(bits, vals)
-            if (cls == 0) dcTab = t else acTab = t
+            if (cls == 0) dcTabs(th) = t else acTabs(th) = t
             at += 17 + total
           }
         case 0xdd => throw new IllegalArgumentException(
           "restart intervals (DRI) out of codec scope")
-        case 0xda => sosAt = body
+        case 0xda =>
+          val ns = payload(body) & 0xff
+          require(ns == nComp, s"scan components $ns != frame $nComp " +
+            "(multi-scan out of codec scope)")
+          var k = 0
+          while (k < ns) {
+            val id = payload(body + 1 + 2 * k) & 0xff
+            val tt = payload(body + 2 + 2 * k) & 0xff
+            val idx = compId.indexOf(id)
+            require(idx >= 0 && idx < nComp, s"SOS names unknown component $id")
+            compTd(idx) = tt >> 4; compTa(idx) = tt & 0x0f
+            require(compTd(idx) < 4 && compTa(idx) < 4,
+              s"huffman table id out of range for component $id")
+            k += 1
+          }
+          sosAt = body
         case _ => // APPn, COM, others: skip
       }
       if (sosAt < 0) pos = pos + 2 + len
     }
-    require(quant != null && dcTab != null && acTab != null && w > 0 && h > 0,
-      "missing DQT/DHT/SOF0 before SOS")
-    // SOS body: Ns + 2·Ns component specs + Ss/Se/AhAl → entropy data
-    val br = new BitReader(payload,
-      sosAt + 1 + 2 * (payload(sosAt) & 0xff) + 3)
-    val bw8 = (w + 7) / 8
-    val bh8 = (h + 7) / 8
-    val gray = new Array[Int](w * h)
+    require(w > 0 && h > 0, "missing SOF0 before SOS")
+    var c0 = 0
+    while (c0 < nComp) {
+      require(qtab(compTq(c0)) != null, s"missing quant table ${compTq(c0)}")
+      require(dcTabs(compTd(c0)) != null && acTabs(compTa(c0)) != null,
+        s"missing huffman tables for component ${compId(c0)}")
+      c0 += 1
+    }
+    val br = new BitReader(payload, sosAt + 1 + 2 * nComp + 3)
+    var maxH = 1; var maxV = 1
+    var c1 = 0
+    while (c1 < nComp) {
+      maxH = math.max(maxH, compH(c1)); maxV = math.max(maxV, compV(c1))
+      c1 += 1
+    }
+    val mcusX = (w + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (h + 8 * maxV - 1) / (8 * maxV)
+    val planeW = new Array[Int](nComp)
+    val planeH = new Array[Int](nComp)
+    val planes = new Array[Array[Int]](nComp)
+    val dcPred = new Array[Int](nComp)
+    var c2 = 0
+    while (c2 < nComp) {
+      planeW(c2) = mcusX * compH(c2) * 8
+      planeH(c2) = mcusY * compV(c2) * 8
+      planes(c2) = new Array[Int](planeW(c2) * planeH(c2))
+      c2 += 1
+    }
     val coef = new Array[Int](64)
-    var dcPred = 0
-    var by = 0
-    while (by < bh8) {
-      var bx = 0
-      while (bx < bw8) {
-        java.util.Arrays.fill(coef, 0)
-        val s = br.decodeSym(dcTab)
-        dcPred += extend(br.bits(s), s)
-        coef(0) = dcPred * quant(0)
-        var k = 1
-        var eob = false
-        while (k < 64 && !eob) {
-          val rs = br.decodeSym(acTab)
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else eob = true
-          } else {
-            k += run
-            require(k < 64, "AC run overflows block")
-            coef(ZigZag(k)) = extend(br.bits(size), size) * quant(k)
-            k += 1
-          }
-        }
-        // inverse DCT
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val px = bx * 8 + x
-            if (py < h && px < w) {
-              var acc = 0.0
-              var v = 0
-              while (v < 8) {
-                var u = 0
-                while (u < 8) {
-                  val c = coef(v * 8 + u)
-                  if (c != 0)
-                    acc += cScale(u) * cScale(v) * c *
-                      CosTable(u * 8 + x) * CosTable(v * 8 + y)
-                  u += 1
-                }
-                v += 1
-              }
-              val p = math.max(0, math.min(255,
-                math.round(0.25 * acc + 128.0).toInt))
-              gray(py * w + px) = p
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < nComp) {
+          var byy = 0
+          while (byy < compV(c)) {
+            var bxx = 0
+            while (bxx < compH(c)) {
+              dcPred(c) = readBlock(br, dcTabs(compTd(c)),
+                acTabs(compTa(c)), qtab(compTq(c)), dcPred(c), coef)
+              idctToPlane(coef, planes(c), planeW(c),
+                (mx * compH(c) + bxx) * 8, (my * compV(c) + byy) * 8)
+              bxx += 1
             }
-            x += 1
+            byy += 1
           }
-          y += 1
+          c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     val rgb = new Array[Byte](w * h * 3)
-    var i = 0
-    while (i < w * h) {
-      val v = gray(i).toByte
-      rgb(3 * i) = v; rgb(3 * i + 1) = v; rgb(3 * i + 2) = v
-      i += 1
+    if (nComp == 1) {
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          val v = planes(0)(py * planeW(0) + px).toByte
+          val p = (py * w + px) * 3
+          rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+          px += 1
+        }
+        py += 1
+      }
+    } else {
+      def clamp(v: Int): Byte =
+        math.max(0, math.min(255, v)).toByte
+      var py = 0
+      while (py < h) {
+        var px = 0
+        while (px < w) {
+          // per-component nearest sample at its sampled resolution
+          def sample(c: Int): Int =
+            planes(c)((py * compV(c) / maxV) * planeW(c) +
+              (px * compH(c) / maxH))
+          val y = sample(0)
+          val cb = sample(1) - 128
+          val cr = sample(2) - 128
+          val p = (py * w + px) * 3
+          rgb(p) = clamp(y + ((359 * cr + 128) >> 8))
+          rgb(p + 1) = clamp(y - ((88 * cb + 183 * cr + 128) >> 8))
+          rgb(p + 2) = clamp(y + ((454 * cb + 128) >> 8))
+          px += 1
+        }
+        py += 1
+      }
     }
     Bmp.Image(w, h, rgb)
   }

@@ -30,7 +30,91 @@ object Round16Queries {
   private def styled(t: Column): Column =
     translate(t, "ae", "’—")
 
+  // ---- color JPEG perceptual dedup (q274) ---------------------------
+  // Per-cell LUMA margins (≥12 between adjacent cells) + a UNIFORM
+  // per-image color cast: the cast shifts every dHash sample by the
+  // same integer ((3l+s)/3 is l plus a constant for every l), so the
+  // hash equals the lossless twin's bit-for-bit, while the chroma
+  // planes are genuinely non-gray — the color path is real, the
+  // oracle replays hashes from the cell formula (the q201 posture).
+
+  private[graft] def colorCell(id0: Long, gx: Int, gy: Int): Int = {
+    val h = graft.functions.TextHash.md5Low60(s"cj:$id0:$gx:$gy")
+    (30 + (h % 5) * 40 + ((gx + gy) % 2) * 12).toInt
+  }
+
+  private val ColorCasts: Array[(Int, Int, Int)] =
+    Array((0, 0, 0), (16, -8, -4), (-16, 8, 4), (12, 4, -16))
+
+  private[graft] def colorPlantImage(id0: Long,
+      altCell: Boolean): graft.multimodal.Bmp.Image = {
+    val w = 64; val h = 64
+    val (dr, dg, db) = ColorCasts(
+      (graft.functions.TextHash.md5Low60(s"cast:$id0") % 4).toInt)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x / 8; val gy = y / 8
+        val idc = if (altCell && gx == 3 && gy == 3) id0 + 999983L else id0
+        val l = colorCell(idc, gx, gy) + ((x + y) % 2) * 2
+        val p = (y * w + x) * 3
+        rgb(p) = (l + dr).toByte
+        rgb(p + 1) = (l + dg).toByte
+        rgb(p + 2) = (l + db).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.Bmp.Image(w, h, rgb)
+  }
+
+  /** rid = doc_id*4 color JPEG 4:4:4; +1 BMP of the SAME pixels (the
+    * cross-format exact twin, every doc); +2 the SAME pixels at 4:2:0
+    * (%3); +3 a 4:2:0 with cell (3,3) re-derived (%5 — a ≤2-bit
+    * near-dup).
+    */
+  private def colorJpegMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    import s.implicits._
+    import graft.multimodal.{Bmp, Jpeg, Multimodal}
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 3).as[Long]
+      .flatMap { id =>
+        val base = colorPlantImage(id, altCell = false)
+        val j444 = Jpeg.encodeColor(base, subsample = false)
+        val bmp = Bmp.encode(base)
+        Seq(Multimodal.BmpMedia(id * 4, j444, j444.length),
+          Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+          (if (id % 3 == 0) {
+            val j420 = Jpeg.encodeColor(base, subsample = true)
+            Seq(Multimodal.BmpMedia(id * 4 + 2, j420, j420.length))
+          } else Nil) ++
+          (if (id % 5 == 0) {
+            val j = Jpeg.encodeColor(colorPlantImage(id, altCell = true),
+              subsample = true)
+            Seq(Multimodal.BmpMedia(id * 4 + 3, j, j.length))
+          } else Nil)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // COLOR JPEG perceptual dedup: real 3-component YCbCr payloads at
+    // BOTH sampling layouts flow through the magic-sniffed
+    // dHash/banded-hamming/CC machinery — the 4:4:4, its 4:2:0
+    // re-encode, and the lossless BMP twin hash IDENTICALLY (format-
+    // independent perceptual identity), the alt-cell 4:2:0 lands in
+    // the same cluster at hamming ≤ 2.
+    "q274_color_jpeg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(colorJpegMedia(s, dir)),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
+
 
     // WINDOWS-1252 transport: odd ids land as cp1252 BYTES labeled
     // with a rotating WHATWG alias (latin1 / iso-8859-1 / cp1252 /
@@ -335,6 +419,56 @@ object Round16Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // hashes replay from the cell formula (uniform casts cancel in
+    // the sample comparisons; margins absorb the lossy roundtrip) —
+    // the q201 oracle pattern over the color media set
+    "q274_color_jpeg" ->
+      s"""WITH RECURSIVE cqdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 3),
+         |cqimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0, 0 AS alt FROM cqdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id, 0 FROM cqdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id, 0 FROM cqdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id, 1 FROM cqdims WHERE doc_id % 5 = 0),
+         |cqcells AS (
+         |  SELECT rid, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT rid, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj:' || (CASE WHEN alt = 1 AND gx.g = 3 AND gy.g = 3 THEN id0 + 999983 ELSE id0 END) || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM cqimgs,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |cqdh AS (
+         |  SELECT l.rid, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM cqcells l JOIN cqcells r
+         |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.rid),
+         |cqbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM cqdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |cqpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM cqbands x JOIN cqbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |cqedges AS (SELECT a AS src, b AS dst FROM cqpairs
+         |  UNION SELECT b, a FROM cqpairs),
+         |cqreach(node, lab) AS (
+         |  SELECT src, src FROM cqedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM cqreach r JOIN cqedges e2 ON e2.src = r.node),
+         |cqlabels AS (SELECT node, min(lab) AS clus FROM cqreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM cqdh d LEFT JOIN cqlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
 
     // decode∘encode is the identity per charset ONLY when every alias
     // normalizes to windows-1252: the oracle predicts a clean sweep,

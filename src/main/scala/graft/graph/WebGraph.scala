@@ -344,10 +344,8 @@ object WebGraph {
     "[" -> "\\[", "]" -> "\\]", "{" -> "\\{", "}" -> "\\}",
     "|" -> "\\|", "*" -> ".*")
 
-  private def regexEscCol(c: Column): Column =
-    RegexMetas.foldLeft(c) { case (acc, (m, r)) =>
-      org.apache.spark.sql.functions.replace(acc, lit(m), lit(r))
-    }
+  private def regexEscScala(s: String): String =
+    RegexMetas.foldLeft(s) { case (acc, (m, r)) => acc.replace(m, r) }
 
   private def regexEscSql(e: String): String =
     RegexMetas.foldLeft(e) { case (acc, (m, r)) =>
@@ -379,29 +377,20 @@ object WebGraph {
     * `(url, action)`, action ∈ {'allow','deny'}.
     */
   def urlDecisions(urls: DataFrame, rules: DataFrame): DataFrame = {
-    val rx = rules
-      .select(col("pattern"), col("action"),
-        regexp_replace(col("pattern"), "^https?://", "").as("__s"))
-      .withColumn("__anch", col("__s").endsWith("$"))
-      .withColumn("__b", when(col("__anch"),
-          col("__s").substr(lit(1), length(col("__s")) - 1))
-        .otherwise(col("__s")))
-      .withColumn("__wild", col("__b").contains("*") || col("__anch"))
-      .withColumn("__re", concat(lit("^"), regexEscCol(col("__b")),
-        when(col("__anch"), lit("$")).otherwise(lit(""))))
-    val u = regexp_replace(col("url"), "^https?://", "")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("url"))
-      .orderBy(length(col("__s")).desc, col("pattern"), col("action"))
+    // rule sets are model-sized: collect once, pre-sort by precedence,
+    // precompile wildcard regexes, and evaluate as ONE codegen
+    // first-match scan per distinct URL (graft.functions.RobotRules) —
+    // the relational BNL-join + window recompiled every non-literal
+    // regex per (URL × rule) pair
+    val raw = rules
+      .select(col("pattern").cast("string"), col("action").cast("string"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val compiled = graft.functions.RobotRules.compile(raw, regexEscScala)
     urls.select(col("url")).distinct()
-      .join(broadcast(rx),
-        (!col("__wild") && u.startsWith(col("__b"))) ||
-          (col("__wild") && regexp_like(u, col("__re"))),
-        "left")
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
       .select(col("url"),
-        coalesce(col("action"), lit("allow")).as("action"))
+        coalesce(graft.functions.RobotRules.decideCol(col("url"),
+          compiled), lit("allow")).as("action"))
   }
 
   /** DuckDB CTE chain for [[urlDecisions]] over `urlsRel(url)` and

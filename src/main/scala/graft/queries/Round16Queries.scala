@@ -416,6 +416,124 @@ object Round16Queries {
       Round7bQueries.rmTree(land)
       res
     }),
+    // SCHEDULED CONDITIONAL RECRAWL — the round's crawl pieces
+    // composed end-to-end: q267's scheduler (sitemap freshness delta
+    // → wildcard robots → politeness slots, freshest-first) DRIVES
+    // the fetches, and the fetches are CONDITIONAL (q273): a sitemap
+    // lastmod bump with unchanged content (id%3==0 ∧ id%7==2 — the
+    // spurious-lastmod class every real site has) costs a 304 header,
+    // not a body; only scheduled URLs touch the wire at all. The
+    // effective corpus composes coalesce(fetched-if-200, stored) and
+    // clean-matches the server's current truth for every scheduled
+    // URL.
+    "q275_scheduled_fetch" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.graph.WebGraph
+      import graft.sources.Warc
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val j6 = expr("doc_id div 20") % 6
+      val day0 = (t * 7) % 28 + 1
+      val dayN = day0 + when(t % 3 === 0, 1).otherwise(0)
+      def dstr(d: Column) =
+        concat(lit("2025-01-"), lpad(d.cast("string"), 2, "0"))
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val entries = docs.filter(j6 =!= 5)
+        .select(host.as("host"),
+          concat(lit("<url><loc>"), urlOf(t), lit("</loc><lastmod>"),
+            dstr(dayN), lit("</lastmod></url>")).as("e"))
+      val maps = entries.groupBy(col("host"))
+        .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+      val inv = WebGraph.parseSitemaps(maps, "host", "xml")
+        .select(col("url"), col("lastmod"))
+      val state = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), col("text").as("stored"),
+          dstr(day0).as("stored_lastmod"))
+      val cand = inv.join(state, Seq("url"), "left")
+        .filter(col("stored_lastmod").isNull ||
+          col("lastmod") > col("stored_lastmod"))
+        .select(col("url"), col("lastmod"),
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 20).as("dom"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /*9$$\nDisallow: /p/2\n" +
+            s"Crawl-delay: ${(k % 4) * 5 + 5}")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val dec = WebGraph.urlDecisions(cand.select(col("url")), rules)
+      val sched = cand.join(dec, Seq("url"))
+        .filter(col("action") === "allow")
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("lastmod").desc, col("url"))))
+        .filter(col("rk") <= col("slots"))
+        .select(col("url"))
+      // the server: current truth + conditional answers for the
+      // scheduled set only (join back to docs by id)
+      val fetchSet = sched
+        .select(col("url"), regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"))
+        .join(docs, Seq("doc_id"))
+      val changed = col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 2
+      val inState = expr("doc_id div 20") % 5 =!= 4
+      val cur = when(changed, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val is304 = inState && !changed
+      val pages = fetchSet.select(col("doc_id"), col("url").as("uri"),
+        when(is304, Warc.httpResponse(lit(304), lit("text/html"),
+          lit(""))).otherwise(Warc.httpResponse(lit(200),
+          lit("text/html"), cur)).as("payload"))
+      val land = Files.createTempDirectory("graft-q275-warc").toString
+      Warc.writeSegments(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecords(s, land)
+        .select(col("uri").as("url"),
+          regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          Warc.httpStatus(col("body")).as("st"),
+          Warc.httpBody(col("body")).as("fetched"))
+      val eff = back
+        .join(state.select(col("url"), col("stored")), Seq("url"), "left")
+        .join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("st"),
+          (when(col("st") === 200, col("fetched"))
+            .otherwise(col("stored")) ===
+            when(changed, concat(col("text"), lit(" v2")))
+              .otherwise(col("text"))).as("cm"),
+          length(col("fetched")).cast("long").as("len_f"),
+          length(coalesce(col("stored"), lit(""))).cast("long")
+            .as("len_s"))
+      val res = eff.groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_scheduled"),
+          sum(when(col("st") === 200, 1).otherwise(0)).cast("long")
+            .as("n_200"),
+          sum(when(col("st") === 304, 1).otherwise(0)).cast("long")
+            .as("n_304"),
+          sum(when(col("st") === 200, col("len_f")).otherwise(0L))
+            .cast("long").as("bytes_fetched"),
+          sum(when(col("st") === 304, col("len_s")).otherwise(0L))
+            .cast("long").as("bytes_saved"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -484,6 +602,69 @@ object Round16Queries {
          |  CAST(SUM(length(text) - length(replace(replace(text, 'a', ''), 'e', ''))) AS BIGINT) AS sum_hi,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // q267's chain replays verbatim to the scheduled set; the fetch
+    // tail is id arithmetic (3 = length(' v2')) and predicts a clean
+    // sweep — spurious-lastmod rows save exactly their stored bytes
+    "q275_scheduled_fetch" -> {
+      import graft.graph.WebGraph
+      s"""WITH sfe AS (SELECT
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>' ||
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 +
+         |      (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+         |      2, '0') ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents WHERE (doc_id // 20) % 6 <> 5),
+         |sfm AS (SELECT host, string_agg(e, '') AS xml
+         |  FROM sfe GROUP BY host),
+         |${WebGraph.parseSitemapsCtes("sfm", "host", "xml", "sf2")},
+         |sfstate AS (SELECT ${urlSqlOf("doc_id")} AS url,
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR),
+         |      2, '0') AS stored_lastmod
+         |  FROM documents WHERE (doc_id // 20) % 5 <> 4),
+         |sfcand AS (SELECT i.url, i.lastmod,
+         |    CAST(regexp_extract(i.url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS dom
+         |  FROM sf2maps i LEFT JOIN sfstate s ON s.url = i.url
+         |  WHERE s.stored_lastmod IS NULL OR i.lastmod > s.stored_lastmod),
+         |sfrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /*9$$' || chr(10) ||
+         |    'Disallow: /p/2' || chr(10) ||
+         |    'Crawl-delay: ' || CAST((k % 4) * 5 + 5 AS VARCHAR) AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${WebGraph.parseRobotsForCtes("sfrob", "host", "txt",
+             "graftbot", "sp")},
+         |sfdist AS (SELECT DISTINCT url FROM sfcand),
+         |${WebGraph.urlDecisionsCtes("sfdist", "sprules", "sq")},
+         |sfallow AS (SELECT c.url, c.lastmod, c.dom,
+         |    'd' || CAST(c.dom AS VARCHAR) || '.example.com' AS host
+         |  FROM sfcand c JOIN sqdec d ON d.url = c.url
+         |  WHERE d.action = 'allow'),
+         |sfslot AS (SELECT a.url, a.lastmod, a.dom, a.host,
+         |    GREATEST(1, 60 // coalesce(dl.delay, 60)) AS slots
+         |  FROM sfallow a LEFT JOIN spdelay dl ON dl.host = a.host),
+         |sfrk AS (SELECT url, dom, slots,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY lastmod DESC, url) AS rk
+         |  FROM sfslot),
+         |sfsched AS (SELECT url, dom FROM sfrk WHERE rk <= slots),
+         |sfx AS (SELECT f.dom, d.text,
+         |    (d.doc_id % 3 = 0 AND d.doc_id % 7 <> 2) AS chg,
+         |    ((d.doc_id // 20) % 5 <> 4) AS instate
+         |  FROM (SELECT dom,
+         |      CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS doc_id
+         |    FROM sfsched) f
+         |  JOIN documents d ON d.doc_id = f.doc_id)
+         |SELECT dom,
+         |  CAST(count(*) AS BIGINT) AS n_scheduled,
+         |  CAST(SUM(CASE WHEN NOT instate OR chg THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN instate AND NOT chg THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN NOT instate OR chg THEN length(text) + (CASE WHEN chg THEN 3 ELSE 0 END) ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN instate AND NOT chg THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+         |  CAST(count(*) AS BIGINT) AS n_clean
+         |FROM sfx GROUP BY dom ORDER BY dom""".stripMargin
+    },
 
     // the robots relation, group selection, decisions, and politeness
     // window all replay from the same literals — the WARC transport

@@ -972,6 +972,74 @@ object ScaleProbe {
         .filter(col("sz") >= 1).count()
     }
 
+    // Full transport onion per row (q271): chunk-frame + gzip +
+    // cp1252, then dechunk → inflate → charset decode — all codegen
+    // expression work riding the scan, so the probe measures the
+    // codec constants at Nx rows.
+    def chunkedRun(d: DataFrame): Long = {
+      import graft.sources.Warc
+      import graft.functions.{Chunked, Gzip}
+      val tr = translate(col("text"), "ae", "éä")
+      val gz = col("doc_id") % 3 === 1
+      val raw = Warc.encodeCp1252(tr)
+      val p = d.select(col("doc_id"),
+        Warc.httpResponseChunked(lit(200), lit("text/html"),
+          lit("latin1"), when(gz, lit("gzip")).otherwise(lit("")),
+          when(gz, Gzip.deflateCol(raw)).otherwise(raw),
+          lit(7) + col("doc_id") % 13).as("payload"))
+      val pt = Warc.payloadText(col("payload"))
+      p.select(
+          Warc.decodeBody(
+            when(Warc.httpContentEncoding(pt) === "gzip",
+              Gzip.inflateCol(Chunked.dechunkCol(
+                Warc.bodyBytes(col("payload")))))
+              .otherwise(Chunked.dechunkCol(
+                Warc.bodyBytes(col("payload")))),
+            Warc.httpCharset(pt)).as("dec"))
+        .filter(length(col("dec")) >= 0).count()
+    }
+
+    // Color JPEG encode + decode + dHash per sampled image (q274's
+    // construction; md5-derived pixels, so replicas are genuinely new
+    // images — the r9 image-probe lesson).
+    def colorJpegRun(d: DataFrame): Long = {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val media = d.select(col("doc_id")).as[Long].mapPartitions(_.map {
+        id =>
+          val img = graft.queries.Round16Queries
+            .colorPlantImage(id, altCell = false)
+          val p = graft.multimodal.Jpeg.encodeColor(img,
+            subsample = id % 2 == 0)
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+      })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
+    // urlDecisions at Nx URLs against a fixed 60-rule set (a third
+    // wildcard/anchored): the precompiled first-match scan must stay
+    // linear in URLs with a model-sized per-row constant.
+    def urlDecideRun(d: DataFrame): Long = {
+      import spark.implicits._
+      val rules = (0 until 60).map { k =>
+        val host = s"d${k % 20}.example.com"
+        val p = k % 3 match {
+          case 0 => s"$host/p/${k / 3}"
+          case 1 => s"$host/*${k % 10}$$"
+          case _ => s"$host/p/*${k % 7}"
+        }
+        (p, if (k % 2 == 0) "deny" else "allow")
+      }.toDF("pattern", "action")
+      val urls = d.select(concat(lit("http://d"),
+        (col("doc_id") % 20).cast("string"), lit(".example.com/p/"),
+        col("doc_id").cast("string")).as("url"))
+      graft.graph.WebGraph.urlDecisions(urls, rules)
+        .filter(length(col("action")) > 0).count()
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -1127,7 +1195,13 @@ object ScaleProbe {
         time(charsetRun(docsN)))),
       "mime_sniff" -> (() => (time(mimeRun(docs1)), time(mimeRun(docsN)))),
       "canonical_fold" -> (() => (time(canonicalRun(docs1)),
-        time(canonicalRun(docsN)))))
+        time(canonicalRun(docsN)))),
+      "chunked_transport" -> (() => (time(chunkedRun(docs1)),
+        time(chunkedRun(docsN)))),
+      "color_jpeg" -> (() => (time(colorJpegRun(docs1)),
+        time(colorJpegRun(docsN)))),
+      "url_decide" -> (() => (time(urlDecideRun(docs1)),
+        time(urlDecideRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

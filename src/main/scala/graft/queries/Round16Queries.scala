@@ -534,9 +534,105 @@ object Round16Queries {
       Round7bQueries.rmTree(land)
       res
     }),
+    // STREAMING conditional-fetch door: q273's 304/200 responses
+    // arrive as a file stream — per batch the door parses transport
+    // (status gate → fetched-vs-stored composition against the FROZEN
+    // stored state) and folds the per-dom ledger partials, which ADD
+    // across doc-disjoint batches because every verdict is per-record.
+    // Oracle = q273's SQL VERBATIM while the stream's per-file
+    // batching differs from any one-shot layout.
+    "q276_stream_conditional" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val stored = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), col("text").as("stored"))
+      val cur = when(t % 3 === 0, concat(col("text"), lit(" updated")))
+        .otherwise(col("text"))
+      val is304 = j5 =!= 4 && t % 3 =!= 0
+      val pages = docs.select(t.as("doc_id"), urlOf(t).as("url"),
+        when(is304, Warc.httpResponse(lit(304), lit("text/html"),
+          lit(""))).otherwise(Warc.httpResponse(lit(200),
+          lit("text/html"), cur)).as("payload"))
+      val land = Files.createTempDirectory("graft-q276-land").toString
+      val cp = Files.createTempDirectory("graft-q276-cp").toString
+      (0 to 2).foreach { k =>
+        pages.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var agg: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val back = batch.select(col("url"), col("doc_id"),
+            Warc.httpStatus(col("payload")).as("st"),
+            Warc.httpBody(col("payload")).as("fetched"))
+          val part = back.join(stored, Seq("url"), "left")
+            .join(docs, Seq("doc_id"))
+            .select(col("doc_id"), col("st"),
+              (when(col("st") === 200, col("fetched"))
+                .otherwise(col("stored")) ===
+                when(col("doc_id") % 3 === 0,
+                  concat(col("text"), lit(" updated")))
+                  .otherwise(col("text"))).as("cm"),
+              length(col("fetched")).cast("long").as("len_f"),
+              length(coalesce(col("stored"), lit(""))).cast("long")
+                .as("len_s"))
+            .groupBy((col("doc_id") % 20).as("dom"))
+            .agg(count(lit(1)).as("n_urls"),
+              sum(when(col("st") === 200, 1).otherwise(0)).cast("long")
+                .as("n_200"),
+              sum(when(col("st") === 304, 1).otherwise(0)).cast("long")
+                .as("n_304"),
+              sum(when(col("st") === 200, col("len_f")).otherwise(0L))
+                .cast("long").as("bytes_fetched"),
+              sum(when(col("st") === 304, col("len_s")).otherwise(0L))
+                .cast("long").as("bytes_saved"),
+              sum(when(col("cm"), 1).otherwise(0)).cast("long")
+                .as("n_clean"))
+          agg = (if (agg == null) part
+                 else agg.unionByName(part).groupBy(col("dom"))
+                   .agg(sum(col("n_urls")).as("n_urls"),
+                     sum(col("n_200")).as("n_200"),
+                     sum(col("n_304")).as("n_304"),
+                     sum(col("bytes_fetched")).as("bytes_fetched"),
+                     sum(col("bytes_saved")).as("bytes_saved"),
+                     sum(col("n_clean")).as("n_clean")))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val out = agg
+        .select(col("dom"), col("n_urls"), col("n_200"), col("n_304"),
+          col("bytes_fetched"), col("bytes_saved"), col("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // streamed ledger fold == one-shot: the door replays q273 verbatim
+    "q276_stream_conditional" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 = 4 OR doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 <> 4 AND doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 = 4 OR doc_id % 3 = 0 THEN length(text) + (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END) ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 <> 4 AND doc_id % 3 <> 0 THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+         |  CAST(count(*) AS BIGINT) AS n_clean
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // hashes replay from the cell formula (uniform casts cancel in
     // the sample comparisons; margins absorb the lossy roundtrip) —

@@ -86,6 +86,32 @@ case class Utf8DecodeLenient(child: Expression) extends UnaryExpression {
       newChild: Expression): Utf8DecodeLenient = copy(child = newChild)
 }
 
+/** Lenient decode for an arbitrary (plan-literal) JVM charset —
+  * [[Utf8DecodeLenient]] generalized for the UTF-16 transport
+  * branches: malformed sequences (odd byte counts, unpaired
+  * surrogates) become U+FFFD instead of killing the job.
+  */
+case class CharsetDecodeLenient(child: Expression, charset: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "charset_decode_lenient"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    Gzip.decodeLenient(a.asInstanceOf[Array[Byte]], charset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("charsetName", charset, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.decodeLenient($c, $cs);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharsetDecodeLenient = copy(child = newChild)
+}
+
 object Gzip {
 
   /** One gzip member over the whole buffer (JDK GZIPOutputStream:
@@ -125,6 +151,20 @@ object Gzip {
     org.apache.spark.unsafe.types.UTF8String.fromString(
       dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
   }
+
+  /** Any JVM charset with CodingErrorAction.REPLACE. */
+  def decodeLenient(b: Array[Byte],
+      charset: String): org.apache.spark.unsafe.types.UTF8String = {
+    val dec = java.nio.charset.Charset.forName(charset).newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      dec.decode(java.nio.ByteBuffer.wrap(b)).toString)
+  }
+
+  def decodeLenientCol(bytes: Column, charset: String): Column =
+    ColumnBridge.column(CharsetDecodeLenient(
+      ColumnBridge.expression(bytes), charset))
 
   def deflateCol(bytes: Column): Column =
     ColumnBridge.column(GzipDeflate(ColumnBridge.expression(bytes)))

@@ -619,9 +619,95 @@ object Round16Queries {
       Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
       out
     }),
+    // BOM priority (WHATWG encoding sniff, step 1): a byte-order mark
+    // beats EVERYTHING — one class carries a UTF-8 BOM under a LYING
+    // iso-8859-1 header (header-first decode mojibakes it), two carry
+    // UTF-16 BOMs with a bare header, one is BOM-less UTF-16 under
+    // the bare `utf-16` label (little-endian per WHATWG), one is the
+    // utf-8 control. Effective charset = coalesce(BOM, header,
+    // utf-8); the n_hdr_clean CONTROL replays the header-only rule
+    // and matches exactly the two classes whose header tells the
+    // truth.
+    "q277_bom_priority" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val tr = translate(col("text"), "ae", "éä")
+      val j4 = expr("doc_id div 20") % 5
+      val body = when(j4 === 0,
+          concat(unhex(lit("EFBBBF")), encode(tr, "UTF-8")))
+        .when(j4 === 1, concat(unhex(lit("FFFE")),
+          encode(tr, "UTF-16LE")))
+        .when(j4 === 2, concat(unhex(lit("FEFF")),
+          encode(tr, "UTF-16BE")))
+        .when(j4 === 3, encode(tr, "UTF-16LE"))
+        .otherwise(encode(tr, "UTF-8"))
+      val cs = when(j4 === 0, lit("iso-8859-1")) // the lie
+        .when(j4 === 3, lit("utf-16"))           // bare label → LE
+        .when(j4 === 4, lit("utf-8"))
+        .otherwise(lit(""))
+      val pages = docs.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"), cs,
+          lit(""), body).as("payload"))
+      val land = Files.createTempDirectory("graft-q277-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      val bom = Warc.bomCharset(col("bb"))
+      val hdr = Warc.httpCharset(col("pt"))
+      val eff = when(bom =!= "", bom)
+        .when(hdr =!= "", hdr)
+        .otherwise(lit("utf-8"))
+      val hdrOnly = when(hdr =!= "", hdr).otherwise(lit("utf-8"))
+      val parsed = back.select(col("doc_id"),
+        bom.as("bom"), hdr.as("hdr"),
+        Warc.decodeBody(col("bb"), eff).as("decoded"),
+        Warc.decodeBody(col("bb"), hdrOnly).as("hdr_decoded"))
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), col("bom"), col("hdr"),
+          (col("decoded") === translate(col("text"), "ae", "éä"))
+            .as("cm"),
+          (col("hdr_decoded") === translate(col("text"), "ae", "éä"))
+            .as("hcm"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("bom") =!= "", 1).otherwise(0)).cast("long")
+            .as("n_bom"),
+          sum(when(col("bom").isin("utf-16le", "utf-16be") ||
+            col("hdr") === "utf-16", 1).otherwise(0)).cast("long")
+            .as("n_utf16"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"),
+          sum(when(col("hcm"), 1).otherwise(0)).cast("long")
+            .as("n_hdr_clean"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // every class decodes exactly under the BOM-first rule; the
+    // header-only control matches only the truth-telling classes
+    "q277_bom_priority" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 IN (0, 1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_bom,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 IN (1, 2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_utf16,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN (doc_id // 20) % 5 IN (3, 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_hdr_clean,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // streamed ledger fold == one-shot: the door replays q273 verbatim
     "q276_stream_conditional" ->

@@ -328,8 +328,24 @@ object Warc {
       "ansi_x3.4-1968"), lit("windows-1252"))
       .when(cs.isin("utf-8", "utf8", "unicode-1-1-utf-8",
         "unicode11utf8", "x-unicode20utf8"), lit("utf-8"))
+      // WHATWG: the bare "utf-16"/"unicode" labels mean LITTLE-endian
+      .when(cs.isin("utf-16le", "utf-16", "utf16", "unicode",
+        "csunicode", "iso-10646-ucs-2", "ucs-2"), lit("utf-16le"))
+      .when(cs.isin("utf-16be", "unicodefffe"), lit("utf-16be"))
       .otherwise(cs)
   }
+
+  /** Byte-order-mark charset of an entity body, '' when none — the
+    * FIRST step of the WHATWG encoding sniff: a BOM beats even the
+    * transport header (a mislabeled Content-Type cannot override
+    * bytes the serializer actually wrote), so the effective charset
+    * is coalesce(BOM, header param, meta element, default).
+    */
+  def bomCharset(bytes: Column): Column =
+    when(hex(substring(bytes, 1, 3)) === "EFBBBF", lit("utf-8"))
+      .when(hex(substring(bytes, 1, 2)) === "FEFF", lit("utf-16be"))
+      .when(hex(substring(bytes, 1, 2)) === "FFFE", lit("utf-16le"))
+      .otherwise(lit(""))
 
   /** The 27 bytes windows-1252 maps off the latin-1 identity (WHATWG
     * index; 0x81/0x8D/0x8F/0x90/0x9D stay C1-identity there too) — as
@@ -367,10 +383,23 @@ object Warc {
     * replacement characters and fails its clean-match downstream —
     * visible per record, fatal never.
     */
-  def decodeBody(bytes: Column, charset: Column): Column =
-    when(normalizeCharset(charset) === "windows-1252",
+  def decodeBody(bytes: Column, charset: Column): Column = {
+    val cs = normalizeCharset(charset)
+    // BOM bytes are framing, not content (WHATWG strips them before
+    // the decode); the latin-1/cp1252 identity branch keeps its bytes
+    // verbatim — a BOM cannot reach that branch through the sniff
+    val b16 = when(hex(substring(bytes, 1, 2)).isin("FEFF", "FFFE"),
+      bytes.substr(lit(3), length(bytes) - 2)).otherwise(bytes)
+    val b8 = when(hex(substring(bytes, 1, 3)) === "EFBBBF",
+      bytes.substr(lit(4), length(bytes) - 3)).otherwise(bytes)
+    when(cs === "windows-1252",
       translate(decode(bytes, "ISO-8859-1"), Cp1252From, Cp1252To))
-      .otherwise(graft.functions.Gzip.utf8LenientCol(bytes))
+      .when(cs === "utf-16le",
+        graft.functions.Gzip.decodeLenientCol(b16, "UTF-16LE"))
+      .when(cs === "utf-16be",
+        graft.functions.Gzip.decodeLenientCol(b16, "UTF-16BE"))
+      .otherwise(graft.functions.Gzip.utf8LenientCol(b8))
+  }
 
   /** Charset declared INSIDE the document — HTML5's fallback when the
     * transport header carries no parameter: `<meta charset=...>` wins

@@ -85,6 +85,38 @@ class TransportCodingSpec extends SparkSpec {
     }
   }
 
+  test("BOM charsets sniff and decode; the BOM beats a lying header") {
+    val txt = "caf— and ‘more’"
+    val mk = Seq(txt).toDF("t")
+    // UTF-8 BOM under a LYING latin-1 label
+    val utf8Bom = mk.select(concat(unhex(lit("EFBBBF")),
+      encode(col("t"), "UTF-8")).as("b"))
+    val r1 = utf8Bom.select(Warc.bomCharset(col("b")).as("bom"),
+      Warc.decodeBody(col("b"), Warc.bomCharset(col("b"))).as("d"),
+      Warc.decodeBody(col("b"), lit("iso-8859-1")).as("lied")).head()
+    assert(r1.getString(0) == "utf-8")
+    assert(r1.getString(1) == txt)
+    assert(r1.getString(2) != txt) // header-first would mojibake
+    // UTF-16 both endiannesses, BOM stripped
+    for ((bomHex, enc) <- Seq(("FFFE", "UTF-16LE"), ("FEFF", "UTF-16BE"))) {
+      val df = mk.select(concat(unhex(lit(bomHex)),
+        encode(col("t"), enc)).as("b"))
+      val r = df.select(Warc.bomCharset(col("b")).as("bom"),
+        Warc.decodeBody(col("b"), Warc.bomCharset(col("b"))).as("d"))
+        .head()
+      assert(r.getString(0) == enc.toLowerCase)
+      assert(r.getString(1) == txt, enc)
+    }
+    // the bare WHATWG 'utf-16' label means little-endian, no BOM
+    val le = mk.select(encode(col("t"), "UTF-16LE").as("b"))
+      .select(Warc.decodeBody(col("b"), lit("utf-16")).as("d")).head()
+    assert(le.getString(0) == txt)
+    // odd byte count is lenient, not fatal
+    val odd = Seq(Array[Byte](0x61, 0x00, 0x62)).toDF("b")
+      .select(Warc.decodeBody(col("b"), lit("utf-16le")).as("d")).head()
+    assert(odd.getString(0) == "a�")
+  }
+
   test("the full onion: chunked + gzip + cp1252 through a payload") {
     val txt = "the caf’s — menu" * 10
     val raw = Seq(txt).toDF("t")

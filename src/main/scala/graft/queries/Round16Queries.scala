@@ -693,9 +693,189 @@ object Round16Queries {
       Round7bQueries.rmTree(land)
       res
     }),
+    // GZIPPED SITEMAPS through real transport — both live
+    // conventions: `Content-Encoding: gzip` headers (k%3≠0 hosts) and
+    // bare `.xml.gz` files whose gzip magic self-identifies with NO
+    // header (k%3=0). The `fetched(url, xml)` lookup that q248/q252
+    // took as a pre-built relation is here READ FROM THE CRAWL: WARC
+    // land → inflate-or-passthrough (coalesce on the magic-gated
+    // inflate) → robots Sitemap: directives → nested index expansion
+    // → access decisions, one statement.
+    "q278_gzip_sitemaps" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.graph.WebGraph
+      import graft.sources.Warc
+      import graft.functions.Gzip
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val k0 = col("doc_id") % 20
+      val j = expr("doc_id div 20")
+      val entry = concat(lit("<url><loc>"), urlOf(col("doc_id")),
+        lit("</loc><lastmod>2025-01-"),
+        lpad(((col("doc_id") * 7) % 28 + 1).cast("string"), 2, "0"),
+        lit("</lastmod></url>"))
+      val decl = docs.filter(j % 5 < 3)
+        .select(k0.as("k"), (j % 2).as("b"), col("doc_id"),
+          entry.as("e"))
+      def urlsetAgg = concat(lit("<urlset>"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("e")))),
+          x => x.getField("e")), ""), lit("</urlset>"))
+      val ks = col("k").cast("string")
+      def ext = when(col("k") % 3 === 0, lit(".xml.gz"))
+        .otherwise(lit(".xml"))
+      val childFiles = decl.filter(col("k") % 2 === 1)
+        .groupBy(col("k"), col("b")).agg(urlsetAgg.as("xml"))
+        .select(col("k"), concat(lit("http://d"), ks,
+          lit(".example.com/sm/"), col("b").cast("string"), ext)
+          .as("url"), col("xml"))
+      val urlsetAll = decl.groupBy(col("k")).agg(urlsetAgg.as("xml"))
+      val spine = docs.select(k0.as("k")).distinct()
+      val roots0 = spine.join(urlsetAll, Seq("k"), "left")
+        .select(col("k"), concat(lit("http://d"), ks,
+          lit(".example.com/sm/root"), ext).as("url"),
+          when(col("k") % 2 === 1, concat(
+            lit("<sitemapindex><sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/0"), ext,
+            lit("</loc></sitemap><sitemap><loc>http://d"), ks,
+            lit(".example.com/sm/1"), ext,
+            lit("</loc></sitemap></sitemapindex>")))
+            .otherwise(coalesce(col("xml"), lit("<urlset></urlset>")))
+            .as("xml"))
+      val files = roots0.unionByName(childFiles)
+      val pages = files.select(col("url").as("uri"),
+        Warc.httpResponseBytes(lit(200), lit("application/xml"),
+          lit(""),
+          when(col("k") % 3 === 0, lit("")).otherwise(lit("gzip")),
+          Gzip.deflateCol(encode(col("xml"), "UTF-8"))).as("payload"))
+      val land = Files.createTempDirectory("graft-q278-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, col("uri")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(col("uri").as("url"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      // inflate-or-passthrough: the 0x1F8B magic self-identifies, so
+      // BOTH conventions read through one expression
+      val fetched = back.select(col("url"),
+        Warc.httpContentEncoding(col("pt")).as("enc"),
+        Gzip.utf8LenientCol(coalesce(Gzip.inflateCol(col("bb")),
+          col("bb"))).as("xml"))
+      val robots = (0 until 20).map { k =>
+        val e = if (k % 3 == 0) ".xml.gz" else ".xml"
+        (s"d$k.example.com",
+          "User-agent: *\nDisallow: /p/4\n" +
+            s"Sitemap: http://d$k.example.com/sm/root$e")
+      }.toDF("host", "txt")
+      val roots = WebGraph.sitemapDirectives(robots, "host", "txt")
+        .join(fetched, Seq("url"))
+        .select(col("host"), col("xml"))
+      val inv = WebGraph.parseSitemapsNested(roots, "host", "xml",
+        fetched, "url", "xml")
+      val dec = WebGraph.urlDecisions(inv.select(col("url")),
+        WebGraph.parseRobotsFor(robots, "host", "txt", "graftbot"))
+      val invAgg = inv.join(dec, Seq("url"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("action") === "allow", 1).otherwise(0))
+            .cast("long").as("n_allowed"),
+          max(col("lastmod")).as("max_lastmod"))
+      val fileAgg = fetched
+        .select(regexp_extract(col("url"), "^http://([^/]+)/", 1)
+          .as("host"), col("enc"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("enc") === "gzip", 1).otherwise(0))
+            .cast("long").as("n_gzip_hdr"))
+      val hspine = spine.select(
+        concat(lit("d"), ks, lit(".example.com")).as("host"))
+      val res = hspine
+        .join(fileAgg, Seq("host"), "left")
+        .join(invAgg, Seq("host"), "left")
+        .select(col("host"),
+          coalesce(col("n_files"), lit(0L)).as("n_files"),
+          coalesce(col("n_gzip_hdr"), lit(0L)).as("n_gzip_hdr"),
+          coalesce(col("n_urls"), lit(0L)).as("n_urls"),
+          coalesce(col("n_allowed"), lit(0L)).as("n_allowed"),
+          coalesce(col("max_lastmod"), lit("")).as("max_lastmod"))
+        .orderBy(col("host"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // gzip transport is engine-side realism; the sitemap tree, index
+    // expansion and decisions replay from the same literals
+    "q278_gzip_sitemaps" -> {
+      import graft.graph.WebGraph
+      s"""WITH g16decl AS (SELECT doc_id % 20 AS k,
+         |    (doc_id // 20) % 2 AS b, doc_id,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>2025-01-' ||
+         |    lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR), 2, '0') ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents WHERE (doc_id // 20) % 5 < 3),
+         |g16child AS (SELECT k, b,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+         |  FROM g16decl WHERE k % 2 = 1 GROUP BY k, b),
+         |g16all AS (SELECT k,
+         |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) || '</urlset>' AS xml
+         |  FROM g16decl GROUP BY k),
+         |g16spine AS (SELECT DISTINCT doc_id % 20 AS k FROM documents),
+         |g16roots AS (SELECT s.k,
+         |    'http://d' || CAST(s.k AS VARCHAR) || '.example.com/sm/root' ||
+         |      (CASE WHEN s.k % 3 = 0 THEN '.xml.gz' ELSE '.xml' END) AS url,
+         |    CASE WHEN s.k % 2 = 1 THEN
+         |      '<sitemapindex><sitemap><loc>http://d' || CAST(s.k AS VARCHAR) ||
+         |      '.example.com/sm/0' || (CASE WHEN s.k % 3 = 0 THEN '.xml.gz' ELSE '.xml' END) ||
+         |      '</loc></sitemap><sitemap><loc>http://d' || CAST(s.k AS VARCHAR) ||
+         |      '.example.com/sm/1' || (CASE WHEN s.k % 3 = 0 THEN '.xml.gz' ELSE '.xml' END) ||
+         |      '</loc></sitemap></sitemapindex>'
+         |    ELSE coalesce(a.xml, '<urlset></urlset>') END AS xml
+         |  FROM g16spine s LEFT JOIN g16all a ON a.k = s.k),
+         |g16files AS (SELECT k, url, xml FROM g16roots
+         |  UNION ALL
+         |  SELECT k, 'http://d' || CAST(k AS VARCHAR) || '.example.com/sm/' ||
+         |    CAST(b AS VARCHAR) ||
+         |    (CASE WHEN k % 3 = 0 THEN '.xml.gz' ELSE '.xml' END), xml
+         |  FROM g16child),
+         |g16rootrel AS (SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    xml FROM g16roots),
+         |${WebGraph.parseSitemapsNestedCtes("g16rootrel", "host",
+             "xml", "g16files", "url", "xml", "gn")},
+         |g16rob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /p/4' || chr(10) ||
+         |    'Sitemap: http://d' || CAST(k AS VARCHAR) || '.example.com/sm/root' ||
+         |    (CASE WHEN k % 3 = 0 THEN '.xml.gz' ELSE '.xml' END) AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${WebGraph.parseRobotsForCtes("g16rob", "host", "txt",
+             "graftbot", "gr")},
+         |g16dist AS (SELECT DISTINCT url FROM gnmaps),
+         |${WebGraph.urlDecisionsCtes("g16dist", "grrules", "gd")},
+         |g16inv AS (SELECT m.host, CAST(count(*) AS BIGINT) AS n_urls,
+         |    CAST(SUM(CASE WHEN d.action = 'allow' THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+         |    MAX(m.lastmod) AS max_lastmod
+         |  FROM gnmaps m JOIN gddec d ON d.url = m.url
+         |  GROUP BY m.host),
+         |g16fa AS (SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    CAST(count(*) AS BIGINT) AS n_files,
+         |    CAST(SUM(CASE WHEN k % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip_hdr
+         |  FROM g16files GROUP BY 1)
+         |SELECT s.host,
+         |  coalesce(f.n_files, 0) AS n_files,
+         |  coalesce(f.n_gzip_hdr, 0) AS n_gzip_hdr,
+         |  coalesce(i.n_urls, 0) AS n_urls,
+         |  coalesce(i.n_allowed, 0) AS n_allowed,
+         |  coalesce(i.max_lastmod, '') AS max_lastmod
+         |FROM (SELECT 'd' || CAST(k AS VARCHAR) || '.example.com' AS host
+         |  FROM g16spine) s
+         |LEFT JOIN g16fa f ON f.host = s.host
+         |LEFT JOIN g16inv i ON i.host = s.host
+         |ORDER BY s.host""".stripMargin
+    },
 
     // every class decodes exactly under the BOM-first rule; the
     // header-only control matches only the truth-telling classes

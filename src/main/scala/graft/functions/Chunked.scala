@@ -111,18 +111,25 @@ object Chunked {
         val semi = sizeLine.indexOf(';') // chunk extension — skipped
         if (semi >= 0) sizeLine.substring(0, semi) else sizeLine
       }.trim
-      if (hexPart.isEmpty || !hexPart.forall(c =>
+      // length cap keeps parseLong in range (8 hex digits = 2^32-1);
+      // the size itself is then range-checked in LONG arithmetic so a
+      // near-Int.MaxValue chunk cannot overflow the truncation guard
+      // into a negative pass — every oversized size stays inside the
+      // documented loud-IAE-with-offset contract
+      if (hexPart.isEmpty || hexPart.length > 8 || !hexPart.forall(c =>
           (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
             (c >= 'A' && c <= 'F')))
         fail(s"bad chunk size '$hexPart'")
-      val n = java.lang.Integer.parseInt(hexPart, 16)
+      val n64 = java.lang.Long.parseLong(hexPart, 16)
+      if (n64 > b.length.toLong) fail(s"truncated chunk of $n64 bytes")
+      val n = n64.toInt
       if (n == 0) {
         // trailer section: header lines until the empty line
         var t = line()
         while (t.nonEmpty) t = line()
         done = true
       } else {
-        if (i + n + 2 > b.length) fail(s"truncated chunk of $n bytes")
+        if (i.toLong + n + 2 > b.length) fail(s"truncated chunk of $n bytes")
         out.write(b, i, n)
         i += n
         if (!(b(i) == '\r' && b(i + 1) == '\n'))

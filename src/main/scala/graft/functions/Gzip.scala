@@ -62,6 +62,60 @@ case class GzipInflate(child: Expression) extends UnaryExpression {
       newChild: Expression): GzipInflate = copy(child = newChild)
 }
 
+/** `Content-Encoding: deflate` inflate — the second most common HTTP
+  * body encoding after gzip, and AMBIGUOUS in the wild: RFC 9110 says
+  * zlib-wrapped (RFC 1950), but a long tail of servers sends RAW
+  * deflate (RFC 1951) under the same label. This does what every
+  * browser does: try zlib first, fall back to raw; corrupt under BOTH
+  * framings THROWS — loud, never guessed. NULL on an empty buffer
+  * (a deflate body cannot be zero bytes under either framing).
+  */
+case class DeflateInflate(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "deflate_inflate"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any =
+    Gzip.inflateDeflate(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.inflateDeflate($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DeflateInflate = copy(child = newChild)
+}
+
+/** Deflate compressor for the non-gzip framings — zlib-wrapped
+  * (`raw = false`, RFC 1950) or raw (`raw = true`, RFC 1951); the
+  * fixture side of [[DeflateInflate]], same codegen static-helper
+  * idiom as [[GzipDeflate]].
+  */
+case class ZlibDeflate(child: Expression, raw: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "zlib_deflate"
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(a: Any): Any =
+    if (raw) Gzip.deflateRaw(a.asInstanceOf[Array[Byte]])
+    else Gzip.deflateZlib(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (raw) "deflateRaw" else "deflateZlib"
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = graft.functions.Gzip.$m($c);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ZlibDeflate = copy(child = newChild)
+}
+
 /** Lenient UTF-8 decode: malformed sequences become U+FFFD instead of
   * throwing — Spark 4's built-in `decode` REPORTS coding errors, which
   * would let ONE mislabeled-charset response kill a whole crawl-ingest
@@ -141,6 +195,69 @@ object Gzip {
     }
   }
 
+  /** Zlib-wrapped (RFC 1950) deflate of the whole buffer — the
+    * RFC-correct `Content-Encoding: deflate` framing (fixture
+    * builder; byte-stable per JDK, and nothing cross-engine compares
+    * compressed bytes).
+    */
+  def deflateZlib(b: Array[Byte]): Array[Byte] =
+    deflateWith(b, nowrap = false)
+
+  /** RAW (RFC 1951) deflate — the wild-tail framing some servers send
+    * under the same `deflate` label.
+    */
+  def deflateRaw(b: Array[Byte]): Array[Byte] =
+    deflateWith(b, nowrap = true)
+
+  private def deflateWith(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end() // native Deflater freed eagerly, not left to GC
+  }
+
+  /** Browser-style `deflate` inflate: zlib-wrapped first, RAW deflate
+    * on failure; null for an empty buffer; IllegalArgumentException
+    * when BOTH framings reject the bytes.
+    */
+  def inflateDeflate(b: Array[Byte]): Array[Byte] = {
+    if (b.length == 0) return null
+    try inflateWith(b, nowrap = false)
+    catch {
+      case _: java.util.zip.DataFormatException =>
+        try inflateWith(b, nowrap = true)
+        catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt deflate body (${b.length} bytes, " +
+                s"zlib and raw both rejected): ${e.getMessage}")
+        }
+    }
+  }
+
+  private def inflateWith(b: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    try {
+      inf.setInput(b)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) {
+          if (inf.needsInput() || inf.needsDictionary())
+            throw new java.util.zip.DataFormatException(
+              "truncated or dictionary-requiring deflate stream")
+        } else out.write(buf, 0, n)
+      }
+      out.toByteArray
+    } finally inf.end()
+  }
+
   /** UTF-8 with CodingErrorAction.REPLACE (the JDK decoder's U+FFFD
     * substitution — deterministic, standard).
     */
@@ -171,6 +288,17 @@ object Gzip {
 
   def inflateCol(bytes: Column): Column =
     ColumnBridge.column(GzipInflate(ColumnBridge.expression(bytes)))
+
+  def inflateDeflateCol(bytes: Column): Column =
+    ColumnBridge.column(DeflateInflate(ColumnBridge.expression(bytes)))
+
+  def deflateZlibCol(bytes: Column): Column =
+    ColumnBridge.column(ZlibDeflate(ColumnBridge.expression(bytes),
+      raw = false))
+
+  def deflateRawCol(bytes: Column): Column =
+    ColumnBridge.column(ZlibDeflate(ColumnBridge.expression(bytes),
+      raw = true))
 
   def utf8LenientCol(bytes: Column): Column =
     ColumnBridge.column(Utf8DecodeLenient(ColumnBridge.expression(bytes)))

@@ -382,10 +382,22 @@ object WebGraph {
     // first-match scan per distinct URL (graft.functions.RobotRules) —
     // the relational BNL-join + window recompiled every non-literal
     // regex per (URL × rule) pair
-    val raw = rules
+    val rows = rules
       .select(col("pattern").cast("string"), col("action").cast("string"))
       .collect()
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    // the collect is the documented model-sized assumption made loud:
+    // an unexpectedly corpus-sized rules relation must fail with THIS
+    // message, not a driver OOM; NULL pattern/action rows are rejected
+    // by name instead of NPE-ing inside compile()
+    require(rows.length <= 1000000,
+      s"urlDecisions: rules relation has ${rows.length} rows — " +
+        "rule sets are model-sized and broadcast; this looks corpus-sized")
+    val raw = rows.map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        s"urlDecisions: NULL pattern or action in rules relation " +
+          s"(pattern=${r.getString(0)}, action=${r.getString(1)})")
+      (r.getString(0), r.getString(1))
+    }.toSeq
     val compiled = graft.functions.RobotRules.compile(raw, regexEscScala)
     urls.select(col("url")).distinct()
       .select(col("url"),
@@ -1089,6 +1101,101 @@ object WebGraph {
       parseSitemapsCtes(s"${pfx}c", "host", "xml", s"${pfx}c2"),
       s"${pfx}maps AS (SELECT * FROM ${pfx}dmaps UNION ALL SELECT * FROM ${pfx}c2maps)")
       .mkString(",\n")
+
+  /** [[parseSitemapsNested]] generalized to ARBITRARY nesting depth —
+    * real sitemap trees shard index files into index files. Per level
+    * the frontier of `(host, child-url)` references looks its content
+    * up in `fetched(urlCol, fxmlCol)`, collects the children's direct
+    * `<url>` entries (attributed to the ROOT host, like the one-level
+    * form), and the children's own `<sitemapindex>` references become
+    * the next frontier — MINUS everything already expanded for that
+    * host (the cycle guard: an index tree with a planted cycle
+    * terminates idempotently because a (host, child) pair expands
+    * exactly once). Children the crawl never fetched contribute
+    * nothing, like the one-level form. A frontier still non-empty
+    * after `maxDepth` levels FAILS LOUDLY — silently dropping
+    * unexpanded shards would under-report a site's inventory.
+    *
+    * Scale: one bounded driver loop (depth of the deepest real tree,
+    * single digits); each round is a broadcastable join of the
+    * model-sized frontier against `fetched`, and the accumulating
+    * relations `localCheckpoint` per round (growing-lineage
+    * invariant). Returns `(host, url, lastmod)`.
+    */
+  def parseSitemapsRecursive(roots: DataFrame, hostCol: String,
+      xmlCol: String, fetched: DataFrame, urlCol: String,
+      fxmlCol: String, maxDepth: Int = 8): DataFrame = {
+    val f = fetched.select(col(urlCol).as("__furl"),
+      col(fxmlCol).as("__fxml")).localCheckpoint()
+    var entries = parseSitemaps(roots, hostCol, xmlCol).localCheckpoint()
+    var frontier = parseSitemapIndex(roots, hostCol, xmlCol)
+      .distinct().localCheckpoint()
+    var visited = frontier
+    var depth = 1
+    while (depth <= maxDepth && !frontier.isEmpty) {
+      val fetchedChildren = frontier
+        .join(f, col("child") === col("__furl"))
+        .select(col("host"), col("__fxml").as("__x"))
+        .localCheckpoint()
+      entries = entries.unionByName(
+        parseSitemaps(fetchedChildren, "host", "__x")).localCheckpoint()
+      frontier = parseSitemapIndex(fetchedChildren, "host", "__x")
+        .distinct()
+        .join(visited, Seq("host", "child"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+      depth += 1
+    }
+    require(frontier.isEmpty,
+      s"sitemap index tree deeper than maxDepth=$maxDepth " +
+        "(or an unexpanded shard cycle) — raise maxDepth; " +
+        "silently dropping shards would under-report the inventory")
+    entries
+  }
+
+  /** Unrolled-CTE oracle for [[parseSitemapsRecursive]] at a FIXED
+    * `levels` (the fixture's tree depth): per level k the frontier is
+    * the previous level's children minus every earlier frontier
+    * (UNION ALL + GROUP BY per the RECURSIVE-WITH dedup hazard —
+    * expressed as an anti-join), entries accumulate. Ends in
+    * `<pfx>maps(host, url, lastmod)`.
+    */
+  def parseSitemapsRecursiveCtes(rootsRel: String, hostCol: String,
+      xmlCol: String, fetchedRel: String, urlCol: String,
+      fxmlCol: String, levels: Int, pfx: String = "pr"): String = {
+    def idx(rel: String, h: String, x: String, out: String) =
+      s"""$out AS (SELECT host,
+         |    regexp_extract(e, '<loc>([^<]+)</loc>', 1) AS child
+         |  FROM (SELECT $h AS host,
+         |      unnest(regexp_extract_all($x, '<sitemap>(.*?)</sitemap>', 1)) AS e
+         |    FROM $rel) t
+         |  WHERE regexp_extract(e, '<loc>([^<]+)</loc>', 1) <> '')""".stripMargin
+    val parts = Seq.newBuilder[String]
+    parts += parseSitemapsCtes(rootsRel, hostCol, xmlCol, s"${pfx}d")
+    parts += idx(rootsRel, hostCol, xmlCol, s"${pfx}f1")
+    parts += s"${pfx}v1 AS (SELECT DISTINCT host, child FROM ${pfx}f1)"
+    (1 to levels).foreach { k =>
+      // fetched content of this frontier, entries, next frontier
+      parts += s"${pfx}c$k AS (SELECT fr.host, f.$fxmlCol AS xml " +
+        s"FROM ${pfx}v$k fr JOIN $fetchedRel f ON f.$urlCol = fr.child)"
+      parts += parseSitemapsCtes(s"${pfx}c$k", "host", "xml",
+        s"${pfx}e$k")
+      if (k < levels) {
+        parts += idx(s"${pfx}c$k", "host", "xml", s"${pfx}g$k")
+        parts += s"${pfx}v${k + 1} AS (SELECT DISTINCT g.host, g.child " +
+          s"FROM ${pfx}g$k g LEFT JOIN (" +
+          (1 to k).map(j => s"SELECT host, child FROM ${pfx}v$j")
+            .mkString(" UNION ALL ") +
+          ") v ON v.host = g.host AND v.child = g.child " +
+          "WHERE v.child IS NULL)"
+      }
+    }
+    parts += s"${pfx}maps AS (" +
+      ((s"SELECT * FROM ${pfx}dmaps" +:
+        (1 to levels).map(k => s"SELECT * FROM ${pfx}e${k}maps"))
+        .mkString(" UNION ALL ")) + ")"
+    parts.result().mkString(",\n")
+  }
 
   /** Exact BFS hop distance from a seed set: `(node, dist)` with
     * `dist` the minimum edge count from ANY seed (0 for seeds, −1 for

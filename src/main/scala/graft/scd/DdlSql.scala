@@ -3,46 +3,57 @@ package graft.scd
 import graft.catalog.ParquetCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-import org.apache.spark.sql.catalyst.plans.logical.AddColumns
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, LogicalPlan, RenameColumn}
 import org.apache.spark.sql.functions._
 
-/** `ALTER TABLE … ADD COLUMN(S)` front door — schema evolution
-  * through [[ParquetCatalog]]'s version chain. [[MergeSql]] already
-  * evolves schemas implicitly (source-typed columns append during a
-  * MERGE); this is the EXPLICIT DDL surface: Spark 4 parses the
-  * statement natively, and the parsed [[AddColumns]] compiles onto
-  * one projection + atomic publish —
+/** `ALTER TABLE … ADD/DROP/RENAME COLUMN` front door — schema
+  * evolution through [[ParquetCatalog]]'s version chain. [[MergeSql]]
+  * already evolves schemas implicitly (source-typed columns append
+  * during a MERGE); this is the EXPLICIT DDL surface: Spark 4 parses
+  * each statement natively, and the parsed command compiles onto one
+  * projection + atomic publish —
   *
-  *   - each added column appends to the schema as NULL (or its
+  *   - ADD: each added column appends to the schema as NULL (or its
   *     `DEFAULT <literal>` fill) for every existing row;
-  *   - the widened table is the NEXT catalog version: concurrent
+  *   - DROP: the named columns project away (`IF EXISTS` tolerated);
+  *     dropping every column, or a missing column without IF EXISTS,
+  *     is rejected loudly;
+  *   - RENAME: one column changes name, position and values stable;
+  *     renaming onto an existing name is rejected loudly;
+  *   - every altered table is the NEXT catalog version: concurrent
   *     readers keep their snapshot, and time travel reads every
   *     pre-alter version under its ORIGINAL schema (the boundary
-  *     q236 crosses);
-  *   - nested paths (`ADD COLUMN s.f`) and `FIRST`/`AFTER` positions
-  *     are rejected loudly — the engine's tables are flat and
+  *     q236/q282 cross);
+  *   - nested paths (`col.field`) and `FIRST`/`AFTER` positions are
+  *     rejected loudly — the engine's tables are flat and
   *     column-order-stable.
   *
-  * At 100 TB the rewrite is one scan + projection with zero
+  * At 100 TB each rewrite is one scan + projection with zero
   * exchanges (partition-local writes), same as [[DmlSql]]'s
-  * copy-on-write posture.
+  * copy-on-write posture; DROP/RENAME never touch data bytes at all
+  * beyond the column-pruned copy.
   */
 object DdlSql {
 
-  /** Parse and atomically publish; returns the widened content. */
+  private def tableName(table: LogicalPlan): String = table match {
+    case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
+    case other => throw new IllegalArgumentException(
+      "ALTER TABLE target must be a named table; got: " + other.nodeName)
+  }
+
+  private def load(catalog: ParquetCatalog, name: String): DataFrame = {
+    require(catalog.exists(name),
+      s"ALTER TABLE target not in catalog: $name")
+    catalog.table(name)
+  }
+
+  /** Parse and atomically publish; returns the altered content. */
   def execute(spark: SparkSession, catalog: ParquetCatalog,
       sql: String): DataFrame =
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case AddColumns(table, cols) =>
-        val name = table match {
-          case t: UnresolvedTable => t.multipartIdentifier.mkString(".")
-          case other => throw new IllegalArgumentException(
-            "ALTER TABLE target must be a named table; got: " +
-              other.nodeName)
-        }
-        require(catalog.exists(name),
-          s"ALTER TABLE target not in catalog: $name")
-        val t = catalog.table(name)
+        val name = tableName(table)
+        val t = load(catalog, name)
         val widened = cols.foldLeft(t) { (df, c) =>
           require(c.path.isEmpty,
             s"nested ADD COLUMN is not supported: ${c.name.mkString(".")}")
@@ -58,7 +69,45 @@ object DdlSql {
         }
         catalog.overwrite(name, widened)
         catalog.table(name)
+
+      case DropColumns(table, cols, ifExists) =>
+        val name = tableName(table)
+        val t = load(catalog, name)
+        val toDrop = cols.map { f =>
+          require(f.name.length == 1,
+            s"nested DROP COLUMN is not supported: ${f.name.mkString(".")}")
+          f.name.head
+        }
+        val missing = toDrop.filterNot(d =>
+          t.columns.exists(_.equalsIgnoreCase(d)))
+        require(ifExists || missing.isEmpty,
+          s"DROP COLUMN: no such column(s) in $name: " +
+            missing.mkString(", "))
+        val keep = t.columns.filterNot(c =>
+          toDrop.exists(_.equalsIgnoreCase(c)))
+        require(keep.nonEmpty,
+          s"DROP COLUMN would remove every column of $name")
+        if (keep.length == t.columns.length) t // IF EXISTS, all missing
+        else {
+          catalog.overwrite(name, t.select(keep.map(col): _*))
+          catalog.table(name)
+        }
+
+      case RenameColumn(table, column, newName) =>
+        val name = tableName(table)
+        val t = load(catalog, name)
+        require(column.name.length == 1,
+          s"nested RENAME COLUMN is not supported: " +
+            column.name.mkString("."))
+        val from = column.name.head
+        require(t.columns.exists(_.equalsIgnoreCase(from)),
+          s"RENAME COLUMN: no such column in $name: $from")
+        require(!t.columns.exists(_.equalsIgnoreCase(newName)),
+          s"RENAME COLUMN target already exists in $name: $newName")
+        catalog.overwrite(name, t.withColumnRenamed(from, newName))
+        catalog.table(name)
+
       case other => throw new IllegalArgumentException(
-        s"not an ALTER TABLE ADD COLUMN statement: ${other.nodeName}")
+        s"not a supported ALTER TABLE statement: ${other.nodeName}")
     }
 }

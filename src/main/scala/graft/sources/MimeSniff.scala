@@ -28,8 +28,12 @@ object MimeSniff {
       .when(hex(substring(b, 1, 4)) === "52494646" &&
         hex(substring(b, 9, 4)) === "57415645", "audio/wav")
       .when(hex(substring(b, 1, 2)) === "424D", "image/bmp")
-      // bounded prefix only — decoding the whole body to test a
-      // leading '<' would materialize O(body) string per record
+      // bounded 64-byte prescan only (the HTML5 prescan spirit) —
+      // decoding the whole body to test a leading '<' would
+      // materialize O(body) string per record. CONTRACT: markup
+      // preceded by more than ~63 bytes of leading whitespace sniffs
+      // as octet-stream; callers needing the whole-body probe must
+      // trim before sniffing.
       .when(decode(substring(b, 1, 64), "ISO-8859-1").rlike("^\\s*<"),
         "text/html")
       .otherwise("application/octet-stream")

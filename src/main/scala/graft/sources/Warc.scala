@@ -387,17 +387,23 @@ object Warc {
     val cs = normalizeCharset(charset)
     // BOM bytes are framing, not content (WHATWG strips them before
     // the decode); the latin-1/cp1252 identity branch keeps its bytes
-    // verbatim — a BOM cannot reach that branch through the sniff
-    val b16 = when(hex(substring(bytes, 1, 2)).isin("FEFF", "FFFE"),
-      bytes.substr(lit(3), length(bytes) - 2)).otherwise(bytes)
+    // verbatim — a BOM cannot reach that branch through the sniff.
+    // Each UTF-16 branch strips ONLY the BOM matching its own
+    // endianness (FFFE for LE, FEFF for BE): a wrong-endian BOM under
+    // an explicit utf-16le/be label is NOT silently consumed — it
+    // decodes as a replacement/garbled character, so the label-vs-bytes
+    // disagreement stays visible in the clean match downstream.
+    def strip2(magic: String) =
+      when(hex(substring(bytes, 1, 2)) === magic,
+        bytes.substr(lit(3), length(bytes) - 2)).otherwise(bytes)
     val b8 = when(hex(substring(bytes, 1, 3)) === "EFBBBF",
       bytes.substr(lit(4), length(bytes) - 3)).otherwise(bytes)
     when(cs === "windows-1252",
       translate(decode(bytes, "ISO-8859-1"), Cp1252From, Cp1252To))
       .when(cs === "utf-16le",
-        graft.functions.Gzip.decodeLenientCol(b16, "UTF-16LE"))
+        graft.functions.Gzip.decodeLenientCol(strip2("FFFE"), "UTF-16LE"))
       .when(cs === "utf-16be",
-        graft.functions.Gzip.decodeLenientCol(b16, "UTF-16BE"))
+        graft.functions.Gzip.decodeLenientCol(strip2("FEFF"), "UTF-16BE"))
       .otherwise(graft.functions.Gzip.utf8LenientCol(b8))
   }
 
@@ -416,6 +422,36 @@ object Warc {
       "(?i)<meta[^>]+charset=([A-Za-z0-9_.:-]+)", 1)
     lower(trim(when(c1 =!= "", c1).otherwise(c2)))
   }
+
+  /** `ETag` header value of an HTTP payload with the quotes stripped,
+    * '' when absent — the entity validator for If-None-Match
+    * revalidation (the OTHER, content-addressed half of conditional
+    * fetch: If-Modified-Since trusts timestamps, an ETag is a hash of
+    * the bytes, so a spurious lastmod bump cannot force a body
+    * transfer). Header-anchored like [[httpContentType]]; weak
+    * validators (`W/"…"`) keep their `W/` marker visible.
+    */
+  def httpEtag(payload: Column): Column =
+    trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)ETag:\\s*\"?([^\"\\r\\n]+)", 1))
+
+  /** [[httpResponse]] with an `ETag` header (`etag` = '' to omit) —
+    * how a validator-emitting server actually answers both a 200
+    * (current etag alongside the body) and a 304 (the validator that
+    * matched, no body).
+    */
+  def httpResponseEtag(status: Column, contentType: Column,
+      etag: Column, body: Column): Column =
+    concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
+      when(status === 200, lit("OK"))
+        .when(status === 304, lit("Not Modified"))
+        .when(status === 404, lit("Not Found"))
+        .otherwise(lit("Status")),
+      lit(Crlf), lit("Content-Type: "), contentType, lit(Crlf),
+      when(etag === "", lit(""))
+        .otherwise(concat(lit("ETag: \""), etag, lit("\""), lit(Crlf))),
+      lit(Crlf), body)
 
   /** `Transfer-Encoding` header value, lowercased, '' when absent —
     * the transfer-coding selector ([[graft.functions.Chunked]]

@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Round14Queries.queries ++
       graft.queries.Round15Queries.queries ++
       graft.queries.Round15bQueries.queries ++
-      graft.queries.Round16Queries.queries
+      graft.queries.Round16Queries.queries ++
+      graft.queries.Round17Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.queries.Round14Queries.oracleSql ++
       graft.queries.Round15Queries.oracleSql ++
       graft.queries.Round15bQueries.oracleSql ++
-      graft.queries.Round16Queries.oracleSql
+      graft.queries.Round16Queries.oracleSql ++
+      graft.queries.Round17Queries.oracleSql
 }

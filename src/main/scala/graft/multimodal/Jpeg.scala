@@ -19,8 +19,18 @@ package graft.multimodal
   * streams; [[decode]] reads ANY 8-bit quant tables a conformant
   * baseline writer emits.
   *
+  * RESTART MARKERS (DRI/RSTn) are in scope on BOTH sides: real crawl
+  * JPEGs carry them near-universally (cameras and encoders emit them
+  * for error resilience), so a decoder that rejects DRI drops most of
+  * the real corpus from the perceptual-dedup path. [[encode]] /
+  * [[encodeColor]] take a `restartInterval` (0 = none, byte-identical
+  * to the pre-DRI streams); [[decode]] honors the DRI segment —
+  * at each interval boundary it discards the padding bits, consumes
+  * the RSTn marker (verifying the 0–7 modulo sequence), and resets
+  * every DC predictor, per T.81 §E.2.4/F.2.1.3.1.
+  *
   * Scope boundary (loud, never silent): progressive (SOF2), 16-bit
-  * quant tables, restart intervals, and sampling factors other than
+  * quant tables, and sampling factors other than
   * 4:4:4 / 4:2:0 throw `IllegalArgumentException` — decoding those as
   * garbage pixels would poison dedup silently.
   *
@@ -251,9 +261,11 @@ object Jpeg {
   /** Encode the image's LUMA as a baseline grayscale JPEG with an
     * all-ones quant table (maximum quality). Luma is the classic
     * integer approximation `(77r + 150g + 29b + 128) >> 8` — exactly v
-    * for gray pixels (r=g=b=v).
+    * for gray pixels (r=g=b=v). `restartInterval` > 0 writes a DRI
+    * segment and an RSTn marker every that-many MCUs (DC predictors
+    * reset); 0 keeps the stream byte-identical to the pre-DRI codec.
     */
-  def encode(img: Bmp.Image): Array[Byte] = {
+  def encode(img: Bmp.Image, restartInterval: Int = 0): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0, "positive dimensions")
     val gray = new Array[Int](w * h)
@@ -283,15 +295,21 @@ object Jpeg {
     }
     dht(0, DcBits, DcVals)
     dht(1, AcBits, AcVals)
+    if (restartInterval > 0) { // DRI before SOS
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
     marker(0xda); u16(8); out.write(1) // SOS, 1 comp
     out.write(1); out.write(0x00) // comp 1 uses DC0/AC0
     out.write(0); out.write(63); out.write(0) // Ss, Se, AhAl
     val bw = new BitWriter(out)
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
+    val totalMcus = bw8 * bh8
     val coef = new Array[Int](64)
     val blk = new Array[Double](64)
     var dcPred = 0
+    var mcu = 0
+    var rst = 0
     var by = 0
     while (by < bh8) {
       var bx = 0
@@ -299,6 +317,14 @@ object Jpeg {
         loadBlock(gray, w, h, bx * 8, by * 8, blk)
         fdctQuant(blk, coef)
         dcPred = writeBlock(coef, dcPred, dcEnc, acEnc, bw)
+        mcu += 1
+        if (restartInterval > 0 && mcu % restartInterval == 0 &&
+            mcu < totalMcus) {
+          bw.flush() // pad to byte per spec, then the restart marker
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+          dcPred = 0 // predictors reset at every restart (§E.2.4)
+        }
         bx += 1
       }
       by += 1
@@ -313,9 +339,11 @@ object Jpeg {
     * chroma tables for Cb/Cr. `subsample = false` → 4:4:4 (every
     * component 1×1); `subsample = true` → 4:2:0 (Y 2×2, chroma
     * box-averaged over 2×2 pixel groups) — the two sampling layouts
-    * that dominate real corpora.
+    * that dominate real corpora. `restartInterval` as in [[encode]]
+    * (an MCU here is the full interleaved Y/Cb/Cr group).
     */
-  def encodeColor(img: Bmp.Image, subsample: Boolean): Array[Byte] = {
+  def encodeColor(img: Bmp.Image, subsample: Boolean,
+      restartInterval: Int = 0): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0, "positive dimensions")
     val yP = new Array[Int](w * h)
@@ -385,6 +413,9 @@ object Jpeg {
     }
     dht(0, 0, DcBits, DcVals); dht(1, 0, AcBits, AcVals)
     dht(0, 1, DcBitsC, DcValsC); dht(1, 1, AcBitsC, AcValsC)
+    if (restartInterval > 0) { // DRI before SOS
+      marker(0xdd); u16(4); u16(restartInterval)
+    }
     marker(0xda); u16(6 + 2 * 3); out.write(3) // SOS, 3 comps
     out.write(1); out.write(0x00) // Y uses DC0/AC0
     out.write(2); out.write(0x11) // Cb uses DC1/AC1
@@ -397,6 +428,8 @@ object Jpeg {
     val mcusX = (w + 8 * hFac - 1) / (8 * hFac)
     val mcusY = (h + 8 * hFac - 1) / (8 * hFac)
     var dcY = 0; var dcCb = 0; var dcCr = 0
+    var mcu = 0
+    var rst = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
@@ -420,6 +453,14 @@ object Jpeg {
         loadBlock(cr2, cw, ch, mx * 8, my * 8, blk)
         fdctQuant(blk, coef)
         dcCr = writeBlock(coef, dcCr, dcEncC, acEncC, bw)
+        mcu += 1
+        if (restartInterval > 0 && mcu % restartInterval == 0 &&
+            mcu < mcusX * mcusY) {
+          bw.flush()
+          marker(0xd0 + rst)
+          rst = (rst + 1) % 8
+          dcY = 0; dcCb = 0; dcCr = 0 // all predictors reset (§E.2.4)
+        }
         mx += 1
       }
       my += 1
@@ -443,7 +484,7 @@ object Jpeg {
           if (m == 0x00) pos += 1 // stuffed byte
           else throw new IllegalArgumentException(
             f"unexpected marker 0xFF$m%02X inside entropy data (over-read " +
-              "past the scan, or restart intervals — both out of scope)")
+              "past the scan, or an RSTn off its interval boundary)")
         }
         acc = b; nbits = 8
       }
@@ -466,6 +507,26 @@ object Jpeg {
         l += 1
       }
       throw new IllegalArgumentException("invalid huffman code")
+    }
+    /** Consume the RSTn marker at an interval boundary: discard the
+      * padding bits of the partial byte, skip at most the one padding
+      * byte (possibly 0xFF + its stuffed 0x00) the encoder's flush can
+      * leave unread, verify the 0–7 modulo sequence (T.81 §E.2.4).
+      * A bounded scan — anything but padding-then-RSTn is loud.
+      */
+    def restart(expected: Int): Unit = {
+      nbits = 0 // padding bits are framing, per spec
+      var skipped = 0
+      while (skipped <= 2 && !(pos + 1 < data.length &&
+          (data(pos) & 0xff) == 0xff && {
+            val m = data(pos + 1) & 0xff; m >= 0xd0 && m <= 0xd7
+          })) { pos += 1; skipped += 1 }
+      require(pos + 1 < data.length && skipped <= 2,
+        "restart marker not found at interval boundary")
+      val m = (data(pos + 1) & 0xff) - 0xd0
+      require(m == expected,
+        s"restart marker out of sequence: expected RST$expected, got RST$m")
+      pos += 2
     }
   }
 
@@ -552,6 +613,7 @@ object Jpeg {
     val compTq = new Array[Int](3)
     val compTd = new Array[Int](3)
     val compTa = new Array[Int](3)
+    var restartInterval = 0
     var sosAt = -1
     while (sosAt < 0) {
       require(pos + 4 <= payload.length, "truncated marker stream")
@@ -618,8 +680,9 @@ object Jpeg {
             if (cls == 0) dcTabs(th) = t else acTabs(th) = t
             at += 17 + total
           }
-        case 0xdd => throw new IllegalArgumentException(
-          "restart intervals (DRI) out of codec scope")
+        case 0xdd =>
+          require(len == 4, s"malformed DRI segment length $len")
+          restartInterval = u16(body)
         case 0xda =>
           val ns = payload(body) & 0xff
           require(ns == nComp, s"scan components $ns != frame $nComp " +
@@ -669,10 +732,18 @@ object Jpeg {
       c2 += 1
     }
     val coef = new Array[Int](64)
+    var mcu = 0
+    var rstExpected = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcu > 0 &&
+            mcu % restartInterval == 0) {
+          br.restart(rstExpected)
+          rstExpected = (rstExpected + 1) % 8
+          java.util.Arrays.fill(dcPred, 0) // §F.2.1.3.1
+        }
         var c = 0
         while (c < nComp) {
           var byy = 0
@@ -689,6 +760,7 @@ object Jpeg {
           }
           c += 1
         }
+        mcu += 1
         mx += 1
       }
       my += 1

@@ -86,6 +86,17 @@ object CorpusPipeline {
   case class C4Gate(minWordsPerLine: Int = 3, minSentences: Long = 5L,
       badWords: Seq[String] = Nil)
 
+  /** Trained language gate ([[graft.text.LangClassifier]]): a FITTED
+    * char-trigram model REPLACES the marker-regex language filter —
+    * when set, [[rowGates]] skips its `lang_pred` keep test (the regex
+    * stays computed, as a visible column) and stage 1a2 keeps exactly
+    * the docs whose trained prediction is in `keep`. Per-doc against a
+    * frozen broadcast model, so batch-at-a-time == one-shot and the
+    * streaming front door applies it unchanged.
+    */
+  case class LangGate(model: graft.text.LangClassifier.Model,
+      keep: Seq[String])
+
   case class Config(
       minQuality: Double = 0.7,
       languages: Seq[String] = Seq("en"),
@@ -98,6 +109,7 @@ object CorpusPipeline {
       classifier: Option[ClassifierGate] = None,
       dsir: Option[Dsir.Model] = None,
       familiarity: Option[FamiliarityGate] = None,
+      langGate: Option[LangGate] = None,
       htmlInput: Boolean = false)
 
   /** Stage-1 row-local gates (quality score + predicted language): a
@@ -112,11 +124,31 @@ object CorpusPipeline {
     // stage 0: markup → article text (per-doc; see Config.htmlInput)
     val src = if (cfg.htmlInput)
       graft.text.Html.extractText(docs, idCol, textCol) else docs
-    src.select(col(idCol), col(textCol),
+    val scanned = src.select(col(idCol), col(textCol),
         TextAnalysis.qualityScore(col(textCol), cfg.stopwords).as("quality"),
         TextAnalysis.langId(col(textCol)).as("lang_pred"))
-      .filter(col("quality") >= cfg.minQuality &&
-        col("lang_pred").isin(cfg.languages: _*))
+      .filter(col("quality") >= cfg.minQuality)
+    // the trained gate (stage 1a2), when configured, REPLACES the
+    // marker-regex keep test — see Config.langGate
+    if (cfg.langGate.isDefined) scanned
+    else scanned.filter(col("lang_pred").isin(cfg.languages: _*))
+  }
+
+  /** Stage-1a2 optional TRAINED language gate (see [[LangGate]]) —
+    * runs first among the band stages, where the regex filter it
+    * replaces would have run. Docs under 3 chars produce no trigram
+    * row and drop — unreachable after the quality gate's 5-token
+    * minimum.
+    */
+  def langGateStage(gated: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = cfg.langGate match {
+    case None => gated
+    case Some(g) =>
+      val ok = graft.text.LangClassifier.classify(
+          gated.select(col(idCol), col(textCol)), idCol, textCol, g.model)
+        .filter(col("lang_trained").isin(g.keep: _*))
+        .select(col(idCol))
+      gated.join(ok, Seq(idCol), "left_semi")
   }
 
   /** Stage-1b optional entropy band over gate survivors (per-document
@@ -222,7 +254,8 @@ object CorpusPipeline {
   def bandStages(gated: DataFrame, idCol: String, textCol: String,
       cfg: Config): DataFrame =
     familiarityGate(dsirGate(classifierGate(c4Gate(gopherGate(
-      entropyBand(gated, idCol, textCol, cfg), idCol, textCol, cfg),
+      entropyBand(langGateStage(gated, idCol, textCol, cfg),
+        idCol, textCol, cfg), idCol, textCol, cfg),
       idCol, textCol, cfg), idCol, textCol, cfg), idCol, textCol, cfg),
       idCol, textCol, cfg)
 

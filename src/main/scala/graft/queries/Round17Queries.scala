@@ -34,7 +34,143 @@ object Round17Queries {
   private val CipherSql =
     "translate(text, 'abcdefghijklmnopqrstuvwxy', 'yxwvutsrqponmlkjihgfedcba')"
 
+  /** rid = doc_id*4 color JPEG 4:4:4 with DRI interval 3; +1 the
+    * lossless BMP twin; +2 (%3) the SAME pixels at 4:2:0 with DRI 2;
+    * +3 (%5) the GRAYSCALE JPEG with DRI 4 — luma is a constant shift
+    * of every sample per image ((256l+C)>>8 = l + (C>>8) exactly), so
+    * all four variants dHash-identically iff the decoder resyncs at
+    * every RSTn and resets the DC predictors.
+    */
+  private def driJpegMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    import s.implicits._
+    import graft.multimodal.{Bmp, Jpeg, Multimodal}
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 6).as[Long]
+      .flatMap { id =>
+        val base = Round16Queries.colorPlantImage(id, altCell = false)
+        val j444 = Jpeg.encodeColor(base, subsample = false,
+          restartInterval = 3)
+        val bmp = Bmp.encode(base)
+        Seq(Multimodal.BmpMedia(id * 4, j444, j444.length),
+          Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+          (if (id % 3 == 0) {
+            val j420 = Jpeg.encodeColor(base, subsample = true,
+              restartInterval = 2)
+            Seq(Multimodal.BmpMedia(id * 4 + 2, j420, j420.length))
+          } else Nil) ++
+          (if (id % 5 == 0) {
+            val jg = Jpeg.encode(base, restartInterval = 4)
+            Seq(Multimodal.BmpMedia(id * 4 + 3, jg, jg.length))
+          } else Nil)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ARBITRARY-DEPTH sitemap tree with a planted CYCLE: per host the
+    // root index names a0/a1/a2; a1 is itself an index (b0, b1); b1
+    // is a THIRD-level index naming c0, a BACK-EDGE to a1 (the
+    // cycle — expands exactly once via the visited guard), and a
+    // never-fetched child (contributes nothing). Leaves shard the
+    // host's URL inventory by div-20 coins; the walk must recover
+    // every doc exactly once with its lastmod. The oracle replays the
+    // SAME level-unrolled walk including the cycle guard.
+    "q281_sitemap_tree" -> ((s, dir) => {
+      import graft.graph.WebGraph
+      import s.implicits._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val t = col("doc_id")
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val day = (t * 7) % 28 + 1
+      val dstr = concat(lit("2025-01-"), lpad(day.cast("string"), 2, "0"))
+      val rows = docs.select(host.as("host"),
+        (expr("doc_id div 20") % 9).as("shard"),
+        concat(lit("<url><loc>"), urlOf(t), lit("</loc><lastmod>"),
+          dstr, lit("</lastmod></url>")).as("e"))
+      def smUrl(h: Column, name: String): Column =
+        concat(lit("http://"), h, lit(s"/sm/$name"))
+      def ref(h: Column, name: String): Column =
+        concat(lit("<sitemap><loc>"), smUrl(h, name),
+          lit("</loc></sitemap>"))
+      def leaf(name: String, shards: Seq[Int]): DataFrame =
+        rows.filter(col("shard").isin(shards.map(_.toLong): _*))
+          .groupBy(col("host"))
+          .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+          .select(smUrl(col("host"), name).as("url"), col("xml"))
+      val hosts = (0 until 20).map(k => s"d$k.example.com").toDF("host")
+      val idx = hosts.select(smUrl(col("host"), "a1").as("url"),
+          concat(ref(col("host"), "b0"), ref(col("host"), "b1"))
+            .as("xml"))
+        .unionByName(hosts.select(smUrl(col("host"), "b1").as("url"),
+          concat(ref(col("host"), "c0"), ref(col("host"), "a1"),
+            ref(col("host"), "missing")).as("xml")))
+      val fetched = leaf("a0", Seq(0, 1, 2))
+        .unionByName(leaf("a2", Seq(3, 4)))
+        .unionByName(leaf("b0", Seq(5, 6)))
+        .unionByName(leaf("c0", Seq(7, 8)))
+        .unionByName(idx)
+      val roots = hosts.select(col("host"),
+        concat(ref(col("host"), "a0"), ref(col("host"), "a1"),
+          ref(col("host"), "a2")).as("xml"))
+      val inv = WebGraph.parseSitemapsRecursive(roots, "host", "xml",
+        fetched, "url", "xml", maxDepth = 8)
+      val expectLm = concat(lit("2025-01-"),
+        lpad(((col("doc_id") * 7) % 28 + 1).cast("string"), 2, "0"))
+      inv.select(regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("url"), col("lastmod"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_distinct"),
+          sum(when(col("lastmod") === expectLm, 1).otherwise(0))
+            .cast("long").as("n_lastmod_ok"))
+        .orderBy(col("dom"))
+    }),
+
+    // JPEG restart markers: real DRI-encoded payloads (4:4:4 at
+    // interval 3, 4:2:0 at 2, grayscale at 4 — the RSTn modulo cycle
+    // wraps in every stream) flow through the magic-sniffed
+    // dHash/banded-hamming/CC machinery and hash IDENTICALLY to their
+    // lossless BMP twins — which can only happen if the decoder
+    // consumes every RSTn at its boundary and resets the DC
+    // predictors (a missed reset corrupts every block after the first
+    // restart).
+    "q283_jpeg_dri" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(driJpegMedia(s, dir)),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
+
+    // the trained language gate INSIDE the pipeline (stage 1a2,
+    // replacing the marker-regex keep test): the ciphered half of the
+    // corpus scores quality exactly 0.7 (length + punctuation pass,
+    // stopwords gone) so the quality gate KEEPS it — only the trained
+    // gate separates it. Oracle = the q46 chain with the regex filter
+    // swapped for the classifier replay; the gate is load-bearing
+    // (survivors halve) and the batch door proves one wiring point
+    // covers the composition.
+    "q285_langid_pipeline" -> ((s, dir) => {
+      import graft.pipeline.CorpusPipeline
+      import graft.text.LangClassifier
+      val base = PipelineQueries.corpus(s, dir)
+      val ciphered = base.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        cipher(col("text")).as("text"))
+      val corpus = base.unionByName(ciphered)
+      val seeds = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("en").as("label"), col("text"))
+        .unionByName(ciphered.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), lit("xx").as("label"), col("text")))
+      val model = LangClassifier.fit(seeds, "doc_id", "label", "text")
+      CorpusPipeline.clean(corpus, "doc_id", "text",
+          CorpusPipeline.Config(langGate =
+            Some(CorpusPipeline.LangGate(model, Seq("en")))))
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ETag / If-None-Match — the OTHER half of HTTP revalidation:
     // q275's scheduler (sitemap freshness delta → wildcard robots →
@@ -317,6 +453,178 @@ object Round17Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the SAME level-unrolled walk (3 expansion levels, visited-guard
+    // anti-joins) over the SAME fixture XML — the cycle back-edge and
+    // the unfetched child drop on both sides identically
+    "q281_sitemap_tree" -> {
+      import graft.graph.WebGraph
+      val lm = "'2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR), 2, '0')"
+      def leafSql(name: String, shards: String) =
+        s"""st$name AS (SELECT 'http://' || host || '/sm/$name' AS url,
+           |    string_agg(e, '') AS xml
+           |  FROM strows WHERE shard IN ($shards) GROUP BY host)""".stripMargin
+      s"""WITH sthosts AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |strows AS (SELECT
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    (doc_id // 20) % 9 AS shard,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>' ||
+         |    $lm ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents),
+         |${leafSql("a0", "0, 1, 2")},
+         |${leafSql("a2", "3, 4")},
+         |${leafSql("b0", "5, 6")},
+         |${leafSql("c0", "7, 8")},
+         |stidx AS (
+         |  SELECT 'http://' || host || '/sm/a1' AS url,
+         |    '<sitemap><loc>http://' || host || '/sm/b0</loc></sitemap>' ||
+         |    '<sitemap><loc>http://' || host || '/sm/b1</loc></sitemap>' AS xml
+         |  FROM sthosts
+         |  UNION ALL
+         |  SELECT 'http://' || host || '/sm/b1' AS url,
+         |    '<sitemap><loc>http://' || host || '/sm/c0</loc></sitemap>' ||
+         |    '<sitemap><loc>http://' || host || '/sm/a1</loc></sitemap>' ||
+         |    '<sitemap><loc>http://' || host || '/sm/missing</loc></sitemap>' AS xml
+         |  FROM sthosts),
+         |stf AS (SELECT url, xml FROM sta0
+         |  UNION ALL SELECT url, xml FROM sta2
+         |  UNION ALL SELECT url, xml FROM stb0
+         |  UNION ALL SELECT url, xml FROM stc0
+         |  UNION ALL SELECT url, xml FROM stidx),
+         |stroots AS (SELECT host,
+         |    '<sitemap><loc>http://' || host || '/sm/a0</loc></sitemap>' ||
+         |    '<sitemap><loc>http://' || host || '/sm/a1</loc></sitemap>' ||
+         |    '<sitemap><loc>http://' || host || '/sm/a2</loc></sitemap>' AS xml
+         |  FROM sthosts),
+         |${WebGraph.parseSitemapsRecursiveCtes("stroots", "host", "xml",
+             "stf", "url", "xml", 3, "pr")},
+         |stout AS (SELECT
+         |    CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS doc_id,
+         |    url, lastmod
+         |  FROM prmaps)
+         |SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+         |  CAST(SUM(CASE WHEN lastmod = '2025-01-' ||
+         |    lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR), 2, '0')
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_lastmod_ok
+         |FROM stout GROUP BY 1 ORDER BY dom""".stripMargin
+    },
+
+    // hashes replay from the cell formula — ALL variants of a doc
+    // share its cells (uniform casts and the luma shift cancel in
+    // the sample comparisons; margins absorb the lossy roundtrip), so
+    // a doc's variants form one cluster labeled by its min rid
+    "q283_jpeg_dri" ->
+      s"""WITH RECURSIVE djdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
+         |djimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0 FROM djdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id FROM djdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id FROM djdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id FROM djdims WHERE doc_id % 5 = 0),
+         |djcells AS (
+         |  SELECT id0, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT doc_id AS id0, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj:' || doc_id || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM djdims,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |djdh0 AS (
+         |  SELECT l.id0, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM djcells l JOIN djcells r
+         |    ON r.id0 = l.id0 AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.id0),
+         |djdh AS (SELECT i.rid, d.dhash FROM djimgs i
+         |  JOIN djdh0 d ON d.id0 = i.id0),
+         |djbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM djdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |djpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM djbands x JOIN djbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |djedges AS (SELECT a AS src, b AS dst FROM djpairs
+         |  UNION SELECT b, a FROM djpairs),
+         |djreach(node, lab) AS (
+         |  SELECT src, src FROM djedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM djreach r JOIN djedges e2 ON e2.src = r.node),
+         |djlabels AS (SELECT node, min(lab) AS clus FROM djreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM djdh d LEFT JOIN djlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
+
+    // the q46 chain with the marker-regex language filter swapped for
+    // the trained-classifier replay (quality gate unchanged, the
+    // ciphered half passes it by construction and only the classifier
+    // removes it)
+    "q285_langid_pipeline" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, $CipherSql AS text FROM corpus),
+         |lgseeds AS (
+         |  SELECT doc_id AS id, 'en' AS label, text
+         |  FROM corpus WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS id, 'xx' AS label, $CipherSql AS text
+         |  FROM corpus WHERE doc_id % 10 = 5),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g1 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE),
+         |lgdocs AS (SELECT doc_id AS id, text FROM g1),
+         |${graft.text.LangClassifier.classifyCtes("lgseeds", "lgdocs",
+             "lc")},
+         |g2 AS (SELECT g1.* FROM g1 JOIN lcpred p ON p.id = g1.doc_id
+         |       WHERE p.lang_trained = 'en'),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     // q275's scheduler chain replays verbatim; the conditional tail is
     // id arithmetic — every scheduled stored URL is lastmod-bumped, so

@@ -57,6 +57,51 @@ class DdlSqlSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(root)
   }
 
+  test("RENAME COLUMN: values and position stable, next version, " +
+      "time travel keeps the original name") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    val v0 = cat.currentVersion("t").get
+    DdlSql.execute(spark, cat, "ALTER TABLE t RENAME COLUMN v TO label")
+    assert(cat.currentVersion("t").get == v0 + 1)
+    assert(cat.table("t").columns.toSeq == Seq("id", "label"))
+    assert(cat.table("t").orderBy(col("id"))
+      .select(col("label")).as[String].collect().toSeq ==
+      Seq("a", "b", "c"))
+    assert(cat.tableAsOfVersion("t", v0).columns.toSeq == Seq("id", "v"))
+    // renaming onto an existing name, or a missing source, is loud
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE t RENAME COLUMN label TO id")
+    }
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE t RENAME COLUMN nope TO x")
+    }
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
+  test("DROP COLUMN: projects away as the next version; IF EXISTS " +
+      "tolerates missing; dropping everything is loud") {
+    val (cat, root) = freshCat()
+    seed(cat)
+    val v0 = cat.currentVersion("t").get
+    DdlSql.execute(spark, cat, "ALTER TABLE t DROP COLUMN v")
+    assert(cat.currentVersion("t").get == v0 + 1)
+    assert(cat.table("t").columns.toSeq == Seq("id"))
+    assert(cat.tableAsOfVersion("t", v0).columns.toSeq == Seq("id", "v"))
+    // missing without IF EXISTS: loud; with IF EXISTS: no-op version
+    intercept[IllegalArgumentException] {
+      DdlSql.execute(spark, cat, "ALTER TABLE t DROP COLUMN nope")
+    }
+    val vBefore = cat.currentVersion("t").get
+    DdlSql.execute(spark, cat,
+      "ALTER TABLE t DROP COLUMN IF EXISTS nope")
+    assert(cat.currentVersion("t").get == vBefore)
+    intercept[IllegalArgumentException] { // last column must survive
+      DdlSql.execute(spark, cat, "ALTER TABLE t DROP COLUMN id")
+    }
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
   test("duplicate, nested, positioned, and non-ALTER statements are " +
       "loud; unknown table is loud") {
     val (cat, root) = freshCat()

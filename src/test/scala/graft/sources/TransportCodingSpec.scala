@@ -73,6 +73,68 @@ class TransportCodingSpec extends SparkSpec {
     assert(new String(Chunked.dechunk(framed), "US-ASCII") == "wxyzabc")
   }
 
+  test("deflate bodies: zlib and raw framings both inflate; corrupt " +
+      "and empty are handled per contract") {
+    val data = ("the quick brown fox " * 20).getBytes("UTF-8")
+    assert(java.util.Arrays.equals(
+      Gzip.inflateDeflate(Gzip.deflateZlib(data)), data))
+    assert(java.util.Arrays.equals(
+      Gzip.inflateDeflate(Gzip.deflateRaw(data)), data))
+    assert(Gzip.inflateDeflate(Array.empty[Byte]) == null)
+    intercept[IllegalArgumentException] {
+      // 0x78 0x9C looks zlib but the stream is garbage; raw fallback
+      // rejects it too -> loud
+      Gzip.inflateDeflate(Array[Byte](0x78, 0x9C.toByte, 1, 2, 3))
+    }
+    // column-level roundtrip through the codegen expressions
+    val out = Seq("été chunky body").toDF("t")
+      .select(
+        Gzip.inflateDeflateCol(Gzip.deflateZlibCol(encode(col("t"),
+          "UTF-8"))).as("z"),
+        Gzip.inflateDeflateCol(Gzip.deflateRawCol(encode(col("t"),
+          "UTF-8"))).as("r"))
+      .select(decode(col("z"), "UTF-8"), decode(col("r"), "UTF-8"))
+      .head()
+    assert(out.getString(0) == "été chunky body")
+    assert(out.getString(1) == "été chunky body")
+  }
+
+  test("dechunk oversized chunk sizes stay inside the loud-IAE " +
+      "contract (no NumberFormat/IndexOutOfBounds escape)") {
+    // 9 hex digits: over the length cap
+    val e1 = intercept[IllegalArgumentException] {
+      Chunked.dechunk("FFFFFFFFF\r\nx\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    assert(e1.getMessage.contains("bad chunk size"))
+    // near-Int.MaxValue size: the old int arithmetic overflowed the
+    // truncation guard negative and escaped as IndexOutOfBounds
+    val e2 = intercept[IllegalArgumentException] {
+      Chunked.dechunk("7FFFFFFF\r\nx\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    assert(e2.getMessage.contains("truncated chunk"))
+    // 8 digits over 2^31 as unsigned: still loud, still IAE
+    val e3 = intercept[IllegalArgumentException] {
+      Chunked.dechunk("FFFFFFFF\r\nx\r\n0\r\n\r\n".getBytes("US-ASCII"))
+    }
+    assert(e3.getMessage.contains("truncated chunk"))
+  }
+
+  test("a wrong-endian BOM under an explicit utf-16 label is NOT " +
+      "silently consumed") {
+    val txt = "abc"
+    val mk = Seq(txt).toDF("t")
+    // BE bytes with a BE BOM, but the label says LE: the BOM must not
+    // be stripped as framing — the mismatch stays visible
+    val r = mk.select(
+      Warc.decodeBody(concat(unhex(lit("FEFF")),
+        encode(col("t"), "UTF-16BE")), lit("utf-16le")).as("wrong"),
+      Warc.decodeBody(concat(unhex(lit("FFFE")),
+        encode(col("t"), "UTF-16LE")), lit("utf-16le")).as("right"))
+      .head()
+    assert(r.getString(1) == txt) // matching BOM strips as framing
+    assert(r.getString(0) != txt) // mismatched BOM corrupts visibly
+  }
+
   test("dechunk is loud on malformed framing") {
     intercept[IllegalArgumentException] {
       Chunked.dechunk("G\r\nxx\r\n0\r\n\r\n".getBytes("US-ASCII"))

@@ -172,6 +172,45 @@ object Round17Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // the trained gate through the STREAMING front door: the model is
+    // fitted ONCE before the stream starts (frozen -- the q156/q159
+    // deployment shape), then the mixed corpus lands as a 3-file
+    // staging directory and every micro-batch runs quality gates ->
+    // trained language gate -> fold into the incremental LSH index in
+    // one foreachBatch frame. Classification is per-doc against the
+    // frozen broadcast model, so streamed == one-shot and the oracle
+    // is q285's SQL VERBATIM while the file batching differs.
+    "q286_stream_langid" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.pipeline.CorpusPipeline
+      import graft.text.LangClassifier
+      val base = PipelineQueries.corpus(s, dir)
+      val ciphered = base.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        cipher(col("text")).as("text"))
+      val corpus = base.unionByName(ciphered)
+      val seeds = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("en").as("label"), col("text"))
+        .unionByName(ciphered.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), lit("xx").as("label"), col("text")))
+      val model = LangClassifier.fit(seeds, "doc_id", "label", "text")
+      val cfg = CorpusPipeline.Config(langGate =
+        Some(CorpusPipeline.LangGate(model, Seq("en"))))
+      val stage = Files.createTempDirectory("graft-q286-landing").toString
+      val cp = Files.createTempDirectory("graft-q286-cp").toString
+      corpus.repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(stage)
+      val stream = s.readStream.schema(s.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+        stream, "doc_id", "text", cp, cfg)
+      Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
+      graft.streaming.StreamingCorpus
+        .resolveSurvivors(gated, pairs, "doc_id", "text", cfg)
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ETag / If-None-Match — the OTHER half of HTTP revalidation:
     // q275's scheduler (sitemap freshness delta → wildcard robots →
     // politeness slots) drives the fetches, but the 304 decision is
@@ -571,60 +610,10 @@ object Round17Queries {
     // the trained-classifier replay (quality gate unchanged, the
     // ciphered half passes it by construction and only the classifier
     // removes it)
-    "q285_langid_pipeline" -> {
-      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
-        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
-      s"""WITH RECURSIVE $corpusSql,
-         |corpus2 AS (
-         |  SELECT doc_id, text FROM corpus
-         |  UNION ALL
-         |  SELECT doc_id + 5000000, $CipherSql AS text FROM corpus),
-         |lgseeds AS (
-         |  SELECT doc_id AS id, 'en' AS label, text
-         |  FROM corpus WHERE doc_id % 10 = 0
-         |  UNION ALL
-         |  SELECT doc_id + 5000000 AS id, 'xx' AS label, $CipherSql AS text
-         |  FROM corpus WHERE doc_id % 10 = 5),
-         |scored AS (
-         |  SELECT doc_id, text,
-         |  $qualityExprSql AS quality,
-         |$langHitColsSql
-         |  FROM corpus2),
-         |gated AS (
-         |  SELECT doc_id, text, quality,
-         |  $langCaseSql AS lang_pred
-         |  FROM scored),
-         |g1 AS (SELECT doc_id, text, quality, lang_pred FROM gated
-         |       WHERE quality >= 0.7::DOUBLE),
-         |lgdocs AS (SELECT doc_id AS id, text FROM g1),
-         |${graft.text.LangClassifier.classifyCtes("lgseeds", "lgdocs",
-             "lc")},
-         |g2 AS (SELECT g1.* FROM g1 JOIN lcpred p ON p.id = g1.doc_id
-         |       WHERE p.lang_trained = 'en'),
-         |fp AS (SELECT doc_id, text, quality, lang_pred,
-         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
-         |  FROM g2),
-         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
-         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
-         |${shinglesSql("ex")},
-         |$minhashCtesSql,
-         |${pairsCteSql("0.5")},
-         |edges AS (
-         |  SELECT a AS src, b AS dst FROM pairs
-         |  UNION SELECT b, a FROM pairs),
-         |reach(node, lab) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
-         |losers AS (
-         |  SELECT node AS doc_id FROM reach
-         |  GROUP BY node HAVING node <> min(lab))
-         |SELECT e.doc_id, e.quality, e.lang_pred
-         |FROM ex e
-         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
-         |ORDER BY e.doc_id""".stripMargin
-    },
+    "q285_langid_pipeline" -> LangPipelineSql,
+
+    // streamed fold == one-shot: the door replays q285 verbatim
+    "q286_stream_langid" -> LangPipelineSql,
 
     // q275's scheduler chain replays verbatim; the conditional tail is
     // id arithmetic — every scheduled stored URL is lastmod-bumped, so
@@ -743,4 +732,62 @@ object Round17Queries {
          |GROUP BY 1 ORDER BY dom""".stripMargin
     },
   )
+
+  /** Shared q285/q286 oracle: the q46 chain with the trained-gate
+    * replay in place of the regex language filter.
+    */
+  private lazy val LangPipelineSql: String = {
+    import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+      minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, $CipherSql AS text FROM corpus),
+         |lgseeds AS (
+         |  SELECT doc_id AS id, 'en' AS label, text
+         |  FROM corpus WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS id, 'xx' AS label, $CipherSql AS text
+         |  FROM corpus WHERE doc_id % 10 = 5),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g1 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE),
+         |lgdocs AS (SELECT doc_id AS id, text FROM g1),
+         |${graft.text.LangClassifier.classifyCtes("lgseeds", "lgdocs",
+             "lc")},
+         |g2 AS (SELECT g1.* FROM g1 JOIN lcpred p ON p.id = g1.doc_id
+         |       WHERE p.lang_trained = 'en'),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, e.quality, e.lang_pred
+         |FROM ex e
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+  }
 }

@@ -1040,6 +1040,118 @@ object ScaleProbe {
         .filter(length(col("action")) > 0).count()
     }
 
+    // Content-Encoding deflate onion (q280): per-row zlib/raw deflate
+    // under the shared 'deflate' label, browser-style inflate fallback
+    // — codec constants at Nx rows.
+    def deflateRun(d: DataFrame): Long = {
+      import graft.sources.Warc
+      import graft.functions.Gzip
+      val tr = translate(col("text"), "ae", "éä")
+      val utf8 = encode(tr, "UTF-8")
+      val k4 = col("doc_id") % 4
+      val enc = when(k4 === 1, lit("gzip"))
+        .when(k4 === 2 || k4 === 3, lit("deflate")).otherwise(lit(""))
+      val body = when(k4 === 1, Gzip.deflateCol(utf8))
+        .when(k4 === 2, Gzip.deflateZlibCol(utf8))
+        .when(k4 === 3, Gzip.deflateRawCol(utf8))
+        .otherwise(utf8)
+      val p = d.select(col("doc_id"), Warc.httpResponseBytes(lit(200),
+        lit("text/html"), lit("utf-8"), enc, body).as("payload"))
+      val pt = Warc.payloadText(col("payload"))
+      val ce = Warc.httpContentEncoding(pt)
+      val bb = Warc.bodyBytes(col("payload"))
+      p.select(Warc.decodeBody(
+          when(ce === "gzip", Gzip.inflateCol(bb))
+            .when(ce === "deflate", Gzip.inflateDeflateCol(bb))
+            .otherwise(bb),
+          Warc.httpCharset(pt)).as("dec"))
+        .filter(length(col("dec")) >= 0).count()
+    }
+
+    // Recursive sitemap tree (q281's fixture): the frontier stays
+    // model-sized (20 hosts × a handful of shards) while leaf CONTENT
+    // scales with the corpus — the walk must stay linear in entries.
+    def sitemapTreeRun(d: DataFrame): Long = {
+      import graft.graph.WebGraph
+      import spark.implicits._
+      val t = col("doc_id")
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val rows0 = d.select(host.as("host"),
+        (expr("doc_id div 20") % 9).as("shard"),
+        concat(lit("<url><loc>http://d"), (t % 20).cast("string"),
+          lit(".example.com/p/"), t.cast("string"),
+          lit("</loc><lastmod>2025-01-01</lastmod></url>")).as("e"))
+      def smUrl(h: org.apache.spark.sql.Column, n: String) =
+        concat(lit("http://"), h, lit(s"/sm/$n"))
+      def ref(h: org.apache.spark.sql.Column, n: String) =
+        concat(lit("<sitemap><loc>"), smUrl(h, n),
+          lit("</loc></sitemap>"))
+      def leafDf(n: String, sh: Seq[Int]) =
+        rows0.filter(col("shard").isin(sh.map(_.toLong): _*))
+          .groupBy(col("host"))
+          .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+          .select(smUrl(col("host"), n).as("url"), col("xml"))
+      val hosts = (0 until 20).map(k => s"d$k.example.com").toDF("host")
+      val idx = hosts.select(smUrl(col("host"), "a1").as("url"),
+          concat(ref(col("host"), "b0"), ref(col("host"), "b1"))
+            .as("xml"))
+        .unionByName(hosts.select(smUrl(col("host"), "b1").as("url"),
+          concat(ref(col("host"), "c0"), ref(col("host"), "a1"),
+            ref(col("host"), "missing")).as("xml")))
+      val fetched = leafDf("a0", Seq(0, 1, 2))
+        .unionByName(leafDf("a2", Seq(3, 4)))
+        .unionByName(leafDf("b0", Seq(5, 6)))
+        .unionByName(leafDf("c0", Seq(7, 8)))
+        .unionByName(idx)
+      val roots = hosts.select(col("host"),
+        concat(ref(col("host"), "a0"), ref(col("host"), "a1"),
+          ref(col("host"), "a2")).as("xml"))
+      WebGraph.parseSitemapsRecursive(roots, "host", "xml", fetched,
+          "url", "xml", maxDepth = 8)
+        .filter(col("url") =!= "").count()
+    }
+
+    // DRI color JPEG encode+decode+dHash (q283's construction with
+    // restart markers in every stream — the codec-bound DRI overhead
+    // at Nx images).
+    def driJpegRun(d: DataFrame): Long = {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val media = d.select(col("doc_id")).as[Long].mapPartitions(_.map {
+        id =>
+          val img = graft.queries.Round16Queries
+            .colorPlantImage(id, altCell = false)
+          val p = graft.multimodal.Jpeg.encodeColor(img,
+            subsample = id % 2 == 0, restartInterval = 3)
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+      })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
+    // Trained language-ID apply at Nx docs against a FROZEN 1x-fitted
+    // model (the deployment shape): explode + broadcast join + per-doc
+    // sum must stay linear.
+    val langCipher = "translate(text, 'abcdefghijklmnopqrstuvwxy', 'yxwvutsrqponmlkjihgfedcba')"
+    val langModel = graft.text.LangClassifier.fit(
+      docs1.filter(col("doc_id") % 10 < 2)
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("xx"))
+            .as("label"),
+          when(col("doc_id") % 2 === 0, col("text"))
+            .otherwise(expr(langCipher)).as("text")),
+      "doc_id", "label", "text")
+    def langidRun(d: DataFrame): Long =
+      graft.text.LangClassifier.classify(
+          d.select(col("doc_id"),
+            when(col("doc_id") % 2 === 0, col("text"))
+              .otherwise(expr(langCipher)).as("text")),
+          "doc_id", "text", langModel)
+        .filter(length(col("lang_trained")) > 0).count()
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -1201,7 +1313,15 @@ object ScaleProbe {
       "color_jpeg" -> (() => (time(colorJpegRun(docs1)),
         time(colorJpegRun(docsN)))),
       "url_decide" -> (() => (time(urlDecideRun(docs1)),
-        time(urlDecideRun(docsN)))))
+        time(urlDecideRun(docsN)))),
+      "deflate_transport" -> (() => (time(deflateRun(docs1)),
+        time(deflateRun(docsN)))),
+      "sitemap_tree" -> (() => (time(sitemapTreeRun(docs1)),
+        time(sitemapTreeRun(docsN)))),
+      "dri_jpeg" -> (() => (time(driJpegRun(docs1)),
+        time(driJpegRun(docsN)))),
+      "trained_langid" -> (() => (time(langidRun(docs1)),
+        time(langidRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

@@ -414,6 +414,31 @@ object GraftTableFunctions {
       s.table(str(args(3), u)), str(args(4), u), str(args(5), u)))
   }
 
+  private val sitemapTree: Builder = { args =>
+    val u = "graft_sitemap_tree(rootsTable, hostCol, xmlCol, " +
+      "fetchedTable, urlCol, fetchedXmlCol[, maxDepth])"
+    require(args.length == 6 || args.length == 7, u)
+    val s = SparkSession.active
+    val depth = if (args.length == 7) int(args(6), u) else 8
+    plan(graft.graph.WebGraph.parseSitemapsRecursive(
+      s.table(str(args.head, u)), str(args(1), u), str(args(2), u),
+      s.table(str(args(3), u)), str(args(4), u), str(args(5), u),
+      depth))
+  }
+
+  private val langClassify: Builder = { args =>
+    val u = "graft_lang_classify(seedsTable, idCol, labelCol, " +
+      "textCol, docsTable)"
+    require(args.length == 5, u)
+    val s = SparkSession.active
+    val id = str(args(1), u)
+    val text = str(args(3), u)
+    val model = graft.text.LangClassifier.fit(
+      s.table(str(args.head, u)), id, str(args(2), u), text)
+    plan(graft.text.LangClassifier.classify(
+      s.table(str(args(4), u)), id, text, model))
+  }
+
   private val gopherRules: Builder = { args =>
     val u = "graft_gopher_rules(table, idCol, textCol[, minTok[, maxTok]])"
     require(args.length >= 3 && args.length <= 5, u)
@@ -519,6 +544,8 @@ object GraftTableFunctions {
     "graft_robots_rules" -> robotsRules,
     "graft_crawl_delays" -> crawlDelays,
     "graft_sitemaps_nested" -> sitemapsNested,
+    "graft_sitemap_tree" -> sitemapTree,
+    "graft_lang_classify" -> langClassify,
     "graft_gopher_rules" -> gopherRules,
     "graft_c4_clean" -> c4Clean,
     "graft_canonical_links" -> canonicalLinks,

@@ -585,6 +585,42 @@ class GraftTvfSpec extends SparkSpec {
     assert(rows(sqlK).nonEmpty && rows(sqlK) == rows(apiK))
   }
 
+  test("graft_sitemap_tree / graft_lang_classify TVFs == API") {
+    import spark.implicits._
+    val roots = Seq(("h1",
+      "<sitemap><loc>sm/a</loc></sitemap>")).toDF("host", "xml")
+    val fetched = Seq(
+      ("sm/a", "<url><loc>p/1</loc><lastmod>2025-01-01</lastmod></url>" +
+        "<sitemap><loc>sm/b</loc></sitemap>"),
+      ("sm/b", "<url><loc>p/2</loc><lastmod>2025-01-02</lastmod></url>" +
+        "<sitemap><loc>sm/a</loc></sitemap>")).toDF("url", "xml")
+    roots.createOrReplaceTempView("tvf_sm_roots")
+    fetched.createOrReplaceTempView("tvf_sm_fetched")
+    val sqlT = spark.sql(
+      "SELECT * FROM graft_sitemap_tree('tvf_sm_roots', 'host', 'xml', " +
+        "'tvf_sm_fetched', 'url', 'xml', 5) ORDER BY url")
+    val apiT = graft.graph.WebGraph.parseSitemapsRecursive(roots,
+        "host", "xml", fetched, "url", "xml", 5).orderBy(col("url"))
+    assert(rows(sqlT).nonEmpty && rows(sqlT) == rows(apiT))
+
+    val seeds = Seq((1L, "en", "the cat sat on the mat"),
+      (2L, "xx", "gsv xzg hzg lm gsv nzg")).toDF("id", "label", "text")
+    val unk = Seq((10L, "the dog sat on the cat"),
+      (11L, "gsv wlt hzg lm gsv xzg")).toDF("id", "text")
+    seeds.createOrReplaceTempView("tvf_lang_seeds")
+    unk.createOrReplaceTempView("tvf_lang_docs")
+    val sqlL = spark.sql(
+      "SELECT * FROM graft_lang_classify('tvf_lang_seeds', 'id', " +
+        "'label', 'text', 'tvf_lang_docs') ORDER BY id")
+    val model = graft.text.LangClassifier.fit(seeds, "id", "label",
+      "text")
+    val apiL = graft.text.LangClassifier.classify(unk, "id", "text",
+      model).orderBy(col("id"))
+    assert(rows(sqlL).nonEmpty && rows(sqlL) == rows(apiL))
+    assert(sqlL.select(col("lang_trained")).as[String]
+      .collect().toSeq == Seq("en", "xx"))
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -87,10 +87,12 @@ class JpegSpec extends SparkSpec {
     val sof = prog.indexOfSlice(Seq(0xff.toByte, 0xc0.toByte))
     prog(sof + 1) = 0xc2.toByte
     intercept[IllegalArgumentException](Jpeg.decode(prog))
-    // DRI marker
+    // DRI is IN scope since round 17 (see JpegDriSpec): a spliced DRI
+    // segment whose interval exceeds the MCU count decodes unchanged
     val dri = enc.take(2) ++
       Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 8) ++ enc.drop(2)
-    intercept[IllegalArgumentException](Jpeg.decode(dri))
+    assert(java.util.Arrays.equals(
+      Jpeg.decode(dri).rgb, Jpeg.decode(enc).rgb))
     // truncated entropy stream
     intercept[Exception](Jpeg.decode(enc.dropRight(8)))
     // not a JPEG at all

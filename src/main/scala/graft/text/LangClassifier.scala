@@ -38,9 +38,12 @@ object LangClassifier {
   /** Frozen fitted model: `weights(label, tri, w)` and
     * `defaults(label, wdef)` — both model-sized, localCheckpoint'd at
     * fit time (training is an action; the apply side never recomputes
-    * it).
+    * it) — plus the collected NATIVE model
+    * ([[graft.functions.LangScore.Model]]) the codegen scorer
+    * references.
     */
-  case class Model(weights: DataFrame, defaults: DataFrame)
+  case class Model(weights: DataFrame, defaults: DataFrame,
+      native: graft.functions.LangScore.Model)
 
   /** One row per character-trigram OCCURRENCE: `(<idCol>, tri)`.
     * Documents shorter than 3 characters contribute nothing (and are
@@ -79,14 +82,35 @@ object LangClassifier {
     val defaults = totals
       .select(col("label"), bitlen(col("__total") + v).as("wdef"))
       .localCheckpoint()
-    Model(weights, defaults)
+    // collect the model-sized relations once into the native scorer
+    val native = graft.functions.LangScore.build(
+      defaults.collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+      weights.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq)
+    Model(weights, defaults, native)
   }
 
   /** Predicted label per document: `(<idCol>, lang_trained, cost)` —
-    * argmin label cost, ties by label ascending (one min-struct
-    * aggregation, the round-11 window-free idiom).
+    * argmin label cost, ties by label ascending. ONE referenced-object
+    * codegen scan ([[graft.functions.LangScore]]): no trigram explode,
+    * no join, no shuffle — the gate rides the scan. Bit-equal to
+    * [[classifyRelational]] (parity-tested in LangClassifierSpec).
     */
   def classify(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame =
+    docs.filter(length(col(textCol)) >= 3)
+      .select(col(idCol),
+        graft.functions.LangScore.scoreCol(col(textCol), model.native)
+          .as("__s"))
+      .select(col(idCol),
+        col("__s").getField("lang_trained").as("lang_trained"),
+        col("__s").getField("cost").as("cost"))
+
+  /** The relational formulation of [[classify]] (explode + broadcast
+    * join + per-doc min-struct) — kept as the parity spec for the
+    * native scorer; same output bit-for-bit.
+    */
+  def classifyRelational(docs: DataFrame, idCol: String, textCol: String,
       model: Model): DataFrame =
     trigrams(docs, idCol, textCol)
       .crossJoin(broadcast(model.defaults))

@@ -42,6 +42,22 @@ class LangClassifierSpec extends SparkSpec {
     assert(rx.forall(_ != "xx"))
   }
 
+  test("native codegen scorer == relational path bit-for-bit") {
+    val fx = (enDocs.zipWithIndex.map { case (t, i) =>
+      (i.toLong * 2, t, "en") } ++
+      enDocs.zipWithIndex.map { case (t, i) =>
+        (i.toLong * 2 + 1, cipher(t), "xx") })
+      .toDF("id", "text", "lang_true")
+    val model = LangClassifier.fit(
+      fx.filter(col("id") < 4), "id", "lang_true", "text")
+    val docs = fx.select(col("id"), col("text"))
+    val a = LangClassifier.classify(docs, "id", "text", model)
+      .orderBy(col("id")).collect().toSeq.map(_.toSeq)
+    val b = LangClassifier.classifyRelational(docs, "id", "text", model)
+      .orderBy(col("id")).collect().toSeq.map(_.toSeq)
+    assert(a.nonEmpty && a == b)
+  }
+
   test("tie-break is label-ascending and deterministic") {
     val fx = Seq((1L, "abcabc", "aa"), (2L, "abcabc", "bb"))
       .toDF("id", "text", "label")

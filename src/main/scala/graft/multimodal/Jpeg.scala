@@ -29,8 +29,19 @@ package graft.multimodal
   * the RSTn marker (verifying the 0–7 modulo sequence), and resets
   * every DC predictor, per T.81 §E.2.4/F.2.1.3.1.
   *
-  * Scope boundary (loud, never silent): progressive (SOF2), 16-bit
-  * quant tables, and sampling factors other than
+  * PROGRESSIVE (SOF2) is in scope for SPECTRAL SELECTION (Ah=Al=0):
+  * [[encodeProgressive]] writes the classic coarse-to-fine script
+  * (interleaved DC scan, then per-component AC bands 1–5 / 6–63, with
+  * a self-describing EOBn-bearing AC table — the Annex-K sequential
+  * tables define no EOBn symbols), and [[decode]] accumulates
+  * coefficients across scans (EOB-run decoding, per-scan DHT
+  * redefinition, marker realignment between scans) and transforms
+  * once at the end — pixels IDENTICAL to the baseline stream of the
+  * same coefficients.
+  *
+  * Scope boundary (loud, never silent): progressive SUCCESSIVE
+  * APPROXIMATION (Ah/Al ≠ 0), progressive + subsampling, progressive
+  * + DRI, 16-bit quant tables, and sampling factors other than
   * 4:4:4 / 4:2:0 throw `IllegalArgumentException` — decoding those as
   * garbage pixels would poison dedup silently.
   *
@@ -136,6 +147,24 @@ object Jpeg {
   private lazy val acEnc = buildEncodeTable(AcBits, AcVals)
   private lazy val dcEncC = buildEncodeTable(DcBitsC, DcValsC)
   private lazy val acEncC = buildEncodeTable(AcBitsC, AcValsC)
+
+  // Progressive AC scans emit EOBn symbols (T.81 G.1.2.2) that the
+  // sequential Annex-K tables do not define: a flat 8-bit code over
+  // every symbol a spectral-selection encoder can produce (EOB0–EOB14,
+  // ZRL, run 0–15 × size 1–10 = 176 symbols, Kraft 176/256 < 1) —
+  // deliberately simple, deterministic, and self-describing via its
+  // DHT segment like any table (the decoder reads whatever the stream
+  // declares; real encoders ship optimized tables the same way).
+  private lazy val ProgAcVals: Array[Int] = {
+    val eobs = (0 to 14).map(_ << 4)
+    val zrl = Seq(0xf0)
+    val rs = for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s
+    (eobs ++ zrl ++ rs).toArray
+  }
+  private lazy val ProgAcBits: Array[Int] = {
+    val b = new Array[Int](17); b(8) = ProgAcVals.length; b
+  }
+  private lazy val progAcEnc = buildEncodeTable(ProgAcBits, ProgAcVals)
 
   private val CosTable: Array[Double] = {
     val t = new Array[Double](8 * 8) // t(u*8+x) = cos((2x+1)uπ/16)
@@ -470,6 +499,186 @@ object Jpeg {
     out.toByteArray
   }
 
+  /** Quantized (all-ones) coefficient blocks of a plane, raster order:
+    * the shared front half of the baseline and progressive encoders.
+    */
+  private def quantBlocks(plane: Array[Int], w: Int,
+      h: Int): Array[Array[Int]] = {
+    val bw8 = (w + 7) / 8
+    val bh8 = (h + 7) / 8
+    val out = new Array[Array[Int]](bw8 * bh8)
+    val blk = new Array[Double](64)
+    var by = 0
+    while (by < bh8) {
+      var bx = 0
+      while (bx < bw8) {
+        val coef = new Array[Int](64)
+        loadBlock(plane, w, h, bx * 8, by * 8, blk)
+        fdctQuant(blk, coef)
+        out(by * bw8 + bx) = coef
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** One spectral-selection AC scan (T.81 G.1.2.2, Ah=Al=0) over a
+    * component's blocks: in-band run-length with ZRL, and EOB RUNS
+    * (EOBn symbols) accumulated across all-zero-band blocks.
+    */
+  private def writeAcScan(blocks: Array[Array[Int]], ss: Int, se: Int,
+      acT: Array[(Int, Int)], bw: BitWriter): Unit = {
+    var eobrun = 0
+    def flushEob(): Unit = if (eobrun > 0) {
+      val n = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = acT(n << 4)
+      bw.put(c, l)
+      if (n > 0) bw.put(eobrun - (1 << n), n)
+      eobrun = 0
+    }
+    var b = 0
+    while (b < blocks.length) {
+      val coef = blocks(b)
+      var last = se
+      while (last >= ss && coef(ZigZag(last)) == 0) last -= 1
+      if (last < ss) {
+        eobrun += 1
+        if (eobrun == 0x7fff) flushEob()
+      } else {
+        flushEob()
+        var run = 0
+        var k = ss
+        while (k <= last) {
+          val v = coef(ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = acT(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val sz = category(v)
+            val (c, l) = acT((run << 4) | sz)
+            bw.put(c, l)
+            bw.put(if (v >= 0) v else v + (1 << sz) - 1, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < se) eobrun += 1 // this block's tail is an EOB
+      }
+      b += 1
+    }
+    flushEob()
+  }
+
+  /** PROGRESSIVE (SOF2) encode, SPECTRAL SELECTION only (Ah=Al=0
+    * throughout — successive approximation stays out of scope on both
+    * sides): one interleaved DC scan, then per-component AC bands
+    * 1–5 and 6–63 — the classic coarse-to-fine script. Same quantized
+    * coefficients as [[encode]]/[[encodeColor]] 4:4:4, so the decoded
+    * pixels are IDENTICAL to the baseline stream's. `color = false` →
+    * grayscale; `color = true` → 3-component YCbCr 4:4:4 (progressive
+    * + subsampling stays out of scope).
+    */
+  def encodeProgressive(img: Bmp.Image, color: Boolean): Array[Byte] = {
+    val w = img.width; val h = img.height
+    require(w > 0 && h > 0, "positive dimensions")
+    val nComp = if (color) 3 else 1
+    val planes = new Array[Array[Int]](nComp)
+    val yP = new Array[Int](w * h)
+    val cbP = if (color) new Array[Int](w * h) else null
+    val crP = if (color) new Array[Int](w * h) else null
+    var i = 0
+    while (i < w * h) {
+      val r = img.rgb(3 * i) & 0xff
+      val g = img.rgb(3 * i + 1) & 0xff
+      val b = img.rgb(3 * i + 2) & 0xff
+      yP(i) = (77 * r + 150 * g + 29 * b + 128) >> 8
+      if (color) {
+        cbP(i) = math.max(0, math.min(255,
+          ((-43 * r - 85 * g + 128 * b + 128) >> 8) + 128))
+        crP(i) = math.max(0, math.min(255,
+          ((128 * r - 107 * g - 21 * b + 128) >> 8) + 128))
+      }
+      i += 1
+    }
+    planes(0) = yP
+    if (color) { planes(1) = cbP; planes(2) = crP }
+    val blocks = planes.map(quantBlocks(_, w, h))
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xdb); u16(2 + (if (color) 2 else 1) * 65)
+    for (tq <- 0 until (if (color) 2 else 1)) {
+      out.write(tq)
+      var z = 0
+      while (z < 64) { out.write(1); z += 1 }
+    }
+    marker(0xc2); u16(8 + 3 * nComp) // SOF2: progressive DCT
+    out.write(8); u16(h); u16(w); out.write(nComp)
+    out.write(1); out.write(0x11); out.write(0)
+    if (color) {
+      out.write(2); out.write(0x11); out.write(1)
+      out.write(3); out.write(0x11); out.write(1)
+    }
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); u16(2 + 1 + 16 + vals.length)
+      out.write((cls << 4) | id)
+      var l = 1
+      while (l <= 16) { out.write(bits(l)); l += 1 }
+      vals.foreach(out.write)
+    }
+    dht(0, 0, DcBits, DcVals); dht(1, 0, ProgAcBits, ProgAcVals)
+    if (color) {
+      dht(0, 1, DcBitsC, DcValsC)
+      dht(1, 1, ProgAcBits, ProgAcVals)
+    }
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int): Unit = {
+      marker(0xda); u16(6 + 2 * comps.length); out.write(comps.length)
+      comps.foreach { case (id, tt) => out.write(id); out.write(tt) }
+      out.write(ss); out.write(se); out.write(0) // Ah=Al=0
+    }
+    // scan 1: DC, all components interleaved (MCU = 1 block each)
+    val nBlocks = blocks(0).length
+    sos((1 to nComp).map(c =>
+      (c, (if (c == 1) 0 else 1) << 4)), 0, 0)
+    val bw1 = new BitWriter(out)
+    val dcPred = new Array[Int](nComp)
+    var b = 0
+    while (b < nBlocks) {
+      var c = 0
+      while (c < nComp) {
+        val dcT = if (c == 0) dcEnc else dcEncC
+        val dc = blocks(c)(b)(0)
+        val diff = dc - dcPred(c)
+        dcPred(c) = dc
+        val s = category(diff)
+        val (code, len) = dcT(s)
+        bw1.put(code, len)
+        if (s > 0)
+          bw1.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        c += 1
+      }
+      b += 1
+    }
+    bw1.flush()
+    // AC scans: per component, bands 1-5 then 6-63 (single-component
+    // scans, as T.81 requires for progressive AC)
+    var c = 0
+    while (c < nComp) {
+      for ((ss, se) <- Seq((1, 5), (6, 63))) {
+        sos(Seq((c + 1, if (c == 0) 0x00 else 0x11)), ss, se)
+        val bwA = new BitWriter(out)
+        writeAcScan(blocks(c), ss, se, progAcEnc, bwA)
+        bwA.flush()
+      }
+      c += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   private final class BitReader(data: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nbits = 0
@@ -507,6 +716,18 @@ object Jpeg {
         l += 1
       }
       throw new IllegalArgumentException("invalid huffman code")
+    }
+    /** Discard padding bits and advance to the next marker (0xFF
+      * followed by non-zero) — the end-of-scan realignment the
+      * progressive multi-scan loop needs. Only padding (possibly a
+      * stuffed 0xFF00 pair) may precede the marker.
+      */
+    def alignToMarker(): Int = {
+      nbits = 0
+      while (pos + 1 < data.length &&
+        !((data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) != 0))
+        pos += 1
+      pos
     }
     /** Consume the RSTn marker at an interval boundary: discard the
       * padding bits of the partial byte, skip at most the one padding
@@ -614,7 +835,30 @@ object Jpeg {
     val compTd = new Array[Int](3)
     val compTa = new Array[Int](3)
     var restartInterval = 0
+    var progressive = false
     var sosAt = -1
+    // DHT segment parse, shared by the header loop and the
+    // progressive between-scans marker loop (tables MAY redefine
+    // between scans, T.81 B.2.4.2)
+    def parseDht(at0: Int, end: Int): Unit = {
+      var at = at0
+      while (at < end) {
+        val cls = (payload(at) & 0xff) >> 4
+        val th = payload(at) & 0x0f
+        val bits = new Array[Int](17)
+        var total = 0
+        var l = 1
+        while (l <= 16) {
+          bits(l) = payload(at + l) & 0xff; total += bits(l); l += 1
+        }
+        val vals = new Array[Int](total)
+        var k = 0
+        while (k < total) { vals(k) = payload(at + 17 + k) & 0xff; k += 1 }
+        val t = new DecodeTable(bits, vals)
+        if (cls == 0) dcTabs(th) = t else acTabs(th) = t
+        at += 17 + total
+      }
+    }
     while (sosAt < 0) {
       require(pos + 4 <= payload.length, "truncated marker stream")
       require((payload(pos) & 0xff) == 0xff, "marker desync")
@@ -634,7 +878,8 @@ object Jpeg {
             qtab(tq) = t
             at += 65
           }
-        case 0xc0 =>
+        case 0xc0 | 0xc2 =>
+          progressive = m == 0xc2
           require((payload(body) & 0xff) == 8, "only 8-bit precision")
           h = u16(body + 1); w = u16(body + 3)
           nComp = payload(body + 5) & 0xff
@@ -649,7 +894,14 @@ object Jpeg {
             require(compTq(c) < 4, s"quant table id ${compTq(c)} out of range")
             c += 1
           }
-          if (nComp == 1)
+          if (progressive) {
+            var ci = 0
+            while (ci < nComp) {
+              require(compH(ci) == 1 && compV(ci) == 1,
+                "progressive + subsampling out of codec scope")
+              ci += 1
+            }
+          } else if (nComp == 1)
             require(compH(0) == 1 && compV(0) == 1, "only 1x1 sampling")
           else {
             require((compH(0) == 1 && compV(0) == 1) ||
@@ -660,58 +912,42 @@ object Jpeg {
               compH(2) == 1 && compV(2) == 1,
               "chroma components must be 1x1")
           }
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) out of codec scope")
-        case 0xc4 =>
-          var at = body
-          while (at < pos + 2 + len) {
-            val cls = (payload(at) & 0xff) >> 4
-            val th = payload(at) & 0x0f
-            val bits = new Array[Int](17)
-            var total = 0
-            var l = 1
-            while (l <= 16) {
-              bits(l) = payload(at + l) & 0xff; total += bits(l); l += 1
-            }
-            val vals = new Array[Int](total)
-            var k = 0
-            while (k < total) { vals(k) = payload(at + 17 + k) & 0xff; k += 1 }
-            val t = new DecodeTable(bits, vals)
-            if (cls == 0) dcTabs(th) = t else acTabs(th) = t
-            at += 17 + total
-          }
+        case 0xc4 => parseDht(body, pos + 2 + len)
         case 0xdd =>
           require(len == 4, s"malformed DRI segment length $len")
           restartInterval = u16(body)
         case 0xda =>
-          val ns = payload(body) & 0xff
-          require(ns == nComp, s"scan components $ns != frame $nComp " +
-            "(multi-scan out of codec scope)")
-          var k = 0
-          while (k < ns) {
-            val id = payload(body + 1 + 2 * k) & 0xff
-            val tt = payload(body + 2 + 2 * k) & 0xff
-            val idx = compId.indexOf(id)
-            require(idx >= 0 && idx < nComp, s"SOS names unknown component $id")
-            compTd(idx) = tt >> 4; compTa(idx) = tt & 0x0f
-            require(compTd(idx) < 4 && compTa(idx) < 4,
-              s"huffman table id out of range for component $id")
-            k += 1
+          if (!progressive) {
+            val ns = payload(body) & 0xff
+            require(ns == nComp, s"scan components $ns != frame $nComp " +
+              "(multi-scan out of sequential codec scope)")
+            var k = 0
+            while (k < ns) {
+              val id = payload(body + 1 + 2 * k) & 0xff
+              val tt = payload(body + 2 + 2 * k) & 0xff
+              val idx = compId.indexOf(id)
+              require(idx >= 0 && idx < nComp, s"SOS names unknown component $id")
+              compTd(idx) = tt >> 4; compTa(idx) = tt & 0x0f
+              require(compTd(idx) < 4 && compTa(idx) < 4,
+                s"huffman table id out of range for component $id")
+              k += 1
+            }
           }
           sosAt = body
         case _ => // APPn, COM, others: skip
       }
       if (sosAt < 0) pos = pos + 2 + len
     }
-    require(w > 0 && h > 0, "missing SOF0 before SOS")
-    var c0 = 0
-    while (c0 < nComp) {
-      require(qtab(compTq(c0)) != null, s"missing quant table ${compTq(c0)}")
-      require(dcTabs(compTd(c0)) != null && acTabs(compTa(c0)) != null,
-        s"missing huffman tables for component ${compId(c0)}")
-      c0 += 1
+    require(w > 0 && h > 0, "missing SOF marker before SOS")
+    if (!progressive) {
+      var c0 = 0
+      while (c0 < nComp) {
+        require(qtab(compTq(c0)) != null, s"missing quant table ${compTq(c0)}")
+        require(dcTabs(compTd(c0)) != null && acTabs(compTa(c0)) != null,
+          s"missing huffman tables for component ${compId(c0)}")
+        c0 += 1
+      }
     }
-    val br = new BitReader(payload, sosAt + 1 + 2 * nComp + 3)
     var maxH = 1; var maxV = 1
     var c1 = 0
     while (c1 < nComp) {
@@ -731,39 +967,172 @@ object Jpeg {
       planes(c2) = new Array[Int](planeW(c2) * planeH(c2))
       c2 += 1
     }
-    val coef = new Array[Int](64)
-    var mcu = 0
-    var rstExpected = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcu > 0 &&
-            mcu % restartInterval == 0) {
-          br.restart(rstExpected)
-          rstExpected = (rstExpected + 1) % 8
-          java.util.Arrays.fill(dcPred, 0) // §F.2.1.3.1
-        }
-        var c = 0
-        while (c < nComp) {
-          var byy = 0
-          while (byy < compV(c)) {
-            var bxx = 0
-            while (bxx < compH(c)) {
-              dcPred(c) = readBlock(br, dcTabs(compTd(c)),
-                acTabs(compTa(c)), qtab(compTq(c)), dcPred(c), coef)
-              idctToPlane(coef, planes(c), planeW(c),
-                (mx * compH(c) + bxx) * 8, (my * compV(c) + byy) * 8)
-              bxx += 1
-            }
-            byy += 1
+    if (!progressive) {
+      val br = new BitReader(payload, sosAt + 1 + 2 * nComp + 3)
+      val coef = new Array[Int](64)
+      var mcu = 0
+      var rstExpected = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcu > 0 &&
+              mcu % restartInterval == 0) {
+            br.restart(rstExpected)
+            rstExpected = (rstExpected + 1) % 8
+            java.util.Arrays.fill(dcPred, 0) // §F.2.1.3.1
           }
-          c += 1
+          var c = 0
+          while (c < nComp) {
+            var byy = 0
+            while (byy < compV(c)) {
+              var bxx = 0
+              while (bxx < compH(c)) {
+                dcPred(c) = readBlock(br, dcTabs(compTd(c)),
+                  acTabs(compTa(c)), qtab(compTq(c)), dcPred(c), coef)
+                idctToPlane(coef, planes(c), planeW(c),
+                  (mx * compH(c) + bxx) * 8, (my * compV(c) + byy) * 8)
+                bxx += 1
+              }
+              byy += 1
+            }
+            c += 1
+          }
+          mcu += 1
+          mx += 1
         }
-        mcu += 1
-        mx += 1
+        my += 1
       }
-      my += 1
+    } else {
+      // PROGRESSIVE (SOF2), spectral selection only: coefficients
+      // accumulate across scans (all components 1x1, so every
+      // component shares the mcusX x mcusY block grid); dequantize +
+      // IDCT once at the end. Successive approximation (Ah/Al != 0)
+      // and DRI inside progressive scans are loud.
+      val nB = mcusX * mcusY
+      val coefs = Array.fill(nComp)(new Array[Int](nB * 64))
+      // decode ONE scan whose SOS body starts at `body`; returns the
+      // position of the next marker
+      def decodeScan(body: Int): Int = {
+        val ns = payload(body) & 0xff
+        require(ns >= 1 && ns <= nComp, s"bad scan component count $ns")
+        val scanComp = new Array[Int](ns)
+        var k = 0
+        while (k < ns) {
+          val id = payload(body + 1 + 2 * k) & 0xff
+          val tt = payload(body + 2 + 2 * k) & 0xff
+          val idx = compId.indexOf(id)
+          require(idx >= 0 && idx < nComp,
+            s"SOS names unknown component $id")
+          compTd(idx) = tt >> 4; compTa(idx) = tt & 0x0f
+          scanComp(k) = idx
+          k += 1
+        }
+        val ss = payload(body + 1 + 2 * ns) & 0xff
+        val se = payload(body + 2 + 2 * ns) & 0xff
+        val a = payload(body + 3 + 2 * ns) & 0xff
+        require(a == 0,
+          "progressive successive approximation (Ah/Al != 0) out of codec scope")
+        require(restartInterval == 0,
+          "DRI inside progressive scans out of codec scope")
+        val br = new BitReader(payload, body + 4 + 2 * ns)
+        if (ss == 0) {
+          require(se == 0, "a DC scan must have Se = 0 (T.81 G.1.1.1)")
+          scanComp.foreach { ci =>
+            require(dcTabs(compTd(ci)) != null,
+              s"missing DC table for component ${compId(ci)}")
+            dcPred(ci) = 0 // predictors reset at scan start
+          }
+          var b = 0
+          while (b < nB) {
+            var i = 0
+            while (i < ns) {
+              val ci = scanComp(i)
+              val s = br.decodeSym(dcTabs(compTd(ci)))
+              dcPred(ci) += extend(br.bits(s), s)
+              coefs(ci)(b * 64) = dcPred(ci)
+              i += 1
+            }
+            b += 1
+          }
+        } else {
+          require(ns == 1,
+            "a progressive AC scan must be single-component (T.81 G.1.1.1)")
+          require(ss <= se && se <= 63, s"bad spectral band $ss..$se")
+          val ci = scanComp(0)
+          val acT = acTabs(compTa(ci))
+          require(acT != null,
+            s"missing AC table for component ${compId(ci)}")
+          val cf = coefs(ci)
+          var eobrun = 0
+          var b = 0
+          while (b < nB) {
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k2 = ss
+              var stop = false
+              while (k2 <= se && !stop) {
+                val rs = br.decodeSym(acT)
+                val r = rs >> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r < 15) { // EOBn: this and the next 2^r-1+bits blocks
+                    eobrun = (1 << r) - 1 +
+                      (if (r > 0) br.bits(r) else 0)
+                    stop = true
+                  } else k2 += 16 // ZRL
+                } else {
+                  k2 += r
+                  require(k2 <= se, "AC run overflows the spectral band")
+                  cf(b * 64 + ZigZag(k2)) = extend(br.bits(sz), sz)
+                  k2 += 1
+                }
+              }
+            }
+            b += 1
+          }
+        }
+        br.alignToMarker()
+      }
+      var p = decodeScan(sosAt)
+      var finished = false
+      while (!finished) {
+        require(p + 1 < payload.length,
+          "progressive stream truncated before EOI")
+        require((payload(p) & 0xff) == 0xff, "marker desync between scans")
+        val m2 = payload(p + 1) & 0xff
+        m2 match {
+          case 0xd9 => finished = true
+          case 0xc4 =>
+            val len2 = u16(p + 2)
+            parseDht(p + 4, p + 2 + len2)
+            p = p + 2 + len2
+          case 0xda => p = decodeScan(p + 4)
+          case 0xdd => throw new IllegalArgumentException(
+            "DRI between progressive scans out of codec scope")
+          case _ => p = p + 2 + u16(p + 2) // APPn/COM
+        }
+      }
+      // dequantize + inverse-transform the accumulated coefficients
+      val tmp = new Array[Int](64)
+      var c = 0
+      while (c < nComp) {
+        val q = qtab(compTq(c))
+        require(q != null, s"missing quant table ${compTq(c)}")
+        var b = 0
+        while (b < nB) {
+          var k = 0
+          while (k < 64) {
+            val nat = ZigZag(k)
+            tmp(nat) = coefs(c)(b * 64 + nat) * q(k)
+            k += 1
+          }
+          idctToPlane(tmp, planes(c), planeW(c),
+            (b % mcusX) * 8, (b / mcusX) * 8)
+          b += 1
+        }
+        c += 1
+      }
     }
     val rgb = new Array[Byte](w * h * 3)
     if (nComp == 1) {

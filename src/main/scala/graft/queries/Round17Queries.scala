@@ -66,7 +66,53 @@ object Round17Queries {
       }
   }
 
+  /** rid = doc_id*4 PROGRESSIVE color 4:4:4; +1 the lossless BMP
+    * twin; +2 (%3) the PROGRESSIVE grayscale; +3 (%5) the BASELINE
+    * 4:4:4 of the same pixels — every variant must dHash-identically,
+    * which requires the multi-scan coefficient accumulation (EOB
+    * runs, per-scan tables, marker realignment) to reconstruct the
+    * exact coefficients the one-scan baseline stream carries.
+    */
+  private def progressiveJpegMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    import s.implicits._
+    import graft.multimodal.{Bmp, Jpeg, Multimodal}
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 7).as[Long]
+      .flatMap { id =>
+        val base = Round16Queries.colorPlantImage(id, altCell = false)
+        val prog = Jpeg.encodeProgressive(base, color = true)
+        val bmp = Bmp.encode(base)
+        Seq(Multimodal.BmpMedia(id * 4, prog, prog.length),
+          Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+          (if (id % 3 == 0) {
+            val pg = Jpeg.encodeProgressive(base, color = false)
+            Seq(Multimodal.BmpMedia(id * 4 + 2, pg, pg.length))
+          } else Nil) ++
+          (if (id % 5 == 0) {
+            val jb = Jpeg.encodeColor(base, subsample = false)
+            Seq(Multimodal.BmpMedia(id * 4 + 3, jb, jb.length))
+          } else Nil)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PROGRESSIVE JPEG (SOF2, spectral selection): real multi-scan
+    // payloads — interleaved DC scan + per-component AC bands with
+    // EOB-run coding — flow through the magic-sniffed
+    // dHash/banded-hamming/CC machinery and hash IDENTICALLY to their
+    // lossless BMP twins and their BASELINE JPEG siblings: true only
+    // if every scan's coefficients land in the right blocks and the
+    // accumulated spectrum equals the one-scan stream's.
+    "q287_jpeg_progressive" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(
+            progressiveJpegMedia(s, dir)),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
 
     // ARBITRARY-DEPTH sitemap tree with a planted CYCLE: per host the
     // root index names a0/a1/a2; a1 is itself an index (b0, b1); b1
@@ -492,6 +538,58 @@ object Round17Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // hashes replay from the cell formula — all four variants of a
+    // doc share its cells (the q283 posture; the progressive scripts
+    // reconstruct the SAME coefficients, so the same hashes)
+    "q287_jpeg_progressive" ->
+      s"""WITH RECURSIVE pjdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |pjimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0 FROM pjdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id FROM pjdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id FROM pjdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id FROM pjdims WHERE doc_id % 5 = 0),
+         |pjcells AS (
+         |  SELECT id0, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT doc_id AS id0, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj:' || doc_id || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM pjdims,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |pjdh0 AS (
+         |  SELECT l.id0, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM pjcells l JOIN pjcells r
+         |    ON r.id0 = l.id0 AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.id0),
+         |pjdh AS (SELECT i.rid, d.dhash FROM pjimgs i
+         |  JOIN pjdh0 d ON d.id0 = i.id0),
+         |pjbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM pjdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |pjpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM pjbands x JOIN pjbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |pjedges AS (SELECT a AS src, b AS dst FROM pjpairs
+         |  UNION SELECT b, a FROM pjpairs),
+         |pjreach(node, lab) AS (
+         |  SELECT src, src FROM pjedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM pjreach r JOIN pjedges e2 ON e2.src = r.node),
+         |pjlabels AS (SELECT node, min(lab) AS clus FROM pjreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM pjdh d LEFT JOIN pjlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
 
     // the SAME level-unrolled walk (3 expansion levels, visited-guard
     // anti-joins) over the SAME fixture XML — the cycle back-edge and

@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.queries.Round16Queries
+
+/** Progressive JPEG (SOF2, spectral selection): multi-scan decode ==
+  * the baseline stream's pixels exactly, EOBRUN paths, and loud scope
+  * boundaries (successive approximation, progressive + DRI).
+  */
+class JpegProgressiveSpec extends SparkSpec {
+
+  private def grayImage(w: Int, h: Int)(f: (Int, Int) => Int): Bmp.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (f(x, y) & 0xff).toByte
+      val p = (y * w + x) * 3
+      rgb(p) = v; rgb(p + 1) = v; rgb(p + 2) = v
+    }
+    Bmp.Image(w, h, rgb)
+  }
+
+  test("grayscale progressive decodes pixel-identical to baseline " +
+      "(same quantized coefficients, different scan script)") {
+    val img = grayImage(48, 40)((x, y) => 30 + 3 * x + 2 * y + (x * y) % 5)
+    val base = Jpeg.decode(Jpeg.encode(img))
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(img, color = false))
+    assert(java.util.Arrays.equals(prog.rgb, base.rgb))
+  }
+
+  test("EOBRUN paths: flat image (every AC band zero -> one long " +
+      "EOB run) and a sparse-texture image") {
+    val flat = grayImage(64, 64)((_, _) => 128)
+    assert(java.util.Arrays.equals(
+      Jpeg.decode(Jpeg.encodeProgressive(flat, color = false)).rgb,
+      Jpeg.decode(Jpeg.encode(flat)).rgb))
+    // one textured block surrounded by flat ones: EOB runs on both
+    // sides of an in-band coefficient block
+    val sparse = grayImage(80, 24)((x, y) =>
+      if (x >= 32 && x < 40) 40 + 13 * ((x + y) % 7) else 90)
+    assert(java.util.Arrays.equals(
+      Jpeg.decode(Jpeg.encodeProgressive(sparse, color = false)).rgb,
+      Jpeg.decode(Jpeg.encode(sparse)).rgb))
+  }
+
+  test("color 4:4:4 progressive decodes pixel-identical to baseline " +
+      "4:4:4") {
+    Seq(7L, 17L).foreach { id =>
+      val img = Round16Queries.colorPlantImage(id, altCell = false)
+      val base = Jpeg.decode(Jpeg.encodeColor(img, subsample = false))
+      val prog = Jpeg.decode(Jpeg.encodeProgressive(img, color = true))
+      assert(java.util.Arrays.equals(prog.rgb, base.rgb), s"id $id")
+    }
+  }
+
+  test("non-multiple-of-8 dimensions survive the multi-scan path") {
+    val img = grayImage(13, 9)((x, y) => (x * 17 + y * 31) % 200 + 10)
+    val prog = Jpeg.decode(Jpeg.encodeProgressive(img, color = false))
+    assert(prog.width == 13 && prog.height == 9)
+    assert(java.util.Arrays.equals(prog.rgb,
+      Jpeg.decode(Jpeg.encode(img)).rgb))
+  }
+
+  test("successive approximation is loud, never silently wrong") {
+    val bytes = Jpeg.encodeProgressive(
+      grayImage(16, 16)((x, y) => 60 + x + y), color = false)
+    // patch the first SOS's A byte (Ah<<4|Al) to claim Al=1
+    val sos = (0 until bytes.length - 1).find(i =>
+      (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda).get
+    val ns = bytes(sos + 4) & 0xff
+    val aAt = sos + 4 + 1 + 2 * ns + 2
+    val patched = bytes.clone()
+    patched(aAt) = 0x01
+    val e = intercept[IllegalArgumentException](Jpeg.decode(patched))
+    assert(e.getMessage.contains("successive approximation"))
+  }
+
+  test("dHash of a progressive color JPEG equals its lossless BMP twin") {
+    Seq(7L, 27L, 47L).foreach { id =>
+      val img = Round16Queries.colorPlantImage(id, altCell = false)
+      val viaBmp = Perceptual.dHash(Bmp.decode(Bmp.encode(img)))
+      val viaProg = Perceptual.dHash(
+        Jpeg.decode(Jpeg.encodeProgressive(img, color = true)))
+      assert(viaProg == viaBmp, s"id $id dHash diverged")
+    }
+  }
+}

@@ -29,19 +29,22 @@ package graft.multimodal
   * the RSTn marker (verifying the 0–7 modulo sequence), and resets
   * every DC predictor, per T.81 §E.2.4/F.2.1.3.1.
   *
-  * PROGRESSIVE (SOF2) is in scope for SPECTRAL SELECTION (Ah=Al=0):
-  * [[encodeProgressive]] writes the classic coarse-to-fine script
-  * (interleaved DC scan, then per-component AC bands 1–5 / 6–63, with
-  * a self-describing EOBn-bearing AC table — the Annex-K sequential
-  * tables define no EOBn symbols), and [[decode]] accumulates
-  * coefficients across scans (EOB-run decoding, per-scan DHT
-  * redefinition, marker realignment between scans) and transforms
-  * once at the end — pixels IDENTICAL to the baseline stream of the
-  * same coefficients.
+  * PROGRESSIVE (SOF2) is in scope for BOTH spectral selection AND
+  * successive approximation: [[encodeProgressive]] writes the classic
+  * scripts (spectral-only: interleaved DC + per-component AC bands
+  * 1–5 / 6–63; `sa = true`: the libjpeg-style coarse-to-fine script —
+  * DC at Al=1 + AC bands at Al=2, then AC refinements at Al=1/Al=0
+  * with correction bits and EOB runs carrying buffered corrections,
+  * plus the DC refinement bit) with a self-describing EOBn-bearing AC
+  * table (the Annex-K sequential tables define no EOBn symbols);
+  * [[decode]] accumulates coefficients across scans (first + refine
+  * paths per T.81 G.1.2, per-scan DHT redefinition, marker
+  * realignment) and transforms once at the end — pixels IDENTICAL to
+  * the baseline stream of the same coefficients, for both scripts.
   *
-  * Scope boundary (loud, never silent): progressive SUCCESSIVE
-  * APPROXIMATION (Ah/Al ≠ 0), progressive + subsampling, progressive
-  * + DRI, 16-bit quant tables, and sampling factors other than
+  * Scope boundary (loud, never silent): progressive + subsampling,
+  * progressive + DRI, inconsistent Ah (not 0 and not Al+1), 16-bit
+  * quant tables, and sampling factors other than
   * 4:4:4 / 4:2:0 throw `IllegalArgumentException` — decoding those as
   * garbage pixels would poison dedup silently.
   *
@@ -523,12 +526,14 @@ object Jpeg {
     out
   }
 
-  /** One spectral-selection AC scan (T.81 G.1.2.2, Ah=Al=0) over a
-    * component's blocks: in-band run-length with ZRL, and EOB RUNS
-    * (EOBn symbols) accumulated across all-zero-band blocks.
+  /** A FIRST AC scan (T.81 G.1.2.2): spectral band `ss..se` at point
+    * transform `al` (coded values are the SIGN-MAGNITUDE truncation
+    * `sign(v)·(|v| >> al)`; `al = 0` is the pure spectral-selection
+    * case) — in-band run-length with ZRL, EOB RUNS (EOBn symbols)
+    * accumulated across all-zero-band blocks.
     */
   private def writeAcScan(blocks: Array[Array[Int]], ss: Int, se: Int,
-      acT: Array[(Int, Int)], bw: BitWriter): Unit = {
+      al: Int, acT: Array[(Int, Int)], bw: BitWriter): Unit = {
     var eobrun = 0
     def flushEob(): Unit = if (eobrun > 0) {
       val n = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
@@ -537,11 +542,16 @@ object Jpeg {
       if (n > 0) bw.put(eobrun - (1 << n), n)
       eobrun = 0
     }
+    def tval(coef: Array[Int], k: Int): Int = {
+      val v = coef(ZigZag(k))
+      val t = math.abs(v) >> al
+      if (v < 0) -t else t
+    }
     var b = 0
     while (b < blocks.length) {
       val coef = blocks(b)
       var last = se
-      while (last >= ss && coef(ZigZag(last)) == 0) last -= 1
+      while (last >= ss && tval(coef, last) == 0) last -= 1
       if (last < ss) {
         eobrun += 1
         if (eobrun == 0x7fff) flushEob()
@@ -550,7 +560,7 @@ object Jpeg {
         var run = 0
         var k = ss
         while (k <= last) {
-          val v = coef(ZigZag(k))
+          val v = tval(coef, k)
           if (v == 0) run += 1
           else {
             while (run >= 16) {
@@ -571,6 +581,71 @@ object Jpeg {
     flushEob()
   }
 
+  /** A REFINEMENT AC scan (T.81 G.1.2.3, Ah = al+1 → Al = al): one
+    * more magnitude bit per already-nonzero coefficient (correction
+    * bits, buffered and emitted after the next symbol), newly-visible
+    * coefficients (`|v| >> al == 1`) as (run,1)+sign, EOB runs with
+    * their buffered corrections — the libjpeg encode_mcu_AC_refine
+    * shape.
+    */
+  private def writeAcRefine(blocks: Array[Array[Int]], ss: Int, se: Int,
+      al: Int, acT: Array[(Int, Int)], bw: BitWriter): Unit = {
+    var eobrun = 0
+    val eobBits = new scala.collection.mutable.ArrayBuffer[Int]()
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val n = 31 - java.lang.Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acT(n << 4)
+        bw.put(c, l)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+      }
+      eobBits.foreach(bit => bw.put(bit, 1))
+      eobBits.clear()
+    }
+    var b = 0
+    while (b < blocks.length) {
+      val coef = blocks(b)
+      val temp = new Array[Int](64)
+      var eobPos = ss - 1 // last newly-visible position
+      var k0 = ss
+      while (k0 <= se) {
+        temp(k0) = math.abs(coef(ZigZag(k0))) >> al
+        if (temp(k0) == 1) eobPos = k0
+        k0 += 1
+      }
+      val br = new scala.collection.mutable.ArrayBuffer[Int]()
+      var r = 0
+      var k = ss
+      while (k <= se) {
+        val t = temp(k)
+        if (t == 0) r += 1
+        else if (t > 1) br += (t & 1) // correction bit, buffered
+        else {
+          while (r > 15 && k <= eobPos) {
+            flushEob()
+            val (zc, zl) = acT(0xf0); bw.put(zc, zl); r -= 16
+            br.foreach(bit => bw.put(bit, 1)); br.clear()
+          }
+          flushEob()
+          val (c, l) = acT((r << 4) | 1)
+          bw.put(c, l)
+          bw.put(if (coef(ZigZag(k)) < 0) 0 else 1, 1)
+          br.foreach(bit => bw.put(bit, 1)); br.clear()
+          r = 0
+        }
+        k += 1
+      }
+      if (r > 0 || br.nonEmpty) {
+        eobrun += 1
+        eobBits ++= br
+        if (eobrun == 0x7fff) flushEob()
+      }
+      b += 1
+    }
+    flushEob()
+  }
+
   /** PROGRESSIVE (SOF2) encode, SPECTRAL SELECTION only (Ah=Al=0
     * throughout — successive approximation stays out of scope on both
     * sides): one interleaved DC scan, then per-component AC bands
@@ -580,7 +655,8 @@ object Jpeg {
     * grayscale; `color = true` → 3-component YCbCr 4:4:4 (progressive
     * + subsampling stays out of scope).
     */
-  def encodeProgressive(img: Bmp.Image, color: Boolean): Array[Byte] = {
+  def encodeProgressive(img: Bmp.Image, color: Boolean,
+      sa: Boolean = false): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0, "positive dimensions")
     val nComp = if (color) 3 else 1
@@ -634,46 +710,86 @@ object Jpeg {
       dht(0, 1, DcBitsC, DcValsC)
       dht(1, 1, ProgAcBits, ProgAcVals)
     }
-    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int): Unit = {
+    def sos(comps: Seq[(Int, Int)], ss: Int, se: Int, ah: Int,
+        al: Int): Unit = {
       marker(0xda); u16(6 + 2 * comps.length); out.write(comps.length)
       comps.foreach { case (id, tt) => out.write(id); out.write(tt) }
-      out.write(ss); out.write(se); out.write(0) // Ah=Al=0
+      out.write(ss); out.write(se); out.write((ah << 4) | al)
     }
-    // scan 1: DC, all components interleaved (MCU = 1 block each)
     val nBlocks = blocks(0).length
-    sos((1 to nComp).map(c =>
-      (c, (if (c == 1) 0 else 1) << 4)), 0, 0)
-    val bw1 = new BitWriter(out)
-    val dcPred = new Array[Int](nComp)
-    var b = 0
-    while (b < nBlocks) {
+    // FIRST DC scan, all components interleaved (MCU = 1 block each);
+    // with successive approximation the coded diffs are the ARITHMETIC
+    // shift dc >> al (two's complement — OR-refinable, T.81 G.1.2.1)
+    def dcFirst(al: Int): Unit = {
+      sos((1 to nComp).map(c =>
+        (c, (if (c == 1) 0 else 1) << 4)), 0, 0, 0, al)
+      val bw1 = new BitWriter(out)
+      val dcPred = new Array[Int](nComp)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          val dcT = if (c == 0) dcEnc else dcEncC
+          val dc = blocks(c)(b)(0) >> al
+          val diff = dc - dcPred(c)
+          dcPred(c) = dc
+          val s = category(diff)
+          val (code, len) = dcT(s)
+          bw1.put(code, len)
+          if (s > 0)
+            bw1.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+          c += 1
+        }
+        b += 1
+      }
+      bw1.flush()
+    }
+    // DC refinement: one bit per block per component
+    def dcRefine(al: Int): Unit = {
+      sos((1 to nComp).map(c => (c, 0)), 0, 0, al + 1, al)
+      val bw1 = new BitWriter(out)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          bw1.put((blocks(c)(b)(0) >> al) & 1, 1)
+          c += 1
+        }
+        b += 1
+      }
+      bw1.flush()
+    }
+    // AC scans are single-component (T.81 G.1.1.1)
+    def acScan(c: Int, ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      sos(Seq((c + 1, if (c == 0) 0x00 else 0x11)), ss, se, ah, al)
+      val bwA = new BitWriter(out)
+      if (ah == 0) writeAcScan(blocks(c), ss, se, al, progAcEnc, bwA)
+      else writeAcRefine(blocks(c), ss, se, al, progAcEnc, bwA)
+      bwA.flush()
+    }
+    if (!sa) {
+      // spectral selection only: DC, then per-component bands
+      dcFirst(0)
       var c = 0
       while (c < nComp) {
-        val dcT = if (c == 0) dcEnc else dcEncC
-        val dc = blocks(c)(b)(0)
-        val diff = dc - dcPred(c)
-        dcPred(c) = dc
-        val s = category(diff)
-        val (code, len) = dcT(s)
-        bw1.put(code, len)
-        if (s > 0)
-          bw1.put(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        acScan(c, 1, 5, 0, 0); acScan(c, 6, 63, 0, 0)
         c += 1
       }
-      b += 1
-    }
-    bw1.flush()
-    // AC scans: per component, bands 1-5 then 6-63 (single-component
-    // scans, as T.81 requires for progressive AC)
-    var c = 0
-    while (c < nComp) {
-      for ((ss, se) <- Seq((1, 5), (6, 63))) {
-        sos(Seq((c + 1, if (c == 0) 0x00 else 0x11)), ss, se)
-        val bwA = new BitWriter(out)
-        writeAcScan(blocks(c), ss, se, progAcEnc, bwA)
-        bwA.flush()
+    } else {
+      // the classic libjpeg-style successive-approximation script:
+      // coarse first scans, then refinement passes down to full
+      // precision
+      dcFirst(1)
+      var c = 0
+      while (c < nComp) {
+        acScan(c, 1, 5, 0, 2); acScan(c, 6, 63, 0, 2)
+        c += 1
       }
-      c += 1
+      c = 0
+      while (c < nComp) { acScan(c, 1, 63, 2, 1); c += 1 }
+      dcRefine(0)
+      c = 0
+      while (c < nComp) { acScan(c, 1, 63, 1, 0); c += 1 }
     }
     marker(0xd9) // EOI
     out.toByteArray
@@ -1031,29 +1147,48 @@ object Jpeg {
         val ss = payload(body + 1 + 2 * ns) & 0xff
         val se = payload(body + 2 + 2 * ns) & 0xff
         val a = payload(body + 3 + 2 * ns) & 0xff
-        require(a == 0,
-          "progressive successive approximation (Ah/Al != 0) out of codec scope")
+        val ah = a >> 4
+        val al = a & 0x0f
+        require(ah == 0 || ah == al + 1,
+          s"successive-approximation Ah=$ah must be 0 or Al+1 (Al=$al)")
         require(restartInterval == 0,
           "DRI inside progressive scans out of codec scope")
         val br = new BitReader(payload, body + 4 + 2 * ns)
         if (ss == 0) {
           require(se == 0, "a DC scan must have Se = 0 (T.81 G.1.1.1)")
-          scanComp.foreach { ci =>
-            require(dcTabs(compTd(ci)) != null,
-              s"missing DC table for component ${compId(ci)}")
-            dcPred(ci) = 0 // predictors reset at scan start
-          }
-          var b = 0
-          while (b < nB) {
-            var i = 0
-            while (i < ns) {
-              val ci = scanComp(i)
-              val s = br.decodeSym(dcTabs(compTd(ci)))
-              dcPred(ci) += extend(br.bits(s), s)
-              coefs(ci)(b * 64) = dcPred(ci)
-              i += 1
+          if (ah == 0) {
+            // FIRST DC scan: diffs of (dc >> al), stored << al
+            scanComp.foreach { ci =>
+              require(dcTabs(compTd(ci)) != null,
+                s"missing DC table for component ${compId(ci)}")
+              dcPred(ci) = 0 // predictors reset at scan start
             }
-            b += 1
+            var b = 0
+            while (b < nB) {
+              var i = 0
+              while (i < ns) {
+                val ci = scanComp(i)
+                val s = br.decodeSym(dcTabs(compTd(ci)))
+                dcPred(ci) += extend(br.bits(s), s)
+                coefs(ci)(b * 64) = dcPred(ci) << al
+                i += 1
+              }
+              b += 1
+            }
+          } else {
+            // DC REFINEMENT: one magnitude bit per block/component,
+            // OR-ed into the two's-complement value (T.81 G.1.2.1)
+            var b = 0
+            while (b < nB) {
+              var i = 0
+              while (i < ns) {
+                val ci = scanComp(i)
+                if (br.bits(1) == 1)
+                  coefs(ci)(b * 64) |= (1 << al)
+                i += 1
+              }
+              b += 1
+            }
           }
         } else {
           require(ns == 1,
@@ -1065,31 +1200,100 @@ object Jpeg {
             s"missing AC table for component ${compId(ci)}")
           val cf = coefs(ci)
           var eobrun = 0
-          var b = 0
-          while (b < nB) {
-            if (eobrun > 0) eobrun -= 1
-            else {
-              var k2 = ss
-              var stop = false
-              while (k2 <= se && !stop) {
-                val rs = br.decodeSym(acT)
-                val r = rs >> 4
-                val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (r < 15) { // EOBn: this and the next 2^r-1+bits blocks
-                    eobrun = (1 << r) - 1 +
-                      (if (r > 0) br.bits(r) else 0)
-                    stop = true
-                  } else k2 += 16 // ZRL
-                } else {
-                  k2 += r
-                  require(k2 <= se, "AC run overflows the spectral band")
-                  cf(b * 64 + ZigZag(k2)) = extend(br.bits(sz), sz)
-                  k2 += 1
+          if (ah == 0) {
+            // FIRST AC scan at point transform al (values stored << al)
+            var b = 0
+            while (b < nB) {
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k2 = ss
+                var stop = false
+                while (k2 <= se && !stop) {
+                  val rs = br.decodeSym(acT)
+                  val r = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r < 15) { // EOBn: this + the next 2^r-1+bits blocks
+                      eobrun = (1 << r) - 1 +
+                        (if (r > 0) br.bits(r) else 0)
+                      stop = true
+                    } else k2 += 16 // ZRL
+                  } else {
+                    k2 += r
+                    require(k2 <= se, "AC run overflows the spectral band")
+                    cf(b * 64 + ZigZag(k2)) = extend(br.bits(sz), sz) << al
+                    k2 += 1
+                  }
                 }
               }
+              b += 1
             }
-            b += 1
+          } else {
+            // AC REFINEMENT (T.81 G.1.2.3, the libjpeg
+            // decode_mcu_AC_refine shape): correction bits for
+            // already-nonzero coefficients — read even inside EOB
+            // runs — newly-visible coefficients as (run,1)+sign
+            val p1 = 1 << al
+            val m1 = -(1 << al)
+            def correct(idx: Int): Unit =
+              if (br.bits(1) == 1 && (cf(idx) & p1) == 0)
+                cf(idx) += (if (cf(idx) >= 0) p1 else m1)
+            var b = 0
+            while (b < nB) {
+              var k2 = ss
+              if (eobrun == 0) {
+                var stop = false
+                while (k2 <= se && !stop) {
+                  val rs = br.decodeSym(acT)
+                  val r0 = rs >> 4
+                  val sz = rs & 0x0f
+                  require(sz <= 1,
+                    "refinement AC size field must be 0 or 1")
+                  var newVal = 0
+                  var r = r0
+                  if (sz == 0) {
+                    if (r0 < 15) {
+                      eobrun = (1 << r0) +
+                        (if (r0 > 0) br.bits(r0) else 0)
+                      stop = true
+                    }
+                    // r0 == 15: ZRL — pass 16 zero-history positions
+                  } else {
+                    newVal = if (br.bits(1) == 1) p1 else m1
+                  }
+                  if (!stop) {
+                    // advance over the run: corrections on nonzeros,
+                    // the run counts zero-history positions only
+                    var placed = false
+                    while (k2 <= se && !placed) {
+                      val idx = b * 64 + ZigZag(k2)
+                      if (cf(idx) != 0) { correct(idx); k2 += 1 }
+                      else {
+                        r -= 1
+                        if (r < 0) {
+                          if (sz == 1) { cf(idx) = newVal }
+                          placed = true
+                          k2 += 1
+                        } else k2 += 1
+                      }
+                    }
+                    require(sz == 0 || placed,
+                      "refinement run overflows the spectral band")
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // the remainder of this block (and whole later blocks
+                // while the run lasts) only refines existing nonzeros
+                while (k2 <= se) {
+                  val idx = b * 64 + ZigZag(k2)
+                  if (cf(idx) != 0) correct(idx)
+                  k2 += 1
+                }
+                eobrun -= 1
+              }
+              b += 1
+            }
           }
         }
         br.alignToMarker()

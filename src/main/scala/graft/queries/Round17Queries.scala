@@ -98,6 +98,41 @@ object Round17Queries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // SUCCESSIVE-APPROXIMATION progressive JPEG (the full libjpeg
+    // script: coarse DC at Al=1 + AC bands at Al=2, then AC
+    // refinements at Al=1 and Al=0 — correction bits, EOB runs with
+    // buffered corrections — and the DC refinement bit): SA payloads
+    // hash IDENTICALLY to BMP twins and spectral-selection siblings,
+    // true only if every refinement bit lands (a missed correction
+    // shifts coefficients and corrupts blocks downstream).
+    "q288_jpeg_sa" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      import graft.multimodal.{Bmp, Jpeg, Multimodal}
+      val media = Tables(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 10 === 8).as[Long]
+        .flatMap { id =>
+          val base = Round16Queries.colorPlantImage(id, altCell = false)
+          val sa = Jpeg.encodeProgressive(base, color = true, sa = true)
+          val bmp = Bmp.encode(base)
+          Seq(Multimodal.BmpMedia(id * 4, sa, sa.length),
+            Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+            (if (id % 3 == 0) {
+              val g = Jpeg.encodeProgressive(base, color = false,
+                sa = true)
+              Seq(Multimodal.BmpMedia(id * 4 + 2, g, g.length))
+            } else Nil) ++
+            (if (id % 5 == 0) {
+              val sp2 = Jpeg.encodeProgressive(base, color = true)
+              Seq(Multimodal.BmpMedia(id * 4 + 3, sp2, sp2.length))
+            } else Nil)
+        }
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
+
     // PROGRESSIVE JPEG (SOF2, spectral selection): real multi-scan
     // payloads — interleaved DC scan + per-component AC bands with
     // EOB-run coding — flow through the magic-sniffed
@@ -538,6 +573,57 @@ object Round17Queries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // the q287 oracle with the %10==8 slice — SA variants share their
+    // doc's cells exactly like every other faithful transcode
+    "q288_jpeg_sa" ->
+      s"""WITH RECURSIVE sjdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 8),
+         |sjimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0 FROM sjdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id FROM sjdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id FROM sjdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id FROM sjdims WHERE doc_id % 5 = 0),
+         |sjcells AS (
+         |  SELECT id0, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT doc_id AS id0, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj:' || doc_id || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM sjdims,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |sjdh0 AS (
+         |  SELECT l.id0, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM sjcells l JOIN sjcells r
+         |    ON r.id0 = l.id0 AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.id0),
+         |sjdh AS (SELECT i.rid, d.dhash FROM sjimgs i
+         |  JOIN sjdh0 d ON d.id0 = i.id0),
+         |sjbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM sjdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |sjpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM sjbands x JOIN sjbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |sjedges AS (SELECT a AS src, b AS dst FROM sjpairs
+         |  UNION SELECT b, a FROM sjpairs),
+         |sjreach(node, lab) AS (
+         |  SELECT src, src FROM sjedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM sjreach r JOIN sjedges e2 ON e2.src = r.node),
+         |sjlabels AS (SELECT node, min(lab) AS clus FROM sjreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM sjdh d LEFT JOIN sjlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
 
     // hashes replay from the cell formula — all four variants of a
     // doc share its cells (the q283 posture; the progressive scripts

@@ -60,18 +60,44 @@ class JpegProgressiveSpec extends SparkSpec {
       Jpeg.decode(Jpeg.encode(img)).rgb))
   }
 
-  test("successive approximation is loud, never silently wrong") {
+  test("SUCCESSIVE APPROXIMATION: gray refinement scans reconstruct " +
+      "the exact coefficients (pixel-identical to baseline)") {
+    for (img <- Seq(
+      grayImage(48, 40)((x, y) => 30 + 3 * x + 2 * y + (x * y) % 5),
+      grayImage(64, 64)((_, _) => 128), // all-EOB refinement path
+      grayImage(80, 24)((x, y) =>
+        if (x >= 32 && x < 40) 40 + 13 * ((x + y) % 7) else 90),
+      grayImage(13, 9)((x, y) => (x * 17 + y * 31) % 200 + 10))) {
+      val base = Jpeg.decode(Jpeg.encode(img))
+      val sa = Jpeg.decode(
+        Jpeg.encodeProgressive(img, color = false, sa = true))
+      assert(java.util.Arrays.equals(sa.rgb, base.rgb))
+    }
+  }
+
+  test("SUCCESSIVE APPROXIMATION: color 4:4:4 pixel-identical to " +
+      "baseline 4:4:4") {
+    Seq(7L, 17L, 37L).foreach { id =>
+      val img = Round16Queries.colorPlantImage(id, altCell = false)
+      val base = Jpeg.decode(Jpeg.encodeColor(img, subsample = false))
+      val sa = Jpeg.decode(
+        Jpeg.encodeProgressive(img, color = true, sa = true))
+      assert(java.util.Arrays.equals(sa.rgb, base.rgb), s"id $id")
+    }
+  }
+
+  test("malformed Ah (not 0 and not Al+1) is loud") {
     val bytes = Jpeg.encodeProgressive(
       grayImage(16, 16)((x, y) => 60 + x + y), color = false)
-    // patch the first SOS's A byte (Ah<<4|Al) to claim Al=1
+    // patch the first SOS's A byte (Ah<<4|Al) to an inconsistent 0x31
     val sos = (0 until bytes.length - 1).find(i =>
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xda).get
     val ns = bytes(sos + 4) & 0xff
     val aAt = sos + 4 + 1 + 2 * ns + 2
     val patched = bytes.clone()
-    patched(aAt) = 0x01
+    patched(aAt) = 0x31
     val e = intercept[IllegalArgumentException](Jpeg.decode(patched))
-    assert(e.getMessage.contains("successive approximation"))
+    assert(e.getMessage.contains("Ah"))
   }
 
   test("dHash of a progressive color JPEG equals its lossless BMP twin") {

@@ -1132,6 +1132,25 @@ object ScaleProbe {
         .filter(col("cluster") >= 0).count()
     }
 
+    // Progressive (successive-approximation) JPEG encode+decode+dHash
+    // per sampled image — the multi-scan codec constant at Nx images.
+    def progJpegRun(d: DataFrame): Long = {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val media = d.select(col("doc_id")).as[Long].mapPartitions(_.map {
+        id =>
+          val img = graft.queries.Round16Queries
+            .colorPlantImage(id, altCell = false)
+          val p = graft.multimodal.Jpeg.encodeProgressive(img,
+            color = true, sa = id % 2 == 0)
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+      })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
     // Trained language-ID apply at Nx docs against a FROZEN 1x-fitted
     // model (the deployment shape): explode + broadcast join + per-doc
     // sum must stay linear.
@@ -1321,7 +1340,9 @@ object ScaleProbe {
       "dri_jpeg" -> (() => (time(driJpegRun(docs1)),
         time(driJpegRun(docsN)))),
       "trained_langid" -> (() => (time(langidRun(docs1)),
-        time(langidRun(docsN)))))
+        time(langidRun(docsN)))),
+      "prog_jpeg" -> (() => (time(progJpegRun(docs1)),
+        time(progJpegRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

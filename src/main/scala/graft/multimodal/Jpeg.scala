@@ -620,19 +620,29 @@ object Jpeg {
       while (k <= se) {
         val t = temp(k)
         if (t == 0) r += 1
-        else if (t > 1) br += (t & 1) // correction bit, buffered
         else {
+          // drain pending ZRLs at EVERY nonzero coefficient (libjpeg
+          // encode_mcu_AC_refine): the decoder consumes correction
+          // bits positionally per 16-zero-history span, so a t>1
+          // coefficient past the first 16 zeros of a run must see its
+          // ZRLs emitted BEFORE its correction bit is buffered —
+          // buffering first would splice that bit after a ZRL whose
+          // span the decoder walks without reading it (stream desync).
+          // Runs past the last newly-visible position fold into EOB.
           while (r > 15 && k <= eobPos) {
             flushEob()
             val (zc, zl) = acT(0xf0); bw.put(zc, zl); r -= 16
             br.foreach(bit => bw.put(bit, 1)); br.clear()
           }
-          flushEob()
-          val (c, l) = acT((r << 4) | 1)
-          bw.put(c, l)
-          bw.put(if (coef(ZigZag(k)) < 0) 0 else 1, 1)
-          br.foreach(bit => bw.put(bit, 1)); br.clear()
-          r = 0
+          if (t > 1) br += (t & 1) // correction bit, buffered
+          else {
+            flushEob()
+            val (c, l) = acT((r << 4) | 1)
+            bw.put(c, l)
+            bw.put(if (coef(ZigZag(k)) < 0) 0 else 1, 1)
+            br.foreach(bit => bw.put(bit, 1)); br.clear()
+            r = 0
+          }
         }
         k += 1
       }

@@ -429,12 +429,18 @@ object Warc {
     * fetch: If-Modified-Since trusts timestamps, an ETag is a hash of
     * the bytes, so a spurious lastmod bump cannot force a body
     * transfer). Header-anchored like [[httpContentType]]; weak
-    * validators (`W/"…"`) keep their `W/` marker visible.
+    * validators (`W/"…"`) keep their `W/` marker visible: the marker
+    * and the quoted value are captured SEPARATELY and re-concatenated
+    * (`W/"abc"` → `W/abc`, `"abc"` → `abc`) — a single quote-stripping
+    * capture would stop at the opening quote and collapse every weak
+    * etag to the bare `W/`, a latent false-304.
     */
-  def httpEtag(payload: Column): Column =
-    trim(regexp_extract(
-      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
-      "(?i)ETag:\\s*\"?([^\"\\r\\n]+)", 1))
+  def httpEtag(payload: Column): Column = {
+    val hdr = regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1)
+    concat(
+      regexp_extract(hdr, "(?i)ETag:\\s*(W/)?\"?[^\"\\r\\n]", 1),
+      trim(regexp_extract(hdr, "(?i)ETag:\\s*(?:W/)?\"?([^\"\\r\\n]+)", 1)))
+  }
 
   /** [[httpResponse]] with an `ETag` header (`etag` = '' to omit) —
     * how a validator-emitting server actually answers both a 200

@@ -1152,8 +1152,9 @@ object ScaleProbe {
     }
 
     // Trained language-ID apply at Nx docs against a FROZEN 1x-fitted
-    // model (the deployment shape): explode + broadcast join + per-doc
-    // sum must stay linear.
+    // model (the deployment shape): classify routes through the NATIVE
+    // referenced-object codegen scan (functions/LangScore — no
+    // explode/join/shuffle), which must stay linear in trigram volume.
     val langCipher = "translate(text, 'abcdefghijklmnopqrstuvwxy', 'yxwvutsrqponmlkjihgfedcba')"
     val langModel = graft.text.LangClassifier.fit(
       docs1.filter(col("doc_id") % 10 < 2)

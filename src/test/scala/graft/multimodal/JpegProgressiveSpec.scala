@@ -86,6 +86,49 @@ class JpegProgressiveSpec extends SparkSpec {
     }
   }
 
+  test("SA randomized coefficient round-trip: sparse-frequency images " +
+      "(long zero-history runs with mixed magnitudes — a t>1 correction " +
+      "past 16 zeros before a newly-visible coefficient must not desync)") {
+    // deterministic xorshift so every run exercises the same 80 images
+    var seed = 0x9e3779b97f4a7c15L
+    def nextLong(): Long = {
+      seed ^= seed << 13; seed ^= seed >>> 7; seed ^= seed << 17; seed
+    }
+    def nextInt(n: Int): Int = ((nextLong() >>> 1) % n).toInt
+    def basis(u: Int, x: Int): Double =
+      math.cos((2 * x + 1) * u * math.Pi / 16) *
+        (if (u == 0) 1 / math.sqrt(2) else 1)
+    for (trial <- 0 until 80) {
+      // one mid-frequency large component (stays visible from the Al=2
+      // first scan -> correction bits in every refinement) plus one
+      // late small component (newly visible only at Al=1 or Al=0 ->
+      // the run up to it spans 16+ zero-history positions), and a few
+      // extra random components for coverage
+      val comps =
+        Seq(((3 + nextInt(3), 2 + nextInt(3)), 150 + nextInt(700)),
+            ((6 + nextInt(2), 5 + nextInt(3)), 60 + nextInt(260))) ++
+        (0 until nextInt(3)).map(_ =>
+          ((nextInt(8), nextInt(8)), 30 + nextInt(400)))
+      val w = 8 * (1 + nextInt(3)); val h = 8 * (1 + nextInt(2))
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        var v = 120.0 + 2.0 * (x / 8) + 3.0 * (y / 8) // per-block DC drift
+        comps.foreach { case ((u, uv), a) =>
+          v += a / 4.0 * basis(u, x % 8) * basis(uv, y % 8)
+        }
+        val b = math.max(0L, math.min(255L, math.round(v))).toByte
+        val p = (y * w + x) * 3
+        rgb(p) = b; rgb(p + 1) = b; rgb(p + 2) = b
+      }
+      val img = Bmp.Image(w, h, rgb)
+      val base = Jpeg.decode(Jpeg.encode(img))
+      val sa = Jpeg.decode(
+        Jpeg.encodeProgressive(img, color = false, sa = true))
+      assert(java.util.Arrays.equals(sa.rgb, base.rgb),
+        s"trial $trial (${w}x$h, comps=$comps) diverged")
+    }
+  }
+
   test("malformed Ah (not 0 and not Al+1) is loud") {
     val bytes = Jpeg.encodeProgressive(
       grayImage(16, 16)((x, y) => 60 + x + y), color = false)

@@ -132,6 +132,28 @@ class HttpTransportSpec extends SparkSpec {
       "legacy" -> "windows-1252", "both" -> "utf-8", "none" -> ""))
   }
 
+  test("httpEtag: weak validators keep W/ AND their value — two weak " +
+      "etags with different values must not compare equal") {
+    val resp = (etagHdr: String) =>
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n$etagHdr\r\nbody"
+    val rows = Seq(
+      ("strong", resp("ETag: \"abc\"\r\n")),
+      ("weakA", resp("ETag: W/\"abc\"\r\n")),
+      ("weakB", resp("etag: W/\"xyz\"\r\n")), // case-insensitive field
+      ("unquoted", resp("ETag: token123\r\n")),
+      ("none", resp("")))
+    val got = rows.toDF("k", "p")
+      .select(col("k"), Warc.httpEtag(col("p")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("strong" -> "abc", "weakA" -> "W/abc",
+      "weakB" -> "W/xyz", "unquoted" -> "token123", "none" -> ""))
+    // the latent false-304: weakA vs weakB values differ, so a
+    // validator compare must see them differ
+    assert(got("weakA") != got("weakB"))
+    // and a weak validator never compares equal to its strong twin
+    assert(got("weakA") != got("strong"))
+  }
+
   test("binary segment write/read roundtrips non-UTF-8 payload bytes") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-warcbin").toString

@@ -332,8 +332,41 @@ object Warc {
       .when(cs.isin("utf-16le", "utf-16", "utf16", "unicode",
         "csunicode", "iso-10646-ucs-2", "ucs-2"), lit("utf-16le"))
       .when(cs.isin("utf-16be", "unicodefffe"), lit("utf-16be"))
+      // CJK legacy multibyte families (WHATWG label sets): a large
+      // share of the non-Latin web declares these; an unmapped alias
+      // would fall to the lenient-UTF-8 default and admit silent
+      // mojibake into the corpus. WHATWG Shift_JIS is the windows-31j
+      // superset, euc-kr the windows-949 superset, gb2312 folds into
+      // GBK — the canonical name here selects the superset decoder in
+      // [[decodeBody]], exactly as browsers do.
+      .when(cs.isin("shift_jis", "shift-jis", "sjis", "x-sjis",
+        "ms_kanji", "ms932", "csshiftjis", "windows-31j"),
+        lit("shift_jis"))
+      .when(cs.isin("euc-jp", "x-euc-jp", "cseucpkdfmtjapanese"),
+        lit("euc-jp"))
+      .when(cs.isin("gbk", "gb2312", "gb_2312", "gb_2312-80", "chinese",
+        "csgb2312", "csiso58gb231280", "iso-ir-58", "x-gbk"), lit("gbk"))
+      .when(cs.isin("big5", "big5-hkscs", "cn-big5", "csbig5",
+        "x-x-big5"), lit("big5"))
+      .when(cs.isin("euc-kr", "cseuckr", "korean", "ks_c_5601-1987",
+        "ks_c_5601-1989", "ksc5601", "ksc_5601", "csksc56011987",
+        "iso-ir-149", "windows-949"), lit("euc-kr"))
       .otherwise(cs)
   }
+
+  /** Canonical charset name ([[normalizeCharset]] output) → the JDK
+    * decoder [[decodeBody]] uses for it. The CJK canonical names pick
+    * the WHATWG SUPERSET codecs (shift_jis → windows-31j, euc-kr →
+    * windows-949): pages labeled with the narrow name routinely carry
+    * vendor-extension codepoints, and browsers decode them through the
+    * superset — matching that is what keeps real crawl text clean.
+    */
+  private[sources] val CjkJdkCharset: Map[String, String] = Map(
+    "shift_jis" -> "windows-31j",
+    "euc-jp" -> "EUC-JP",
+    "gbk" -> "GBK",
+    "big5" -> "Big5",
+    "euc-kr" -> "x-windows-949")
 
   /** Byte-order-mark charset of an entity body, '' when none — the
     * FIRST step of the WHATWG encoding sniff: a BOM beats even the
@@ -398,13 +431,20 @@ object Warc {
         bytes.substr(lit(3), length(bytes) - 2)).otherwise(bytes)
     val b8 = when(hex(substring(bytes, 1, 3)) === "EFBBBF",
       bytes.substr(lit(4), length(bytes) - 3)).otherwise(bytes)
-    when(cs === "windows-1252",
+    // CJK branches decode their bytes verbatim (no BOM concept in the
+    // legacy multibyte encodings) through the WHATWG superset codecs —
+    // lenient like every other branch: one mislabeled response
+    // surfaces as U+FFFD and fails its clean match, never kills a job.
+    val base = when(cs === "windows-1252",
       translate(decode(bytes, "ISO-8859-1"), Cp1252From, Cp1252To))
       .when(cs === "utf-16le",
         graft.functions.Gzip.decodeLenientCol(strip2("FFFE"), "UTF-16LE"))
       .when(cs === "utf-16be",
         graft.functions.Gzip.decodeLenientCol(strip2("FEFF"), "UTF-16BE"))
-      .otherwise(graft.functions.Gzip.utf8LenientCol(b8))
+    CjkJdkCharset.toSeq.sortBy(_._1).foldLeft(base) {
+      case (acc, (canon, jdk)) => acc.when(cs === canon,
+        graft.functions.Gzip.decodeLenientCol(bytes, jdk))
+    }.otherwise(graft.functions.Gzip.utf8LenientCol(b8))
   }
 
   /** Charset declared INSIDE the document — HTML5's fallback when the

@@ -12,7 +12,8 @@ package graft.multimodal
   * APPn/COM skipped), spec Annex-K standard huffman tables (luminance
   * K.3/K.5 AND chrominance K.4/K.6) built by the spec's
   * code-assignment algorithm, per-component quant/huffman table
-  * selection, MCU interleaving with 2×2 luma sampling for 4:2:0,
+  * selection, MCU interleaving with 2×2 luma sampling for 4:2:0 and
+  * 2×1 for 4:2:2,
   * zigzag, DC prediction + EXTEND coding, run-length AC with ZRL/EOB,
   * 0xFF byte stuffing, 2-D DCT, JFIF integer YCbCr↔RGB. [[encode]] /
   * [[encodeColor]] write quant-table-all-ones (maximum-quality)
@@ -45,8 +46,8 @@ package graft.multimodal
   * Scope boundary (loud, never silent): progressive + subsampling,
   * progressive + DRI, inconsistent Ah (not 0 and not Al+1), 16-bit
   * quant tables, and sampling factors other than
-  * 4:4:4 / 4:2:0 throw `IllegalArgumentException` — decoding those as
-  * garbage pixels would poison dedup silently.
+  * 4:4:4 / 4:2:0 / 4:2:2 throw `IllegalArgumentException` — decoding
+  * those as garbage pixels would poison dedup silently.
   *
   * JPEG is LOSSY: decode(encode(img)) is NOT bit-exact (DCT roundtrip
   * error ≲ 2 gray levels at quant 1). Consumers that need exactness
@@ -375,9 +376,30 @@ object Jpeg {
     * (an MCU here is the full interleaved Y/Cb/Cr group).
     */
   def encodeColor(img: Bmp.Image, subsample: Boolean,
-      restartInterval: Int = 0): Array[Byte] = {
+      restartInterval: Int = 0): Array[Byte] =
+    if (subsample) encodeColorSampled(img, 2, 2, restartInterval)
+    else encodeColorSampled(img, 1, 1, restartInterval)
+
+  /** 4:2:2 (Y 2×1, chroma box-averaged over horizontal pixel pairs) —
+    * the common camera/scanner setting: horizontal-only chroma
+    * decimation. Same stream structure as [[encodeColor]] with luma
+    * sampling factor 2×1.
+    */
+  def encodeColor422(img: Bmp.Image,
+      restartInterval: Int = 0): Array[Byte] =
+    encodeColorSampled(img, 2, 1, restartInterval)
+
+  /** Shared color-encode core at luma sampling `hs`×`vs` (chroma is
+    * always 1×1): 1×1 = 4:4:4, 2×2 = 4:2:0, 2×1 = 4:2:2. The chroma
+    * planes box-average hs×vs pixel groups (edge replicated, round
+    * half up — (sum + n/2) / n reproduces the 4:2:0 (sum+2)>>2
+    * exactly).
+    */
+  private def encodeColorSampled(img: Bmp.Image, hs: Int, vs: Int,
+      restartInterval: Int): Array[Byte] = {
     val w = img.width; val h = img.height
     require(w > 0 && h > 0, "positive dimensions")
+    val subsample = hs * vs > 1
     val yP = new Array[Int](w * h)
     val cbP = new Array[Int](w * h)
     val crP = new Array[Int](w * h)
@@ -395,25 +417,32 @@ object Jpeg {
     }
     // chroma planes at their sampled resolution
     val (cw, ch) =
-      if (subsample) ((w + 1) / 2, (h + 1) / 2) else (w, h)
+      if (subsample) ((w + hs - 1) / hs, (h + vs - 1) / vs) else (w, h)
     val (cb2, cr2) =
       if (!subsample) (cbP, crP)
       else {
         val b2 = new Array[Int](cw * ch)
         val r2 = new Array[Int](cw * ch)
+        val n = hs * vs
         var cy = 0
         while (cy < ch) {
           var cx = 0
           while (cx < cw) {
-            // 2×2 box average, edge replicated, round half up
-            val x0 = cx * 2; val y0 = cy * 2
-            val x1 = math.min(x0 + 1, w - 1)
-            val y1 = math.min(y0 + 1, h - 1)
-            def at(p: Array[Int], x: Int, y: Int) = p(y * w + x)
-            b2(cy * cw + cx) = (at(cbP, x0, y0) + at(cbP, x1, y0) +
-              at(cbP, x0, y1) + at(cbP, x1, y1) + 2) >> 2
-            r2(cy * cw + cx) = (at(crP, x0, y0) + at(crP, x1, y0) +
-              at(crP, x0, y1) + at(crP, x1, y1) + 2) >> 2
+            // hs×vs box average, edge replicated, round half up
+            var sb = 0; var sr = 0
+            var dy = 0
+            while (dy < vs) {
+              val yy = math.min(cy * vs + dy, h - 1)
+              var dx = 0
+              while (dx < hs) {
+                val xx = math.min(cx * hs + dx, w - 1)
+                sb += cbP(yy * w + xx); sr += crP(yy * w + xx)
+                dx += 1
+              }
+              dy += 1
+            }
+            b2(cy * cw + cx) = (sb + n / 2) / n
+            r2(cy * cw + cx) = (sr + n / 2) / n
             cx += 1
           }
           cy += 1
@@ -433,7 +462,7 @@ object Jpeg {
     }
     marker(0xc0); u16(8 + 3 * 3) // SOF0, 3 components
     out.write(8); u16(h); u16(w); out.write(3)
-    out.write(1); out.write(if (subsample) 0x22 else 0x11); out.write(0)
+    out.write(1); out.write((hs << 4) | vs); out.write(0)
     out.write(2); out.write(0x11); out.write(1)
     out.write(3); out.write(0x11); out.write(1)
     def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
@@ -456,9 +485,8 @@ object Jpeg {
     val bw = new BitWriter(out)
     val coef = new Array[Int](64)
     val blk = new Array[Double](64)
-    val hFac = if (subsample) 2 else 1
-    val mcusX = (w + 8 * hFac - 1) / (8 * hFac)
-    val mcusY = (h + 8 * hFac - 1) / (8 * hFac)
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
     var dcY = 0; var dcCb = 0; var dcCr = 0
     var mcu = 0
     var rst = 0
@@ -466,13 +494,13 @@ object Jpeg {
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
-        // Y blocks: hFac×hFac, left-to-right then top-to-bottom
+        // Y blocks: hs×vs, left-to-right then top-to-bottom
         var byy = 0
-        while (byy < hFac) {
+        while (byy < vs) {
           var bxx = 0
-          while (bxx < hFac) {
-            loadBlock(yP, w, h, (mx * hFac + bxx) * 8,
-              (my * hFac + byy) * 8, blk)
+          while (bxx < hs) {
+            loadBlock(yP, w, h, (mx * hs + bxx) * 8,
+              (my * vs + byy) * 8, blk)
             fdctQuant(blk, coef)
             dcY = writeBlock(coef, dcY, dcEnc, acEnc, bw)
             bxx += 1
@@ -1031,8 +1059,10 @@ object Jpeg {
             require(compH(0) == 1 && compV(0) == 1, "only 1x1 sampling")
           else {
             require((compH(0) == 1 && compV(0) == 1) ||
-              (compH(0) == 2 && compV(0) == 2),
-              s"only 4:4:4 or 4:2:0 sampling in codec scope; " +
+              (compH(0) == 2 && compV(0) == 2) ||
+              (compH(0) == 2 && compV(0) == 1),
+              s"only 4:4:4, 4:2:0, or 4:2:2 sampling in codec scope " +
+                s"(4:1:1 and vertical-only 1x2 stay loud); " +
                 s"luma ${compH(0)}x${compV(0)}")
             require(compH(1) == 1 && compV(1) == 1 &&
               compH(2) == 1 && compV(2) == 1,

@@ -40,7 +40,89 @@ object Round18Queries {
       ("euc-kr", "x-windows-949", "한글", // 한글
         Array("euc-kr", "korean", "ks_c_5601-1987", "windows-949")))
 
+  // ---- 4:2:2 JPEG perceptual dedup (q290) ---------------------------
+  // The q274 posture at the third sampling layout: per-cell LUMA
+  // margins + a UNIFORM per-image color cast (constant chroma planes,
+  // so horizontal box-averaging is exact and the reconstruction shift
+  // is uniform per image) — every 4:2:2 stream dHashes identically to
+  // its lossless BMP twin, and the oracle replays hashes from the
+  // cell formula.
+
+  private[graft] def cell422(id0: Long, gx: Int, gy: Int): Int = {
+    val h = graft.functions.TextHash.md5Low60(s"cj422:$id0:$gx:$gy")
+    (30 + (h % 5) * 40 + ((gx + gy) % 2) * 12).toInt
+  }
+
+  private val Casts422: Array[(Int, Int, Int)] =
+    Array((0, 0, 0), (16, -8, -4), (-16, 8, 4), (12, 4, -16))
+
+  private[graft] def plantImage422(id0: Long,
+      altCell: Boolean): graft.multimodal.Bmp.Image = {
+    val w = 64; val h = 64
+    val (dr, dg, db) = Casts422(
+      (graft.functions.TextHash.md5Low60(s"cast422:$id0") % 4).toInt)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x / 8; val gy = y / 8
+        val idc = if (altCell && gx == 3 && gy == 3) id0 + 999983L else id0
+        val l = cell422(idc, gx, gy) + ((x + y) % 2) * 2
+        val p = (y * w + x) * 3
+        rgb(p) = (l + dr).toByte
+        rgb(p + 1) = (l + dg).toByte
+        rgb(p + 2) = (l + db).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.Bmp.Image(w, h, rgb)
+  }
+
+  /** rid = doc_id*4 color JPEG 4:2:2; +1 BMP of the SAME pixels (the
+    * cross-format exact twin, every doc); +2 the SAME pixels 4:2:2
+    * with restart markers (%3 — DRI composes with the new layout);
+    * +3 a 4:2:2 with cell (3,3) re-derived (%5 — a ≤2-bit near-dup).
+    */
+  private def jpeg422Media(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    import s.implicits._
+    import graft.multimodal.{Bmp, Jpeg, Multimodal}
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 4).as[Long]
+      .flatMap { id =>
+        val base = plantImage422(id, altCell = false)
+        val j422 = Jpeg.encodeColor422(base)
+        val bmp = Bmp.encode(base)
+        Seq(Multimodal.BmpMedia(id * 4, j422, j422.length),
+          Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+          (if (id % 3 == 0) {
+            val jd = Jpeg.encodeColor422(base, restartInterval = 3)
+            Seq(Multimodal.BmpMedia(id * 4 + 2, jd, jd.length))
+          } else Nil) ++
+          (if (id % 5 == 0) {
+            val j = Jpeg.encodeColor422(plantImage422(id, altCell = true))
+            Seq(Multimodal.BmpMedia(id * 4 + 3, j, j.length))
+          } else Nil)
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 4:2:2 JPEG perceptual dedup: horizontal-only chroma decimation
+    // (the common camera/scanner layout) flows through the
+    // magic-sniffed dHash/banded-hamming/CC machinery — the 4:2:2
+    // stream, its DRI re-encode, and the lossless BMP twin hash
+    // IDENTICALLY; the alt-cell 4:2:2 lands in the same cluster at
+    // hamming ≤ 2.
+    "q290_jpeg_422" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(jpeg422Media(s, dir)),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
 
     // CJK LEGACY MULTIBYTE transport: five charset classes by
     // (doc_id div 20) % 5 — div-20 so every dom sees every class (the
@@ -136,6 +218,56 @@ object Round18Queries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    // hashes replay from the cell formula (the q274 argument at the
+    // 4:2:2 layout: uniform per-image casts shift every dHash sample
+    // equally; constant chroma planes box-average exactly)
+    "q290_jpeg_422" ->
+      s"""WITH RECURSIVE jqdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 4),
+         |jqimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0, 0 AS alt FROM jqdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id, 0 FROM jqdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id, 0 FROM jqdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id, 1 FROM jqdims WHERE doc_id % 5 = 0),
+         |jqcells AS (
+         |  SELECT rid, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT rid, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj422:' || (CASE WHEN alt = 1 AND gx.g = 3 AND gy.g = 3 THEN id0 + 999983 ELSE id0 END) || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM jqimgs,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |jqdh AS (
+         |  SELECT l.rid, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM jqcells l JOIN jqcells r
+         |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.rid),
+         |jqbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM jqdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |jqpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM jqbands x JOIN jqbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |jqedges AS (SELECT a AS src, b AS dst FROM jqpairs
+         |  UNION SELECT b, a FROM jqpairs),
+         |jqreach(node, lab) AS (
+         |  SELECT src, src FROM jqedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM jqreach r JOIN jqedges e2 ON e2.src = r.node),
+         |jqlabels AS (SELECT node, min(lab) AS clus FROM jqreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
 
     // decode∘encode is the identity per class ONLY when every alias
     // normalizes to its canonical name AND routes to the right

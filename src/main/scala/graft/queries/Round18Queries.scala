@@ -124,6 +124,93 @@ object Round18Queries {
         .orderBy(col("id"))
     }),
 
+    // CACHE FRESHNESS scheduling (RFC 9111 in front of RFC 9110
+    // revalidation): stored responses carry REAL caching headers —
+    // four classes by (doc_id div 20) % 4: max-age only / Expires
+    // only / BOTH (max-age must win: the planted Expires is always in
+    // the past, so any Expires-first logic zeroes class-2 freshness) /
+    // neither (always revalidate). A FRESH stored response is served
+    // with NO request at all; a stale one revalidates via the REAL
+    // etag compare (md5(stored) vs md5(current)) → 304 header-only or
+    // 200 body refetch. Exact three-tier bytes ledger per dom.
+    "q291_cache_freshness" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val Now = 1735689600L // 2025-01-01T00:00:00Z, fixed
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val ccCls = (expr("doc_id div 20") % 4).cast("int")
+      val maxAge = (t % 7) * 600 // 0..3600 s lifetime
+      val storedAt = lit(Now) - (t % 13) * 400 // age 0..4800 s
+      val expiresAt = lit(Now) + (t % 11) * 500 - 2500
+      val ccHdr = when(ccCls.isin(0, 2),
+        concat(lit("public, max-age="), maxAge.cast("string")))
+        .otherwise(lit(""))
+      val expHdr = when(ccCls === 1, Warc.httpDateOf(expiresAt))
+        // class 2: DISAGREEING Expires (always past) — max-age wins
+        .when(ccCls === 2, Warc.httpDateOf(lit(Now - 1000)))
+        .otherwise(lit(""))
+      val stored = docs.select(t, urlOf(t).as("uri"),
+        Warc.httpResponseCaching(lit(200), lit("text/html"),
+          md5(encode(col("text"), "UTF-8")), ccHdr, expHdr,
+          col("text")).as("payload"))
+      val land = Files.createTempDirectory("graft-q291-warc").toString
+      Warc.writeSegments(stored.repartition(4, t),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecords(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          col("body").as("pt"))
+      val parsed = back.select(col("doc_id"),
+        Warc.httpCacheControlMaxAge(col("pt")).as("max_age"),
+        Warc.httpDateEpoch(Warc.httpExpires(col("pt"))).as("exp_at"),
+        Warc.httpEtag(col("pt")).as("setag"),
+        Warc.httpBody(col("pt")).as("sbody"))
+      // crawl-ledger state: when each URL was stored
+      val state = docs.select(t.as("doc_id"),
+        (lit(Now) - (t % 13) * 400).as("stored_at"))
+      val chg = col("doc_id") % 3 === 0
+      val current = when(chg, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val age = lit(Now) - col("stored_at")
+      // RFC 9111 precedence IN THE PLAN: max-age consulted first,
+      // Expires only when max-age is absent, neither → stale
+      val fresh = when(col("max_age").isNotNull, age < col("max_age"))
+        .otherwise(when(col("exp_at").isNotNull, lit(Now) < col("exp_at"))
+          .otherwise(lit(false)))
+      val res = parsed.join(state, Seq("doc_id")).join(docs, Seq("doc_id"))
+        .select(col("doc_id"),
+          (expr("doc_id div 20") % 4).cast("int").as("cls"),
+          fresh.as("fresh"),
+          (col("setag") === md5(encode(current, "UTF-8"))).as("same"),
+          (col("sbody") === col("text")).as("clean"),
+          length(col("sbody")).cast("long").as("slen"),
+          length(current).cast("long").as("clen"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("fresh"), 1).otherwise(0)).cast("long")
+            .as("n_fresh"),
+          sum(when(col("fresh") && col("cls") === 2, 1).otherwise(0))
+            .cast("long").as("n_fresh_maxage"),
+          sum(when(!col("fresh") && col("same"), 1).otherwise(0))
+            .cast("long").as("n_304"),
+          sum(when(!col("fresh") && !col("same"), 1).otherwise(0))
+            .cast("long").as("n_200"),
+          sum(when(!col("fresh") && !col("same"), col("clen"))
+            .otherwise(0L)).cast("long").as("bytes_fetched"),
+          sum(when(col("fresh"), col("slen")).otherwise(0L))
+            .cast("long").as("bytes_saved_fresh"),
+          sum(when(!col("fresh") && col("same"), col("slen"))
+            .otherwise(0L)).cast("long").as("bytes_saved_304"),
+          sum(when(col("clean"), 1).otherwise(0)).cast("long")
+            .as("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
+
     // CJK LEGACY MULTIBYTE transport: five charset classes by
     // (doc_id div 20) % 5 — div-20 so every dom sees every class (the
     // q163 lesson: doc_id % 20 IS the dom) — each landing as REAL
@@ -268,6 +355,37 @@ object Round18Queries {
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
          |ORDER BY d.rid""".stripMargin,
+
+    // the freshness/revalidation/refetch split replays from the
+    // coins: fresh = age < max-age for the max-age classes (0 and 2 —
+    // class 2 proves RFC 9111 precedence because its Expires is
+    // always past), Now < expires for class 1 (strict: %11 = 5 lands
+    // exactly AT Now and is stale), never for class 3; the change
+    // coin splits stale into 304 vs 200 (+3 = length(' v2'))
+    "q291_cache_freshness" ->
+      s"""WITH cf AS (SELECT doc_id, text,
+         |    (doc_id // 20) % 4 AS cls,
+         |    (doc_id % 13) * 400 AS age,
+         |    (doc_id % 7) * 600 AS maxage,
+         |    (doc_id % 11) * 500 - 2500 AS expdelta,
+         |    (doc_id % 3 = 0) AS chg
+         |  FROM documents),
+         |cfd AS (SELECT doc_id, text, cls, chg,
+         |    CASE WHEN cls IN (0, 2) THEN age < maxage
+         |         WHEN cls = 1 THEN expdelta > 0
+         |         ELSE FALSE END AS fresh
+         |  FROM cf)
+         |SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+         |  CAST(SUM(CASE WHEN fresh AND cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_maxage,
+         |  CAST(SUM(CASE WHEN NOT fresh AND NOT chg THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN NOT fresh AND chg THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN NOT fresh AND chg THEN length(text) + 3 ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN fresh THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved_fresh,
+         |  CAST(SUM(CASE WHEN NOT fresh AND NOT chg THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved_304,
+         |  CAST(count(*) AS BIGINT) AS n_clean
+         |FROM cfd GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // decode∘encode is the identity per class ONLY when every alias
     // normalizes to its canonical name AND routes to the right

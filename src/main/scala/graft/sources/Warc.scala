@@ -482,6 +482,70 @@ object Warc {
       trim(regexp_extract(hdr, "(?i)ETag:\\s*(?:W/)?\"?([^\"\\r\\n]+)", 1)))
   }
 
+  /** `Cache-Control: … max-age=N` delta seconds of an HTTP payload,
+    * NULL when the header (or the directive) is absent — the
+    * freshness-lifetime source RFC 9111 prefers over `Expires`. A
+    * fresh stored response is served WITHOUT any request: freshness
+    * sits in front of the revalidation tier (If-Modified-Since /
+    * If-None-Match), which itself sits in front of a full refetch.
+    * Header-anchored like [[httpContentType]]; `\bmax-age` keeps
+    * `s-maxage` (a different token) from matching.
+    */
+  def httpCacheControlMaxAge(payload: Column): Column = {
+    val v = regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Cache-Control:[^\\r\\n]*\\bmax-age=([0-9]+)", 1)
+    when(v =!= "", v.cast("long"))
+  }
+
+  /** Raw `Expires` header value, '' when absent (the value is an HTTP
+    * date — convert with [[httpDateEpoch]]). Per RFC 9111 it is only
+    * consulted when `Cache-Control: max-age` is absent.
+    */
+  def httpExpires(payload: Column): Column =
+    trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Expires:\\s*([^\\r\\n]+)", 1))
+
+  /** IMF-fixdate (RFC 9110 `Sun, 06 Nov 1994 08:49:37 GMT`) → epoch
+    * seconds, NULL on anything unparsable — RFC 9111 treats an invalid
+    * `Expires` as already expired, and the NULL propagates into
+    * exactly that branch downstream.
+    */
+  def httpDateEpoch(value: Column): Column =
+    // Spark's formatter allows day-of-week (EEE) only when FORMATTING;
+    // the parse drops the redundant weekday prefix first
+    try_to_timestamp(regexp_extract(value, "^[A-Za-z]{3}, (.*)$", 1),
+      lit("dd MMM yyyy HH:mm:ss 'GMT'")).cast("long")
+
+  /** Epoch seconds → IMF-fixdate (the inverse of [[httpDateEpoch]];
+    * the session TZ is pinned UTC so the rendered date IS GMT).
+    */
+  def httpDateOf(epoch: Column): Column =
+    date_format(timestamp_seconds(epoch),
+      "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
+
+  /** [[httpResponse]] with caching metadata — `ETag`, `Cache-Control`,
+    * `Expires` ('' omits each): how an origin that supports freshness
+    * AND revalidation actually answers a 200.
+    */
+  def httpResponseCaching(status: Column, contentType: Column,
+      etag: Column, cacheControl: Column, expires: Column,
+      body: Column): Column =
+    concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
+      when(status === 200, lit("OK"))
+        .when(status === 304, lit("Not Modified"))
+        .otherwise(lit("Status")),
+      lit(Crlf), lit("Content-Type: "), contentType, lit(Crlf),
+      when(etag === "", lit(""))
+        .otherwise(concat(lit("ETag: \""), etag, lit("\""), lit(Crlf))),
+      when(cacheControl === "", lit(""))
+        .otherwise(concat(lit("Cache-Control: "), cacheControl,
+          lit(Crlf))),
+      when(expires === "", lit(""))
+        .otherwise(concat(lit("Expires: "), expires, lit(Crlf))),
+      lit(Crlf), body)
+
   /** [[httpResponse]] with an `ETag` header (`etag` = '' to omit) —
     * how a validator-emitting server actually answers both a 200
     * (current etag alongside the body) and a 304 (the validator that

@@ -154,6 +154,38 @@ class HttpTransportSpec extends SparkSpec {
     assert(got("weakA") != got("strong"))
   }
 
+  test("caching headers: max-age extraction (s-maxage must not " +
+      "match), IMF-fixdate roundtrip, invalid Expires -> NULL " +
+      "(= already expired)") {
+    val mk = (cc: String, exp: String) =>
+      s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        (if (cc.isEmpty) "" else s"Cache-Control: $cc\r\n") +
+        (if (exp.isEmpty) "" else s"Expires: $exp\r\n") + "\r\nbody"
+    val rows = Seq(
+      ("plain", mk("public, max-age=3600", "")),
+      ("smaxage", mk("s-maxage=99", "")), // proxy directive: no match
+      ("both", mk("no-transform, max-age=0", "Wed, 01 Jan 2025 00:00:00 GMT")),
+      ("badexp", mk("", "0")), // RFC 9111: invalid date = expired
+      ("none", mk("", "")))
+    val got = rows.toDF("k", "p")
+      .select(col("k"), Warc.httpCacheControlMaxAge(col("p")).as("ma"),
+        Warc.httpDateEpoch(Warc.httpExpires(col("p"))).as("exp"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1)),
+          (if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got("plain") == ((3600L, -1L)))
+    assert(got("smaxage") == ((-1L, -1L)))
+    assert(got("both") == ((0L, 1735689600L)))
+    assert(got("badexp") == ((-1L, -1L)))
+    assert(got("none") == ((-1L, -1L)))
+    // formatter/parser are inverses at second granularity
+    val round = Seq(1735689600L, 784111777L).toDF("e")
+      .select(col("e"),
+        Warc.httpDateEpoch(Warc.httpDateOf(col("e"))).as("back"))
+      .collect()
+    round.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("binary segment write/read roundtrips non-UTF-8 payload bytes") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-warcbin").toString

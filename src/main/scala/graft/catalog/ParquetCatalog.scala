@@ -56,6 +56,15 @@ final class ParquetCatalog(spark: SparkSession, root: String) {
   def createLike(name: String, source: String): Unit =
     create(name, table(source).schema)
 
+  /** CTAS: create a table whose FIRST version IS the query result
+    * (one atomic publish — no intermediate empty version, so time
+    * travel to version 0 reads the created content).
+    */
+  def createAs(name: String, df: DataFrame): Unit = {
+    require(!exists(name), s"table $name already exists")
+    publishVersion(name, df)
+  }
+
   /** O1: DROP TABLE IF EXISTS. */
   def drop(name: String, ifExists: Boolean = true): Unit = {
     val dir = tableDir(name)

@@ -124,6 +124,49 @@ object Round18Queries {
         .orderBy(col("id"))
     }),
 
+    // CTAS + INSERT INTO … SELECT front door: a table is created FROM
+    // a query (catalog-first resolution — the second INSERT reads a
+    // CATALOG table in its FROM) and grown by two appends, one
+    // positional and one through a named column list; every statement
+    // is an atomic catalog version, so the report reads all three
+    // boundaries by time travel — the final content reproduces the
+    // directly built table exactly (n_exact == n_rows everywhere).
+    "q292_ctas_insert" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      docs.createOrReplaceTempView("q292docs")
+      val root = Files.createTempDirectory("graft-q292").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      graft.scd.CtasSql.execute(s, cat,
+        "CREATE TABLE d18 AS SELECT doc_id, text FROM q292docs " +
+          "WHERE doc_id % 3 = 0")
+      // a catalog STAGING table feeds the second statement's FROM:
+      // the door must resolve catalog names inside the query
+      graft.scd.CtasSql.execute(s, cat,
+        "CREATE TABLE staging18 AS SELECT doc_id, text FROM q292docs " +
+          "WHERE doc_id % 3 = 1")
+      graft.scd.CtasSql.execute(s, cat,
+        "INSERT INTO d18 SELECT doc_id, text FROM staging18")
+      graft.scd.CtasSql.execute(s, cat,
+        "INSERT INTO d18 (text, doc_id) SELECT text, doc_id " +
+          "FROM q292docs WHERE doc_id % 3 = 2")
+      val d2 = docs.select(col("doc_id"), col("text").as("t2"))
+      val perVersion = (0 to 2).map { v =>
+        cat.tableAsOfVersion("d18", v).join(d2, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("doc_id")).cast("long").as("sum_ids"),
+            sum(length(col("text"))).cast("long").as("sum_len"),
+            sum(when(col("text") === col("t2"), 1).otherwise(0))
+              .cast("long").as("n_exact"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_ids"),
+            col("sum_len"), col("n_exact"))
+      }.reduce(_.unionByName(_))
+      val res = perVersion.orderBy(col("version")).localCheckpoint()
+      Round7bQueries.rmTree(root)
+      res
+    }),
+
     // CACHE FRESHNESS scheduling (RFC 9111 in front of RFC 9110
     // revalidation): stored responses carry REAL caching headers —
     // four classes by (doc_id div 20) % 4: max-age only / Expires
@@ -355,6 +398,19 @@ object Round18Queries {
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
          |ORDER BY d.rid""".stripMargin,
+
+    // each catalog version accumulates one %3 class; the count kicks
+    // n_rows up cumulatively and n_exact == n_rows proves the content
+    // equals the directly built table at every boundary
+    "q292_ctas_insert" ->
+      s"""WITH v AS (SELECT 0 AS version UNION ALL SELECT 1 UNION ALL SELECT 2)
+         |SELECT v.version,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(d.doc_id) AS BIGINT) AS sum_ids,
+         |  CAST(SUM(length(d.text)) AS BIGINT) AS sum_len,
+         |  CAST(count(*) AS BIGINT) AS n_exact
+         |FROM v JOIN documents d ON d.doc_id % 3 <= v.version
+         |GROUP BY v.version ORDER BY version""".stripMargin,
 
     // the freshness/revalidation/refetch split replays from the
     // coins: fresh = age < max-age for the max-age classes (0 and 2 —

@@ -167,6 +167,49 @@ object Round18Queries {
       res
     }),
 
+    // ALTER COLUMN TYPE widening across a live table: len widens
+    // INT -> BIGINT as an atomic version, then an UPDATE (x 1e8) and
+    // an INSERT plant values ABOVE Int.MaxValue — the widened type is
+    // observably live (sum_len and n_big overflow INT), while the
+    // pre-alter version time-travels under its ORIGINAL 32-bit type.
+    "q293_alter_type" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id").cast("int").as("doc_id"),
+          length(col("text")).cast("int").as("len"))
+      val root = Files.createTempDirectory("graft-q293").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      cat.create("dt", docs.schema)
+      cat.overwrite("dt", docs)
+      val v0 = cat.currentVersion("dt").get
+      graft.scd.DdlSql.execute(s, cat,
+        "ALTER TABLE dt ALTER COLUMN len TYPE BIGINT")
+      graft.scd.DmlSql.execute(s, cat,
+        "UPDATE dt SET len = len * 100000000 WHERE doc_id % 5 = 0")
+      graft.scd.CtasSql.execute(s, cat,
+        "INSERT INTO dt SELECT 1000000001, 3000000000")
+      val pre = cat.tableAsOfVersion("dt", v0)
+      val cur = cat.table("dt")
+      val preType = pre.schema("len").dataType.simpleString
+      val curType = cur.schema("len").dataType.simpleString
+      val old = pre.select(col("doc_id"),
+        col("len").cast("long").as("old_len"))
+      val res = cur.join(old, Seq("doc_id"), "left")
+        .groupBy((col("doc_id") % 20).cast("long").as("dom"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("len")).cast("long").as("sum_len"),
+          sum(when(col("len") > 2147483647L, 1).otherwise(0))
+            .cast("long").as("n_big"),
+          sum(col("old_len")).cast("long").as("sum_old_len"))
+        .select(col("dom"), col("n_rows"), col("sum_len"), col("n_big"),
+          col("sum_old_len"), lit(preType).as("pre_type"),
+          lit(curType).as("cur_type"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      res
+    }),
+
     // CACHE FRESHNESS scheduling (RFC 9111 in front of RFC 9110
     // revalidation): stored responses carry REAL caching headers —
     // four classes by (doc_id div 20) % 4: max-age only / Expires
@@ -398,6 +441,27 @@ object Round18Queries {
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
          |ORDER BY d.rid""".stripMargin,
+
+    // the widened column replays from the update/insert arithmetic;
+    // sum_len and n_big prove 64-bit values flowed through the
+    // post-alter column, sum_old_len replays the pre-alter 32-bit
+    // content (the synthetic row has no pre-alter twin)
+    "q293_alter_type" ->
+      s"""WITH base AS (SELECT doc_id, length(text) AS len FROM documents),
+         |upd AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN len * 100000000 ELSE len END AS len,
+         |    len AS old_len
+         |  FROM base),
+         |allr AS (SELECT doc_id, len, old_len FROM upd
+         |  UNION ALL SELECT 1000000001, 3000000000, NULL)
+         |SELECT CAST(doc_id % 20 AS BIGINT) AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(len) AS BIGINT) AS sum_len,
+         |  CAST(SUM(CASE WHEN len > 2147483647 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         |  CAST(SUM(old_len) AS BIGINT) AS sum_old_len,
+         |  'int' AS pre_type,
+         |  'bigint' AS cur_type
+         |FROM allr GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // each catalog version accumulates one %3 class; the count kicks
     // n_rows up cumulatively and n_exact == n_rows proves the content

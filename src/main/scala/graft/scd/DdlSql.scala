@@ -3,7 +3,8 @@ package graft.scd
 import graft.catalog.ParquetCatalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, DropColumns, LogicalPlan, RenameColumn}
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, DropColumns, LogicalPlan, RenameColumn}
 import org.apache.spark.sql.functions._
 
 /** `ALTER TABLE … ADD/DROP/RENAME COLUMN` front door — schema
@@ -20,6 +21,10 @@ import org.apache.spark.sql.functions._
   *     is rejected loudly;
   *   - RENAME: one column changes name, position and values stable;
   *     renaming onto an existing name is rejected loudly;
+  *   - ALTER COLUMN … TYPE: WIDENING-only type evolution (Catalyst's
+  *     loss-free up-cast lattice — INT→BIGINT, FLOAT→DOUBLE, decimal
+  *     growth); narrowing or cross-family changes are rejected loudly
+  *     (a silently-truncating 100-TB rewrite is the disallowed case);
   *   - every altered table is the NEXT catalog version: concurrent
   *     readers keep their snapshot, and time travel reads every
   *     pre-alter version under its ORIGINAL schema (the boundary
@@ -92,6 +97,44 @@ object DdlSql {
           catalog.overwrite(name, t.select(keep.map(col): _*))
           catalog.table(name)
         }
+
+      case AlterColumns(table, specs) =>
+        val name = tableName(table)
+        val t = load(catalog, name)
+        val widened = specs.foldLeft(t) { (df, sp) =>
+          require(sp.column.name.length == 1,
+            "nested ALTER COLUMN is not supported: " +
+              sp.column.name.mkString("."))
+          val cn = sp.column.name.head
+          val actual = df.columns.find(_.equalsIgnoreCase(cn))
+            .getOrElse(throw new IllegalArgumentException(
+              s"ALTER COLUMN: no such column in $name: $cn"))
+          require(sp.newPosition.isEmpty,
+            s"FIRST/AFTER position is not supported: $cn")
+          require(sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+            sp.newDefaultExpression.isEmpty,
+            s"only TYPE changes are supported for $cn")
+          val to = sp.newDataType.getOrElse(
+            throw new IllegalArgumentException(
+              s"ALTER COLUMN $cn must specify TYPE"))
+          val from = df.schema(actual).dataType
+          // WIDENING only (Catalyst's loss-free up-cast lattice:
+          // INT→BIGINT, FLOAT→DOUBLE, decimal growth, …): a narrowing
+          // rewrite silently truncating 100 TB is the disallowed case.
+          // String targets are excluded on top of canUpCast — every
+          // atomic type up-casts to STRING loss-free, but a numeric
+          // column silently becoming text is a family change the
+          // table-format precedents (Delta/Iceberg) also reject.
+          require(from != to &&
+            to != org.apache.spark.sql.types.StringType &&
+            Cast.canUpCast(from, to),
+            s"only widening type changes are supported for $cn: " +
+              s"${from.simpleString} -> ${to.simpleString}")
+          // withColumn replaces in place — position and values stable
+          df.withColumn(actual, col(actual).cast(to))
+        }
+        catalog.overwrite(name, widened)
+        catalog.table(name)
 
       case RenameColumn(table, column, newName) =>
         val name = tableName(table)

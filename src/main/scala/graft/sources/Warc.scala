@@ -310,6 +310,30 @@ object Warc {
       regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
       "(?i)Content-Encoding:\\s*([^\\r\\n]+)", 1)))
 
+  /** Entity bytes through the declared `Content-Encoding`: '' /
+    * `identity` pass through, `gzip`/`x-gzip` multi-member inflate,
+    * `deflate` zlib-with-raw-fallback — and ANY OTHER coding (`br`,
+    * `zstd`, `compress`, …) raises LOUDLY from the plan. No pure-JDK
+    * brotli inflater exists, so `br` is a scope boundary: passing the
+    * still-compressed bytes to the charset decode would feed
+    * deterministic mojibake into the corpus SILENTLY — the one
+    * failure mode this layer must never have. The error carries the
+    * offending coding so an operator can route those records to a
+    * sidecar rather than guess.
+    */
+  def decodeContentCoding(bytes: Column, encoding: Column): Column = {
+    val enc = lower(trim(encoding))
+    when(enc === "" || enc === "identity", bytes)
+      .when(enc === "gzip" || enc === "x-gzip",
+        graft.functions.Gzip.inflateCol(bytes))
+      .when(enc === "deflate",
+        graft.functions.Gzip.inflateDeflateCol(bytes))
+      .otherwise(raise_error(concat(
+        lit("unsupported Content-Encoding (scope boundary, "),
+        lit("refusing to pass compressed bytes to the charset "),
+        lit("decode): "), enc)).cast("binary"))
+  }
+
   /** WHATWG label → canonical encoding name: every browser treats
     * `iso-8859-1` (and its aliases `latin1`/`l1`/`cp819`/…) and
     * `us-ascii`/`ascii` as WINDOWS-1252 — real latin-1-labeled pages

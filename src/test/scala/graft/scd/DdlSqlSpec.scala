@@ -102,6 +102,42 @@ class DdlSqlSpec extends SparkSpec {
     graft.queries.Round7bQueries.rmTree(root)
   }
 
+  test("ALTER COLUMN TYPE widens INT->BIGINT as the next version; " +
+      "pre-alter versions time-travel under the original type; " +
+      "narrowing and cross-family changes are loud") {
+    val (cat, root) = freshCat()
+    val df = Seq((1, 10), (2, 20)).toDF("id", "n")
+    cat.create("w", df.schema)
+    cat.overwrite("w", df)
+    val v0 = cat.currentVersion("w").get
+    DdlSql.execute(spark, cat, "ALTER TABLE w ALTER COLUMN n TYPE BIGINT")
+    assert(cat.table("w").schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(cat.tableAsOfVersion("w", v0).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // the widened type is live: a 64-bit value flows through
+    DmlSql.execute(spark, cat,
+      "UPDATE w SET n = n * 400000000 WHERE id = 2")
+    assert(cat.table("w").where(col("id") === 2).head().getLong(1) ==
+      8000000000L)
+    // values and positions stable for untouched rows
+    assert(cat.table("w").where(col("id") === 1).head().getLong(1) == 10L)
+    intercept[IllegalArgumentException] { // narrowing
+      DdlSql.execute(spark, cat, "ALTER TABLE w ALTER COLUMN n TYPE INT")
+    }
+    intercept[IllegalArgumentException] { // cross-family
+      DdlSql.execute(spark, cat,
+        "ALTER TABLE w ALTER COLUMN id TYPE STRING")
+    }
+    intercept[IllegalArgumentException] { // same type: no-op rejected
+      DdlSql.execute(spark, cat, "ALTER TABLE w ALTER COLUMN n TYPE BIGINT")
+    }
+    intercept[IllegalArgumentException] { // missing column
+      DdlSql.execute(spark, cat, "ALTER TABLE w ALTER COLUMN z TYPE BIGINT")
+    }
+    graft.queries.Round7bQueries.rmTree(root)
+  }
+
   test("duplicate, nested, positioned, and non-ALTER statements are " +
       "loud; unknown table is loud") {
     val (cat, root) = freshCat()

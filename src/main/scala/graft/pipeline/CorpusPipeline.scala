@@ -329,6 +329,33 @@ object CorpusPipeline {
       cfg: Config = Config()): DataFrame =
     stages(docs, idCol, textCol, cfg).survivors(idCol)
 
+  /** MULTI-LANGUAGE ROUTING — [[clean]]'s survivor set split into
+    * per-language sub-corpora by the SAME frozen trained classifier
+    * the gate used (`cfg.langGate` is required): the shape a
+    * multilingual training mix needs, one corpus per label feeding
+    * its own mixture weight. Because routing re-applies the gate's
+    * own per-doc model, every survivor lands in EXACTLY ONE sub-corpus
+    * and its label is the one that admitted it — the per-language
+    * funnels PARTITION the survivor set by construction (their union
+    * is [[clean]]'s output, their pairwise intersections empty).
+    * Per-doc against a broadcast model: batch == one-shot, so the
+    * streaming front door routes the same way.
+    *
+    * Output: the survivor columns plus `lang_routed`.
+    */
+  def routeByLanguage(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config): DataFrame = {
+    val g = cfg.langGate.getOrElse(throw new IllegalArgumentException(
+      "routeByLanguage requires a trained langGate in the Config"))
+    val survivors = clean(docs, idCol, textCol, cfg)
+    survivors.join(
+      graft.text.LangClassifier.classify(
+          survivors.select(col(idCol), col(textCol)), idCol, textCol,
+          g.model)
+        .select(col(idCol), col("lang_trained").as("lang_routed")),
+      Seq(idCol))
+  }
+
   /** Per-source CLEANING FUNNEL report — where each source's documents
     * fall out of the pipeline: `(srcCol, n_in, n_gated, n_exact,
     * n_final)` counting survivors after the row gates (+ optional

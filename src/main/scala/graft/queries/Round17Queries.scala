@@ -28,10 +28,10 @@ object Round17Queries {
     * changes — while length/punctuation stay identical, so the
     * quality gate keeps it and only a LANGUAGE gate can see it.
     */
-  private def cipher(t: Column): Column =
+  private[queries] def cipher(t: Column): Column =
     translate(t, "abcdefghijklmnopqrstuvwxy", "yxwvutsrqponmlkjihgfedcba")
 
-  private val CipherSql =
+  private[queries] val CipherSql =
     "translate(text, 'abcdefghijklmnopqrstuvwxy', 'yxwvutsrqponmlkjihgfedcba')"
 
   /** rid = doc_id*4 color JPEG 4:4:4 with DRI interval 3; +1 the

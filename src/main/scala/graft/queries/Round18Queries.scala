@@ -167,6 +167,50 @@ object Round18Queries {
       res
     }),
 
+    // MULTI-LANGUAGE ROUTING: the q285 mixed corpus (en + ciphered
+    // xx) cleans with a keep-BOTH trained gate, then the survivor set
+    // routes into per-language sub-corpora by the same frozen model —
+    // each sub-corpus publishes as its own catalog manifest and the
+    // result reads BACK from storage. The lang_routed column
+    // partitions the survivors by construction: the oracle replays
+    // fit + classify + the full pipeline and the per-language funnels
+    // sum to exactly the gate's survivor set.
+    "q294_multilang_routing" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.pipeline.CorpusPipeline
+      import graft.text.LangClassifier
+      val base = PipelineQueries.corpus(s, dir)
+      val ciphered = base.select(
+        (col("doc_id") + 5000000L).as("doc_id"),
+        Round17Queries.cipher(col("text")).as("text"))
+      val corpus = base.unionByName(ciphered)
+      val seeds = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("en").as("label"), col("text"))
+        .unionByName(ciphered.filter(col("doc_id") % 10 === 5)
+          .select(col("doc_id"), lit("xx").as("label"), col("text")))
+      val model = LangClassifier.fit(seeds, "doc_id", "label", "text")
+      val cfg = CorpusPipeline.Config(langGate =
+        Some(CorpusPipeline.LangGate(model, Seq("en", "xx"))))
+      val routed = CorpusPipeline.routeByLanguage(corpus, "doc_id",
+        "text", cfg)
+      val root = Files.createTempDirectory("graft-q294").toString
+      val cat = new graft.catalog.ParquetCatalog(s, root)
+      Seq("en", "xx").foreach { l =>
+        cat.createAs(s"corpus_$l",
+          routed.filter(col("lang_routed") === l)
+            .select(col("doc_id"), col("quality"), col("lang_pred")))
+      }
+      val res = Seq("en", "xx").map(l => cat.table(s"corpus_$l")
+          .withColumn("lang_routed", lit(l)))
+        .reduce(_.unionByName(_))
+        .select(col("doc_id"), col("lang_routed"), col("quality"),
+          col("lang_pred"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(root)
+      res
+    }),
+
     // ALTER COLUMN TYPE widening across a live table: len widens
     // INT -> BIGINT as an atomic version, then an UPDATE (x 1e8) and
     // an INSERT plant values ABOVE Int.MaxValue — the widened type is
@@ -441,6 +485,66 @@ object Round18Queries {
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
          |ORDER BY d.rid""".stripMargin,
+
+    // q285's replay with the gate keeping BOTH labels; the final join
+    // back to the classifier's prediction routes each survivor — the
+    // oracle-equality of per-doc (id, lang_routed) rows IS the
+    // partition proof (union = survivor set, labels disjoint)
+    "q294_multilang_routing" -> {
+      import PipelineQueries.{corpusSql, langCaseSql, langHitColsSql,
+        minhashCtesSql, pairsCteSql, qualityExprSql, shinglesSql}
+      s"""WITH RECURSIVE $corpusSql,
+         |corpus2 AS (
+         |  SELECT doc_id, text FROM corpus
+         |  UNION ALL
+         |  SELECT doc_id + 5000000, ${Round17Queries.CipherSql} AS text FROM corpus),
+         |lgseeds AS (
+         |  SELECT doc_id AS id, 'en' AS label, text
+         |  FROM corpus WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS id, 'xx' AS label, ${Round17Queries.CipherSql} AS text
+         |  FROM corpus WHERE doc_id % 10 = 5),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |  $qualityExprSql AS quality,
+         |$langHitColsSql
+         |  FROM corpus2),
+         |gated AS (
+         |  SELECT doc_id, text, quality,
+         |  $langCaseSql AS lang_pred
+         |  FROM scored),
+         |g1 AS (SELECT doc_id, text, quality, lang_pred FROM gated
+         |       WHERE quality >= 0.7::DOUBLE),
+         |lgdocs AS (SELECT doc_id AS id, text FROM g1),
+         |${graft.text.LangClassifier.classifyCtes("lgseeds", "lgdocs",
+             "lc")},
+         |g2 AS (SELECT g1.* FROM g1 JOIN lcpred p ON p.id = g1.doc_id
+         |       WHERE p.lang_trained IN ('en', 'xx')),
+         |fp AS (SELECT doc_id, text, quality, lang_pred,
+         |    md5(trim(regexp_replace(regexp_replace(lower(text),
+         |      '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS f
+         |  FROM g2),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY f),
+         |ex AS (SELECT fp.* FROM fp WHERE fp.doc_id IN (SELECT doc_id FROM keep)),
+         |${shinglesSql("ex")},
+         |$minhashCtesSql,
+         |${pairsCteSql("0.5")},
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(node, lab) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM reach r JOIN edges e2 ON e2.src = r.node),
+         |losers AS (
+         |  SELECT node AS doc_id FROM reach
+         |  GROUP BY node HAVING node <> min(lab))
+         |SELECT e.doc_id, p2.lang_trained AS lang_routed, e.quality,
+         |  e.lang_pred
+         |FROM ex e JOIN lcpred p2 ON p2.id = e.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)
+         |ORDER BY e.doc_id""".stripMargin
+    },
 
     // the widened column replays from the update/insert arithmetic;
     // sum_len and n_big prove 64-bit values flowed through the

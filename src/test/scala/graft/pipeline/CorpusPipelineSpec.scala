@@ -68,6 +68,47 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("routeByLanguage PARTITIONS the survivor set: per-language " +
+      "sub-corpora are disjoint and union to clean()'s output; every " +
+      "label is in the gate's keep set") {
+    import graft.text.LangClassifier
+    val base = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val cip = translate(col("text"),
+      "abcdefghijklmnopqrstuvwxy", "yxwvutsrqponmlkjihgfedcba")
+    val mixed = base.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text")).otherwise(cip)
+        .as("text"))
+    val seeds = mixed.filter(col("doc_id") % 10 < 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("xx"))
+          .as("label"), col("text"))
+    val model = LangClassifier.fit(seeds, "doc_id", "label", "text")
+    val cfg = CorpusPipeline.Config(langGate =
+      Some(CorpusPipeline.LangGate(model, Seq("en", "xx"))))
+    val routed = CorpusPipeline.routeByLanguage(mixed, "doc_id",
+      "text", cfg).cache()
+    val survivors = CorpusPipeline.clean(mixed, "doc_id", "text", cfg)
+    val sIds = survivors.select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val byLang = routed.select(col("doc_id"), col("lang_routed"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // union == survivors and each id appears exactly once (disjoint)
+    assert(byLang.map(_._1).toSet == sIds)
+    assert(byLang.length == sIds.size)
+    assert(byLang.map(_._2).toSet.subsetOf(Set("en", "xx")))
+    // both sub-corpora are non-empty on the mixed fixture
+    assert(byLang.count(_._2 == "en") > 0)
+    assert(byLang.count(_._2 == "xx") > 0)
+    // a keep-one gate routes everything to that one label
+    val onlyEn = CorpusPipeline.routeByLanguage(mixed, "doc_id", "text",
+      CorpusPipeline.Config(langGate =
+        Some(CorpusPipeline.LangGate(model, Seq("xx")))))
+    assert(onlyEn.select("lang_routed").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("xx"))
+    routed.unpersist()
+  }
+
   test("release: clean survivors minus eval hits, leakage-safe split") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text"))

@@ -19,6 +19,9 @@ object Round18Queries {
     concat(lit("http://d"), (t % 20).cast("string"),
       lit(".example.com/p/"), t.cast("string"))
 
+  private def urlSqlOf(t: String): String =
+    s"'http://d' || CAST(($t) % 20 AS VARCHAR) || '.example.com/p/' || CAST($t AS VARCHAR)"
+
   /** The five CJK transport classes: canonical WHATWG name, the JDK
     * superset codec [[graft.sources.Warc.decodeBody]] routes it to,
     * the two-codepoint plant ('a'→first, 'e'→second — both OUTSIDE
@@ -164,6 +167,145 @@ object Round18Queries {
       }.reduce(_.unionByName(_))
       val res = perVersion.orderBy(col("version")).localCheckpoint()
       Round7bQueries.rmTree(root)
+      res
+    }),
+
+    // FRESHNESS-TIERED SCHEDULED FETCH — the full three-tier crawl
+    // economics in ONE composed chain: q279's scheduler (sitemap
+    // freshness delta → wildcard robots → politeness slots) produces
+    // the scheduled set, then RFC 9111 freshness sits IN FRONT of the
+    // conditional fetch: a scheduled stored URL whose cached response
+    // is still fresh (Cache-Control max-age parsed from the REAL
+    // stored payload) is not fetched AT ALL; stale ones revalidate via
+    // the etag compare (304 header-only / 200 body). The honest cost
+    // is explicit: n_stale_served counts fresh-skipped pages whose
+    // content actually changed — freshness trades staleness for
+    // requests, and the ledger prices both sides exactly.
+    "q295_fresh_scheduler" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.graph.WebGraph
+      import graft.sources.Warc
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val j6 = expr("doc_id div 20") % 6
+      val day0 = (t * 7) % 28 + 1
+      val dayN = day0 + when(t % 3 === 0, 1).otherwise(0)
+      def dstr(d: Column) =
+        concat(lit("2025-01-"), lpad(d.cast("string"), 2, "0"))
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val entries = docs.filter(j6 =!= 5)
+        .select(host.as("host"),
+          concat(lit("<url><loc>"), urlOf(t), lit("</loc><lastmod>"),
+            dstr(dayN), lit("</lastmod></url>")).as("e"))
+      val maps = entries.groupBy(col("host"))
+        .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+      val inv = WebGraph.parseSitemaps(maps, "host", "xml")
+        .select(col("url"), col("lastmod"))
+      // crawl state: the stored copy is a REAL cached payload — etag,
+      // Cache-Control, and body all parse back from its headers
+      val state = docs.filter(j5 =!= 4)
+        .select(urlOf(t).as("url"), dstr(day0).as("stored_lastmod"),
+          Warc.httpResponseCaching(lit(200), lit("text/html"),
+            md5(encode(col("text"), "UTF-8")),
+            concat(lit("max-age="), ((t % 9) * 500).cast("string")),
+            lit(""), col("text")).as("sp"))
+      val cand = inv.join(state.select(col("url"),
+          col("stored_lastmod")), Seq("url"), "left")
+        .filter(col("stored_lastmod").isNull ||
+          col("lastmod") > col("stored_lastmod"))
+        .select(col("url"), col("lastmod"),
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 20).as("dom"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /*9$$\nDisallow: /p/2\n" +
+            s"Crawl-delay: ${(k % 4) * 5 + 5}")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val dec = WebGraph.urlDecisions(cand.select(col("url")), rules)
+      val sched = cand.join(dec, Seq("url"))
+        .filter(col("action") === "allow")
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("lastmod").desc, col("url"))))
+        .filter(col("rk") <= col("slots"))
+        .select(col("url"))
+      // the freshness tier: parse max-age/etag/body from the stored
+      // payload and split the scheduled set BEFORE any request
+      val fetchSet = sched
+        .select(col("url"), regexp_extract(col("url"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"))
+        .join(docs, Seq("doc_id"))
+        .join(state.select(col("url"),
+          Warc.httpEtag(col("sp")).as("stored_etag"),
+          Warc.httpCacheControlMaxAge(col("sp")).as("max_age"),
+          Warc.httpBody(col("sp")).as("stored")), Seq("url"), "left")
+        .withColumn("fresh",
+          coalesce((t % 13) * 400 < col("max_age"), lit(false)))
+        .localCheckpoint() // one computation feeds both tiers
+      val changed = col("doc_id") % 3 === 0 && col("doc_id") % 7 =!= 2
+      val cur = when(changed, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val curEtag = md5(encode(cur, "UTF-8"))
+      val pages = fetchSet.filter(!col("fresh"))
+        .select(col("doc_id"), col("url").as("uri"),
+          when(col("stored_etag") === curEtag,
+            Warc.httpResponseEtag(lit(304), lit("text/html"), curEtag,
+              lit("")))
+            .otherwise(Warc.httpResponseEtag(lit(200), lit("text/html"),
+              curEtag, cur)).as("payload"))
+      val land = Files.createTempDirectory("graft-q295-warc").toString
+      Warc.writeSegments(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecords(s, land)
+        .select(col("uri").as("url"),
+          Warc.httpStatus(col("body")).as("st"),
+          Warc.httpBody(col("body")).as("fetched"))
+      val truth = when(changed, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val eff = fetchSet.join(back, Seq("url"), "left")
+        .select(col("doc_id"),
+          when(col("fresh"), lit("fresh"))
+            .when(col("st") === 304, lit("304"))
+            .otherwise(lit("200")).as("tier"),
+          (when(col("fresh"), col("stored"))
+            .when(col("st") === 304, col("stored"))
+            .otherwise(col("fetched")) === truth).as("cm"),
+          length(col("fetched")).cast("long").as("len_f"),
+          length(coalesce(col("stored"), lit(""))).cast("long")
+            .as("len_s"))
+      val res = eff.groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_scheduled"),
+          sum(when(col("tier") === "fresh", 1).otherwise(0))
+            .cast("long").as("n_fresh_skip"),
+          sum(when(col("tier") === "304", 1).otherwise(0))
+            .cast("long").as("n_304"),
+          sum(when(col("tier") === "200", 1).otherwise(0))
+            .cast("long").as("n_200"),
+          sum(when(col("tier") === "200", col("len_f")).otherwise(0L))
+            .cast("long").as("bytes_fetched"),
+          sum(when(col("tier") =!= "200", col("len_s")).otherwise(0L))
+            .cast("long").as("bytes_saved"),
+          sum(when(col("tier") === "fresh" && !col("cm"), 1)
+            .otherwise(0)).cast("long").as("n_stale_served"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
       res
     }),
 
@@ -485,6 +627,78 @@ object Round18Queries {
          |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
          |FROM jqdh d LEFT JOIN jqlabels l ON l.node = d.rid
          |ORDER BY d.rid""".stripMargin,
+
+    // q279's scheduler chain replays verbatim; the freshness tier is
+    // pure coin arithmetic on top ((id%13)*400 < (id%9)*500), and the
+    // tail prices all three tiers — including the honest
+    // n_stale_served cost of serving a fresh-but-changed copy
+    "q295_fresh_scheduler" -> {
+      import graft.graph.WebGraph
+      s"""WITH ffe AS (SELECT
+         |    'd' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         |    '<url><loc>' || ${urlSqlOf("doc_id")} || '</loc><lastmod>' ||
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 +
+         |      (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS VARCHAR),
+         |      2, '0') ||
+         |    '</lastmod></url>' AS e
+         |  FROM documents WHERE (doc_id // 20) % 6 <> 5),
+         |ffm AS (SELECT host, string_agg(e, '') AS xml
+         |  FROM ffe GROUP BY host),
+         |${WebGraph.parseSitemapsCtes("ffm", "host", "xml", "ff2")},
+         |ffstate AS (SELECT ${urlSqlOf("doc_id")} AS url,
+         |    '2025-01-' || lpad(CAST((doc_id * 7) % 28 + 1 AS VARCHAR),
+         |      2, '0') AS stored_lastmod
+         |  FROM documents WHERE (doc_id // 20) % 5 <> 4),
+         |ffcand AS (SELECT i.url, i.lastmod,
+         |    CAST(regexp_extract(i.url, '/p/([0-9]+)$$', 1) AS BIGINT) % 20 AS dom
+         |  FROM ff2maps i LEFT JOIN ffstate s ON s.url = i.url
+         |  WHERE s.stored_lastmod IS NULL OR i.lastmod > s.stored_lastmod),
+         |ffrob AS (SELECT
+         |    'd' || CAST(k AS VARCHAR) || '.example.com' AS host,
+         |    'User-agent: *' || chr(10) || 'Disallow: /*9$$' || chr(10) ||
+         |    'Disallow: /p/2' || chr(10) ||
+         |    'Crawl-delay: ' || CAST((k % 4) * 5 + 5 AS VARCHAR) AS txt
+         |  FROM (SELECT unnest(generate_series(0, 19)) AS k)),
+         |${WebGraph.parseRobotsForCtes("ffrob", "host", "txt",
+             "graftbot", "fp18")},
+         |ffdist AS (SELECT DISTINCT url FROM ffcand),
+         |${WebGraph.urlDecisionsCtes("ffdist", "fp18rules", "fq18")},
+         |ffallow AS (SELECT c.url, c.lastmod, c.dom,
+         |    'd' || CAST(c.dom AS VARCHAR) || '.example.com' AS host
+         |  FROM ffcand c JOIN fq18dec d ON d.url = c.url
+         |  WHERE d.action = 'allow'),
+         |ffslot AS (SELECT a.url, a.lastmod, a.dom, a.host,
+         |    GREATEST(1, 60 // coalesce(dl.delay, 60)) AS slots
+         |  FROM ffallow a LEFT JOIN fp18delay dl ON dl.host = a.host),
+         |ffrk AS (SELECT url, dom, slots,
+         |    row_number() OVER (PARTITION BY host
+         |      ORDER BY lastmod DESC, url) AS rk
+         |  FROM ffslot),
+         |ffsched AS (SELECT url, dom FROM ffrk WHERE rk <= slots),
+         |ffx AS (SELECT f.dom, d.text,
+         |    (d.doc_id % 3 = 0 AND d.doc_id % 7 <> 2) AS chg,
+         |    ((d.doc_id // 20) % 5 <> 4) AS instate,
+         |    ((d.doc_id % 13) * 400 < (d.doc_id % 9) * 500) AS freshcoin
+         |  FROM (SELECT dom,
+         |      CAST(regexp_extract(url, '/p/([0-9]+)$$', 1) AS BIGINT) AS doc_id
+         |    FROM ffsched) f
+         |  JOIN documents d ON d.doc_id = f.doc_id),
+         |fft AS (SELECT dom, text, chg,
+         |    CASE WHEN instate AND freshcoin THEN 'fresh'
+         |         WHEN instate AND NOT chg THEN '304'
+         |         ELSE '200' END AS tier
+         |  FROM ffx)
+         |SELECT dom,
+         |  CAST(count(*) AS BIGINT) AS n_scheduled,
+         |  CAST(SUM(CASE WHEN tier = 'fresh' THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_skip,
+         |  CAST(SUM(CASE WHEN tier = '304' THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN tier = '200' THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN tier = '200' THEN length(text) + (CASE WHEN chg THEN 3 ELSE 0 END) ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN tier <> '200' THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+         |  CAST(SUM(CASE WHEN tier = 'fresh' AND chg THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_served,
+         |  CAST(SUM(CASE WHEN tier = 'fresh' AND chg THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+         |FROM fft GROUP BY dom ORDER BY dom""".stripMargin
+    },
 
     // q285's replay with the gate keeping BOTH labels; the final join
     // back to the classifier's prediction routes each survivor — the

@@ -1172,6 +1172,140 @@ object ScaleProbe {
           "doc_id", "text", langModel)
         .filter(length(col("lang_trained")) > 0).count()
 
+    // CJK multibyte transport (q289's shape): per-row legacy-codec
+    // encode through the real JDK charsets, header parse + WHATWG
+    // superset decode back — codec work rides the scan, must stay
+    // linear in bytes.
+    def cjkRun(d: DataFrame): Long = {
+      import graft.sources.Warc
+      import spark.implicits._
+      val landed = d.select(col("doc_id"), col("text"))
+        .as[(Long, String)].mapPartitions(_.map { case (id, text) =>
+          val cls = ((id / 20) % 5).toInt
+          val (_, jdk, plant, aliases) =
+            graft.queries.Round18Queries.CjkClasses(cls)
+          val alias = aliases(((id / 100) % aliases.length).toInt)
+          val planted = text.map(c => if (c == 'a') plant.charAt(0)
+            else if (c == 'e') plant.charAt(1) else c)
+          (id, alias,
+            planted.getBytes(java.nio.charset.Charset.forName(jdk)))
+        }).toDF("doc_id", "label", "body")
+      val p = landed.select(col("doc_id"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"), col("label"),
+          lit(""), col("body")).as("payload"))
+      val pt = Warc.payloadText(col("payload"))
+      p.select(Warc.decodeBody(Warc.bodyBytes(col("payload")),
+          Warc.httpCharset(pt)).as("dec"))
+        .filter(length(col("dec")) >= 0).count()
+    }
+
+    // 4:2:2 JPEG encode+decode+dHash (q290's layout, DRI on half the
+    // streams) — the codec-bound profile at the third sampling layout.
+    def jpeg422Run(d: DataFrame): Long = {
+      import spark.implicits._
+      implicit val sp: SparkSession = spark
+      val media = d.select(col("doc_id")).as[Long].mapPartitions(_.map {
+        id =>
+          val img = graft.queries.Round18Queries
+            .plantImage422(id, altCell = false)
+          val p = graft.multimodal.Jpeg.encodeColor422(img,
+            restartInterval = if (id % 2 == 0) 3 else 0)
+          graft.multimodal.Multimodal.BmpMedia(id, p, p.length)
+      })
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(media), "id", "dhash",
+          maxHamming = 6, bands = 2)
+        .filter(col("cluster") >= 0).count()
+    }
+
+    // Freshness-tiered scheduler (q295 minus the WARC landing, which
+    // the transport probes already price): inventory and state scale
+    // with the corpus, the scheduled OUTPUT is politeness-capped per
+    // host — the cost must track the inventory scan and candidate
+    // joins, incl. the per-host ranking window whose input grows Nx
+    // while its output stays slot-bounded.
+    def freshSchedRun(d: DataFrame): Long = {
+      import graft.graph.WebGraph
+      import graft.sources.Warc
+      import org.apache.spark.sql.expressions.Window
+      import spark.implicits._
+      val t = col("doc_id")
+      val j5 = expr("doc_id div 20") % 5
+      val j6 = expr("doc_id div 20") % 6
+      val day0 = (t * 7) % 28 + 1
+      val dayN = day0 + when(t % 3 === 0, 1).otherwise(0)
+      def dstr(dd: org.apache.spark.sql.Column) =
+        concat(lit("2025-01-"), lpad(dd.cast("string"), 2, "0"))
+      val host = concat(lit("d"), (t % 20).cast("string"),
+        lit(".example.com"))
+      val urlc = concat(lit("http://d"), (t % 20).cast("string"),
+        lit(".example.com/p/"), t.cast("string"))
+      val entries = d.filter(j6 =!= 5).select(host.as("host"),
+        concat(lit("<url><loc>"), urlc, lit("</loc><lastmod>"),
+          dstr(dayN), lit("</lastmod></url>")).as("e"))
+      val maps = entries.groupBy(col("host"))
+        .agg(concat_ws("", collect_list(col("e"))).as("xml"))
+      val inv = WebGraph.parseSitemaps(maps, "host", "xml")
+        .select(col("url"), col("lastmod"))
+      val state = d.filter(j5 =!= 4).select(urlc.as("url"),
+        dstr(day0).as("stored_lastmod"),
+        Warc.httpResponseCaching(lit(200), lit("text/html"),
+          md5(encode(col("text"), "UTF-8")),
+          concat(lit("max-age="), ((t % 9) * 500).cast("string")),
+          lit(""), col("text")).as("sp"))
+      val cand = inv.join(state.select(col("url"),
+          col("stored_lastmod")), Seq("url"), "left")
+        .filter(col("stored_lastmod").isNull ||
+          col("lastmod") > col("stored_lastmod"))
+        .select(col("url"), col("lastmod"),
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 20).as("dom"))
+      val robots = (0 until 20).map { k =>
+        (s"d$k.example.com",
+          s"User-agent: *\nDisallow: /*9$$\nDisallow: /p/2\n" +
+            s"Crawl-delay: ${(k % 4) * 5 + 5}")
+      }.toDF("host", "txt")
+      val rules = WebGraph.parseRobotsFor(robots, "host", "txt",
+        "graftbot")
+      val delays = WebGraph.crawlDelays(robots, "host", "txt",
+        "graftbot")
+      val dec = WebGraph.urlDecisions(cand.select(col("url")), rules)
+      val sched = cand.join(dec, Seq("url"))
+        .filter(col("action") === "allow")
+        .withColumn("host", concat(lit("d"), col("dom").cast("string"),
+          lit(".example.com")))
+        .join(broadcast(delays), Seq("host"), "left")
+        .withColumn("slots",
+          greatest(lit(1L), expr("60 div coalesce(delay, 60)")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("host"))
+            .orderBy(col("lastmod").desc, col("url"))))
+        .filter(col("rk") <= col("slots"))
+        .select(col("url"))
+      sched.join(state.select(col("url"),
+          Warc.httpCacheControlMaxAge(col("sp")).as("ma")),
+          Seq("url"), "left")
+        .select(coalesce(
+          (regexp_extract(col("url"), "/p/([0-9]+)$", 1).cast("long")
+            % 13) * 400 < col("ma"), lit(false)).as("fresh"))
+        .filter(col("fresh")).count()
+    }
+
+    // Multi-language routing at Nx docs against the FROZEN 1x-fitted
+    // model: clean() + one more classify over the survivors — per-doc
+    // scans, must stay linear like the pipeline probes.
+    def routeRun(d: DataFrame): Long = {
+      val mixed = d.select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(expr(langCipher)).as("text"))
+      val cfg = graft.pipeline.CorpusPipeline.Config(langGate =
+        Some(graft.pipeline.CorpusPipeline.LangGate(langModel,
+          Seq("en", "xx"))))
+      graft.pipeline.CorpusPipeline.routeByLanguage(mixed, "doc_id",
+          "text", cfg)
+        .filter(length(col("lang_routed")) > 0).count()
+    }
+
     // Every probe thunk's action FILTERS on a computed output column:
     // a bare count() lets Catalyst prune unused projections and
     // eliminate unique-keyed outer joins (and the windows feeding
@@ -1343,7 +1477,15 @@ object ScaleProbe {
       "trained_langid" -> (() => (time(langidRun(docs1)),
         time(langidRun(docsN)))),
       "prog_jpeg" -> (() => (time(progJpegRun(docs1)),
-        time(progJpegRun(docsN)))))
+        time(progJpegRun(docsN)))),
+      "cjk_transport" -> (() => (time(cjkRun(docs1)),
+        time(cjkRun(docsN)))),
+      "jpeg_422" -> (() => (time(jpeg422Run(docs1)),
+        time(jpeg422Run(docsN)))),
+      "fresh_scheduler" -> (() => (time(freshSchedRun(docs1)),
+        time(freshSchedRun(docsN)))),
+      "multilang_route" -> (() => (time(routeRun(docs1r)),
+        time(routeRun(docsN)))))
     val results = rows
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (n, f) => n -> f() }

@@ -111,6 +111,89 @@ object Round18Queries {
       }
   }
 
+  /** q289's fixture: the corpus as legacy-codec HTTP payloads — body
+    * bytes through the REAL JDK charsets (Spark's encode() covers only
+    * the unicode/latin family; codec-boundary work, the colorJpegMedia
+    * posture), labels rotating through the WHATWG aliases.
+    */
+  private def cjkPages(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    import s.implicits._
+    val landed = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val cls = ((id / 20) % 5).toInt
+        val (_, jdk, plant, aliases) = CjkClasses(cls)
+        val alias = aliases(((id / 100) % aliases.length).toInt)
+        val planted = text.map(c =>
+          if (c == 'a') plant.charAt(0)
+          else if (c == 'e') plant.charAt(1) else c)
+        val bytes = planted.getBytes(java.nio.charset.Charset.forName(jdk))
+        (id, alias, bytes)
+      }.toDF("doc_id", "label", "body")
+    landed.select(col("doc_id"),
+      urlOf(col("doc_id")).as("uri"),
+      Warc.httpResponseBytes(lit(200), lit("text/html"), col("label"),
+        lit(""), col("body")).as("payload"))
+  }
+
+  /** q289's per-dom report partials over a (doc_id, payload) relation:
+    * every column is a count or sum of per-record verdicts, so
+    * partials ADD across doc-disjoint batches — the q268 streaming
+    * contract.
+    */
+  private def cjkPartials(batch: DataFrame, docs: DataFrame): DataFrame = {
+    import graft.sources.Warc
+    val withPt = batch.select(col("doc_id"),
+      Warc.payloadText(col("payload")).as("pt"),
+      Warc.bodyBytes(col("payload")).as("bb"))
+    val hdr = Warc.httpCharset(col("pt"))
+    val parsed = withPt.select(col("doc_id"),
+      Warc.normalizeCharset(hdr).as("ncs"),
+      Warc.decodeBody(col("bb"), hdr).as("decoded"),
+      graft.functions.Gzip.utf8LenientCol(col("bb")).as("u8"))
+    val cls = (expr("doc_id div 20") % 5).cast("int")
+    def perClass(f: (String, String) => Column): Column =
+      (1 until CjkClasses.length).foldLeft(
+        when(cls === 0, f(CjkClasses(0)._1, CjkClasses(0)._3))) {
+          (acc, i) => acc.when(cls === i,
+            f(CjkClasses(i)._1, CjkClasses(i)._3))
+        }
+    val expected = perClass((_, plant) =>
+      translate(col("text"), "ae", plant))
+    parsed.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), cls.as("cls"),
+        (col("ncs") === perClass((canon, _) => lit(canon))).as("nm"),
+        (col("decoded") === expected).as("cm"),
+        (col("u8") === expected).as("u8m"),
+        perClass((_, plant) => (length(col("decoded")) -
+          length(translate(col("decoded"), plant, "")))
+          .cast("long")).as("plantn"),
+        length(col("decoded")).cast("long").as("nch"))
+      .groupBy((col("doc_id") % 20).as("dom"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(when(col("nm"), 1).otherwise(0)).cast("long").as("n_norm"),
+        sum(when(col("cm"), 1).otherwise(0)).cast("long").as("n_clean"),
+        sum(when(col("cm") && col("cls") === 0, 1).otherwise(0))
+          .cast("long").as("n_clean_sjis"),
+        sum(when(col("cm") && col("cls") === 1, 1).otherwise(0))
+          .cast("long").as("n_clean_eucjp"),
+        sum(when(col("cm") && col("cls") === 2, 1).otherwise(0))
+          .cast("long").as("n_clean_gbk"),
+        sum(when(col("cm") && col("cls") === 3, 1).otherwise(0))
+          .cast("long").as("n_clean_big5"),
+        sum(when(col("cm") && col("cls") === 4, 1).otherwise(0))
+          .cast("long").as("n_clean_euckr"),
+        sum(when(col("u8m"), 1).otherwise(0)).cast("long")
+          .as("n_utf8_clean"),
+        sum(col("plantn")).as("sum_plant"),
+        sum(col("nch")).as("sum_chars"))
+  }
+
+  private val CjkCols = Seq("n_records", "n_norm", "n_clean",
+    "n_clean_sjis", "n_clean_eucjp", "n_clean_gbk", "n_clean_big5",
+    "n_clean_euckr", "n_utf8_clean", "sum_plant", "sum_chars")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // 4:2:2 JPEG perceptual dedup: horizontal-only chroma decimation
@@ -497,86 +580,69 @@ object Round18Queries {
     "q289_cjk_ingest" -> ((s, dir) => {
       import java.nio.file.Files
       import graft.sources.Warc
-      import s.implicits._
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text"))
-      // fixture bytes through the REAL JDK codecs (Spark's encode()
-      // covers only the unicode/latin family) — codec boundary work,
-      // the colorJpegMedia posture
-      val landed = docs.as[(Long, String)].map { case (id, text) =>
-        val cls = ((id / 20) % 5).toInt
-        val (_, jdk, plant, aliases) = CjkClasses(cls)
-        val alias = aliases(((id / 100) % aliases.length).toInt)
-        val planted = text.map(c =>
-          if (c == 'a') plant.charAt(0)
-          else if (c == 'e') plant.charAt(1) else c)
-        val bytes = planted.getBytes(java.nio.charset.Charset.forName(jdk))
-        (id, alias, bytes)
-      }.toDF("doc_id", "label", "body")
-      val pages = landed.select(col("doc_id"),
-        urlOf(col("doc_id")).as("uri"),
-        Warc.httpResponseBytes(lit(200), lit("text/html"), col("label"),
-          lit(""), col("body")).as("payload"))
+      val pages = cjkPages(s, dir)
       val land = Files.createTempDirectory("graft-q289-warc").toString
       Warc.writeSegmentsBinary(pages.repartition(4, col("doc_id")),
         "uri", "payload", land, gzip = true)
       val back = Warc.readRecordsBinary(s, land)
         .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
-          .cast("long").as("doc_id"),
-          Warc.payloadText(col("body")).as("pt"),
-          Warc.bodyBytes(col("body")).as("bb"))
-      val hdr = Warc.httpCharset(col("pt"))
-      val parsed = back.select(col("doc_id"),
-        Warc.normalizeCharset(hdr).as("ncs"),
-        Warc.decodeBody(col("bb"), hdr).as("decoded"),
-        // the pre-CJK default decode, kept as the CONTROL: what every
-        // record would have become had its label not normalized
-        graft.functions.Gzip.utf8LenientCol(col("bb")).as("u8"))
-      val cls = (expr("doc_id div 20") % 5).cast("int")
-      // 5 linear when branches (not an exponential fold): per-class
-      // canonical name / expected text / plant-char count
-      def perClass(f: (String, String) => Column): Column =
-        (1 until CjkClasses.length).foldLeft(
-          when(cls === 0, f(CjkClasses(0)._1, CjkClasses(0)._3))) {
-            (acc, i) => acc.when(cls === i,
-              f(CjkClasses(i)._1, CjkClasses(i)._3))
-          }
-      val expected = perClass((_, plant) =>
-        translate(col("text"), "ae", plant))
-      val res = parsed.join(docs, Seq("doc_id"))
-        .select(col("doc_id"), cls.as("cls"),
-          (col("ncs") === perClass((canon, _) => lit(canon))).as("nm"),
-          (col("decoded") === expected).as("cm"),
-          (col("u8") === expected).as("u8m"),
-          perClass((_, plant) => (length(col("decoded")) -
-            length(translate(col("decoded"), plant, "")))
-            .cast("long")).as("plantn"),
-          length(col("decoded")).cast("long").as("nch"))
-        .groupBy((col("doc_id") % 20).as("dom"))
-        .agg(count(lit(1)).as("n_records"),
-          sum(when(col("nm"), 1).otherwise(0)).cast("long").as("n_norm"),
-          sum(when(col("cm"), 1).otherwise(0)).cast("long").as("n_clean"),
-          sum(when(col("cm") && col("cls") === 0, 1).otherwise(0))
-            .cast("long").as("n_clean_sjis"),
-          sum(when(col("cm") && col("cls") === 1, 1).otherwise(0))
-            .cast("long").as("n_clean_eucjp"),
-          sum(when(col("cm") && col("cls") === 2, 1).otherwise(0))
-            .cast("long").as("n_clean_gbk"),
-          sum(when(col("cm") && col("cls") === 3, 1).otherwise(0))
-            .cast("long").as("n_clean_big5"),
-          sum(when(col("cm") && col("cls") === 4, 1).otherwise(0))
-            .cast("long").as("n_clean_euckr"),
-          sum(when(col("u8m"), 1).otherwise(0)).cast("long")
-            .as("n_utf8_clean"),
-          sum(col("plantn")).as("sum_plant"),
-          sum(col("nch")).as("sum_chars"))
+          .cast("long").as("doc_id"), col("body").as("payload"))
+      val res = cjkPartials(back, docs)
         .orderBy(col("dom"))
         .localCheckpoint()
       Round7bQueries.rmTree(land)
       res
+    }),
+
+    // the CJK door through the STREAMING front: the legacy-codec
+    // payloads arrive as a 3-file stream and every micro-batch runs
+    // the SAME transport parse (header charset -> superset decode ->
+    // per-record verdicts) and folds the per-dom partials, ADDITIVE
+    // across doc-disjoint batches because every verdict is
+    // per-record. Oracle = q289's SQL VERBATIM while the stream's
+    // per-file batching differs from the one-shot layout.
+    "q296_stream_cjk_ingest" -> ((s, dir) => {
+      import java.nio.file.Files
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val pages = cjkPages(s, dir)
+      val land = Files.createTempDirectory("graft-q296-land").toString
+      val cp = Files.createTempDirectory("graft-q296-cp").toString
+      (0 to 2).foreach { k =>
+        pages.filter(col("doc_id") % 3 === k)
+          .coalesce(1).write.mode("append").parquet(land)
+      }
+      var agg: DataFrame = null
+      val stream = s.readStream
+        .schema(s.read.parquet(land).schema)
+        .option("maxFilesPerTrigger", 1).parquet(land)
+      val query = stream.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val part = cjkPartials(
+            batch.select(col("doc_id"), col("payload")), docs)
+          val folds = CjkCols.map(c => sum(col(c)).as(c))
+          agg = (if (agg == null) part
+                 else agg.unionByName(part).groupBy(col("dom"))
+                   .agg(folds.head, folds.tail: _*))
+            .localCheckpoint()
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      val out = agg
+        .select((col("dom") +: CjkCols.map(col)): _*)
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land); Round7bQueries.rmTree(cp)
+      out
     }))
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlMain: Map[String, String] = Map(
 
     // hashes replay from the cell formula (the q274 argument at the
     // 4:2:2 layout: uniform per-image casts shift every dHash sample
@@ -844,4 +910,9 @@ object Round18Queries {
          |  CAST(SUM(length(text) - length(replace(replace(text, 'a', ''), 'e', ''))) AS BIGINT) AS sum_plant,
          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin)
+
+  // q296: streamed == one-shot (per-record verdicts, additive
+  // partials) — the oracle is q289's SQL VERBATIM
+  val oracleSql: Map[String, String] = oracleSqlMain +
+    ("q296_stream_cjk_ingest" -> oracleSqlMain("q289_cjk_ingest"))
 }

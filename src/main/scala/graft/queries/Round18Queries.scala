@@ -392,6 +392,86 @@ object Round18Queries {
       res
     }),
 
+    // HEURISTIC freshness (RFC 9111 §4.2.2): the full lifetime
+    // lattice in one fixture — max-age / Expires / Last-Modified-only
+    // (lifetime = 10% of how long the entity had been stable when
+    // stored, truncating div) / no-metadata (always stale) — each
+    // parsed from the REAL stored payload and resolved through ONE
+    // freshnessLifetime expression; stale URLs revalidate via the
+    // etag compare. Per-tier fresh counts prove each lattice leg
+    // independently.
+    "q298_heuristic_freshness" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val Now = 1735689600L
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val ccCls = (expr("doc_id div 20") % 4).cast("int")
+      val storedAt = lit(Now) - (t % 13) * 400
+      val ccHdr = when(ccCls === 0,
+        concat(lit("max-age="), ((t % 7) * 600).cast("string")))
+        .otherwise(lit(""))
+      val expHdr = when(ccCls === 1,
+        Warc.httpDateOf(storedAt + (t % 11) * 450)).otherwise(lit(""))
+      val lmHdr = when(ccCls === 2,
+        Warc.httpDateOf(storedAt - (t % 17) * 3000)).otherwise(lit(""))
+      val stored = docs.select(t, urlOf(t).as("uri"),
+        Warc.httpResponseCachingFull(lit(200), lit("text/html"),
+          md5(encode(col("text"), "UTF-8")), ccHdr, expHdr, lmHdr,
+          col("text")).as("payload"))
+      val land = Files.createTempDirectory("graft-q298-warc").toString
+      Warc.writeSegments(stored.repartition(4, t),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecords(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"), col("body").as("pt"))
+      val parsed = back.select(col("doc_id"),
+        Warc.httpCacheControlMaxAge(col("pt")).as("max_age"),
+        Warc.httpDateEpoch(Warc.httpExpires(col("pt"))).as("exp_at"),
+        Warc.httpDateEpoch(Warc.httpLastModified(col("pt")))
+          .as("lm_at"),
+        Warc.httpEtag(col("pt")).as("setag"),
+        Warc.httpBody(col("pt")).as("sbody"))
+      val state = docs.select(t.as("doc_id"),
+        (lit(Now) - (t % 13) * 400).as("stored_at"))
+      val chg = col("doc_id") % 3 === 0
+      val current = when(chg, concat(col("text"), lit(" v2")))
+        .otherwise(col("text"))
+      val life = Warc.freshnessLifetime(col("max_age"), col("exp_at"),
+        col("lm_at"), col("stored_at"))
+      val fresh = lit(Now) - col("stored_at") < life
+      val res = parsed.join(state, Seq("doc_id")).join(docs, Seq("doc_id"))
+        .select(col("doc_id"),
+          (expr("doc_id div 20") % 4).cast("int").as("cls"),
+          fresh.as("fresh"),
+          (col("setag") === md5(encode(current, "UTF-8"))).as("same"),
+          length(col("sbody")).cast("long").as("slen"),
+          length(current).cast("long").as("clen"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(when(col("fresh"), 1).otherwise(0)).cast("long")
+            .as("n_fresh"),
+          sum(when(col("fresh") && col("cls") === 0, 1).otherwise(0))
+            .cast("long").as("n_fresh_maxage"),
+          sum(when(col("fresh") && col("cls") === 1, 1).otherwise(0))
+            .cast("long").as("n_fresh_expires"),
+          sum(when(col("fresh") && col("cls") === 2, 1).otherwise(0))
+            .cast("long").as("n_fresh_heuristic"),
+          sum(when(!col("fresh") && col("same"), 1).otherwise(0))
+            .cast("long").as("n_304"),
+          sum(when(!col("fresh") && !col("same"), 1).otherwise(0))
+            .cast("long").as("n_200"),
+          sum(when(!col("fresh") && !col("same"), col("clen"))
+            .otherwise(0L)).cast("long").as("bytes_fetched"),
+          sum(when(col("fresh") || col("same"), col("slen"))
+            .otherwise(0L)).cast("long").as("bytes_saved"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
+
     // MULTI-LANGUAGE ROUTING: the q285 mixed corpus (en + ciphered
     // xx) cleans with a keep-BOTH trained gate, then the survivor set
     // routes into per-language sub-corpora by the same frozen model —
@@ -596,6 +676,89 @@ object Round18Queries {
       res
     }),
 
+    // META-declared CJK charsets: the transport header carries NO
+    // charset parameter — the document's own <meta charset=...>
+    // declares it (the HTML5 prescan case, q269's composition at the
+    // CJK families). The prescan reads the latin-1 view, which is safe
+    // here because none of the five codecs uses 0x3C as a trail byte;
+    // effective charset = coalesce(header param, meta element, utf-8),
+    // and the header-default CONTROL column (ignore the meta, decode
+    // lenient UTF-8) matches exactly the plant-free docs — drop the
+    // meta leg and every plant-bearing doc dies.
+    "q297_meta_cjk" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val landed = docs.as[(Long, String)].map { case (id, text) =>
+        val cls = ((id / 20) % 5).toInt
+        val (canon, jdk, plant, _) = CjkClasses(cls)
+        val planted = text.map(c =>
+          if (c == 'a') plant.charAt(0)
+          else if (c == 'e') plant.charAt(1) else c)
+        val body = s"<meta charset=$canon>" + planted
+        (id, body.getBytes(java.nio.charset.Charset.forName(jdk)))
+      }.toDF("doc_id", "body")
+      val pages = landed.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        // charset = '' — the header declares NOTHING
+        Warc.httpResponseBytes(lit(200), lit("text/html"), lit(""),
+          lit(""), col("body")).as("payload"))
+      val land = Files.createTempDirectory("graft-q297-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      val hdrCs = Warc.httpCharset(col("pt"))
+      val metaCs = Warc.metaCharset(Warc.httpBody(col("pt")))
+      val eff = when(hdrCs =!= "", hdrCs)
+        .otherwise(when(metaCs =!= "", metaCs).otherwise(lit("utf-8")))
+      val parsed = back.select(col("doc_id"),
+        Warc.decodeBody(col("bb"), eff).as("decoded"),
+        // header-default CONTROL: what the decode becomes if the
+        // prescan leg is dropped
+        graft.functions.Gzip.utf8LenientCol(col("bb")).as("u8"))
+      val cls = (expr("doc_id div 20") % 5).cast("int")
+      def perClass(f: (String, String) => Column): Column =
+        (1 until CjkClasses.length).foldLeft(
+          when(cls === 0, f(CjkClasses(0)._1, CjkClasses(0)._3))) {
+            (acc, i) => acc.when(cls === i,
+              f(CjkClasses(i)._1, CjkClasses(i)._3))
+          }
+      val expected = perClass((canon, plant) => concat(
+        lit(s"<meta charset="), lit(canon), lit(">"),
+        translate(col("text"), "ae", plant)))
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), cls.as("cls"),
+          (col("decoded") === expected).as("cm"),
+          (col("u8") === expected).as("u8m"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long").as("n_clean"),
+          sum(when(col("cm") && col("cls") === 0, 1).otherwise(0))
+            .cast("long").as("n_clean_sjis"),
+          sum(when(col("cm") && col("cls") === 1, 1).otherwise(0))
+            .cast("long").as("n_clean_eucjp"),
+          sum(when(col("cm") && col("cls") === 2, 1).otherwise(0))
+            .cast("long").as("n_clean_gbk"),
+          sum(when(col("cm") && col("cls") === 3, 1).otherwise(0))
+            .cast("long").as("n_clean_big5"),
+          sum(when(col("cm") && col("cls") === 4, 1).otherwise(0))
+            .cast("long").as("n_clean_euckr"),
+          sum(when(col("u8m"), 1).otherwise(0)).cast("long")
+            .as("n_hdr_only_clean"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
+
     // the CJK door through the STREAMING front: the legacy-codec
     // payloads arrive as a 3-file stream and every micro-batch runs
     // the SAME transport parse (header charset -> superset decode ->
@@ -766,6 +929,34 @@ object Round18Queries {
          |FROM fft GROUP BY dom ORDER BY dom""".stripMargin
     },
 
+    // lifetime lattice replays from the coins: (id%7)*600 for
+    // max-age, (id%11)*450 for Expires−stored, ((id%17)*3000)//10 for
+    // the heuristic, 0 for none; fresh = (id%13)*400 < lifetime
+    "q298_heuristic_freshness" ->
+      s"""WITH hf AS (SELECT doc_id, text,
+         |    (doc_id // 20) % 4 AS cls,
+         |    (doc_id % 13) * 400 AS age,
+         |    (doc_id % 3 = 0) AS chg,
+         |    CASE (doc_id // 20) % 4
+         |      WHEN 0 THEN (doc_id % 7) * 600
+         |      WHEN 1 THEN (doc_id % 11) * 450
+         |      WHEN 2 THEN ((doc_id % 17) * 3000) // 10
+         |      ELSE 0 END AS life
+         |  FROM documents),
+         |hfd AS (SELECT doc_id, text, cls, chg, age < life AS fresh
+         |  FROM hf)
+         |SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(SUM(CASE WHEN fresh THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+         |  CAST(SUM(CASE WHEN fresh AND cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_maxage,
+         |  CAST(SUM(CASE WHEN fresh AND cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_expires,
+         |  CAST(SUM(CASE WHEN fresh AND cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_heuristic,
+         |  CAST(SUM(CASE WHEN NOT fresh AND NOT chg THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+         |  CAST(SUM(CASE WHEN NOT fresh AND chg THEN 1 ELSE 0 END) AS BIGINT) AS n_200,
+         |  CAST(SUM(CASE WHEN NOT fresh AND chg THEN length(text) + 3 ELSE 0 END) AS BIGINT) AS bytes_fetched,
+         |  CAST(SUM(CASE WHEN fresh OR NOT chg THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved
+         |FROM hfd GROUP BY 1 ORDER BY dom""".stripMargin,
+
     // q285's replay with the gate keeping BOTH labels; the final join
     // back to the classifier's prediction routes each survivor — the
     // oracle-equality of per-doc (id, lang_routed) rows IS the
@@ -890,6 +1081,27 @@ object Round18Queries {
          |  CAST(SUM(CASE WHEN NOT fresh AND NOT chg THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved_304,
          |  CAST(count(*) AS BIGINT) AS n_clean
          |FROM cfd GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // the meta tag is ASCII so its length adds deterministically per
+    // class (15 framing chars + the canonical label's length); the
+    // header-default control = plant-free docs, exactly q289's
+    "q297_meta_cjk" ->
+      s"""WITH mc AS (SELECT doc_id, text,
+         |    (doc_id // 20) % 5 AS cls,
+         |    CASE (doc_id // 20) % 5 WHEN 0 THEN 9 WHEN 1 THEN 6
+         |      WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 6 END AS lablen
+         |  FROM documents)
+         |SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_sjis,
+         |  CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_eucjp,
+         |  CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_gbk,
+         |  CAST(SUM(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_big5,
+         |  CAST(SUM(CASE WHEN cls = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_euckr,
+         |  CAST(SUM(CASE WHEN length(replace(replace(text, 'a', ''), 'e', '')) = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_hdr_only_clean,
+         |  CAST(SUM(length(text) + 15 + lablen) AS BIGINT) AS sum_chars
+         |FROM mc GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // decode∘encode is the identity per class ONLY when every alias
     // normalizes to its canonical name AND routes to the right

@@ -549,6 +549,36 @@ object Warc {
     date_format(timestamp_seconds(epoch),
       "EEE, dd MMM yyyy HH:mm:ss 'GMT'")
 
+  /** Raw `Last-Modified` header value, '' when absent (an HTTP date —
+    * [[httpDateEpoch]]). Feeds BOTH conditional revalidation
+    * (If-Modified-Since) and RFC 9111 §4.2.2 HEURISTIC freshness: when
+    * a response carries neither `max-age` nor `Expires`, caches
+    * typically use 10% of (date − last-modified) as the lifetime.
+    */
+  def httpLastModified(payload: Column): Column =
+    trim(regexp_extract(
+      regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1),
+      "(?i)Last-Modified:\\s*([^\\r\\n]+)", 1))
+
+  /** RFC 9111 freshness lifetime in seconds: `max-age` wins, else
+    * `Expires − stored-at`, else the §4.2.2 heuristic — 10% of
+    * (stored-at − last-modified), truncating division (exact-integer,
+    * cross-engine `div`) — else 0 (always stale). NULL-safe: each
+    * absent input falls through to the next tier.
+    */
+  def freshnessLifetime(maxAge: Column, expiresEpoch: Column,
+      lastModifiedEpoch: Column, storedAtEpoch: Column): Column =
+    when(maxAge.isNotNull, maxAge)
+      .when(expiresEpoch.isNotNull,
+        greatest(expiresEpoch - storedAtEpoch, lit(0L)))
+      .when(lastModifiedEpoch.isNotNull,
+        // nonnegative over 10: IEEE division is correctly rounded, so
+        // the long cast truncates to the exact integer quotient
+        // (== DuckDB's floor `//` on nonnegative operands)
+        (greatest(storedAtEpoch - lastModifiedEpoch, lit(0L)) / 10)
+          .cast("long"))
+      .otherwise(lit(0L))
+
   /** [[httpResponse]] with caching metadata — `ETag`, `Cache-Control`,
     * `Expires` ('' omits each): how an origin that supports freshness
     * AND revalidation actually answers a 200.
@@ -556,6 +586,16 @@ object Warc {
   def httpResponseCaching(status: Column, contentType: Column,
       etag: Column, cacheControl: Column, expires: Column,
       body: Column): Column =
+    httpResponseCachingFull(status, contentType, etag, cacheControl,
+      expires, lit(""), body)
+
+  /** [[httpResponseCaching]] plus a `Last-Modified` header ('' omits)
+    * — the full caching-metadata answer, incl. the header the §4.2.2
+    * heuristic lifetime reads.
+    */
+  def httpResponseCachingFull(status: Column, contentType: Column,
+      etag: Column, cacheControl: Column, expires: Column,
+      lastModified: Column, body: Column): Column =
     concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
       when(status === 200, lit("OK"))
         .when(status === 304, lit("Not Modified"))
@@ -568,6 +608,9 @@ object Warc {
           lit(Crlf))),
       when(expires === "", lit(""))
         .otherwise(concat(lit("Expires: "), expires, lit(Crlf))),
+      when(lastModified === "", lit(""))
+        .otherwise(concat(lit("Last-Modified: "), lastModified,
+          lit(Crlf))),
       lit(Crlf), body)
 
   /** [[httpResponse]] with an `ETag` header (`etag` = '' to omit) —

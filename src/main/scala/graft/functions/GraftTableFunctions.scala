@@ -439,6 +439,24 @@ object GraftTableFunctions {
       s.table(str(args(4), u)), id, text, model))
   }
 
+  private val routeLanguage: Builder = { args =>
+    val u = "graft_route_language(seedsTable, idCol, labelCol, " +
+      "textCol, docsTable, keepCsv)"
+    require(args.length == 6, u)
+    val s = SparkSession.active
+    val id = str(args(1), u)
+    val text = str(args(3), u)
+    val keep = str(args(5), u).split(",").map(_.trim)
+      .filter(_.nonEmpty).toSeq
+    require(keep.nonEmpty, u + ": keepCsv must name at least one label")
+    val model = graft.text.LangClassifier.fit(
+      s.table(str(args.head, u)), id, str(args(2), u), text)
+    plan(graft.pipeline.CorpusPipeline.routeByLanguage(
+      s.table(str(args(4), u)), id, text,
+      graft.pipeline.CorpusPipeline.Config(langGate =
+        Some(graft.pipeline.CorpusPipeline.LangGate(model, keep)))))
+  }
+
   private val gopherRules: Builder = { args =>
     val u = "graft_gopher_rules(table, idCol, textCol[, minTok[, maxTok]])"
     require(args.length >= 3 && args.length <= 5, u)
@@ -546,6 +564,7 @@ object GraftTableFunctions {
     "graft_sitemaps_nested" -> sitemapsNested,
     "graft_sitemap_tree" -> sitemapTree,
     "graft_lang_classify" -> langClassify,
+    "graft_route_language" -> routeLanguage,
     "graft_gopher_rules" -> gopherRules,
     "graft_c4_clean" -> c4Clean,
     "graft_canonical_links" -> canonicalLinks,

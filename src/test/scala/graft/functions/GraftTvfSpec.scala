@@ -621,6 +621,37 @@ class GraftTvfSpec extends SparkSpec {
       .collect().toSeq == Seq("en", "xx"))
   }
 
+  test("graft_route_language TVF == API (fit + clean + route from SQL)") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, "/root/testdata/sf0.001",
+        "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(translate(col("text"),
+            "abcdefghijklmnopqrstuvwxy", "yxwvutsrqponmlkjihgfedcba"))
+          .as("text"))
+    val seeds = docs.filter(col("doc_id") % 10 < 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("xx"))
+          .as("label"), col("text"))
+    docs.createOrReplaceTempView("tvf_route_docs")
+    seeds.createOrReplaceTempView("tvf_route_seeds")
+    val sqlR = spark.sql(
+      "SELECT doc_id, lang_routed FROM graft_route_language(" +
+        "'tvf_route_seeds', 'doc_id', 'label', 'text', " +
+        "'tvf_route_docs', 'en, xx') ORDER BY doc_id")
+    val model = graft.text.LangClassifier.fit(seeds, "doc_id", "label",
+      "text")
+    val apiR = graft.pipeline.CorpusPipeline.routeByLanguage(docs,
+        "doc_id", "text",
+        graft.pipeline.CorpusPipeline.Config(langGate =
+          Some(graft.pipeline.CorpusPipeline.LangGate(model,
+            Seq("en", "xx")))))
+      .select(col("doc_id"), col("lang_routed")).orderBy(col("doc_id"))
+    assert(rows(sqlR).nonEmpty && rows(sqlR) == rows(apiR))
+    assert(sqlR.select(col("lang_routed")).distinct().count() == 2)
+  }
+
   test("non-literal and malformed TVF arguments fail with a clear error") {
     docs.createOrReplaceTempView("tvf_docs")
     val e = intercept[Exception] {

@@ -111,15 +111,14 @@ object Round18Queries {
       }
   }
 
-  /** q289's fixture: the corpus as legacy-codec HTTP payloads — body
-    * bytes through the REAL JDK charsets (Spark's encode() covers only
-    * the unicode/latin family; codec-boundary work, the colorJpegMedia
+  /** q289's raw fixture: the corpus as legacy-codec body BYTES — built
+    * through the REAL JDK charsets (Spark's encode() covers only the
+    * unicode/latin family; codec-boundary work, the colorJpegMedia
     * posture), labels rotating through the WHATWG aliases.
     */
-  private def cjkPages(s: SparkSession, dir: String): DataFrame = {
-    import graft.sources.Warc
+  private def cjkBodies(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val landed = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].map { case (id, text) =>
         val cls = ((id / 20) % 5).toInt
@@ -131,7 +130,12 @@ object Round18Queries {
         val bytes = planted.getBytes(java.nio.charset.Charset.forName(jdk))
         (id, alias, bytes)
       }.toDF("doc_id", "label", "body")
-    landed.select(col("doc_id"),
+  }
+
+  /** [[cjkBodies]] wrapped as plain HTTP payloads. */
+  private def cjkPages(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Warc
+    cjkBodies(s, dir).select(col("doc_id"),
       urlOf(col("doc_id")).as("uri"),
       Warc.httpResponseBytes(lit(200), lit("text/html"), col("label"),
         lit(""), col("body")).as("payload"))
@@ -676,6 +680,81 @@ object Round18Queries {
       res
     }),
 
+    // The FULL transport onion at the CJK families: chunked framing
+    // (%2), Content-Encoding gzip (%3==1), and a legacy multibyte
+    // charset (div-20 %5) stack on the SAME response — the reader
+    // peels IN ORDER dechunk → decodeContentCoding (the CENTRAL
+    // dispatch with the brotli scope guard — its gzip/identity legs
+    // carry real traffic here) → superset charset decode. All six
+    // class combinations appear; the clean match proves byte-exact
+    // text through every layer and real gzipped-WARC storage.
+    "q299_cjk_onion" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      import graft.functions.{Chunked, Gzip}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val chunked = t % 2 === 0
+      val gz = t % 3 === 1
+      val enc = when(gz, lit("gzip")).otherwise(lit(""))
+      val bodies = cjkBodies(s, dir)
+      val b1 = when(gz, Gzip.deflateCol(col("body")))
+        .otherwise(col("body"))
+      val payload = when(chunked,
+        Warc.httpResponseChunked(lit(200), lit("text/html"),
+          col("label"), enc, b1, lit(7) + (t % 13)))
+        .otherwise(Warc.httpResponseBytes(lit(200), lit("text/html"),
+          col("label"), enc, b1))
+      val pages = bodies.select(t, urlOf(t).as("uri"),
+        payload.as("payload"))
+      val land = Files.createTempDirectory("graft-q299-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, t),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      val te = Warc.httpTransferEncoding(col("pt"))
+      val deframed = when(te === "chunked", Chunked.dechunkCol(col("bb")))
+        .otherwise(col("bb"))
+      val entity = Warc.decodeContentCoding(deframed,
+        Warc.httpContentEncoding(col("pt")))
+      val parsed = back.select(col("doc_id"), te.as("te"),
+        Warc.httpContentEncoding(col("pt")).as("ce"),
+        Warc.decodeBody(entity, Warc.httpCharset(col("pt")))
+          .as("decoded"))
+      val cls = (expr("doc_id div 20") % 5).cast("int")
+      def perClass(f: (String, String) => Column): Column =
+        (1 until CjkClasses.length).foldLeft(
+          when(cls === 0, f(CjkClasses(0)._1, CjkClasses(0)._3))) {
+            (acc, i) => acc.when(cls === i,
+              f(CjkClasses(i)._1, CjkClasses(i)._3))
+          }
+      val expected = perClass((_, plant) =>
+        translate(col("text"), "ae", plant))
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("te") === "chunked").as("isCh"),
+          (col("ce") === "gzip").as("isGz"),
+          (col("decoded") === expected).as("cm"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("isCh"), 1).otherwise(0)).cast("long")
+            .as("n_chunked"),
+          sum(when(col("isGz"), 1).otherwise(0)).cast("long")
+            .as("n_gzip"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
+
     // META-declared CJK charsets: the transport header carries NO
     // charset parameter — the document's own <meta charset=...>
     // declares it (the HTML5 prescan case, q269's composition at the
@@ -1081,6 +1160,19 @@ object Round18Queries {
          |  CAST(SUM(CASE WHEN NOT fresh AND NOT chg THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved_304,
          |  CAST(count(*) AS BIGINT) AS n_clean
          |FROM cfd GROUP BY 1 ORDER BY dom""".stripMargin,
+
+    // dechunk ∘ inflate ∘ decode is the identity through every class
+    // combination; the oracle predicts the clean sweep and the coin
+    // counts from id arithmetic alone (the q271 posture at the CJK
+    // charset leg)
+    "q299_cjk_onion" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
+         |  CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin,
 
     // the meta tag is ASCII so its length adds deterministically per
     // class (15 framing chars + the canonical label's length); the

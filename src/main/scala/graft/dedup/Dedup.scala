@@ -171,10 +171,22 @@ object Dedup {
     val sh = if (persistShingles)
       sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sh0
-    val cand = candidatesFrom(signaturesFrom(sh, bands * rowsPerBand),
-      bands, rowsPerBand)
-    verifiedPairs(cand, sh, threshold)
+    minhashNearDuplicatesFrom(sh, threshold, bands, rowsPerBand)
   }
+
+  /** [[minhashNearDuplicates]] over a PRECOMPUTED hashed-shingle
+    * relation (`(doc, sh)` — [[hashedShingles]]' shape): the factored
+    * entry for callers that already hold the shingles. The pipeline's
+    * stage chain computes the corpus shingles ONCE and feeds them to
+    * near-dup detection AND eval-decontamination — re-shingling the
+    * corpus per consumer was the round-18 release-diff bench tail.
+    * The caller owns persistence of `sh` (it feeds both the signature
+    * aggregation and the Jaccard-verify subtrees).
+    */
+  def minhashNearDuplicatesFrom(sh: DataFrame, threshold: Double = 0.5,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame =
+    verifiedPairs(candidatesFrom(signaturesFrom(sh, bands * rowsPerBand),
+      bands, rowsPerBand), sh, threshold)
 
   /** CROSS-corpus near-dup matching — the train-vs-eval contamination
     * check at LSH scale: one (a = `a`-corpus id, b = `b`-corpus id,
@@ -198,11 +210,24 @@ object Dedup {
     */
   def crossCorpusMatches(a: DataFrame, aId: String, aText: String,
       b: DataFrame, bId: String, bText: String, threshold: Double = 0.5,
-      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
-    val shA = hashedShingles(a, aId, aText, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val shB = hashedShingles(b, bId, bText, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bands: Int = 6, rowsPerBand: Int = 2, n: Int = 3): DataFrame =
+    crossCorpusMatchesFrom(
+      hashedShingles(a, aId, aText, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      hashedShingles(b, bId, bText, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      threshold, bands, rowsPerBand)
+
+  /** [[crossCorpusMatches]] over two PRECOMPUTED hashed-shingle
+    * relations — the factored entry mirroring
+    * [[minhashNearDuplicatesFrom]]: [[graft.pipeline.CorpusPipeline]]'s
+    * release path reuses its stage-chain corpus shingles for the train
+    * side and lets a caller diffing MULTIPLE releases against one eval
+    * set materialize the eval side once. Persistence is the caller's.
+    */
+  def crossCorpusMatchesFrom(shA: DataFrame, shB: DataFrame,
+      threshold: Double = 0.5, bands: Int = 6,
+      rowsPerBand: Int = 2): DataFrame = {
     val k = bands * rowsPerBand
     val bktA = bucketsFrom(signaturesFrom(shA, k), bands, rowsPerBand)
     val bktB = bucketsFrom(signaturesFrom(shB, k), bands, rowsPerBand)

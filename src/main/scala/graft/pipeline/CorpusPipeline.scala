@@ -269,7 +269,8 @@ object CorpusPipeline {
     * minhashNearDuplicates.
     */
   case class Stages(gated: DataFrame, banded: DataFrame,
-      exact: DataFrame, pairs: DataFrame, losers: DataFrame) {
+      exact: DataFrame, shingles: DataFrame, pairs: DataFrame,
+      losers: DataFrame) {
     /** Final pipeline survivors: exact-dedup set minus near-dup losers. */
     def survivors(idCol: String): DataFrame =
       exact.join(losers, Seq(idCol), "left_anti")
@@ -304,7 +305,14 @@ object CorpusPipeline {
       .select(col("keep_id").as(idCol))
     val exact = banded.join(keep, Seq(idCol), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairsAll = Dedup.minhashNearDuplicates(exact, idCol, textCol,
+    // the corpus shingles are computed ONCE here and exposed on Stages:
+    // near-dup pairing consumes them below, and [[release]]'s
+    // decontamination reuses them for the train side (re-shingling the
+    // released corpus per consumer doubled the release chain's scan
+    // work — the round-18 bench tail)
+    val sh = Dedup.hashedShingles(exact, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairsAll = Dedup.minhashNearDuplicatesFrom(sh,
         threshold = pairThreshold.getOrElse(cfg.jaccardThreshold))
       .localCheckpoint()
     val pairsDedup = pairsAll
@@ -319,7 +327,7 @@ object CorpusPipeline {
         Dedup.connectedComponents(pairsDedup)
           .filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id").as(idCol))
-    Stages(gated, banded, exact, pairsAll, losers)
+    Stages(gated, banded, exact, sh, pairsAll, losers)
   }
 
   /** Clean `docs`, returning the surviving rows (id, text) plus the
@@ -418,15 +426,29 @@ object CorpusPipeline {
     */
   def release(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, cfg: Config = Config(),
-      splitThreshold: Double = 0.3, trainPct: Int = 90, valPct: Int = 5)
-      : DataFrame = {
+      splitThreshold: Double = 0.3, trainPct: Int = 90, valPct: Int = 5,
+      evalShingles: Option[DataFrame] = None): DataFrame = {
     require(splitThreshold <= cfg.jaccardThreshold,
       "splitThreshold must not exceed the dedup threshold (the loose " +
         "pair set must contain the dedup pair set)")
     val id = col(idCol)
     val st = stages(docs, idCol, textCol, cfg, Some(splitThreshold))
-    val released = Dedup.decontaminateNearDup(st.survivors(idCol), idCol,
-      textCol, evalDocs, idCol, textCol, cfg.jaccardThreshold)
+    // decontamination REUSES the stage chain's corpus shingles (the
+    // survivor restriction is a semi join — shingling is per-doc, so
+    // the restricted relation equals hashedShingles(survivors)); the
+    // eval side may arrive precomputed (`evalShingles` — a caller
+    // diffing several releases against ONE eval set materializes it
+    // once; see q172/q173) or is derived here.
+    val surv = st.survivors(idCol)
+    val shTrain = st.shingles.join(
+      surv.select(id.as("doc")), Seq("doc"), "left_semi")
+    val shEval = evalShingles.getOrElse(
+      Dedup.hashedShingles(evalDocs, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hit = Dedup.crossCorpusMatchesFrom(shTrain, shEval,
+        cfg.jaccardThreshold)
+      .select(col("a").as(idCol)).distinct()
+    val released = surv.join(hit, Seq(idCol), "left_anti")
     val ids = released.select(id)
     val pairsSplit = st.pairs.select(col("a"), col("b"))
       .join(ids.select(id.as("a")), Seq("a"), "left_semi")

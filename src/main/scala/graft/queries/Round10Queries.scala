@@ -48,10 +48,17 @@ object Round10Queries {
       : (DataFrame, DataFrame) = {
     val corpus = smallCorpus(s, dir).select(col("doc_id"), col("text"))
     val ev = smallEval(s, dir)
+    // the eval set is IDENTICAL for both release replays — its
+    // decontamination shingles are materialized once and fed to both
+    // chains (the round-18 verdict's shared-eval-chain item; each
+    // chain also reuses its own stage shingles for the train side)
+    val evSh = graft.dedup.Dedup.hashedShingles(ev, "doc_id", "text")
+      .localCheckpoint()
     val relA = graft.pipeline.CorpusPipeline.release(
-      corpus.filter(col("doc_id") % 23 =!= 5), ev, "doc_id", "text")
+      corpus.filter(col("doc_id") % 23 =!= 5), ev, "doc_id", "text",
+      evalShingles = Some(evSh))
     val relB = graft.pipeline.CorpusPipeline.release(
-      corpus, ev, "doc_id", "text")
+      corpus, ev, "doc_id", "text", evalShingles = Some(evSh))
     (relA, relB)
   }
 

@@ -43,7 +43,12 @@ object CtasSql {
 
   private def resolveQuery(spark: SparkSession, catalog: ParquetCatalog,
       q: LogicalPlan): DataFrame = {
-    val swapped = q.transform {
+    // transformDownWithSubqueries, not transform: plain transform does
+    // not descend into expression subqueries (IN/EXISTS/scalar), so a
+    // catalog table named only inside one would silently resolve
+    // against session temp views instead — breaking the documented
+    // "every named relation inside the SELECT" catalog-first contract.
+    val swapped = q.transformDownWithSubqueries {
       case r: UnresolvedRelation
           if r.multipartIdentifier.length == 1 &&
             catalog.exists(r.multipartIdentifier.head) =>
@@ -66,6 +71,33 @@ object CtasSql {
         }
         require(c.partitioning.isEmpty,
           "PARTITIONED BY in CTAS is not supported through this door")
+        // loud-scope-boundary: every table-spec clause this door does
+        // not honor is REJECTED, not ignored — a `USING x LOCATION y`
+        // CTAS silently publishing into the catalog root is how data
+        // lands in the wrong place at 100 TB.
+        c.tableSpec match {
+          case s: org.apache.spark.sql.catalyst.plans.logical.TableSpecBase =>
+            require(s.provider.isEmpty,
+              s"USING ${s.provider.get} in CTAS is not supported " +
+                "through this door (the catalog writes parquet)")
+            require(s.location.isEmpty,
+              s"LOCATION ${s.location.get} in CTAS is not supported " +
+                "through this door (the catalog owns table paths)")
+            require(s.properties.isEmpty,
+              "TBLPROPERTIES in CTAS is not supported through this " +
+                s"door: ${s.properties.keys.mkString(",")}")
+            require(s.serde.isEmpty,
+              "ROW FORMAT/STORED AS in CTAS is not supported through " +
+                "this door")
+            require(!s.external,
+              "EXTERNAL in CTAS is not supported through this door")
+            s match {
+              case u: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+                require(u.optionExpression.options.isEmpty,
+                  "OPTIONS in CTAS is not supported through this door")
+              case _ => ()
+            }
+        }
         if (catalog.exists(name)) {
           require(c.ignoreIfExists, s"table $name already exists")
           catalog.table(name) // IF NOT EXISTS: no-op

@@ -221,9 +221,16 @@ object Warc {
     */
   def httpResponse(status: Column, contentType: Column,
       body: Column): Column =
+    // `.isin(n)` (an In, not an EqualTo) throughout the response
+    // builders: fixture call sites pass LITERAL statuses, and
+    // `lit(200) === 200` constructs Spark's "trivially true equals
+    // predicate" WARN per row-batch — thousands of those lines flooded
+    // the driver's stdout tail buffer in round 18 (BENCH_r18 parsed
+    // null). Semantics are identical (single-element In == EqualTo,
+    // incl. NULL behavior).
     concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
-      when(status === 200, lit("OK"))
-        .when(status === 404, lit("Not Found"))
+      when(status.isin(200), lit("OK"))
+        .when(status.isin(404), lit("Not Found"))
         .otherwise(lit("Status")),
       lit(Crlf), lit("Content-Type: "), contentType,
       lit(Crlf), lit(Crlf), body)
@@ -389,7 +396,11 @@ object Warc {
     "shift_jis" -> "windows-31j",
     "euc-jp" -> "EUC-JP",
     "gbk" -> "GBK",
-    "big5" -> "Big5",
+    // WHATWG big5 is the HKSCS superset (its index includes the Hong
+    // Kong extension rows) — plain JDK Big5 would decode HKSCS
+    // codepoints under a big5-family label to U+FFFD, inconsistent
+    // with the superset policy of the other four families.
+    "big5" -> "Big5-HKSCS",
     "euc-kr" -> "x-windows-949")
 
   /** Byte-order-mark charset of an entity body, '' when none — the
@@ -501,9 +512,13 @@ object Warc {
     */
   def httpEtag(payload: Column): Column = {
     val hdr = regexp_extract(payload, "(?s)^(.*?)\\r\\n\\r\\n", 1)
+    // (?m)^ anchors the header NAME to a line start (an `X-ETag:`
+    // header must not match); upper() canonicalizes the weak marker —
+    // RFC 9110 defines it as the literal `W/`, and a `w/"abc"` from a
+    // sloppy server must compare equal to `W/"abc"`, not miss its 304.
     concat(
-      regexp_extract(hdr, "(?i)ETag:\\s*(W/)?\"?[^\"\\r\\n]", 1),
-      trim(regexp_extract(hdr, "(?i)ETag:\\s*(?:W/)?\"?([^\"\\r\\n]+)", 1)))
+      upper(regexp_extract(hdr, "(?im)^ETag:\\s*(W/)?\"?[^\"\\r\\n]", 1)),
+      trim(regexp_extract(hdr, "(?im)^ETag:\\s*(?:W/)?\"?([^\"\\r\\n]+)", 1)))
   }
 
   /** `Cache-Control: … max-age=N` delta seconds of an HTTP payload,
@@ -572,11 +587,14 @@ object Warc {
       .when(expiresEpoch.isNotNull,
         greatest(expiresEpoch - storedAtEpoch, lit(0L)))
       .when(lastModifiedEpoch.isNotNull,
-        // nonnegative over 10: IEEE division is correctly rounded, so
-        // the long cast truncates to the exact integer quotient
-        // (== DuckDB's floor `//` on nonnegative operands)
-        (greatest(storedAtEpoch - lastModifiedEpoch, lit(0L)) / 10)
-          .cast("long"))
+        // integral `div` — the repo's cross-engine division idiom
+        // (exact at ANY int64 magnitude; the old double-divide+cast
+        // was exact only while the delta stayed under ~2^49 s)
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.ColumnBridge.expression(
+              greatest(storedAtEpoch - lastModifiedEpoch, lit(0L))),
+            org.apache.spark.sql.graft.ColumnBridge.expression(lit(10L)))))
       .otherwise(lit(0L))
 
   /** [[httpResponse]] with caching metadata — `ETag`, `Cache-Control`,
@@ -597,18 +615,18 @@ object Warc {
       etag: Column, cacheControl: Column, expires: Column,
       lastModified: Column, body: Column): Column =
     concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
-      when(status === 200, lit("OK"))
-        .when(status === 304, lit("Not Modified"))
+      when(status.isin(200), lit("OK"))
+        .when(status.isin(304), lit("Not Modified"))
         .otherwise(lit("Status")),
       lit(Crlf), lit("Content-Type: "), contentType, lit(Crlf),
-      when(etag === "", lit(""))
+      when(etag.isin(""), lit(""))
         .otherwise(concat(lit("ETag: \""), etag, lit("\""), lit(Crlf))),
-      when(cacheControl === "", lit(""))
+      when(cacheControl.isin(""), lit(""))
         .otherwise(concat(lit("Cache-Control: "), cacheControl,
           lit(Crlf))),
-      when(expires === "", lit(""))
+      when(expires.isin(""), lit(""))
         .otherwise(concat(lit("Expires: "), expires, lit(Crlf))),
-      when(lastModified === "", lit(""))
+      when(lastModified.isin(""), lit(""))
         .otherwise(concat(lit("Last-Modified: "), lastModified,
           lit(Crlf))),
       lit(Crlf), body)
@@ -621,12 +639,12 @@ object Warc {
   def httpResponseEtag(status: Column, contentType: Column,
       etag: Column, body: Column): Column =
     concat(lit("HTTP/1.1 "), status.cast("string"), lit(" "),
-      when(status === 200, lit("OK"))
-        .when(status === 304, lit("Not Modified"))
-        .when(status === 404, lit("Not Found"))
+      when(status.isin(200), lit("OK"))
+        .when(status.isin(304), lit("Not Modified"))
+        .when(status.isin(404), lit("Not Found"))
         .otherwise(lit("Status")),
       lit(Crlf), lit("Content-Type: "), contentType, lit(Crlf),
-      when(etag === "", lit(""))
+      when(etag.isin(""), lit(""))
         .otherwise(concat(lit("ETag: \""), etag, lit("\""), lit(Crlf))),
       lit(Crlf), body)
 
@@ -651,12 +669,12 @@ object Warc {
       chunkSize: Column): Column = {
     val header = concat(lit("HTTP/1.1 "), status.cast("string"),
       lit(" "),
-      when(status === 200, lit("OK")).otherwise(lit("Status")),
+      when(status.isin(200), lit("OK")).otherwise(lit("Status")),
       lit(Crlf), lit("Content-Type: "), mediaType,
-      when(charset === "", lit(""))
+      when(charset.isin(""), lit(""))
         .otherwise(concat(lit("; charset="), charset)),
       lit(Crlf),
-      when(encoding === "", lit(""))
+      when(encoding.isin(""), lit(""))
         .otherwise(concat(lit("Content-Encoding: "), encoding,
           lit(Crlf))),
       lit("Transfer-Encoding: chunked"), lit(Crlf),
@@ -675,12 +693,12 @@ object Warc {
       charset: Column, encoding: Column, body: Column): Column = {
     val header = concat(lit("HTTP/1.1 "), status.cast("string"),
       lit(" "),
-      when(status === 200, lit("OK")).otherwise(lit("Status")),
+      when(status.isin(200), lit("OK")).otherwise(lit("Status")),
       lit(Crlf), lit("Content-Type: "), mediaType,
-      when(charset === "", lit(""))
+      when(charset.isin(""), lit(""))
         .otherwise(concat(lit("; charset="), charset)),
       lit(Crlf),
-      when(encoding === "", lit(""))
+      when(encoding.isin(""), lit(""))
         .otherwise(concat(lit("Content-Encoding: "), encoding,
           lit(Crlf))),
       lit(Crlf))

@@ -22,6 +22,9 @@ object BenchSome {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same tail-buffer hygiene as Bench (trivially-true-equals WARN)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.Column", org.apache.logging.log4j.Level.ERROR)
     spark.range(1000000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

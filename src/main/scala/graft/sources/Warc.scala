@@ -319,9 +319,12 @@ object Warc {
 
   /** Entity bytes through the declared `Content-Encoding`: '' /
     * `identity` pass through, `gzip`/`x-gzip` multi-member inflate,
-    * `deflate` zlib-with-raw-fallback — and ANY OTHER coding (`br`,
-    * `zstd`, `compress`, …) raises LOUDLY from the plan. No pure-JDK
-    * brotli inflater exists, so `br` is a scope boundary: passing the
+    * `deflate` zlib-with-raw-fallback, `br` the from-scratch RFC 7932
+    * inflate ([[graft.functions.Brotli]] — full bit format incl. the
+    * Appendix-A static dictionary and word transforms, closing the
+    * round-18 scope guard: `br` is ubiquitous on the real web and a
+    * loud refusal shed that corpus fraction) — and ANY OTHER coding
+    * (`zstd`, `compress`, …) raises LOUDLY from the plan: passing
     * still-compressed bytes to the charset decode would feed
     * deterministic mojibake into the corpus SILENTLY — the one
     * failure mode this layer must never have. The error carries the
@@ -335,6 +338,7 @@ object Warc {
         graft.functions.Gzip.inflateCol(bytes))
       .when(enc === "deflate",
         graft.functions.Gzip.inflateDeflateCol(bytes))
+      .when(enc === "br", graft.functions.BrotliCols.inflateCol(bytes))
       .otherwise(raise_error(concat(
         lit("unsupported Content-Encoding (scope boundary, "),
         lit("refusing to pass compressed bytes to the charset "),

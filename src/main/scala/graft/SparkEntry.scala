@@ -45,7 +45,8 @@ object SparkEntry {
       graft.queries.Round15bQueries.queries ++
       graft.queries.Round16Queries.queries ++
       graft.queries.Round17Queries.queries ++
-      graft.queries.Round18Queries.queries
+      graft.queries.Round18Queries.queries ++
+      graft.queries.Round19Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -78,5 +79,6 @@ object SparkEntry {
       graft.queries.Round15bQueries.oracleSql ++
       graft.queries.Round16Queries.oracleSql ++
       graft.queries.Round17Queries.oracleSql ++
-      graft.queries.Round18Queries.oracleSql
+      graft.queries.Round18Queries.oracleSql ++
+      graft.queries.Round19Queries.oracleSql
 }

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-19: the `Content-Encoding: br` leg goes live — the from-
+  * scratch RFC 7932 decoder ([[graft.functions.Brotli]]) composed into
+  * the q299 transport onion (chunked framing x FOUR content-coding
+  * classes x charset decode), plus the remaining round-18 verdict
+  * items.
+  *
+  * Reference scope: nothing here maps to
+  * /root/reference/SCD_script.txt — these extend the crawl-ingest
+  * family the north star adds on top.
+  */
+object Round19Queries {
+
+  private def urlOf(t: Column): Column =
+    concat(lit("http://d"), (t % 20).cast("string"),
+      lit(".example.com/p/"), t.cast("string"))
+
+  /** The three charset classes of the br onion — (canonical label
+    * ('' = unlabeled, lenient-UTF-8 default), JDK codec for the
+    * fixture bytes, two-codepoint plant ('a'→first, 'e'→second;
+    * multibyte in the legacy classes so a wrong decode is mojibake,
+    * never a silent pass)).
+    */
+  private[graft] val BrCsClasses: Array[(String, String, String)] = Array(
+    ("", "UTF-8", "ae"), // identity plant: text unchanged
+    ("shift_jis", "windows-31j", "日本"),
+    ("gbk", "GBK", "中文"))
+
+  /** q300's raw fixture: the corpus as (possibly legacy-codec) body
+    * BYTES, the charset class on the div-20 %3 coin (independent of
+    * both the dom and the coding/framing coins) — the q289 typed-map
+    * codec boundary.
+    */
+  private def brBodies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val cls = ((id / 20) % 3).toInt
+        val (label, jdk, plant) = BrCsClasses(cls)
+        val planted = text.map(c =>
+          if (c == 'a') plant.charAt(0)
+          else if (c == 'e') plant.charAt(1) else c)
+        val bytes = planted.getBytes(java.nio.charset.Charset.forName(jdk))
+        (id, label, bytes)
+      }.toDF("doc_id", "label", "body")
+  }
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BROTLI TRANSPORT ONION: chunked framing (%2) x four
+    // Content-Encoding classes (%4: identity / gzip / br over
+    // UNCOMPRESSED meta-blocks / br over a COMPRESSED literal
+    // meta-block — both br framings are valid RFC 7932 streams, the
+    // second exercising the complex-prefix-code decode path in the
+    // oracle-checked plan) x three charset classes (div-20 %3:
+    // unlabeled UTF-8 / Shift_JIS / GBK with multibyte plants). The
+    // reader peels the REAL HTTP onion in order dechunk →
+    // decodeContentCoding (whose br leg is the from-scratch RFC 7932
+    // inflate — the round-18 scope guard closed) → superset charset
+    // decode. Per-coding clean splits make each br framing's success
+    // independently observable; the clean sweep proves byte-exact
+    // text through every layer and real gzipped-WARC storage.
+    "q300_brotli_onion" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      import graft.functions.{BrotliCols, Chunked, Gzip}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val t = col("doc_id")
+      val chunked = t % 2 === 0
+      val coding = t % 4
+      val enc = when(coding === 1, lit("gzip"))
+        .when(coding === 2 || coding === 3, lit("br"))
+        .otherwise(lit(""))
+      val bodies = brBodies(s, dir)
+      val b1 = when(coding === 1, Gzip.deflateCol(col("body")))
+        .when(coding === 2, BrotliCols.deflateCol(col("body")))
+        .when(coding === 3,
+          BrotliCols.deflateCol(col("body"), literal = true))
+        .otherwise(col("body"))
+      val payload = when(chunked,
+        Warc.httpResponseChunked(lit(200), lit("text/html"),
+          col("label"), enc, b1, lit(7) + (t % 13)))
+        .otherwise(Warc.httpResponseBytes(lit(200), lit("text/html"),
+          col("label"), enc, b1))
+      val pages = bodies.select(t, urlOf(t).as("uri"),
+        payload.as("payload"))
+      val land = Files.createTempDirectory("graft-q300-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, t),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      val te = Warc.httpTransferEncoding(col("pt"))
+      val deframed = when(te === "chunked", Chunked.dechunkCol(col("bb")))
+        .otherwise(col("bb"))
+      val entity = Warc.decodeContentCoding(deframed,
+        Warc.httpContentEncoding(col("pt")))
+      val parsed = back.select(col("doc_id"), te.as("te"),
+        Warc.httpContentEncoding(col("pt")).as("ce"),
+        Warc.decodeBody(entity, Warc.httpCharset(col("pt")))
+          .as("decoded"))
+      val cls = (expr("doc_id div 20") % 3).cast("int")
+      val expected = (1 until BrCsClasses.length).foldLeft(
+        when(cls === 0, translate(col("text"), "ae", BrCsClasses(0)._3))) {
+          (acc, i) => acc.when(cls === i,
+            translate(col("text"), "ae", BrCsClasses(i)._3))
+        }
+      val cod = col("doc_id") % 4
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"),
+          (col("te") === "chunked").as("isCh"),
+          cod.as("cod"),
+          (col("ce") === "br").as("isBr"),
+          (col("decoded") === expected).as("cm"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("isCh"), 1).otherwise(0)).cast("long")
+            .as("n_chunked"),
+          sum(when(col("cod") === 1, 1).otherwise(0)).cast("long")
+            .as("n_gzip"),
+          sum(when(col("isBr"), 1).otherwise(0)).cast("long")
+            .as("n_br"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"),
+          sum(when(col("cm") && col("cod") === 2, 1).otherwise(0))
+            .cast("long").as("n_clean_br_stored"),
+          sum(when(col("cm") && col("cod") === 3, 1).otherwise(0))
+            .cast("long").as("n_clean_br_lit"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }))
+
+  // dechunk ∘ content-decode ∘ charset-decode is the identity through
+  // every (framing x coding x charset) combination; the oracle
+  // predicts the clean sweep and every coin count from id arithmetic
+  // alone (the q299 posture with the br legs live)
+  val oracleSql: Map[String, String] = Map(
+    "q300_brotli_onion" ->
+      s"""SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunked,
+         |  CAST(SUM(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gzip,
+         |  CAST(SUM(CASE WHEN doc_id % 4 IN (2, 3) THEN 1 ELSE 0 END) AS BIGINT) AS n_br,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN doc_id % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_br_stored,
+         |  CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_br_lit,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM documents GROUP BY 1 ORDER BY dom""".stripMargin)
+}

@@ -51,7 +51,129 @@ object Round19Queries {
       }.toDF("doc_id", "label", "body")
   }
 
+  /** The six sniff classes — (canonical label, JDK fixture codec,
+    * two-codepoint plant). Each legacy plant encodes to TWO high bytes
+    * with trail ≥ 0xC0 (never a UTF-8 continuation, so strict-UTF-8
+    * detection fails on the first byte in ANY adjacency pattern) and
+    * was CHOSEN so its pair STRICTLY outscores every other valid codec
+    * under [[graft.functions.Sniff]]'s weight rules — the decision is
+    * therefore a theorem of the plant counts alone and the oracle
+    * replays it per document from (n_a, n_e).
+    */
+  private[graft] val SniffClasses: Array[(String, String, String)] = Array(
+    ("utf-8", "UTF-8", "éü"),
+    ("shift_jis", "windows-31j", "つで"), // 0x82C2 0x82C5 (kana row)
+    ("euc-jp", "EUC-JP", "だつ"), // 0xA4C0 0xA4C4 (kana row)
+    ("gbk", "GBK", "中主"), // 0xD6D0 0xD6F7 (GB2312 hanzi area)
+    ("big5", "Big5-HKSCS", "並事"), // 0xA8C3 0xA8C6 (common hanzi)
+    ("euc-kr", "x-windows-949", "겴겷")) // 0x81C0 0x81C3 (UHC-extended)
+
+  private def sniffBodies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].map { case (id, text) =>
+        val cls = ((id / 20) % 6).toInt
+        val (canon, jdk, plant) = SniffClasses(cls)
+        val planted = text.map(c =>
+          if (c == 'a') plant.charAt(0)
+          else if (c == 'e') plant.charAt(1) else c)
+        // %3 == 0 carries the truth-telling header label; the rest are
+        // UNLABELED — the sniff leg's traffic
+        val label = if (id % 3 == 0) canon else ""
+        val bytes = planted.getBytes(java.nio.charset.Charset.forName(jdk))
+        (id, label, bytes)
+      }.toDF("doc_id", "label", "body")
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // UNLABELED-CHARSET SNIFFING: six charset classes on the div-20 %6
+    // coin; %3==0 docs carry a truth-telling header label, the REST
+    // carry NO label anywhere (no BOM, no header param, no meta) and
+    // reach the new LAST leg of the effective-charset lattice —
+    // frequency sniffing (graft.functions.Sniff: strict-UTF-8 first,
+    // then high-byte pairs scored under each legacy codec's validity +
+    // script-frequency weights). Labeled classes decode byte-unchanged
+    // through their old legs (the sniff cannot override a label); the
+    // unlabeled plant-bearing docs decode ONLY because the sniff picks
+    // their codec; the default-decode CONTROL column counts exactly
+    // the plant-free docs.
+    "q301_charset_sniff" -> ((s, dir) => {
+      import java.nio.file.Files
+      import graft.sources.Warc
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val bodies = sniffBodies(s, dir)
+      val pages = bodies.select(col("doc_id"),
+        urlOf(col("doc_id")).as("uri"),
+        Warc.httpResponseBytes(lit(200), lit("text/html"), col("label"),
+          lit(""), col("body")).as("payload"))
+      val land = Files.createTempDirectory("graft-q301-warc").toString
+      Warc.writeSegmentsBinary(pages.repartition(4, col("doc_id")),
+        "uri", "payload", land, gzip = true)
+      val back = Warc.readRecordsBinary(s, land)
+        .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+          Warc.payloadText(col("body")).as("pt"),
+          Warc.bodyBytes(col("body")).as("bb"))
+      // the FULL effective-charset lattice, sniff as the last leg
+      val bomCs = Warc.bomCharset(col("bb"))
+      val hdrCs = Warc.httpCharset(col("pt"))
+      val metaCs = Warc.metaCharset(Warc.httpBody(col("pt")))
+      val sniffCs = Warc.sniffCharset(col("bb"))
+      val eff = when(bomCs =!= "", bomCs)
+        .otherwise(when(hdrCs =!= "", hdrCs)
+          .otherwise(when(metaCs =!= "", metaCs)
+            .otherwise(when(sniffCs =!= "", sniffCs)
+              .otherwise(lit("utf-8")))))
+      val parsed = back.select(col("doc_id"),
+        (hdrCs =!= "").as("labeled"),
+        sniffCs.as("sniffed"),
+        Warc.decodeBody(col("bb"), eff).as("decoded"),
+        graft.functions.Gzip.utf8LenientCol(col("bb")).as("u8"))
+      val cls = (expr("doc_id div 20") % 6).cast("int")
+      val expected = (1 until SniffClasses.length).foldLeft(
+        when(cls === 0,
+          translate(col("text"), "ae", SniffClasses(0)._3))) {
+          (acc, i) => acc.when(cls === i,
+            translate(col("text"), "ae", SniffClasses(i)._3))
+        }
+      val res = parsed.join(docs, Seq("doc_id"))
+        .select(col("doc_id"), cls.as("cls"),
+          col("labeled"),
+          (!col("labeled") && col("sniffed") =!= "").as("snf"),
+          (col("decoded") === expected).as("cm"),
+          (col("u8") === expected).as("u8m"),
+          length(col("decoded")).cast("long").as("nch"))
+        .groupBy((col("doc_id") % 20).as("dom"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("labeled"), 1).otherwise(0)).cast("long")
+            .as("n_labeled"),
+          sum(when(col("snf"), 1).otherwise(0)).cast("long")
+            .as("n_sniffed"),
+          sum(when(col("cm"), 1).otherwise(0)).cast("long")
+            .as("n_clean"),
+          sum(when(col("cm") && col("cls") === 0, 1).otherwise(0))
+            .cast("long").as("n_clean_utf8"),
+          sum(when(col("cm") && col("cls") === 1, 1).otherwise(0))
+            .cast("long").as("n_clean_sjis"),
+          sum(when(col("cm") && col("cls") === 2, 1).otherwise(0))
+            .cast("long").as("n_clean_eucjp"),
+          sum(when(col("cm") && col("cls") === 3, 1).otherwise(0))
+            .cast("long").as("n_clean_gbk"),
+          sum(when(col("cm") && col("cls") === 4, 1).otherwise(0))
+            .cast("long").as("n_clean_big5"),
+          sum(when(col("cm") && col("cls") === 5, 1).otherwise(0))
+            .cast("long").as("n_clean_euckr"),
+          sum(when(col("u8m"), 1).otherwise(0)).cast("long")
+            .as("n_default_clean"),
+          sum(col("nch")).as("sum_chars"))
+        .orderBy(col("dom"))
+        .localCheckpoint()
+      Round7bQueries.rmTree(land)
+      res
+    }),
 
     // BROTLI TRANSPORT ONION: chunked framing (%2) x four
     // Content-Encoding classes (%4: identity / gzip / br over
@@ -148,6 +270,33 @@ object Round19Queries {
   // predicts the clean sweep and every coin count from id arithmetic
   // alone (the q299 posture with the br legs live)
   val oracleSql: Map[String, String] = Map(
+    // the sniff decision is a THEOREM of the plant counts (each plant
+    // pair strictly outscores every other valid codec; strict-UTF-8
+    // decides class 0; no plants → abstain → the already-correct
+    // default): labeled docs decode through their label, unlabeled
+    // plant-bearing docs through the sniff, plant-free docs through
+    // the default — a clean sweep, with n_sniffed and the control
+    // column replayed from (n_a + n_e) per document
+    "q301_charset_sniff" ->
+      s"""WITH pc AS (SELECT doc_id, text,
+         |    (doc_id // 20) % 6 AS cls,
+         |    length(text) - length(replace(replace(text, 'a', ''), 'e', '')) AS plants
+         |  FROM documents)
+         |SELECT doc_id % 20 AS dom,
+         |  CAST(count(*) AS BIGINT) AS n_records,
+         |  CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
+         |  CAST(SUM(CASE WHEN doc_id % 3 <> 0 AND plants >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sniffed,
+         |  CAST(count(*) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_utf8,
+         |  CAST(SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_sjis,
+         |  CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_eucjp,
+         |  CAST(SUM(CASE WHEN cls = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_gbk,
+         |  CAST(SUM(CASE WHEN cls = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_big5,
+         |  CAST(SUM(CASE WHEN cls = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_euckr,
+         |  CAST(SUM(CASE WHEN cls = 0 OR plants = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_default_clean,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+         |FROM pc GROUP BY 1 ORDER BY dom""".stripMargin,
+
     "q300_brotli_onion" ->
       s"""SELECT doc_id % 20 AS dom,
          |  CAST(count(*) AS BIGINT) AS n_records,

@@ -486,6 +486,18 @@ object Warc {
     }.otherwise(graft.functions.Gzip.utf8LenientCol(b8))
   }
 
+  /** Frequency-sniffed charset of unlabeled entity BYTES
+    * ([[graft.functions.Sniff]] — deterministic chardet posture), ''
+    * when the sniff abstains: the LAST leg of the effective-charset
+    * lattice, after BOM ([[bomCharset]]), the header parameter
+    * ([[httpCharset]]) and the meta element ([[metaCharset]]) have all
+    * come up empty — a legacy page with no label at all decodes
+    * through its sniffed codec instead of falling straight to
+    * lenient-UTF-8 mojibake (q301).
+    */
+  def sniffCharset(bytes: Column): Column =
+    graft.functions.SniffCols.sniffCol(bytes)
+
   /** Charset declared INSIDE the document — HTML5's fallback when the
     * transport header carries no parameter: `<meta charset=...>` wins
     * over the legacy `<meta http-equiv content="...charset=...">`

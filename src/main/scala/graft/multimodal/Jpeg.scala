@@ -389,6 +389,22 @@ object Jpeg {
       restartInterval: Int = 0): Array[Byte] =
     encodeColorSampled(img, 2, 1, restartInterval)
 
+  /** 4:1:1 (Y 4×1, chroma box-averaged over horizontal quads) — the
+    * DV/camcorder layout; the last common horizontal decimation the
+    * SOF gate used to refuse. Same stream structure, luma factor 4×1.
+    */
+  def encodeColor411(img: Bmp.Image,
+      restartInterval: Int = 0): Array[Byte] =
+    encodeColorSampled(img, 4, 1, restartInterval)
+
+  /** 4:4:0 (Y 1×2, chroma box-averaged over vertical pixel pairs) —
+    * the vertical-only decimation (rotated-scan hardware); closes the
+    * loud 1×2 gate together with [[encodeColor411]].
+    */
+  def encodeColor440(img: Bmp.Image,
+      restartInterval: Int = 0): Array[Byte] =
+    encodeColorSampled(img, 1, 2, restartInterval)
+
   /** Shared color-encode core at luma sampling `hs`×`vs` (chroma is
     * always 1×1): 1×1 = 4:4:4, 2×2 = 4:2:0, 2×1 = 4:2:2. The chroma
     * planes box-average hs×vs pixel groups (edge replicated, round
@@ -1060,10 +1076,13 @@ object Jpeg {
           else {
             require((compH(0) == 1 && compV(0) == 1) ||
               (compH(0) == 2 && compV(0) == 2) ||
-              (compH(0) == 2 && compV(0) == 1),
-              s"only 4:4:4, 4:2:0, or 4:2:2 sampling in codec scope " +
-                s"(4:1:1 and vertical-only 1x2 stay loud); " +
-                s"luma ${compH(0)}x${compV(0)}")
+              (compH(0) == 2 && compV(0) == 1) ||
+              (compH(0) == 4 && compV(0) == 1) ||
+              (compH(0) == 1 && compV(0) == 2),
+              s"only 4:4:4, 4:2:0, 4:2:2, 4:1:1, or 4:4:0 sampling " +
+                s"in codec scope (the MCU loop and per-component " +
+                s"nearest upsample are generic; other hxv layouts " +
+                s"stay loud); luma ${compH(0)}x${compV(0)}")
             require(compH(1) == 1 && compV(1) == 1 &&
               compH(2) == 1 && compV(2) == 1,
               "chroma components must be 1x1")

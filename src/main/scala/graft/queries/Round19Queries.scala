@@ -86,7 +86,90 @@ object Round19Queries {
       }.toDF("doc_id", "label", "body")
   }
 
+  // ---- 4:1:1 / 4:4:0 JPEG perceptual dedup (q302) -------------------
+  // The q290 posture at the two remaining sampling layouts the SOF
+  // gate used to refuse: 4:1:1 (luma 4×1, DV/camcorder) and 4:4:0
+  // (luma 1×2, vertical-only). Per-cell LUMA margins + a UNIFORM
+  // per-image color cast: constant chroma planes box-average exactly
+  // under ANY hs×vs, so every stream dHashes identically to its
+  // lossless BMP twin and the oracle replays hashes from the cell
+  // formula.
+
+  private def cell411(id0: Long, gx: Int, gy: Int): Int = {
+    val h = graft.functions.TextHash.md5Low60(s"cj411:$id0:$gx:$gy")
+    (30 + (h % 5) * 40 + ((gx + gy) % 2) * 12).toInt
+  }
+
+  private val Casts411: Array[(Int, Int, Int)] =
+    Array((0, 0, 0), (16, -8, -4), (-16, 8, 4), (12, 4, -16))
+
+  private def plantImage411(id0: Long,
+      altCell: Boolean): graft.multimodal.Bmp.Image = {
+    val w = 64; val h = 64
+    val (dr, dg, db) = Casts411(
+      (graft.functions.TextHash.md5Low60(s"cast411:$id0") % 4).toInt)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val gx = x / 8; val gy = y / 8
+        val idc = if (altCell && gx == 3 && gy == 3) id0 + 999983L else id0
+        val l = cell411(idc, gx, gy) + ((x + y) % 2) * 2
+        val p = (y * w + x) * 3
+        rgb(p) = (l + dr).toByte
+        rgb(p + 1) = (l + dg).toByte
+        rgb(p + 2) = (l + db).toByte
+        x += 1
+      }
+      y += 1
+    }
+    graft.multimodal.Bmp.Image(w, h, rgb)
+  }
+
+  /** rid = doc_id*4 color JPEG 4:1:1; +1 BMP of the SAME pixels (the
+    * cross-format exact twin, every doc); +2 the SAME pixels as 4:4:0
+    * WITH restart markers (%3 — DRI composes with both new layouts'
+    * decode path); +3 a 4:1:1 with cell (3,3) re-derived (%5 — a
+    * ≤2-bit near-dup).
+    */
+  private def jpeg411Media(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.Multimodal.BmpMedia] = {
+    import s.implicits._
+    import graft.multimodal.{Bmp, Jpeg, Multimodal}
+    Tables(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") % 10 === 6).as[Long]
+      .flatMap { id =>
+        val base = plantImage411(id, altCell = false)
+        val j411 = Jpeg.encodeColor411(base)
+        val bmp = Bmp.encode(base)
+        Seq(Multimodal.BmpMedia(id * 4, j411, j411.length),
+          Multimodal.BmpMedia(id * 4 + 1, bmp, bmp.length)) ++
+          (if (id % 3 == 0) {
+            val j440 = Jpeg.encodeColor440(base, restartInterval = 3)
+            Seq(Multimodal.BmpMedia(id * 4 + 2, j440, j440.length))
+          } else Nil) ++
+          (if (id % 5 == 0) {
+            val j = Jpeg.encodeColor411(plantImage411(id, altCell = true))
+            Seq(Multimodal.BmpMedia(id * 4 + 3, j, j.length))
+          } else Nil)
+      }
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 4:1:1 + 4:4:0 JPEG perceptual dedup: both remaining sampling
+    // layouts flow through the magic-sniffed dHash/banded-hamming/CC
+    // machinery — the 4:1:1 stream, the DRI'd 4:4:0 re-encode, and
+    // the lossless BMP twin hash IDENTICALLY; the alt-cell 4:1:1
+    // lands in the same cluster at hamming ≤ 2.
+    "q302_jpeg_411_440" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.multimodal.Perceptual.clusters(
+          graft.multimodal.Perceptual.dHashes(jpeg411Media(s, dir)),
+          "id", "dhash", maxHamming = 6)
+        .orderBy(col("id"))
+    }),
 
     // UNLABELED-CHARSET SNIFFING: six charset classes on the div-20 %6
     // coin; %3==0 docs carry a truth-telling header label, the REST
@@ -270,6 +353,56 @@ object Round19Queries {
   // predicts the clean sweep and every coin count from id arithmetic
   // alone (the q299 posture with the br legs live)
   val oracleSql: Map[String, String] = Map(
+    // hashes replay from the cell formula (the q290 argument at the
+    // 4:1:1 / 4:4:0 layouts: uniform per-image casts shift every
+    // dHash sample equally; constant chroma planes box-average
+    // exactly under any hs×vs)
+    "q302_jpeg_411_440" ->
+      s"""WITH RECURSIVE jvdims AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 6),
+         |jvimgs AS (
+         |  SELECT doc_id*4 AS rid, doc_id AS id0, 0 AS alt FROM jvdims
+         |  UNION ALL SELECT doc_id*4+1, doc_id, 0 FROM jvdims
+         |  UNION ALL SELECT doc_id*4+2, doc_id, 0 FROM jvdims WHERE doc_id % 3 = 0
+         |  UNION ALL SELECT doc_id*4+3, doc_id, 1 FROM jvdims WHERE doc_id % 5 = 0),
+         |jvcells AS (
+         |  SELECT rid, gy, gx,
+         |    30 + (hh % 5) * 40 + ((gx + gy) % 2) * 12 AS gray
+         |  FROM (
+         |    SELECT rid, gy.g AS gy, gx.g AS gx,
+         |      ('0x'||substr(md5('cj411:' || (CASE WHEN alt = 1 AND gx.g = 3 AND gy.g = 3 THEN id0 + 999983 ELSE id0 END) || ':' || gx.g || ':' || gy.g), 1, 15))::BIGINT AS hh
+         |    FROM jvimgs,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gy,
+         |      (SELECT unnest(generate_series(0, 7)) AS g) gx) t),
+         |jvdh AS (
+         |  SELECT l.rid, CAST(SUM(CASE WHEN r.gray > l.gray
+         |      THEN 1::BIGINT << (l.gy*7 + l.gx) ELSE 0 END) AS BIGINT)
+         |    AS dhash
+         |  FROM jvcells l JOIN jvcells r
+         |    ON r.rid = l.rid AND r.gy = l.gy AND r.gx = l.gx + 1
+         |  WHERE l.gx < 7 GROUP BY l.rid),
+         |jvbands AS (
+         |  SELECT rid, dhash, bb.band,
+         |    (dhash >> (bb.band * 14)) & 16383 AS v
+         |  FROM jvdh, (SELECT unnest(generate_series(0, 3)) AS band) bb),
+         |jvpairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT DISTINCT x.rid AS a, y.rid AS b,
+         |      x.dhash AS ha, y.dhash AS hb
+         |    FROM jvbands x JOIN jvbands y
+         |      ON x.band = y.band AND x.v = y.v AND x.rid < y.rid) t
+         |  WHERE bit_count(xor(ha, hb)) <= 6),
+         |jvedges AS (SELECT a AS src, b AS dst FROM jvpairs
+         |  UNION SELECT b, a FROM jvpairs),
+         |jvreach(node, lab) AS (
+         |  SELECT src, src FROM jvedges
+         |  UNION
+         |  SELECT e2.dst, r.lab FROM jvreach r JOIN jvedges e2 ON e2.src = r.node),
+         |jvlabels AS (SELECT node, min(lab) AS clus FROM jvreach GROUP BY node)
+         |SELECT d.rid AS id, d.dhash,
+         |  COALESCE(l.clus, d.rid) AS cluster,
+         |  (COALESCE(l.clus, d.rid) <> d.rid) AS is_dup
+         |FROM jvdh d LEFT JOIN jvlabels l ON l.node = d.rid
+         |ORDER BY d.rid""".stripMargin,
     // the sniff decision is a THEOREM of the plant counts (each plant
     // pair strictly outscores every other valid codec; strict-UTF-8
     // decides class 0; no plants → abstain → the already-correct

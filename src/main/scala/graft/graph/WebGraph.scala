@@ -714,18 +714,21 @@ object WebGraph {
     val n = nds.count()
     require(n > 0, "pageRank over an empty node set")
     val base = 15L * Scale / (100L * n)
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // outdeg is joined into the edge relation ONCE (loop-invariant) —
+    // the per-round contrib join probes one prejoined relation instead
+    // of re-planning ranks⋈outdeg⋈edges every round (guide §2.4). The
+    // per-edge `rank div outdeg` terms are the same integer multiset
+    // the per-src formulation produced, so the per-dst sums are
+    // bit-identical.
+    val e2 = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
     var ranks = nds.select(col("node"),
       lit(Scale / n).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val contrib = e.join(
-          ranks.join(outdeg, col("node") === col("src"))
-            .select(col("src").as("__u"),
-              expr("rank div outdeg").as("__c")),
-          col("src") === col("__u"))
+      val contrib = e2.join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("__c")).as("__in"))
+        .agg(sum(expr("rank div outdeg")).as("__in"))
       ranks = nds.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(__in, 0)) div 100"))
@@ -771,8 +774,26 @@ object WebGraph {
     require(n > 0, "pageRankConverged over an empty node set")
     val eps = Scale / epsDiv
     val base = 15L * Scale / (100L * n)
+    // loop-invariant precomputes (round-19 restructure, guide §2.4 —
+    // before it, every round re-joined ranks⋈outdeg⋈edges, anti-joined
+    // for the dangling sum, and ran a separate node-keyed join for the
+    // convergence delta: 5 joins + 2 shuffling actions per round):
+    //  - outdeg folds into the edge relation ONCE (`e2`); the per-edge
+    //    `rank div outdeg` terms are the same integer multiset, so
+    //    per-dst contrib sums are bit-identical;
+    //  - the dangling-node SET (no out-edges) is loop-invariant: it
+    //    rides as a boolean flag on the rank state, so the per-round
+    //    dangling sum is a filter+agg over the round's checkpoint, not
+    //    an anti-join;
+    //  - the convergence delta reads a carried `__prev` column off the
+    //    new round's checkpoint — no per-round node-keyed delta join.
     val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+      .agg(count(lit(1)).as("outdeg"))
+    val e2 = e.join(outdeg, Seq("src")).localCheckpoint()
+    val flagged = nds.join(
+        outdeg.select(col("src").as("node"), lit(1).as("__o")),
+        Seq("node"), "left")
+      .select(col("node"), col("__o").isNull.as("__isdang"))
     // WARM START: seed from a previous fixed point (`init(node, rank)`)
     // instead of uniform — nodes the previous run never saw fall back
     // to the uniform share, stale nodes drop via the join. The
@@ -782,44 +803,41 @@ object WebGraph {
     // rounds a cold start pays — the incremental-crawl economics
     // (IncrementalGraph.rankWarm).
     var ranks = (init match {
-      case Some(p) => nds.join(
+      case Some(p) => flagged.join(
           p.select(col("node"), col("rank").as("__warm")),
           Seq("node"), "left")
         .select(col("node"),
-          coalesce(col("__warm"), lit(Scale / n)).as("rank"))
-      case None => nds.select(col("node"),
-        lit(Scale / n).as("rank"))
+          coalesce(col("__warm"), lit(Scale / n)).as("rank"),
+          col("__isdang"))
+      case None => flagged.select(col("node"),
+        lit(Scale / n).as("rank"), col("__isdang"))
     }).localCheckpoint()
     var k = 0
     var done = false
     while (k < maxRounds && !done) {
-      val dang = ranks.join(outdeg, col("node") === col("src"),
-          "left_anti")
+      val dang = ranks.filter(col("__isdang"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("__dang"))
-      val contrib = e.join(
-          ranks.join(outdeg, col("node") === col("src"))
-            .select(col("src").as("__u"),
-              expr("rank div outdeg").as("__c")),
-          col("src") === col("__u"))
+      val contrib = e2.join(ranks.select(col("node"), col("rank")),
+          col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("__c")).as("__in"))
-      val next = nds.join(contrib, col("node") === col("dst"), "left")
+        .agg(sum(expr("rank div outdeg")).as("__in"))
+      val next = ranks
+        .select(col("node"), col("rank").as("__prev"), col("__isdang"))
+        .join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(base) + expr(
             s"(85 * (coalesce(__in, 0) + (__dang div ${n}L))) div 100"))
-            .as("rank"))
+            .as("rank"),
+          col("__prev"), col("__isdang"))
         .localCheckpoint()
-      val delta = next.join(
-          ranks.select(col("node"), col("rank").as("__prev")),
-          Seq("node"))
-        .agg(sum(abs(col("rank") - col("__prev"))))
+      val delta = next.agg(sum(abs(col("rank") - col("__prev"))))
         .head().getLong(0)
       done = delta <= eps
-      ranks = next
+      ranks = next.select(col("node"), col("rank"), col("__isdang"))
       k += 1
     }
-    ranks.withColumn("rounds", lit(k))
+    ranks.select(col("node"), col("rank")).withColumn("rounds", lit(k))
   }
 
   /** The unrolled-CTE oracle for [[pageRankConverged]]: `maxRounds`
@@ -963,18 +981,17 @@ object WebGraph {
         seeds.select(col("node"), lit(1L).as("__s")), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // outdeg folds into the edge relation ONCE (see pageRank — the
+    // same loop-invariant prejoin, bit-identical per-dst sums)
+    val e2 = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .localCheckpoint()
     var ranks = seeded.select(col("node"),
       (col("__s") * lit(Scale / nS)).as("rank")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val contrib = e.join(
-          ranks.join(outdeg, col("node") === col("src"))
-            .select(col("src").as("__u"),
-              expr("rank div outdeg").as("__c")),
-          col("src") === col("__u"))
+      val contrib = e2.join(ranks, col("src") === col("node"))
         .groupBy(col("dst"))
-        .agg(sum(col("__c")).as("__in"))
+        .agg(sum(expr("rank div outdeg")).as("__in"))
       ranks = seeded.join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (col("__s") * lit(base) +

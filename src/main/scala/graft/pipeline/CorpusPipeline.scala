@@ -294,12 +294,26 @@ object CorpusPipeline {
     * both the pair pipeline and the survivor anti join; `pairs` feeds
     * up to three consumers (dedup subset, CC loop, split restriction).
     */
+  /** @param preGated optional PRECOMPUTED stage-1 relation — must
+    *   equal `rowGates(docs, idCol, textCol, cfg)` (the caller owns
+    *   that equality and the persistence). Row gates are per-row, so a
+    *   caller running several chains over slices of one corpus (e.g.
+    *   the q172/q173 double-release replay) computes the gate scan
+    *   ONCE over the superset and passes each chain its filtered view.
+    * @param preShingles optional per-doc hashed-shingle relation
+    *   `(doc, sh)` covering AT LEAST this chain's exact-dedup
+    *   survivors (shingling is per-doc, so the semi-join restriction
+    *   to the survivors equals `hashedShingles(exact)` exactly) —
+    *   same sharing rationale, caller-persisted.
+    */
   def stages(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config(),
-      pairThreshold: Option[Double] = None): Stages = {
+      pairThreshold: Option[Double] = None,
+      preGated: Option[DataFrame] = None,
+      preShingles: Option[DataFrame] = None): Stages = {
     val id = col(idCol)
-    val gated = rowGates(docs, idCol, textCol, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = preGated.getOrElse(rowGates(docs, idCol, textCol, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = bandStages(gated, idCol, textCol, cfg)
     val keep = Dedup.exactGroups(banded, idCol, textCol)
       .select(col("keep_id").as(idCol))
@@ -310,8 +324,11 @@ object CorpusPipeline {
     // decontamination reuses them for the train side (re-shingling the
     // released corpus per consumer doubled the release chain's scan
     // work — the round-18 bench tail)
-    val sh = Dedup.hashedShingles(exact, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = preShingles.map(_.join(exact.select(id.as("doc")),
+        Seq("doc"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(Dedup.hashedShingles(exact, idCol, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairsAll = Dedup.minhashNearDuplicatesFrom(sh,
         threshold = pairThreshold.getOrElse(cfg.jaccardThreshold))
       .localCheckpoint()
@@ -427,12 +444,15 @@ object CorpusPipeline {
   def release(docs: DataFrame, evalDocs: DataFrame, idCol: String,
       textCol: String, cfg: Config = Config(),
       splitThreshold: Double = 0.3, trainPct: Int = 90, valPct: Int = 5,
-      evalShingles: Option[DataFrame] = None): DataFrame = {
+      evalShingles: Option[DataFrame] = None,
+      preGated: Option[DataFrame] = None,
+      preShingles: Option[DataFrame] = None): DataFrame = {
     require(splitThreshold <= cfg.jaccardThreshold,
       "splitThreshold must not exceed the dedup threshold (the loose " +
         "pair set must contain the dedup pair set)")
     val id = col(idCol)
-    val st = stages(docs, idCol, textCol, cfg, Some(splitThreshold))
+    val st = stages(docs, idCol, textCol, cfg, Some(splitThreshold),
+      preGated, preShingles)
     // decontamination REUSES the stage chain's corpus shingles (the
     // survivor restriction is a semi join — shingling is per-doc, so
     // the restricted relation equals hashedShingles(survivors)); the

@@ -51,14 +51,29 @@ object Round10Queries {
     // the eval set is IDENTICAL for both release replays — its
     // decontamination shingles are materialized once and fed to both
     // chains (the round-18 verdict's shared-eval-chain item; each
-    // chain also reuses its own stage shingles for the train side)
+    // chain also reuses its own stage shingles for the train side).
+    // Round 19: the TRAIN side shares too — release A's corpus is
+    // release B's minus one slice, and the gate scan and per-doc
+    // shingles are both per-row/per-doc quantities, so they are
+    // computed ONCE over the full corpus; chain A takes the filtered
+    // gate view, and each chain semi-joins the shared shingle relation
+    // down to its own exact-dedup survivors (identical to shingling
+    // its own survivors directly).
     val evSh = graft.dedup.Dedup.hashedShingles(ev, "doc_id", "text")
       .localCheckpoint()
+    val gatedB = graft.pipeline.CorpusPipeline.rowGates(corpus,
+        "doc_id", "text", graft.pipeline.CorpusPipeline.Config())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shAll = graft.dedup.Dedup.hashedShingles(gatedB, "doc_id", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val relA = graft.pipeline.CorpusPipeline.release(
       corpus.filter(col("doc_id") % 23 =!= 5), ev, "doc_id", "text",
-      evalShingles = Some(evSh))
+      evalShingles = Some(evSh),
+      preGated = Some(gatedB.filter(col("doc_id") % 23 =!= 5)),
+      preShingles = Some(shAll))
     val relB = graft.pipeline.CorpusPipeline.release(
-      corpus, ev, "doc_id", "text", evalShingles = Some(evSh))
+      corpus, ev, "doc_id", "text", evalShingles = Some(evSh),
+      preGated = Some(gatedB), preShingles = Some(shAll))
     (relA, relB)
   }
 

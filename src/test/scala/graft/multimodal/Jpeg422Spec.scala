@@ -50,7 +50,19 @@ class Jpeg422Spec extends SparkSpec {
     assert(maxErr <= 4, s"max error $maxErr")
   }
 
-  test("4:1:1 and vertical-only 1x2 sampling stay loud") {
+  test("4:1:1 and vertical-only 1x2 (4:4:0) are live: dHash equals " +
+      "the lossless BMP twin's") {
+    Seq(4L, 34L).foreach { id =>
+      val img = Round18Queries.plantImage422(id, altCell = false)
+      val viaBmp = Perceptual.dHash(Bmp.decode(Bmp.encode(img)))
+      val via411 = Perceptual.dHash(Jpeg.decode(Jpeg.encodeColor411(img)))
+      assert(via411 == viaBmp, s"id $id 4:1:1 dHash diverged")
+      val via440 = Perceptual.dHash(Jpeg.decode(Jpeg.encodeColor440(img)))
+      assert(via440 == viaBmp, s"id $id 4:4:0 dHash diverged")
+    }
+  }
+
+  test("luma sampling layouts outside codec scope (3x1, 2x4) stay loud") {
     val img = Round18Queries.plantImage422(4L, altCell = false)
     val bytes = Jpeg.encodeColor422(img)
     // patch the SOF0 luma sampling byte (component 1's H<<4|V)
@@ -58,7 +70,7 @@ class Jpeg422Spec extends SparkSpec {
       (bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xff) == 0xc0).get
     val hvAt = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1 // marker,len,prec,h,w,ncomp,id
     assert((bytes(hvAt) & 0xff) == 0x21, "fixture layout drifted")
-    for (bad <- Seq(0x41, 0x12)) {
+    for (bad <- Seq(0x31, 0x24)) {
       val patched = bytes.clone()
       patched(hvAt) = bad.toByte
       val e = intercept[IllegalArgumentException](Jpeg.decode(patched))

@@ -179,27 +179,31 @@ class TransportCodingSpec extends SparkSpec {
     assert(odd.getString(0) == "a�")
   }
 
-  test("decodeContentCoding: identity/gzip/deflate dispatch; br (and " +
-      "any unknown coding) is LOUD — compressed bytes can never reach " +
+  test("decodeContentCoding: identity/gzip/deflate/br dispatch; any " +
+      "unknown coding is LOUD — compressed bytes can never reach " +
       "the charset decode silently") {
     val txt = "entity body – exact bytes " * 8
     val rows = Seq(("", txt), ("identity", txt), ("gzip", txt),
-      ("x-gzip", txt), ("deflate", txt)).toDF("enc", "t")
+      ("x-gzip", txt), ("deflate", txt), ("br", txt)).toDF("enc", "t")
     val got = rows.select(col("enc"),
         Warc.decodeContentCoding(
           when(col("enc").isin("gzip", "x-gzip"),
             Gzip.deflateCol(encode(col("t"), "UTF-8")))
             .when(col("enc") === "deflate",
               Gzip.deflateZlibCol(encode(col("t"), "UTF-8")))
+            .when(col("enc") === "br",
+              graft.functions.BrotliCols.deflateCol(
+                encode(col("t"), "UTF-8"), literal = true))
             .otherwise(encode(col("t"), "UTF-8")),
           col("enc")).as("b"))
       .select(col("enc"), decode(col("b"), "UTF-8").as("back"))
       .collect()
     got.foreach(r => assert(r.getString(1) == txt, r.getString(0)))
-    // br: the body is NOT brotli-decodable on a pure JVM — the layer
-    // must refuse, not pass the compressed bytes through
+    // zstd (and any other coding the layer does not implement) must
+    // refuse, not pass the compressed bytes through
     val e = intercept[Exception] {
-      Seq(("br", Array[Byte](0x1b, 0x3f, 0x5c))).toDF("enc", "b")
+      Seq(("zstd", Array[Byte](0x28, (0xB5 - 256).toByte, 0x2F)))
+        .toDF("enc", "b")
         .select(Warc.decodeContentCoding(col("b"), col("enc")))
         .collect()
     }
@@ -207,7 +211,7 @@ class TransportCodingSpec extends SparkSpec {
       Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16)
     assert(chain(e).exists(t => Option(t.getMessage)
       .exists(m => m.contains("unsupported Content-Encoding") &&
-        m.contains("br"))))
+        m.contains("zstd"))))
   }
 
   test("the full onion: chunked + gzip + cp1252 through a payload") {

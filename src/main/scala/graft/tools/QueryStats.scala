@@ -52,7 +52,12 @@ object QueryStats {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let the listener bus drain
+      // block until the async listener bus has DELIVERED every queued
+      // event (a fixed sleep could drop late events). Caveat: retried
+      // stages report their metrics per attempt, so shuffle/spill
+      // bytes can overcount under task retries — fine on a healthy
+      // local run, where retries are absent.
+      org.apache.spark.graft.ListenerBridge.drain(spark.sparkContext)
       spark.sparkContext.removeSparkListener(listener)
       println(f"$name%-28s secs=$secs%7.3f jobs=${jobs.get}%4d " +
         f"stages=${stages.get}%4d tasks=${tasks.get}%5d " +

@@ -9,6 +9,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
+  /** Scale-ADAPTIVE shuffle sizing (optimization guide §2.2): let AQE
+    * coalesce post-shuffle partitions to the advisory byte target
+    * instead of pinning them to the core count.
+    * `parallelismFirst=false` is Spark's own documented production
+    * posture — with the default `true`, AQE refuses to coalesce below
+    * `defaultParallelism`, so a kilobyte-sized aggregate still pays
+    * 32-task scheduling per stage at local scale while a 100 TB
+    * shuffle still gets `advisory`-sized (64 MB) partitions, i.e. the
+    * SAME setting right-sizes both ends — nothing here is tuned to
+    * `local[32]`. Both knobs stay env-overridable so the driver's
+    * bench contract (`SPARK_GRAFT_CPUS` initial partitions) is intact:
+    * `spark.sql.shuffle.partitions` remains the cpu count, AQE only
+    * merges what the runtime sizes prove small.
+    */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64m"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The flagship is the SCD Type-1/Type-2 merge — the reference's whole
     * reason to exist (reference `SCD_script.txt`).

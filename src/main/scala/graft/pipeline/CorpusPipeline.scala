@@ -324,9 +324,14 @@ object CorpusPipeline {
     // decontamination reuses them for the train side (re-shingling the
     // released corpus per consumer doubled the release chain's scan
     // work — the round-18 bench tail)
+    // when the caller provides (and persists) preShingles, the
+    // semi-join-restricted view is NOT re-persisted: its two consumers
+    // (the pair pipeline below, release's shTrain) each recompute one
+    // cheap semi join against the caller's cached parent — re-caching
+    // the restriction only stacked a third pinned copy per chain
+    // (round-19 ADVICE)
     val sh = preShingles.map(_.join(exact.select(id.as("doc")),
-        Seq("doc"), "left_semi")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        Seq("doc"), "left_semi"))
       .getOrElse(Dedup.hashedShingles(exact, idCol, textCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairsAll = Dedup.minhashNearDuplicatesFrom(sh,

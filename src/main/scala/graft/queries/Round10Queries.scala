@@ -71,9 +71,17 @@ object Round10Queries {
       evalShingles = Some(evSh),
       preGated = Some(gatedB.filter(col("doc_id") % 23 =!= 5)),
       preShingles = Some(shAll))
+      .localCheckpoint()
     val relB = graft.pipeline.CorpusPipeline.release(
       corpus, ev, "doc_id", "text", evalShingles = Some(evSh),
       preGated = Some(gatedB), preShingles = Some(shAll))
+      .localCheckpoint()
+    // both releases are materialized above — evict the shared caches
+    // so repeated invocations in a long-lived bench session do not
+    // accumulate pinned relations (round-19 ADVICE). Checkpointed
+    // blocks of relA/relB are GC-cleaned once unreachable.
+    gatedB.unpersist()
+    shAll.unpersist()
     (relA, relB)
   }
 

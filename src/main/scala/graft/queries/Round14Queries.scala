@@ -673,13 +673,20 @@ object Round14Queries {
       val land = Files.createTempDirectory("graft-q249-warc").toString
       graft.sources.Warc.writeSegments(
         pages.repartition(4, col("doc_id")), "uri", "html", land)
+      // the WARC readback (binaryFile scan + segment codec) feeds TWO
+      // consumers (extraction chain, raw-markup link graph) and the
+      // extraction feeds the scrub's hosts/paragraphs/doc-count scans
+      // — checkpoint each ONCE (guide §1.3/§5: the scrub alone would
+      // otherwise re-run extraction 4×)
       val back = graft.sources.Warc.readRecords(s, land)
         .select(regexp_extract(col("uri"), "/p/([0-9]+)$", 1)
           .cast("long").as("doc_id"), col("body").as("html"))
+        .localCheckpoint()
       val ex = graft.text.Html.extract(back, "doc_id", "html")
         .select(col("doc_id"), col("text"),
           concat(lit("d"), (col("doc_id") % 20).cast("string"),
             lit(".example.com")).as("host"))
+        .localCheckpoint()
       val scrub = graft.dedup.Dedup.scrubHostBoilerplate(ex,
           "doc_id", "host", "text", minPpm = 500000L, minDf = 2L)
         .select(col("doc_id"), col("clean_text").as("text"))

@@ -227,6 +227,7 @@ object Round15Queries {
       var pdf: DataFrame = null
       var hn: DataFrame = null
       var edges: DataFrame = null
+      var exs: DataFrame = null
       val stream = s.readStream
         .schema(s.read.parquet(land).schema)
         .option("maxFilesPerTrigger", 1).parquet(land)
@@ -235,7 +236,13 @@ object Round15Queries {
         .option("checkpointLocation", cp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ex = hostOf(batch)
+          // HTML extraction is the batch's dominant per-row cost and
+          // feeds THREE consumers in this frame (paragraphs, the host
+          // projection, host doc counts) plus the end-of-stream scrub
+          // — checkpoint it ONCE per batch (guide §1.3/§5: reuse, not
+          // recompute; extraction is per-row, so the accumulated
+          // batches equal one extraction pass over the landed corpus)
+          val ex = hostOf(batch).localCheckpoint()
           val paras = graft.dedup.Dedup.paragraphs(ex, "doc_id", "text")
             .join(ex.select(col("doc_id"), col("host")), Seq("doc_id"))
           val pPart = graft.dedup.Dedup.hostParagraphDf(paras,
@@ -255,11 +262,17 @@ object Round15Queries {
           edges = (if (edges == null) ePart
                    else edges.unionByName(ePart))
             .localCheckpoint()
+          exs = if (exs == null) ex else exs.unionByName(ex)
           ()
         }
         .start()
       query.awaitTermination()
-      val exAll = hostOf(s.read.parquet(land))
+      // the accumulated per-batch extractions ARE the corpus
+      // extraction (per-row, batches doc-disjoint and exhaustive) —
+      // the end-of-stream scrub reads them instead of re-extracting
+      // the landed corpus (which its hosts/paragraphs consumers would
+      // then re-run 3×)
+      val exAll = exs
       val scrub = graft.dedup.Dedup.scrubHostBoilerplateWith(exAll,
           "doc_id", "host", "text", pdf, hn,
           minPpm = 500000L, minDf = 2L)

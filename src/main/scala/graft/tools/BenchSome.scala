@@ -15,11 +15,11 @@ object BenchSome {
       .getOrElse("/root/testdata/sf0.1")
     val names = if (names0.nonEmpty) names0.toSeq else Seq("q46_pipeline")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = SparkEntry.tune(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same tail-buffer hygiene as Bench (trivially-true-equals WARN)

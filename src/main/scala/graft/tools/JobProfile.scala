@@ -14,9 +14,9 @@ object JobProfile {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("q46_pipeline")
     val dir = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val spark = SparkEntry.tune(SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
     val fn = SparkEntry.queries(name)
@@ -27,12 +27,16 @@ object JobProfile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         starts(js.jobId) = (js.time,
-          Option(js.properties).map(_.getProperty("spark.job.description", ""))
-            .getOrElse(""))
+          Option(js.properties).map { p =>
+            val d = p.getProperty("spark.job.description", "")
+            val c = p.getProperty("callSite.short", "")
+            if (d.nonEmpty) d else c
+          }.getOrElse("") + " | " +
+            js.stageInfos.map(_.name).distinct.mkString(";").take(160))
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         starts.get(je.jobId).foreach { case (t0, d) =>
           rows += ((je.jobId, (je.time - t0) / 1e3,
-            d.replaceAll("\\s+", " ").take(80)))
+            d.replaceAll("\\s+", " ").take(200)))
         }
     })
     val t0 = System.nanoTime()

@@ -173,16 +173,21 @@ object Bpe {
       .select(col("token"), (col("id") - 1L).cast("int").as("id"),
         col("n"))
 
-  /** Corpus token counts under the trained merges: tokenize, segment
-    * every word occurrence through the replace chain, count symbols.
-    * Equal by construction to weighting the dict's segmentations by
-    * word frequency (each word segments deterministically). */
+  /** Corpus token counts under the trained merges, DICTIONARY-side:
+    * each unique word runs the replace chain once and its symbol
+    * counts weight by word frequency — equal by construction to
+    * segmenting every occurrence (each word segments
+    * deterministically), at 1/|occurrences per word| of the replace
+    * work and with the token aggregation shuffling dict-sized rows
+    * instead of corpus-sized ones (guide §2.3 aggregate-before-
+    * shuffle; the [[symbolStream]] memoization applied to counting). */
   def vocabCounts(docs: DataFrame, textCol: String,
       merges: Seq[Merge]): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .select(explode(segment(col("word"), merges)).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wf"))
+      .select(col("__wf"), explode(segment(col("word"), merges)).as("token"))
+      .groupBy(col("token")).agg(sum(col("__wf")).as("n"))
 
   /** Tokenizer FERTILITY report — the metric a tokenizer choice is
     * judged by per data source (tokens per word; its inverse,
@@ -193,18 +198,23 @@ object Bpe {
     * doc/word/token/char counts (exact integers) and the two ratios
     * (one double division each).
     *
-    * Shape: one tokenize+explode scan, the per-occurrence replace
-    * chain (pure codegen string ops — [[segment]]), and one map-side-
+    * Shape: one tokenize+explode scan, the replace chain run
+    * DICTIONARY-side (once per unique word, joined back to the
+    * occurrences — [[graft.text.Unigram.fertilityReport]]'s shape;
+    * per-word symbol counts are deterministic, so the per-source sums
+    * are identical to segmenting every occurrence), and one map-side-
     * combinable per-source aggregate; `n_chars` counts word characters
     * (whitespace excluded by construction).
     */
   def fertilityReport(docs: DataFrame, srcCol: String, textCol: String,
       merges: Seq[Merge]): DataFrame = {
     val src = col(srcCol)
-    val per = docs
+    val occ = docs
       .select(src, explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .select(src, length(col("word")).cast("long").as("n_chr"),
-        size(segment(col("word"), merges)).cast("long").as("n_sym"))
+    val dict = occ.select(col("word")).distinct()
+      .withColumn("n_sym", size(segment(col("word"), merges)).cast("long"))
+      .withColumn("n_chr", length(col("word")).cast("long"))
+    val per = occ.join(dict, Seq("word"))
       .groupBy(src).agg(
         count(lit(1)).as("n_words"),
         sum(col("n_sym")).as("n_tokens"),

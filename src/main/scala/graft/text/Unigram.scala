@@ -176,16 +176,19 @@ object Unigram {
       .select(id, (col("base") + col("spos")).as("pos"), col("tok"))
   }
 
-  /** Corpus token counts under the model (per occurrence — weighting
-    * the dict's segmentations by word frequency gives the same relation
-    * by determinism of the DP).
+  /** Corpus token counts under the model, DICTIONARY-side: the
+    * Viterbi DP runs once per unique word and its symbols weight by
+    * word frequency — identical to the per-occurrence form by
+    * determinism of the DP, at 1/|occurrences per word| of the DP
+    * work ([[Bpe.vocabCounts]]'s memoization, guide §2.3).
     */
   def vocabCounts(docs: DataFrame, textCol: String,
       model: Model): DataFrame =
     docs
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .select(explode(model.segmentCol(col("word"))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .groupBy(col("word")).agg(count(lit(1)).as("__wf"))
+      .select(col("__wf"), explode(model.segmentCol(col("word"))).as("token"))
+      .groupBy(col("token")).agg(sum(col("__wf")).as("n"))
 
   /** VOCABULARY artifact of the trained tokenizer: `(token, id, n)`
     * with contiguous ids from 0 by (count DESC, token ASC) — the

@@ -294,7 +294,7 @@ object Round9Queries {
         .write.mode("overwrite").parquet(stage)
       val stream = s.readStream.schema(s.read.parquet(stage).schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
-      val (_, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
+      val (idx, gated, pairs) = graft.streaming.StreamingCorpus.ingest(
         stream, "doc_id", "text", cp, cfg)
       Round7bQueries.rmTree(stage); Round7bQueries.rmTree(cp)
       val docs = Tables(s, dir, "documents")
@@ -308,8 +308,11 @@ object Round9Queries {
           .select((col("doc_id") + 7000000L).as("doc_id"),
             concat(lit("fresh eval doc "), col("doc_id").cast("string"),
               lit(" with wholly unique content")).as("text")))
+      // decontamination reuses the ingest index's accumulated shingle
+      // relation instead of re-shingling the released corpus
       graft.streaming.StreamingCorpus.resolveRelease(
-          gated, pairs, ev, "doc_id", "text")
+          gated, pairs, ev, "doc_id", "text",
+          trainShingles = Some(idx.shingles))
         .orderBy(col("doc_id"))
     }),
 

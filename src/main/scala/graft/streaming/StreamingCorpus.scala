@@ -137,10 +137,19 @@ object StreamingCorpus {
     * exact-dedup survivors recovers exactly the one-shot pair set —
     * q147's oracle is q144's SQL verbatim under a different batching.
     */
+  /** @param trainShingles optional per-doc hashed-shingle relation
+    *   covering AT LEAST the gate survivors — the ingest INDEX already
+    *   accumulated exactly this (`idx.shingles`, checkpointed per
+    *   batch), so the caller passes it and decontamination reuses it
+    *   via a semi-join restriction instead of re-shingling the
+    *   released corpus (shingling is per-doc, so the restriction
+    *   equals shingling the survivors directly — the q172/q173
+    *   shared-chain argument applied to the streaming door).
+    */
   def resolveRelease(gated: DataFrame, pairs: DataFrame,
       evalDocs: DataFrame, idCol: String, textCol: String,
-      dedupThreshold: Double = 0.5, trainPct: Int = 90, valPct: Int = 5)
-      : DataFrame = {
+      dedupThreshold: Double = 0.5, trainPct: Int = 90, valPct: Int = 5,
+      trainShingles: Option[DataFrame] = None): DataFrame = {
     val id = col(idCol)
     val keep = Dedup.exactGroups(gated, idCol, textCol)
       .select(col("keep_id").as(idCol))
@@ -157,8 +166,19 @@ object StreamingCorpus {
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as(idCol))
     val survivors = exact.join(losers, Seq(idCol), "left_anti")
-    val released = Dedup.decontaminateNearDup(survivors, idCol, textCol,
-      evalDocs, idCol, textCol, dedupThreshold)
+    val released = trainShingles match {
+      case Some(sh) =>
+        val shTrain = sh.join(survivors.select(id.as("doc")),
+          Seq("doc"), "left_semi")
+        val shEval = Dedup.hashedShingles(evalDocs, idCol, textCol)
+          .localCheckpoint()
+        val hit = Dedup.crossCorpusMatchesFrom(shTrain, shEval,
+            dedupThreshold)
+          .select(col("a").as(idCol)).distinct()
+        survivors.join(hit, Seq(idCol), "left_anti")
+      case None => Dedup.decontaminateNearDup(survivors, idCol, textCol,
+        evalDocs, idCol, textCol, dedupThreshold)
+    }
     val relIds = released.select(id)
     val pairsSplit = pairsK.select(col("a"), col("b"))
       .join(relIds.select(id.as("a")), Seq("a"), "left_semi")
